@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of this module):
+- exact dedup = one hash-aggregate shuffle on the text hash (never on the
+  raw text — group key is md5, 16 bytes, not the document).
+- n-gram Jaccard pairs = shingle-explode + equi-join on the shingle; this is
+  the exact-but-quadratic-in-cluster-size baseline the oracle can verify.
+- MinHash-LSH = the 100 TB path: per-doc signature (pure codegen, no
+  shuffle), band-explode (b small constant), one shuffle on (band, hash) to
+  bucket, pairs only within buckets, exact-Jaccard verify join after.
+  No all-pairs product ever materializes.
+- SimHash = per-row 64-bit signature, entirely expression-level (no shuffle,
+  no UDF); banding the 64 bits gives the candidate join.
+
+Everything is Spark built-in expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct text + duplicate count.
+
+    Groups on md5(text) so the shuffle key is 16 bytes regardless of
+    document size; at 100 TB this is the difference between shuffling
+    hashes and shuffling the corpus.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_h")
+    )
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count").orderBy("doc_id")
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document as an array column.
+
+    Pure per-row expression work (split/transform/slice) — codegen, no
+    shuffle, no UDF.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return df.withColumn("shingles", F.array_distinct(shingles))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (oracle-verifiable baseline)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs with k-shingle Jaccard >= threshold via shingle equi-join.
+
+    The join key is the 64-bit shingle hash (8 bytes shuffled per shingle,
+    not the string), so complexity is sum over shingles of
+    (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
+    the corpus.
+    """
+    sh = _hashed_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_id_a"), F.col("b.doc").alias("doc_id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM exploded
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_id_a = sa.doc_id
+JOIN sizes sb ON doc_id_b = sb.doc_id
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the at-scale near-dup path)
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, h) rows: each distinct k-shingle hashed ONCE to a 64-bit long.
+
+    Everything downstream (minhash permutations, jaccard verify) works on
+    the 8-byte hash, never re-touching the shingle string — at 100 TB the
+    corpus text is read exactly once and never shuffled.
+    """
+    return (
+        with_shingles(df, text_col, k)
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
+        .select("doc", F.xxhash64("shingle").alias("h"))
+    )
+
+
+def minhash_signatures(
+    hashed: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """Per-doc MinHash signature as num_perm `min` aggregates over the
+    hashed shingles (permutation j = xxhash64(h, j)).
+
+    A plain hash-aggregate: map-side partial mins collapse each input
+    partition to one row per doc before the single shuffle — the classic
+    scalable formulation.  Also carries the hashed-shingle set for the
+    verify step (longs, not strings).
+    """
+    aggs = [F.min(F.xxhash64("h", F.lit(j))).alias(f"mh{j}") for j in range(num_perm)]
+    return hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"), *aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, then Jaccard-verified over the
+    hashed-shingle sets.
+
+    bands=8 x rows=4 gives an S-curve threshold ~(1/8)^(1/4) ≈ 0.59.
+    Candidate generation shuffles only (band_id, band_hash, doc_id, hset);
+    verification is array_intersect over 8-byte hashes on candidates only —
+    no quadratic stage ever touches the corpus.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(_hashed_shingles(df, id_col, text_col, k), num_perm)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", "hset", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc",
+        "hset",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_id_a"),
+            F.col("b.doc").alias("doc_id_b"),
+            F.col("a.hset").alias("sh_a"),
+            F.col("b.hset").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature, pure per-row expressions.
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    bit_i(doc) = 1 iff sum over tokens of (+1 if bit_i(xxhash64(tok)) else
+    -1) > 0.  Built as nested array expressions — runs entirely inside
+    whole-stage codegen; the doc never leaves its partition.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(i: int):
+        balance = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda a, h: a + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+        return F.when(balance > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    packed = bit(0)
+    for i in range(1, 64):
+        packed = packed.bitwiseOR(bit(i))
+    return df.withColumn("simhash", packed)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on >=1 of 4 16-bit chunks
+    (necessary condition for hamming <= 48, in practice recalls hamming<=~12
+    pairs), verified by exact popcount distance.
+    """
+    sh = with_simhash(df, text_col).select(F.col(id_col).alias("doc"), "simhash")
+    chunks = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_id_a"),
+            F.col("b.doc").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+QUERIES: dict = {
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs_docs": (ngram_jaccard_pairs_docs, NGRAM_JACCARD_SQL),
+    # Approximate ops: no SQL oracle (rows-only check); exactness is instead
+    # asserted in tests against the exact-Jaccard baseline above.
+    "minhash_near_dup_docs": (minhash_near_dup_docs, None),
+    "simhash_docs": (simhash_docs, None),
+}

@@ -1,0 +1,211 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM-side, whole-stage codegen)
+— no Python UDFs — so they vectorize and scale linearly with partitions.
+Oracle SQL implements the identical arithmetic so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + char stats, all codegen'd built-ins."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens)
+    chars_nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "char_len": F.length(F.col(text_col)),
+            "chars_nospace": chars_nospace,
+            "avg_token_len": F.round(chars_nospace / n_tokens, 4),
+        }
+    )
+
+
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "char_len", "chars_nospace", "avg_token_len"
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))                            AS n_tokens,
+       length(text)                                            AS char_len,
+       length(replace(text, ' ', ''))                          AS chars_nospace,
+       round(length(replace(text, ' ', ''))
+             / len(string_split(text, ' ')), 4)                AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: punctuation/digit/space ratios, mean word
+    length band, terminal punctuation.  Mirrors common pretraining-data
+    quality filters (C4/Gopher-style) with deterministic arithmetic."""
+    t = F.col(text_col)
+    char_len = F.length(t)
+    n_punct = char_len - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    n_digit = char_len - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = char_len - F.length(F.regexp_replace(t, " ", ""))
+    n_words = F.size(F.split(t, " "))
+    return df.withColumns(
+        {
+            "n_punct": n_punct,
+            "n_digit": n_digit,
+            "punct_ratio": F.round(n_punct / char_len, 4),
+            "digit_ratio": F.round(n_digit / char_len, 4),
+            "space_ratio": F.round(n_space / char_len, 4),
+            "n_words": n_words,
+            "ends_with_punct": t.rlike("[.!?]$"),
+        }
+    )
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id",
+        "n_punct",
+        "n_digit",
+        "punct_ratio",
+        "digit_ratio",
+        "space_ratio",
+        "n_words",
+        "ends_with_punct",
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))    AS n_digit,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / length(text), 4)                                         AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / length(text), 4)                                         AS digit_ratio,
+       round((length(text) - length(replace(text, ' ', '')))
+             / length(text), 4)                                         AS space_ratio,
+       len(string_split(text, ' '))                                     AS n_words,
+       regexp_matches(text, '[.!?]$')                                   AS ends_with_punct
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# Stopword-frequency language-ID heuristic.  A real pipeline would use a
+# character-n-gram model; the operator shape (per-doc scores -> argmax) is
+# identical and fully JVM-side.  Scores = occurrence counts of high-frequency
+# marker words per language.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["und", "der", "die"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+}
+
+
+def _marker_hits(text_col, words: list[str]):
+    """Total occurrences of marker words, counted as token matches."""
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        needle = f" {w} "
+        hits = (F.length(padded) - F.length(F.regexp_replace(padded, needle, ""))) / len(needle)
+        total = total + hits
+    return total.cast("int")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.lower(F.col(text_col))
+    scores = {lang: _marker_hits(t, words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = (
+        F.when(best <= 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumns(
+        {
+            "score_en": scores["en"],
+            "score_de": scores["de"],
+            "score_es": scores["es"],
+            "score_fr": scores["fr"],
+            "lang_guess": guess,
+        }
+    )
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "lang_guess"
+    ).orderBy("doc_id")
+
+
+def _hits_sql(words: list[str]) -> str:
+    terms = []
+    for w in words:
+        needle = f" {w} "
+        terms.append(
+            f"(length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{needle}', ''))) / {len(needle)}"
+        )
+    return "CAST((" + " + ".join(terms) + ") AS INTEGER)"
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_hits_sql(_LANG_MARKERS["en"])} AS score_en,
+         {_hits_sql(_LANG_MARKERS["de"])} AS score_de,
+         {_hits_sql(_LANG_MARKERS["es"])} AS score_es,
+         {_hits_sql(_LANG_MARKERS["fr"])} AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over whitespace-normalized,
+    lowercased text — md5 so any engine reproduces it."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict = {
+    "token_stats_docs": (token_stats_docs, TOKEN_STATS_SQL),
+    "text_quality_docs": (text_quality_docs, TEXT_QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
+    "fingerprint_docs": (fingerprint_docs, FINGERPRINT_SQL),
+}

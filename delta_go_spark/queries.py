@@ -1,0 +1,37 @@
+"""Central query registry: name -> (spark_builder, duckdb_oracle_sql|None).
+
+This is the single source of truth consumed by __spark_entry__.py, bench.py
+and the parity tests.  Every operator claimed in SURVEY.md §2 Part B (plus
+the LLM-pipeline extensions) has an entry here; entries with a SQL string
+are hash-checked against DuckDB by the driver, entries with None get the
+weaker rows-only check (approximate algorithms, verified in tests instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_go_spark.functions import dedup, similarity, textops
+from delta_go_spark.operators import relational
+
+_MODULES = [relational, textops, dedup, similarity]
+
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    out: dict = {}
+    for mod in _MODULES:
+        for name, entry in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = entry
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in registry().items() if sql is not None}

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the configs below are chosen to also be the
+right defaults on a large cluster: AQE on (runtime shuffle-partition
+coalescing + skew-join splitting), shuffle partitions sized to parallelism,
+UTC session time zone (object-store parquet is written timezone-naive), and
+Arrow enabled for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "delta-go-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # local[N]: one shuffle partition per core avoids tiny-task overhead.
+        # On a real cluster this should scale with executor cores; AQE
+        # coalescing makes over-provisioning cheap, so err high there.
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read it as long nanos (legacy conf) and convert to a proper
+    microsecond timestamp column.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP_NTZ, built by integer micros arithmetic: the source
+            # value is timezone-naive, so the result must not depend on the
+            # session time zone (the driver's session may not be UTC).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
