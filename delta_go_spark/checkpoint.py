@@ -1,0 +1,367 @@
+"""Parquet checkpoints: _last_checkpoint discovery, complete-checkpoint
+selection, columnar read/write via pyarrow.
+
+Reference: checkpoint.go (metadata + discovery), checkpoint_reader.go:87-216
+(the fixed nested action schema), checkpoint_writer.go:19-94.  The writer
+must emit a SINGLE parquet file with that exact schema — pyarrow gives
+byte-level control that df.write.parquet (part-files + _SUCCESS) does not.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from delta_go_spark import filenames
+from delta_go_spark.actions import (
+    Action,
+    AddFile,
+    Format,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    SetTransaction,
+)
+from delta_go_spark.store import LogStore
+
+
+@dataclass(frozen=True)
+class CheckpointInstance:
+    """Identity of a checkpoint (version, parts); ordering = (version,
+    parts) (reference: checkpoint.go:28-66)."""
+
+    version: int
+    parts: int | None = None  # None = single-file
+
+    def key(self) -> tuple[int, int]:
+        return (self.version, self.parts or 0)
+
+
+@dataclass(frozen=True)
+class CheckpointMetadata:
+    """_last_checkpoint contents (reference: checkpoint.go:16-26)."""
+
+    version: int
+    size: int
+    parts: int | None = None
+
+
+def last_checkpoint_path(log_path: str) -> str:
+    import os
+
+    return os.path.join(log_path, filenames.LAST_CHECKPOINT)
+
+
+def load_last_checkpoint(
+    store: LogStore, log_path: str, retries: int = 3, retry_sleep_sec: float = 1.0
+) -> CheckpointMetadata | None:
+    """Read _last_checkpoint with retries (object stores can briefly expose
+    partial writes; reference: checkpoint.go:95-141).  Returns None when
+    absent or unparseable after retries — callers fall back to a full
+    listing search."""
+    path = last_checkpoint_path(log_path)
+    for attempt in range(retries):
+        if not store.exists(path):
+            return None
+        try:
+            lines = store.read(path)
+            o = json.loads("".join(lines))
+            return CheckpointMetadata(o["version"], o.get("size", 0), o.get("parts"))
+        except (ValueError, KeyError, OSError):
+            if attempt < retries - 1:
+                time.sleep(retry_sleep_sec)
+    return None
+
+
+def checkpoint_files_of(instance: CheckpointInstance, log_path: str) -> list[str]:
+    if instance.parts:
+        return filenames.checkpoint_file_parts(log_path, instance.version, instance.parts)
+    return [filenames.checkpoint_file_single(log_path, instance.version)]
+
+
+def latest_complete_checkpoint(
+    candidates: list[str], not_later_than: int | None = None
+) -> CheckpointInstance | None:
+    """Pick the newest checkpoint (<= bound) with ALL its parts present
+    (reference: checkpoint.go:214-245)."""
+    singles: list[int] = []
+    parts_seen: dict[tuple[int, int], set[int]] = {}
+    for p in candidates:
+        if not filenames.is_checkpoint_file(p):
+            continue
+        v = filenames.checkpoint_version(p)
+        if not_later_than is not None and v > not_later_than:
+            continue
+        part, total = filenames.checkpoint_part(p)
+        if part is None:
+            singles.append(v)
+        else:
+            parts_seen.setdefault((v, total), set()).add(part)
+    complete: list[CheckpointInstance] = [CheckpointInstance(v) for v in singles]
+    complete += [
+        CheckpointInstance(v, total)
+        for (v, total), seen in parts_seen.items()
+        if len(seen) == total
+    ]
+    if not complete:
+        return None
+    return max(complete, key=CheckpointInstance.key)
+
+
+def find_last_complete_checkpoint_before(
+    store: LogStore, log_path: str, version_bound: int | None = None
+) -> CheckpointInstance | None:
+    """Full-listing fallback search, walking down in 1000-version strides
+    (reference: checkpoint.go:156-196)."""
+    import os
+
+    cur = version_bound if version_bound is not None else (1 << 62)
+    while cur >= 0:
+        start_v = max(0, cur - 1000)
+        start = os.path.join(log_path, f"{start_v:020d}")
+        try:
+            names = [m.path for m in store.list_from(start)]
+        except FileNotFoundError:
+            return None
+        cands = [
+            p
+            for p in names
+            if filenames.is_checkpoint_file(p)
+            and (version_bound is None or filenames.checkpoint_version(p) <= version_bound)
+            and filenames.checkpoint_version(p) <= cur
+        ]
+        found = latest_complete_checkpoint(cands, not_later_than=cur)
+        if found:
+            return found
+        if start_v == 0:
+            return None
+        cur = start_v - 1
+
+
+# ---------------------------------------------------------------------------
+# Parquet read/write
+
+def read_checkpoint_actions(paths: list[str]) -> list[Action]:
+    """Decode checkpoint parquet rows into actions
+    (reference: checkpoint_reader.go:43-85)."""
+    out: list[Action] = []
+    for path in paths:
+        table = pq.read_table(path)
+        cols = set(table.column_names)
+        for row in table.to_pylist():
+            if row.get("add") is not None and "add" in cols:
+                a = row["add"]
+                out.append(
+                    AddFile(
+                        path=a["path"],
+                        partition_values=_map_to_dict(a.get("partitionValues")),
+                        size=a.get("size") or 0,
+                        modification_time=a.get("modificationTime") or 0,
+                        data_change=bool(a.get("dataChange")),
+                        stats=a.get("stats"),
+                        tags=_map_to_dict(a.get("tags")) or None,
+                    )
+                )
+            elif row.get("remove") is not None:
+                r = row["remove"]
+                out.append(
+                    RemoveFile(
+                        path=r["path"],
+                        deletion_timestamp=r.get("deletionTimestamp"),
+                        data_change=bool(r.get("dataChange")),
+                        extended_file_metadata=bool(r.get("extendedFileMetadata", False)),
+                        partition_values=_map_to_dict(r.get("partitionValues")) or None,
+                        size=r.get("size"),
+                    )
+                )
+            elif row.get("metaData") is not None:
+                m = row["metaData"]
+                fmt = m.get("format") or {}
+                out.append(
+                    Metadata(
+                        id=m.get("id", ""),
+                        name=m.get("name"),
+                        description=m.get("description"),
+                        format=Format(
+                            (fmt.get("provider") or "parquet"),
+                            _map_to_dict(fmt.get("options")) or {},
+                        ),
+                        schema_string=m.get("schemaString", ""),
+                        partition_columns=list(m.get("partitionColumns") or []),
+                        configuration=_map_to_dict(m.get("configuration")) or {},
+                        created_time=m.get("createdTime"),
+                    )
+                )
+            elif row.get("protocol") is not None:
+                p = row["protocol"]
+                out.append(Protocol(p.get("minReaderVersion", 0), p.get("minWriterVersion", 0)))
+            elif row.get("txn") is not None:
+                t = row["txn"]
+                out.append(
+                    SetTransaction(t.get("appId", ""), t.get("version", 0), t.get("lastUpdated"))
+                )
+            # commitInfo / cdc rows in checkpoints are ignored on replay,
+            # matching the reference's state fold.
+    return out
+
+
+def _map_to_dict(v):
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return dict(v)  # pyarrow map -> list of (k, v) tuples
+
+
+_STR_MAP = pa.map_(pa.string(), pa.string())
+
+CHECKPOINT_SCHEMA = pa.schema(
+    [
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    pa.field("appId", pa.string()),
+                    pa.field("version", pa.int64()),
+                    pa.field("lastUpdated", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("partitionValues", _STR_MAP),
+                    pa.field("size", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                    pa.field("stats", pa.string()),
+                    pa.field("tags", _STR_MAP),
+                ]
+            ),
+        ),
+        pa.field(
+            "remove",
+            pa.struct(
+                [
+                    pa.field("path", pa.string()),
+                    pa.field("deletionTimestamp", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                ]
+            ),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field("name", pa.string()),
+                    pa.field("description", pa.string()),
+                    pa.field(
+                        "format",
+                        pa.struct(
+                            [
+                                pa.field("provider", pa.string()),
+                                pa.field("options", _STR_MAP),
+                            ]
+                        ),
+                    ),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field("configuration", _STR_MAP),
+                    pa.field("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def write_checkpoint(
+    store: LogStore,
+    log_path: str,
+    version: int,
+    protocol: Protocol,
+    metadata: Metadata,
+    active_files: list[AddFile],
+    tombstones: list[RemoveFile],
+    set_transactions: list[SetTransaction],
+) -> CheckpointMetadata:
+    """Write a single-file checkpoint + _last_checkpoint pointer
+    (reference: checkpoint.go:247-276, checkpoint_writer.go:19-94)."""
+    rows: list[dict] = []
+    rows.append({"protocol": {"minReaderVersion": protocol.min_reader_version,
+                              "minWriterVersion": protocol.min_writer_version}})
+    rows.append(
+        {
+            "metaData": {
+                "id": metadata.id,
+                "name": metadata.name,
+                "description": metadata.description,
+                "format": {
+                    "provider": metadata.format.provider,
+                    "options": list((metadata.format.options or {}).items()),
+                },
+                "schemaString": metadata.schema_string,
+                "partitionColumns": metadata.partition_columns,
+                "configuration": list((metadata.configuration or {}).items()),
+                "createdTime": metadata.created_time,
+            }
+        }
+    )
+    for t in set_transactions:
+        rows.append({"txn": {"appId": t.app_id, "version": t.version,
+                             "lastUpdated": t.last_updated}})
+    for r in tombstones:
+        rows.append(
+            {
+                "remove": {
+                    "path": r.path,
+                    "deletionTimestamp": r.deletion_timestamp,
+                    "dataChange": r.data_change,
+                }
+            }
+        )
+    for a in active_files:
+        rows.append(
+            {
+                "add": {
+                    "path": a.path,
+                    "partitionValues": list((a.partition_values or {}).items()),
+                    "size": a.size,
+                    "modificationTime": a.modification_time,
+                    "dataChange": a.data_change,
+                    "stats": a.stats,
+                    "tags": list(a.tags.items()) if a.tags else None,
+                }
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
+    target = filenames.checkpoint_file_single(log_path, version)
+    # Atomic visibility: write to temp then rename.
+    tmp = target + ".tmp"
+    pq.write_table(table, tmp)
+    import os
+
+    os.replace(tmp, target)
+    meta = CheckpointMetadata(version=version, size=len(rows))
+    store.write(
+        last_checkpoint_path(log_path),
+        [json.dumps({"version": meta.version, "size": meta.size}, separators=(",", ":"))],
+        overwrite=True,
+    )
+    return meta

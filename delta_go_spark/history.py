@@ -1,0 +1,180 @@
+"""History manager: commit timestamps, time travel resolution, change feed.
+
+Reference: history_manager.go, version_log.go, log.go:156-281.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from delta_go_spark import filenames
+from delta_go_spark.actions import Action, CommitInfo, action_from_json
+from delta_go_spark.snapshot import DeltaError
+from delta_go_spark.store import LogStore
+
+
+@dataclass(frozen=True)
+class Commit:
+    version: int
+    timestamp: int  # file modification time, millis
+
+
+@dataclass(frozen=True)
+class VersionLog:
+    """One version's actions (reference: version_log.go:9-71)."""
+
+    version: int
+    actions: tuple[Action, ...]
+
+
+class HistoryManager:
+    """reference: history_manager.go."""
+
+    def __init__(self, store: LogStore, log_path: str):
+        self.store = store
+        self.log_path = log_path
+
+    def _list_commits(self, start_version: int = 0) -> list[Commit]:
+        anchor = os.path.join(self.log_path, f"{start_version:020d}")
+        out = []
+        for m in self.store.list_from(anchor):
+            name = os.path.basename(m.path)
+            if filenames.is_delta_file(name):
+                out.append(Commit(filenames.delta_version(name), m.modification_time))
+        return out
+
+    def commit_info_at(self, version: int) -> CommitInfo:
+        """First CommitInfo of a version (reference:
+        history_manager.go:20-48)."""
+        path = filenames.delta_file(self.log_path, version)
+        if not self.store.exists(path):
+            raise DeltaError(f"no commit found at version {version}")
+        for line in self.store.read(path):
+            a = action_from_json(line)
+            if isinstance(a, CommitInfo):
+                a.version = version
+                return a
+        return CommitInfo(version=version)
+
+    def checked_version_bounds(self, version: int, latest_version: int) -> None:
+        """Time-travel target must be within [earliest reproducible,
+        latest] (reference: history_manager.go:50-66)."""
+        earliest = self.earliest_reproducible_version()
+        if version < earliest or version > latest_version:
+            raise DeltaError(
+                f"cannot time travel to version {version}: reproducible range is "
+                f"[{earliest}, {latest_version}]"
+            )
+
+    def active_commit_at_time(
+        self,
+        latest_version: int,
+        timestamp_millis: int,
+        can_return_last_commit: bool = False,
+        must_be_recreatable: bool = True,
+        can_return_earliest_commit: bool = False,
+    ) -> Commit:
+        """Last commit with mtime <= ts (reference:
+        history_manager.go:68-104)."""
+        start = self.earliest_reproducible_version() if must_be_recreatable else 0
+        commits = [c for c in self._list_commits(start) if c.version <= latest_version]
+        if not commits:
+            raise DeltaError("no commits found")
+        commits.sort(key=lambda c: c.version)
+        # Commit timestamps must be monotonic for resolution; clamp like
+        # delta does for clock skew.
+        adjusted: list[Commit] = []
+        prev_ts = -1
+        for c in commits:
+            ts = max(c.timestamp, prev_ts + 1) if adjusted else c.timestamp
+            adjusted.append(Commit(c.version, ts))
+            prev_ts = ts
+        chosen = None
+        for c in adjusted:
+            if c.timestamp <= timestamp_millis:
+                chosen = c
+            else:
+                break
+        if chosen is None:
+            if can_return_earliest_commit:
+                return adjusted[0]
+            raise DeltaError(
+                f"timestamp {timestamp_millis} is before the earliest version available"
+            )
+        if chosen.version == adjusted[-1].version and chosen.timestamp < timestamp_millis:
+            if not can_return_last_commit and timestamp_millis > adjusted[-1].timestamp:
+                raise DeltaError(
+                    f"timestamp {timestamp_millis} is after the latest commit timestamp "
+                    f"{adjusted[-1].timestamp}"
+                )
+        return chosen
+
+    def earliest_reproducible_version(self) -> int:
+        """Earliest version reconstructable from the files present
+        (reference: history_manager.go:130-189): a version is reproducible
+        if v0 onward is contiguous, or a complete checkpoint covers it."""
+        from delta_go_spark import checkpoint as ckpt
+
+        anchor = os.path.join(self.log_path, f"{0:020d}")
+        deltas: list[int] = []
+        checkpoint_cands: list[str] = []
+        for m in self.store.list_from(anchor):
+            name = os.path.basename(m.path)
+            if filenames.is_delta_file(name):
+                deltas.append(filenames.delta_version(name))
+            elif filenames.is_checkpoint_file(name) and m.size > 0:
+                checkpoint_cands.append(m.path)
+        deltas.sort()
+        if deltas and deltas[0] == 0:
+            # find the longest contiguous prefix from 0
+            return 0
+        # otherwise the earliest complete checkpoint anchors reproducibility
+        singles = sorted(
+            {
+                filenames.checkpoint_version(p)
+                for p in checkpoint_cands
+                if filenames.checkpoint_part(p)[0] is None
+            }
+        )
+        # multi-part completeness
+        parts_seen: dict[tuple[int, int], set[int]] = {}
+        for p in checkpoint_cands:
+            part, total = filenames.checkpoint_part(p)
+            if part is not None:
+                v = filenames.checkpoint_version(p)
+                parts_seen.setdefault((v, total), set()).add(part)
+        multi = sorted(v for (v, total), seen in parts_seen.items() if len(seen) == total)
+        candidates = sorted(set(singles) | set(multi))
+        if candidates:
+            return candidates[0]
+        if deltas:
+            raise DeltaError(
+                f"no reproducible version found: log starts at {deltas[0]} with no checkpoint"
+            )
+        raise DeltaError("empty delta log")
+
+    def changes(self, start_version: int, fail_on_data_loss: bool = False):
+        """Ordered (version, actions) iterator from start_version
+        (reference: log.go:188-226, version_log.go).  A version gap raises
+        when fail_on_data_loss."""
+        if start_version < 0:
+            raise DeltaError("invalid startVersion")
+        commits = sorted(self._list_commits(start_version), key=lambda c: c.version)
+        commits = [c for c in commits if c.version >= start_version]
+        if not commits:
+            raise DeltaError(f"no changes at or after version {start_version}")
+        expected = start_version
+        for c in commits:
+            if fail_on_data_loss and c.version != expected:
+                raise DeltaError(
+                    f"versions are not contiguous: expected {expected}, got {c.version}"
+                )
+            expected = c.version + 1
+            path = filenames.delta_file(self.log_path, c.version)
+            actions = tuple(
+                a
+                for a in (action_from_json(line) for line in self.store.read(path))
+                if a is not None
+            )
+            yield VersionLog(c.version, actions)

@@ -1,0 +1,129 @@
+"""Log-store abstraction with the correctness-critical storage contract
+(reference: store/store.go:16-27):
+
+1. atomic visibility — readers never see partial files;
+2. mutual exclusion — exactly one writer may create a given version file;
+3. consistent listing after a write.
+
+Only the driver ever writes the log (executors write data files), so the
+single-process mutex + atomic-create pattern holds on a cluster exactly as
+it does locally.  Cloud backends (S3 If-None-Match, GCS generation
+preconditions, Azure ETag) implement the same ABC; LocalStore is the one
+shipped here (reference: store/local.go:73-96).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from abc import ABC, abstractmethod
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+
+class FileAlreadyExistsError(FileExistsError):
+    pass
+
+
+@dataclass(frozen=True)
+class FileMeta:
+    path: str  # absolute path
+    size: int
+    modification_time: int  # epoch millis
+
+
+class LogStore(ABC):
+    """reference: store/store.go:28-92."""
+
+    @abstractmethod
+    def root(self) -> str: ...
+
+    @abstractmethod
+    def read(self, path: str) -> list[str]:
+        """All lines of `path` (atomic visibility guaranteed)."""
+
+    @abstractmethod
+    def list_from(self, path: str) -> Iterator[FileMeta]:
+        """Files in the parent of `path` whose name >= basename(path),
+        in lexicographic (= version) order."""
+
+    @abstractmethod
+    def write(self, path: str, lines: Iterable[str], overwrite: bool = False) -> None:
+        """Atomically create `path` with the given lines; raise
+        FileAlreadyExistsError when it exists and overwrite=False."""
+
+    @abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+
+class LocalStore(LogStore):
+    """Local-filesystem store: write-temp + atomic link/rename for mutual
+    exclusion, plus a process-wide mutex (reference: store/local.go:73-96)."""
+
+    _mutex = threading.Lock()
+
+    def __init__(self, root_dir: str):
+        self._root = os.path.abspath(root_dir)
+
+    def root(self) -> str:
+        return self._root
+
+    def read(self, path: str) -> list[str]:
+        with open(path, encoding="utf-8") as f:
+            return [line.rstrip("\n") for line in f if line.strip()]
+
+    def list_from(self, path: str) -> Iterator[FileMeta]:
+        parent = os.path.dirname(path)
+        start = os.path.basename(path)
+        if not os.path.isdir(parent):
+            raise FileNotFoundError(f"no such directory: {parent}")
+        for name in sorted(os.listdir(parent)):
+            if name < start:
+                continue
+            full = os.path.join(parent, name)
+            if os.path.isfile(full):
+                st = os.stat(full)
+                yield FileMeta(full, st.st_size, int(st.st_mtime * 1000))
+
+    def write(self, path: str, lines: Iterable[str], overwrite: bool = False) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = "".join(line + "\n" for line in lines).encode("utf-8")
+        with LocalStore._mutex:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                if overwrite:
+                    os.replace(tmp, path)
+                else:
+                    try:
+                        # link() fails with EEXIST if the target exists —
+                        # atomic create-if-absent on POSIX.
+                        os.link(tmp, path)
+                    except FileExistsError as e:
+                        raise FileAlreadyExistsError(path) from e
+                    finally:
+                        if os.path.exists(tmp):
+                            os.unlink(tmp)
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+
+def store_for(path: str) -> LogStore:
+    """Scheme dispatch (reference: store/store.go:75-92).  file:// and bare
+    paths -> LocalStore; cloud schemes raise until their backends land."""
+    if path.startswith("file://"):
+        return LocalStore(path[len("file://"):])
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        raise NotImplementedError(f"log store for scheme {scheme}:// not implemented")
+    return LocalStore(path)

@@ -1,0 +1,69 @@
+"""DeltaTable: the user-facing facade joining the metadata plane
+(DeltaLog/Snapshot/transactions) with the Spark data plane.
+
+This is the surface a user of the reference would target after switching:
+open a table, read it as a DataFrame (optionally time-traveled or
+predicate-pruned), write DataFrames into it transactionally, register it
+for SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_go_spark.expressions import Expression
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.writer import write_dataframe
+
+
+class DeltaTable:
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.log = DeltaLog.for_table(table_path)
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, table_path: str) -> "DeltaTable":
+        return cls(spark, table_path)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        configuration: dict[str, str] | None = None,
+    ) -> "DeltaTable":
+        write_dataframe(df, table_path, "append", partition_by, configuration)
+        return cls(spark, table_path)
+
+    # -- read --------------------------------------------------------------
+    def to_df(self, predicate: Expression | None = None) -> DataFrame:
+        snap = self.log.update()
+        if predicate is None:
+            return snap.to_df(self.spark)
+        return snap.scan(predicate).to_df(self.spark)
+
+    def version_as_of(self, version: int) -> DataFrame:
+        return self.log.snapshot_for_version_as_of(version).to_df(self.spark)
+
+    def timestamp_as_of(self, timestamp_millis: int) -> DataFrame:
+        return self.log.snapshot_for_timestamp_as_of(timestamp_millis).to_df(self.spark)
+
+    def register_temp_view(self, name: str) -> None:
+        self.to_df().createOrReplaceTempView(name)
+
+    # -- write -------------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        return write_dataframe(df, self.log.table_path, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return write_dataframe(df, self.log.table_path, "overwrite")
+
+    # -- metadata ----------------------------------------------------------
+    def version(self) -> int:
+        return self.log.update().version
+
+    def history(self):
+        latest = self.log.update().version
+        return [self.log.commit_info_at(v) for v in range(latest + 1)]

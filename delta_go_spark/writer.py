@@ -1,0 +1,185 @@
+"""Data-plane writer: DataFrame -> parquet files -> AddFile actions ->
+committed Delta version.
+
+The reference never writes data (README.md:14-16); this is the compute
+side it delegates.  Files are written by Spark executors into a staging
+directory, moved (same-filesystem rename) into the table root, and the
+driver commits the log entry — executors never touch _delta_log, which
+preserves the storage contract's single-writer rule (store.go:16-27).
+
+Per-file stats (numRecords/minValues/maxValues/nullCount) are read from
+the parquet footers — no second data scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+
+from delta_go_spark import ops
+from delta_go_spark.actions import AddFile, Metadata, encode_path
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import DeltaError
+from delta_go_spark.types import schema_to_json
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values_from_rel(rel_dir: str, partition_cols: list[str]) -> dict[str, str | None]:
+    values: dict[str, str | None] = {}
+    parts = [p for p in rel_dir.split(os.sep) if p]
+    for part in parts:
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        k = unquote(k)
+        values[k] = None if v == HIVE_NULL else unquote(v)
+    return {c: values.get(c) for c in partition_cols}
+
+
+def _stats_from_footer(path: str) -> str | None:
+    """Delta stats JSON from parquet row-group statistics."""
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    num_records = meta.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested stats omitted (top-level only, like Spark)
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    continue  # binary min/max not representable in JSON stats
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps(
+        {
+            "numRecords": num_records,
+            "minValues": {k: _json_safe(v) for k, v in mins.items()},
+            "maxValues": {k: _json_safe(v) for k, v in maxs.items()},
+            "nullCount": nulls,
+        },
+        default=str,
+        separators=(",", ":"),
+    )
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def write_dataframe(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
+    operation: str | None = None,
+) -> int:
+    """Write `df` into the Delta table at `table_path`; returns the committed
+    version.  mode: append | overwrite (overwrite removes the previous
+    active set in the same transaction — reference semantics of the
+    snapshot-data2 golden table)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+
+    exists = txn.snapshot is not None and txn.read_version >= 0
+    partition_by = list(partition_by or [])
+    if exists:
+        meta = txn.snapshot.metadata()
+        if partition_by and partition_by != meta.partition_columns:
+            raise DeltaError(
+                f"partitionBy {partition_by} does not match table partitioning "
+                f"{meta.partition_columns}"
+            )
+        partition_by = meta.partition_columns
+
+    # 1. executors write parquet into a staging dir
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    # 2. move data files into the table root, preserving hive layout
+    new_files: list[AddFile] = []
+    clock_ms = log.clock.now_millis()
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            target_dir = os.path.join(table_path, rel_dir)
+            os.makedirs(target_dir, exist_ok=True)
+            dst = os.path.join(target_dir, name)
+            os.rename(src, dst)
+            rel_path = os.path.join(rel_dir, name) if rel_dir else name
+            new_files.append(
+                AddFile(
+                    path=encode_path(rel_path.replace(os.sep, "/")),
+                    partition_values=_partition_values_from_rel(rel_dir, partition_by),
+                    size=os.path.getsize(dst),
+                    modification_time=int(os.path.getmtime(dst) * 1000),
+                    data_change=True,
+                    stats=_stats_from_footer(dst),
+                )
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # 3. build the action list
+    actions: list = []
+    if not exists:
+        txn.update_metadata(
+            Metadata(
+                schema_string=schema_to_json(df.schema),
+                partition_columns=partition_by,
+                configuration=configuration or {},
+                created_time=clock_ms,
+            )
+        )
+    removed = []
+    if mode == "overwrite" and exists:
+        removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
+    actions.extend(new_files)
+    actions.extend(removed)
+
+    op = operation or (ops.CREATE_TABLE if not exists else ops.WRITE)
+    return txn.commit(
+        actions,
+        op,
+        operation_parameters={
+            "mode": "Append" if mode == "append" else "Overwrite",
+            "partitionBy": json.dumps(partition_by),
+        },
+    )

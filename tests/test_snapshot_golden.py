@@ -1,0 +1,168 @@
+"""Snapshot reconstruction against the reference's golden-table corpus
+(read in place from /root/reference/tests/golden — data fixtures, not code).
+
+Mirrors the assertions of the reference's log_test.go:248-400, 506, 672,
+687-735.
+"""
+
+import os
+
+import pytest
+
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import DeltaError, InvalidProtocolVersionError
+from tests.conftest import golden
+
+
+def parquet_files_on_disk(table_path: str) -> set[str]:
+    out = set()
+    for root, _dirs, files in os.walk(table_path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if f.endswith(".snappy.parquet") or f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "snapshot-data0",
+        "snapshot-data1",
+        "snapshot-data2",
+        "snapshot-data3",
+        "snapshot-data2-deleted",
+        "snapshot-repartitioned",
+        "snapshot-vacuumed",
+    ],
+)
+def test_snapshot_active_files_match_disk(name):
+    """log_test.go:248-351: every active file exists on disk (removed
+    entries may linger on disk until vacuum), and the snapshot reads
+    cleanly."""
+    path = golden(name)
+    log = DeltaLog.for_table(path)
+    snap = log.snapshot()
+    active = {p for p in snap.absolute_data_paths()}
+    on_disk = parquet_files_on_disk(path)
+    assert active, name
+    assert active <= on_disk, name
+    if name == "snapshot-data0":
+        # no removes ever: active set IS the disk content
+        assert active == on_disk
+
+
+def test_snapshot_data0_version_and_schema():
+    log = DeltaLog.for_table(golden("snapshot-data0"))
+    snap = log.snapshot()
+    assert snap.version == 0
+    schema = snap.metadata().schema()
+    assert [f.name for f in schema.fields] == ["col1", "col2"]
+
+
+def test_checkpoint_table():
+    """log_test.go:353-400: 15 commits, checkpoint at 10; final state is
+    exactly one file '15'."""
+    log = DeltaLog.for_table(golden("checkpoint"))
+    snap = log.snapshot()
+    assert snap.version == 14
+    files = snap.all_files()
+    assert len(files) == 1
+    assert files[0].path == "15"
+    # segment must anchor at the checkpoint, not read all 15 jsons
+    assert snap.segment.checkpoint_version == 10
+    assert [os.path.basename(p) for p in snap.segment.deltas] == [
+        f"{v:020d}.json" for v in range(11, 15)
+    ]
+
+
+def test_corrupted_last_checkpoint_falls_back():
+    """log_test.go:506: unreadable _last_checkpoint must not break
+    loading."""
+    log = DeltaLog.for_table(golden("corrupted-last-checkpoint"))
+    snap = log.snapshot()
+    assert snap.version >= 0
+
+
+def test_versions_not_contiguous_raises():
+    """log_test.go:672."""
+    with pytest.raises(DeltaError):
+        DeltaLog(golden("versions-not-contiguous")).update()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "deltalog-state-reconstruction-without-protocol",
+        "deltalog-state-reconstruction-without-metadata",
+    ],
+)
+def test_state_reconstruction_missing_pm(name):
+    """log_test.go:687-704."""
+    log = DeltaLog(golden(name))
+    snap = log.update()
+    with pytest.raises(DeltaError):
+        snap.state()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "deltalog-state-reconstruction-from-checkpoint-missing-protocol",
+        "deltalog-state-reconstruction-from-checkpoint-missing-metadata",
+    ],
+)
+def test_state_reconstruction_from_checkpoint_missing_pm(name):
+    """log_test.go:705-719."""
+    log = DeltaLog(golden(name))
+    snap = log.update()
+    with pytest.raises(DeltaError):
+        snap._resolve_pm()
+
+
+def test_invalid_protocol_version():
+    """log_test.go:720."""
+    log = DeltaLog(golden("deltalog-invalid-protocol-version"))
+    snap = log.update()
+    with pytest.raises(InvalidProtocolVersionError):
+        snap.protocol()
+
+
+def test_commit_info():
+    """log_test.go:735: CommitInfoAt returns the right version's info."""
+    log = DeltaLog.for_table(golden("deltalog-commit-info"))
+    ci = log.commit_info_at(0)
+    assert ci.version == 0
+
+
+def test_changes_and_data_loss():
+    """log_test.go:782-880."""
+    log = DeltaLog.for_table(golden("deltalog-getChanges"))
+    versions = [vl.version for vl in log.changes(0)]
+    assert versions == sorted(versions)
+    assert versions[0] == 0
+    # from version 1
+    versions1 = [vl.version for vl in log.changes(1)]
+    assert versions1[0] == 1
+
+
+def test_canonicalized_paths():
+    """log_test.go:542-644: add with absolute/encoded path + remove with
+    the equivalent form cancel out."""
+    for name in [
+        "canonicalized-paths-normal-a",
+        "canonicalized-paths-normal-b",
+        "canonicalized-paths-special-a",
+        "canonicalized-paths-special-b",
+    ]:
+        log = DeltaLog.for_table(golden(name))
+        assert log.snapshot().num_of_files() == 0, name
+
+
+def test_table_exists():
+    assert DeltaLog.for_table(golden("snapshot-data0")).table_exists()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        assert not DeltaLog.for_table(d).table_exists()

@@ -1,0 +1,139 @@
+"""End-to-end data plane: DataFrame -> Delta table -> DataFrame, with
+overwrite, partitioning, time travel (explicit commit mtimes), stats."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_go_spark.expressions import Column, EqualTo, Literal
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import DeltaError
+from delta_go_spark.table import DeltaTable
+from delta_go_spark.writer import write_dataframe
+
+
+def test_append_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    v = write_dataframe(df, path)
+    assert v == 0
+    t = DeltaTable.for_path(spark, path)
+    out = t.to_df()
+    assert out.count() == 100
+    assert {f.name for f in out.schema.fields} == {"k", "v"}
+    v2 = t.append(df.filter(F.col("k") < 10))
+    assert v2 == 1
+    assert t.to_df().count() == 110
+
+
+def test_overwrite_replaces_active_set(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = DeltaTable.create(spark, path, df)
+    t.overwrite(spark.range(100, 120).select(F.col("id").alias("k")))
+    rows = sorted(r["k"] for r in t.to_df().collect())
+    assert rows == list(range(100, 120))
+    # old files tombstoned, not active
+    snap = t.log.update()
+    assert snap.num_of_files() > 0
+    assert len(snap.tombstones()) > 0
+
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    path = str(tmp_path / "t3")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    write_dataframe(df, path, partition_by=["p"])
+    log = DeltaLog.for_table(path)
+    snap = log.snapshot()
+    assert snap.metadata().partition_columns == ["p"]
+    assert all(set(a.partition_values) == {"p"} for a in snap.all_files())
+
+    scan = snap.scan(EqualTo(Column("p", LongType()), Literal(2)))
+    pruned = list(scan.files())
+    assert 0 < len(pruned) < snap.num_of_files()
+    out = scan.to_df(spark)
+    assert {r["p"] for r in out.select("p").collect()} == {2}
+    assert out.count() == 25
+
+
+def test_stats_recorded(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    write_dataframe(df, path)
+    snap = DeltaLog.for_table(path).snapshot()
+    stats = [json.loads(a.stats) for a in snap.all_files() if a.stats]
+    assert stats
+    assert sum(s["numRecords"] for s in stats) == 1000
+    assert min(s["minValues"]["k"] for s in stats) == 0
+    assert max(s["maxValues"]["k"] for s in stats) == 999
+
+
+def test_time_travel_versions_and_timestamps(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    t = None
+    for i in range(3):
+        df = spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k"))
+        if t is None:
+            t = DeltaTable.create(spark, path, df)
+        else:
+            t.append(df)
+    log = DeltaLog.for_table(path)
+    # pin commit mtimes 20 minutes apart (fixture F10 pattern)
+    base = 1_540_415_658
+    for v in range(3):
+        p = os.path.join(log.log_path, f"{v:020d}.json")
+        os.utime(p, (base + v * 1200, base + v * 1200))
+
+    assert t.version_as_of(0).count() == 10
+    assert t.version_as_of(1).count() == 20
+    assert t.version_as_of(2).count() == 30
+    with pytest.raises(DeltaError):
+        log.snapshot_for_version_as_of(3)
+    with pytest.raises(DeltaError):
+        log.snapshot_for_version_as_of(-1)
+
+    ms = lambda s: s * 1000
+    # between v0 and v1 -> v0; exactly v1 -> v1; after last -> error
+    assert log.snapshot_for_timestamp_as_of(ms(base + 600)).version == 0
+    assert log.snapshot_for_timestamp_as_of(ms(base + 1200)).version == 1
+    with pytest.raises(DeltaError):
+        log.snapshot_for_timestamp_as_of(ms(base + 3 * 1200))
+    with pytest.raises(DeltaError):
+        log.snapshot_for_timestamp_as_of(ms(base - 100))
+
+
+def test_checkpoint_roundtrip_with_data(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    df0 = spark.range(0, 10).select(F.col("id").alias("k"))
+    t = DeltaTable.create(spark, path, df0)
+    # drive past the default checkpoint interval? use explicit interval
+    for i in range(12):
+        t.append(spark.range(100 + i, 101 + i).select(F.col("id").alias("k")))
+    log = DeltaLog.for_table(path)
+    snap = log.snapshot()
+    assert snap.version == 12
+    assert snap.segment.checkpoint_version == 10
+    assert t.to_df().count() == 22
+    history = t.history()
+    assert history[0].operation in ("CREATE TABLE", "WRITE")
+
+
+def test_changes_feed_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t7")
+    t = DeltaTable.create(spark, path, spark.range(0, 5).select(F.col("id").alias("k")))
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))
+    log = DeltaLog.for_table(path)
+    logs = list(log.changes(0))
+    assert [vl.version for vl in logs] == [0, 1]
+    from delta_go_spark.actions import AddFile
+
+    adds1 = [a for a in logs[1].actions if isinstance(a, AddFile)]
+    assert adds1 and all(a.data_change for a in adds1)
