@@ -1,0 +1,201 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+mapInPandas pipelines, partition-friendly layout; the codec step itself
+(actual JPEG/audio decoding) is stubbed behind DETERMINISTIC_FAKE because
+media libraries are not in this container.  Swapping `_decode_stub` for a
+real decoder (PIL/torchaudio/ffmpeg) changes no Spark code: the UDF
+signature, batch shape and schema stay identical.
+
+Scale design: media bytes travel through Arrow record batches
+(mapInPandas), never through Python pickling row-by-row; metadata-only
+operations (filtering by size/kind, bucketing) stay in JVM expressions so
+the binary column is not even read when pruned (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+DETERMINISTIC_FAKE = True  # container has no media libs; see module doc
+
+
+def make_media_df(spark, n: int = 64) -> DataFrame:
+    """Synthetic media table with deterministic binary payloads."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * (4 + i % 8)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + (i % 4) * 32 if kind != "audio" else None,
+                64 + (i % 3) * 32 if kind != "audio" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stub(content: bytes, kind: str) -> list[float]:
+    """STUB for the real decoder (no media libs in this container).
+
+    Produces a deterministic 16-dim feature from the bytes so the whole
+    pipeline (batching, schema, joins) is testable end-to-end.  A real
+    implementation would raise NotImplementedError without DETERMINISTIC_FAKE
+    and decode with PIL/torchaudio here.
+    """
+    if not DETERMINISTIC_FAKE:
+        raise NotImplementedError("media decoding requires PIL/torchaudio")
+    h = hashlib.sha256(content or b"").digest()
+    return [b / 255.0 for b in h[:16]]
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; media
+    bytes never round-trip through per-row pickling.  Output schema is
+    fixed (FEATURE_SCHEMA) so downstream plans are stable.
+    """
+
+    # NOTE: the closure must be self-contained (stdlib only) — executors'
+    # Python workers do not have this package on sys.path; cloudpickle
+    # serializes `run` by value but cannot serialize module references.
+    fake = DETERMINISTIC_FAKE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def decode(content: bytes) -> list[float]:
+            if not fake:
+                raise NotImplementedError("media decoding requires PIL/torchaudio")
+            h = _hl.sha256(content or b"").digest()
+            return [b / 255.0 for b in h[:16]]
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": [
+                        decode(bytes(c) if c is not None else b"") for c in pdf["content"]
+                    ],
+                }
+            )
+            yield out
+
+    return df.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pipeline: filter to images in JVM (binary column pruned for
+    other kinds), then Arrow-batched transform.  The resize itself is the
+    stubbed codec step."""
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("content", BinaryType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    fake = DETERMINISTIC_FAKE  # captured by value: workers lack this module
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires PIL")
+            # fake resize: deterministic truncate/pad to width*height bytes
+            target = width * height
+            def fake_resize(b):
+                b = bytes(b or b"")
+                return (b * (target // max(len(b), 1) + 1))[:target]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for videos: explode timestamps JVM-side (sequence),
+    one row per sampled frame; the decode of each frame is the stubbed
+    step, but the row explosion — the part that matters for scale — is a
+    real JVM expression."""
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+    return frames
+
+
+def media_summary(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation: never touches the binary column, so the
+    parquet scan prunes it (verify via ReadSchema in explain)."""
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+        )
+        .orderBy("kind")
+    )

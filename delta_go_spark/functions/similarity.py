@@ -138,29 +138,84 @@ def with_lsh_signature(
     return df.withColumn("lsh_bucket", sig)
 
 
+def with_lsh_tables(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_tables: int = 6,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table LSH: n_tables independent n_planes-bit signatures as an
+    array of (table_id, bucket) structs.  Multiple tables are the standard
+    recall lever — a true neighbor is missed only if it disagrees in EVERY
+    table (miss prob (1-p^k)^L)."""
+    e = _as_double(vec_col)
+
+    def bucket_for(table: int) -> Column:
+        def plane_bit(p: int) -> Column:
+            plane = table * n_planes + p
+            proj = F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(e, i + 1) * _projection_col(i, plane),
+            )
+            return F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        sig = plane_bit(0)
+        for p in range(1, n_planes):
+            sig = sig.bitwiseOR(plane_bit(p))
+        return sig
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), bucket_for(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("lsh_tables", tables)
+
+
 def ann_lsh_neighbors(
     corpus: DataFrame,
     query: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tables: int = 6,
     n_planes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: restrict exact cosine to the query's LSH bucket.
+    """Approximate top-k: exact cosine restricted to rows sharing at least
+    one LSH table bucket with the query.
 
-    At 100 TB the bucket join replaces the full-corpus scan with a
-    ~2^-n_planes fraction of it; recall is tested against knn_bruteforce.
+    At 100 TB the per-table bucket join replaces the full-corpus scan with
+    ~L * 2^-n_planes of it; candidates are deduped before the exact
+    re-rank.  Recall is tested against knn_bruteforce.
     """
-    c = with_lsh_signature(corpus, vec_col, n_planes, dim)
-    q = with_lsh_signature(query, vec_col, n_planes, dim).select(
-        F.col("lsh_bucket").alias("_qb"), _as_double(vec_col).alias("_q")
+    c = with_lsh_tables(corpus, vec_col, n_tables, n_planes, dim)
+    c = c.select("*", F.explode("lsh_tables").alias("_t")).select(
+        *[col for col in c.columns if col != "lsh_tables"],
+        F.col("_t.table_id").alias("_tid"),
+        F.col("_t.bucket").alias("_bucket"),
+    )
+    q = with_lsh_tables(query, vec_col, n_tables, n_planes, dim)
+    q = q.select(F.explode("lsh_tables").alias("_t"), _as_double(vec_col).alias("_q")).select(
+        F.col("_t.table_id").alias("_qtid"),
+        F.col("_t.bucket").alias("_qbucket"),
+        "_q",
     )
     e = _as_double(vec_col)
     return (
-        c.join(F.broadcast(q), c.lsh_bucket == F.col("_qb"))
+        c.join(
+            F.broadcast(q),
+            (c["_tid"] == q["_qtid"]) & (c["_bucket"] == q["_qbucket"]),
+        )
+        .dropDuplicates([id_col])
         .withColumn("cos_sim", F.round(cosine(e, F.col("_q")), 4))
-        .drop("_q", "_qb", vec_col)
+        .withColumn("lsh_bucket", F.col("_bucket"))
+        .drop("_q", "_qtid", "_qbucket", "_tid", "_bucket", vec_col)
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

@@ -7,6 +7,8 @@ Oracle SQL implements the identical arithmetic so results hash-match.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,8 +205,100 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Complex-type accessors: arrays from split, element access, membership,
+# sorted order — emitted as scalars so both engines hash identically.
+def complex_types_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_min(F.array_distinct(toks)).alias("min_token"),
+        F.array_max(F.array_distinct(toks)).alias("max_token"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 2).alias("second_sorted"),
+    ).orderBy("doc_id")
+
+
+COMPLEX_TYPES_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       toks[1]                                   AS first_token,
+       toks[-1]                                  AS last_token,
+       len(toks)                                 AS n_tokens,
+       list_contains(toks, 'the')                AS has_the,
+       len(list_distinct(toks))                  AS n_distinct_tokens,
+       list_min(list_distinct(toks))             AS min_token,
+       list_max(list_distinct(toks))             AS max_token,
+       list_sort(list_distinct(toks))[2]         AS second_sorted
+FROM t
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LIKE / regexp predicates and extraction.
+def like_regexp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("source").like("src1%").alias("is_src1x"),
+        F.col("text").rlike("join .* merge").alias("join_then_merge"),
+        F.regexp_extract(F.col("text"), r"\b(\w+)\b", 1).alias("first_word"),
+        F.regexp_count(F.col("text"), F.lit("scan")).alias("n_scan"),
+        F.regexp_replace(F.col("source"), "[0-9]+", "#").alias("source_norm"),
+    ).orderBy("doc_id")
+
+
+LIKE_REGEXP_SQL = r"""
+SELECT doc_id,
+       source LIKE 'src1%'                         AS is_src1x,
+       regexp_matches(text, 'join .* merge')       AS join_then_merge,
+       regexp_extract(text, '\b(\w+)\b', 1)        AS first_word,
+       CAST(len(regexp_extract_all(text, 'scan')) AS INTEGER) AS n_scan,
+       regexp_replace(source, '[0-9]+', '#', 'g')  AS source_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched pandas UDF in the scoring path (the sanctioned Python
+# escape hatch — vectorized, not per-row).
+def pandas_udf_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the type hints must be resolvable from this module's globals
+    # (pandas imported at module scope) — `from __future__ import
+    # annotations` turns them into strings that pyspark re-resolves.
+    @pandas_udf("double")
+    def length_score(n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (np.log1p(n_chars) * 0.5).round(6)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", length_score(F.col("n_chars")).alias("length_score")).orderBy(
+        "doc_id"
+    )
+
+
+PANDAS_UDF_SQL = """
+SELECT doc_id, round(ln(1 + n_chars) * 0.5, 6) AS length_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "token_stats_docs": (token_stats_docs, TOKEN_STATS_SQL),
+    "complex_types_docs": (complex_types_docs, COMPLEX_TYPES_SQL),
+    "like_regexp_docs": (like_regexp_docs, LIKE_REGEXP_SQL),
+    "pandas_udf_score_docs": (pandas_udf_score_docs, PANDAS_UDF_SQL),
     "text_quality_docs": (text_quality_docs, TEXT_QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "fingerprint_docs": (fingerprint_docs, FINGERPRINT_SQL),

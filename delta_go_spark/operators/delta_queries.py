@@ -1,0 +1,111 @@
+"""Queries that exercise the full Delta engine end-to-end inside the
+correctness gate: parquet source -> Delta table (transactional write) ->
+snapshot read -> aggregation.  The oracle runs the same aggregation on the
+original parquet, so a hash match proves the Delta write/read path loses
+nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs-delta-cache")
+
+
+def _delta_copy(spark: SparkSession, sf_dir: str, name: str, partition_by=None):
+    """Ingest a driver table into a Delta table once per (sf_dir, table);
+    reuse across queries in the same run."""
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, name)
+    log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        df = load_table(spark, sf_dir, name)
+        write_dataframe(df, path, partition_by=partition_by)
+        log = DeltaLog.for_table(path)
+    return log.snapshot()
+
+
+def delta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> Delta (partitioned by returnflag) -> snapshot ->
+    pruned scan + aggregate."""
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from pyspark.sql.types import StringType
+
+    snap = _delta_copy(spark, sf_dir, "lineitem", partition_by=["l_returnflag"])
+    scan = snap.scan(EqualTo(Column("l_returnflag", StringType()), Literal("R")))
+    df = scan.to_df(spark)
+    return (
+        df.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+DELTA_ROUNDTRIP_SQL = """
+SELECT l_linestatus,
+       count(*)                       AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 4)      AS avg_disc
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def delta_time_travel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders in two commits, then read version 0 — time travel
+    inside the correctness gate.  Version 0 holds orders with
+    o_orderkey % 2 = 0; the oracle reproduces that subset."""
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "orders_2commits")
+    log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        orders = load_table(spark, sf_dir, "orders")
+        write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+        write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+        log = DeltaLog.for_table(path)
+    snap_v0 = log.snapshot_for_version_as_of(0)
+    df = snap_v0.to_df(spark)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_TIME_TRAVEL_SQL = """
+SELECT o_orderstatus,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES: dict = {
+    "delta_roundtrip_agg": (delta_roundtrip_agg, DELTA_ROUNDTRIP_SQL),
+    "delta_time_travel_count": (delta_time_travel_count, DELTA_TIME_TRAVEL_SQL),
+}

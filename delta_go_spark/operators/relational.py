@@ -496,7 +496,10 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            # date_trunc returns TIMESTAMP_LTZ; cast straight back to NTZ so
+            # the result is identical under ANY session/driver time zone
+            # (NTZ→LTZ→NTZ with one session TZ is the identity).
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_ts"),
             F.col("event_type"),
         )
         .agg(
@@ -578,8 +581,25 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL sketch).  Sketches differ across engines, so
+# there is no SQL oracle; tests assert relative error against the exact
+# count instead.
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "approx_distinct_events": (approx_distinct_events, None),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -14,9 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from delta_go_spark.functions import dedup, similarity, textops
-from delta_go_spark.operators import relational
+from delta_go_spark.operators import delta_queries, relational
 
-_MODULES = [relational, textops, dedup, similarity]
+_MODULES = [relational, textops, dedup, similarity, delta_queries]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

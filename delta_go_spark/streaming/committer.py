@@ -1,0 +1,110 @@
+"""Structured-Streaming sink into a Delta table with exactly-once batches.
+
+The reference carries SetTransaction markers precisely for this
+(action/trx.go, replay fold replay_action.go:81-82, STREAMING_UPDATE op
+op/names.go:20); this module is the Spark side that uses them: a
+foreachBatch committer that records (appId=query id, version=batch id) in
+the same atomic commit as the data, and skips batches that were already
+committed (the replay-after-failure case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from delta_go_spark import ops
+from delta_go_spark.actions import SetTransaction
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import DeltaError
+
+
+class DeltaStreamCommitter:
+    """Use as: stream.writeStream.foreachBatch(committer).start().
+
+    Exactly-once: batch N is committed together with
+    SetTransaction(app_id, N); on restart, batches with id <= the recorded
+    version are no-ops.
+    """
+
+    def __init__(self, table_path: str, app_id: str, partition_by: list[str] | None = None):
+        self.table_path = table_path
+        self.app_id = app_id
+        self.partition_by = partition_by
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.commit_batch(batch_df, batch_id)
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+        """Returns the committed Delta version, or None if the batch was
+        already committed (idempotent replay)."""
+        from delta_go_spark.writer import (
+            _partition_values_from_rel,
+            _stats_from_footer,
+        )
+        import os
+        import shutil
+        import uuid
+
+        from delta_go_spark.actions import AddFile, Metadata, encode_path
+        from delta_go_spark.types import schema_to_json
+
+        log = DeltaLog.for_table(self.table_path)
+        txn = log.start_transaction()
+        last = txn.txn_version(self.app_id)
+        if last >= batch_id:
+            return None  # already committed: exactly-once replay guard
+
+        exists = txn.snapshot is not None and txn.read_version >= 0
+        partition_by = list(self.partition_by or [])
+        if exists:
+            partition_by = txn.snapshot.metadata().partition_columns
+
+        staging = os.path.join(self.table_path, f".staging-{uuid.uuid4().hex}")
+        writer = batch_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        new_files = []
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                target_dir = os.path.join(self.table_path, rel_dir)
+                os.makedirs(target_dir, exist_ok=True)
+                dst = os.path.join(target_dir, name)
+                os.rename(src, dst)
+                rel_path = os.path.join(rel_dir, name) if rel_dir else name
+                new_files.append(
+                    AddFile(
+                        path=encode_path(rel_path.replace(os.sep, "/")),
+                        partition_values=_partition_values_from_rel(rel_dir, partition_by),
+                        size=os.path.getsize(dst),
+                        modification_time=int(os.path.getmtime(dst) * 1000),
+                        data_change=True,
+                        stats=_stats_from_footer(dst),
+                    )
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+
+        if not exists:
+            txn.update_metadata(
+                Metadata(
+                    schema_string=schema_to_json(batch_df.schema),
+                    partition_columns=partition_by,
+                    created_time=log.clock.now_millis(),
+                )
+            )
+        actions = [SetTransaction(self.app_id, batch_id, log.clock.now_millis())]
+        actions.extend(new_files)
+        try:
+            return txn.commit(actions, ops.STREAMING_UPDATE)
+        except DeltaError:
+            # a concurrent replay of the same app may have won; re-check
+            check = DeltaLog.for_table(self.table_path).start_transaction()
+            if check.txn_version(self.app_id) >= batch_id:
+                return None
+            raise

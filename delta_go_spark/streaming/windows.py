@@ -1,0 +1,99 @@
+"""Streaming transformations: watermarked tumbling/sliding windows and
+sessionization over the events stream.
+
+These are plan builders usable on BOTH batch and streaming DataFrames (the
+Structured Streaming model: same declarative plan, incremental execution);
+tests run them through readStream on rate/file sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP_LTZ; promote NTZ event time (the session
+    time zone defines the instant mapping, consistently for the pipeline)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_length: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Windowed count+sum per key; with a watermark when streaming so late
+    state is bounded (the 100 TB streaming requirement: state must not grow
+    with input)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_length).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window_length: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    df = events
+    if df.isStreaming:
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, "2 hours")
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_length, slide).alias("win"), F.col(key_col)
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based).  Spark's session_window handles the
+    stateful merging; on streams a watermark bounds session state."""
+    df = events
+    if df.isStreaming:
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, "2 hours")
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

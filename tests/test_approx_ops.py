@@ -1,0 +1,50 @@
+"""Accuracy guarantees for approximate operators (which have no SQL
+oracle): MinHash-LSH recall vs exact Jaccard, ANN-LSH recall vs brute
+force, HLL approx-distinct relative error."""
+
+from delta_go_spark.functions.dedup import (
+    minhash_near_dup_docs,
+    ngram_jaccard_pairs_docs,
+    simhash_near_dup_docs,
+)
+from delta_go_spark.functions.similarity import ann_lsh_docs, knn_cosine_docs
+from delta_go_spark.operators.relational import approx_distinct_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_recall_and_precision(spark):
+    exact = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs_docs(spark, SF).collect()}
+    mh = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+          for r in minhash_near_dup_docs(spark, SF).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(set(mh) & set(exact)) / len(exact)
+    assert recall >= 0.9
+    # verified candidates can't be false positives (exact jaccard filter)
+    assert set(mh) <= set(exact)
+    for k in mh:
+        assert abs(mh[k] - exact[k]) < 1e-9
+
+
+def test_simhash_finds_near_dups(spark):
+    exact = {(r["doc_id_a"], r["doc_id_b"]) for r in ngram_jaccard_pairs_docs(spark, SF).collect()}
+    sh = {(r["doc_id_a"], r["doc_id_b"]) for r in simhash_near_dup_docs(spark, SF).collect()}
+    # simhash is token-set based while jaccard is shingle based; require
+    # meaningful overlap, not equality
+    assert len(sh & exact) / len(exact) >= 0.5
+
+
+def test_ann_lsh_recall(spark):
+    exact = [r["vec_id"] for r in knn_cosine_docs(spark, SF).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_docs(spark, SF).collect()]
+    assert approx, "query bucket must not be empty"
+    # top-1 true neighbors should mostly share the query's bucket
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_approx_distinct_error(spark):
+    rows = approx_distinct_events(spark, SF).collect()
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.05, (r["event_type"], rel_err)

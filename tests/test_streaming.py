@@ -1,0 +1,98 @@
+"""Streaming: exactly-once Delta sink (SetTransaction idempotency) and
+watermarked windowed aggregation over a real stream."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.session import load_table
+from delta_go_spark.streaming.committer import DeltaStreamCommitter
+from delta_go_spark.streaming.windows import session_windows, tumbling_counts
+
+
+def test_commit_batch_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "stream_tbl")
+    c = DeltaStreamCommitter(path, app_id="q-1")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    assert c.commit_batch(df, 0) == 0
+    assert c.commit_batch(df, 1) == 1
+    # replay of batch 1 (failure recovery) is a no-op
+    assert c.commit_batch(df, 1) is None
+    assert c.commit_batch(df, 0) is None
+    snap = DeltaLog.for_table(path).snapshot()
+    assert snap.version == 1
+    assert snap.state().set_transactions["q-1"].version == 1
+    assert snap.to_df(spark).count() == 20
+
+
+def test_foreachbatch_stream_into_delta(spark, tmp_path):
+    """Drive a real readStream -> foreachBatch -> Delta pipeline."""
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    table = str(tmp_path / "sink_tbl")
+
+    stream = spark.readStream.schema("k long").parquet(src_dir)
+    committer = DeltaStreamCommitter(table, app_id="stream-q")
+    q = stream.writeStream.foreachBatch(committer).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    snap = DeltaLog.for_table(table).snapshot()
+    assert snap.to_df(spark).count() == 50
+    assert "stream-q" in snap.state().set_transactions
+
+
+def test_tumbling_counts_batch_matches_manual(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = tumbling_counts(ev, "1 hour")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    manual = {
+        (r["h"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == manual
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    """Watermarked windowed agg over a real stream, availableNow."""
+    src_dir = str(tmp_path / "ev_src")
+    os.makedirs(src_dir)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    out = tumbling_counts(stream, "1 hour")
+    sink = str(tmp_path / "agg_out")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", sink + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has passed; with
+    # availableNow the final watermark closes all but the tail windows.
+    result = spark.read.parquet(sink)
+    assert result.count() > 0
+    assert set(result.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "sum_value",
+    }
+
+
+def test_session_windows_batch(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = session_windows(ev, gap="30 minutes")
+    rows = out.limit(10).collect()
+    assert rows
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
