@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from delta_go_spark.session import load_table
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to the cluster's parallelism before
+    CPU-heavy per-row work (shingling, hashing).
+
+    A single small parquet file arrives as ONE partition, serializing the
+    expression pipeline onto one core; on a real cluster the input already
+    has many splits and this is a no-op.  The shuffle moves only the raw
+    rows once, before any expansion.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -89,24 +104,53 @@ def ngram_jaccard_pairs(
     (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
     the corpus.
     """
-    sh = _hashed_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Single-scan formulation: the corpus text is read and shingled exactly
+    # once.  Each (doc, shingle-hash) row carries the doc's shingle count, so
+    # no separate sizes aggregate / joins; pairs are generated inside each
+    # shingle bucket with array combinatorics instead of a self-join (which
+    # would re-scan and re-shingle the corpus for each side of the join).
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
+    )
+    sh = (
+        _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("hs"))
+        .select("doc", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    )
+    # Bucket by shingle hash; docs-per-shingle is small (duplicate clusters),
+    # so the in-bucket pair expansion is bounded.  sort_array orders structs
+    # by doc, guaranteeing doc_id_a < doc_id_b.
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _tail_pairs(x, i):
+        return F.transform(
+            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+            lambda y: F.struct(
+                x["doc"].alias("da"), x["n"].alias("na"),
+                y["doc"].alias("db"), y["n"].alias("nb"),
+            ),
+        )
+
+    pairs = buckets.select(F.explode(F.flatten(F.transform("ds", _tail_pairs))).alias("p"))
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_id_a"), F.col("b.doc").alias("doc_id_b"))
+        pairs.select("p.da", "p.na", "p.db", "p.nb")
+        .groupBy("da", "na", "db", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        common.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
-        .select("doc_id_a", "doc_id_b", "jaccard")
+        .select(
+            F.col("da").alias("doc_id_a"), F.col("db").alias("doc_id_b"), "jaccard"
+        )
     )
 
 
@@ -144,40 +188,46 @@ ORDER BY doc_id_a, doc_id_b
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the at-scale near-dup path)
-def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc, h) rows: each distinct k-shingle hashed ONCE to a 64-bit long.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature, computed entirely row-wise — ZERO shuffle.
 
-    Everything downstream (minhash permutations, jaccard verify) works on
-    the 8-byte hash, never re-touching the shingle string — at 100 TB the
-    corpus text is read exactly once and never shuffled.
+    MinHash is embarrassingly per-document: shingle-hash array, then
+    permutation j's signature is array_min over xxhash64(h, j).  Everything
+    stays inside one codegen'd projection over the scan; the corpus is read
+    once and nothing is exploded or aggregated.  Also carries the
+    hashed-shingle set (longs, not strings) for the exact-Jaccard verify.
     """
-    return (
-        with_shingles(df, text_col, k)
-        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
-        .select("doc", F.xxhash64("shingle").alias("h"))
+    toks = F.split(F.col(text_col), " ")
+    hset = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
     )
 
+    def _perm(j: int):
+        return F.array_min(
+            F.transform(F.col("hset"), lambda h: F.xxhash64(h, F.lit(j)))
+        ).alias(f"mh{j}")
 
-def minhash_signatures(
-    hashed: DataFrame, num_perm: int = 32
-) -> DataFrame:
-    """Per-doc MinHash signature as num_perm `min` aggregates over the
-    hashed shingles (permutation j = xxhash64(h, j)).
-
-    A plain hash-aggregate: map-side partial mins collapse each input
-    partition to one row per doc before the single shuffle — the classic
-    scalable formulation.  Also carries the hashed-shingle set for the
-    verify step (longs, not strings).
-    """
-    aggs = [F.min(F.xxhash64("h", F.lit(j))).alias(f"mh{j}") for j in range(num_perm)]
-    return hashed.groupBy("doc").agg(F.collect_set("h").alias("hset"), *aggs)
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), hset.alias("hset"))
+        .select("doc", "hset", *[_perm(j) for j in range(num_perm)])
+    )
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 32,
+    num_perm: int = 16,
     bands: int = 8,
     k: int = 3,
     threshold: float = 0.6,
@@ -185,13 +235,20 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash-LSH, then Jaccard-verified over the
     hashed-shingle sets.
 
-    bands=8 x rows=4 gives an S-curve threshold ~(1/8)^(1/4) ≈ 0.59.
+    bands=8 x rows=2 keeps per-band match probability high (recall ≈ 1 for
+    Jaccard ≥ 0.6 pairs) while the exact-Jaccard verify step removes all
+    false candidates — with exact verification, fewer rows per band only
+    costs a few extra candidates, never correctness.
     Candidate generation shuffles only (band_id, band_hash, doc_id, hset);
     verification is array_intersect over 8-byte hashes on candidates only —
     no quadratic stage ever touches the corpus.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(_hashed_shingles(df, id_col, text_col, k), num_perm)
+    # Signatures are materialized once (num_perm longs + hashed-shingle set
+    # per doc — tiny next to the corpus); everything downstream reads the
+    # cache instead of re-shingling the text.  At cluster scale this persist
+    # spills to disk and is the standard "signature table" materialization.
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -199,33 +256,41 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("doc", "hset", F.explode(F.array(*band_structs)).alias("band")).select(
+    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("band")).select(
         "doc",
-        "hset",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # Candidate pairs by grouping each LSH bucket (one shuffle on the band
+    # key) rather than a self-join, which would shuffle both sides; the
+    # in-bucket expansion is bounded by the S-curve's collision rate.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _tail_pairs(x, i):
+        return F.transform(
+            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+            lambda y: F.struct(x.alias("da"), y.alias("db")),
+        )
+
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_id_a"),
-            F.col("b.doc").alias("doc_id_b"),
-            F.col("a.hset").alias("sh_a"),
-            F.col("b.hset").alias("sh_b"),
-        )
+        buckets.select(F.explode(F.flatten(F.transform("ds", _tail_pairs))).alias("p"))
+        .select(F.col("p.da").alias("doc_id_a"), F.col("p.db").alias("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+    # Jaccard-verify candidates against the cached hashed-shingle sets.
+    ha = sig.select(F.col("doc").alias("doc_id_a"), F.col("hset").alias("sh_a"))
+    hb = sig.select(F.col("doc").alias("doc_id_b"), F.col("hset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        cand.join(ha, "doc_id_a")
+        .join(hb, "doc_id_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
