@@ -102,6 +102,60 @@ LIMIT 10
 """
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a, b) with cosine >= threshold.
+
+    This is the oracle-verifiable exact baseline — a block-nested self-join
+    over normalized vectors.  It is quadratic in corpus size by definition;
+    the 100 TB path is `ann_lsh_neighbors` (bucketed candidates + exact
+    verify), which trades certainty of recall for linearity.  Vectors are
+    pre-normalized once so the pair test is a plain dot product.
+    """
+    # Normalize once per row (unit vectors): cosine(a,b) == dot(a,b).
+    e = _as_double(vec_col)
+    unit = F.transform(e, lambda x: x / l2_norm(e))
+    normed = df.select(F.col(id_col).alias("id"), unit.alias("u"))
+    a, b = normed.alias("a"), normed.alias("b")
+    sim = dot(F.col("a.u"), F.col("b.u"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos_sim", F.round(sim, 4))
+        .filter(sim >= threshold)
+        .select(
+            F.col("a.id").alias("vec_id_a"),
+            F.col("b.id").alias("vec_id_b"),
+            "cos_sim",
+        )
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+def cosine_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb)
+
+
+COSINE_NEAR_DUP_SQL = """
+WITH u AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 y -> y * y)))) AS uv
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_dot_product(a.uv, b.uv), 4) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.uv, b.uv) >= 0.4
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (signed random projections) — approximate path.
 def _projection_col(i_col, plane: int) -> Column:
@@ -231,6 +285,7 @@ def ann_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {
     "embedding_norms": (embedding_norms, EMBEDDING_NORMS_SQL),
     "knn_cosine_docs": (knn_cosine_docs, KNN_COSINE_SQL),
+    "cosine_near_dup_docs": (cosine_near_dup_docs, COSINE_NEAR_DUP_SQL),
     # Approximate ANN: rows-only check; recall vs brute force asserted in tests.
     "ann_lsh_docs": (ann_lsh_docs, None),
 }

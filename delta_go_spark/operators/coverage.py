@@ -1,0 +1,507 @@
+"""Relational-coverage operators filling out SURVEY.md §2 Part B.
+
+Window lag/lead, full/right/cross outer joins, exact percentiles,
+moment-statistics aggregates, and the remaining TPC-H query shapes
+(Q2/Q11/Q12/Q13/Q20/Q21) adapted to the driver's star schema (no
+partsupp/shipmode/commitdate — proxies documented per query).  The
+reference delegates the whole data plane to the compute engine
+(/root/reference/README.md:14-16).
+
+Float policy: money rounds to 2, ratios to 4, identically on both engines.
+Aggregates whose partition-merge order could flap a rounding boundary are
+summed as exact decimals (associative) on BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+
+def _r2(c):
+    return F.round(c, 2)
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+_DEC = "decimal(28,6)"
+
+
+# ---------------------------------------------------------------------------
+# Window functions: lag/lead + row_number in one pass per customer.
+# One shuffle on o_custkey serves every window function (same frame spec).
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            _r2(F.lag("o_totalprice").over(w)).alias("prev_price"),
+            _r2(F.lead("o_totalprice").over(w)).alias("next_price"),
+            _r2(F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey, rn,
+       round(prev_price, 2) AS prev_price,
+       round(next_price, 2) AS next_price,
+       round(o_totalprice - prev_price, 2) AS price_delta
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         lag(o_totalprice) OVER w AS prev_price,
+         lead(o_totalprice) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join: high-balance customers vs high-balance suppliers by
+# nation — either side may be missing a nation, and the outer join must
+# surface both null shapes.
+def join_full_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk_c == supp.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT coalesce(c.nk, s.nk) AS nationkey, n_cust, n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      WHERE c_acctbal > 9900 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+      WHERE s_acctbal > 9000 GROUP BY 1) s
+ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Right-outer join: every part kept, lineitem metrics null where a filtered
+# scan has no match (right side of the join is the preserved side).
+def join_right_outer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right_outer")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_orderkey").alias("n_matched"),
+            _r2(F.sum("l_extendedprice")).alias("matched_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT p_brand, count(*) AS n_rows, count(l_orderkey) AS n_matched,
+       round(sum(l_extendedprice), 2) AS matched_revenue
+FROM (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+RIGHT OUTER JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross join: all region pairs (tiny × tiny — the only sane cross-join
+# shape; anything larger must be a broadcast nested loop by construction).
+def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("region_a"))
+    b = region.select(F.col("r_name").alias("region_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("region_a") < F.col("region_b"))
+        .orderBy("region_a", "region_b")
+    )
+
+
+JOIN_CROSS_SQL = """
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY region_a, region_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated): Spark `percentile` == DuckDB
+# `quantile_cont`.  One shuffle; each group's values gathered once.
+def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r2(F.expr("percentile(l_extendedprice, 0.25)")).alias("price_p25"),
+            _r2(F.expr("percentile(l_extendedprice, 0.5)")).alias("price_p50"),
+            _r2(F.expr("percentile(l_extendedprice, 0.75)")).alias("price_p75"),
+            _r2(F.expr("percentile(l_quantity, 0.5)")).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS price_p75,
+       round(quantile_cont(l_quantity, 0.5), 2) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics: stddev / corr / covar.  Rounding chosen so the result
+# is stable under any partition-merge order (absolute rounding granularity
+# orders of magnitude above double merge error at each magnitude).
+def stats_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.stddev_samp("l_quantity")).alias("qty_stddev"),
+            _r2(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
+            _r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+            _r4(F.covar_samp("l_quantity", "l_discount")).alias("qty_disc_covar"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+STATS_AGG_SQL = """
+SELECT l_linestatus, count(*) AS n,
+       round(stddev_samp(l_quantity), 4) AS qty_stddev,
+       round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (partsupp proxied by the distinct
+# (l_partkey, l_suppkey) pairs; supply cost proxied by s_acctbal).  The
+# per-part minimum is a tiny aggregate broadcast back — Catalyst's own
+# decorrelation of the correlated MIN subquery.
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "SMALL")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey).join(
+        F.broadcast(eur_supp), ps.l_suppkey == F.col("s_suppkey")
+    )
+    min_cost = offers.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_pk")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(_r2(F.col("s_acctbal")).alias("s_acctbal"), "s_name", "n_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+FROM ps
+JOIN part ON l_partkey = p_partkey
+JOIN eur  ON l_suppkey = s_suppkey
+WHERE p_size < 10 AND p_type = 'SMALL'
+  AND s_acctbal = (SELECT min(e2.s_acctbal)
+                   FROM ps ps2 JOIN eur e2 ON ps2.l_suppkey = e2.s_suppkey
+                   WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock — per-part value for one nation's suppliers,
+# HAVING value > fraction of the nation's total (scalar subquery →
+# broadcast single-row join).  Exact-decimal sums on both engines make the
+# threshold comparison deterministic.
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    nat_li = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", val.alias("val"))
+    )
+    per_part = nat_li.groupBy("l_partkey").agg(F.sum("val").alias("value"))
+    total = per_part.agg((F.sum("value") * F.lit(0.001).cast(_DEC)).alias("_thresh"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thresh"))
+        .select("l_partkey", _r2(F.col("value")).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH nat_li AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+), per_part AS (
+  SELECT l_partkey, sum(val) AS value FROM nat_li GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+FROM per_part
+WHERE value > (SELECT sum(value) * CAST(0.001 AS DECIMAL(28,6)) FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping-priority classes (shipmode proxied by l_linestatus);
+# conditional counts by order priority band.
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: distribution of orders per customer — left outer join so
+# zero-order customers land in the c_count = 0 bucket, then a second
+# aggregate over the counts.
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers with excess quantity of some part (availqty proxied
+# by the pair's shipped quantity vs 2× the part's average pair quantity).
+# The correlated AVG subquery decorrelates to a per-part aggregate joined
+# back; the final supplier filter is a left-semi join.
+def q20_excess_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    part_avg = pair_qty.groupBy(F.col("l_partkey").alias("pa_pk")).agg(
+        F.avg("q").alias("avg_q")
+    )
+    excess = (
+        pair_qty.join(part_avg, F.col("l_partkey") == F.col("pa_pk"))
+        .filter(F.col("q") > 2.0 * F.col("avg_q"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", _r2(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM pair_qty a
+  WHERE q > 2.0 * (SELECT avg(q) FROM pair_qty b WHERE b.l_partkey = a.l_partkey)
+)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: waiting suppliers — orders where this supplier is the ONLY one
+# with a returned ('R') lineitem but other suppliers participated
+# (returnflag proxies the late-receipt predicate; no commitdate column).
+# EXISTS / NOT EXISTS collapse to per-order distinct-supplier counts,
+# computed once and joined — no correlated re-scans.
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_supp_r"
+        ),
+    )
+    waiting = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(per_order, F.col("l_orderkey") == F.col("po_ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+QUERIES: dict = {
+    "window_lag_lead_orders": (window_lag_lead_orders, WINDOW_LAG_LEAD_SQL),
+    "join_full_outer_nation": (join_full_outer_nation, JOIN_FULL_OUTER_SQL),
+    "join_right_outer_parts": (join_right_outer_parts, JOIN_RIGHT_OUTER_SQL),
+    "join_cross_regions": (join_cross_regions, JOIN_CROSS_SQL),
+    "agg_percentiles_lineitem": (agg_percentiles_lineitem, AGG_PERCENTILES_SQL),
+    "stats_agg_lineitem": (stats_agg_lineitem, STATS_AGG_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_priority_shipping": (q12_priority_shipping, Q12_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q20_excess_quantity": (q20_excess_quantity, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+}
