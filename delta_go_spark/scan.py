@@ -1,4 +1,4 @@
-"""Partition-pruned file scan over a snapshot.
+"""Partition-pruned + stats-pruned file scan over a snapshot.
 
 Reference: scan.go (filtered scan + accepter), with the predicate split of
 partition_utils.go.  Pruning happens before any Spark job: the pushed
@@ -6,17 +6,145 @@ conjunct is evaluated per AddFile against its partitionValues, the
 residual comes back to the caller to apply on data rows
 (scan.go:37-39 contract) — Catalyst then re-applies its own pushdown on
 the surviving parquet files for row-group-level skipping.
+
+Stats-based data skipping EXCEEDS the reference: AddFile.Stats is carried
+but never parsed there (parquet_marshaller.go:114-115 marshals it;
+no reader ever consumes it).  We parse the per-file min/max/nullCount JSON
+and drop files whose value range provably cannot satisfy the residual
+(data-column) predicate — on a 100 TB table this is the difference between
+listing files and reading them.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
+from typing import Any
 
 from delta_go_spark.actions import AddFile
 from delta_go_spark.expressions import (
+    And,
+    Column,
+    EqualTo,
     Expression,
+    GreaterThan,
+    GreaterThanOrEq,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEq,
+    Literal,
+    Or,
     split_metadata_and_data_predicates,
 )
+
+_FLIP = {
+    GreaterThan: LessThan,
+    LessThan: GreaterThan,
+    GreaterThanOrEq: LessThanOrEq,
+    LessThanOrEq: GreaterThanOrEq,
+    EqualTo: EqualTo,
+}
+
+
+def _coerce(stat_val: Any, lit_val: Any) -> Any:
+    """Make a stats min/max comparable with a literal, or None if the pair
+    is not safely comparable (mixed types keep the file — never skip on a
+    guess)."""
+    import datetime
+
+    if isinstance(lit_val, bool) or isinstance(stat_val, bool):
+        return stat_val if isinstance(stat_val, bool) and isinstance(lit_val, bool) else None
+    if isinstance(lit_val, (int, float)) and isinstance(stat_val, (int, float)):
+        return stat_val
+    if isinstance(lit_val, str) and isinstance(stat_val, str):
+        return stat_val
+    if isinstance(lit_val, (datetime.date, datetime.datetime)) and isinstance(stat_val, str):
+        # writer emits ISO-8601; ISO strings order like their values
+        try:
+            if isinstance(lit_val, datetime.datetime):
+                return datetime.datetime.fromisoformat(stat_val)
+            return datetime.date.fromisoformat(stat_val[:10])
+        except ValueError:
+            return None
+    return None
+
+
+def stats_may_match(pred: Expression | None, stats_json: str | None) -> bool:
+    """Conservative satisfiability of `pred` against one file's Delta stats.
+
+    Returns False ONLY when the file provably contains no matching row;
+    any unknown (missing column stats, un-comparable types, unsupported
+    node) returns True.  Mirrors Delta's data-skipping semantics: a NULL
+    comparison result cannot satisfy a WHERE, so all-null columns fail
+    comparisons."""
+    if pred is None or not stats_json:
+        return True
+    try:
+        stats = json.loads(stats_json)
+    except (ValueError, TypeError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    num = stats.get("numRecords")
+
+    def may(e: Expression) -> bool:
+        if isinstance(e, And):
+            return may(e.left) and may(e.right)
+        if isinstance(e, Or):
+            return may(e.left) or may(e.right)
+        if isinstance(e, IsNull):
+            c = e.child
+            if isinstance(c, Column) and nulls.get(c.name) == 0:
+                return False
+            return True
+        if isinstance(e, IsNotNull):
+            c = e.child
+            if (
+                isinstance(c, Column)
+                and num is not None
+                and nulls.get(c.name) == num
+            ):
+                return False
+            return True
+        if isinstance(e, _COMPARISONS):
+            left, right, op = e.left, e.right, type(e)
+            if isinstance(left, Literal) and isinstance(right, Column):
+                left, right, op = right, left, _FLIP[op]
+            if not (isinstance(left, Column) and isinstance(right, Literal)):
+                return True
+            name, v = left.name, right.value
+            if v is None:
+                return False  # comparison with NULL literal matches nothing
+            if num is not None and nulls.get(name) == num and num > 0:
+                return False  # column is all-null in this file
+            mn = _coerce(mins.get(name), v) if name in mins else None
+            mx = _coerce(maxs.get(name), v) if name in maxs else None
+            if op is EqualTo:
+                if mn is not None and v < mn:
+                    return False
+                if mx is not None and v > mx:
+                    return False
+            elif op is GreaterThan:
+                if mx is not None and not (mx > v):
+                    return False
+            elif op is GreaterThanOrEq:
+                if mx is not None and not (mx >= v):
+                    return False
+            elif op is LessThan:
+                if mn is not None and not (mn < v):
+                    return False
+            elif op is LessThanOrEq:
+                if mn is not None and not (mn <= v):
+                    return False
+            return True
+        return True  # Not / unsupported nodes: keep the file
+
+    return may(pred)
+
+
+_COMPARISONS = (EqualTo, GreaterThan, GreaterThanOrEq, LessThan, LessThanOrEq)
 
 
 class DeltaScan:
@@ -59,10 +187,17 @@ class DeltaScan:
     def files(self) -> Iterator[AddFile]:
         """Surviving active files.  The snapshot state is already deduped
         (newest add per canonical path wins, removes tombstoned —
-        replay_action.go:80-116), so this is a filter over all_files()."""
+        replay_action.go:80-116), so this is a filter over all_files():
+        partition pruning first (free — no stats parse), then min/max
+        stats skipping on the residual data predicate."""
+        self.files_skipped_by_stats = 0
         for add in self.snapshot.all_files():
-            if self._accept(add):
-                yield add
+            if not self._accept(add):
+                continue
+            if not stats_may_match(self.residual, add.stats):
+                self.files_skipped_by_stats += 1
+                continue
+            yield add
 
     def to_df(self, spark):
         """Data plane: read surviving files, apply the residual predicate.

@@ -120,10 +120,19 @@ class LocalStore(LogStore):
 
 def store_for(path: str) -> LogStore:
     """Scheme dispatch (reference: store/store.go:75-92).  file:// and bare
-    paths -> LocalStore; cloud schemes raise until their backends land."""
+    paths -> LocalStore; s3/gs/azure go to cloud_stores (SDKs import-gated
+    there)."""
     if path.startswith("file://"):
         return LocalStore(path[len("file://"):])
     if "://" in path:
-        scheme = path.split("://", 1)[0]
+        scheme = path.split("://", 1)[0].lower()
+        from delta_go_spark import cloud_stores
+
+        if scheme in ("s3", "s3a", "s3n"):
+            return cloud_stores.S3Store(path)
+        if scheme == "gs":
+            return cloud_stores.GCSStore(path)
+        if scheme in ("abfss", "abfs", "wasbs", "wasb"):
+            return cloud_stores.AzureBlobStore(path)
         raise NotImplementedError(f"log store for scheme {scheme}:// not implemented")
     return LocalStore(path)

@@ -1,0 +1,124 @@
+"""Cloud log-store contract tests against an in-memory fake S3 client.
+
+The storage contract (store.py; reference store/store.go:16-27) is what
+transactions rely on: atomic create-if-absent (mutual exclusion), ordered
+inclusive list_from, read-what-was-written.  The fake implements the boto3
+surface S3Store touches, including `If-None-Match: *` conditional-PUT
+semantics, so the store logic (not the SDK) is what's under test.
+"""
+
+import datetime
+
+import pytest
+
+from delta_go_spark.cloud_stores import S3Store
+from delta_go_spark.store import FileAlreadyExistsError, store_for
+
+
+class _ClientError(Exception):
+    def __init__(self, code):
+        super().__init__(f"http {code} PreconditionFailed")
+        self.response = {"ResponseMetadata": {"HTTPStatusCode": code}}
+
+
+class _Exceptions:
+    ClientError = _ClientError
+
+
+class _Page(dict):
+    pass
+
+
+class _Paginator:
+    def __init__(self, objects):
+        self._objects = objects
+
+    def paginate(self, Bucket, Prefix, StartAfter=""):
+        contents = [
+            {
+                "Key": k,
+                "Size": len(v),
+                "LastModified": datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+            }
+            for k, v in sorted(self._objects.get(Bucket, {}).items())
+            if k.startswith(Prefix) and k > StartAfter
+        ]
+        yield _Page(Contents=contents)
+
+
+class FakeS3Client:
+    exceptions = _Exceptions()
+
+    def __init__(self):
+        self.objects: dict[str, dict[str, bytes]] = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        bucket = self.objects.setdefault(Bucket, {})
+        if IfNoneMatch == "*" and Key in bucket:
+            raise _ClientError(412)
+        bucket[Key] = Body
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        return {"Body": io.BytesIO(self.objects[Bucket][Key])}
+
+    def head_object(self, Bucket, Key):
+        if Key not in self.objects.get(Bucket, {}):
+            raise KeyError(Key)
+        return {}
+
+    def get_paginator(self, name):
+        assert name == "list_objects_v2"
+        return _Paginator(self.objects)
+
+
+@pytest.fixture
+def s3():
+    return S3Store("s3://bucket/table", client=FakeS3Client())
+
+
+def test_atomic_create_if_absent(s3):
+    path = "s3://bucket/table/_delta_log/00000000000000000000.json"
+    s3.write(path, ['{"commitInfo":{}}'])
+    with pytest.raises(FileAlreadyExistsError):
+        s3.write(path, ["other"])
+    # overwrite=True replaces (checkpoint rewrite path)
+    s3.write(path, ["replaced"], overwrite=True)
+    assert s3.read(path) == ["replaced"]
+
+
+def test_read_write_roundtrip_and_exists(s3):
+    path = "s3://bucket/table/_delta_log/00000000000000000001.json"
+    assert not s3.exists(path)
+    s3.write(path, ["a", "b"])
+    assert s3.exists(path)
+    assert s3.read(path) == ["a", "b"]
+
+
+def test_list_from_is_inclusive_and_ordered(s3):
+    base = "s3://bucket/table/_delta_log/"
+    for v in (0, 1, 2, 10):
+        s3.write(f"{base}{v:020d}.json", [str(v)])
+    names = [m.path.rsplit("/", 1)[-1] for m in s3.list_from(f"{base}{1:020d}.json")]
+    assert names == [
+        "00000000000000000001.json",
+        "00000000000000000002.json",
+        "00000000000000000010.json",
+    ]
+    sizes = {m.path.rsplit("/", 1)[-1]: m.size for m in s3.list_from(f"{base}{0:020d}.json")}
+    assert len(sizes) == 4 and all(s > 0 for s in sizes.values())
+
+
+def test_store_for_dispatch():
+    s = store_for("/tmp/sometable")
+    assert type(s).__name__ == "LocalStore"
+    with pytest.raises(NotImplementedError):
+        store_for("ftp://host/table")
+    # cloud schemes dispatch to cloud_stores (construction may raise
+    # ImportError when the SDK is absent — that IS the gate)
+    for scheme in ("s3://b/t", "gs://b/t", "abfss://c@a.dfs.core.windows.net/t"):
+        try:
+            store_for(scheme)
+        except ImportError:
+            pass

@@ -1,0 +1,97 @@
+"""Stats-based data skipping (exceeds the reference — AddFile.Stats is
+carried but never parsed there; see SURVEY.md §2.A note)."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from delta_go_spark.expressions import (
+    And,
+    Column,
+    EqualTo,
+    GreaterThan,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    Literal,
+    Not,
+    Or,
+)
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.scan import stats_may_match
+from delta_go_spark.writer import write_dataframe
+
+STATS = json.dumps(
+    {
+        "numRecords": 10,
+        "minValues": {"k": 100, "s": "m"},
+        "maxValues": {"k": 200, "s": "p"},
+        "nullCount": {"k": 0, "s": 2, "v": 10},
+    }
+)
+
+
+def test_range_pruning_rules():
+    k = Column("k", LongType())
+    # outside [100, 200] -> skip
+    assert not stats_may_match(EqualTo(k, Literal(99)), STATS)
+    assert not stats_may_match(EqualTo(k, Literal(201)), STATS)
+    assert stats_may_match(EqualTo(k, Literal(150)), STATS)
+    assert not stats_may_match(GreaterThan(k, Literal(200)), STATS)
+    assert stats_may_match(GreaterThan(k, Literal(199)), STATS)
+    assert not stats_may_match(LessThan(k, Literal(100)), STATS)
+    assert stats_may_match(LessThan(k, Literal(101)), STATS)
+    # literal-on-left flips the operator
+    assert not stats_may_match(GreaterThan(Literal(100), k), STATS)
+    assert stats_may_match(GreaterThan(Literal(150), k), STATS)
+
+
+def test_null_and_string_rules():
+    k = Column("k", LongType())
+    s = Column("s", StringType())
+    v = Column("v", DoubleType())
+    assert not stats_may_match(IsNull(k), STATS)  # nullCount 0
+    assert stats_may_match(IsNull(s), STATS)
+    assert not stats_may_match(IsNotNull(v), STATS)  # all-null column
+    # all-null column fails any comparison
+    assert not stats_may_match(EqualTo(v, Literal(1.0)), STATS)
+    assert not stats_may_match(EqualTo(s, Literal("q")), STATS)
+    assert stats_may_match(EqualTo(s, Literal("n")), STATS)
+
+
+def test_boolean_composition_and_conservatism():
+    k = Column("k", LongType())
+    inside = EqualTo(k, Literal(150))
+    outside = EqualTo(k, Literal(999))
+    assert not stats_may_match(And(inside, outside), STATS)
+    assert stats_may_match(Or(inside, outside), STATS)
+    assert not stats_may_match(Or(outside, outside), STATS)
+    # NOT is conservative: never prunes
+    assert stats_may_match(Not(outside), STATS)
+    # missing stats / malformed stats / unknown column: keep the file
+    assert stats_may_match(outside, None)
+    assert stats_may_match(outside, "{not json")
+    assert stats_may_match(EqualTo(Column("zz", LongType()), Literal(1)), STATS)
+
+
+def test_end_to_end_file_skipping(spark, tmp_path):
+    """Four appended files with disjoint k-ranges; a point predicate must
+    read exactly one file yet return exactly the right rows."""
+    path = str(tmp_path / "tskip")
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.range(lo, lo + 100).select(F.col("id").alias("k"))
+        write_dataframe(df, path)
+    snap = DeltaLog.for_table(path).snapshot()
+    assert snap.num_of_files() >= 4
+
+    pred = And(
+        GreaterThan(Column("k", LongType()), Literal(2009)),
+        LessThan(Column("k", LongType()), Literal(2020)),
+    )
+    scan = snap.scan(pred)
+    kept = list(scan.files())
+    assert len(kept) < snap.num_of_files()
+    assert scan.files_skipped_by_stats > 0
+    rows = sorted(r["k"] for r in scan.to_df(spark).collect())
+    assert rows == list(range(2010, 2020))
