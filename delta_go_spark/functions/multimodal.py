@@ -199,3 +199,56 @@ def media_summary(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries.
+def binary_stats_docs(spark, sf_dir: str) -> DataFrame:
+    """Opaque-binary column operations with an exact oracle: the documents
+    text re-encoded as a binary payload, then metadata-only expressions
+    (byte length, digest, prefix) — the JVM-side operations a multimodal
+    pipeline runs before any codec touches the payload."""
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        F.hex(F.substring(payload, 1, 4)).alias("magic_hex"),
+    ).orderBy("doc_id")
+
+
+BINARY_STATS_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text)                  AS digest,
+       upper(to_hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def media_pipeline_summary(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media pipeline end-to-end: synthesize binary media,
+    Arrow-batched feature extraction (mapInPandas), metadata summary.
+    No SQL oracle (binary decode is non-relational); rows-only check here,
+    exact assertions in tests/test_multimodal.py."""
+    df = make_media_df(spark, 96)
+    feats = extract_features(df)  # carries kind through the Arrow batches
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES: dict = {
+    "binary_stats_docs": (binary_stats_docs, BINARY_STATS_SQL),
+    "media_pipeline_summary": (media_pipeline_summary, None),
+}

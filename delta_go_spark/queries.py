@@ -13,10 +13,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from delta_go_spark.functions import dedup, similarity, textops
+from delta_go_spark.functions import dedup, multimodal, similarity, textops
+from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import coverage, delta_queries, relational, subqueries
 
-_MODULES = [relational, subqueries, coverage, textops, dedup, similarity, delta_queries]
+_MODULES = [
+    relational,
+    subqueries,
+    coverage,
+    textops,
+    dedup,
+    similarity,
+    multimodal,
+    streaming_windows,
+    delta_queries,
+]
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:

@@ -97,3 +97,70 @@ def session_windows(
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end Structured Streaming query entry: the hourly events rollup run
+# THROUGH the streaming engine (file source -> windowed agg -> memory sink,
+# availableNow trigger).  Deterministic, so it hash-matches the same DuckDB
+# oracle as the batch variant — proving plan parity between the two engines.
+def streaming_hourly_rollup(spark, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # ts arrives as bigint nanos
+    # The file streaming source wants a directory; point it at sf_dir and
+    # glob-filter to the one table file.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = "streaming_hourly_rollup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("hour_ts", "event_type")
+
+
+STREAMING_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts,
+       event_type,
+       count(*)               AS n_events,
+       round(sum(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_ts, event_type
+"""
+
+
+QUERIES: dict = {
+    "streaming_hourly_rollup": (streaming_hourly_rollup, STREAMING_HOURLY_SQL),
+}
