@@ -1,0 +1,167 @@
+"""Extended golden-table coverage: time travel, reader tables, replay edge
+cases, and the reference's log-store fixtures (reference tests:
+log_timetravel_test.go, log_test.go:542-880, store tests).
+"""
+
+import os
+
+import pytest
+
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import DeltaError
+from delta_go_spark.store import LocalStore
+from tests.conftest import golden
+
+
+# ---------------------------------------------------------------------------
+# Time travel (log_timetravel_test.go:67-266)
+@pytest.mark.parametrize(
+    "name,n_versions",
+    [
+        ("time-travel-start", 1),
+        ("time-travel-start-start20", 2),
+        ("time-travel-start-start20-start40", 3),
+    ],
+)
+def test_time_travel_version_pinning(name, n_versions):
+    log = DeltaLog.for_table(golden(name))
+    snap = log.snapshot()
+    assert snap.version == n_versions - 1
+    for v in range(n_versions):
+        pinned = log.snapshot_for_version_as_of(v)
+        assert pinned.version == v
+        assert pinned.num_of_files() > 0
+    with pytest.raises(DeltaError):
+        log.snapshot_for_version_as_of(n_versions)
+    with pytest.raises(DeltaError):
+        log.snapshot_for_version_as_of(-1)
+
+
+def test_time_travel_file_count_grows():
+    """Each 'start' batch adds files: later versions see strictly more."""
+    log = DeltaLog.for_table(golden("time-travel-start-start20-start40"))
+    counts = [log.snapshot_for_version_as_of(v).num_of_files() for v in range(3)]
+    assert counts == sorted(counts)
+    assert counts[0] < counts[-1]
+
+
+def test_time_travel_timestamp_bounds():
+    """Timestamp resolution uses commit-file mtimes
+    (history_manager.go:68-104): before-first errors, after-last errors
+    (can_return_last only for explicit boundary lookups)."""
+    path = golden("time-travel-start-start20")
+    log = DeltaLog.for_table(path)
+    log_dir = os.path.join(path, "_delta_log")
+    mtimes = sorted(
+        int(os.stat(os.path.join(log_dir, f)).st_mtime * 1000)
+        for f in os.listdir(log_dir)
+        if f.endswith(".json")
+    )
+    with pytest.raises(DeltaError):
+        log.snapshot_for_timestamp_as_of(mtimes[0] - 10_000)
+    snap0 = log.snapshot_for_timestamp_as_of(mtimes[0])
+    assert snap0.version == 0
+
+
+@pytest.mark.parametrize("name", ["time-travel-schema-changes-a", "time-travel-schema-changes-b"])
+def test_time_travel_schema_changes_tables_load(name):
+    log = DeltaLog.for_table(golden(name))
+    snap = log.snapshot()
+    assert snap.metadata().schema() is not None
+    assert snap.num_of_files() > 0
+
+
+def test_time_travel_partition_changes_old_schema():
+    """-a and -b are the same table before/after a partition change; each
+    loads with its own partitioning (log_timetravel_test.go partition
+    cases)."""
+    pa = DeltaLog.for_table(golden("time-travel-partition-changes-a")).snapshot()
+    pb = DeltaLog.for_table(golden("time-travel-partition-changes-b")).snapshot()
+    assert pa.metadata() is not None and pb.metadata() is not None
+
+
+# ---------------------------------------------------------------------------
+# Replay edge cases
+def test_delete_re_add_same_file():
+    """add foo / remove foo / re-add foo / add bar across 4 txns ⇒ active
+    set is exactly {foo, bar} (replay_action.go:89-111 newest-wins)."""
+    log = DeltaLog.for_table(golden("delete-re-add-same-file-different-transactions"))
+    snap = log.snapshot()
+    assert sorted(a.path for a in snap.all_files()) == ["bar", "foo"]
+
+
+def test_iterator_bug_125():
+    """125-iterator-bug: 12 commits + checkpoint at 10; the add from every
+    commit must survive the segment stitch (json tail + checkpoint)."""
+    log = DeltaLog.for_table(golden("125-iterator-bug"))
+    snap = log.snapshot()
+    assert snap.version == 11
+    assert snap.num_of_files() > 0
+
+
+def test_decimal_decode_bug_124(spark):
+    """124-decimal-decode-bug: decimal-typed table reads end-to-end."""
+    log = DeltaLog.for_table(golden("124-decimal-decode-bug"))
+    snap = log.snapshot()
+    dtypes = {f.name: f.dataType.simpleString() for f in snap.metadata().schema().fields}
+    assert any(t.startswith("decimal") for t in dtypes.values())
+    rows = snap.to_df(spark).collect()
+    assert len(rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Reader tables: schema + data-plane reads
+@pytest.mark.parametrize(
+    "name",
+    [
+        "data-reader-array-primitives",
+        "data-reader-array-complex-objects",
+        "data-reader-map",
+        "data-reader-escaped-chars",
+    ],
+)
+def test_reader_tables_read_end_to_end(spark, name):
+    snap = DeltaLog.for_table(golden(name)).snapshot()
+    df = snap.to_df(spark)
+    assert df.count() > 0
+    assert df.schema == snap.to_df(spark).schema
+
+
+@pytest.mark.parametrize(
+    "tz",
+    [
+        "UTC",
+        "PST",
+        "JST",
+        "America/Los_Angeles",
+        "Asia/Beirut",
+        "Etc/GMT+9",
+        "Iceland",
+    ],
+)
+def test_date_types_tables(spark, tz):
+    """data-reader-date-types-*: timestamp data written under 7 writer time
+    zones; our reader must load all of them (values differ by design —
+    the instant is what was written locally in that zone)."""
+    snap = DeltaLog.for_table(golden(f"data-reader-date-types-{tz}")).snapshot()
+    rows = snap.to_df(spark).collect()
+    assert len(rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Store fixtures (reference store tests)
+def test_log_store_read_fixture():
+    base = golden("log-store-read")
+    store = LocalStore(base)
+    assert store.read(os.path.join(base, "0")) == ["zero", "none"]
+    assert store.read(os.path.join(base, "1")) == ["one"]
+
+
+def test_log_store_list_from_fixture():
+    base = golden("log-store-listFrom")
+    store = LocalStore(base)
+    names = [os.path.basename(m.path) for m in store.list_from(os.path.join(base, "2"))]
+    assert names == ["2", "3"]
+    assert [
+        os.path.basename(m.path) for m in store.list_from(os.path.join(base, "0"))
+    ] == ["1", "2", "3"]
