@@ -1,0 +1,232 @@
+"""Copy-on-write DML over Delta tables: DELETE / UPDATE / MERGE / TRUNCATE.
+
+The reference defines these operation names (op/names.go:16-51) but
+delegates the data plane entirely (README.md:14-16) — this module is that
+compute engine, Spark-first:
+
+- Candidate files come from the pruned scan (partition + min/max stats
+  skipping), so untouched files are never read, let alone rewritten.
+- Touched files are identified by running the predicate over the candidate
+  scan with input_file_name() — one Spark job that reads only candidate
+  files and returns a small path list to the driver (O(#files), not rows).
+- Rewrites read ONLY touched files, apply the row transform, and stage new
+  parquet; the commit removes touched files and adds rewritten ones in one
+  atomic transaction with the proper operation name, protected by
+  mark_files_as_read → conflict detection (trnx.go §A.4 rules).
+- MERGE is a broadcast-or-shuffle hash join between the target's touched
+  files and the source, exactly the plan Catalyst picks for the join
+  condition; not-matched inserts append new files without touching the
+  rest of the table.
+
+At 100 TB: cost scales with the touched-file set (the point of
+copy-on-write + file skipping), never with table size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark import ops
+from delta_go_spark.actions import AddFile
+from delta_go_spark.expressions import Expression
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import canonicalize_path
+from delta_go_spark.writer import stage_files
+
+
+def _touched_paths(
+    spark: SparkSession, snapshot, candidates: list[AddFile], predicate
+) -> tuple[list[AddFile], DataFrame]:
+    """Which candidate files actually contain rows matching `predicate`?
+
+    Returns (touched AddFiles, DataFrame over exactly those files).  The
+    match test is one aggregate over input_file_name() — reads candidate
+    files once, returns only distinct paths to the driver."""
+    from delta_go_spark.datareader import files_to_df
+
+    if not candidates:
+        return [], None
+    df = files_to_df(spark, snapshot, candidates)
+    matched = (
+        df.filter(predicate)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    matched_paths = {r["_f"].replace("file://", "") for r in matched}
+    root = snapshot.table_root
+    touched = [
+        a
+        for a in candidates
+        if canonicalize_path(a.path, root).replace("file://", "") in matched_paths
+    ]
+    if not touched:
+        return [], None
+    return touched, files_to_df(spark, snapshot, touched)
+
+
+class DeltaDml:
+    """DML executor bound to one table.  Each method is one transaction."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = os.path.abspath(table_path)
+
+    def _begin(self):
+        log = DeltaLog.for_table(self.table_path)
+        txn = log.start_transaction()
+        snap = txn.snapshot
+        if snap is None or txn.read_version < 0:
+            raise ValueError(f"not a Delta table: {self.table_path}")
+        return log, txn, snap
+
+    # -- DELETE ------------------------------------------------------------
+    def delete(self, predicate: Expression) -> int:
+        """Delete rows matching `predicate` (op/names.go DELETE).  Files
+        with no matches survive untouched; files with matches are rewritten
+        keeping only non-matching rows."""
+        log, txn, snap = self._begin()
+        candidates = txn.mark_files_as_read(predicate)
+        pred_col = predicate.to_spark()
+        touched, df = _touched_paths(self.spark, snap, candidates, pred_col)
+        if not touched:
+            return txn.commit([], ops.DELETE, operation_parameters={"predicate": str(predicate)})
+        survivors = df.filter(~pred_col | pred_col.isNull())
+        pcols = snap.metadata().partition_columns
+        clock_ms = log.clock.now_millis()
+        adds = stage_files(survivors, self.table_path, pcols)
+        removes = [a.remove(clock_ms) for a in touched]
+        return txn.commit(
+            [*adds, *removes],
+            ops.DELETE,
+            operation_parameters={"predicate": str(predicate)},
+        )
+
+    # -- UPDATE ------------------------------------------------------------
+    def update(self, predicate: Expression, assignments: dict[str, object]) -> int:
+        """UPDATE ... SET col = expr WHERE predicate.  `assignments` maps
+        column name -> Spark Column (or literal)."""
+        log, txn, snap = self._begin()
+        candidates = txn.mark_files_as_read(predicate)
+        pred_col = predicate.to_spark()
+        touched, df = _touched_paths(self.spark, snap, candidates, pred_col)
+        if not touched:
+            return txn.commit([], ops.UPDATE, operation_parameters={"predicate": str(predicate)})
+        updated = df
+        for col, expr in assignments.items():
+            value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
+            updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
+        pcols = snap.metadata().partition_columns
+        clock_ms = log.clock.now_millis()
+        adds = stage_files(updated, self.table_path, pcols)
+        removes = [a.remove(clock_ms) for a in touched]
+        return txn.commit(
+            [*adds, *removes],
+            ops.UPDATE,
+            operation_parameters={"predicate": str(predicate)},
+        )
+
+    # -- MERGE -------------------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_set: dict[str, object] | None = None,
+        delete_matched: bool = False,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO target USING source ON target.<on> = source.<on>.
+
+        whenMatched: UPDATE SET (update_set) or DELETE (delete_matched);
+        whenNotMatched: INSERT (insert_not_matched).  `on` is an equi-join
+        key present in both sides — the standard upsert shape; the source
+        is joined once (broadcast when small, shuffle hash otherwise, by
+        Catalyst's choice)."""
+        if update_set and delete_matched:
+            raise ValueError("choose update_set or delete_matched, not both")
+        log, txn, snap = self._begin()
+        txn.read_whole_table()
+        candidates = snap.all_files()
+        keys = source.select(F.col(on)).distinct()
+        from delta_go_spark.datareader import files_to_df
+
+        target_df = files_to_df(self.spark, snap, candidates) if candidates else None
+        touched: list[AddFile] = []
+        if target_df is not None:
+            semi = (
+                target_df.join(F.broadcast(keys), on, "left_semi")
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            )
+            matched_paths = {r["_f"].replace("file://", "") for r in semi}
+            root = snap.table_root
+            touched = [
+                a
+                for a in candidates
+                if canonicalize_path(a.path, root).replace("file://", "") in matched_paths
+            ]
+        pcols = snap.metadata().partition_columns
+        clock_ms = log.clock.now_millis()
+        actions: list = []
+
+        if touched:
+            tdf = files_to_df(self.spark, snap, touched)
+            src_cols = [c for c in source.columns if c != on]
+            src = source.select(
+                F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
+            )
+            joined = tdf.join(F.broadcast(src), tdf[on] == F.col("_mk"), "left_outer")
+            is_match = F.col("_mk").isNotNull()
+            if delete_matched:
+                rewritten = joined.filter(~is_match).select(*tdf.columns)
+            else:
+                rewritten = joined
+                for col, expr in (update_set or {}).items():
+                    value = (
+                        expr
+                        if hasattr(expr, "_jc") or hasattr(expr, "_expr")
+                        else F.lit(expr)
+                    )
+                    rewritten = rewritten.withColumn(
+                        col, F.when(is_match, value).otherwise(F.col(col))
+                    )
+                rewritten = rewritten.select(*tdf.columns)
+            actions.extend(stage_files(rewritten, self.table_path, pcols))
+            actions.extend(a.remove(clock_ms) for a in touched)
+
+        if insert_not_matched:
+            schema_cols = [f.name for f in snap.metadata().schema().fields]
+            existing_keys = (
+                files_to_df(self.spark, snap, candidates).select(on).distinct()
+                if candidates
+                else None
+            )
+            new_rows = source
+            if existing_keys is not None:
+                new_rows = source.join(existing_keys, on, "left_anti")
+            fields = {f.name: f.dataType for f in snap.metadata().schema().fields}
+            insertable = new_rows.select(
+                *[
+                    F.col(c)
+                    if c in new_rows.columns
+                    else F.lit(None).cast(fields[c]).alias(c)
+                    for c in schema_cols
+                ]
+            )
+            if insertable.limit(1).count() > 0:
+                actions.extend(stage_files(insertable, self.table_path, pcols))
+
+        return txn.commit(actions, ops.MERGE, operation_parameters={"on": on})
+
+    # -- TRUNCATE ----------------------------------------------------------
+    def truncate(self) -> int:
+        """Remove every active file; schema survives (op/names.go TRUNCATE)."""
+        log, txn, snap = self._begin()
+        txn.read_whole_table()
+        clock_ms = log.clock.now_millis()
+        removes = [a.remove(clock_ms) for a in snap.all_files()]
+        return txn.commit(removes, ops.TRUNCATE, operation_parameters={})

@@ -105,7 +105,57 @@ ORDER BY o_orderstatus
 """
 
 
+def delta_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE through the transaction log, then aggregate.
+
+    customer -> Delta; DELETE customers with negative balance; UPDATE the
+    AUTOMOBILE segment's balances to 0; aggregate per segment.  The oracle
+    applies the same DML as WHERE/CASE on the raw parquet — a hash match
+    proves the copy-on-write rewrite lost/duplicated nothing.
+    """
+    from pyspark.sql.types import DoubleType, StringType
+
+    from delta_go_spark.expressions import Column, EqualTo, LessThan, Literal
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "customer_dml")
+    log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        write_dataframe(load_table(spark, sf_dir, "customer"), path)
+        t = DeltaTable.for_path(spark, path)
+        t.delete(LessThan(Column("c_acctbal", DoubleType()), Literal(0.0)))
+        t.update(
+            EqualTo(Column("c_mktsegment", StringType()), Literal("AUTOMOBILE")),
+            {"c_acctbal": F.lit(0.0)},
+        )
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+DELTA_DML_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 0.0
+                      ELSE c_acctbal END), 2) AS sum_bal
+FROM customer
+WHERE c_acctbal >= 0.0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict = {
     "delta_roundtrip_agg": (delta_roundtrip_agg, DELTA_ROUNDTRIP_SQL),
     "delta_time_travel_count": (delta_time_travel_count, DELTA_TIME_TRAVEL_SQL),
+    "delta_dml_agg": (delta_dml_agg, DELTA_DML_SQL),
 }

@@ -60,6 +60,27 @@ class DeltaTable:
     def overwrite(self, df: DataFrame) -> int:
         return write_dataframe(df, self.log.table_path, "overwrite")
 
+    # -- DML (copy-on-write; see dml.py) -----------------------------------
+    def delete(self, predicate: Expression) -> int:
+        from delta_go_spark.dml import DeltaDml
+
+        return DeltaDml(self.spark, self.log.table_path).delete(predicate)
+
+    def update(self, predicate: Expression, assignments: dict) -> int:
+        from delta_go_spark.dml import DeltaDml
+
+        return DeltaDml(self.spark, self.log.table_path).update(predicate, assignments)
+
+    def merge(self, source: DataFrame, on: str, **kwargs) -> int:
+        from delta_go_spark.dml import DeltaDml
+
+        return DeltaDml(self.spark, self.log.table_path).merge(source, on, **kwargs)
+
+    def truncate(self) -> int:
+        from delta_go_spark.dml import DeltaDml
+
+        return DeltaDml(self.spark, self.log.table_path).truncate()
+
     # -- metadata ----------------------------------------------------------
     def version(self) -> int:
         return self.log.update().version

@@ -94,6 +94,46 @@ def _json_safe(v):
     return v
 
 
+def stage_files(
+    df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[AddFile]:
+    """Executors write `df` as parquet into a staging dir; files are then
+    moved into the table root (hive layout preserved) and returned as
+    AddFile actions with footer-derived stats.  Shared by append/overwrite
+    and the DML rewrites (delete/update/merge)."""
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    new_files: list[AddFile] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            target_dir = os.path.join(table_path, rel_dir)
+            os.makedirs(target_dir, exist_ok=True)
+            dst = os.path.join(target_dir, name)
+            os.rename(src, dst)
+            rel_path = os.path.join(rel_dir, name) if rel_dir else name
+            new_files.append(
+                AddFile(
+                    path=encode_path(rel_path.replace(os.sep, "/")),
+                    partition_values=_partition_values_from_rel(rel_dir, partition_by),
+                    size=os.path.getsize(dst),
+                    modification_time=int(os.path.getmtime(dst) * 1000),
+                    data_change=True,
+                    stats=_stats_from_footer(dst),
+                )
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return new_files
+
+
 def write_dataframe(
     df: DataFrame,
     table_path: str,
@@ -123,39 +163,8 @@ def write_dataframe(
             )
         partition_by = meta.partition_columns
 
-    # 1. executors write parquet into a staging dir
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    # 2. move data files into the table root, preserving hive layout
-    new_files: list[AddFile] = []
     clock_ms = log.clock.now_millis()
-    for root, _dirs, files in os.walk(staging):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            target_dir = os.path.join(table_path, rel_dir)
-            os.makedirs(target_dir, exist_ok=True)
-            dst = os.path.join(target_dir, name)
-            os.rename(src, dst)
-            rel_path = os.path.join(rel_dir, name) if rel_dir else name
-            new_files.append(
-                AddFile(
-                    path=encode_path(rel_path.replace(os.sep, "/")),
-                    partition_values=_partition_values_from_rel(rel_dir, partition_by),
-                    size=os.path.getsize(dst),
-                    modification_time=int(os.path.getmtime(dst) * 1000),
-                    data_change=True,
-                    stats=_stats_from_footer(dst),
-                )
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    new_files = stage_files(df, table_path, partition_by)
 
     # 3. build the action list
     actions: list = []

@@ -1,0 +1,123 @@
+"""Copy-on-write DML: DELETE / UPDATE / MERGE / TRUNCATE semantics +
+file-level efficiency (untouched files must survive, not be rewritten)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from delta_go_spark import ops
+from delta_go_spark.expressions import Column, EqualTo, GreaterThanOrEq, Literal
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.table import DeltaTable
+
+
+def _make_table(spark, tmp_path, name="t"):
+    """Four appended files with disjoint k-ranges [0,100) ... [3000,3100)."""
+    path = str(tmp_path / name)
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("v")
+        )
+        t = DeltaTable.for_path(spark, path)
+        if lo == 0:
+            DeltaTable.create(spark, path, df)
+        else:
+            t.append(df)
+    return DeltaTable.for_path(spark, path)
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tdel")
+    before = {a.path for a in t.log.update().all_files()}
+    t.delete(
+        GreaterThanOrEq(Column("k", LongType()), Literal(3000))
+    )
+    snap = t.log.update()
+    after = {a.path for a in snap.all_files()}
+    # files covering k<3000 survive byte-identical (same path, no rewrite)
+    untouched = {p for p in before if p in after}
+    assert len(untouched) >= 3
+    rows = sorted(r["k"] for r in t.to_df().collect())
+    assert rows == [*range(0, 100), *range(1000, 1100), *range(2000, 2100)]
+    assert t.log.commit_info_at(snap.version).operation == ops.DELETE
+
+
+def test_delete_point_predicate(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tdel2")
+    t.delete(EqualTo(Column("k", LongType()), Literal(1050)))
+    rows = {r["k"] for r in t.to_df().collect()}
+    assert 1050 not in rows
+    assert len(rows) == 399
+
+
+def test_delete_no_matches_is_noop_commit(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tdel3")
+    n_before = t.log.update().num_of_files()
+    t.delete(EqualTo(Column("k", LongType()), Literal(999_999)))
+    assert t.log.update().num_of_files() == n_before
+    assert t.to_df().count() == 400
+
+
+def test_update_assignments(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tupd")
+    t.update(
+        EqualTo(Column("k", LongType()), Literal(2001)),
+        {"v": F.lit(777).cast("long")},
+    )
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[2001] == 777
+    assert got[2002] == 2002 % 5  # same file, untouched row keeps its value
+    assert got[0] == 0  # untouched file
+    assert len(got) == 400
+    snap = t.log.update()
+    assert t.log.commit_info_at(snap.version).operation == ops.UPDATE
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tmrg")
+    source = spark.createDataFrame(
+        [(50, 111), (1050, 222), (9999, 333)], "k long, v long"
+    )
+    t.merge(source, on="k", update_set={"v": F.col("_s_v")})
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[50] == 111 and got[1050] == 222  # matched -> updated
+    assert got[9999] == 333  # not matched -> inserted
+    assert len(got) == 401
+    snap = t.log.update()
+    assert t.log.commit_info_at(snap.version).operation == ops.MERGE
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "tmrg2")
+    source = spark.createDataFrame([(0,), (2050,)], "k long")
+    t.merge(source, on="k", delete_matched=True, insert_not_matched=False)
+    rows = {r["k"] for r in t.to_df().collect()}
+    assert 0 not in rows and 2050 not in rows
+    assert len(rows) == 398
+
+
+def test_truncate_keeps_schema(spark, tmp_path):
+    t = _make_table(spark, tmp_path, "ttrunc")
+    t.truncate()
+    snap = t.log.update()
+    assert snap.num_of_files() == 0
+    assert t.to_df().count() == 0
+    assert [f.name for f in snap.metadata().schema().fields] == ["k", "v"]
+    assert t.log.commit_info_at(snap.version).operation == ops.TRUNCATE
+    # table still writable after truncate
+    t.append(spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    assert t.to_df().count() == 5
+
+
+def test_dml_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "tpart")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("long").alias("p")
+    )
+    DeltaTable.create(spark, path, df, partition_by=["p"])
+    t = DeltaTable.for_path(spark, path)
+    t.delete(EqualTo(Column("p", LongType()), Literal(3)))
+    out = t.to_df()
+    assert out.count() == 150
+    assert {r["p"] for r in out.select("p").distinct().collect()} == {0, 1, 2}
+    # partition layout survived the rewrite commit
+    assert DeltaLog.for_table(path).update().metadata().partition_columns == ["p"]
