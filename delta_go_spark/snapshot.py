@@ -375,3 +375,71 @@ def assert_protocol_read_compatible(protocol: Protocol) -> None:
 
 def encode_rel_path(path: str) -> str:
     return quote(path, safe="/")
+
+
+def active_files_df(spark, snapshot: "Snapshot"):
+    """Scale-path state reconstruction: the active-file set computed AS A
+    SPARK JOB instead of a driver-side Python fold.
+
+    For a 100 TB table the log tail is small but the checkpoint can carry
+    millions of AddFiles; this path reads the checkpoint parquet + tail
+    JSON commits with Spark, resolves newest-action-per-path with one
+    window (partitionBy path, orderBy version desc — the same
+    newest-wins/tombstone rule as replay_action.go:80-116), and returns a
+    DataFrame of active adds.  The driver never materializes the file list;
+    callers can aggregate (counts, total bytes) or join it distributively.
+
+    Equivalence with the Python fold is asserted in tests.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    seg = snapshot.segment
+    parts = []
+    if seg.checkpoints:
+        ck = (
+            spark.read.parquet(*[p for p in seg.checkpoints])
+            .select(
+                F.col("add.path").alias("path"),
+                F.col("add.size").alias("size"),
+                F.col("remove.path").alias("rm_path"),
+            )
+            .withColumn("version", F.lit(seg.checkpoint_version or -1).cast("long"))
+        )
+        parts.append(ck)
+    for path in seg.deltas:
+        v = int(os.path.basename(path).split(".")[0])
+        dj = (
+            spark.read.json(path)
+            .withColumn("version", F.lit(v).cast("long"))
+        )
+        cols = dj.columns
+        parts.append(
+            dj.select(
+                (F.col("add.path") if "add" in cols else F.lit(None)).alias("path"),
+                (F.col("add.size") if "add" in cols else F.lit(None).cast("long")).alias("size"),
+                (F.col("remove.path") if "remove" in cols else F.lit(None)).alias("rm_path"),
+                "version",
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], "path string, size long, version long")
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    events = union.select(
+        F.coalesce("path", "rm_path").alias("path"),
+        "size",
+        "version",
+        F.col("path").isNotNull().alias("is_add"),
+    ).filter(F.col("path").isNotNull())
+    # newest version wins; within one version an add beats a remove
+    # (re-add-in-same-commit), matching the InMemoryLogReplay fold.
+    w = Window.partitionBy("path").orderBy(
+        F.desc("version"), F.desc("is_add")
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("is_add"))
+        .select("path", "size", "version")
+    )

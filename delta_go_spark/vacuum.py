@@ -1,0 +1,88 @@
+"""VACUUM: physically delete data files no longer referenced by the table.
+
+The reference carries `deletedFileRetentionDuration` (config.go:69-73) and
+expires tombstones on replay (replay_action.go:53-61) but, being
+metadata-only, never deletes the bytes — the `snapshot-vacuumed` golden
+table was produced by an engine-side vacuum exactly like this one.
+
+Semantics (Delta's contract):
+- A file is deletable iff it is NOT in the current active set AND is not a
+  tombstone younger than the retention window (concurrent readers of old
+  snapshots may still be reading recent tombstones).
+- Directories are walked relative to the table root; `_delta_log` and
+  staging/hidden paths are never touched.
+- dry_run lists what would be deleted, deleting nothing.
+
+Scale note: the on-disk walk is O(files-on-disk). On object stores this is
+one LIST per prefix; the active/tombstone sets come from the already-loaded
+snapshot state, so no data is read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from delta_go_spark import config as cfg
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import canonicalize_path
+
+
+def vacuum(
+    table_path: str,
+    retention_millis: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete unreferenced data files older than the retention window.
+    Returns the list of deleted (or would-be-deleted) absolute paths."""
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    snap = log.update()
+    if retention_millis is None:
+        retention_millis = cfg.get_millis(
+            snap.metadata().configuration or {}, cfg.TOMBSTONE_RETENTION
+        )
+    horizon = log.clock.now_millis() - retention_millis
+
+    def norm(p: str) -> str:
+        return canonicalize_path(p, table_path).replace("file://", "")
+
+    active = {norm(a.path) for a in snap.all_files()}
+    # Tombstones still inside the retention window are protected; expired
+    # ones are fair game (their readers' snapshots are stale by contract).
+    protected = {
+        norm(r.path)
+        for r in snap.state().tombstones.values()
+        if (r.deletion_timestamp or 0) >= horizon
+    }
+
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [
+            d for d in dirs if d != "_delta_log" and not d.startswith(".")
+        ]
+        for name in files:
+            if name.startswith((".", "_")):
+                continue
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            if full in active or full in protected:
+                continue
+            doomed.append(full)
+
+    if not dry_run:
+        for path in doomed:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        # prune now-empty partition directories
+        for root, dirs, files in os.walk(table_path, topdown=False):
+            if "_delta_log" in root:
+                continue
+            if root != table_path and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return sorted(doomed)

@@ -121,3 +121,26 @@ def test_dml_on_partitioned_table(spark, tmp_path):
     assert {r["p"] for r in out.select("p").distinct().collect()} == {0, 1, 2}
     # partition layout survived the rewrite commit
     assert DeltaLog.for_table(path).update().metadata().partition_columns == ["p"]
+
+
+def test_vacuum_removes_rewritten_files(spark, tmp_path):
+    from delta_go_spark.vacuum import vacuum
+
+    t = _make_table(spark, tmp_path, "tvac")
+    before_disk = set()
+    for root, _d, files in __import__("os").walk(t.log.table_path):
+        if "_delta_log" in root:
+            continue
+        before_disk.update(f for f in files if f.endswith(".parquet"))
+    t.delete(GreaterThanOrEq(Column("k", LongType()), Literal(3000)))
+    # retention 0 => freshly-tombstoned files are deletable immediately
+    would = vacuum(t.log.table_path, retention_millis=0, dry_run=True)
+    assert would, "dry run should find the rewritten file(s)"
+    deleted = vacuum(t.log.table_path, retention_millis=0)
+    assert sorted(deleted) == sorted(would)
+    # table still reads correctly after physical deletion
+    assert t.to_df().count() == 300
+    # default retention (1 week) protects fresh tombstones
+    t2 = _make_table(spark, tmp_path, "tvac2")
+    t2.delete(EqualTo(Column("k", LongType()), Literal(0)))
+    assert vacuum(t2.log.table_path, dry_run=True) == []

@@ -166,3 +166,19 @@ def test_table_exists():
 
     with tempfile.TemporaryDirectory() as d:
         assert not DeltaLog.for_table(d).table_exists()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["checkpoint", "125-iterator-bug", "delete-re-add-same-file-different-transactions", "snapshot-data2-deleted"],
+)
+def test_active_files_df_matches_python_fold(spark, name):
+    """The Spark-job state reconstruction (scale path) must agree with the
+    driver-side Python fold on every golden log shape: checkpoint-anchored,
+    checkpoint+tail, re-add, deletes."""
+    from delta_go_spark.snapshot import active_files_df
+
+    snap = DeltaLog.for_table(golden(name)).snapshot()
+    py_paths = sorted(a.path for a in snap.all_files())
+    df_paths = sorted(r["path"] for r in active_files_df(spark, snap).collect())
+    assert df_paths == py_paths
