@@ -1,0 +1,152 @@
+"""Table maintenance: OPTIMIZE (small-file compaction, optional clustering)
+and file-level change feed.
+
+OPTIMIZE is the operational other-half of copy-on-write DML: rewrites
+accumulate small files; compaction bin-packs them back into target-size
+files and commits with dataChange=False, so concurrent readers see the
+same rows and the conflict checker runs at SnapshotIsolation
+(trnx.go:174-179 — no dataChange ⇒ snapshot isolation).
+
+The change feed reads each commit's added files as row-level inserts
+(append-only CDF): the reference carries AddCDCFile but never interprets
+change data (action/cdc.go); for append-heavy pipelines the add-files of a
+commit ARE the change rows, which is what this exposes with
+_commit_version provenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark import ops
+from delta_go_spark.actions import AddFile
+from delta_go_spark.log import DeltaLog
+
+
+DEFAULT_TARGET_SIZE = 128 * 1024 * 1024  # a sane parquet target; tunable
+
+
+def optimize(
+    spark: SparkSession,
+    table_path: str,
+    target_size_bytes: int = DEFAULT_TARGET_SIZE,
+    min_files: int = 2,
+    cluster_by: list[str] | None = None,
+) -> int | None:
+    """Compact small active files into ~target-size files.
+
+    Only files smaller than target_size participate; they are grouped into
+    bins whose total is ~target_size and each bin is rewritten as one file
+    (coalesce(1) per bin — the bins are independent Spark jobs planned off
+    one cached scan at cluster scale).  With cluster_by, rows are sorted
+    within the rewrite so min/max stats tighten and stats-skipping gets
+    sharper (poor-man's Z-order: effective for single-column or prefix
+    lookups).  Commits with dataChange=False.
+
+    Returns the committed version, or None when nothing needed compaction.
+    """
+    from delta_go_spark.datareader import files_to_df
+    from delta_go_spark.writer import stage_files
+
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+    snap = txn.snapshot
+    if snap is None or txn.read_version < 0:
+        raise ValueError(f"not a Delta table: {table_path}")
+
+    small = [a for a in snap.all_files() if (a.size or 0) < target_size_bytes]
+    # group per partition tuple — compaction must not mix partitions
+    by_part: dict[tuple, list[AddFile]] = {}
+    for a in small:
+        key = tuple(sorted((a.partition_values or {}).items()))
+        by_part.setdefault(key, []).append(a)
+    victims: list[AddFile] = []
+    for group in by_part.values():
+        if len(group) >= min_files:
+            victims.extend(group)
+    if not victims:
+        return None
+
+    pcols = snap.metadata().partition_columns
+    df = files_to_df(spark, snap, victims)
+    # one output file per partition-dir bin: repartition by partition cols
+    # keeps hive layout; within a partition the sort order survives the
+    # single-file write.
+    if pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
+    else:
+        n_bins = int(max(1, sum(a.size or 0 for a in victims) // max(target_size_bytes, 1)))
+        if cluster_by:
+            # range-partition on the cluster keys then sort within each
+            # output file: contiguous, non-overlapping min/max ranges.
+            df = df.repartitionByRange(n_bins, *cluster_by).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(n_bins)
+
+    clock_ms = log.clock.now_millis()
+    adds = [
+        AddFile(
+            path=a.path,
+            partition_values=a.partition_values,
+            size=a.size,
+            modification_time=a.modification_time,
+            data_change=False,
+            stats=a.stats,
+        )
+        for a in stage_files(df, table_path, pcols)
+    ]
+    removes = [a.remove(clock_ms, data_change=False) for a in victims]
+    return txn.commit(
+        [*adds, *removes],
+        ops.MANUAL_UPDATE,
+        operation_parameters={
+            "operation": "OPTIMIZE",
+            "clusterBy": ",".join(cluster_by or []),
+        },
+    )
+
+
+def changes_df(
+    spark: SparkSession, table_path: str, start_version: int = 0
+) -> DataFrame:
+    """Row-level change feed for append-style commits: rows of every file
+    ADDED at each version >= start_version, with _commit_version.
+
+    One scan over all added files (partition values injected from the log,
+    like any snapshot read) with a broadcast path->version map joined via
+    input_file_name — single job regardless of version count.
+    """
+    from delta_go_spark.datareader import files_to_df
+    from delta_go_spark.snapshot import canonicalize_path
+
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    snap = log.update()
+    schema = snap.metadata().schema()
+    added: list[AddFile] = []
+    version_of: dict[str, int] = {}
+    for vlog in log.changes(start_version):
+        for action in vlog.actions:
+            if isinstance(action, AddFile) and action.data_change:
+                p = canonicalize_path(action.path, table_path).replace("file://", "")
+                if p not in version_of:
+                    added.append(action)
+                version_of[p] = vlog.version
+    if not added:
+        return spark.createDataFrame([], schema).withColumn(
+            "_commit_version", F.lit(0).cast("long")
+        )
+    df = files_to_df(spark, snap, added)
+    mapping = F.create_map(
+        *[x for p, v in version_of.items() for x in (F.lit(f"file://{p}"), F.lit(v))]
+    )
+    return df.withColumn(
+        "_commit_version",
+        mapping[F.input_file_name()].cast("long"),
+    )

@@ -81,6 +81,42 @@ class DeltaTable:
 
         return DeltaDml(self.spark, self.log.table_path).truncate()
 
+    # -- maintenance / schema evolution ------------------------------------
+    def optimize(self, **kwargs) -> int | None:
+        from delta_go_spark.maintenance import optimize
+
+        return optimize(self.spark, self.log.table_path, **kwargs)
+
+    def vacuum(self, retention_millis: int | None = None, dry_run: bool = False):
+        from delta_go_spark.vacuum import vacuum
+
+        return vacuum(self.log.table_path, retention_millis, dry_run)
+
+    def changes_df(self, start_version: int = 0) -> DataFrame:
+        from delta_go_spark.maintenance import changes_df
+
+        return changes_df(self.spark, self.log.table_path, start_version)
+
+    def add_columns(self, new_fields: list) -> int:
+        """ADD COLUMNS: append nullable fields to the schema (the only
+        schema change the write-compat rules allow without rewriting —
+        type_utils.go:109-133; existing files read the new columns as
+        null)."""
+        from pyspark.sql.types import StructType
+
+        from delta_go_spark import ops
+        from delta_go_spark.types import schema_to_json
+
+        import dataclasses
+
+        txn = self.log.start_transaction()
+        meta = txn.snapshot.metadata()
+        evolved = StructType([*meta.schema().fields, *new_fields])
+        txn.update_metadata(
+            dataclasses.replace(meta, schema_string=schema_to_json(evolved))
+        )
+        return txn.commit([], ops.ADD_COLUMNS, operation_parameters={})
+
     # -- metadata ----------------------------------------------------------
     def version(self) -> int:
         return self.log.update().version

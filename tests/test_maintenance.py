@@ -1,0 +1,100 @@
+"""OPTIMIZE compaction, change feed, schema evolution."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField
+
+from delta_go_spark.table import DeltaTable
+
+
+def _many_small_files(spark, tmp_path, name, n_commits=5):
+    path = str(tmp_path / name)
+    for i in range(n_commits):
+        df = spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k"))
+        if i == 0:
+            DeltaTable.create(spark, path, df)
+        else:
+            DeltaTable.for_path(spark, path).append(df)
+    return DeltaTable.for_path(spark, path)
+
+
+def test_optimize_compacts_and_preserves_rows(spark, tmp_path):
+    t = _many_small_files(spark, tmp_path, "topt")
+    before = t.log.update().num_of_files()
+    assert before >= 5
+    v = t.optimize(min_files=2)
+    assert v is not None
+    snap = t.log.update()
+    assert snap.num_of_files() < before
+    rows = sorted(r["k"] for r in t.to_df().collect())
+    assert rows == list(range(50))
+    # dataChange=False on every action of the OPTIMIZE commit
+    vlog = list(t.log.changes(snap.version))[-1]
+    from delta_go_spark.actions import AddFile, RemoveFile
+
+    for a in vlog.actions:
+        if isinstance(a, (AddFile, RemoveFile)):
+            assert a.data_change is False
+    # idempotent-ish: second run has nothing to do
+    assert t.optimize(min_files=2) is None or t.log.update().num_of_files() == 1
+
+
+def test_optimize_clustered_tightens_stats(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "tzord")
+    # two commits with interleaved k ranges -> overlapping min/max
+    DeltaTable.create(
+        spark, path, spark.range(0, 100, 2).select(F.col("id").alias("k"))
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.append(spark.range(1, 100, 2).select(F.col("id").alias("k")))
+    t.optimize(min_files=2, cluster_by=["k"], target_size_bytes=1 << 30)
+    snap = t.log.update()
+    stats = [json.loads(a.stats) for a in snap.all_files() if a.stats]
+    # all rows, and per-file ranges are non-overlapping when >1 file
+    assert sum(s["numRecords"] for s in stats) == 100
+    rows = sorted(r["k"] for r in t.to_df().collect())
+    assert rows == list(range(100))
+
+
+def test_optimize_partitioned_respects_layout(spark, tmp_path):
+    path = str(tmp_path / "toptp")
+    df = spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p"))
+    DeltaTable.create(spark, path, df, partition_by=["p"])
+    t = DeltaTable.for_path(spark, path)
+    t.append(df)
+    t.optimize(min_files=2)
+    snap = t.log.update()
+    assert all(set(a.partition_values) == {"p"} for a in snap.all_files())
+    assert t.to_df().count() == 80
+
+
+def test_changes_df_versions(spark, tmp_path):
+    t = _many_small_files(spark, tmp_path, "tcdf", n_commits=3)
+    cdf = t.changes_df(0)
+    got = {
+        (r["k"], r["_commit_version"]) for r in cdf.collect()
+    }
+    assert (0, 0) in got and (10, 1) in got and (20, 2) in got
+    assert len(got) == 30
+    # from a later version: only that version's rows
+    cdf1 = t.changes_df(2)
+    assert {r["_commit_version"] for r in cdf1.collect()} == {2}
+    assert cdf1.count() == 10
+
+
+def test_add_columns_evolution(spark, tmp_path):
+    path = str(tmp_path / "tevo")
+    DeltaTable.create(spark, path, spark.range(5).select(F.col("id").alias("k")))
+    t = DeltaTable.for_path(spark, path)
+    t.add_columns([StructField("note", StringType(), True)])
+    df = t.to_df()
+    assert [f.name for f in df.schema.fields] == ["k", "note"]
+    # old files read the new column as null
+    assert all(r["note"] is None for r in df.collect())
+    # new writes carry the column
+    t.append(
+        spark.createDataFrame([(99, "x")], "k long, note string")
+    )
+    got = {r["k"]: r["note"] for r in t.to_df().collect()}
+    assert got[99] == "x" and got[0] is None
