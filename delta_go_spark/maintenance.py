@@ -150,3 +150,56 @@ def changes_df(
         "_commit_version",
         mapping[F.input_file_name()].cast("long"),
     )
+
+
+def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> list[str]:
+    """Delete log files no longer needed for state reconstruction: version
+    files and checkpoints strictly BELOW the latest complete checkpoint,
+    once older than logRetentionDuration.
+
+    The reference carries the config (config.go:84-88) and leaves the hook
+    as a TODO (checkpoint.go:273 `todo: doLogCleanup()`); this implements
+    it.  Safety: a snapshot at or after the surviving checkpoint is always
+    reconstructable; older time travel intentionally expires (that is what
+    logRetentionDuration means).  Returns deleted paths.
+    """
+    from delta_go_spark import config as cfg
+    from delta_go_spark.filenames import (
+        checkpoint_version,
+        delta_version,
+        is_checkpoint_file,
+        is_delta_file,
+    )
+
+    snap = log.update()
+    ckpt_v = snap.segment.checkpoint_version
+    if ckpt_v is None:
+        return []
+    if retention_millis is None:
+        try:
+            retention_millis = cfg.get_millis(
+                snap.metadata().configuration or {}, cfg.LOG_RETENTION
+            )
+        except Exception:
+            return []
+    horizon = log.clock.now_millis() - retention_millis
+
+    deleted: list[str] = []
+    log_dir = log.log_path
+    for name in sorted(os.listdir(log_dir)):
+        full = os.path.join(log_dir, name)
+        if not os.path.isfile(full):
+            continue
+        if is_delta_file(name):
+            v = delta_version(name)
+        elif is_checkpoint_file(name):
+            v = checkpoint_version(name)
+        else:
+            continue  # _last_checkpoint etc.
+        if v >= ckpt_v:
+            continue
+        if int(os.path.getmtime(full) * 1000) >= horizon:
+            continue
+        os.remove(full)
+        deleted.append(full)
+    return deleted

@@ -410,3 +410,7 @@ class OptimisticTransaction:
                 list(st.tombstones.values()),
                 list(st.set_transactions.values()),
             )
+            if cfg.get_bool(meta.configuration, cfg.ENABLE_EXPIRED_LOG_CLEANUP):
+                from delta_go_spark.maintenance import cleanup_expired_logs
+
+                cleanup_expired_logs(self.log)

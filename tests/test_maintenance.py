@@ -98,3 +98,35 @@ def test_add_columns_evolution(spark, tmp_path):
     )
     got = {r["k"]: r["note"] for r in t.to_df().collect()}
     assert got[99] == "x" and got[0] is None
+
+
+def test_cleanup_expired_logs(spark, tmp_path):
+    import os
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.maintenance import cleanup_expired_logs
+
+    path = str(tmp_path / "tclean")
+    # checkpointInterval=4 so commit 4, 8, 12 write checkpoints
+    DeltaTable.create(
+        spark,
+        path,
+        spark.range(3).select(F.col("id").alias("k")),
+        configuration={"delta.checkpointInterval": "4"},
+    )
+    t = DeltaTable.for_path(spark, path)
+    for i in range(12):
+        t.append(spark.range(i, i + 1).select(F.col("id").alias("k")))
+    log = DeltaLog.for_table(path)
+    assert log.update().segment.checkpoint_version == 12
+    # retention=0: everything below checkpoint 12 is deletable
+    deleted = cleanup_expired_logs(log, retention_millis=0)
+    names = {os.path.basename(p) for p in deleted}
+    assert f"{0:020d}.json" in names and f"{11:020d}.json" in names
+    assert f"{8:020d}.checkpoint.parquet" in names  # stale checkpoint goes too
+    # table still loads from checkpoint 12 + nothing after
+    snap = DeltaLog.for_table(path).update()
+    assert snap.version == 12
+    assert snap.to_df(spark).count() == 15
+    # default 30-day retention deletes nothing on a fresh table
+    assert cleanup_expired_logs(DeltaLog.for_table(path)) == []
