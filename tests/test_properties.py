@@ -1,0 +1,171 @@
+"""Property-based tests (hypothesis) — a test dimension the reference has
+none of (SURVEY.md §5: go test + testify only).
+
+Targets the correctness keystones: expression evaluation (3-valued logic),
+the pushed/residual predicate split (pruning soundness), partition-value
+string parsing, and schema write-compatibility.
+"""
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql.types import (
+    DateType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from delta_go_spark.expressions import (
+    And,
+    Column,
+    EqualTo,
+    GreaterThan,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    Literal,
+    Not,
+    Or,
+    parse_partition_value,
+    split_metadata_and_data_predicates,
+)
+from delta_go_spark.types import is_write_compatible
+
+PCOLS = ["p1", "p2"]
+DCOLS = ["d1", "d2"]
+
+
+def leaf(col_name: str, value: int):
+    c = Column(col_name, IntegerType())
+    lit = Literal(value, IntegerType())
+    return st.sampled_from(
+        [EqualTo(c, lit), GreaterThan(c, lit), LessThan(c, lit), IsNull(c), IsNotNull(c)]
+    )
+
+
+@st.composite
+def predicates(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        col = draw(st.sampled_from(PCOLS + DCOLS))
+        value = draw(st.integers(min_value=-5, max_value=5))
+        return draw(leaf(col, value))
+    a = draw(predicates(depth=depth + 1))
+    b = draw(predicates(depth=depth + 1))
+    return draw(st.sampled_from([And(a, b), Or(a, b), Not(a)]))
+
+
+@st.composite
+def records(draw):
+    # raw partition-value strings: None = NULL, else int string
+    return {
+        c: draw(st.one_of(st.none(), st.integers(-5, 5).map(str)))
+        for c in PCOLS + DCOLS
+    }
+
+
+@given(predicates(), records())
+@settings(max_examples=300, deadline=None)
+def test_split_preserves_semantics(pred, record):
+    """pushed AND residual ≡ original predicate, for every record.
+    (partition_utils.go:12-54 contract — the split must never change what
+    a row-level filter would select.)"""
+    pushed, residual = split_metadata_and_data_predicates(pred, PCOLS)
+
+    def ev(e):
+        return e.eval(record) if e is not None else True
+
+    def and3(a, b):
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+
+    assert and3(ev(pushed), ev(residual)) == pred.eval(record)
+
+
+@given(predicates())
+@settings(max_examples=300, deadline=None)
+def test_pushed_references_only_partition_cols(pred):
+    pushed, _res = split_metadata_and_data_predicates(pred, PCOLS)
+    if pushed is not None:
+        assert pushed.references() <= {c.lower() for c in PCOLS}
+
+
+@given(predicates(), records())
+@settings(max_examples=300, deadline=None)
+def test_pruning_is_sound(pred, record):
+    """A file excluded by the pushed predicate (eval is not True) cannot
+    contain a row the full predicate accepts with the same partition
+    values — i.e. pruning never drops matching rows (scan.go:185-199)."""
+    pushed, _res = split_metadata_and_data_predicates(pred, PCOLS)
+    if pushed is None:
+        return
+    if pred.eval(record) is True:
+        assert pushed.eval(record) is True
+
+
+@given(st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)))
+def test_partition_value_int_roundtrip(v):
+    raw = None if v is None else str(v)
+    assert parse_partition_value(raw, IntegerType()) == v
+    assert parse_partition_value(raw, LongType()) == v
+
+
+@given(st.dates(min_value=datetime.date(1, 1, 1), max_value=datetime.date(9999, 12, 31)))
+def test_partition_value_date_roundtrip(d):
+    assert parse_partition_value(d.isoformat(), DateType()) == d
+
+
+@given(st.text(min_size=1, max_size=20))
+def test_partition_value_string_identity(s):
+    assert parse_partition_value(s, StringType()) == s
+
+
+_names = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@st.composite
+def schemas(draw):
+    names = draw(st.lists(_names, min_size=1, max_size=5, unique=True))
+    return StructType(
+        [
+            StructField(
+                n,
+                draw(st.sampled_from([IntegerType(), LongType(), StringType()])),
+                draw(st.booleans()),
+            )
+            for n in names
+        ]
+    )
+
+
+@given(schemas())
+def test_schema_self_compatible(s):
+    assert is_write_compatible(s, s)
+
+
+@given(schemas())
+@settings(max_examples=200, deadline=None)
+def test_adding_nullable_column_is_compatible(s):
+    wider = StructType([*s.fields, StructField("zz_new", StringType(), True)])
+    assert is_write_compatible(s, wider)
+    # and the reverse (dropping a column) is NOT
+    assert not is_write_compatible(wider, s)
+
+
+@given(schemas())
+@settings(max_examples=200, deadline=None)
+def test_nullable_flip_rules(s):
+    # nullable -> non-nullable is forbidden; the reverse is allowed
+    flipped = StructType(
+        [StructField(f.name, f.dataType, not f.nullable) for f in s.fields]
+    )
+    any_tightened = any(f.nullable and not g.nullable for f, g in zip(s.fields, flipped.fields))
+    if any_tightened:
+        assert not is_write_compatible(s, flipped)
