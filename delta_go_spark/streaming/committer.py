@@ -37,16 +37,9 @@ class DeltaStreamCommitter:
     def commit_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """Returns the committed Delta version, or None if the batch was
         already committed (idempotent replay)."""
-        from delta_go_spark.writer import (
-            _partition_values_from_rel,
-            _stats_from_footer,
-        )
-        import os
-        import shutil
-        import uuid
-
-        from delta_go_spark.actions import AddFile, Metadata, encode_path
+        from delta_go_spark.actions import Metadata
         from delta_go_spark.types import schema_to_json
+        from delta_go_spark.writer import stage_files
 
         log = DeltaLog.for_table(self.table_path)
         txn = log.start_transaction()
@@ -59,36 +52,7 @@ class DeltaStreamCommitter:
         if exists:
             partition_by = txn.snapshot.metadata().partition_columns
 
-        staging = os.path.join(self.table_path, f".staging-{uuid.uuid4().hex}")
-        writer = batch_df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-
-        new_files = []
-        for root, _dirs, files in os.walk(staging):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(root, name)
-                rel_dir = os.path.relpath(root, staging)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                target_dir = os.path.join(self.table_path, rel_dir)
-                os.makedirs(target_dir, exist_ok=True)
-                dst = os.path.join(target_dir, name)
-                os.rename(src, dst)
-                rel_path = os.path.join(rel_dir, name) if rel_dir else name
-                new_files.append(
-                    AddFile(
-                        path=encode_path(rel_path.replace(os.sep, "/")),
-                        partition_values=_partition_values_from_rel(rel_dir, partition_by),
-                        size=os.path.getsize(dst),
-                        modification_time=int(os.path.getmtime(dst) * 1000),
-                        data_change=True,
-                        stats=_stats_from_footer(dst),
-                    )
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+        new_files = stage_files(batch_df, self.table_path, partition_by)
 
         if not exists:
             txn.update_metadata(
