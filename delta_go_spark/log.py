@@ -55,20 +55,27 @@ class DeltaLog:
 
     def update(self) -> Snapshot:
         """Refresh to the latest version (reference: log.go:152-154,
-        snapshot_reader.go:279-317)."""
+        snapshot_reader.go:279-317).  A log directory that has vanished
+        invalidates the cache and reads as nonexistent (version -1
+        semantics of log_test.go:403-421), not as the stale snapshot."""
         with self._lock:
-            meta = ckpt.load_last_checkpoint(self.store, self.log_path)
-            segment = get_log_segment_for_version(
-                self.store, self.log_path, meta.version if meta else None, None
-            )
+            try:
+                meta = ckpt.load_last_checkpoint(self.store, self.log_path)
+                segment = get_log_segment_for_version(
+                    self.store, self.log_path, meta.version if meta else None, None
+                )
+            except FileNotFoundError as e:
+                self._snapshot = None
+                raise DeltaError(f"table {self.table_path} does not exist") from e
             if self._snapshot is None or self._snapshot.segment != segment:
                 self._snapshot = Snapshot(self.store, segment, self.table_path, self.clock)
             return self._snapshot
 
     def table_exists(self) -> bool:
-        """reference: log.go:283-285."""
+        """reference: log.go:283-285 (checked against a fresh Update, so a
+        deleted table reads as gone)."""
         try:
-            return self.snapshot().version >= 0
+            return self.update().version >= 0
         except DeltaError:
             return False
 

@@ -165,3 +165,62 @@ def test_log_store_list_from_fixture():
     assert [
         os.path.basename(m.path) for m in store.list_from(os.path.join(base, "0"))
     ] == ["1", "2", "3"]
+
+
+# ---------------------------------------------------------------------------
+# Hive-layout golden tables + deleted-directory behavior
+def test_update_deleted_directory_reports_nonexistent(tmp_path):
+    """log_test.go:403-421: after the table directory vanishes, Update()
+    reports version -1 (nonexistent), not an exception."""
+    import shutil
+
+    src = golden("update-deleted-directory")
+    dst = str(tmp_path / "gone")
+    shutil.copytree(src, dst)
+    log = DeltaLog.for_table(dst)
+    shutil.rmtree(dst)
+    assert not log.table_exists()
+
+
+def test_hive_partition_prune_end_to_end(spark):
+    """hive/deltatbl-partition-prune: date+city partitioned; a date
+    predicate must keep only that date's files and rows."""
+    from pyspark.sql.types import StringType
+
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+
+    snap = DeltaLog.for_table(golden("hive/deltatbl-partition-prune")).snapshot()
+    scan = snap.scan(EqualTo(Column("date", StringType()), Literal("20180512")))
+    kept = list(scan.files())
+    assert 0 < len(kept) < snap.num_of_files()
+    assert all(a.partition_values.get("date") == "20180512" for a in kept)
+    rows = scan.to_df(spark).collect()
+    assert rows and all(r["date"] == "20180512" for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["hive/deltatbl-partitioned", "hive/deltatbl-non-partitioned"]
+)
+def test_hive_tables_read(spark, name):
+    snap = DeltaLog.for_table(golden(name)).snapshot()
+    assert snap.to_df(spark).count() > 0
+
+
+def test_hive_special_chars_partition_values(spark):
+    """Partition directory 'c2=+ %3D%250': URL-decoded partition values
+    must round-trip through the log ('+ =%0')."""
+    snap = DeltaLog.for_table(
+        golden("hive/deltatbl-special-chars-in-partition-column")
+    ).snapshot()
+    vals = {a.partition_values.get("c2") for a in snap.all_files()}
+    assert any("=" in (v or "") for v in vals)
+    df = snap.to_df(spark)
+    got = {r["c2"] for r in df.select("c2").distinct().collect()}
+    assert got == vals
+
+
+def test_hive_case_insensitive_column_names(spark):
+    snap = DeltaLog.for_table(
+        golden("hive/deltatbl-column-names-case-insensitive")
+    ).snapshot()
+    assert snap.to_df(spark).count() > 0
