@@ -164,3 +164,88 @@ ORDER BY hour_ts, event_type
 QUERIES: dict = {
     "streaming_hourly_rollup": (streaming_hourly_rollup, STREAMING_HOURLY_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Sessionization with an exact relational oracle: Spark's session_window
+# (gap-merge) equals the classic islands-and-gaps SQL (lag + running sum of
+# session starts) — proven per-row by the hash check.
+def session_windows_events(spark, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOWS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM o
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES["session_windows_events"] = (session_windows_events, SESSION_WINDOWS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (1h length, 30min slide): each event lands in exactly two
+# windows; the oracle materializes both via unnest of the two candidate
+# starts (time_bucket is calendar arithmetic — timezone-free on NTZ).
+def sliding_avg_events(spark, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sliding_avg(ev, "1 hour", "30 minutes", "ts", "event_type")
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_AVG_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE,
+                 time_bucket(INTERVAL '30 minutes', ts)]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, round(avg(value), 4) AS avg_value
+FROM w
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+QUERIES["sliding_avg_events"] = (sliding_avg_events, SLIDING_AVG_SQL)
