@@ -505,3 +505,97 @@ QUERIES: dict = {
     "q20_excess_quantity": (q20_excess_quantity, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Pivot: wide conditional aggregation (the portable relational core of
+# PIVOT — identical CASE-sum formulation on the oracle side).
+def pivot_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_r2(F.sum("l_quantity")))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+PIVOT_SQL = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond rollup/cube): two chosen groupings plus
+# grand total, with grouping_id to disambiguate null-as-value from
+# null-as-aggregate.
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)    AS g_status,
+               grouping(o_orderpriority)  AS g_prio,
+               count(*)                   AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS TINYINT)   AS g_status,
+       CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Argmax aggregates: Spark max_by/min_by == DuckDB arg_max/arg_min.
+def argmax_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("max_by(o_orderkey, o_totalprice)").alias("top_orderkey"),
+            _r2(F.max("o_totalprice")).alias("top_price"),
+            F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ARGMAX_SQL = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice)  AS top_orderkey,
+       round(max(o_totalprice), 2)        AS top_price,
+       arg_min(o_orderkey, o_totalprice)  AS bottom_orderkey
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["pivot_lineitem_status"] = (pivot_lineitem_status, PIVOT_SQL)
+QUERIES["grouping_sets_orders"] = (grouping_sets_orders, GROUPING_SETS_SQL)
+QUERIES["argmax_orders_per_status"] = (argmax_orders_per_status, ARGMAX_SQL)
