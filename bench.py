@@ -44,10 +44,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name not in ("q1_pricing_summary",) else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: machine-load noise on this box swings single runs by
+        # 2x; the min is the reproducible cost of the query itself.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name not in ("q1_pricing_summary",) else len(df.collect())
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # Derive sf from the directory name (e.g. .../sf0.1 -> 0.1).

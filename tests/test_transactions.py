@@ -257,3 +257,40 @@ def test_checkpoint_written_at_interval(tmp_path):
     assert snap.version == 5
     assert snap.segment.checkpoint_version == 4
     assert {a.path for a in snap.all_files()} == {f"f{i}" for i in range(5)}
+
+
+def test_concurrent_appenders_serialize(tmp_path):
+    """8 threads x 5 blind appends race on the same table: every commit
+    must win a distinct contiguous version (the storage contract's mutual
+    exclusion + the retry loop), and the final state must contain all 40
+    files."""
+    import threading
+
+    log0 = new_table(tmp_path)
+    path = log0.table_path
+    base = log0.update().version
+    errors = []
+
+    def appender(tid):
+        try:
+            for i in range(5):
+                log = DeltaLog.for_table(path)
+                txn = log.start_transaction()
+                txn.commit([add(f"t{tid}-{i}")], ops.WRITE)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    assert snap.version == base + 40
+    names = {a.path for a in snap.all_files()}
+    assert {f"t{t}-{i}" for t in range(8) for i in range(5)} <= names
+    # every version has exactly one CommitInfo and versions are contiguous
+    versions = [vl.version for vl in log.changes(0)]
+    assert versions == list(range(snap.version + 1))
