@@ -224,3 +224,36 @@ def test_hive_case_insensitive_column_names(spark):
         golden("hive/deltatbl-column-names-case-insensitive")
     ).snapshot()
     assert snap.to_df(spark).count() > 0
+
+
+def test_absolute_escaped_paths_canonicalize():
+    """data-reader-absolute-paths-escaped-chars (log_test.go:542-644
+    family): one absolute path and one percent-encoded relative path; the
+    table has no Metadata action by design, so this exercises path
+    canonicalization straight off the change feed."""
+    from delta_go_spark.actions import AddFile
+    from delta_go_spark.snapshot import canonicalize_path
+
+    table = golden("data-reader-absolute-paths-escaped-chars")
+    log = DeltaLog.for_table(table)
+    adds = [
+        a
+        for vl in log.changes(0)
+        for a in vl.actions
+        if isinstance(a, AddFile)
+    ]
+    assert len(adds) == 2
+    canon = {canonicalize_path(a.path, table) for a in adds}
+    # percent-encoded name decodes; both land under SOME absolute location
+    assert any(p.endswith("bar-bar.snappy.parquet") for p in canon)
+    assert all(p.startswith("file://") or os.path.isabs(p) for p in canon)
+
+
+def test_nullable_field_invalid_schema_key_loads():
+    """data-reader-nullable-field-invalid-schema-key: metadata carries an
+    unexpected schema-metadata key; the reader must tolerate it."""
+    snap = DeltaLog.for_table(
+        golden("data-reader-nullable-field-invalid-schema-key")
+    ).snapshot()
+    assert snap.metadata().schema() is not None
+    assert snap.num_of_files() > 0
