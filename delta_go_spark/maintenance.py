@@ -203,3 +203,93 @@ def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> 
         os.remove(full)
         deleted.append(full)
     return deleted
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Bit-interleaved Z-value over `cols` as a Spark expression.
+
+    Each column is mapped to a 2^bits equal-width bucket between its
+    min/max (one tiny agg job), then the bucket bits are interleaved with
+    shiftleft/bitwiseOR — pure codegen, ANSI-safe (no arithmetic overflow
+    tricks).  Files written in Z-value order have tight min/max boxes in
+    EVERY clustered dimension, which is what makes multi-column
+    stats-skipping effective at scale.
+    """
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for c in cols:
+        mn, mx = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            bucket_cols.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(frac * n_buckets).cast("long"),
+        )
+        bucket_cols.append(F.coalesce(b, F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(bits):
+        for j, b in enumerate(bucket_cols):
+            src = F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(src, bit * k + j))
+    return z
+
+
+def zorder(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    n_files: int | None = None,
+) -> int | None:
+    """Rewrite the whole active set clustered by the Z-value of `cols`
+    (multi-dimensional clustering; single-column degenerates to a plain
+    sort).  dataChange=False — readers see identical rows.
+    """
+    from delta_go_spark.datareader import files_to_df
+    from delta_go_spark.writer import stage_files
+
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+    snap = txn.snapshot
+    if snap is None or txn.read_version < 0:
+        raise ValueError(f"not a Delta table: {table_path}")
+    victims = snap.all_files()
+    if not victims:
+        return None
+    pcols = snap.metadata().partition_columns
+    if any(c in pcols for c in cols):
+        raise ValueError("zorder columns must be data columns, not partition columns")
+    df = files_to_df(spark, snap, victims)
+    zcol = _zorder_column(df, cols)
+    bins = n_files or max(1, len(victims) // 2)
+    clustered = (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(int(bins), F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    clock_ms = log.clock.now_millis()
+    adds = [
+        AddFile(
+            path=a.path,
+            partition_values=a.partition_values,
+            size=a.size,
+            modification_time=a.modification_time,
+            data_change=False,
+            stats=a.stats,
+        )
+        for a in stage_files(clustered, table_path, pcols)
+    ]
+    removes = [a.remove(clock_ms, data_change=False) for a in victims]
+    return txn.commit(
+        [*adds, *removes],
+        ops.MANUAL_UPDATE,
+        operation_parameters={"operation": "ZORDER", "zOrderBy": ",".join(cols)},
+    )

@@ -130,3 +130,40 @@ def test_cleanup_expired_logs(spark, tmp_path):
     assert snap.to_df(spark).count() == 15
     # default 30-day retention deletes nothing on a fresh table
     assert cleanup_expired_logs(DeltaLog.for_table(path)) == []
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """After Z-ordering on (x, y), each output file's min/max box must
+    cover a strict subset of both value ranges — the property that makes
+    two-column stats-skipping work."""
+    import json
+
+    from delta_go_spark.maintenance import zorder
+
+    path = str(tmp_path / "tz")
+    df = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    DeltaTable.create(spark, path, df)
+    t = DeltaTable.for_path(spark, path)
+    v = zorder(spark, path, ["x", "y"], n_files=4)
+    assert v is not None
+    snap = t.log.update()
+    stats = [json.loads(a.stats) for a in snap.all_files() if a.stats]
+    assert len(stats) >= 3
+    assert sum(s["numRecords"] for s in stats) == 4096
+    # every file must be narrow in x AND y (a row-order or single-column
+    # sort leaves one dimension spanning its full 0..63 range in all files)
+    for s in stats:
+        dx = s["maxValues"]["x"] - s["minValues"]["x"]
+        dy = s["maxValues"]["y"] - s["minValues"]["y"]
+        assert dx < 63 or dy < 63
+    narrow_x = sum(1 for s in stats if s["maxValues"]["x"] - s["minValues"]["x"] <= 32)
+    narrow_y = sum(1 for s in stats if s["maxValues"]["y"] - s["minValues"]["y"] <= 32)
+    assert narrow_x >= 1 and narrow_y >= 1
+    # rows unchanged
+    assert t.to_df().count() == 4096
