@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from delta_go_spark.functions import dedup, multimodal, similarity, textops
+from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import coverage, delta_queries, relational, subqueries
 
@@ -26,6 +27,7 @@ _MODULES = [
     similarity,
     multimodal,
     streaming_windows,
+    streaming_stateful,
     delta_queries,
 ]
 

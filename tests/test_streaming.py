@@ -96,3 +96,53 @@ def test_session_windows_batch(spark):
     rows = out.limit(10).collect()
     assert rows
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): per-user totals must be
+    CUMULATIVE across batches — batch 2's emission includes batch 1's
+    state — and the final emission per user equals the batch-mode
+    aggregate over all data."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 2.5), (3, 7.0)], "user_id long, value double"
+    )
+    b1.coalesce(1).write.parquet(src)
+    # second file lands later so the source sees two files
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = running_user_totals(stream)
+    sink = f"stateful_totals_{int(_time.time()*1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    # last emission per user = cumulative totals over both batches
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert final[1] == (3, 17.5)  # 2 events batch A + 1 batch B, cumulative
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+    # user 1 must have emitted twice (once per batch) with growing counts
+    u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
+    assert len(u1) >= 2 and u1[0] < u1[-1]
