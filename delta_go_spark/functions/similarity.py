@@ -289,3 +289,84 @@ QUERIES: dict = {
     # Approximate ANN: rows-only check; recall vs brute force asserted in tests.
     "ann_lsh_docs": (ann_lsh_docs, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer -> per-centroid posting
+# lists -> probe the nprobe nearest lists -> exact re-rank of candidates.
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Train the coarse quantizer and assign every vector to its list.
+
+    Returns (assigned_df with a `_list` column, centers as a list of
+    lists).  Uses pyspark.ml KMeans (seeded — deterministic given the same
+    data and parallelism).  At 100 TB the quantizer trains on a sample and
+    assignment is one narrow map over the corpus; posting lists are just a
+    partitioning by `_list`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("_v", array_to_vector(_as_double(vec_col)))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_v")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k restricted to the nprobe lists whose centroids
+    are nearest the query — the IVF recall/cost dial (nprobe=n_lists is
+    exact search)."""
+    import math
+
+    def cos(a, b):
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centers)), key=lambda i: -cos(centers[i], query_vec)
+    )[:nprobe]
+    spark = assigned.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], f"_q array<double>")
+    e = _as_double(vec_col)
+    return (
+        assigned.filter(F.col("_list").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cos_sim", F.round(cosine(e, F.col("_q")), 4))
+        .select(id_col, "label", "_list", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table: query = vec_id 0's vector,
+    corpus = the rest.  Rows-only check (k-means assignment is
+    deterministic for a fixed seed but not SQL-expressible); recall vs
+    brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("q")
+    ).first()
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned, centers = ivf_index(corpus)
+    return ivf_search(assigned, centers, list(qrow["q"]), nprobe=8)
+
+
+QUERIES["ann_ivf_docs"] = (ann_ivf_docs, None)

@@ -81,9 +81,15 @@ class LocalStore(LogStore):
             if name < start:
                 continue
             full = os.path.join(parent, name)
-            if os.path.isfile(full):
-                st = os.stat(full)
-                yield FileMeta(full, st.st_size, int(st.st_mtime * 1000))
+            try:
+                if os.path.isfile(full):
+                    st = os.stat(full)
+                    yield FileMeta(full, st.st_size, int(st.st_mtime * 1000))
+            except FileNotFoundError:
+                # a concurrent writer's staging file (.tmp) can vanish
+                # between listdir and stat — it was never a log file;
+                # propagating would masquerade as an empty/missing log.
+                continue
 
     def write(self, path: str, lines: Iterable[str], overwrite: bool = False) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -93,10 +93,6 @@ def running_user_totals(
 # on the events table.  One source file -> one micro-batch -> the emission
 # IS the per-user aggregate, so the DuckDB oracle checks it exactly.
 def stateful_running_totals(spark, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from delta_go_spark.session import load_table
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (

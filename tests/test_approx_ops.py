@@ -48,3 +48,29 @@ def test_approx_distinct_error(spark):
     for r in rows:
         rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel_err < 0.05, (r["event_type"], rel_err)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 lists must recover most of the exact top-10;
+    nprobe=n_lists is exact by construction."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.similarity import (
+        ivf_index,
+        ivf_search,
+        knn_bruteforce,
+    )
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in knn_bruteforce(corpus, q).collect()}
+
+    qvec = [float(x) for x in q.first()["embedding"]]
+    assigned, centers = ivf_index(corpus)
+    approx = {r["vec_id"] for r in ivf_search(assigned, centers, qvec, nprobe=8).collect()}
+    assert len(approx & exact) >= 6  # >=60% recall probing half the lists
+
+    full = {r["vec_id"] for r in ivf_search(assigned, centers, qvec, nprobe=16).collect()}
+    assert full == exact  # probing every list is exact
