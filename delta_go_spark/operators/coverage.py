@@ -599,3 +599,73 @@ ORDER BY o_orderstatus
 QUERIES["pivot_lineitem_status"] = (pivot_lineitem_status, PIVOT_SQL)
 QUERIES["grouping_sets_orders"] = (grouping_sets_orders, GROUPING_SETS_SQL)
 QUERIES["argmax_orders_per_status"] = (argmax_orders_per_status, ARGMAX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide -> long, the inverse of pivot.
+def unpivot_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        _r2(F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_quantity")))).alias("qty_a"),
+        _r2(F.sum(F.when(F.col("l_returnflag") == "N", F.col("l_quantity")))).alias("qty_n"),
+        _r2(F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")))).alias("qty_r"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_linestatus"],
+            values=["qty_a", "qty_n", "qty_r"],
+            variableColumnName="flag_col",
+            valueColumnName="qty",
+        )
+        .orderBy("l_linestatus", "flag_col")
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_linestatus,
+         round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+         round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, flag_col, qty
+FROM wide
+UNPIVOT INCLUDE NULLS (qty FOR flag_col IN (qty_a, qty_n, qty_r))
+ORDER BY l_linestatus, flag_col
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM), nullif,
+# coalesce/nvl — the three-valued-logic corners every engine must agree on.
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(
+            "o_orderkey",
+            status_or_null.alias("status_np"),
+            status_or_null.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+            (status_or_null == "F").alias("is_f_3vl"),
+            F.coalesce(status_or_null, F.lit("?")).alias("status_filled"),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+NULL_SEMANTICS_SQL = """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'P')                          AS status_np,
+       nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+       nullif(o_orderstatus, 'P') = 'F'                    AS is_f_3vl,
+       coalesce(nullif(o_orderstatus, 'P'), '?')           AS status_filled
+FROM orders
+ORDER BY o_orderkey
+LIMIT 2000
+"""
+
+
+QUERIES["unpivot_order_flags"] = (unpivot_order_flags, UNPIVOT_SQL)
+QUERIES["null_semantics_orders"] = (null_semantics_orders, NULL_SEMANTICS_SQL)
