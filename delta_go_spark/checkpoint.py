@@ -300,6 +300,7 @@ def write_checkpoint(
     active_files: list[AddFile],
     tombstones: list[RemoveFile],
     set_transactions: list[SetTransaction],
+    max_actions_per_part: int | None = 500_000,
 ) -> CheckpointMetadata:
     """Write a single-file checkpoint + _last_checkpoint pointer
     (reference: checkpoint.go:247-276, checkpoint_writer.go:19-94)."""
@@ -350,18 +351,38 @@ def write_checkpoint(
                 }
             }
         )
-    table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
-    target = filenames.checkpoint_file_single(log_path, version)
-    # Atomic visibility: write to temp then rename.
-    tmp = target + ".tmp"
-    pq.write_table(table, tmp)
     import os
 
-    os.replace(tmp, target)
-    meta = CheckpointMetadata(version=version, size=len(rows))
+    table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
+    # Multi-part when the state outgrows one comfortable parquet file
+    # (reference reads multi-part checkpoints: checkpoint.go:214-245,
+    # filename.go:73-79; at 100 TB a single file serializes the write and
+    # the subsequent reads).  Every part is written before _last_checkpoint
+    # flips, so readers either see the complete group or fall back to the
+    # previous anchor.
+    parts = None
+    if max_actions_per_part and len(rows) > max_actions_per_part:
+        parts = -(-len(rows) // max_actions_per_part)  # ceil
+        targets = filenames.checkpoint_file_parts(log_path, version, parts)
+        per = -(-len(rows) // parts)
+        for i, target in enumerate(targets):
+            chunk = table.slice(i * per, per)
+            tmp = target + ".tmp"
+            pq.write_table(chunk, tmp)
+            os.replace(tmp, target)
+    else:
+        target = filenames.checkpoint_file_single(log_path, version)
+        # Atomic visibility: write to temp then rename.
+        tmp = target + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, target)
+    meta = CheckpointMetadata(version=version, size=len(rows), parts=parts)
+    payload = {"version": meta.version, "size": meta.size}
+    if parts:
+        payload["parts"] = parts
     store.write(
         last_checkpoint_path(log_path),
-        [json.dumps({"version": meta.version, "size": meta.size}, separators=(",", ":"))],
+        [json.dumps(payload, separators=(",", ":"))],
         overwrite=True,
     )
     return meta

@@ -167,3 +167,42 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert narrow_x >= 1 and narrow_y >= 1
     # rows unchanged
     assert t.to_df().count() == 4096
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Force a 3-part checkpoint (max_actions_per_part below the action
+    count); the reader must stitch all parts and reproduce the state."""
+    import os
+
+    from delta_go_spark import checkpoint as ckpt_mod
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "tmp3")
+    DeltaTable.create(spark, path, spark.range(10).select(F.col("id").alias("k")))
+    t = DeltaTable.for_path(spark, path)
+    for i in range(6):
+        t.append(spark.range(i, i + 2).select(F.col("id").alias("k")))
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    st = snap.state()
+    meta = ckpt_mod.write_checkpoint(
+        log.store,
+        log.log_path,
+        snap.version,
+        st.protocol,
+        st.metadata,
+        list(st.active_files.values()),
+        list(st.tombstones.values()),
+        list(st.set_transactions.values()),
+        max_actions_per_part=4,
+    )
+    assert meta.parts and meta.parts >= 3
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert sum(1 for n in names if ".checkpoint." in n and n.endswith(".parquet")) == meta.parts
+    # fresh open anchors at the multi-part checkpoint and state matches
+    log2 = DeltaLog.for_table(path)
+    snap2 = log2.snapshot()
+    assert snap2.segment.checkpoint_version == snap.version
+    assert len(snap2.segment.checkpoints) == meta.parts
+    assert {a.path for a in snap2.all_files()} == {a.path for a in snap.all_files()}
+    assert snap2.to_df(spark).count() == snap.to_df(spark).count()
