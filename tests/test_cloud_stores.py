@@ -122,3 +122,139 @@ def test_store_for_dispatch():
             store_for(scheme)
         except ImportError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# GCS fake: generation-0 precondition semantics
+class FakeBlob:
+    def __init__(self, bucket, name):
+        self._bucket = bucket
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def exists(self):
+        return self._name in self._bucket.objects
+
+    def download_as_bytes(self):
+        return self._bucket.objects[self._name]
+
+    def upload_from_string(self, data, if_generation_match=None):
+        if if_generation_match == 0 and self._name in self._bucket.objects:
+            raise RuntimeError("412 conditionNotMet")
+        self._bucket.objects[self._name] = data
+
+
+class FakeBucket:
+    def __init__(self):
+        self.objects = {}
+
+    def blob(self, name):
+        return FakeBlob(self, name)
+
+
+class FakeGCSClient:
+    def __init__(self):
+        self.buckets = {}
+
+    def bucket(self, name):
+        return self.buckets.setdefault(name, FakeBucket())
+
+    def list_blobs(self, bucket, prefix=""):
+        import types
+
+        b = self.buckets.setdefault(bucket, FakeBucket())
+        for k in sorted(b.objects):
+            if k.startswith(prefix):
+                yield types.SimpleNamespace(
+                    name=k, size=len(b.objects[k]), updated=None
+                )
+
+
+def test_gcs_store_contract():
+    from delta_go_spark.cloud_stores import GCSStore
+
+    gs = GCSStore("gs://bucket/table", client=FakeGCSClient())
+    path = "gs://bucket/table/_delta_log/00000000000000000000.json"
+    gs.write(path, ["a"])
+    with pytest.raises(FileAlreadyExistsError):
+        gs.write(path, ["b"])
+    gs.write(path, ["c"], overwrite=True)
+    assert gs.read(path) == ["c"]
+    assert gs.exists(path)
+    gs.write("gs://bucket/table/_delta_log/00000000000000000002.json", ["z"])
+    names = [
+        m.path.rsplit("/", 1)[-1]
+        for m in gs.list_from("gs://bucket/table/_delta_log/00000000000000000001.json")
+    ]
+    assert names == ["00000000000000000002.json"]
+
+
+# ---------------------------------------------------------------------------
+# Azure fake: ResourceExistsError on non-overwrite upload of existing blob
+class FakeAzBlobClient:
+    def __init__(self, container, name):
+        self._c = container
+        self._name = name
+
+    def exists(self):
+        return self._name in self._c
+
+    def download_blob(self):
+        import io
+        import types
+
+        data = self._c[self._name]
+        return types.SimpleNamespace(readall=lambda: data)
+
+    def upload_blob(self, data, overwrite=False):
+        if not overwrite and self._name in self._c:
+            exc = type("ResourceExistsError", (Exception,), {})
+            raise exc("BlobAlreadyExists")
+        self._c[self._name] = data
+
+
+class FakeAzService:
+    def __init__(self):
+        self.containers = {}
+
+    def get_blob_client(self, container, key):
+        return FakeAzBlobClient(self.containers.setdefault(container, {}), key)
+
+    def get_container_client(self, container):
+        import types
+
+        c = self.containers.setdefault(container, {})
+
+        def list_blobs(name_starts_with=""):
+            for k in sorted(c):
+                if k.startswith(name_starts_with):
+                    yield types.SimpleNamespace(
+                        name=k, size=len(c[k]), last_modified=None
+                    )
+
+        return types.SimpleNamespace(list_blobs=list_blobs)
+
+
+def test_azure_store_contract():
+    from delta_go_spark.cloud_stores import AzureBlobStore
+
+    az = AzureBlobStore(
+        "abfss://cont@acct.dfs.core.windows.net/table", service_client=FakeAzService()
+    )
+    base = "abfss://cont@acct.dfs.core.windows.net/table/_delta_log"
+    path = f"{base}/00000000000000000000.json"
+    az.write(path, ["a"])
+    with pytest.raises(FileAlreadyExistsError):
+        az.write(path, ["b"])
+    az.write(path, ["c"], overwrite=True)
+    assert az.read(path) == ["c"]
+    assert az.exists(path)
+    az.write(f"{base}/00000000000000000003.json", ["z"])
+    names = [
+        m.path.rsplit("/", 1)[-1]
+        for m in az.list_from(f"{base}/00000000000000000001.json")
+    ]
+    assert names == ["00000000000000000003.json"]
