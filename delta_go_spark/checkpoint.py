@@ -145,12 +145,26 @@ def find_last_complete_checkpoint_before(
 # ---------------------------------------------------------------------------
 # Parquet read/write
 
+def _open_fs(path: str):
+    """Route parquet I/O through the right pyarrow filesystem: local paths
+    stay local; cloud URIs (s3://, gs://, ...) resolve via
+    pyarrow.fs.FileSystem.from_uri so checkpoints work against object
+    stores with the same code path."""
+    import pyarrow.fs as pafs
+
+    if "://" in path and not path.startswith("file://"):
+        fs, rel = pafs.FileSystem.from_uri(path)
+        return fs, rel
+    return pafs.LocalFileSystem(), path.replace("file://", "")
+
+
 def read_checkpoint_actions(paths: list[str]) -> list[Action]:
     """Decode checkpoint parquet rows into actions
     (reference: checkpoint_reader.go:43-85)."""
     out: list[Action] = []
     for path in paths:
-        table = pq.read_table(path)
+        fs, rel = _open_fs(path)
+        table = pq.read_table(rel, filesystem=fs)
         cols = set(table.column_names)
         for row in table.to_pylist():
             if row.get("add") is not None and "add" in cols:

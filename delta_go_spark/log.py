@@ -27,8 +27,13 @@ class DeltaLog:
     """reference: log.go:18-94."""
 
     def __init__(self, table_path: str, clock: Clock | None = None, store: LogStore | None = None):
-        self.table_path = os.path.abspath(table_path.removeprefix("file://"))
-        self.log_path = os.path.join(self.table_path, "_delta_log")  # log.go:55-58
+        if "://" in table_path and not table_path.startswith("file://"):
+            # cloud URI: keep it verbatim — abspath would mangle the scheme
+            self.table_path = table_path.rstrip("/")
+            self.log_path = f"{self.table_path}/_delta_log"  # log.go:55-58
+        else:
+            self.table_path = os.path.abspath(table_path.removeprefix("file://"))
+            self.log_path = os.path.join(self.table_path, "_delta_log")
         self.store = store or store_for(self.table_path)
         self.clock = clock or Clock()
         self.history = HistoryManager(self.store, self.log_path)

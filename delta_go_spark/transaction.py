@@ -239,7 +239,9 @@ class OptimisticTransaction:
                 raise DeltaError("metadata is required for the first commit of a table")
             if not protocol_present:
                 out.insert(0, Protocol())
-            os.makedirs(self.log.log_path, exist_ok=True)
+            if "://" not in self.log.log_path:
+                os.makedirs(self.log.log_path, exist_ok=True)
+            # object stores have no directories to create
         self._verify_schema_compat(out)
         if self.new_metadata is not None:
             out.insert(0, self.new_metadata)

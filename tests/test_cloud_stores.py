@@ -258,3 +258,47 @@ def test_azure_store_contract():
         for m in az.list_from(f"{base}/00000000000000000001.json")
     ]
     assert names == ["00000000000000000003.json"]
+
+
+def test_full_transaction_protocol_over_fake_s3():
+    """The whole metadata plane — create, append, conflict-checked commits,
+    time travel, change feed — through the S3 store (fake client), never
+    touching the local filesystem for the log.  Proves the transaction
+    layer is store-agnostic."""
+    import json
+
+    from delta_go_spark import ops
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+
+    client = FakeS3Client()
+    root = "s3://bucket/tables/t1"
+    store = S3Store(root, client=client)
+    log = DeltaLog(root, store=store)
+
+    schema = json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    txn = log.start_transaction()
+    txn.update_metadata(Metadata(schema_string=schema,
+                                 configuration={"delta.checkpointInterval": "1000"}))
+    assert txn.commit([], ops.CREATE_TABLE) == 0
+
+    for i in range(5):
+        t = DeltaLog(root, store=store).start_transaction()
+        t.commit(
+            [AddFile(path=f"part-{i}.parquet", partition_values={}, size=1,
+                     modification_time=1, data_change=True)],
+            ops.WRITE,
+        )
+
+    log2 = DeltaLog(root, store=store)
+    snap = log2.update()
+    assert snap.version == 5
+    assert {a.path for a in snap.all_files()} == {f"part-{i}.parquet" for i in range(5)}
+    # time travel + change feed through the same store
+    assert DeltaLog(root, store=store).snapshot_for_version_as_of(2).num_of_files() == 2
+    assert [vl.version for vl in log2.changes(0)] == list(range(6))
+    # the log lives in the fake bucket, not on disk
+    assert any("_delta_log" in k for k in client.objects["bucket"])
