@@ -169,3 +169,59 @@ def test_nullable_flip_rules(s):
     any_tightened = any(f.nullable and not g.nullable for f, g in zip(s.fields, flipped.fields))
     if any_tightened:
         assert not is_write_compatible(s, flipped)
+
+
+# ---------------------------------------------------------------------------
+# Action JSON round-trip: serialize -> parse -> identical (the log IS the
+# database; envelope fidelity is existential).
+from delta_go_spark.actions import (  # noqa: E402
+    AddFile,
+    RemoveFile,
+    SetTransaction,
+    action_from_json,
+    action_to_json,
+)
+
+_path = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), min_size=1, max_size=40
+)
+_pv = st.dictionaries(
+    st.sampled_from(["p", "q"]), st.one_of(st.none(), st.text(max_size=10)), max_size=2
+)
+
+
+@given(
+    _path,
+    _pv,
+    st.integers(0, 2**40),
+    st.integers(0, 2**40),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_addfile_json_roundtrip(path, pv, size, mtime, dc):
+    a = AddFile(
+        path=path, partition_values=pv, size=size, modification_time=mtime, data_change=dc
+    )
+    back = action_from_json(action_to_json(a))
+    assert isinstance(back, AddFile)
+    assert back.path == a.path
+    assert (back.partition_values or {}) == (a.partition_values or {})
+    assert back.size == a.size and back.data_change == a.data_change
+
+
+@given(_path, st.integers(0, 2**40), st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_removefile_json_roundtrip(path, ts, dc):
+    r = RemoveFile(path=path, deletion_timestamp=ts, data_change=dc)
+    back = action_from_json(action_to_json(r))
+    assert isinstance(back, RemoveFile)
+    assert back.path == r.path and back.deletion_timestamp == ts
+
+
+@given(st.text(min_size=1, max_size=20), st.integers(0, 2**31), st.integers(0, 2**40))
+@settings(max_examples=100, deadline=None)
+def test_settransaction_json_roundtrip(app, v, ts):
+    t = SetTransaction(app_id=app, version=v, last_updated=ts)
+    back = action_from_json(action_to_json(t))
+    assert isinstance(back, SetTransaction)
+    assert back.app_id == app and back.version == v

@@ -137,3 +137,26 @@ def test_changes_feed_roundtrip(spark, tmp_path):
 
     adds1 = [a for a in logs[1].actions if isinstance(a, AddFile)]
     assert adds1 and all(a.data_change for a in adds1)
+
+
+def test_tombstone_retention_expiry(spark, tmp_path):
+    """Tombstones expire after deletedFileRetentionDuration
+    (replay_action.go:53-61): with the clock advanced past the window,
+    state() no longer carries them; active files are unaffected."""
+    from delta_go_spark.config import FixedClock
+
+    path = str(tmp_path / "texp")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_dataframe(df, path)
+    t = DeltaTable.for_path(spark, path)
+    t.overwrite(spark.range(5).select(F.col("id").alias("k")))
+
+    now = DeltaLog.for_table(path).clock.now_millis()
+    fresh = DeltaLog(path, clock=FixedClock(now)).update()
+    assert len(fresh.tombstones()) > 0
+
+    week = 7 * 24 * 3600 * 1000
+    later = DeltaLog(path, clock=FixedClock(now + week + 60_000)).update()
+    assert later.tombstones() == []
+    assert later.num_of_files() == fresh.num_of_files()
+    assert later.to_df(spark).count() == 5
