@@ -166,6 +166,29 @@ def write_dataframe(
     clock_ms = log.clock.now_millis()
     new_files = stage_files(df, table_path, partition_by)
 
+    # NOT NULL invariant enforcement (minWriterVersion 2 requires it):
+    # verified from the parquet footer stats of the just-staged files —
+    # zero extra compute over the data.  On violation the staged files are
+    # removed and nothing commits.
+    if exists:
+        table_schema = txn.snapshot.metadata().schema()
+        required = {f.name for f in table_schema.fields if not f.nullable}
+        for add in new_files:
+            if not add.stats or not required:
+                continue
+            nulls = (json.loads(add.stats).get("nullCount") or {})
+            violated = [c for c in required if nulls.get(c, 0) > 0]
+            if violated:
+                for a in new_files:
+                    try:
+                        os.remove(os.path.join(table_path, a.decoded_path()))
+                    except FileNotFoundError:
+                        pass
+                raise DeltaError(
+                    f"NOT NULL invariant violated for column(s) {violated} "
+                    f"in {add.path}"
+                )
+
     # 3. build the action list
     actions: list = []
     if not exists:

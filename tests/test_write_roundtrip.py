@@ -160,3 +160,39 @@ def test_tombstone_retention_expiry(spark, tmp_path):
     assert later.tombstones() == []
     assert later.num_of_files() == fresh.num_of_files()
     assert later.to_df(spark).count() == 5
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    """minWriterVersion 2 requires NOT NULL enforcement: an append with
+    nulls in a non-nullable column must abort (no new version, staged
+    files cleaned up)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = str(tmp_path / "tnn")
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("note", StringType(), True),
+        ]
+    )
+    ok = spark.createDataFrame([(1, "a"), (2, None)], schema)
+    write_dataframe(ok, path)
+    v0_files = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+
+    bad = spark.createDataFrame([(None, "x")], StructType(
+        [StructField("k", LongType(), True), StructField("note", StringType(), True)]
+    ))
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        write_dataframe(bad, path)
+    log = DeltaLog.for_table(path)
+    assert log.update().version == 0  # nothing committed
+    # staged files from the failed write were removed
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == v0_files
+    # nullable column may carry nulls freely
+    write_dataframe(spark.createDataFrame([(3, None)], schema), path)
+    assert log.update().version == 1
