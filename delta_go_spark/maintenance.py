@@ -293,3 +293,30 @@ def zorder(
         ops.MANUAL_UPDATE,
         operation_parameters={"operation": "ZORDER", "zOrderBy": ",".join(cols)},
     )
+
+
+def restore(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE to `version`: one commit that re-adds the files active
+    at that version and removes files added since — time travel as a WRITE
+    (the read side is snapshot_for_version_as_of).  History is preserved:
+    the restore is itself a new version, so nothing is lost.
+    """
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+    snap = txn.snapshot
+    if snap is None or txn.read_version < 0:
+        raise ValueError(f"not a Delta table: {table_path}")
+    target = log.snapshot_for_version_as_of(version)
+    txn.read_whole_table()
+
+    current = {a.path: a for a in snap.all_files()}
+    wanted = {a.path: a for a in target.all_files()}
+    clock_ms = log.clock.now_millis()
+    adds = [a for p, a in wanted.items() if p not in current]
+    removes = [a.remove(clock_ms) for p, a in current.items() if p not in wanted]
+    return txn.commit(
+        [*adds, *removes],
+        ops.MANUAL_UPDATE,
+        operation_parameters={"operation": "RESTORE", "version": str(version)},
+    )

@@ -206,3 +206,26 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert len(snap2.segment.checkpoints) == meta.parts
     assert {a.path for a in snap2.all_files()} == {a.path for a in snap.all_files()}
     assert snap2.to_df(spark).count() == snap.to_df(spark).count()
+
+
+def test_restore_to_earlier_version(spark, tmp_path):
+    from delta_go_spark.maintenance import restore
+
+    path = str(tmp_path / "trst")
+    DeltaTable.create(spark, path, spark.range(10).select(F.col("id").alias("k")))
+    t = DeltaTable.for_path(spark, path)
+    t.append(spark.range(100, 110).select(F.col("id").alias("k")))
+    t.append(spark.range(200, 210).select(F.col("id").alias("k")))
+    assert t.to_df().count() == 30
+
+    v = restore(spark, path, 0)
+    assert v == 3  # restore is a NEW version
+    rows = sorted(r["k"] for r in t.to_df().collect())
+    assert rows == list(range(10))
+    # history preserved: v2 still reconstructable after the restore
+    from delta_go_spark.log import DeltaLog
+
+    assert DeltaLog.for_table(path).snapshot_for_version_as_of(2).to_df(spark).count() == 30
+    # restoring forward again (to v2's state) also works
+    restore(spark, path, 2)
+    assert t.to_df().count() == 30
