@@ -336,6 +336,69 @@ class IsNotNull(Expression):
         return f"({self.child} IS NOT NULL)"
 
 
+@dataclass(frozen=True)
+class In(Expression):
+    """value IN (list) — EXCEEDS the reference's AST (delta-standalone has
+    it; the Go port stops at comparisons, SURVEY §2.A.1).  Null semantics
+    follow SQL: NULL operand -> NULL; no match with a NULL in the list ->
+    NULL."""
+
+    child: Expression
+    values: tuple
+
+    def children(self) -> list[Expression]:
+        return [self.child]
+
+    def references(self) -> set[str]:
+        return self.child.references()
+
+    def eval(self, record: dict[str, Any]) -> Any:
+        v = self.child.eval(record)
+        if v is None:
+            return None
+        vals = [x.eval(record) if isinstance(x, Expression) else x for x in self.values]
+        if any(x is not None and _compare(v, x) == 0 for x in vals):
+            return True
+        return None if any(x is None for x in vals) else False
+
+    def to_spark(self) -> SparkColumn:
+        vals = [x.value if isinstance(x, Literal) else x for x in self.values]
+        return self.child.to_spark().isin(vals)
+
+    def __str__(self) -> str:
+        return f"({self.child} IN {tuple(self.values)})"
+
+
+@dataclass(frozen=True)
+class Like(Expression):
+    """value LIKE pattern (%, _ wildcards) — EXCEEDS the reference's AST.
+    Pattern is a plain string; null-propagating."""
+
+    child: Expression
+    pattern: str
+
+    def children(self) -> list[Expression]:
+        return [self.child]
+
+    def references(self) -> set[str]:
+        return self.child.references()
+
+    def eval(self, record: dict[str, Any]) -> Any:
+        import re
+
+        v = self.child.eval(record)
+        if v is None:
+            return None
+        rx = re.escape(self.pattern).replace("%", ".*").replace("_", ".")
+        return re.fullmatch(rx, str(v), flags=re.DOTALL) is not None
+
+    def to_spark(self) -> SparkColumn:
+        return self.child.to_spark().like(self.pattern)
+
+    def __str__(self) -> str:
+        return f"({self.child} LIKE {self.pattern!r})"
+
+
 def split_conjuncts(expr: Expression) -> list[Expression]:
     """Flatten an AND tree (reference: partition_utils.go:56-63)."""
     if isinstance(expr, And):

@@ -29,6 +29,7 @@ from delta_go_spark.expressions import (
     Expression,
     GreaterThan,
     GreaterThanOrEq,
+    In,
     IsNotNull,
     IsNull,
     LessThan,
@@ -108,6 +109,26 @@ def stats_may_match(pred: Expression | None, stats_json: str | None) -> bool:
             ):
                 return False
             return True
+        if isinstance(e, In):
+            c = e.child
+            if not isinstance(c, Column):
+                return True
+            name = c.name
+            if num is not None and nulls.get(name) == num and num > 0:
+                return False
+            vals = [x.value if isinstance(x, Literal) else x for x in e.values]
+            if any(v is None for v in vals):
+                return True  # NULL in list: never satisfies WHERE, but stay safe
+            mn = mins.get(name)
+            mx = maxs.get(name)
+            in_range = []
+            for v in vals:
+                cmn = _coerce(mn, v) if name in mins else None
+                cmx = _coerce(mx, v) if name in maxs else None
+                below = cmn is not None and v < cmn
+                above = cmx is not None and v > cmx
+                in_range.append(not (below or above))
+            return any(in_range)
         if isinstance(e, _COMPARISONS):
             left, right, op = e.left, e.right, type(e)
             if isinstance(left, Literal) and isinstance(right, Column):

@@ -95,3 +95,42 @@ def test_end_to_end_file_skipping(spark, tmp_path):
     assert scan.files_skipped_by_stats > 0
     rows = sorted(r["k"] for r in scan.to_df(spark).collect())
     assert rows == list(range(2010, 2020))
+
+
+def test_in_expression_pruning_and_eval():
+    from delta_go_spark.expressions import In, Like
+
+    k = Column("k", LongType())
+    s = Column("s", StringType())
+    # stats fixture: k in [100, 200]
+    assert not stats_may_match(In(k, (Literal(1), Literal(99))), STATS)
+    assert stats_may_match(In(k, (Literal(1), Literal(150))), STATS)
+    assert not stats_may_match(In(k, (Literal(201), Literal(999))), STATS)
+    # eval semantics: SQL 3-valued IN
+    assert In(k, (Literal(5), Literal(7))).eval({"k": "5"}) is True
+    assert In(k, (Literal(5), Literal(7))).eval({"k": "6"}) is False
+    assert In(k, (Literal(5), Literal(None))).eval({"k": "6"}) is None
+    assert In(k, (Literal(5),)).eval({"k": None}) is None
+    # LIKE eval + spark parity of wildcard translation
+    assert Like(s, "ab%").eval({"s": "abcdef"}) is True
+    assert Like(s, "ab_").eval({"s": "abc"}) is True
+    assert Like(s, "ab_").eval({"s": "abcd"}) is False
+    assert Like(s, "a.c").eval({"s": "abc"}) is False  # dot is literal
+
+
+def test_in_partition_pruning_end_to_end(spark, tmp_path):
+    from pyspark.sql.types import LongType as LT
+
+    from delta_go_spark.expressions import In
+    from delta_go_spark.writer import write_dataframe
+
+    path = str(tmp_path / "tin")
+    df = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+    write_dataframe(df, path, partition_by=["p"])
+    snap = DeltaLog.for_table(path).snapshot()
+    scan = snap.scan(In(Column("p", LT()), (Literal(1), Literal(3))))
+    kept = list(scan.files())
+    assert 0 < len(kept) < snap.num_of_files()
+    rows = scan.to_df(spark)
+    assert {r["p"] for r in rows.select("p").distinct().collect()} == {1, 3}
+    assert rows.count() == 50
