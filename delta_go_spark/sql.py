@@ -1,0 +1,82 @@
+"""SQL-text access to Delta tables, including time-travel clauses.
+
+Spark SQL itself has no notion of our Python-side Delta tables, so this
+context registers each table's CURRENT snapshot as a temp view on demand
+and rewrites the Delta time-travel syntax —
+
+    SELECT ... FROM t VERSION AS OF 3
+    SELECT ... FROM t TIMESTAMP AS OF '2026-01-01 00:00:00'
+
+— into views over the pinned snapshot before handing the text to
+spark.sql.  Everything downstream is stock Catalyst: the rewritten query
+is a plain Spark SQL query over parquet-backed views.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_go_spark.log import DeltaLog
+
+
+class DeltaSqlContext:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, str] = {}
+
+    def register(self, name: str, table_path: str) -> None:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid table name: {name}")
+        self._tables[name] = table_path
+
+    def _view_for_version(self, name: str, version: int) -> str:
+        view = f"{name}__v{version}"
+        log = DeltaLog.for_table(self._tables[name])
+        log.snapshot_for_version_as_of(version).to_df(self.spark).createOrReplaceTempView(view)
+        return view
+
+    def _view_for_timestamp(self, name: str, ts_text: str) -> str:
+        ts = datetime.datetime.fromisoformat(ts_text)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        millis = int(ts.timestamp() * 1000)
+        log = DeltaLog.for_table(self._tables[name])
+        snap = log.snapshot_for_timestamp_as_of(millis)
+        view = f"{name}__t{snap.version}"
+        snap.to_df(self.spark).createOrReplaceTempView(view)
+        return view
+
+    def sql(self, text: str) -> DataFrame:
+        out = text
+        for name in self._tables:
+            # VERSION AS OF <n>
+            def sub_v(m, _name=name):
+                return self._view_for_version(_name, int(m.group(1)))
+
+            out = re.sub(
+                rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                sub_v,
+                out,
+                flags=re.IGNORECASE,
+            )
+
+            # TIMESTAMP AS OF '<ts>'
+            def sub_t(m, _name=name):
+                return self._view_for_timestamp(_name, m.group(1))
+
+            out = re.sub(
+                rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+                sub_t,
+                out,
+                flags=re.IGNORECASE,
+            )
+
+            # plain references get the CURRENT snapshot
+            if re.search(rf"\b{name}\b", out):
+                DeltaLog.for_table(self._tables[name]).update().to_df(
+                    self.spark
+                ).createOrReplaceTempView(name)
+        return self.spark.sql(out)

@@ -100,3 +100,33 @@ def test_scan_residual_applied(spark):
     assert scan.residual_predicate() is not None
     rows = scan.to_df(spark).collect()
     assert len(rows) == 1 and rows[0]["value"] == "0"
+
+
+def test_sql_context_time_travel(spark, tmp_path):
+    """SQL-text queries over Delta tables: current snapshot, VERSION AS OF,
+    and a self-join across two versions."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.sql import DeltaSqlContext
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tsql")
+    DeltaTable.create(spark, path, spark.range(10).select(F.col("id").alias("k")))
+    t = DeltaTable.for_path(spark, path)
+    t.append(spark.range(100, 105).select(F.col("id").alias("k")))
+
+    ctx = DeltaSqlContext(spark)
+    ctx.register("orders_t", path)
+
+    assert ctx.sql("SELECT count(*) AS n FROM orders_t").first()["n"] == 15
+    assert (
+        ctx.sql("SELECT count(*) AS n FROM orders_t VERSION AS OF 0").first()["n"] == 10
+    )
+    # rows added between v0 and now, via an anti-join across versions
+    grew = ctx.sql(
+        """
+        SELECT count(*) AS n FROM orders_t cur
+        WHERE cur.k NOT IN (SELECT k FROM orders_t VERSION AS OF 0)
+        """
+    ).first()["n"]
+    assert grew == 5
