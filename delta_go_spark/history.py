@@ -114,8 +114,6 @@ class HistoryManager:
         """Earliest version reconstructable from the files present
         (reference: history_manager.go:130-189): a version is reproducible
         if v0 onward is contiguous, or a complete checkpoint covers it."""
-        from delta_go_spark import checkpoint as ckpt
-
         anchor = os.path.join(self.log_path, f"{0:020d}")
         deltas: list[int] = []
         checkpoint_cands: list[str] = []

@@ -11,12 +11,10 @@ import os
 import threading
 
 from delta_go_spark import checkpoint as ckpt
-from delta_go_spark import filenames
 from delta_go_spark.config import Clock
 from delta_go_spark.history import HistoryManager
 from delta_go_spark.snapshot import (
     DeltaError,
-    LogSegment,
     Snapshot,
     get_log_segment_for_version,
 )
