@@ -159,3 +159,44 @@ QUERIES: dict = {
     "delta_time_travel_count": (delta_time_travel_count, DELTA_TIME_TRAVEL_SQL),
     "delta_dml_agg": (delta_dml_agg, DELTA_DML_SQL),
 }
+
+
+def delta_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text surface inside the correctness gate: VERSION AS OF via
+    DeltaSqlContext over the 2-commit orders table (v0 = even orderkeys)."""
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.sql import DeltaSqlContext
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "orders_2commits")
+    if not DeltaLog.for_table(path).table_exists():
+        orders = load_table(spark, sf_dir, "orders")
+        write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+        write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+    ctx = DeltaSqlContext(spark)
+    ctx.register("orders_tt", path)
+    return ctx.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                    AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_tt VERSION AS OF 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+DELTA_SQL_TT_SQL = """
+SELECT o_orderpriority,
+       count(*)                    AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["delta_sql_time_travel"] = (delta_sql_time_travel, DELTA_SQL_TT_SQL)
