@@ -182,3 +182,60 @@ def test_active_files_df_matches_python_fold(spark, name):
     py_paths = sorted(a.path for a in snap.all_files())
     df_paths = sorted(r["path"] for r in active_files_df(spark, snap).collect())
     assert df_paths == py_paths
+
+
+def test_many_commit_log_loads_from_checkpoint_tail(tmp_path):
+    """BASELINE.md internal target: reconstruction of a long log stays
+    O(tail-since-checkpoint), not O(all versions).  120 commits with
+    checkpointInterval=10 -> the segment must anchor at the last
+    checkpoint and read at most `interval` tail JSONs."""
+    import json as _json
+
+    from delta_go_spark import ops
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "long")
+    schema = _json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    log = DeltaLog.for_table(path)
+    txn = log.start_transaction()
+    txn.update_metadata(Metadata(schema_string=schema))
+    txn.commit([], ops.CREATE_TABLE)
+    for i in range(120):
+        t = log.start_transaction()
+        t.commit(
+            [AddFile(path=f"f{i}.parquet", partition_values={}, size=1,
+                     modification_time=1, data_change=True)],
+            ops.WRITE,
+        )
+
+    fresh = DeltaLog.for_table(path)
+    snap = fresh.snapshot()
+    assert snap.version == 120
+    assert snap.segment.checkpoint_version == 120
+    assert len(snap.segment.deltas) == 0  # checkpoint IS the state
+    assert snap.num_of_files() == 120
+    # a mid-interval version anchors at the preceding checkpoint
+    mid = fresh.snapshot_for_version_as_of(97)
+    assert mid.segment.checkpoint_version == 90
+    assert len(mid.segment.deltas) == 7
+
+
+def test_delta_spark_interop_if_available(spark, tmp_path):
+    """Tables our engine writes should be readable by the official
+    delta-spark reader (SURVEY §5 interop goal).  Skipped when the
+    delta-spark JARs are not on the classpath (this container)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "interop")
+    DeltaTable.create(spark, path, spark.range(20).select(F.col("id").alias("k")))
+    try:
+        n = spark.read.format("delta").load(path).count()
+    except Exception:
+        pytest.skip("delta-spark reader not available in this environment")
+    assert n == 20
