@@ -669,3 +669,37 @@ LIMIT 2000
 
 QUERIES["unpivot_order_flags"] = (unpivot_order_flags, UNPIVOT_SQL)
 QUERIES["null_semantics_orders"] = (null_semantics_orders, NULL_SEMANTICS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# JSON functions over the events props column: extract, type-cast,
+# aggregate — the from_json/get_json_object surface.
+def json_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k_val"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("k_val").alias("n_with_k"),
+            F.min("k_val").alias("k_min"),
+            F.max("k_val").alias("k_max"),
+            _r4(F.avg("k_val")).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_FUNCS_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS k_max,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["json_functions_events"] = (json_functions_events, JSON_FUNCS_SQL)
