@@ -391,3 +391,51 @@ QUERIES: dict = {
     "minhash_near_dup_docs": (minhash_near_dup_docs, None),
     "simhash_docs": (simhash_docs, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# Keep-best dedup: one representative per group by an explicit ranking —
+# the "keep newest / keep longest" shape every training-data pipeline runs.
+def keep_best_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+) -> DataFrame:
+    """One row per group, chosen by the ranking columns (ties impossible
+    when the last order column is unique).  One shuffle on the group key;
+    at scale this is the canonical window-dedup plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_keep_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): keep the single longest document (doc_id as the
+    deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("_grp", F.concat_ws("|", "source", "lang"))
+    best = keep_best_per_group(
+        docs, "_grp", [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    return best.select("source", "lang", "doc_id", "n_chars").orderBy("source", "lang")
+
+
+DEDUP_KEEP_LONGEST_SQL = """
+SELECT source, lang, doc_id, n_chars
+FROM (
+  SELECT source, lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+ORDER BY source, lang
+"""
+
+
+QUERIES["dedup_keep_longest_docs"] = (dedup_keep_longest_docs, DEDUP_KEEP_LONGEST_SQL)
