@@ -16,12 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 from delta_go_spark.functions import dedup, multimodal, similarity, textops
 from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
-from delta_go_spark.operators import asof, coverage, delta_queries, relational, subqueries
+from delta_go_spark.operators import (
+    asof,
+    coverage,
+    delta_queries,
+    rangejoin,
+    relational,
+    subqueries,
+)
 
 _MODULES = [
     relational,
     subqueries,
     asof,
+    rangejoin,
     coverage,
     textops,
     dedup,
