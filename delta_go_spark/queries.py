@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from delta_go_spark.functions import dedup, multimodal, similarity, textops
+from delta_go_spark.functions import dedup, multimodal, sampling, similarity, textops
 from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import (
@@ -33,6 +33,7 @@ _MODULES = [
     coverage,
     textops,
     dedup,
+    sampling,
     similarity,
     multimodal,
     streaming_windows,
