@@ -303,3 +303,76 @@ QUERIES: dict = {
     "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
     "fingerprint_docs": (fingerprint_docs, FINGERPRINT_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level TF-IDF: per language, the top-5 terms by document frequency
+# with their corpus statistics.  Tokenization is lowercase + split on
+# non-[a-z] runs (identical regex semantics in Spark and DuckDB).  Ranking
+# uses only integers (doc-frequency desc, term asc) so row_number can never
+# flip on a float ULP; idf is a rounded output column, not a ranking key.
+# Scale: one (lang, term) shuffle with map-side partial aggregation; the
+# per-lang totals join is a broadcast of a handful of rows.
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    stats = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("term"))
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "term",
+            "n_docs",
+            "n_occurrences",
+            F.round(
+                F.log((F.col("n_total") + 1.0) / (F.col("n_docs") + 1.0)), 4
+            ).alias("idf"),
+        )
+        .orderBy("lang", F.desc("n_docs"), "term")
+    )
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT * FROM tok WHERE term <> ''
+), stats AS (
+  SELECT lang, term,
+         count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM tok2 GROUP BY lang, term
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n_docs DESC, term) AS rn
+  FROM stats
+), totals AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+)
+SELECT r.lang, r.term, r.n_docs, r.n_occurrences,
+       round(ln((t.n_total + 1.0) / (r.n_docs + 1.0)), 4) AS idf
+FROM ranked r JOIN totals t ON r.lang = t.lang
+WHERE r.rn <= 5
+ORDER BY r.lang, r.n_docs DESC, r.term
+"""
+
+
+QUERIES["tfidf_top_terms_docs"] = (tfidf_top_terms_docs, TFIDF_SQL)
