@@ -1,0 +1,362 @@
+"""Python Data Source: ``spark.read.format("delta_go")`` and
+``spark.readStream.format("delta_go")`` over this engine's Delta tables.
+
+This is the idiomatic Spark 4 extension point (pyspark.sql.datasource) —
+the engine's log replay, time travel, partition pruning and stats skipping
+run on the driver to plan the scan, then executors read ONLY the surviving
+parquet files via Arrow batches.  Nothing here shells out to the JVM Delta
+implementation; the planning layer is this repo's (reference protocol
+semantics: snapshot.go, scan.go), and the data plane is Arrow → Spark.
+
+Filter pushdown: Spark hands the reader its WHERE conjuncts via
+``pushFilters``.  Conjuncts on partition columns prune whole files before
+any I/O (reference scan.go:185-199 semantics); conjuncts on data columns
+prune via AddFile min/max stats (exceeds the reference, which carries stats
+unparsed).  ALL filters are reported back as unsupported so Spark
+re-applies them row-level — pruning here is a strict optimization, never a
+correctness dependency.
+
+Batch scale: one InputPartition per active file; executors fan out.  The
+streaming reader is a SimpleDataSourceStreamReader (driver-side reads,
+exactly-once across micro-batches via version offsets) — at cluster scale
+you would promote it to a partitioned DataSourceStreamReader, but the
+offset/commit protocol is identical.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from delta_go_spark import expressions as E
+from delta_go_spark.actions import AddFile
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.scan import stats_may_match
+from delta_go_spark.snapshot import canonicalize_path
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+FORMAT_NAME = "delta_go"
+
+
+def register(spark) -> None:
+    """Register the source: ``spark.read.format('delta_go').load(path)``."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf in some deployments; reader() degrades gracefully
+    spark.dataSource.register(DeltaGoDataSource)
+
+
+def _pushdown_enabled() -> bool:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    return (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        == "true"
+    )
+
+
+def _open_snapshot(options: dict):
+    path = options.get("path")
+    if not path:
+        raise ValueError("delta_go requires a table path: .load('/table/path')")
+    log = DeltaLog.for_table(path)
+    if options.get("versionasof") is not None:
+        return log, log.snapshot_for_version_as_of(int(options["versionasof"]))
+    if options.get("timestampasof") is not None:
+        return log, log.snapshot_for_timestamp_as_of(int(options["timestampasof"]))
+    return log, log.update()
+
+
+def _filter_to_expression(
+    f: Filter, schema: StructType
+) -> E.Expression | None:
+    """Translate one pushed Spark filter into the engine AST; None if the
+    filter shape isn't translatable (it stays Spark-side only)."""
+    if isinstance(f, Not):
+        inner = _filter_to_expression(f.child, schema)
+        return E.Not(inner) if inner is not None else None
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None  # nested columns: let Spark evaluate
+    name = attr[0]
+    try:
+        dtype = schema[name].dataType
+    except Exception:
+        return None
+    col = E.Column(name, dtype)
+    if isinstance(f, EqualTo):
+        return E.EqualTo(col, E.Literal(f.value, dtype))
+    if isinstance(f, GreaterThan):
+        return E.GreaterThan(col, E.Literal(f.value, dtype))
+    if isinstance(f, GreaterThanOrEqual):
+        return E.GreaterThanOrEq(col, E.Literal(f.value, dtype))
+    if isinstance(f, LessThan):
+        return E.LessThan(col, E.Literal(f.value, dtype))
+    if isinstance(f, LessThanOrEqual):
+        return E.LessThanOrEq(col, E.Literal(f.value, dtype))
+    if isinstance(f, In):
+        return E.In(col, tuple(E.Literal(v, dtype) for v in f.value))
+    if isinstance(f, IsNull):
+        return E.IsNull(col)
+    if isinstance(f, IsNotNull):
+        return E.IsNotNull(col)
+    return None
+
+
+def _arrow_batches_for_file(
+    abs_path: str,
+    schema: StructType,
+    partition_cols: list[str],
+    partition_values: dict[str, str | None],
+) -> Iterator["pa.RecordBatch"]:
+    """Read one data file and emit batches matching the declared schema:
+    data columns in declared order (nulls for columns added after the file
+    was written — schema evolution), partition columns materialized as
+    constants parsed with the Delta partition-value rules (record.go)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    pset = {c.lower() for c in partition_cols}
+    pv_lower = {k.lower(): v for k, v in (partition_values or {}).items()}
+
+    data_fields = [f for f in schema.fields if f.name.lower() not in pset]
+    table = pq.read_table(
+        abs_path,
+        columns=None,
+    )
+    file_cols = {n.lower(): n for n in table.column_names}
+    n = table.num_rows
+
+    columns: list[pa.Array | pa.ChunkedArray] = []
+    for field in schema.fields:
+        target = arrow_schema.field(field.name).type
+        if field.name.lower() in pset:
+            raw = pv_lower.get(field.name.lower())
+            value = E.parse_partition_value(raw, field.dataType)
+            columns.append(pa.nulls(n, target) if value is None else pa.array([value] * n, type=target))
+        elif field.name.lower() in file_cols:
+            col = table.column(file_cols[field.name.lower()])
+            if col.type != target:
+                col = col.cast(target)
+            columns.append(col)
+        else:
+            # File predates an ADD COLUMNS evolution: fill with nulls.
+            columns.append(pa.nulls(n, target))
+    del data_fields  # order handled by iterating schema.fields above
+    out = pa.table(columns, schema=arrow_schema)
+    yield from out.to_batches()
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str, partition_values: dict[str, str | None]):
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+
+
+class DeltaGoBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = dict(options)
+        # Planning state (driver-only): resolved eagerly so the pickled
+        # reader carries only plain data — no log/store/lock handles.
+        log, snap = _open_snapshot(self.options)
+        meta = snap.metadata()
+        self.partition_cols = list(meta.partition_columns or [])
+        self.table_root = snap.table_root
+        self._files: list[AddFile] = list(snap.all_files())
+        self._pushed: list[E.Expression] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            expr = _filter_to_expression(f, self.schema)
+            if expr is not None:
+                self._pushed.append(expr)
+            # Report EVERY filter unsupported: Spark re-applies them all
+            # row-level, so file pruning stays a pure optimization.
+            yield f
+
+    def partitions(self) -> list[InputPartition]:
+        files = self._files
+        predicate = E.and_all(self._pushed) if self._pushed else None
+        if predicate is not None:
+            pushed, residual = E.split_metadata_and_data_predicates(
+                predicate, self.partition_cols
+            )
+            kept = []
+            for add in files:
+                if pushed is not None:
+                    record = {
+                        k.lower(): v
+                        for k, v in (add.partition_values or {}).items()
+                    }
+                    if pushed.eval(record) is not True:
+                        continue
+                if not stats_may_match(residual, add.stats):
+                    continue
+                kept.append(add)
+            files = kept
+        return [
+            _FilePartition(
+                canonicalize_path(a.path, self.table_root),
+                dict(a.partition_values or {}),
+            )
+            for a in files
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        yield from _arrow_batches_for_file(
+            partition.abs_path,
+            self.schema,
+            self.partition_cols,
+            partition.partition_values,
+        )
+
+
+class _NoPushdownReader(DeltaGoBatchReader):
+    """DeltaGoBatchReader minus the pushFilters hook (full-table plan).
+    Spark detects 'implements pushFilters' by method identity against the
+    base class, so rebinding the base implementation opts back out."""
+
+    pushFilters = DataSourceReader.pushFilters
+
+
+class DeltaGoStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch source over the commit log: offset = next unread
+    version; each batch is the dataChange AddFiles of versions
+    [start, end).  Exactly-once: a version's files are emitted in exactly
+    one batch (reference Changes semantics, log.go:188-226)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.options = dict(options)
+        log, snap = _open_snapshot(self.options)
+        self._log = log
+        meta = snap.metadata()
+        self.partition_cols = list(meta.partition_columns or [])
+        self.table_root = snap.table_root
+        self._start = int(options.get("startingversion", 0))
+
+    # Spark pickles the wrapped reader into the streaming plan; the log
+    # handle holds locks, so it is dropped on serialize and reopened lazily.
+    @property
+    def log(self) -> DeltaLog:
+        if self._log is None:
+            self._log, _ = _open_snapshot(self.options)
+        return self._log
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state["_log"] = None
+        return state
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def _adds_between(self, start_v: int, end_v: int) -> list[AddFile]:
+        adds: list[AddFile] = []
+        if end_v <= start_v:
+            return adds
+        for vlog in self.log.changes(start_v, fail_on_data_loss=True):
+            if vlog.version >= end_v:
+                break
+            adds.extend(
+                a
+                for a in vlog.actions
+                if isinstance(a, AddFile) and a.data_change
+            )
+        return adds
+
+    def _rows_for(self, adds: list[AddFile]) -> Iterator[tuple]:
+        names = [f.name for f in self.schema.fields]
+        for a in adds:
+            for batch in _arrow_batches_for_file(
+                canonicalize_path(a.path, self.table_root),
+                self.schema,
+                self.partition_cols,
+                dict(a.partition_values or {}),
+            ):
+                for row in batch.to_pylist():
+                    yield tuple(row[c] for c in names)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # NOTE: Spark's prefetch cache copy.copy()s this object AND calls
+        # next() on it — a list iterator satisfies both (generators don't
+        # copy, bare lists don't iterate).
+        start_v = int(start["version"])
+        latest = self.log.update().version
+        end_v = latest + 1
+        if end_v <= start_v:
+            return iter([]), start
+        adds = self._adds_between(start_v, end_v)
+        return iter(list(self._rows_for(adds))), {"version": end_v}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(
+            list(
+                self._rows_for(
+                    self._adds_between(int(start["version"]), int(end["version"]))
+                )
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derivable from the log; nothing to clean up
+
+
+class DeltaGoDataSource(DataSource):
+    """``format("delta_go")``: batch + streaming read of a delta_go table.
+
+    Options: ``versionAsOf``/``timestampAsOf`` (batch time travel),
+    ``startingVersion`` (streaming).  Writes go through DeltaTable
+    (append/overwrite/DML) — the log commit must be driver-side and
+    transactional, which the DataSourceWriter contract cannot express as
+    naturally as the txn API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        _, snap = _open_snapshot(self.options)
+        schema = snap.metadata().schema()
+        if schema is None:
+            raise ValueError("table has no schema in its Delta log")
+        return schema
+
+    def reader(self, schema: StructType) -> DeltaGoBatchReader:
+        # Spark refuses a reader that defines pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false (it is false by
+        # default): hand such sessions the pushdown-less subclass — same
+        # scan, Spark just applies every filter row-level itself.
+        if _pushdown_enabled():
+            return DeltaGoBatchReader(schema, self.options)
+        return _NoPushdownReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> DeltaGoStreamReader:
+        return DeltaGoStreamReader(schema, self.options)

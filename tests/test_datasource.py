@@ -1,0 +1,120 @@
+"""spark.read / readStream format("delta_go") — the Python Data Source
+(delta_go_spark/datasource.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_go_spark.datasource import register
+from delta_go_spark.table import DeltaTable
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _make_table(spark, path, partitioned=True):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    t = DeltaTable.create(
+        spark, path, df, partition_by=["p"] if partitioned else None
+    )
+    return t
+
+
+def test_batch_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    _make_table(spark, path)
+    got = spark.read.format("delta_go").load(path)
+    assert got.count() == 100
+    assert {f.name for f in got.schema.fields} == {"k", "p", "v"}
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(100))
+    # Partition column materialized with its declared type and values.
+    assert got.filter(F.col("p") == "3").count() == 25
+
+
+def test_batch_partition_pruning_skips_files(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    _make_table(spark, path)
+    pruned = spark.read.format("delta_go").load(path).filter(F.col("p") == "2")
+    rows = pruned.collect()
+    assert len(rows) == 25 and all(r["k"] % 4 == 2 for r in rows)
+    # The scan plans only the matching partition's files.
+    from delta_go_spark.datasource import DeltaGoBatchReader, _filter_to_expression
+    from pyspark.sql.datasource import EqualTo
+
+    reader = DeltaGoBatchReader(
+        spark.read.format("delta_go").load(path).schema, {"path": path}
+    )
+    list(reader.pushFilters([EqualTo(("p",), "2")]))
+    parts = reader.partitions()
+    assert 0 < len(parts) < len(DeltaTable(spark, path).log.update().all_files())
+    assert all("p=2" in p.abs_path or "/p%3D2" in p.abs_path for p in parts)
+
+
+def test_batch_time_travel_option(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    t = _make_table(spark, path, partitioned=False)
+    t.append(spark.range(100, 150).select(
+        F.col("id").alias("k"), F.lit("9").alias("p"), F.lit(0.0).alias("v")
+    ))
+    v0 = spark.read.format("delta_go").option("versionAsOf", 0).load(path)
+    assert v0.count() == 100
+    latest = spark.read.format("delta_go").load(path)
+    assert latest.count() == 150
+
+
+def test_stream_read_exactly_once_across_commits(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    t = _make_table(spark, path, partitioned=False)
+    t.append(spark.range(100, 130).select(
+        F.col("id").alias("k"), F.lit("x").alias("p"), F.lit(1.0).alias("v")
+    ))
+    t.append(spark.range(130, 140).select(
+        F.col("id").alias("k"), F.lit("y").alias("p"), F.lit(2.0).alias("v")
+    ))
+    out_dir = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = (
+        spark.readStream.format("delta_go")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 140
+    assert got.select(F.sum("k")).collect()[0][0] == sum(range(140))
+    # Restart with no new commits: nothing re-emitted (exactly-once).
+    q2 = (
+        spark.readStream.format("delta_go")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 140
+
+
+def test_nopushdown_reader_is_detected_as_unimplemented():
+    # Spark treats a reader as "implements pushFilters" iff the bound
+    # method's __func__ differs from the base class's; the fallback reader
+    # must NOT trip that check (plan_data_source_read.py contract).
+    from pyspark.sql.datasource import DataSourceReader
+
+    from delta_go_spark.datasource import _NoPushdownReader
+
+    assert (
+        _NoPushdownReader.pushFilters is DataSourceReader.pushFilters
+    )
