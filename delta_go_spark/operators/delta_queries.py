@@ -200,3 +200,45 @@ ORDER BY o_orderpriority
 
 
 QUERIES["delta_sql_time_travel"] = (delta_sql_time_travel, DELTA_SQL_TT_SQL)
+
+
+def delta_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python Data Source path inside the correctness gate: lineitem ->
+    Delta table -> spark.read.format("delta_go") with a partition filter
+    (pruned via pushFilters before any file I/O) -> aggregate.  The oracle
+    recomputes from the original parquet, so a hash match proves the
+    Arrow-batch read path (schema mapping, partition-value materialization,
+    pruning) loses nothing."""
+    from delta_go_spark.datasource import register
+
+    snap = _delta_copy(spark, sf_dir, "lineitem", partition_by=["l_returnflag"])
+    register(spark)
+    df = (
+        spark.read.format("delta_go")
+        .load(snap.table_root)
+        .filter(F.col("l_returnflag") == "A")
+    )
+    return (
+        df.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+DELTA_DATASOURCE_SQL = """
+SELECT l_linestatus,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+WHERE l_returnflag = 'A'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+QUERIES["delta_datasource_agg"] = (delta_datasource_agg, DELTA_DATASOURCE_SQL)
