@@ -118,3 +118,31 @@ def test_nopushdown_reader_is_detected_as_unimplemented():
     assert (
         _NoPushdownReader.pushFilters is DataSourceReader.pushFilters
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "data-reader-primitives",
+        "snapshot-data2-deleted",
+        "data-reader-partition-values",
+    ],
+)
+def test_datasource_matches_engine_scan_on_goldens(spark, name):
+    """format('delta_go') must return exactly what the engine's own
+    DeltaScan data plane returns on the reference's golden tables —
+    including removed-file exclusion and partition-value typing."""
+    from tests.conftest import golden
+    from delta_go_spark.log import DeltaLog
+
+    path = golden(name)
+    snap = DeltaLog.for_table(path).update()
+    want = snap.scan().to_df(spark)
+    got = spark.read.format("delta_go").load(path)
+    assert got.schema == want.schema
+    key = want.columns
+    def norm(df):
+        return sorted(
+            (tuple(str(r[c]) for c in key) for r in df.collect())
+        )
+    assert norm(got) == norm(want)
