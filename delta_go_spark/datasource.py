@@ -174,9 +174,32 @@ def _arrow_batches_for_file(
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, partition_values: dict[str, str | None]):
-        self.abs_path = abs_path
-        self.partition_values = partition_values
+    """One scan task: a size-bounded group of data files (the
+    maxPartitionBytes analog — a million tiny files must not become a
+    million tasks, and one task must not read unbounded bytes)."""
+
+    def __init__(self, files: list[tuple[str, dict[str, str | None]]]):
+        self.files = files
+
+
+def _pack_partitions(
+    files: list[tuple[str, dict[str, str | None], int]],
+    target_bytes: int,
+) -> list[_FilePartition]:
+    """First-fit pack by on-disk size from the AddFile metadata (no file
+    system calls).  Files above target_bytes get their own task."""
+    parts: list[_FilePartition] = []
+    cur: list[tuple[str, dict[str, str | None]]] = []
+    cur_bytes = 0
+    for path, pv, size in files:
+        if cur and cur_bytes + size > target_bytes:
+            parts.append(_FilePartition(cur))
+            cur, cur_bytes = [], 0
+        cur.append((path, pv))
+        cur_bytes += size
+    if cur:
+        parts.append(_FilePartition(cur))
+    return parts
 
 
 class DeltaGoBatchReader(DataSourceReader):
@@ -221,21 +244,29 @@ class DeltaGoBatchReader(DataSourceReader):
                     continue
                 kept.append(add)
             files = kept
-        return [
-            _FilePartition(
-                canonicalize_path(a.path, self.table_root),
-                dict(a.partition_values or {}),
-            )
-            for a in files
-        ]
+        target = int(
+            self.options.get("maxpartitionbytes", 128 * 1024 * 1024)
+        )
+        return _pack_partitions(
+            [
+                (
+                    canonicalize_path(a.path, self.table_root),
+                    dict(a.partition_values or {}),
+                    a.size or 0,
+                )
+                for a in files
+            ],
+            target,
+        )
 
     def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
-        yield from _arrow_batches_for_file(
-            partition.abs_path,
-            self.schema,
-            self.partition_cols,
-            partition.partition_values,
-        )
+        for abs_path, pv in partition.files:
+            yield from _arrow_batches_for_file(
+                abs_path,
+                self.schema,
+                self.partition_cols,
+                pv,
+            )
 
 
 class _NoPushdownReader(DeltaGoBatchReader):

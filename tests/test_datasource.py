@@ -52,9 +52,27 @@ def test_batch_partition_pruning_skips_files(spark, tmp_path):
         spark.read.format("delta_go").load(path).schema, {"path": path}
     )
     list(reader.pushFilters([EqualTo(("p",), "2")]))
-    parts = reader.partitions()
-    assert 0 < len(parts) < len(DeltaTable(spark, path).log.update().all_files())
-    assert all("p=2" in p.abs_path or "/p%3D2" in p.abs_path for p in parts)
+    planned = [f for part in reader.partitions() for f in part.files]
+    assert 0 < len(planned) < len(DeltaTable(spark, path).log.update().all_files())
+    assert all("p=2" in fp or "/p%3D2" in fp for fp, _ in planned)
+
+
+def test_partition_packing_bounds_task_count(spark, tmp_path):
+    path = str(tmp_path / "t_pack")
+    _make_table(spark, path, partitioned=True)
+    from delta_go_spark.datasource import DeltaGoBatchReader
+
+    schema = spark.read.format("delta_go").load(path).schema
+    one_per_file = DeltaGoBatchReader(schema, {"path": path, "maxpartitionbytes": "1"})
+    packed = DeltaGoBatchReader(schema, {"path": path})
+    n_files = len(one_per_file.partitions())
+    assert n_files > 1
+    # Tiny files coalesce into far fewer tasks at the default 128MB target.
+    assert len(packed.partitions()) < n_files
+    # Packing never drops or duplicates a file.
+    assert sorted(
+        f[0] for part in packed.partitions() for f in part.files
+    ) == sorted(f[0] for part in one_per_file.partitions() for f in part.files)
 
 
 def test_batch_time_travel_option(spark, tmp_path):
