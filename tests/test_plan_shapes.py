@@ -1,0 +1,61 @@
+"""Physical-plan regression guards for the scale-critical properties.
+
+Correctness is gated by the DuckDB oracles; these tests gate the PLANS —
+a change that silently turns a broadcast join into a shuffle join, or
+un-pushes a parquet filter, still passes the oracles but would fall over
+at 100 TB.  Asserting on the executed plan keeps those properties pinned.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "qname", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]
+)
+def test_star_joins_broadcast_dimensions(spark, qname):
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()[qname](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # The star shape must never shuffle the fact table for a dim join.
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["q6_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_partial_aggregates_jvm_side(spark):
+    # (AQE's pre-execution plan string has no WholeStageCodegen spans, so
+    # assert the substance: map-side combine and zero Python row eval.)
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["exact_dedup_docs"](spark, SF_DIR))
+    # groupBy-based dedup: one hash exchange (plus AQE reads), no joins.
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_tfidf_broadcasts_lang_totals(spark):
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["tfidf_top_terms_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
