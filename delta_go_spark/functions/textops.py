@@ -376,3 +376,57 @@ ORDER BY r.lang, r.n_docs DESC, r.term
 
 
 QUERIES["tfidf_top_terms_docs"] = (tfidf_top_terms_docs, TFIDF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Curation filter: within each language, drop digit-heavy docs, then keep
+# the top length quartile (ntile over an integer key with doc_id tiebreak —
+# deterministic on every engine; float scores would risk ULP rank flips).
+# The shape — per-stratum windowed quantile gate — is the standard
+# pretraining-data curation pass; one shuffle on the stratum key.
+def quality_quartile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_quality_score(load_table(spark, sf_dir, "documents"))
+    kept = docs.filter(F.col("digit_ratio") <= 0.3)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    top = kept.withColumn("q", F.ntile(4).over(w)).filter(F.col("q") == 1)
+    return (
+        top.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_words").alias("min_words"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_QUARTILE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / length(text), 4)     AS digit_ratio
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE digit_ratio <= 0.3
+), tiled AS (
+  SELECT *, ntile(4) OVER (PARTITION BY lang
+                           ORDER BY n_words DESC, doc_id) AS q
+  FROM kept
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM tiled
+WHERE q = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["quality_quartile_docs"] = (quality_quartile_docs, QUALITY_QUARTILE_SQL)
