@@ -33,7 +33,7 @@ from delta_go_spark import ops
 from delta_go_spark.actions import AddFile
 from delta_go_spark.expressions import Expression
 from delta_go_spark.log import DeltaLog
-from delta_go_spark.snapshot import canonicalize_path
+from delta_go_spark.snapshot import DeltaError, canonicalize_path
 from delta_go_spark.writer import stage_files
 
 
@@ -50,13 +50,18 @@ def _touched_paths(
     if not candidates:
         return [], None
     df = files_to_df(spark, snapshot, candidates)
-    matched = (
+    # toLocalIterator streams one partition of distinct paths at a time, so
+    # the driver never holds a second materialized copy of the path list —
+    # on a 100 TB table with millions of matched files the set itself is
+    # unavoidable (each path becomes a RemoveFile in the commit), but the
+    # Row-object batch from a collect() is not.
+    matched_rows = (
         df.filter(predicate)
         .select(F.input_file_name().alias("_f"))
         .distinct()
-        .collect()
+        .toLocalIterator()
     )
-    matched_paths = {r["_f"].replace("file://", "") for r in matched}
+    matched_paths = {r["_f"].replace("file://", "") for r in matched_rows}
     root = snapshot.table_root
     touched = [
         a
@@ -147,6 +152,21 @@ class DeltaDml:
         Catalyst's choice)."""
         if update_set and delete_matched:
             raise ValueError("choose update_set or delete_matched, not both")
+        # Delta semantics: a target row may match at most ONE source row; a
+        # duplicated source key would multiply matched target rows (and
+        # double-insert not-matched keys), so fail fast before any rewrite.
+        dup = (
+            source.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise DeltaError(
+                f"MERGE source has multiple rows with the same '{on}' key; "
+                "each target row may match at most one source row"
+            )
         log, txn, snap = self._begin()
         txn.read_whole_table()
         candidates = snap.all_files()
@@ -160,7 +180,7 @@ class DeltaDml:
                 target_df.join(F.broadcast(keys), on, "left_semi")
                 .select(F.input_file_name().alias("_f"))
                 .distinct()
-                .collect()
+                .toLocalIterator()
             )
             matched_paths = {r["_f"].replace("file://", "") for r in semi}
             root = snap.table_root

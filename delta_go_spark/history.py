@@ -124,31 +124,42 @@ class HistoryManager:
             elif filenames.is_checkpoint_file(name) and m.size > 0:
                 checkpoint_cands.append(m.path)
         deltas.sort()
-        if deltas and deltas[0] == 0:
-            # find the longest contiguous prefix from 0
-            return 0
-        # otherwise the earliest complete checkpoint anchors reproducibility
-        singles = sorted(
-            {
-                filenames.checkpoint_version(p)
-                for p in checkpoint_cands
-                if filenames.checkpoint_part(p)[0] is None
-            }
-        )
-        # multi-part completeness
+        latest = deltas[-1] if deltas else None
+        delta_set = set(deltas)
+        # complete checkpoints: single-file, or multi-part with every part
+        singles = {
+            filenames.checkpoint_version(p)
+            for p in checkpoint_cands
+            if filenames.checkpoint_part(p)[0] is None
+        }
         parts_seen: dict[tuple[int, int], set[int]] = {}
         for p in checkpoint_cands:
             part, total = filenames.checkpoint_part(p)
             if part is not None:
                 v = filenames.checkpoint_version(p)
                 parts_seen.setdefault((v, total), set()).add(part)
-        multi = sorted(v for (v, total), seen in parts_seen.items() if len(seen) == total)
-        candidates = sorted(set(singles) | set(multi))
-        if candidates:
-            return candidates[0]
+        multi = {v for (v, total), seen in parts_seen.items() if len(seen) == total}
+        checkpoints = sorted(singles | multi)
+
+        def contiguous_through_latest(anchor: int) -> bool:
+            # every version in (anchor, latest] must have its delta file
+            return all(v in delta_set for v in range(anchor + 1, latest + 1))
+
+        # NOTE: the reference (history_manager.go:158-160) returns 0 as soon as
+        # a version-0 delta exists, without checking the prefix is contiguous —
+        # which lets checked_version_bounds accept a target inside a log gap
+        # that then fails reconstruction with a misleading contiguity error.
+        # We walk instead: an anchor (v0 delta or complete checkpoint) counts
+        # only if the delta chain from it reaches the latest version.
+        if deltas and deltas[0] == 0 and contiguous_through_latest(0):
+            return 0
+        for c in checkpoints:
+            if latest is None or c >= latest or contiguous_through_latest(c):
+                return c
         if deltas:
             raise DeltaError(
-                f"no reproducible version found: log starts at {deltas[0]} with no checkpoint"
+                f"no reproducible version found: log starts at {deltas[0]} "
+                "with a gap and no complete checkpoint covering later versions"
             )
         raise DeltaError("empty delta log")
 

@@ -32,7 +32,7 @@ def _r4(c):
 
 
 def _ts(s: str):
-    return F.lit(s).cast("timestamp")
+    return F.lit(s).cast("timestamp_ntz")
 
 
 # ---------------------------------------------------------------------------

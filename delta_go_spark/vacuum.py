@@ -68,6 +68,15 @@ def vacuum(
             full = os.path.join(root, name)
             if full in active or full in protected:
                 continue
+            # Modification-time retention (Delta's VACUUM contract): a file
+            # younger than the horizon is never deleted even if unreferenced —
+            # it may be staged by an in-flight transaction whose commit hasn't
+            # landed yet; deleting it would corrupt that commit (data loss).
+            try:
+                if os.path.getmtime(full) * 1000 >= horizon:
+                    continue
+            except OSError:
+                continue
             doomed.append(full)
 
     if not dry_run:

@@ -54,6 +54,12 @@ def _stats_from_footer(path: str) -> str | None:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # A column's stat is only trustworthy when EVERY row group provides it:
+    # a partial aggregate would claim nullCount=0 or a too-narrow min/max,
+    # making stats_may_match prune files that actually contain matching rows
+    # (silently wrong results) and letting NOT NULL enforcement pass bad data.
+    no_nulls: set = set()
+    no_minmax: set = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
@@ -62,15 +68,21 @@ def _stats_from_footer(path: str) -> str | None:
             if "." in name:
                 continue  # nested stats omitted (top-level only, like Spark)
             st = col.statistics
-            if st is None:
-                continue
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-            if st.has_min_max:
+            if st is None or not st.has_null_count:
+                no_nulls.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max or isinstance(st.min, bytes):
+                no_minmax.add(name)  # absent or binary (not JSON-representable)
+            else:
                 mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    continue  # binary min/max not representable in JSON stats
                 mins[name] = mn if name not in mins else min(mins[name], mn)
                 maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in no_nulls:
+        nulls.pop(name, None)
+    for name in no_minmax:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     return json.dumps(
         {
             "numRecords": num_records,

@@ -61,13 +61,33 @@ def value_hash(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    import os
+
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as e
-    from delta_go_spark.session import get_spark
 
-    spark = get_spark("parity-check")
+    if vanilla:
+        # Mimic the driver: a bare SparkSession with no timezone/Arrow configs
+        # (run under TZ=America/New_York to match its JVM default).
+        from pyspark.sql import SparkSession
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("parity-check-vanilla")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+    else:
+        from delta_go_spark.session import get_spark
+
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

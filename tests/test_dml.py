@@ -144,3 +144,49 @@ def test_vacuum_removes_rewritten_files(spark, tmp_path):
     t2 = _make_table(spark, tmp_path, "tvac2")
     t2.delete(EqualTo(Column("k", LongType()), Literal(0)))
     assert vacuum(t2.log.table_path, dry_run=True) == []
+
+
+def test_vacuum_spares_freshly_staged_uncommitted_files(spark, tmp_path):
+    """A data file staged by an in-flight (not yet committed) transaction is
+    unreferenced by any snapshot but must survive VACUUM: deleting it would
+    corrupt the commit that lands a moment later (Delta's mtime retention)."""
+    import os
+    import time
+
+    from delta_go_spark.vacuum import vacuum
+
+    t = _make_table(spark, tmp_path, "tstage")
+    staged = os.path.join(t.log.table_path, "part-staged-uncommitted.parquet")
+    # simulate stage_files: bytes land in the table dir before the commit
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"k": [1], "v": [2]}), staged)
+    # default retention: fresh unreferenced file is spared
+    assert vacuum(t.log.table_path, dry_run=True) == []
+    deleted = vacuum(t.log.table_path)
+    assert staged not in deleted and os.path.exists(staged)
+    # an OLD unreferenced file (mtime past the horizon) is still collected
+    old = time.time() - 10 * 24 * 3600
+    os.utime(staged, (old, old))
+    assert vacuum(t.log.table_path) == [staged]
+    assert not os.path.exists(staged)
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """Delta raises when multiple source rows match one target row; a silent
+    run would multiply matched rows and double-insert new keys."""
+    import pytest
+
+    from delta_go_spark.snapshot import DeltaError
+
+    t = _make_table(spark, tmp_path, "tmrgdup")
+    v_before = t.log.update().version
+    dup_source = spark.createDataFrame(
+        [(50, 111), (50, 222), (9999, 333)], "k long, v long"
+    )
+    with pytest.raises(DeltaError, match="multiple rows"):
+        t.merge(dup_source, on="k", update_set={"v": F.col("_s_v")})
+    # nothing committed, table unchanged
+    assert t.log.update().version == v_before
+    assert t.to_df().count() == 400

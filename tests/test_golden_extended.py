@@ -257,3 +257,44 @@ def test_nullable_field_invalid_schema_key_loads():
     ).snapshot()
     assert snap.metadata().schema() is not None
     assert snap.num_of_files() > 0
+
+
+def test_earliest_reproducible_rejects_gap_targets(tmp_path):
+    """A v0 delta file alone does not make every later version reproducible:
+    with a gap (0,1,2,_,4,5) time travel to 4 must fail the bounds check
+    up front (clear out-of-range error), not deep in replay.  A complete
+    checkpoint after the gap re-anchors the tail.
+    (Stricter than reference history_manager.go:158-160, which returns 0
+    unconditionally — see earliest_reproducible_version NOTE.)"""
+    import json
+    import shutil
+
+    src = golden("time-travel-start-start20-start40")  # versions 0,1,2
+    path = str(tmp_path / "gap")
+    shutil.copytree(src, path)
+    log_dir = os.path.join(path, "_delta_log")
+
+    # extend the log: 3 (then removed -> gap), 4, 5 as empty-ish commits
+    def fake_commit(v):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": 1000 + v}}) + "\n")
+
+    for v in (3, 4, 5):
+        fake_commit(v)
+    os.remove(os.path.join(log_dir, f"{3:020d}.json"))
+
+    log = DeltaLog.for_table(path)
+    with pytest.raises(DeltaError, match="reproducible|gap"):
+        log.history.earliest_reproducible_version()
+
+    # a complete (empty) checkpoint at 4 re-anchors versions 4..5
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_go_spark.checkpoint import CHECKPOINT_SCHEMA
+
+    pq.write_table(
+        pa.table({f.name: [] for f in CHECKPOINT_SCHEMA}, schema=CHECKPOINT_SCHEMA),
+        os.path.join(log_dir, f"{4:020d}.checkpoint.parquet"),
+    )
+    assert DeltaLog.for_table(path).history.earliest_reproducible_version() == 4

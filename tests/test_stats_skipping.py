@@ -134,3 +134,42 @@ def test_in_partition_pruning_end_to_end(spark, tmp_path):
     rows = scan.to_df(spark)
     assert {r["p"] for r in rows.select("p").distinct().collect()} == {1, 3}
     assert rows.count() == 50
+
+
+def test_footer_stats_dropped_when_any_row_group_lacks_them(tmp_path):
+    """A column whose statistics are absent from ANY row group must not appear
+    in the emitted Delta stats at all: partially-aggregated min/max (or a
+    fabricated nullCount=0) would let stats_may_match prune files that do
+    contain matching rows — silently wrong results."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_go_spark.writer import _stats_from_footer
+
+    path = str(tmp_path / "nostats.parquet")
+    tbl = pa.table({"k": [1, 2, None], "s": ["a", "b", "c"]})
+    pq.write_table(tbl, path, write_statistics=False)
+    stats = json.loads(_stats_from_footer(path))
+    assert stats["numRecords"] == 3
+    assert stats["minValues"] == {} and stats["maxValues"] == {}
+    assert stats["nullCount"] == {}
+
+    # control: with statistics present everything is emitted (k has a null)
+    path2 = str(tmp_path / "stats.parquet")
+    pq.write_table(tbl, path2, write_statistics=True)
+    stats2 = json.loads(_stats_from_footer(path2))
+    assert stats2["nullCount"] == {"k": 1, "s": 0}
+    assert stats2["minValues"]["k"] == 1 and stats2["maxValues"]["k"] == 2
+
+    # absent stats must not prune: IS NULL / comparisons stay "may match"
+    from pyspark.sql.types import LongType as LT
+
+    from delta_go_spark.expressions import Column, EqualTo, IsNull, Literal
+    from delta_go_spark.scan import stats_may_match
+
+    k = Column("k", LT())
+    s = json.dumps(stats)
+    assert stats_may_match(EqualTo(k, Literal(99)), s)
+    assert stats_may_match(IsNull(k), s)
