@@ -158,69 +158,84 @@ def _open_fs(path: str):
     return pafs.LocalFileSystem(), path.replace("file://", "")
 
 
-def read_checkpoint_actions(paths: list[str]) -> list[Action]:
-    """Decode checkpoint parquet rows into actions
-    (reference: checkpoint_reader.go:43-85)."""
-    out: list[Action] = []
+def _row_to_action(row: dict) -> Action | None:
+    """One checkpoint parquet row -> action (reference:
+    checkpoint_reader.go:43-85).  commitInfo / cdc rows return None (they
+    don't contribute to state, matching the reference's fold)."""
+    if row.get("add") is not None:
+        a = row["add"]
+        return AddFile(
+            path=a["path"],
+            partition_values=_map_to_dict(a.get("partitionValues")),
+            size=a.get("size") or 0,
+            modification_time=a.get("modificationTime") or 0,
+            data_change=bool(a.get("dataChange")),
+            stats=a.get("stats"),
+            tags=_map_to_dict(a.get("tags")) or None,
+        )
+    if row.get("remove") is not None:
+        r = row["remove"]
+        return RemoveFile(
+            path=r["path"],
+            deletion_timestamp=r.get("deletionTimestamp"),
+            data_change=bool(r.get("dataChange")),
+            extended_file_metadata=bool(r.get("extendedFileMetadata", False)),
+            partition_values=_map_to_dict(r.get("partitionValues")) or None,
+            size=r.get("size"),
+        )
+    if row.get("metaData") is not None:
+        m = row["metaData"]
+        fmt = m.get("format") or {}
+        return Metadata(
+            id=m.get("id", ""),
+            name=m.get("name"),
+            description=m.get("description"),
+            format=Format(
+                (fmt.get("provider") or "parquet"),
+                _map_to_dict(fmt.get("options")) or {},
+            ),
+            schema_string=m.get("schemaString", ""),
+            partition_columns=list(m.get("partitionColumns") or []),
+            configuration=_map_to_dict(m.get("configuration")) or {},
+            created_time=m.get("createdTime"),
+        )
+    if row.get("protocol") is not None:
+        p = row["protocol"]
+        return Protocol(p.get("minReaderVersion", 0), p.get("minWriterVersion", 0))
+    if row.get("txn") is not None:
+        t = row["txn"]
+        return SetTransaction(t.get("appId", ""), t.get("version", 0), t.get("lastUpdated"))
+    return None
+
+
+def iter_checkpoint_actions(
+    paths: list[str], store: LogStore | None = None, batch_size: int = 10_000
+):
+    """Stream checkpoint actions row-group-batch by batch — the memory
+    ceiling is one arrow batch, never the whole checkpoint (mirrors the
+    reference's streaming replay, replay_file.go:70-140).  With a `store`,
+    bytes come through the LogStore (the table's backend — works for cloud
+    URIs with fake/SDK clients alike); without one, pyarrow filesystem
+    dispatch."""
     for path in paths:
-        fs, rel = _open_fs(path)
-        table = pq.read_table(rel, filesystem=fs)
-        cols = set(table.column_names)
-        for row in table.to_pylist():
-            if row.get("add") is not None and "add" in cols:
-                a = row["add"]
-                out.append(
-                    AddFile(
-                        path=a["path"],
-                        partition_values=_map_to_dict(a.get("partitionValues")),
-                        size=a.get("size") or 0,
-                        modification_time=a.get("modificationTime") or 0,
-                        data_change=bool(a.get("dataChange")),
-                        stats=a.get("stats"),
-                        tags=_map_to_dict(a.get("tags")) or None,
-                    )
-                )
-            elif row.get("remove") is not None:
-                r = row["remove"]
-                out.append(
-                    RemoveFile(
-                        path=r["path"],
-                        deletion_timestamp=r.get("deletionTimestamp"),
-                        data_change=bool(r.get("dataChange")),
-                        extended_file_metadata=bool(r.get("extendedFileMetadata", False)),
-                        partition_values=_map_to_dict(r.get("partitionValues")) or None,
-                        size=r.get("size"),
-                    )
-                )
-            elif row.get("metaData") is not None:
-                m = row["metaData"]
-                fmt = m.get("format") or {}
-                out.append(
-                    Metadata(
-                        id=m.get("id", ""),
-                        name=m.get("name"),
-                        description=m.get("description"),
-                        format=Format(
-                            (fmt.get("provider") or "parquet"),
-                            _map_to_dict(fmt.get("options")) or {},
-                        ),
-                        schema_string=m.get("schemaString", ""),
-                        partition_columns=list(m.get("partitionColumns") or []),
-                        configuration=_map_to_dict(m.get("configuration")) or {},
-                        created_time=m.get("createdTime"),
-                    )
-                )
-            elif row.get("protocol") is not None:
-                p = row["protocol"]
-                out.append(Protocol(p.get("minReaderVersion", 0), p.get("minWriterVersion", 0)))
-            elif row.get("txn") is not None:
-                t = row["txn"]
-                out.append(
-                    SetTransaction(t.get("appId", ""), t.get("version", 0), t.get("lastUpdated"))
-                )
-            # commitInfo / cdc rows in checkpoints are ignored on replay,
-            # matching the reference's state fold.
-    return out
+        if store is not None:
+            pf = pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
+        else:
+            fs, rel = _open_fs(path)
+            pf = pq.ParquetFile(fs.open_input_file(rel))
+        for batch in pf.iter_batches(batch_size):
+            for row in batch.to_pylist():
+                a = _row_to_action(row)
+                if a is not None:
+                    yield a
+
+
+def read_checkpoint_actions(
+    paths: list[str], store: LogStore | None = None
+) -> list[Action]:
+    """Materialized variant of iter_checkpoint_actions (reverse P&M search
+    needs a concrete batch)."""
+    return list(iter_checkpoint_actions(paths, store))
 
 
 def _map_to_dict(v):
@@ -365,9 +380,16 @@ def write_checkpoint(
                 }
             }
         )
-    import os
-
     table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
+
+    def emit(tbl: pa.Table, target: str) -> None:
+        # Serialize in memory and hand bytes to the LogStore: locally that's
+        # temp-file + atomic rename; on object stores a single PUT (atomic at
+        # object level) — raw-path pq.write_table would crash cloud tables.
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        store.write_bytes(target, sink.getvalue().to_pybytes(), overwrite=True)
+
     # Multi-part when the state outgrows one comfortable parquet file
     # (reference reads multi-part checkpoints: checkpoint.go:214-245,
     # filename.go:73-79; at 100 TB a single file serializes the write and
@@ -380,16 +402,9 @@ def write_checkpoint(
         targets = filenames.checkpoint_file_parts(log_path, version, parts)
         per = -(-len(rows) // parts)
         for i, target in enumerate(targets):
-            chunk = table.slice(i * per, per)
-            tmp = target + ".tmp"
-            pq.write_table(chunk, tmp)
-            os.replace(tmp, target)
+            emit(table.slice(i * per, per), target)
     else:
-        target = filenames.checkpoint_file_single(log_path, version)
-        # Atomic visibility: write to temp then rename.
-        tmp = target + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, target)
+        emit(table, filenames.checkpoint_file_single(log_path, version))
     meta = CheckpointMetadata(version=version, size=len(rows), parts=parts)
     payload = {"version": meta.version, "size": meta.size}
     if parts:

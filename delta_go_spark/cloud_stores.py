@@ -105,6 +105,25 @@ class S3Store(LogStore):
         except Exception:
             return False
 
+    def read_bytes(self, path: str) -> bytes:
+        bucket, key = _split_bucket_key(path)
+        return self._client.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        bucket, key = _split_bucket_key(path)
+        kwargs = {} if overwrite else {"IfNoneMatch": "*"}
+        try:
+            self._client.put_object(Bucket=bucket, Key=key, Body=data, **kwargs)
+        except self._client.exceptions.ClientError as e:  # pragma: no cover
+            code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code == 412 or "PreconditionFailed" in str(e):
+                raise FileAlreadyExistsError(path) from e
+            raise
+
+    def delete(self, path: str) -> None:
+        bucket, key = _split_bucket_key(path)
+        self._client.delete_object(Bucket=bucket, Key=key)
+
 
 class GCSStore(LogStore):
     """reference: store/gcs.go:33-47 (generation-0 precondition)."""
@@ -158,6 +177,27 @@ class GCSStore(LogStore):
     def exists(self, path: str) -> bool:
         bucket, key = _split_bucket_key(path)
         return self._client.bucket(bucket).blob(key).exists()
+
+    def read_bytes(self, path: str) -> bytes:
+        bucket, key = _split_bucket_key(path)
+        return self._client.bucket(bucket).blob(key).download_as_bytes()
+
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        bucket, key = _split_bucket_key(path)
+        blob = self._client.bucket(bucket).blob(key)
+        try:
+            blob.upload_from_string(
+                data, if_generation_match=None if overwrite else 0
+            )
+        except Exception as e:  # google.api_core PreconditionFailed (412)
+            if "412" in str(e) or "conditionNotMet" in str(e):
+                raise FileAlreadyExistsError(path) from e
+            raise
+
+    def delete(self, path: str) -> None:
+        self._client.bucket(_split_bucket_key(path)[0]).blob(
+            _split_bucket_key(path)[1]
+        ).delete()
 
 
 class AzureBlobStore(LogStore):
@@ -226,3 +266,21 @@ class AzureBlobStore(LogStore):
     def exists(self, path: str) -> bool:
         container, key = self._container_key(path)
         return self._svc.get_blob_client(container, key).exists()
+
+    def read_bytes(self, path: str) -> bytes:
+        container, key = self._container_key(path)
+        return self._svc.get_blob_client(container, key).download_blob().readall()
+
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        container, key = self._container_key(path)
+        blob = self._svc.get_blob_client(container, key)
+        try:
+            blob.upload_blob(data, overwrite=overwrite)
+        except Exception as e:  # azure ResourceExistsError
+            if type(e).__name__ == "ResourceExistsError":
+                raise FileAlreadyExistsError(path) from e
+            raise
+
+    def delete(self, path: str) -> None:
+        container, key = self._container_key(path)
+        self._svc.get_blob_client(container, key).delete_blob()

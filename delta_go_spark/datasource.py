@@ -16,11 +16,11 @@ unparsed).  ALL filters are reported back as unsupported so Spark
 re-applies them row-level — pruning here is a strict optimization, never a
 correctness dependency.
 
-Batch scale: one InputPartition per active file; executors fan out.  The
-streaming reader is a SimpleDataSourceStreamReader (driver-side reads,
-exactly-once across micro-batches via version offsets) — at cluster scale
-you would promote it to a partitioned DataSourceStreamReader, but the
-offset/commit protocol is identical.
+Batch scale: size-packed InputPartitions; executors fan out.  The
+streaming reader is a partitioned DataSourceStreamReader: the driver only
+resolves each trigger's version range into a file list (version offsets,
+exactly-once), and the executors read those files as Arrow batches —
+identical data plane to the batch reader.
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ from typing import TYPE_CHECKING, Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -41,7 +42,6 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -277,11 +277,13 @@ class _NoPushdownReader(DeltaGoBatchReader):
     pushFilters = DataSourceReader.pushFilters
 
 
-class DeltaGoStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch source over the commit log: offset = next unread
-    version; each batch is the dataChange AddFiles of versions
-    [start, end).  Exactly-once: a version's files are emitted in exactly
-    one batch (reference Changes semantics, log.go:188-226)."""
+class DeltaGoStreamReader(DataSourceStreamReader):
+    """PARTITIONED micro-batch source over the commit log: offset = next
+    unread version; a micro-batch is the dataChange AddFiles of versions
+    [start, end), size-packed into InputPartitions that EXECUTORS read as
+    Arrow batches — the driver only plans (version range -> file list).
+    Exactly-once: a version's files are emitted in exactly one batch
+    (reference Changes semantics, log.go:188-226, version_log.go:9-71)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -293,8 +295,9 @@ class DeltaGoStreamReader(SimpleDataSourceStreamReader):
         self.table_root = snap.table_root
         self._start = int(options.get("startingversion", 0))
 
-    # Spark pickles the wrapped reader into the streaming plan; the log
-    # handle holds locks, so it is dropped on serialize and reopened lazily.
+    # Spark pickles the reader into the streaming plan and to executors;
+    # the log handle holds locks, so it is dropped on serialize and
+    # reopened lazily (only the driver-side planning methods touch it).
     @property
     def log(self) -> DeltaLog:
         if self._log is None:
@@ -308,6 +311,10 @@ class DeltaGoStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        # end offset is EXCLUSIVE: next version the stream has not seen
+        return {"version": self.log.update().version + 1}
 
     def _adds_between(self, start_v: int, end_v: int) -> list[AddFile]:
         adds: list[AddFile] = []
@@ -323,38 +330,27 @@ class DeltaGoStreamReader(SimpleDataSourceStreamReader):
             )
         return adds
 
-    def _rows_for(self, adds: list[AddFile]) -> Iterator[tuple]:
-        names = [f.name for f in self.schema.fields]
-        for a in adds:
-            for batch in _arrow_batches_for_file(
-                canonicalize_path(a.path, self.table_root),
-                self.schema,
-                self.partition_cols,
-                dict(a.partition_values or {}),
-            ):
-                for row in batch.to_pylist():
-                    yield tuple(row[c] for c in names)
-
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        # NOTE: Spark's prefetch cache copy.copy()s this object AND calls
-        # next() on it — a list iterator satisfies both (generators don't
-        # copy, bare lists don't iterate).
-        start_v = int(start["version"])
-        latest = self.log.update().version
-        end_v = latest + 1
-        if end_v <= start_v:
-            return iter([]), start
-        adds = self._adds_between(start_v, end_v)
-        return iter(list(self._rows_for(adds))), {"version": end_v}
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(
-            list(
-                self._rows_for(
-                    self._adds_between(int(start["version"]), int(end["version"]))
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        adds = self._adds_between(int(start["version"]), int(end["version"]))
+        target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
+        return _pack_partitions(
+            [
+                (
+                    canonicalize_path(a.path, self.table_root),
+                    dict(a.partition_values or {}),
+                    a.size or 0,
                 )
-            )
+                for a in adds
+            ],
+            target,
         )
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        # Executor-side: identical Arrow path as the batch reader.
+        for abs_path, pv in partition.files:
+            yield from _arrow_batches_for_file(
+                abs_path, self.schema, self.partition_cols, pv
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derivable from the log; nothing to clean up
@@ -389,5 +385,5 @@ class DeltaGoDataSource(DataSource):
             return DeltaGoBatchReader(schema, self.options)
         return _NoPushdownReader(schema, self.options)
 
-    def simpleStreamReader(self, schema: StructType) -> DeltaGoStreamReader:
+    def streamReader(self, schema: StructType) -> DeltaGoStreamReader:
         return DeltaGoStreamReader(schema, self.options)

@@ -107,28 +107,59 @@ def cosine_near_dup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tables: int = 32,
+    n_planes: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs: all (a, b) with cosine >= threshold.
+    """Embedding near-dup pairs (a, b) with cosine >= threshold, via an
+    LSH-bucketed candidate join + exact verify.
 
-    This is the oracle-verifiable exact baseline — a block-nested self-join
-    over normalized vectors.  It is quadratic in corpus size by definition;
-    the 100 TB path is `ann_lsh_neighbors` (bucketed candidates + exact
-    verify), which trades certainty of recall for linearity.  Vectors are
-    pre-normalized once so the pair test is a plain dot product.
+    Plan shape (the 100 TB property): candidates come from an EQUI-join on
+    the (table, bucket) signature key — a shuffle hash/sort-merge join that
+    partitions by bucket — never a BroadcastNestedLoop/cartesian all-pairs
+    product (a plan-shape test pins this).  Every emitted pair is exactly
+    verified with the true dot product, so false positives are impossible;
+    a pair can only be missed if it disagrees in all `n_tables` signatures
+    (miss prob (1-p^k)^L).  The defaults are tuned for recall 1.0 on the
+    test fixtures — deterministic hyperplanes (xxhash-derived) make that a
+    fixed, re-verifiable fact, not a per-run gamble; raise `n_tables` for
+    lower thresholds / stricter recall at other scales.
     """
     # Normalize once per row (unit vectors): cosine(a,b) == dot(a,b).
     e = _as_double(vec_col)
     unit = F.transform(e, lambda x: x / l2_norm(e))
-    normed = df.select(F.col(id_col).alias("id"), unit.alias("u"))
-    a, b = normed.alias("a"), normed.alias("b")
-    sim = dot(F.col("a.u"), F.col("b.u"))
+    # Signatures via an Arrow-batched pandas UDF: one (batch x dim) @
+    # (dim x L*k) matmul per batch — for L*k in the dozens this beats a
+    # codegen expression per plane (whose Catalyst tree grows with L*k*dim
+    # and stalls compilation), and it is exactly the vectorized shape you
+    # want on a cluster.
+    sig_udf = _lsh_signatures_udf(n_tables, n_planes, dim)
+    tabled = df.select(F.col(id_col).alias("id"), unit.alias("u")).withColumn(
+        "_sigs", sig_udf("u")
+    )
+    flat = tabled.select(
+        "id", "u", F.posexplode("_sigs").alias("_tid", "_b")
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._tid") == F.col("b._tid"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"),
+                F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+        # a pair colliding in several tables must be verified once
+        .dropDuplicates(["ida", "idb"])
+    )
+    sim = dot(F.col("ua"), F.col("ub"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cos_sim", F.round(sim, 4))
+        candidates.withColumn("cos_sim", F.round(sim, 4))
         .filter(sim >= threshold)
         .select(
-            F.col("a.id").alias("vec_id_a"),
-            F.col("b.id").alias("vec_id_b"),
+            F.col("ida").alias("vec_id_a"),
+            F.col("idb").alias("vec_id_b"),
             "cos_sim",
         )
         .orderBy("vec_id_a", "vec_id_b")
@@ -154,6 +185,29 @@ FROM u a JOIN u b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.uv, b.uv) >= 0.4
 ORDER BY vec_id_a, vec_id_b
 """
+
+
+def _lsh_signatures_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
+    """Arrow-batched signed-random-projection signatures: array<long> with
+    one n_planes-bit bucket per table.  The plane matrix is regenerated
+    from the fixed seed inside each executor (no broadcast needed) and the
+    per-batch cost is a single numpy matmul."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(v):
+        planes = np.random.default_rng(seed).standard_normal((dim, n_tables * n_planes))
+        m = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_tables * n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = (bits.reshape(-1, n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot introspect — attach real objects instead.
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<long>")
 
 
 # ---------------------------------------------------------------------------

@@ -184,12 +184,13 @@ def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> 
             return []
     horizon = log.clock.now_millis() - retention_millis
 
+    # Listing and deletion go through the LogStore so cleanup works on
+    # cloud-URI tables too (os.listdir would crash at the first
+    # checkpointInterval commit with cleanup enabled).
     deleted: list[str] = []
-    log_dir = log.log_path
-    for name in sorted(os.listdir(log_dir)):
-        full = os.path.join(log_dir, name)
-        if not os.path.isfile(full):
-            continue
+    anchor = os.path.join(log.log_path, f"{0:020d}")
+    for meta in log.store.list_from(anchor):
+        name = os.path.basename(meta.path)
         if is_delta_file(name):
             v = delta_version(name)
         elif is_checkpoint_file(name):
@@ -198,10 +199,10 @@ def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> 
             continue  # _last_checkpoint etc.
         if v >= ckpt_v:
             continue
-        if int(os.path.getmtime(full) * 1000) >= horizon:
+        if meta.modification_time >= horizon:
             continue
-        os.remove(full)
-        deleted.append(full)
+        log.store.delete(meta.path)
+        deleted.append(meta.path)
     return deleted
 
 

@@ -193,7 +193,7 @@ class InMemoryLogReplay:
         self.min_retention = min_file_retention_ts
         self.state = TableState()
 
-    def append(self, actions: list[Action]) -> None:
+    def append(self, actions) -> None:  # any iterable of actions
         for a in actions:
             if isinstance(a, SetTransaction):
                 self.state.set_transactions[a.app_id] = a
@@ -213,17 +213,20 @@ class InMemoryLogReplay:
             # CommitInfo / AddCDCFile don't contribute to state.
 
 
-def read_segment_actions(store: LogStore, segment: LogSegment) -> list[list[Action]]:
-    """All actions of a segment in ascending file order: checkpoint files
-    first, then each delta (reference: snapshot.go:224-263)."""
-    batches: list[list[Action]] = []
+def iter_segment_actions(store: LogStore, segment: LogSegment):
+    """All actions of a segment in ascending file order — checkpoint files
+    first, then each delta (reference: snapshot.go:224-263) — as a
+    GENERATOR: nothing beyond one arrow batch / one commit file's lines is
+    ever materialized, mirroring the reference's streaming replay
+    (replay_file.go:70-140).  On a table with a huge JSON tail the fold's
+    memory is the folded state itself, not the action stream."""
     if segment.checkpoints:
-        batches.append(ckpt.read_checkpoint_actions(list(segment.checkpoints)))
+        yield from ckpt.iter_checkpoint_actions(list(segment.checkpoints), store)
     for path in segment.deltas:
-        batches.append(
-            [a for a in (action_from_json(line) for line in store.read(path)) if a is not None]
-        )
-    return batches
+        for line in store.read(path):
+            a = action_from_json(line)
+            if a is not None:
+                yield a
 
 
 class Snapshot:
@@ -291,7 +294,7 @@ class Snapshot:
                 if a is not None
             ]
         if self.segment.checkpoints:
-            yield ckpt.read_checkpoint_actions(list(self.segment.checkpoints))
+            yield ckpt.read_checkpoint_actions(list(self.segment.checkpoints), self.store)
 
     def protocol(self) -> Protocol:
         return self._resolve_pm()[0]
@@ -315,8 +318,7 @@ class Snapshot:
             except DeltaError:
                 pass
             replay = InMemoryLogReplay(self.table_root, retention)
-            for batch in read_segment_actions(self.store, self.segment):
-                replay.append(batch)
+            replay.append(iter_segment_actions(self.store, self.segment))
             st = replay.state
             if st.protocol is None:
                 raise DeltaError(f"protocol action not found in version {self.version}")

@@ -55,6 +55,21 @@ class LogStore(ABC):
     @abstractmethod
     def exists(self, path: str) -> bool: ...
 
+    # Binary object I/O: checkpoints are parquet, not JSON lines, and must
+    # go through the SAME backend as the log (a cloud-URI table would
+    # otherwise crash at the first checkpointInterval commit).
+    @abstractmethod
+    def read_bytes(self, path: str) -> bytes: ...
+
+    @abstractmethod
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        """Atomically create `path` with raw bytes (single PUT on object
+        stores; temp-file + rename locally)."""
+
+    @abstractmethod
+    def delete(self, path: str) -> None:
+        """Remove one object/file; FileNotFoundError may pass silently."""
+
 
 class LocalStore(LogStore):
     """Local-filesystem store: write-temp + atomic link/rename for mutual
@@ -122,6 +137,34 @@ class LocalStore(LogStore):
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        if overwrite:
+            os.replace(tmp, path)
+        else:
+            try:
+                os.link(tmp, path)
+            except FileExistsError as e:
+                raise FileAlreadyExistsError(path) from e
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 def store_for(path: str) -> LogStore:

@@ -68,6 +68,9 @@ class FakeS3Client:
             raise KeyError(Key)
         return {}
 
+    def delete_object(self, Bucket, Key):
+        self.objects.get(Bucket, {}).pop(Key, None)
+
     def get_paginator(self, name):
         assert name == "list_objects_v2"
         return _Paginator(self.objects)
@@ -302,3 +305,60 @@ def test_full_transaction_protocol_over_fake_s3():
     assert [vl.version for vl in log2.changes(0)] == list(range(6))
     # the log lives in the fake bucket, not on disk
     assert any("_delta_log" in k for k in client.objects["bucket"])
+
+
+def test_checkpoint_write_read_and_cleanup_over_fake_s3():
+    """Checkpoints are parquet: they must flow through the LogStore too.
+    checkpointInterval=2 forces a checkpoint on a fake-S3 table (raw-path
+    pq.write_table would crash here), the next snapshot must reconstruct
+    FROM that cloud checkpoint, and expired-log cleanup must list/delete
+    via the store, never os.listdir."""
+    import json
+
+    from delta_go_spark import ops
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.maintenance import cleanup_expired_logs
+
+    client = FakeS3Client()
+    root = "s3://bucket/tables/tckpt"
+    store = S3Store(root, client=client)
+    log = DeltaLog(root, store=store)
+
+    schema = json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    txn = log.start_transaction()
+    txn.update_metadata(Metadata(schema_string=schema,
+                                 configuration={"delta.checkpointInterval": "2"}))
+    txn.commit([], ops.CREATE_TABLE)
+    for i in range(4):
+        t = DeltaLog(root, store=store).start_transaction()
+        t.commit(
+            [AddFile(path=f"part-{i}.parquet", partition_values={}, size=1,
+                     modification_time=1, data_change=True)],
+            ops.WRITE,
+        )
+    keys = client.objects["bucket"]
+    ckpts = [k for k in keys if k.endswith(".checkpoint.parquet")]
+    assert ckpts, "postCommit must have written a checkpoint into the bucket"
+    assert any(k.endswith("_last_checkpoint") for k in keys)
+
+    # a fresh log must anchor its snapshot on the cloud checkpoint
+    log2 = DeltaLog(root, store=store)
+    snap = log2.update()
+    assert snap.version == 4
+    assert snap.segment.checkpoint_version == 4
+    assert {a.path for a in snap.all_files()} == {f"part-{i}.parquet" for i in range(4)}
+
+    # Expired-log cleanup already ran through the store during postCommit:
+    # the fake bucket's mtimes (fixed 2026-01-01) are past the default
+    # logRetentionDuration, so every version file below the checkpoint was
+    # deleted from the bucket — and the table still reads fine from the
+    # checkpoint anchor.  (Before checkpoints went through the LogStore,
+    # this whole flow crashed on raw-path os I/O.)
+    version_jsons = {k for k in keys if k.endswith(".json")}
+    assert version_jsons == {"tables/tckpt/_delta_log/00000000000000000004.json"}
+    assert cleanup_expired_logs(log2, retention_millis=0) == []  # nothing left
+    assert DeltaLog(root, store=store).update().version == 4

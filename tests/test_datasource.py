@@ -164,3 +164,49 @@ def test_datasource_matches_engine_scan_on_goldens(spark, name):
             (tuple(str(r[c]) for c in key) for r in df.collect())
         )
     assert norm(got) == norm(want)
+
+
+def test_stream_partitioned_reader_multi_file_batch(spark, tmp_path):
+    """The partitioned DataSourceStreamReader: one trigger spanning several
+    commits must plan multiple InputPartitions (executors read per file
+    group) and emit each version's rows exactly once, including partition
+    columns materialized from AddFile metadata."""
+    path = str(tmp_path / "t5")
+    t = _make_table(spark, path, partitioned=True)  # several part dirs
+    for lo in (100, 200, 300):  # three more commits before the trigger
+        t.append(
+            spark.range(lo, lo + 50).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 3).cast("string").alias("p"),
+                F.lit(float(lo)).alias("v"),
+            )
+        )
+    # driver-side plan check: the pending range packs into >1 partition
+    from delta_go_spark.datasource import DeltaGoStreamReader
+
+    reader = DeltaGoStreamReader(
+        spark.read.format("delta_go").load(path).schema,
+        {"path": path, "maxpartitionbytes": "1"},  # force one file per task
+    )
+    start, end = reader.initialOffset(), reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert len(parts) > 1
+    assert sum(len(p.files) for p in parts) >= 4  # >= one file per commit
+
+    out_dir = str(tmp_path / "sink5")
+    chk = str(tmp_path / "chk5")
+    q = (
+        spark.readStream.format("delta_go")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 100 + 150
+    assert got.select(F.sum("k")).collect()[0][0] == (
+        sum(range(100)) + sum(range(100, 150)) + sum(range(200, 250)) + sum(range(300, 350))
+    )

@@ -59,3 +59,14 @@ def test_tfidf_broadcasts_lang_totals(spark):
 
     plan = _plan(queries()["tfidf_top_terms_docs"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_near_dup_has_no_nested_loop(spark):
+    """Near-dup pairs must come from the LSH bucket EQUI-join + exact
+    verify — an all-pairs BroadcastNestedLoop/cartesian self-join passes
+    the oracle at sf0.01 but is quadratic at any real scale."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["cosine_near_dup_docs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

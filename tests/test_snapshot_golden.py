@@ -239,3 +239,54 @@ def test_delta_spark_interop_if_available(spark, tmp_path):
     except Exception:
         pytest.skip("delta-spark reader not available in this environment")
     assert n == 20
+
+
+def test_state_fold_streams_actions(tmp_path, monkeypatch):
+    """The replay fold consumes a generator — no per-segment action lists
+    are materialized on the driver (reference replay_file.go:70-140).  Cap
+    the largest list InMemoryLogReplay ever sees by intercepting append():
+    it must receive ONE lazy iterable, and iter_segment_actions must be a
+    generator (laziness = the memory ceiling on a huge JSON tail)."""
+    import json as _json
+    import types
+
+    from delta_go_spark import ops
+    from delta_go_spark import snapshot as snap_mod
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "streamy")
+    schema = _json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    log = DeltaLog.for_table(path)
+    txn = log.start_transaction()
+    txn.update_metadata(Metadata(schema_string=schema,
+                                 configuration={"delta.checkpointInterval": "40"}))
+    txn.commit([], ops.CREATE_TABLE)
+    for i in range(60):  # checkpoint at 40 + a 20-commit JSON tail
+        t = log.start_transaction()
+        t.commit(
+            [AddFile(path=f"f{i}.parquet", partition_values={}, size=1,
+                     modification_time=1, data_change=True)],
+            ops.WRITE,
+        )
+
+    gen = snap_mod.iter_segment_actions(
+        DeltaLog.for_table(path).snapshot().store,
+        DeltaLog.for_table(path).snapshot().segment,
+    )
+    assert isinstance(gen, types.GeneratorType)
+
+    seen: list = []
+    orig_append = snap_mod.InMemoryLogReplay.append
+
+    def spy(self, actions):
+        seen.append(actions)
+        return orig_append(self, actions)
+
+    monkeypatch.setattr(snap_mod.InMemoryLogReplay, "append", spy)
+    fresh = DeltaLog.for_table(path).snapshot()
+    assert fresh.num_of_files() == 60
+    assert len(seen) == 1 and isinstance(seen[0], types.GeneratorType)
