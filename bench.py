@@ -26,6 +26,11 @@ HEADLINE = [
     "ngram_jaccard_pairs_docs",
     "minhash_near_dup_docs",
     "knn_cosine_docs",
+    "asof_attribution_events",
+    "range_join_purchase_errors",
+    "tfidf_top_terms_docs",
+    "quality_quartile_docs",
+    "ann_lsh_docs",
 ]
 
 
@@ -44,10 +49,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # best-of-2: machine-load noise on this box swings single runs by
+        # best-of-3: machine-load noise on this box swings single runs by
         # 2x; the min is the reproducible cost of the query itself.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count() if name not in ("q1_pricing_summary",) else len(df.collect())

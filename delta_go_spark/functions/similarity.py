@@ -300,19 +300,25 @@ def ann_lsh_neighbors(
 
     At 100 TB the per-table bucket join replaces the full-corpus scan with
     ~L * 2^-n_planes of it; candidates are deduped before the exact
-    re-rank.  Recall is tested against knn_bruteforce.
+    re-rank.  Recall is tested against knn_bruteforce.  Signatures come
+    from the Arrow-batched matmul UDF (one numpy matmul per batch) — the
+    per-plane codegen-expression variant (with_lsh_tables) is kept for
+    expression-only pipelines but its Catalyst tree grows with
+    n_tables*n_planes*dim and is ~10x slower wall-clock at this width.
     """
-    c = with_lsh_tables(corpus, vec_col, n_tables, n_planes, dim)
-    c = c.select("*", F.explode("lsh_tables").alias("_t")).select(
-        *[col for col in c.columns if col != "lsh_tables"],
-        F.col("_t.table_id").alias("_tid"),
-        F.col("_t.bucket").alias("_bucket"),
+    sig_udf = _lsh_signatures_udf(n_tables, n_planes, dim)
+    e_corpus = _as_double(vec_col)
+    c = (
+        corpus.withColumn("_sigs", sig_udf(e_corpus))
+        .select("*", F.posexplode("_sigs").alias("_tid", "_bucket"))
+        .drop("_sigs")
     )
-    q = with_lsh_tables(query, vec_col, n_tables, n_planes, dim)
-    q = q.select(F.explode("lsh_tables").alias("_t"), _as_double(vec_col).alias("_q")).select(
-        F.col("_t.table_id").alias("_qtid"),
-        F.col("_t.bucket").alias("_qbucket"),
-        "_q",
+    q = (
+        query.withColumn("_sigs", sig_udf(_as_double(vec_col)))
+        .select(
+            F.posexplode("_sigs").alias("_qtid", "_qbucket"),
+            _as_double(vec_col).alias("_q"),
+        )
     )
     e = _as_double(vec_col)
     return (

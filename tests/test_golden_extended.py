@@ -298,3 +298,39 @@ def test_earliest_reproducible_rejects_gap_targets(tmp_path):
         os.path.join(log_dir, f"{4:020d}.checkpoint.parquet"),
     )
     assert DeltaLog.for_table(path).history.earliest_reproducible_version() == 4
+
+
+# ---------------------------------------------------------------------------
+# data-reader-date-types-*: the delta-io golden corpus writes the same local
+# wall time (2020-01-01 08:09:10) under seven session time zones, producing
+# seven different stored UTC instants.  The engine must read the ON-DISK
+# instant and the (time-zone-free) date unmangled in every variant.
+@pytest.mark.parametrize(
+    "tz_name,expected_utc",
+    [
+        ("America/Los_Angeles", "2020-01-01 16:09:10"),  # UTC-8 that day
+        ("Asia/Beirut", "2020-01-01 06:09:10"),          # UTC+2 that day
+        ("Etc/GMT+9", "2020-01-01 17:09:10"),            # POSIX: GMT+9 == UTC-9
+        ("Iceland", "2020-01-01 08:09:10"),   # UTC+0
+        ("JST", "2019-12-31 23:09:10"),       # UTC+9
+        ("PST", "2020-01-01 16:09:10"),       # UTC-8
+        ("UTC", "2020-01-01 08:09:10"),
+    ],
+)
+def test_data_reader_date_types(tz_name, expected_utc):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = golden(f"data-reader-date-types-{tz_name}")
+    snap = DeltaLog.for_table(path).snapshot()
+    files = snap.all_files()
+    assert files, tz_name
+    rows = []
+    for add in files:
+        t = pq.read_table(os.path.join(path, add.decoded_path()))
+        rows.extend(t.to_pylist())
+    assert len(rows) == 1
+    row = rows[0]
+    assert str(row["date"]) == "2020-01-01"
+    assert str(row["timestamp"]) == expected_utc
