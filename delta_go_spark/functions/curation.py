@@ -1,0 +1,401 @@
+"""Training-data curation signals beyond the basic text stats: repetition
+(the Gopher-style quality gates), vocabulary/entropy profiles, length
+histograms, and per-language character-trigram profiles.
+
+All queries are pure built-in-expression pipelines (zero Python in the hot
+path) over the `documents` table, each with an exact DuckDB oracle.  Scale
+notes per query; the common shape is one scan -> narrow per-row arrays ->
+at most two shuffles (explode+groupBy), with counts cast to BIGINT and
+float ratios rounded identically on both engines so the driver's
+value-hash compare is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# 1. Top-word repetition: most frequent word's share of the document — the
+#    classic repetition gate (a doc dominated by one token is boilerplate).
+#    One explode + groupBy(doc, word), then an argmax window per doc.
+def repetition_topword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_count"), F.sum("c").alias("n_words")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("w"))
+    top_word = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("w").alias("top_word"))
+    )
+    return (
+        per_doc.join(top_word, "doc_id")
+        .select(
+            "doc_id",
+            "top_word",
+            F.col("top_count").cast("long").alias("top_count"),
+            F.round(F.col("top_count") / F.col("n_words"), 4).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_TOPWORD_SQL = """
+WITH c AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id, max(c) AS top_count, sum(c) AS n_words FROM c GROUP BY doc_id
+), top AS (
+  SELECT doc_id, w AS top_word
+  FROM (SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn FROM c)
+  WHERE rn = 1
+)
+SELECT agg.doc_id, top_word,
+       CAST(top_count AS BIGINT) AS top_count,
+       round(top_count / n_words, 4) AS top_frac
+FROM agg JOIN top ON agg.doc_id = top.doc_id
+ORDER BY agg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Duplicate-bigram fraction: 1 - distinct/total word bigrams — boilerplate
+#    and looped generation score.  Pure array expressions, NO shuffle beyond
+#    the scan.
+def bigram_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            (n - 1).cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).cast("long").alias("distinct_bigrams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(1.0 - F.col("distinct_bigrams") / F.col("n_bigrams"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_REPETITION_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         len(w) - 1 AS n_bigrams,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS distinct_bigrams,
+       round(1.0 - len(list_distinct(bg)) / n_bigrams, 4) AS dup_frac
+FROM b
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Word-entropy per document: Shannon entropy over the word distribution.
+#    Low entropy = repetitive/templated text.  The -p*log2(p) terms are
+#    summed per doc; round(3) sits far above double merge noise (~1e-12).
+def word_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 3).alias("entropy_bits"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WORD_ENTROPY_SQL = """
+WITH c AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), t AS (
+  SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id
+)
+SELECT c.doc_id,
+       round(-sum((c / n) * log2(c / n)), 3) AS entropy_bits,
+       CAST(count(*) AS BIGINT) AS vocab
+FROM c JOIN t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Corpus composition matrix: docs + avg length per (lang, source) — the
+#    first dashboard of any curation run.  Single partial-agg shuffle.
+def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(28,6)"))
+                / F.count(F.lit(1)),
+                2,
+            ).cast("double").alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+LANG_SOURCE_MATRIX_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(sum(CAST(n_chars AS DECIMAL(28,6))) / count(*), 2) AS DOUBLE)
+         AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Power-of-two length histogram: floor(log2(n_chars)) buckets — the
+#    standard truncation/outlier scan before tokenizer budgeting.
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(F.floor(F.log2("n_chars")).cast("long").alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("log2_bucket")
+    )
+
+
+DOC_LENGTH_BUCKETS_SQL = """
+SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Type-token ratio per source: vocabulary breadth — template-generated
+#    sources sit far below organic ones.  Two-level aggregation: the
+#    distinct count shuffles on (source, word), never materializing corpus
+#    vocab on one node.
+def vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(_words()).alias("w"))
+    return (
+        words.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_words"),
+            F.countDistinct("w").cast("long").alias("distinct_words"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("distinct_words") / F.col("total_words"), 4),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_BY_SOURCE_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS total_words,
+       CAST(count(DISTINCT w) AS BIGINT) AS distinct_words,
+       round(count(DISTINCT w) / count(*), 4) AS type_token_ratio
+FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Character-trigram profile per language: the top-5 trigrams by count —
+#    exactly the features an n-gram language-ID model trains on.  Explode
+#    is bounded (3-char shingles of the raw text); ties break on the
+#    trigram string so both engines order identically.
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2), lambda i: F.col("text").substr(i, F.lit(3))
+    )
+    counts = (
+        docs.filter(n >= 3)
+        .select("lang", F.explode(tris).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "tri", F.col("c").cast("long").alias("n_occurrences"))
+        .orderBy("lang", "rank")
+    )
+
+
+CHAR_TRIGRAM_SQL = """
+WITH c AS (
+  SELECT lang, tri, count(*) AS c
+  FROM (
+    SELECT lang,
+           unnest(list_transform(range(1, length(text) - 1),
+                                 i -> text[i:i+2])) AS tri
+    FROM documents
+    WHERE length(text) >= 3
+  )
+  GROUP BY lang, tri
+)
+SELECT lang, rank, tri, CAST(c AS BIGINT) AS n_occurrences
+FROM (
+  SELECT lang, tri, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rank
+  FROM c
+)
+WHERE rank <= 5
+ORDER BY lang, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Per-language length outliers: docs outside [p05, p95] of n_chars for
+#    their language — the trim step before dedup/training.  The percentile
+#    is a per-lang aggregate joined back (decorrelated subquery shape).
+def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy(F.col("lang").alias("b_lang")).agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        docs.join(bounds, docs.lang == F.col("b_lang"))
+        .filter((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.when(F.col("n_chars") < F.col("p05"), F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("outlier_kind"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_OUTLIER_SQL = """
+WITH b AS (
+  SELECT lang AS b_lang,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CASE WHEN n_chars < p05 THEN 'short' ELSE 'long' END AS outlier_kind
+FROM documents JOIN b ON lang = b_lang
+WHERE n_chars < p05 OR n_chars > p95
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Source ranking by mean document richness (words/doc) within each lang,
+#    top-3 per lang — the keep/drop shortlist for source-level curation.
+#    Decimal sum before the divide keeps the mean merge-order independent.
+def source_rank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("lang", "source", F.size(_words()).alias("nw"))
+        .groupBy("lang", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("nw").cast("decimal(28,6)")) / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("mean_words"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("mean_words"), F.asc("source"))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "source", "mean_words", "n_docs")
+        .orderBy("lang", "rank")
+    )
+
+
+SOURCE_RANK_SQL = """
+WITH per AS (
+  SELECT lang, source,
+         CAST(round(sum(CAST(len(string_split(text, ' ')) AS DECIMAL(28,6)))
+                    / count(*), 4) AS DOUBLE) AS mean_words,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  GROUP BY lang, source
+)
+SELECT lang, rank, source, mean_words, n_docs
+FROM (
+  SELECT lang, source, mean_words, n_docs,
+         row_number() OVER (PARTITION BY lang ORDER BY mean_words DESC, source) AS rank
+  FROM per
+)
+WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
+QUERIES: dict = {
+    "repetition_topword_docs": (repetition_topword_docs, REPETITION_TOPWORD_SQL),
+    "bigram_repetition_docs": (bigram_repetition_docs, BIGRAM_REPETITION_SQL),
+    "word_entropy_docs": (word_entropy_docs, WORD_ENTROPY_SQL),
+    "lang_source_matrix": (lang_source_matrix, LANG_SOURCE_MATRIX_SQL),
+    "doc_length_buckets": (doc_length_buckets, DOC_LENGTH_BUCKETS_SQL),
+    "vocab_by_source": (vocab_by_source, VOCAB_BY_SOURCE_SQL),
+    "char_trigram_profile": (char_trigram_profile, CHAR_TRIGRAM_SQL),
+    "length_outlier_docs": (length_outlier_docs, LENGTH_OUTLIER_SQL),
+    "source_rank_by_lang": (source_rank_by_lang, SOURCE_RANK_SQL),
+}

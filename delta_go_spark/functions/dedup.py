@@ -33,9 +33,15 @@ def _spread(df: DataFrame) -> DataFrame:
     rows once, before any expansion.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # inputFiles() is a listing-only probe; df.rdd.getNumPartitions() would
+    # force an RDD conversion of the plan on every query build.
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

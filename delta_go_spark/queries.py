@@ -13,7 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from delta_go_spark.functions import dedup, multimodal, sampling, similarity, textops
+from delta_go_spark.functions import (
+    curation,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textops,
+)
 from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import (
@@ -39,6 +46,7 @@ _MODULES = [
     streaming_windows,
     streaming_stateful,
     delta_queries,
+    curation,  # new in round 2: 9 queries, in-window; q12 stays at position 50
     coverage,
     relational,
     subqueries,

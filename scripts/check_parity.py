@@ -60,6 +60,37 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
+def duckdb_for(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_one(spark, con, fn, sql, sf_dir: str) -> list[str]:
+    """Run one queries() entry on Spark and its oracle on DuckDB; return the
+    list of mismatch descriptions (empty = parity).  Importable so pytest
+    can gate a sample of the registry without shelling out."""
+    df = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+    rel = con.execute(sql)
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if not problems and value_hash(spark_rows, spark_cols) != value_hash(
+        duck_rows, duck_cols
+    ):
+        problems.append("value-hash mismatch")
+    return problems
+
+
 def main() -> int:
     import os
 
@@ -88,11 +119,7 @@ def main() -> int:
         from delta_go_spark.session import get_spark
 
         spark = get_spark("parity-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_for(sf_dir)
 
     qs = e.queries()
     oracles = e.oracle_sql()
