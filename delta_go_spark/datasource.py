@@ -42,6 +42,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -123,6 +126,15 @@ def _filter_to_expression(
         return E.IsNull(col)
     if isinstance(f, IsNotNull):
         return E.IsNotNull(col)
+    if isinstance(f, StringStartsWith):
+        return E.StartsWith(col, str(f.value))  # min/max-prunable prefix range
+    # EndsWith/Contains as LIKE: no order constraint, so they prune only
+    # partition values (a raw '%' in the value widens the pattern — a
+    # may-match inflation, which is always safe for pruning).
+    if isinstance(f, StringEndsWith):
+        return E.Like(col, f"%{f.value}")
+    if isinstance(f, StringContains):
+        return E.Like(col, f"%{f.value}%")
     return None
 
 

@@ -399,6 +399,46 @@ class Like(Expression):
         return f"({self.child} LIKE {self.pattern!r})"
 
 
+@dataclass(frozen=True)
+class StartsWith(Expression):
+    """value STARTS WITH prefix — EXCEEDS the reference's AST.  Unlike the
+    general Like, a prefix constrains the string ORDER, so min/max footer
+    stats can prune files: every matching value v satisfies
+    prefix <= v < next_prefix (see scan.stats_may_match)."""
+
+    child: Expression
+    prefix: str
+
+    def children(self) -> list[Expression]:
+        return [self.child]
+
+    def references(self) -> set[str]:
+        return self.child.references()
+
+    def eval(self, record: dict[str, Any]) -> Any:
+        v = self.child.eval(record)
+        if v is None:
+            return None
+        return str(v).startswith(self.prefix)
+
+    def to_spark(self) -> SparkColumn:
+        return self.child.to_spark().startswith(self.prefix)
+
+    def __str__(self) -> str:
+        return f"({self.child} STARTSWITH {self.prefix!r})"
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string p' with p' > every string that starts with `prefix`
+    (code-point increment of the last incrementable char); None when no
+    such bound exists (prefix is all U+10FFFF)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
 def split_conjuncts(expr: Expression) -> list[Expression]:
     """Flatten an AND tree (reference: partition_utils.go:56-63)."""
     if isinstance(expr, And):

@@ -36,6 +36,8 @@ from delta_go_spark.expressions import (
     LessThanOrEq,
     Literal,
     Or,
+    StartsWith,
+    prefix_upper_bound,
     split_metadata_and_data_predicates,
 )
 
@@ -129,6 +131,26 @@ def stats_may_match(pred: Expression | None, stats_json: str | None) -> bool:
                 above = cmx is not None and v > cmx
                 in_range.append(not (below or above))
             return any(in_range)
+        if isinstance(e, StartsWith):
+            c = e.child
+            if not isinstance(c, Column):
+                return True
+            name = c.name
+            if num is not None and nulls.get(name) == num and num > 0:
+                return False
+            mn, mx = mins.get(name), maxs.get(name)
+            # every match v satisfies prefix <= v < prefix_upper_bound
+            if mx is not None and isinstance(mx, str) and mx < e.prefix:
+                return False
+            ub = prefix_upper_bound(e.prefix)
+            if (
+                ub is not None
+                and mn is not None
+                and isinstance(mn, str)
+                and mn >= ub
+            ):
+                return False
+            return True
         if isinstance(e, _COMPARISONS):
             left, right, op = e.left, e.right, type(e)
             if isinstance(left, Literal) and isinstance(right, Column):

@@ -225,3 +225,32 @@ def test_settransaction_json_roundtrip(app, v, ts):
     back = action_from_json(action_to_json(t))
     assert isinstance(back, SetTransaction)
     assert back.app_id == app and back.version == v
+
+
+@given(
+    st.lists(st.text(alphabet="abcXYZ019", min_size=0, max_size=6), min_size=1, max_size=8),
+    st.text(alphabet="abcXYZ019", min_size=1, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_startswith_stats_pruning_is_sound(values, prefix):
+    """If ANY value in a file matches the prefix, min/max skipping must
+    keep the file (false pruning = silently wrong results; false keeps are
+    just wasted I/O)."""
+    import json
+
+    from pyspark.sql.types import StringType
+
+    from delta_go_spark.expressions import StartsWith
+    from delta_go_spark.scan import stats_may_match
+
+    stats = json.dumps(
+        {
+            "numRecords": len(values),
+            "minValues": {"s": min(values)},
+            "maxValues": {"s": max(values)},
+            "nullCount": {"s": 0},
+        }
+    )
+    pred = StartsWith(Column("s", StringType()), prefix)
+    if any(v.startswith(prefix) for v in values):
+        assert stats_may_match(pred, stats)

@@ -173,3 +173,57 @@ def test_footer_stats_dropped_when_any_row_group_lacks_them(tmp_path):
     s = json.dumps(stats)
     assert stats_may_match(EqualTo(k, Literal(99)), s)
     assert stats_may_match(IsNull(k), s)
+
+
+def test_startswith_stats_and_partition_pruning(spark, tmp_path):
+    """StartsWith constrains string order, so min/max footer stats prune
+    files by prefix range (prefix <= v < prefix_upper_bound); partition
+    values prune by direct eval."""
+    import json
+
+    from delta_go_spark.expressions import StartsWith, prefix_upper_bound
+    from delta_go_spark.scan import stats_may_match
+    from pyspark.sql.types import StringType as ST
+
+    s = Column("s", ST())
+    stats = json.dumps(
+        {"numRecords": 10,
+         "minValues": {"s": "alpha"}, "maxValues": {"s": "delta"},
+         "nullCount": {"s": 0}}
+    )
+    assert stats_may_match(StartsWith(s, "b"), stats)       # b* in [alpha, delta]
+    assert stats_may_match(StartsWith(s, "alp"), stats)
+    assert not stats_may_match(StartsWith(s, "e"), stats)   # e* > max
+    assert stats_may_match(StartsWith(s, "a"), stats)       # min itself is a*
+    assert not stats_may_match(StartsWith(s, "Zeta"), stats)  # Z* < min ('Z' < 'a')
+    # eval semantics: null-propagating
+    assert StartsWith(s, "ab").eval({"s": "abc"}) is True
+    assert StartsWith(s, "ab").eval({"s": "xbc"}) is False
+    assert StartsWith(s, "ab").eval({"s": None}) is None
+    assert prefix_upper_bound("ab") == "ac"
+
+    # end-to-end through the data source: file pruning visible in partitions()
+    from delta_go_spark.datasource import DeltaGoBatchReader, register
+    from delta_go_spark.table import DeltaTable
+
+    register(spark)
+    path = str(tmp_path / "tsw")
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apricot"), (3, "banana"), (4, "cherry")],
+        "k long, s string",
+    )
+    DeltaTable.create(spark, path, df.repartition(4, "s"))
+    got = (
+        spark.read.format("delta_go").load(path)
+        .filter(F.col("s").startswith("ap"))
+    )
+    assert {r["s"] for r in got.collect()} == {"apple", "apricot"}
+    # reader-level: the pushed StartsWith prunes non-matching files
+    reader = DeltaGoBatchReader(got.schema, {"path": path})
+    from delta_go_spark import expressions as E
+    from pyspark.sql.types import StringType
+
+    reader._pushed = [E.StartsWith(E.Column("s", StringType()), "ap")]
+    kept = reader.partitions()
+    all_files = DeltaGoBatchReader(got.schema, {"path": path}).partitions()
+    assert sum(len(p.files) for p in kept) < sum(len(p.files) for p in all_files)
