@@ -1,0 +1,125 @@
+"""Change Data Feed reader: row-level changes between versions.
+
+The write side (dml.py) stages preimage/postimage/delete/insert rows under
+`_change_data/` and commits AddCDCFile actions when
+`delta.enableChangeDataFeed` is true — the public Delta CDF layout (the
+reference carries the cdc action but never interprets it, action/cdc.go).
+This module is the read half: `table_changes` returns the table schema plus
+`_change_type` and `_commit_version`.
+
+Versions WITHOUT cdc actions degrade to file-level semantics: dataChange
+adds surface as `insert` rows and dataChange removes as `delete` rows (the
+removed parquet is still on disk until VACUUM's retention passes — the
+copy-on-write invariant).  That covers appends and whole-file deletes
+exactly; a rewrite commit from a pre-CDF UPDATE shows as delete+insert of
+the rewritten rows, which is a faithful (if coarser) change set.
+
+Scale: three scans regardless of version count — all cdc files in one
+read, all non-cdc adds in one, all non-cdc removes in one — each with a
+broadcast path->version map joined via input_file_name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField
+
+from delta_go_spark.actions import AddCDCFile, AddFile, RemoveFile
+from delta_go_spark.datareader import files_to_df
+from delta_go_spark.log import DeltaLog
+from delta_go_spark.snapshot import canonicalize_path
+from delta_go_spark.writer import CHANGE_TYPE_COL
+
+
+def _with_version(df: DataFrame, version_of: dict[str, int]) -> DataFrame:
+    mapping = F.create_map(
+        *[
+            x
+            for p, v in version_of.items()
+            for x in (F.lit(f"file://{p}"), F.lit(v))
+        ]
+    )
+    return df.withColumn(
+        "_commit_version", mapping[F.input_file_name()].cast("long")
+    )
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    start_version: int = 0,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes for versions in [start_version, end_version]
+    (end defaults to latest).  Output: table schema + `_change_type`
+    ('insert' | 'delete' | 'update_preimage' | 'update_postimage') +
+    `_commit_version`."""
+    table_path = os.path.abspath(table_path)
+    log = DeltaLog.for_table(table_path)
+    snap = log.update()
+    schema = snap.metadata().schema()
+
+    def canon(p: str) -> str:
+        return canonicalize_path(p, table_path).replace("file://", "")
+
+    cdc_version: dict[str, int] = {}
+    add_version: dict[str, int] = {}
+    adds: list[AddFile] = []
+    rm_version: dict[str, int] = {}
+    removed: list[AddFile] = []
+    for vlog in log.changes(start_version):
+        if end_version is not None and vlog.version > end_version:
+            break
+        cdcs = [a for a in vlog.actions if isinstance(a, AddCDCFile)]
+        if cdcs:
+            # cdc actions carry the EXACT row-level changes of this commit;
+            # its add/remove actions are the rewrite mechanics, not changes.
+            for c in cdcs:
+                cdc_version[canon(c.path)] = vlog.version
+            continue
+        for a in vlog.actions:
+            if isinstance(a, AddFile) and a.data_change:
+                p = canon(a.path)
+                add_version[p] = vlog.version
+                adds.append(a)
+            elif isinstance(a, RemoveFile) and a.data_change:
+                p = canon(a.path)
+                rm_version[p] = vlog.version
+                removed.append(
+                    AddFile(
+                        path=a.path,
+                        partition_values=a.partition_values or {},
+                        size=a.size or 0,
+                        modification_time=0,
+                        data_change=True,
+                    )
+                )
+
+    out_schema = schema.add(StructField(CHANGE_TYPE_COL, StringType()))
+    parts: list[DataFrame] = []
+    if cdc_version:
+        cdc_df = spark.read.schema(out_schema).parquet(
+            *sorted(cdc_version.keys())
+        )
+        parts.append(_with_version(cdc_df, cdc_version))
+    if adds:
+        df = files_to_df(spark, snap, adds).withColumn(
+            CHANGE_TYPE_COL, F.lit("insert")
+        )
+        parts.append(_with_version(df, add_version))
+    if removed:
+        df = files_to_df(spark, snap, removed).withColumn(
+            CHANGE_TYPE_COL, F.lit("delete")
+        )
+        parts.append(_with_version(df, rm_version))
+
+    if not parts:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("_commit_version", F.lit(0).cast("long"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

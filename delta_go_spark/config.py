@@ -55,6 +55,7 @@ TOMBSTONE_RETENTION = ("delta.deletedFileRetentionDuration", "interval 1 weeks")
 CHECKPOINT_INTERVAL = ("delta.checkpointInterval", "10")
 ENABLE_EXPIRED_LOG_CLEANUP = ("delta.enableExpiredLogCleanup", "true")
 IS_APPEND_ONLY = ("delta.appendOnly", "false")
+ENABLE_CHANGE_DATA_FEED = ("delta.enableChangeDataFeed", "false")
 
 
 def get_millis(config: dict[str, str], key_default: tuple[str, str]) -> int:

@@ -29,12 +29,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delta_go_spark import config as cfg
 from delta_go_spark import ops
 from delta_go_spark.actions import AddFile
 from delta_go_spark.expressions import Expression
 from delta_go_spark.log import DeltaLog
 from delta_go_spark.snapshot import DeltaError, canonicalize_path
-from delta_go_spark.writer import stage_files
+from delta_go_spark.writer import CHANGE_TYPE_COL, stage_cdc_files, stage_files
+
+
+def _cdf_enabled(snap) -> bool:
+    return cfg.get_bool(
+        snap.metadata().configuration or {}, cfg.ENABLE_CHANGE_DATA_FEED
+    )
 
 
 def _touched_paths(
@@ -104,8 +111,14 @@ class DeltaDml:
         clock_ms = log.clock.now_millis()
         adds = stage_files(survivors, self.table_path, pcols)
         removes = [a.remove(clock_ms) for a in touched]
+        cdc: list = []
+        if _cdf_enabled(snap):
+            cdc = stage_cdc_files(
+                df.filter(pred_col).withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                self.table_path,
+            )
         return txn.commit(
-            [*adds, *removes],
+            [*adds, *removes, *cdc],
             ops.DELETE,
             operation_parameters={"predicate": str(predicate)},
         )
@@ -128,8 +141,29 @@ class DeltaDml:
         clock_ms = log.clock.now_millis()
         adds = stage_files(updated, self.table_path, pcols)
         removes = [a.remove(clock_ms) for a in touched]
+        cdc: list = []
+        if _cdf_enabled(snap):
+            # Postimage is assignments applied to the PREIMAGE rows — do not
+            # re-filter the rewritten frame: an assignment that touches a
+            # predicate column would make updated rows stop matching.
+            pre_rows = df.filter(pred_col)
+            post = pre_rows
+            for col, expr in assignments.items():
+                value = (
+                    expr
+                    if hasattr(expr, "_jc") or hasattr(expr, "_expr")
+                    else F.lit(expr)
+                )
+                post = post.withColumn(col, value)
+            cdc = stage_cdc_files(
+                pre_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                ),
+                self.table_path,
+            )
         return txn.commit(
-            [*adds, *removes],
+            [*adds, *removes, *cdc],
             ops.UPDATE,
             operation_parameters={"predicate": str(predicate)},
         )
@@ -191,6 +225,7 @@ class DeltaDml:
             ]
         pcols = snap.metadata().partition_columns
         clock_ms = log.clock.now_millis()
+        cdf = _cdf_enabled(snap)
         actions: list = []
 
         if touched:
@@ -203,6 +238,15 @@ class DeltaDml:
             is_match = F.col("_mk").isNotNull()
             if delete_matched:
                 rewritten = joined.filter(~is_match).select(*tdf.columns)
+                if cdf:
+                    actions.extend(
+                        stage_cdc_files(
+                            joined.filter(is_match)
+                            .select(*tdf.columns)
+                            .withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                            self.table_path,
+                        )
+                    )
             else:
                 rewritten = joined
                 for col, expr in (update_set or {}).items():
@@ -213,6 +257,21 @@ class DeltaDml:
                     )
                     rewritten = rewritten.withColumn(
                         col, F.when(is_match, value).otherwise(F.col(col))
+                    )
+                if cdf:
+                    pre = joined.filter(is_match).select(*tdf.columns)
+                    post = rewritten.filter(is_match).select(*tdf.columns)
+                    actions.extend(
+                        stage_cdc_files(
+                            pre.withColumn(
+                                CHANGE_TYPE_COL, F.lit("update_preimage")
+                            ).unionByName(
+                                post.withColumn(
+                                    CHANGE_TYPE_COL, F.lit("update_postimage")
+                                )
+                            ),
+                            self.table_path,
+                        )
                     )
                 rewritten = rewritten.select(*tdf.columns)
             actions.extend(stage_files(rewritten, self.table_path, pcols))
@@ -239,6 +298,13 @@ class DeltaDml:
             )
             if insertable.limit(1).count() > 0:
                 actions.extend(stage_files(insertable, self.table_path, pcols))
+                if cdf:
+                    actions.extend(
+                        stage_cdc_files(
+                            insertable.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
+                            self.table_path,
+                        )
+                    )
 
         return txn.commit(actions, ops.MERGE, operation_parameters={"on": on})
 

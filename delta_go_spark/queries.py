@@ -25,6 +25,7 @@ from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import (
     asof,
+    cdf_queries,
     coverage,
     delta_queries,
     rangejoin,
@@ -52,6 +53,7 @@ _MODULES = [
     subqueries,
     asof,
     rangejoin,
+    cdf_queries,  # outside the 50-query window this round; rotates in next
 ]
 
 

@@ -97,6 +97,16 @@ class DeltaTable:
 
         return changes_df(self.spark, self.log.table_path, start_version)
 
+    def table_changes(
+        self, start_version: int = 0, end_version: int | None = None
+    ) -> DataFrame:
+        """Row-level Change Data Feed (see cdf.table_changes)."""
+        from delta_go_spark.cdf import table_changes
+
+        return table_changes(
+            self.spark, self.log.table_path, start_version, end_version
+        )
+
     def add_columns(self, new_fields: list) -> int:
         """ADD COLUMNS: append nullable fields to the schema (the only
         schema change the write-compat rules allow without rewriting —

@@ -57,8 +57,13 @@ def vacuum(
 
     doomed: list[str] = []
     for root, dirs, files in os.walk(table_path):
+        # _change_data files are referenced by AddCDCFile actions, never by
+        # the active set — they expire with their commits (log retention),
+        # not with VACUUM.
         dirs[:] = [
-            d for d in dirs if d != "_delta_log" and not d.startswith(".")
+            d
+            for d in dirs
+            if d not in ("_delta_log", "_change_data") and not d.startswith(".")
         ]
         for name in files:
             if name.startswith((".", "_")):

@@ -146,6 +146,41 @@ def stage_files(
     return new_files
 
 
+CDC_DIR = "_change_data"
+CHANGE_TYPE_COL = "_change_type"
+
+
+def stage_cdc_files(df: DataFrame, table_path: str) -> list:
+    """Write change-data rows (schema + `_change_type`) as parquet under
+    `_change_data/` and return AddCDCFile actions (Delta CDF layout:
+    change files live beside the data, referenced only by cdc actions —
+    they never join the active file set).  Executors write; same
+    stage-then-move pattern as stage_files."""
+    from delta_go_spark.actions import AddCDCFile
+
+    staging = os.path.join(table_path, f".staging-cdc-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    out: list[AddCDCFile] = []
+    cdc_root = os.path.join(table_path, CDC_DIR)
+    os.makedirs(cdc_root, exist_ok=True)
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            dst = os.path.join(cdc_root, name)
+            os.rename(src, dst)
+            out.append(
+                AddCDCFile(
+                    path=encode_path(f"{CDC_DIR}/{name}"),
+                    partition_values={},
+                    size=os.path.getsize(dst),
+                )
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 def write_dataframe(
     df: DataFrame,
     table_path: str,

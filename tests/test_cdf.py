@@ -1,0 +1,110 @@
+"""Change Data Feed: DML emits preimage/postimage/delete/insert change rows
+under _change_data/ (AddCDCFile actions), table_changes reads them back,
+and non-CDF commits degrade to file-level insert/delete semantics."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from delta_go_spark.actions import AddCDCFile
+from delta_go_spark.expressions import Column, EqualTo, GreaterThanOrEq, Literal
+from delta_go_spark.table import DeltaTable
+
+
+def _cdf_table(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("v")
+    )
+    DeltaTable.create(
+        spark, path, df, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    return DeltaTable.for_path(spark, path)
+
+
+def test_update_emits_pre_and_postimage(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path, "tcdf1")
+    t.update(EqualTo(Column("k", LongType()), Literal(7)), {"v": F.lit(99).cast("long")})
+    v = t.log.update().version
+    changes = t.table_changes(start_version=v).collect()
+    by_type = {r["_change_type"]: r for r in changes}
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"]["k"] == 7 and by_type["update_preimage"]["v"] == 2
+    assert by_type["update_postimage"]["v"] == 99
+    assert all(r["_commit_version"] == v for r in changes)
+    # the cdc action landed in the log, and its file under _change_data/
+    actions = t.log.changes(v).__next__().actions
+    cdcs = [a for a in actions if isinstance(a, AddCDCFile)]
+    assert cdcs and all(a.path.startswith("_change_data/") for a in cdcs)
+
+
+def test_update_of_predicate_column_postimage(spark, tmp_path):
+    """Assignment touches the predicate column: postimage must still be the
+    updated rows (a naive re-filter of the rewritten frame finds none)."""
+    t = _cdf_table(spark, tmp_path, "tcdf2")
+    t.update(EqualTo(Column("v", LongType()), Literal(3)), {"v": F.lit(777).cast("long")})
+    v = t.log.update().version
+    changes = t.table_changes(start_version=v)
+    pre = changes.filter(F.col("_change_type") == "update_preimage")
+    post = changes.filter(F.col("_change_type") == "update_postimage")
+    assert pre.count() == 20 and post.count() == 20
+    assert {r["v"] for r in post.collect()} == {777}
+
+
+def test_delete_emits_deleted_rows(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path, "tcdf3")
+    t.delete(GreaterThanOrEq(Column("k", LongType()), Literal(90)))
+    v = t.log.update().version
+    changes = t.table_changes(start_version=v).collect()
+    assert len(changes) == 10
+    assert {r["_change_type"] for r in changes} == {"delete"}
+    assert {r["k"] for r in changes} == set(range(90, 100))
+
+
+def test_merge_emits_update_and_insert_changes(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path, "tcdf4")
+    source = spark.createDataFrame([(5, 111), (9999, 333)], "k long, v long")
+    t.merge(source, on="k", update_set={"v": F.col("_s_v")})
+    v = t.log.update().version
+    changes = t.table_changes(start_version=v)
+    got = {
+        (r["_change_type"], r["k"], r["v"]) for r in changes.collect()
+    }
+    assert ("update_preimage", 5, 0) in got
+    assert ("update_postimage", 5, 111) in got
+    assert ("insert", 9999, 333) in got
+    assert len(got) == 3
+
+
+def test_non_cdf_commits_degrade_to_file_level(spark, tmp_path):
+    """Without the table property, appends surface as inserts and DELETE
+    rewrites as file-level delete+insert — still a valid change set."""
+    path = str(tmp_path / "tnocdf")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("long").alias("v")
+    )
+    DeltaTable.create(spark, path, df)
+    t = DeltaTable.for_path(spark, path)
+    t.append(
+        spark.range(50, 60).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    v_append = t.log.update().version
+    changes = t.table_changes(start_version=v_append)
+    assert changes.filter(F.col("_change_type") == "insert").count() == 10
+    # no _change_data dir was ever created
+    assert not os.path.exists(os.path.join(path, "_change_data"))
+
+
+def test_vacuum_spares_change_data_files(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path, "tcdf5")
+    t.delete(EqualTo(Column("k", LongType()), Literal(1)))
+    cdc_dir = os.path.join(t.log.table_path, "_change_data")
+    before = set(os.listdir(cdc_dir))
+    assert before
+    deleted = t.vacuum(retention_millis=0)
+    assert set(os.listdir(cdc_dir)) == before
+    rel = [os.path.relpath(p, t.log.table_path) for p in deleted]
+    assert all(not r.startswith("_change_data") for r in rel)

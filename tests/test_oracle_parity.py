@@ -33,6 +33,8 @@ SAMPLE = [
     "token_stats_docs",
     "asof_attribution_events",
     "delta_roundtrip_agg",
+    # outside the driver's 50-query window this round — pytest is its gate
+    "delta_cdf_agg",
 ]
 
 
