@@ -218,13 +218,16 @@ class SetTransaction:
 
 @dataclass
 class AddCDCFile:
-    """Change-data file, carried but never interpreted
-    (reference: action/cdc.go:7-13)."""
+    """Change-data file (reference carries it uninterpreted, action/cdc.go:
+    7-13; this engine also writes and reads them — dml.py/cdf.py)."""
 
     path: str
     partition_values: dict[str, str | None] = field(default_factory=dict)
     size: int = 0
     tags: dict[str, str] | None = None
+
+    def decoded_path(self) -> str:
+        return unquote(self.path)
 
     def to_json_obj(self) -> dict[str, Any]:
         o: dict[str, Any] = {

@@ -281,6 +281,115 @@ class DeltaGoBatchReader(DataSourceReader):
             )
 
 
+class _CDFPartition(InputPartition):
+    """One CDF scan task: (abs_path, partition_values, change_type, version)
+    per file; change_type None means a cdc file that carries its own
+    `_change_type` column."""
+
+    def __init__(self, files: list[tuple]):
+        self.files = files
+
+
+class DeltaGoCDFReader(DataSourceReader):
+    """Change-feed batch read: option('readChangeFeed', 'true') with
+    optional startingVersion/endingVersion.  The driver resolves the
+    version range to (file, change_type, version) entries exactly like
+    cdf.table_changes; executors read and attach the constants."""
+
+    def __init__(self, schema: StructType, options: dict):
+        from delta_go_spark.actions import AddCDCFile as CDC
+        from delta_go_spark.actions import RemoveFile
+
+        self.schema = schema  # table schema + _change_type + _commit_version
+        self.options = dict(options)
+        log, snap = _open_snapshot(self.options)
+        meta = snap.metadata()
+        self.partition_cols = list(meta.partition_columns or [])
+        self.table_root = snap.table_root
+        table_schema = meta.schema()
+        self.table_schema = table_schema
+        self.cdc_schema = StructType(
+            [*table_schema.fields, schema["_change_type"]]
+        )
+        start = int(self.options.get("startingversion", 0))
+        end = self.options.get("endingversion")
+        end_v = int(end) if end is not None else None
+
+        entries: list[tuple] = []
+        for vlog in log.changes(start):
+            if end_v is not None and vlog.version > end_v:
+                break
+            cdcs = [a for a in vlog.actions if isinstance(a, CDC)]
+            if cdcs:
+                for c in cdcs:
+                    entries.append(
+                        (
+                            canonicalize_path(c.path, self.table_root),
+                            {},
+                            None,  # _change_type comes from the file
+                            vlog.version,
+                            c.size or 0,
+                        )
+                    )
+                continue
+            for a in vlog.actions:
+                if isinstance(a, AddFile) and a.data_change:
+                    entries.append(
+                        (
+                            canonicalize_path(a.path, self.table_root),
+                            dict(a.partition_values or {}),
+                            "insert",
+                            vlog.version,
+                            a.size or 0,
+                        )
+                    )
+                elif isinstance(a, RemoveFile) and a.data_change:
+                    entries.append(
+                        (
+                            canonicalize_path(a.path, self.table_root),
+                            dict(a.partition_values or {}),
+                            "delete",
+                            vlog.version,
+                            a.size or 0,
+                        )
+                    )
+        self._entries = entries
+
+    def partitions(self) -> list[InputPartition]:
+        target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
+        parts: list[_CDFPartition] = []
+        cur: list[tuple] = []
+        cur_bytes = 0
+        for path, pv, ctype, version, size in self._entries:
+            if cur and cur_bytes + size > target:
+                parts.append(_CDFPartition(cur))
+                cur, cur_bytes = [], 0
+            cur.append((path, pv, ctype, version))
+            cur_bytes += size
+        if cur:
+            parts.append(_CDFPartition(cur))
+        return parts or [_CDFPartition([])]
+
+    def read(self, partition: _CDFPartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for abs_path, pv, ctype, version in partition.files:
+            if ctype is None:
+                file_schema, pcols = self.cdc_schema, []
+            else:
+                file_schema, pcols = self.table_schema, self.partition_cols
+            for batch in _arrow_batches_for_file(abs_path, file_schema, pcols, pv):
+                n = batch.num_rows
+                arrays = list(batch.columns)
+                names = list(batch.schema.names)
+                if ctype is not None:
+                    arrays.append(pa.array([ctype] * n, type=pa.string()))
+                    names.append("_change_type")
+                arrays.append(pa.array([version] * n, type=pa.int64()))
+                names.append("_commit_version")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 class _NoPushdownReader(DeltaGoBatchReader):
     """DeltaGoBatchReader minus the pushFilters hook (full-table plan).
     Spark detects 'implements pushFilters' by method identity against the
@@ -381,14 +490,29 @@ class DeltaGoDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _cdf_requested(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() == "true"
+
     def schema(self) -> StructType:
         _, snap = _open_snapshot(self.options)
         schema = snap.metadata().schema()
         if schema is None:
             raise ValueError("table has no schema in its Delta log")
+        if self._cdf_requested():
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            return StructType(
+                [
+                    *schema.fields,
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
         return schema
 
-    def reader(self, schema: StructType) -> DeltaGoBatchReader:
+    def reader(self, schema: StructType):
+        if self._cdf_requested():
+            return DeltaGoCDFReader(schema, self.options)
         # Spark refuses a reader that defines pushFilters while
         # spark.sql.python.filterPushdown.enabled is false (it is false by
         # default): hand such sessions the pushdown-less subclass — same

@@ -201,6 +201,22 @@ def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> 
             continue
         if meta.modification_time >= horizon:
             continue
+        # An expiring commit takes its change-data files with it: once the
+        # version file is gone, nothing references those cdc parquet files
+        # (VACUUM never touches _change_data/), so this is their only
+        # reclamation point.
+        if is_delta_file(name):
+            from delta_go_spark.actions import AddCDCFile, action_from_json
+
+            try:
+                for line in log.store.read(meta.path):
+                    a = action_from_json(line)
+                    if isinstance(a, AddCDCFile):
+                        cdc_path = os.path.join(log.table_path, a.decoded_path())
+                        log.store.delete(cdc_path)
+                        deleted.append(cdc_path)
+            except OSError:
+                pass
         log.store.delete(meta.path)
         deleted.append(meta.path)
     return deleted

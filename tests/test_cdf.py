@@ -108,3 +108,73 @@ def test_vacuum_spares_change_data_files(spark, tmp_path):
     assert set(os.listdir(cdc_dir)) == before
     rel = [os.path.relpath(p, t.log.table_path) for p in deleted]
     assert all(not r.startswith("_change_data") for r in rel)
+
+
+def test_datasource_read_change_feed(spark, tmp_path):
+    """spark.read.format('delta_go').option('readChangeFeed', 'true') — the
+    data-source surface over the same change planning as table_changes."""
+    from delta_go_spark.datasource import register
+
+    register(spark)
+    t = _cdf_table(spark, tmp_path, "tcdf6")
+    t.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(42).cast("long")})
+    v = t.log.update().version
+    got = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v))
+        .load(t.log.table_path)
+    )
+    rows = {(r["_change_type"], r["k"], r["v"], r["_commit_version"]) for r in got.collect()}
+    assert rows == {
+        ("update_preimage", 3, 3, v),
+        ("update_postimage", 3, 42, v),
+    }
+    # full-history CDF: creation commit surfaces as inserts
+    all_changes = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .load(t.log.table_path)
+    )
+    assert all_changes.filter(F.col("_change_type") == "insert").count() == 100
+
+
+def test_expired_log_cleanup_reclaims_cdc_files(spark, tmp_path):
+    """When a commit expires out of the log, its _change_data files go with
+    it — cleanup is their only reclamation point (VACUUM skips the dir)."""
+    import time
+
+    from delta_go_spark.maintenance import cleanup_expired_logs
+
+    t = _cdf_table(spark, tmp_path, "tcdf7")
+    t.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(42).cast("long")})
+    cdc_dir = os.path.join(t.log.table_path, "_change_data")
+    assert os.listdir(cdc_dir)
+    # a later commit, so the update version sits strictly BELOW the checkpoint
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    # force a checkpoint so versions below it are reclaimable
+    from delta_go_spark.checkpoint import write_checkpoint
+
+    log = t.log
+    snap = log.update()
+    st = snap.state()
+    write_checkpoint(
+        log.store, log.log_path, snap.version, st.protocol, st.metadata,
+        list(st.active_files.values()), list(st.tombstones.values()),
+        list(st.set_transactions.values()),
+    )
+    # age the log files past the horizon
+    for name in os.listdir(log.log_path):
+        p = os.path.join(log.log_path, name)
+        old = time.time() - 100 * 24 * 3600
+        if name.endswith(".json") and not name.startswith(f"{snap.version:020d}"):
+            os.utime(p, (old, old))
+    deleted = cleanup_expired_logs(log, retention_millis=0)
+    assert any("_change_data" in os.path.relpath(p, t.log.table_path) for p in deleted)
+    assert os.listdir(cdc_dir) == []
+    # the table still reads (checkpoint anchors the state)
+    assert t.to_df().count() == 110
