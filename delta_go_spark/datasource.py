@@ -415,6 +415,16 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         self.partition_cols = list(meta.partition_columns or [])
         self.table_root = snap.table_root
         self._start = int(options.get("startingversion", 0))
+        # Change-feed mode: micro-batches carry row-level changes
+        # (_change_type + _commit_version) instead of appended rows.
+        self._cdf = (
+            str(self.options.get("readchangefeed", "false")).lower() == "true"
+        )
+        if self._cdf:
+            self.table_schema = meta.schema()
+            self.cdc_schema = StructType(
+                [*self.table_schema.fields, schema["_change_type"]]
+            )
 
     # Spark pickles the reader into the streaming plan and to executors;
     # the log handle holds locks, so it is dropped on serialize and
@@ -451,9 +461,57 @@ class DeltaGoStreamReader(DataSourceStreamReader):
             )
         return adds
 
+    def _cdf_entries_between(self, start_v: int, end_v: int) -> list[tuple]:
+        from delta_go_spark.actions import AddCDCFile as CDC
+        from delta_go_spark.actions import RemoveFile
+
+        entries: list[tuple] = []
+        if end_v <= start_v:
+            return entries
+        for vlog in self.log.changes(start_v, fail_on_data_loss=True):
+            if vlog.version >= end_v:
+                break
+            cdcs = [a for a in vlog.actions if isinstance(a, CDC)]
+            if cdcs:
+                for c in cdcs:
+                    entries.append(
+                        (canonicalize_path(c.path, self.table_root), {}, None,
+                         vlog.version, c.size or 0)
+                    )
+                continue
+            for a in vlog.actions:
+                if isinstance(a, AddFile) and a.data_change:
+                    entries.append(
+                        (canonicalize_path(a.path, self.table_root),
+                         dict(a.partition_values or {}), "insert",
+                         vlog.version, a.size or 0)
+                    )
+                elif isinstance(a, RemoveFile) and a.data_change:
+                    entries.append(
+                        (canonicalize_path(a.path, self.table_root),
+                         dict(a.partition_values or {}), "delete",
+                         vlog.version, a.size or 0)
+                    )
+        return entries
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        adds = self._adds_between(int(start["version"]), int(end["version"]))
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
+        if self._cdf:
+            parts: list[_CDFPartition] = []
+            cur: list[tuple] = []
+            cur_bytes = 0
+            for path, pv, ctype, version, size in self._cdf_entries_between(
+                int(start["version"]), int(end["version"])
+            ):
+                if cur and cur_bytes + size > target:
+                    parts.append(_CDFPartition(cur))
+                    cur, cur_bytes = [], 0
+                cur.append((path, pv, ctype, version))
+                cur_bytes += size
+            if cur:
+                parts.append(_CDFPartition(cur))
+            return parts or [_CDFPartition([])]
+        adds = self._adds_between(int(start["version"]), int(end["version"]))
         return _pack_partitions(
             [
                 (
@@ -464,10 +522,13 @@ class DeltaGoStreamReader(DataSourceStreamReader):
                 for a in adds
             ],
             target,
-        )
+        ) or [_FilePartition([])]
 
-    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
-        # Executor-side: identical Arrow path as the batch reader.
+    def read(self, partition) -> Iterator["pa.RecordBatch"]:
+        # Executor-side: identical Arrow path as the batch readers.
+        if isinstance(partition, _CDFPartition):
+            yield from DeltaGoCDFReader.read(self, partition)
+            return
         for abs_path, pv in partition.files:
             yield from _arrow_batches_for_file(
                 abs_path, self.schema, self.partition_cols, pv

@@ -178,3 +178,49 @@ def test_expired_log_cleanup_reclaims_cdc_files(spark, tmp_path):
     assert os.listdir(cdc_dir) == []
     # the table still reads (checkpoint anchors the state)
     assert t.to_df().count() == 110
+
+
+def test_streaming_change_feed(spark, tmp_path):
+    """readStream with readChangeFeed: each micro-batch carries the
+    row-level changes of its version range, exactly once."""
+    from delta_go_spark.datasource import register
+
+    register(spark)
+    t = _cdf_table(spark, tmp_path, "tcdf8")
+    t.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(42).cast("long")})
+    t.delete(EqualTo(Column("k", LongType()), Literal(9)))
+    out_dir = str(tmp_path / "cdfsink")
+    chk = str(tmp_path / "cdfchk")
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(t.log.table_path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    rows = {(r["_change_type"], r["k"], r["v"]) for r in got.collect()}
+    assert rows == {
+        ("update_preimage", 3, 3),
+        ("update_postimage", 3, 42),
+        ("delete", 9, 4),
+    }
+    # restart: no re-emission
+    q2 = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(t.log.table_path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 3
