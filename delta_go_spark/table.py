@@ -54,11 +54,15 @@ class DeltaTable:
         self.to_df().createOrReplaceTempView(name)
 
     # -- write -------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
-        return write_dataframe(df, self.log.table_path, "append")
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        return write_dataframe(
+            df, self.log.table_path, "append", merge_schema=merge_schema
+        )
 
-    def overwrite(self, df: DataFrame) -> int:
-        return write_dataframe(df, self.log.table_path, "overwrite")
+    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> int:
+        return write_dataframe(
+            df, self.log.table_path, "overwrite", merge_schema=merge_schema
+        )
 
     # -- DML (copy-on-write; see dml.py) -----------------------------------
     def delete(self, predicate: Expression) -> int:

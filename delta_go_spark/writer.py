@@ -188,11 +188,22 @@ def write_dataframe(
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
     operation: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write `df` into the Delta table at `table_path`; returns the committed
     version.  mode: append | overwrite (overwrite removes the previous
     active set in the same transaction — reference semantics of the
-    snapshot-data2 golden table)."""
+    snapshot-data2 golden table).
+
+    merge_schema: columns present in `df` but not in the table evolve the
+    table schema in the SAME commit (appended as nullable — the only
+    change the write-compat rules allow, type_utils.go:109-133); without
+    it, unknown columns raise instead of being silently dropped on read.
+    """
+    import dataclasses
+
+    from pyspark.sql.types import StructType
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     table_path = os.path.abspath(table_path)
@@ -201,6 +212,7 @@ def write_dataframe(
 
     exists = txn.snapshot is not None and txn.read_version >= 0
     partition_by = list(partition_by or [])
+    schema_evolution: Metadata | None = None
     if exists:
         meta = txn.snapshot.metadata()
         if partition_by and partition_by != meta.partition_columns:
@@ -209,6 +221,29 @@ def write_dataframe(
                 f"{meta.partition_columns}"
             )
         partition_by = meta.partition_columns
+        table_schema = meta.schema()
+        known = {f.name.lower() for f in table_schema.fields}
+        extras = [f for f in df.schema.fields if f.name.lower() not in known]
+        if extras and not merge_schema:
+            raise DeltaError(
+                f"DataFrame columns {[f.name for f in extras]} do not exist "
+                "in the table schema; pass merge_schema=True to evolve it"
+            )
+        if extras:
+            from pyspark.sql.types import StructField
+
+            evolved = StructType(
+                [
+                    *table_schema.fields,
+                    *[
+                        StructField(f.name, f.dataType, True, f.metadata)
+                        for f in extras
+                    ],
+                ]
+            )
+            schema_evolution = dataclasses.replace(
+                meta, schema_string=schema_to_json(evolved)
+            )
 
     clock_ms = log.clock.now_millis()
     new_files = stage_files(df, table_path, partition_by)
@@ -247,6 +282,8 @@ def write_dataframe(
                 created_time=clock_ms,
             )
         )
+    elif schema_evolution is not None:
+        txn.update_metadata(schema_evolution)
     removed = []
     if mode == "overwrite" and exists:
         removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]

@@ -196,3 +196,33 @@ def test_not_null_invariant_enforced(spark, tmp_path):
     # nullable column may carry nulls freely
     write_dataframe(spark.createDataFrame([(3, None)], schema), path)
     assert log.update().version == 1
+
+
+def test_merge_schema_append_evolves_table(spark, tmp_path):
+    """mergeSchema: appending a frame with a new column evolves the table
+    schema in the same commit (new column nullable; old files read null);
+    without the flag, unknown columns raise instead of silently vanishing
+    at read time."""
+    import pytest
+
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tms")
+    base = spark.range(0, 10).select(F.col("id").alias("k"))
+    DeltaTable.create(spark, path, base)
+    t = DeltaTable.for_path(spark, path)
+    wide = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    )
+    with pytest.raises(DeltaError, match="merge_schema"):
+        t.append(wide)
+    t.append(wide, merge_schema=True)
+
+    t2 = DeltaTable.for_path(spark, path)
+    fields = {f.name: f for f in t2.log.update().metadata().schema().fields}
+    assert set(fields) == {"k", "extra"}
+    assert fields["extra"].nullable
+    got = {r["k"]: r["extra"] for r in t2.to_df().collect()}
+    assert len(got) == 15
+    assert got[0] is None and got[12] == 24  # old files read null
