@@ -189,6 +189,8 @@ def write_dataframe(
     configuration: dict[str, str] | None = None,
     operation: str | None = None,
     merge_schema: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Write `df` into the Delta table at `table_path`; returns the committed
     version.  mode: append | overwrite (overwrite removes the previous
@@ -199,6 +201,12 @@ def write_dataframe(
     table schema in the SAME commit (appended as nullable — the only
     change the write-compat rules allow, type_utils.go:109-133); without
     it, unknown columns raise instead of being silently dropped on read.
+
+    txn_app_id/txn_version: idempotent writes (SetTransaction,
+    trnx.go TxnVersion semantics) — a retried job with the same
+    (app_id, version) is skipped, returning the current table version
+    without staging anything, so at-least-once schedulers get
+    exactly-once commits.
     """
     import dataclasses
 
@@ -211,6 +219,9 @@ def write_dataframe(
     txn = log.start_transaction()
 
     exists = txn.snapshot is not None and txn.read_version >= 0
+    if txn_app_id is not None and txn_version is not None and exists:
+        if txn.txn_version(txn_app_id) >= txn_version:
+            return txn.read_version  # already committed by a previous attempt
     partition_by = list(partition_by or [])
     schema_evolution: Metadata | None = None
     if exists:
@@ -289,6 +300,13 @@ def write_dataframe(
         removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
     actions.extend(new_files)
     actions.extend(removed)
+
+    if txn_app_id is not None and txn_version is not None:
+        from delta_go_spark.actions import SetTransaction
+
+        actions.append(
+            SetTransaction(txn_app_id, txn_version, clock_ms)
+        )
 
     op = operation or (ops.CREATE_TABLE if not exists else ops.WRITE)
     return txn.commit(

@@ -362,3 +362,51 @@ def test_checkpoint_write_read_and_cleanup_over_fake_s3():
     assert version_jsons == {"tables/tckpt/_delta_log/00000000000000000004.json"}
     assert cleanup_expired_logs(log2, retention_millis=0) == []  # nothing left
     assert DeltaLog(root, store=store).update().version == 4
+
+
+def test_concurrent_commits_race_on_fake_s3():
+    """Eight threads race version commits through the conditional-PUT fake:
+    every commit must land exactly once at a distinct version (the same
+    contract the 8-thread LocalStore stress pins, now over the S3 path)."""
+    import json
+    import threading
+
+    from delta_go_spark import ops
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+
+    client = FakeS3Client()
+    root = "s3://bucket/tables/trace"
+    store = S3Store(root, client=client)
+    log = DeltaLog(root, store=store)
+    schema = json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    )
+    txn = log.start_transaction()
+    txn.update_metadata(Metadata(schema_string=schema,
+                                 configuration={"delta.checkpointInterval": "1000"}))
+    txn.commit([], ops.CREATE_TABLE)
+
+    errors: list = []
+
+    def worker(i: int) -> None:
+        try:
+            t = DeltaLog(root, store=S3Store(root, client=client)).start_transaction()
+            t.commit(
+                [AddFile(path=f"w-{i}.parquet", partition_values={}, size=1,
+                         modification_time=1, data_change=True)],
+                ops.WRITE,
+            )
+        except Exception as e:  # pragma: no cover - should not happen
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    snap = DeltaLog(root, store=store).update()
+    assert snap.version == 8
+    assert {a.path for a in snap.all_files()} == {f"w-{i}.parquet" for i in range(8)}

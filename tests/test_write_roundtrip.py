@@ -226,3 +226,27 @@ def test_merge_schema_append_evolves_table(spark, tmp_path):
     got = {r["k"]: r["extra"] for r in t2.to_df().collect()}
     assert len(got) == 15
     assert got[0] is None and got[12] == 24  # old files read null
+
+
+def test_idempotent_write_with_txn_version(spark, tmp_path):
+    """(app_id, version) dedup: a retried job commit is a no-op, like the
+    reference's TxnVersion idempotency (trnx.go)."""
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    path = str(tmp_path / "tidem")
+    base = spark.range(0, 10).select(F.col("id").alias("k"))
+    DeltaTable.create(spark, path, base)
+    batch = spark.range(10, 20).select(F.col("id").alias("k"))
+    v1 = write_dataframe(batch, path, txn_app_id="job-7", txn_version=1)
+    # the retry: same tokens, must not duplicate rows or advance the log
+    v2 = write_dataframe(batch, path, txn_app_id="job-7", txn_version=1)
+    t = DeltaTable.for_path(spark, path)
+    assert t.to_df().count() == 20
+    assert t.log.update().version == v1 and v2 <= v1
+    # the NEXT batch id commits normally
+    write_dataframe(
+        spark.range(20, 25).select(F.col("id").alias("k")),
+        path, txn_app_id="job-7", txn_version=2,
+    )
+    assert DeltaTable.for_path(spark, path).to_df().count() == 25
