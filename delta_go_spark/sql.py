@@ -49,9 +49,30 @@ class DeltaSqlContext:
         snap.to_df(self.spark).createOrReplaceTempView(view)
         return view
 
+    def _view_for_changes(self, name: str, start: int, end: int | None) -> str:
+        from delta_go_spark.cdf import table_changes
+
+        view = f"{name}__changes_{start}_{end if end is not None else 'latest'}"
+        table_changes(
+            self.spark, self._tables[name], start, end
+        ).createOrReplaceTempView(view)
+        return view
+
     def sql(self, text: str) -> DataFrame:
         out = text
         for name in self._tables:
+            # table_changes(name, start [, end]) — Delta's CDF TVF syntax
+            def sub_c(m, _name=name):
+                end = int(m.group(2)) if m.group(2) is not None else None
+                return self._view_for_changes(_name, int(m.group(1)), end)
+
+            out = re.sub(
+                rf"\btable_changes\s*\(\s*['\"]?{name}['\"]?\s*,\s*(\d+)"
+                rf"(?:\s*,\s*(\d+))?\s*\)",
+                sub_c,
+                out,
+                flags=re.IGNORECASE,
+            )
             # VERSION AS OF <n>
             def sub_v(m, _name=name):
                 return self._view_for_version(_name, int(m.group(1)))

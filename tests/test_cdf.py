@@ -224,3 +224,28 @@ def test_streaming_change_feed(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_sql_table_changes_tvf(spark, tmp_path):
+    """table_changes(name, start [, end]) in SQL text — Delta's CDF TVF
+    syntax, rewritten to a view over cdf.table_changes."""
+    from delta_go_spark.sql import DeltaSqlContext
+
+    t = _cdf_table(spark, tmp_path, "tcdf9")
+    t.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(42).cast("long")})
+    v = t.log.update().version
+    ctx = DeltaSqlContext(spark)
+    ctx.register("cdftable", t.log.table_path)
+    got = ctx.sql(
+        f"SELECT _change_type, k, v FROM table_changes('cdftable', {v}) "
+        "ORDER BY _change_type"
+    ).collect()
+    assert [(r["_change_type"], r["k"], r["v"]) for r in got] == [
+        ("update_postimage", 3, 42),
+        ("update_preimage", 3, 3),
+    ]
+    # bounded range: only the creation inserts
+    n = ctx.sql(
+        "SELECT count(*) AS n FROM table_changes('cdftable', 0, 0)"
+    ).collect()[0]["n"]
+    assert n == 100
