@@ -31,6 +31,9 @@ HEADLINE = [
     "tfidf_top_terms_docs",
     "quality_quartile_docs",
     "ann_lsh_docs",
+    "cosine_near_dup_docs",
+    "repetition_topword_docs",
+    "word_entropy_docs",
 ]
 
 
