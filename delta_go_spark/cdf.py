@@ -47,56 +47,90 @@ def _with_version(df: DataFrame, version_of: dict[str, int]) -> DataFrame:
     )
 
 
+def cdf_entries(
+    log: DeltaLog,
+    table_root: str,
+    start_version: int,
+    end_version_exclusive: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> list[tuple]:
+    """The single source of truth for resolving a version range into
+    change entries `(abs_path, partition_values, change_type|None,
+    version, size)` — change_type None marks a cdc file that carries its
+    own `_change_type` column; versions with cdc actions contribute ONLY
+    those (their add/remove actions are rewrite mechanics, not changes).
+    Shared by table_changes, the batch CDF reader, and the streaming CDF
+    source.  fail_on_data_loss raises on a log gap (expired versions)
+    instead of silently returning a partial change set."""
+    entries: list[tuple] = []
+    for vlog in log.changes(start_version, fail_on_data_loss=fail_on_data_loss):
+        if end_version_exclusive is not None and vlog.version >= end_version_exclusive:
+            break
+        cdcs = [a for a in vlog.actions if isinstance(a, AddCDCFile)]
+        if cdcs:
+            for c in cdcs:
+                entries.append(
+                    (canonicalize_path(c.path, table_root), {}, None,
+                     vlog.version, c.size or 0)
+                )
+            continue
+        for a in vlog.actions:
+            if isinstance(a, AddFile) and a.data_change:
+                entries.append(
+                    (canonicalize_path(a.path, table_root),
+                     dict(a.partition_values or {}), "insert",
+                     vlog.version, a.size or 0)
+                )
+            elif isinstance(a, RemoveFile) and a.data_change:
+                entries.append(
+                    (canonicalize_path(a.path, table_root),
+                     dict(a.partition_values or {}), "delete",
+                     vlog.version, a.size or 0)
+                )
+    return entries
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
     start_version: int = 0,
     end_version: int | None = None,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """Row-level changes for versions in [start_version, end_version]
     (end defaults to latest).  Output: table schema + `_change_type`
     ('insert' | 'delete' | 'update_preimage' | 'update_postimage') +
-    `_commit_version`."""
+    `_commit_version`.  Raises when the range reaches into expired
+    (cleaned-up) versions unless fail_on_data_loss=False."""
     table_path = os.path.abspath(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()
     schema = snap.metadata().schema()
-
-    def canon(p: str) -> str:
-        return canonicalize_path(p, table_path).replace("file://", "")
 
     cdc_version: dict[str, int] = {}
     add_version: dict[str, int] = {}
     adds: list[AddFile] = []
     rm_version: dict[str, int] = {}
     removed: list[AddFile] = []
-    for vlog in log.changes(start_version):
-        if end_version is not None and vlog.version > end_version:
-            break
-        cdcs = [a for a in vlog.actions if isinstance(a, AddCDCFile)]
-        if cdcs:
-            # cdc actions carry the EXACT row-level changes of this commit;
-            # its add/remove actions are the rewrite mechanics, not changes.
-            for c in cdcs:
-                cdc_version[canon(c.path)] = vlog.version
-            continue
-        for a in vlog.actions:
-            if isinstance(a, AddFile) and a.data_change:
-                p = canon(a.path)
-                add_version[p] = vlog.version
-                adds.append(a)
-            elif isinstance(a, RemoveFile) and a.data_change:
-                p = canon(a.path)
-                rm_version[p] = vlog.version
-                removed.append(
-                    AddFile(
-                        path=a.path,
-                        partition_values=a.partition_values or {},
-                        size=a.size or 0,
-                        modification_time=0,
-                        data_change=True,
-                    )
-                )
+    end_excl = end_version + 1 if end_version is not None else None
+    for path, pv, ctype, version, _size in cdf_entries(
+        log, table_path, start_version, end_excl, fail_on_data_loss
+    ):
+        p = path.replace("file://", "")
+        if ctype is None:
+            cdc_version[p] = version
+        elif ctype == "insert":
+            add_version[p] = version
+            adds.append(
+                AddFile(path=path, partition_values=pv, size=0,
+                        modification_time=0, data_change=True)
+            )
+        else:  # delete
+            rm_version[p] = version
+            removed.append(
+                AddFile(path=path, partition_values=pv, size=0,
+                        modification_time=0, data_change=True)
+            )
 
     out_schema = schema.add(StructField(CHANGE_TYPE_COL, StringType()))
     parts: list[DataFrame] = []

@@ -217,10 +217,15 @@ def iter_checkpoint_actions(
     bytes come through the LogStore (the table's backend — works for cloud
     URIs with fake/SDK clients alike); without one, pyarrow filesystem
     dispatch."""
+    from delta_go_spark.store import LocalStore
+
     for path in paths:
-        if store is not None:
+        if store is not None and not isinstance(store, LocalStore):
+            # Cloud store: bytes come through the (possibly fake) client.
             pf = pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
         else:
+            # Local (or no store): stream from the file — never the whole
+            # multi-GB checkpoint as one bytes object on the driver.
             fs, rel = _open_fs(path)
             pf = pq.ParquetFile(fs.open_input_file(rel))
         for batch in pf.iter_batches(batch_size):
@@ -382,13 +387,24 @@ def write_checkpoint(
         )
     table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
 
+    from delta_go_spark.store import LocalStore
+
     def emit(tbl: pa.Table, target: str) -> None:
-        # Serialize in memory and hand bytes to the LogStore: locally that's
-        # temp-file + atomic rename; on object stores a single PUT (atomic at
-        # object level) — raw-path pq.write_table would crash cloud tables.
-        sink = pa.BufferOutputStream()
-        pq.write_table(tbl, sink)
-        store.write_bytes(target, sink.getvalue().to_pybytes(), overwrite=True)
+        if isinstance(store, LocalStore):
+            # Stream to a temp file + atomic rename — no in-memory copy of
+            # the serialized part.
+            import os
+
+            tmp = target + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, target)
+        else:
+            # Object stores: serialize and hand bytes to the LogStore
+            # (single PUT, atomic at object level) — raw-path
+            # pq.write_table would crash cloud tables.
+            sink = pa.BufferOutputStream()
+            pq.write_table(tbl, sink)
+            store.write_bytes(target, sink.getvalue().to_pybytes(), overwrite=True)
 
     # Multi-part when the state outgrows one comfortable parquet file
     # (reference reads multi-part checkpoints: checkpoint.go:214-245,

@@ -290,6 +290,22 @@ class _CDFPartition(InputPartition):
         self.files = files
 
 
+def _pack_cdf_partitions(entries: list[tuple], target_bytes: int) -> list[_CDFPartition]:
+    """Size-pack cdf_entries (same first-fit policy as _pack_partitions)."""
+    parts: list[_CDFPartition] = []
+    cur: list[tuple] = []
+    cur_bytes = 0
+    for path, pv, ctype, version, size in entries:
+        if cur and cur_bytes + size > target_bytes:
+            parts.append(_CDFPartition(cur))
+            cur, cur_bytes = [], 0
+        cur.append((path, pv, ctype, version))
+        cur_bytes += size
+    if cur:
+        parts.append(_CDFPartition(cur))
+    return parts or [_CDFPartition([])]
+
+
 class DeltaGoCDFReader(DataSourceReader):
     """Change-feed batch read: option('readChangeFeed', 'true') with
     optional startingVersion/endingVersion.  The driver resolves the
@@ -297,8 +313,7 @@ class DeltaGoCDFReader(DataSourceReader):
     cdf.table_changes; executors read and attach the constants."""
 
     def __init__(self, schema: StructType, options: dict):
-        from delta_go_spark.actions import AddCDCFile as CDC
-        from delta_go_spark.actions import RemoveFile
+        from delta_go_spark.cdf import cdf_entries
 
         self.schema = schema  # table schema + _change_type + _commit_version
         self.options = dict(options)
@@ -313,81 +328,45 @@ class DeltaGoCDFReader(DataSourceReader):
         )
         start = int(self.options.get("startingversion", 0))
         end = self.options.get("endingversion")
-        end_v = int(end) if end is not None else None
-
-        entries: list[tuple] = []
-        for vlog in log.changes(start):
-            if end_v is not None and vlog.version > end_v:
-                break
-            cdcs = [a for a in vlog.actions if isinstance(a, CDC)]
-            if cdcs:
-                for c in cdcs:
-                    entries.append(
-                        (
-                            canonicalize_path(c.path, self.table_root),
-                            {},
-                            None,  # _change_type comes from the file
-                            vlog.version,
-                            c.size or 0,
-                        )
-                    )
-                continue
-            for a in vlog.actions:
-                if isinstance(a, AddFile) and a.data_change:
-                    entries.append(
-                        (
-                            canonicalize_path(a.path, self.table_root),
-                            dict(a.partition_values or {}),
-                            "insert",
-                            vlog.version,
-                            a.size or 0,
-                        )
-                    )
-                elif isinstance(a, RemoveFile) and a.data_change:
-                    entries.append(
-                        (
-                            canonicalize_path(a.path, self.table_root),
-                            dict(a.partition_values or {}),
-                            "delete",
-                            vlog.version,
-                            a.size or 0,
-                        )
-                    )
-        self._entries = entries
+        end_excl = int(end) + 1 if end is not None else None
+        self._entries = cdf_entries(log, self.table_root, start, end_excl)
 
     def partitions(self) -> list[InputPartition]:
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
-        parts: list[_CDFPartition] = []
-        cur: list[tuple] = []
-        cur_bytes = 0
-        for path, pv, ctype, version, size in self._entries:
-            if cur and cur_bytes + size > target:
-                parts.append(_CDFPartition(cur))
-                cur, cur_bytes = [], 0
-            cur.append((path, pv, ctype, version))
-            cur_bytes += size
-        if cur:
-            parts.append(_CDFPartition(cur))
-        return parts or [_CDFPartition([])]
+        return _pack_cdf_partitions(self._entries, target)
 
     def read(self, partition: _CDFPartition) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
+        yield from _cdf_partition_batches(
+            partition, self.table_schema, self.cdc_schema, self.partition_cols
+        )
 
-        for abs_path, pv, ctype, version in partition.files:
-            if ctype is None:
-                file_schema, pcols = self.cdc_schema, []
-            else:
-                file_schema, pcols = self.table_schema, self.partition_cols
-            for batch in _arrow_batches_for_file(abs_path, file_schema, pcols, pv):
-                n = batch.num_rows
-                arrays = list(batch.columns)
-                names = list(batch.schema.names)
-                if ctype is not None:
-                    arrays.append(pa.array([ctype] * n, type=pa.string()))
-                    names.append("_change_type")
-                arrays.append(pa.array([version] * n, type=pa.int64()))
-                names.append("_commit_version")
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+def _cdf_partition_batches(
+    partition: _CDFPartition,
+    table_schema: StructType,
+    cdc_schema: StructType,
+    partition_cols: list[str],
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side CDF read, shared by the batch and streaming readers:
+    cdc files carry their own _change_type column; add/remove entries get
+    it as a constant; every batch gets its _commit_version."""
+    import pyarrow as pa
+
+    for abs_path, pv, ctype, version in partition.files:
+        if ctype is None:
+            file_schema, pcols = cdc_schema, []
+        else:
+            file_schema, pcols = table_schema, partition_cols
+        for batch in _arrow_batches_for_file(abs_path, file_schema, pcols, pv):
+            n = batch.num_rows
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            if ctype is not None:
+                arrays.append(pa.array([ctype] * n, type=pa.string()))
+                names.append("_change_type")
+            arrays.append(pa.array([version] * n, type=pa.int64()))
+            names.append("_commit_version")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class _NoPushdownReader(DeltaGoBatchReader):
@@ -461,56 +440,18 @@ class DeltaGoStreamReader(DataSourceStreamReader):
             )
         return adds
 
-    def _cdf_entries_between(self, start_v: int, end_v: int) -> list[tuple]:
-        from delta_go_spark.actions import AddCDCFile as CDC
-        from delta_go_spark.actions import RemoveFile
-
-        entries: list[tuple] = []
-        if end_v <= start_v:
-            return entries
-        for vlog in self.log.changes(start_v, fail_on_data_loss=True):
-            if vlog.version >= end_v:
-                break
-            cdcs = [a for a in vlog.actions if isinstance(a, CDC)]
-            if cdcs:
-                for c in cdcs:
-                    entries.append(
-                        (canonicalize_path(c.path, self.table_root), {}, None,
-                         vlog.version, c.size or 0)
-                    )
-                continue
-            for a in vlog.actions:
-                if isinstance(a, AddFile) and a.data_change:
-                    entries.append(
-                        (canonicalize_path(a.path, self.table_root),
-                         dict(a.partition_values or {}), "insert",
-                         vlog.version, a.size or 0)
-                    )
-                elif isinstance(a, RemoveFile) and a.data_change:
-                    entries.append(
-                        (canonicalize_path(a.path, self.table_root),
-                         dict(a.partition_values or {}), "delete",
-                         vlog.version, a.size or 0)
-                    )
-        return entries
-
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
         if self._cdf:
-            parts: list[_CDFPartition] = []
-            cur: list[tuple] = []
-            cur_bytes = 0
-            for path, pv, ctype, version, size in self._cdf_entries_between(
-                int(start["version"]), int(end["version"])
-            ):
-                if cur and cur_bytes + size > target:
-                    parts.append(_CDFPartition(cur))
-                    cur, cur_bytes = [], 0
-                cur.append((path, pv, ctype, version))
-                cur_bytes += size
-            if cur:
-                parts.append(_CDFPartition(cur))
-            return parts or [_CDFPartition([])]
+            from delta_go_spark.cdf import cdf_entries
+
+            start_v, end_v = int(start["version"]), int(end["version"])
+            entries = (
+                cdf_entries(self.log, self.table_root, start_v, end_v)
+                if end_v > start_v
+                else []
+            )
+            return _pack_cdf_partitions(entries, target)
         adds = self._adds_between(int(start["version"]), int(end["version"]))
         return _pack_partitions(
             [
@@ -527,7 +468,9 @@ class DeltaGoStreamReader(DataSourceStreamReader):
     def read(self, partition) -> Iterator["pa.RecordBatch"]:
         # Executor-side: identical Arrow path as the batch readers.
         if isinstance(partition, _CDFPartition):
-            yield from DeltaGoCDFReader.read(self, partition)
+            yield from _cdf_partition_batches(
+                partition, self.table_schema, self.cdc_schema, self.partition_cols
+            )
             return
         for abs_path, pv in partition.files:
             yield from _arrow_batches_for_file(

@@ -106,22 +106,33 @@ class DeltaDml:
         touched, df = _touched_paths(self.spark, snap, candidates, pred_col)
         if not touched:
             return txn.commit([], ops.DELETE, operation_parameters={"predicate": str(predicate)})
-        survivors = df.filter(~pred_col | pred_col.isNull())
-        pcols = snap.metadata().partition_columns
-        clock_ms = log.clock.now_millis()
-        adds = stage_files(survivors, self.table_path, pcols)
-        removes = [a.remove(clock_ms) for a in touched]
-        cdc: list = []
-        if _cdf_enabled(snap):
-            cdc = stage_cdc_files(
-                df.filter(pred_col).withColumn(CHANGE_TYPE_COL, F.lit("delete")),
-                self.table_path,
+        cdf = _cdf_enabled(snap)
+        if cdf:
+            # the rewrite job AND the cdc job both read the touched files —
+            # cache the scan so the second pass hits memory, not parquet
+            df = df.persist()
+        try:
+            survivors = df.filter(~pred_col | pred_col.isNull())
+            pcols = snap.metadata().partition_columns
+            clock_ms = log.clock.now_millis()
+            adds = stage_files(survivors, self.table_path, pcols)
+            removes = [a.remove(clock_ms) for a in touched]
+            cdc: list = []
+            if cdf:
+                cdc = stage_cdc_files(
+                    df.filter(pred_col).withColumn(
+                        CHANGE_TYPE_COL, F.lit("delete")
+                    ),
+                    self.table_path,
+                )
+            return txn.commit(
+                [*adds, *removes, *cdc],
+                ops.DELETE,
+                operation_parameters={"predicate": str(predicate)},
             )
-        return txn.commit(
-            [*adds, *removes, *cdc],
-            ops.DELETE,
-            operation_parameters={"predicate": str(predicate)},
-        )
+        finally:
+            if cdf:
+                df.unpersist()
 
     # -- UPDATE ------------------------------------------------------------
     def update(self, predicate: Expression, assignments: dict[str, object]) -> int:
@@ -133,40 +144,48 @@ class DeltaDml:
         touched, df = _touched_paths(self.spark, snap, candidates, pred_col)
         if not touched:
             return txn.commit([], ops.UPDATE, operation_parameters={"predicate": str(predicate)})
-        updated = df
-        for col, expr in assignments.items():
-            value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
-            updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
-        pcols = snap.metadata().partition_columns
-        clock_ms = log.clock.now_millis()
-        adds = stage_files(updated, self.table_path, pcols)
-        removes = [a.remove(clock_ms) for a in touched]
-        cdc: list = []
-        if _cdf_enabled(snap):
-            # Postimage is assignments applied to the PREIMAGE rows — do not
-            # re-filter the rewritten frame: an assignment that touches a
-            # predicate column would make updated rows stop matching.
-            pre_rows = df.filter(pred_col)
-            post = pre_rows
+        cdf = _cdf_enabled(snap)
+        if cdf:
+            df = df.persist()  # rewrite + cdc pre/post share one scan
+        try:
+            updated = df
             for col, expr in assignments.items():
-                value = (
-                    expr
-                    if hasattr(expr, "_jc") or hasattr(expr, "_expr")
-                    else F.lit(expr)
+                value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
+                updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
+            pcols = snap.metadata().partition_columns
+            clock_ms = log.clock.now_millis()
+            adds = stage_files(updated, self.table_path, pcols)
+            removes = [a.remove(clock_ms) for a in touched]
+            cdc: list = []
+            if cdf:
+                # Postimage is assignments applied to the PREIMAGE rows — do
+                # not re-filter the rewritten frame: an assignment that
+                # touches a predicate column would make updated rows stop
+                # matching.
+                pre_rows = df.filter(pred_col)
+                post = pre_rows
+                for col, expr in assignments.items():
+                    value = (
+                        expr
+                        if hasattr(expr, "_jc") or hasattr(expr, "_expr")
+                        else F.lit(expr)
+                    )
+                    post = post.withColumn(col, value)
+                cdc = stage_cdc_files(
+                    pre_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                    .unionByName(
+                        post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                    ),
+                    self.table_path,
                 )
-                post = post.withColumn(col, value)
-            cdc = stage_cdc_files(
-                pre_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
-                .unionByName(
-                    post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
-                ),
-                self.table_path,
+            return txn.commit(
+                [*adds, *removes, *cdc],
+                ops.UPDATE,
+                operation_parameters={"predicate": str(predicate)},
             )
-        return txn.commit(
-            [*adds, *removes, *cdc],
-            ops.UPDATE,
-            operation_parameters={"predicate": str(predicate)},
-        )
+        finally:
+            if cdf:
+                df.unpersist()
 
     # -- MERGE -------------------------------------------------------------
     def merge(
@@ -186,25 +205,21 @@ class DeltaDml:
         Catalyst's choice)."""
         if update_set and delete_matched:
             raise ValueError("choose update_set or delete_matched, not both")
-        # Delta semantics: a target row may match at most ONE source row; a
-        # duplicated source key would multiply matched target rows (and
-        # double-insert not-matched keys), so fail fast before any rewrite.
-        dup = (
-            source.groupBy(on)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
-        )
+        log, txn, snap = self._begin()
+        txn.read_whole_table()
+        candidates = snap.all_files()
+        # One aggregation serves both needs: the distinct keys for the
+        # semi-join AND the duplicate-source-key guard (Delta semantics: a
+        # target row may match at most ONE source row; duplicates would
+        # multiply matched rows and double-insert, so fail fast).
+        key_counts = source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+        dup = key_counts.filter(F.col("_n") > 1).limit(1).count()
         if dup:
             raise DeltaError(
                 f"MERGE source has multiple rows with the same '{on}' key; "
                 "each target row may match at most one source row"
             )
-        log, txn, snap = self._begin()
-        txn.read_whole_table()
-        candidates = snap.all_files()
-        keys = source.select(F.col(on)).distinct()
+        keys = key_counts.select(F.col(on))
         from delta_go_spark.datareader import files_to_df
 
         target_df = files_to_df(self.spark, snap, candidates) if candidates else None
@@ -230,6 +245,8 @@ class DeltaDml:
 
         if touched:
             tdf = files_to_df(self.spark, snap, touched)
+            if cdf:
+                tdf = tdf.persist()  # rewrite + cdc pre/post share one scan
             src_cols = [c for c in source.columns if c != on]
             src = source.select(
                 F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
@@ -276,6 +293,8 @@ class DeltaDml:
                 rewritten = rewritten.select(*tdf.columns)
             actions.extend(stage_files(rewritten, self.table_path, pcols))
             actions.extend(a.remove(clock_ms) for a in touched)
+            if cdf:
+                tdf.unpersist()
 
         if insert_not_matched:
             schema_cols = [f.name for f in snap.metadata().schema().fields]

@@ -30,6 +30,14 @@ def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "orders_cdf")
     log = DeltaLog.for_table(path)
+    # Crash-safe cache: a previous run killed between the create and the
+    # DML commits leaves a table at version < 2 — rebuild from scratch
+    # rather than serving (or erroring on) a half-built change history.
+    if log.table_exists() and log.update().version < 2:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        log = DeltaLog.for_table(path)
     if not log.table_exists():
         base = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"

@@ -249,3 +249,37 @@ def test_sql_table_changes_tvf(spark, tmp_path):
         "SELECT count(*) AS n FROM table_changes('cdftable', 0, 0)"
     ).collect()[0]["n"]
     assert n == 100
+
+
+def test_table_changes_raises_on_expired_range(spark, tmp_path):
+    """Asking for changes from a version that has been cleaned up must
+    raise, not silently return a partial change set (the streaming source
+    already had this; the batch path matches)."""
+    import pytest
+
+    from delta_go_spark.snapshot import DeltaError
+
+    from delta_go_spark.checkpoint import write_checkpoint
+
+    t = _cdf_table(spark, tmp_path, "tcdf10")
+    t.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(1).cast("long")})
+    t.update(EqualTo(Column("k", LongType()), Literal(4)), {"v": F.lit(2).cast("long")})
+    # checkpoint at the tip, then expire the MIDDLE version (1): the
+    # snapshot still anchors, but the change range [0, latest] has a gap
+    log = t.log
+    snap = log.update()
+    st = snap.state()
+    write_checkpoint(
+        log.store, log.log_path, snap.version, st.protocol, st.metadata,
+        list(st.active_files.values()), list(st.tombstones.values()),
+        list(st.set_transactions.values()),
+    )
+    os.remove(os.path.join(t.log.table_path, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaError):
+        t.table_changes(start_version=0).collect()
+    # opting out returns the surviving versions (0 and 2)
+    from delta_go_spark.cdf import table_changes
+
+    got = table_changes(spark, t.log.table_path, 0, fail_on_data_loss=False)
+    versions = {r["_commit_version"] for r in got.collect()}
+    assert versions == {0, 2}
