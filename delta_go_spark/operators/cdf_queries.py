@@ -27,18 +27,12 @@ def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_go_spark.table import DeltaTable
     from delta_go_spark.writer import write_dataframe
 
+    from delta_go_spark.operators.delta_queries import _ensure_built
+
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "orders_cdf")
-    log = DeltaLog.for_table(path)
-    # Crash-safe cache: a previous run killed between the create and the
-    # DML commits leaves a table at version < 2 — rebuild from scratch
-    # rather than serving (or erroring on) a half-built change history.
-    if log.table_exists() and log.update().version < 2:
-        import shutil
 
-        shutil.rmtree(path, ignore_errors=True)
-        log = DeltaLog.for_table(path)
-    if not log.table_exists():
+    def build():
         base = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -51,6 +45,8 @@ def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"o_totalprice": F.lit(0.0)},
         )
         t.delete(EqualTo(Column("o_orderstatus", StringType()), Literal("F")))
+
+    _ensure_built(path, 2, build)
     changes = table_changes(spark, path, start_version=1)
     return (
         changes.groupBy("_change_type")

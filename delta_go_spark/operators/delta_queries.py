@@ -18,6 +18,25 @@ from delta_go_spark.session import load_table
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs-delta-cache")
 
 
+def _ensure_built(path: str, expected_version: int, build) -> "DeltaLog":
+    """Crash-safe build-once cache: a previous run killed mid-build leaves
+    a table short of `expected_version` — rebuild from scratch rather than
+    serving a half-built history (which would be SILENTLY wrong for the
+    DML/time-travel queries, not an error)."""
+    import shutil
+
+    from delta_go_spark.log import DeltaLog
+
+    log = DeltaLog.for_table(path)
+    if log.table_exists() and log.update().version < expected_version:
+        shutil.rmtree(path, ignore_errors=True)
+        log = DeltaLog.for_table(path)
+    if not log.table_exists():
+        build()
+        log = DeltaLog.for_table(path)
+    return log
+
+
 def _delta_copy(spark: SparkSession, sf_dir: str, name: str, partition_by=None):
     """Ingest a driver table into a Delta table once per (sf_dir, table);
     reuse across queries in the same run."""
@@ -76,12 +95,13 @@ def delta_time_travel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "orders_2commits")
-    log = DeltaLog.for_table(path)
-    if not log.table_exists():
+
+    def build():
         orders = load_table(spark, sf_dir, "orders")
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
-        log = DeltaLog.for_table(path)
+
+    log = _ensure_built(path, 1, build)
     snap_v0 = log.snapshot_for_version_as_of(0)
     df = snap_v0.to_df(spark)
     return (
@@ -122,8 +142,8 @@ def delta_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "customer_dml")
-    log = DeltaLog.for_table(path)
-    if not log.table_exists():
+
+    def build():
         write_dataframe(load_table(spark, sf_dir, "customer"), path)
         t = DeltaTable.for_path(spark, path)
         t.delete(LessThan(Column("c_acctbal", DoubleType()), Literal(0.0)))
@@ -131,6 +151,8 @@ def delta_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             EqualTo(Column("c_mktsegment", StringType()), Literal("AUTOMOBILE")),
             {"c_acctbal": F.lit(0.0)},
         )
+
+    _ensure_built(path, 2, build)
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("c_mktsegment")
@@ -170,10 +192,13 @@ def delta_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "orders_2commits")
-    if not DeltaLog.for_table(path).table_exists():
+
+    def build():
         orders = load_table(spark, sf_dir, "orders")
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
+
+    _ensure_built(path, 1, build)
     ctx = DeltaSqlContext(spark)
     ctx.register("orders_tt", path)
     return ctx.sql(

@@ -55,3 +55,34 @@ def test_oracle_parity(spark, duck, name):
     assert sql is not None, f"{name} must carry an oracle"
     problems = compare_one(spark, duck, fn, sql, SF_DIR)
     assert not problems, f"{name}: {problems}"
+
+
+def test_cached_delta_builders_recover_from_partial_build(spark, duck):
+    """A cache dir whose table died mid-build (version short of expected)
+    must be rebuilt, not served: a half-built customer_dml table would
+    produce silently WRONG aggregates, not an error."""
+    import glob
+    import os
+
+    from check_parity import compare_one
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, delta_dml_agg
+    from delta_go_spark.queries import registry
+
+    # build (or reuse) the cache, then amputate the DML commits: the table
+    # looks exactly like a run that died after the initial write
+    delta_dml_agg(spark, SF_DIR)
+    key = SF_DIR.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "customer_dml")
+    log_dir = os.path.join(path, "_delta_log")
+    for f in glob.glob(os.path.join(log_dir, "*")):
+        name = os.path.basename(f)
+        if not name.startswith(f"{0:020d}.json"):
+            os.remove(f)
+    assert DeltaLog.for_table(path).update().version == 0  # half-built
+
+    fn, sql = registry()["delta_dml_agg"]
+    problems = compare_one(spark, duck, fn, sql, SF_DIR)
+    assert not problems, problems  # rebuilt, not served half-built
+    assert DeltaLog.for_table(path).update().version == 2
