@@ -35,7 +35,12 @@ from delta_go_spark.actions import AddFile
 from delta_go_spark.expressions import Expression
 from delta_go_spark.log import DeltaLog
 from delta_go_spark.snapshot import DeltaError, canonicalize_path
-from delta_go_spark.writer import CHANGE_TYPE_COL, stage_cdc_files, stage_files
+from delta_go_spark.writer import (
+    CHANGE_TYPE_COL,
+    check_constraints,
+    stage_cdc_files,
+    stage_files,
+)
 
 
 def _cdf_enabled(snap) -> bool:
@@ -152,6 +157,7 @@ class DeltaDml:
             for col, expr in assignments.items():
                 value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
                 updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
+            check_constraints(updated, snap.metadata().configuration)
             pcols = snap.metadata().partition_columns
             clock_ms = log.clock.now_millis()
             adds = stage_files(updated, self.table_path, pcols)
@@ -291,6 +297,8 @@ class DeltaDml:
                         )
                     )
                 rewritten = rewritten.select(*tdf.columns)
+            if not delete_matched:
+                check_constraints(rewritten, snap.metadata().configuration)
             actions.extend(stage_files(rewritten, self.table_path, pcols))
             actions.extend(a.remove(clock_ms) for a in touched)
             if cdf:
@@ -316,6 +324,7 @@ class DeltaDml:
                 ]
             )
             if insertable.limit(1).count() > 0:
+                check_constraints(insertable, snap.metadata().configuration)
                 actions.extend(stage_files(insertable, self.table_path, pcols))
                 if cdf:
                     actions.extend(

@@ -111,6 +111,46 @@ class DeltaTable:
             self.spark, self.log.table_path, start_version, end_version
         )
 
+    def add_check_constraint(self, name: str, expr_sql: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates EXISTING rows first
+        (one scan), then records `delta.constraints.<name>` so every later
+        write/UPDATE/MERGE enforces it (public Delta CHECK semantics —
+        NULL satisfies; violation = expression false)."""
+        import dataclasses
+
+        from delta_go_spark import ops
+        from delta_go_spark.writer import CONSTRAINT_PREFIX, check_constraints
+
+        key = f"{CONSTRAINT_PREFIX}{name}"
+        txn = self.log.start_transaction()
+        meta = txn.snapshot.metadata()
+        if key in (meta.configuration or {}):
+            raise ValueError(f"constraint {name} already exists")
+        check_constraints(self.to_df(), {key: expr_sql})
+        cfg = dict(meta.configuration or {})
+        cfg[key] = expr_sql
+        txn.update_metadata(dataclasses.replace(meta, configuration=cfg))
+        return txn.commit(
+            [], ops.SET_TABLE_PROPERTIES, operation_parameters={"constraint": name}
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        import dataclasses
+
+        from delta_go_spark import ops
+        from delta_go_spark.writer import CONSTRAINT_PREFIX
+
+        key = f"{CONSTRAINT_PREFIX}{name}"
+        txn = self.log.start_transaction()
+        meta = txn.snapshot.metadata()
+        if key not in (meta.configuration or {}):
+            raise ValueError(f"no such constraint: {name}")
+        cfg = {k: v for k, v in meta.configuration.items() if k != key}
+        txn.update_metadata(dataclasses.replace(meta, configuration=cfg))
+        return txn.commit(
+            [], ops.SET_TABLE_PROPERTIES, operation_parameters={"constraint": name}
+        )
+
     def add_columns(self, new_fields: list) -> int:
         """ADD COLUMNS: append nullable fields to the schema (the only
         schema change the write-compat rules allow without rewriting —

@@ -149,6 +149,44 @@ def stage_files(
 CDC_DIR = "_change_data"
 CHANGE_TYPE_COL = "_change_type"
 
+CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> None:
+    """Enforce CHECK constraints (public Delta writer-v3 semantics, stored
+    as `delta.constraints.<name>` table properties — exceeds the
+    reference): a row violates iff the expression evaluates to FALSE
+    (NULL satisfies, like SQL CHECK).  One combined filter job regardless
+    of constraint count; raises before anything is staged."""
+    from pyspark.sql import functions as F
+
+    constraints = {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+    if not constraints:
+        return
+    violated = None
+    for name, expr_sql in constraints.items():
+        cond = ~F.coalesce(F.expr(expr_sql), F.lit(True))
+        violated = cond if violated is None else (violated | cond)
+    bad = df.filter(violated).limit(1).collect()
+    if bad:
+        # identify which constraint(s) the sample row breaks for the error
+        row = bad[0]
+        broken = [
+            f"{name} ({expr_sql})"
+            for name, expr_sql in constraints.items()
+            if df.filter(
+                ~F.coalesce(F.expr(expr_sql), F.lit(True))
+            ).limit(1).count()
+        ]
+        raise DeltaError(
+            f"CHECK constraint violated: {', '.join(broken)}; "
+            f"example row: {row.asDict()}"
+        )
+
 
 def stage_cdc_files(df: DataFrame, table_path: str) -> list:
     """Write change-data rows (schema + `_change_type`) as parquet under
@@ -255,6 +293,11 @@ def write_dataframe(
             schema_evolution = dataclasses.replace(
                 meta, schema_string=schema_to_json(evolved)
             )
+
+    if exists:
+        check_constraints(df, txn.snapshot.metadata().configuration)
+    else:
+        check_constraints(df, configuration)
 
     clock_ms = log.clock.now_millis()
     new_files = stage_files(df, table_path, partition_by)

@@ -1,0 +1,69 @@
+"""CHECK constraints (public Delta writer-v3 semantics, exceeds the
+reference): stored as delta.constraints.<name>, enforced on append,
+UPDATE and MERGE; NULL satisfies; existing rows validated on ADD."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from delta_go_spark.expressions import Column, EqualTo, Literal
+from delta_go_spark.snapshot import DeltaError
+from delta_go_spark.table import DeltaTable
+
+
+def _table(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    # nullable k (createDataFrame, unlike spark.range's non-null id) so the
+    # NULL-satisfies-CHECK case is not shadowed by the NOT NULL invariant
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(1, 101)], "k long, v long"
+    )
+    DeltaTable.create(spark, path, df)
+    return DeltaTable.for_path(spark, path)
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    t = _table(spark, tmp_path, "tc1")
+    with pytest.raises(DeltaError, match="CHECK constraint"):
+        t.add_check_constraint("k_big", "k > 50")  # existing rows violate
+    t.add_check_constraint("k_pos", "k > 0")  # all rows satisfy
+    cfg = t.log.update().metadata().configuration
+    assert cfg["delta.constraints.k_pos"] == "k > 0"
+
+
+def test_append_and_dml_enforce_constraint(spark, tmp_path):
+    t = _table(spark, tmp_path, "tc2")
+    t.add_check_constraint("k_pos", "k > 0")
+    t = DeltaTable.for_path(spark, t.log.table_path)
+    # violating append rejected, nothing committed
+    v = t.log.update().version
+    with pytest.raises(DeltaError, match="k_pos"):
+        t.append(spark.createDataFrame([(0, 1)], "k long, v long"))
+    assert t.log.update().version == v
+    # satisfying append lands
+    t.append(spark.createDataFrame([(200, 1)], "k long, v long"))
+    assert t.to_df().count() == 101
+    # UPDATE driving a row out of bounds rejected
+    with pytest.raises(DeltaError, match="k_pos"):
+        t.update(EqualTo(Column("k", LongType()), Literal(200)),
+                 {"k": F.lit(-1).cast("long")})
+    # MERGE insert of a violating row rejected
+    with pytest.raises(DeltaError, match="k_pos"):
+        t.merge(spark.createDataFrame([(-5, 9)], "k long, v long"), on="k")
+    # NULL satisfies (SQL CHECK semantics)
+    t.append(spark.createDataFrame([(None, 3)], "k long, v long"))
+    assert t.to_df().filter(F.col("k").isNull()).count() == 1
+
+
+def test_drop_constraint_reopens_writes(spark, tmp_path):
+    t = _table(spark, tmp_path, "tc3")
+    t.add_check_constraint("v_small", "v < 5")
+    t = DeltaTable.for_path(spark, t.log.table_path)
+    with pytest.raises(DeltaError):
+        t.append(spark.createDataFrame([(300, 99)], "k long, v long"))
+    t.drop_check_constraint("v_small")
+    t = DeltaTable.for_path(spark, t.log.table_path)
+    t.append(spark.createDataFrame([(300, 99)], "k long, v long"))
+    assert t.to_df().filter(F.col("v") == 99).count() == 1
+    with pytest.raises(ValueError):
+        t.drop_check_constraint("nope")
