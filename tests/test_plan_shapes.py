@@ -70,3 +70,25 @@ def test_cosine_near_dup_has_no_nested_loop(spark):
     plan = _plan(queries()["cosine_near_dup_docs"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_queries_join_shapes(spark):
+    """Curation module: the per-lang bounds join must broadcast its 5-row
+    side, and no curation query may degrade to a nested-loop product."""
+    from delta_go_spark.queries import queries
+
+    qs = queries()
+    outlier_plan = _plan(qs["length_outlier_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in outlier_plan
+    for name in (
+        "length_outlier_docs",
+        "repetition_topword_docs",
+        "source_rank_by_lang",
+        "vocab_by_source",
+        "word_entropy_docs",
+        "bigram_repetition_docs",
+        "char_trigram_profile",
+    ):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
