@@ -47,13 +47,13 @@ _MODULES = [
     streaming_windows,
     streaming_stateful,
     delta_queries,
-    curation,  # new in round 2: 9 queries, in-window; q12 stays at position 50
-    coverage,
+    curation,  # new in round 2: 9 queries, in-window
+    cdf_queries,  # position 42 — in-window (never driver-checked before)
+    coverage,  # q12 leads the module so it lands at 43, inside the window
     relational,
     subqueries,
     asof,
     rangejoin,
-    cdf_queries,  # outside the 50-query window this round; rotates in next
 ]
 
 
