@@ -394,6 +394,7 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         self.partition_cols = list(meta.partition_columns or [])
         self.table_root = snap.table_root
         self._start = int(options.get("startingversion", 0))
+        self._committed: int | None = None  # advanced by commit()
         # Change-feed mode: micro-batches carry row-level changes
         # (_change_type + _commit_version) instead of appended rows.
         self._cdf = (
@@ -423,8 +424,40 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        # end offset is EXCLUSIVE: next version the stream has not seen
-        return {"version": self.log.update().version + 1}
+        # End offset is EXCLUSIVE: next version the stream has not seen.
+        # maxFilesPerTrigger bounds the batch like Delta's option: with a
+        # deep backlog the stream advances version-by-version in chunks of
+        # roughly that many files instead of one giant catch-up batch.
+        # (pyspark's DataSourceStreamReader has no latestOffset(start,
+        # limit) form, so the reader tracks its own committed position.)
+        tip = self.log.update().version + 1
+        limit = self.options.get("maxfilespertrigger")
+        if limit is None:
+            return {"version": tip}
+        if self._committed is None:
+            # Restart safety: before the first commit/partitions call the
+            # reader cannot know the checkpointed position — a limited
+            # offset computed from startingVersion could land BEHIND it and
+            # stall the stream forever.  One unthrottled batch, then limit.
+            return {"version": tip}
+        max_files = int(limit)
+        start_v = self._committed
+        if start_v >= tip:
+            return {"version": tip}  # caught up; changes() would raise
+        n = 0
+        end_v = start_v
+        for vlog in self.log.changes(start_v, fail_on_data_loss=True):
+            if vlog.version >= tip:
+                break
+            n += sum(
+                1
+                for a in vlog.actions
+                if isinstance(a, AddFile) and a.data_change
+            )
+            end_v = vlog.version + 1
+            if n >= max_files:
+                break
+        return {"version": max(end_v, start_v)}
 
     def _adds_between(self, start_v: int, end_v: int) -> list[AddFile]:
         adds: list[AddFile] = []
@@ -441,6 +474,12 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         return adds
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Track the stream's position (also set on restart replay, where
+        # Spark hands us the checkpointed offsets directly).  The planned
+        # batch covers [start, end), so the next trigger continues from
+        # `end`; a failed batch replans the same deterministic range, so
+        # advancing optimistically here cannot skip data.
+        self._committed = max(self._committed or 0, int(end["version"]))
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
         if self._cdf:
             from delta_go_spark.cdf import cdf_entries
@@ -478,7 +517,9 @@ class DeltaGoStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are derivable from the log; nothing to clean up
+        # Nothing to clean up (offsets derive from the log); remember the
+        # high-water mark so a rate-limited latestOffset continues from it.
+        self._committed = int(end["version"])
 
 
 class DeltaGoDataSource(DataSource):
