@@ -395,6 +395,7 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         self.table_root = snap.table_root
         self._start = int(options.get("startingversion", 0))
         self._committed: int | None = None  # advanced by commit()
+        self._planned: tuple | None = None  # (start, end, adds) memo
         # Change-feed mode: micro-batches carry row-level changes
         # (_change_type + _commit_version) instead of appended rows.
         self._cdf = (
@@ -418,9 +419,14 @@ class DeltaGoStreamReader(DataSourceStreamReader):
     def __getstate__(self) -> dict:
         state = dict(self.__dict__)
         state["_log"] = None
+        state["_planned"] = None  # driver-only planning memo
         return state
 
     def initialOffset(self) -> dict:
+        # Spark calls this only when there is NO checkpoint, so seeding the
+        # position here is restart-safe and lets maxFilesPerTrigger throttle
+        # the very first catch-up batch (its primary use case).
+        self._committed = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -429,16 +435,14 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         # deep backlog the stream advances version-by-version in chunks of
         # roughly that many files instead of one giant catch-up batch.
         # (pyspark's DataSourceStreamReader has no latestOffset(start,
-        # limit) form, so the reader tracks its own committed position.)
+        # limit) form, so the reader tracks its own position: seeded by
+        # initialOffset on fresh streams, by partitions()/commit() after a
+        # restart — where the FIRST batch is unthrottled by design, since a
+        # limited offset computed blind could land behind the checkpointed
+        # position and stall the stream.)
         tip = self.log.update().version + 1
         limit = self.options.get("maxfilespertrigger")
-        if limit is None:
-            return {"version": tip}
-        if self._committed is None:
-            # Restart safety: before the first commit/partitions call the
-            # reader cannot know the checkpointed position — a limited
-            # offset computed from startingVersion could land BEHIND it and
-            # stall the stream forever.  One unthrottled batch, then limit.
+        if limit is None or self._committed is None:
             return {"version": tip}
         max_files = int(limit)
         start_v = self._committed
@@ -446,23 +450,31 @@ class DeltaGoStreamReader(DataSourceStreamReader):
             return {"version": tip}  # caught up; changes() would raise
         n = 0
         end_v = start_v
+        adds: list[AddFile] = []
         for vlog in self.log.changes(start_v, fail_on_data_loss=True):
             if vlog.version >= tip:
                 break
-            n += sum(
-                1
+            adds.extend(
+                a
                 for a in vlog.actions
                 if isinstance(a, AddFile) and a.data_change
             )
+            n = len(adds)
             end_v = vlog.version + 1
             if n >= max_files:
                 break
-        return {"version": max(end_v, start_v)}
+        end_v = max(end_v, start_v)
+        # memo: partitions() for this exact range reuses the AddFiles we
+        # just materialized instead of re-parsing the same commit JSON
+        self._planned = (start_v, end_v, adds)
+        return {"version": end_v}
 
     def _adds_between(self, start_v: int, end_v: int) -> list[AddFile]:
         adds: list[AddFile] = []
         if end_v <= start_v:
             return adds
+        if self._planned is not None and self._planned[:2] == (start_v, end_v):
+            return self._planned[2]
         for vlog in self.log.changes(start_v, fail_on_data_loss=True):
             if vlog.version >= end_v:
                 break

@@ -49,6 +49,15 @@ def _cdf_enabled(snap) -> bool:
     )
 
 
+def _has_constraints(snap) -> bool:
+    from delta_go_spark.writer import CONSTRAINT_PREFIX
+
+    return any(
+        k.startswith(CONSTRAINT_PREFIX)
+        for k in (snap.metadata().configuration or {})
+    )
+
+
 def _touched_paths(
     spark: SparkSession, snapshot, candidates: list[AddFile], predicate
 ) -> tuple[list[AddFile], DataFrame]:
@@ -150,14 +159,19 @@ class DeltaDml:
         if not touched:
             return txn.commit([], ops.UPDATE, operation_parameters={"predicate": str(predicate)})
         cdf = _cdf_enabled(snap)
-        if cdf:
-            df = df.persist()  # rewrite + cdc pre/post share one scan
+        cache = cdf or _has_constraints(snap)
+        if cache:
+            # the rewrite job, the constraint filter and the cdc pre/post
+            # job all re-evaluate this scan — cache it once
+            df = df.persist()
         try:
             updated = df
             for col, expr in assignments.items():
                 value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
                 updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
-            check_constraints(updated, snap.metadata().configuration)
+            check_constraints(
+                updated, snap.metadata().configuration, snap.metadata().schema()
+            )
             pcols = snap.metadata().partition_columns
             clock_ms = log.clock.now_millis()
             adds = stage_files(updated, self.table_path, pcols)
@@ -190,7 +204,7 @@ class DeltaDml:
                 operation_parameters={"predicate": str(predicate)},
             )
         finally:
-            if cdf:
+            if cache:
                 df.unpersist()
 
     # -- MERGE -------------------------------------------------------------
@@ -251,8 +265,8 @@ class DeltaDml:
 
         if touched:
             tdf = files_to_df(self.spark, snap, touched)
-            if cdf:
-                tdf = tdf.persist()  # rewrite + cdc pre/post share one scan
+            if cdf or _has_constraints(snap):
+                tdf = tdf.persist()  # rewrite/constraints/cdc share one scan
             src_cols = [c for c in source.columns if c != on]
             src = source.select(
                 F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
@@ -281,6 +295,13 @@ class DeltaDml:
                     rewritten = rewritten.withColumn(
                         col, F.when(is_match, value).otherwise(F.col(col))
                     )
+                # constraints BEFORE any staging: a rejected merge must not
+                # leave orphaned change-data parquet on disk
+                check_constraints(
+                    rewritten.select(*tdf.columns),
+                    snap.metadata().configuration,
+                    snap.metadata().schema(),
+                )
                 if cdf:
                     pre = joined.filter(is_match).select(*tdf.columns)
                     post = rewritten.filter(is_match).select(*tdf.columns)
@@ -297,11 +318,9 @@ class DeltaDml:
                         )
                     )
                 rewritten = rewritten.select(*tdf.columns)
-            if not delete_matched:
-                check_constraints(rewritten, snap.metadata().configuration)
             actions.extend(stage_files(rewritten, self.table_path, pcols))
             actions.extend(a.remove(clock_ms) for a in touched)
-            if cdf:
+            if cdf or _has_constraints(snap):
                 tdf.unpersist()
 
         if insert_not_matched:
@@ -324,7 +343,11 @@ class DeltaDml:
                 ]
             )
             if insertable.limit(1).count() > 0:
-                check_constraints(insertable, snap.metadata().configuration)
+                check_constraints(
+                    insertable,
+                    snap.metadata().configuration,
+                    snap.metadata().schema(),
+                )
                 actions.extend(stage_files(insertable, self.table_path, pcols))
                 if cdf:
                     actions.extend(

@@ -50,7 +50,13 @@ class DeltaStreamCommitter:
         exists = txn.snapshot is not None and txn.read_version >= 0
         partition_by = list(self.partition_by or [])
         if exists:
-            partition_by = txn.snapshot.metadata().partition_columns
+            meta = txn.snapshot.metadata()
+            partition_by = meta.partition_columns
+            # the streaming sink is a write path like any other: CHECK
+            # constraints reject the batch before anything is staged
+            from delta_go_spark.writer import check_constraints
+
+            check_constraints(batch_df, meta.configuration, meta.schema())
 
         new_files = stage_files(batch_df, self.table_path, partition_by)
 

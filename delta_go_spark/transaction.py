@@ -172,6 +172,7 @@ class OptimisticTransaction:
         operation: str = ops.MANUAL_UPDATE,
         engine_info: str | None = "delta-go-spark",
         operation_parameters: dict | None = None,
+        isolation_override: str | None = None,
     ) -> int:
         """reference: trnx.go:144-224."""
         if self.committed:
@@ -190,11 +191,16 @@ class OptimisticTransaction:
 
         prepared = self._prepare_commit(actions)
 
-        # isolation auto-pick (reference: trnx.go:166-179)
+        # isolation auto-pick (reference: trnx.go:166-179); the override
+        # lets a metadata-only commit whose VALIDITY depends on the data it
+        # read (e.g. ADD CONSTRAINT) demand Serializable so concurrent
+        # appends of now-violating rows conflict instead of slipping under.
         data_changed = any(
             (isinstance(a, (AddFile, RemoveFile)) and a.data_change) for a in prepared
         )
-        isolation = SERIALIZABLE if data_changed else SNAPSHOT_ISOLATION
+        isolation = isolation_override or (
+            SERIALIZABLE if data_changed else SNAPSHOT_ISOLATION
+        )
 
         only_adds = all(isinstance(a, AddFile) for a in prepared if isinstance(a, (AddFile, RemoveFile)))
         depends_on_files = bool(self.read_predicates) or bool(self.read_files) or self.read_whole_table_flag

@@ -152,12 +152,21 @@ CHANGE_TYPE_COL = "_change_type"
 CONSTRAINT_PREFIX = "delta.constraints."
 
 
-def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> None:
+def check_constraints(
+    df: DataFrame,
+    configuration: dict[str, str] | None,
+    table_schema=None,
+) -> None:
     """Enforce CHECK constraints (public Delta writer-v3 semantics, stored
     as `delta.constraints.<name>` table properties — exceeds the
     reference): a row violates iff the expression evaluates to FALSE
     (NULL satisfies, like SQL CHECK).  One combined filter job regardless
-    of constraint count; raises before anything is staged."""
+    of constraint count; raises before anything is staged.
+
+    table_schema: when given, table columns absent from `df` are added as
+    typed NULLs before evaluation — a frame legitimately missing a
+    nullable column (it reads back as NULL) must satisfy-or-violate by
+    CHECK's NULL rules, not crash on an unresolved column."""
     from pyspark.sql import functions as F
 
     constraints = {
@@ -167,21 +176,31 @@ def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> No
     }
     if not constraints:
         return
-    violated = None
-    for name, expr_sql in constraints.items():
-        cond = ~F.coalesce(F.expr(expr_sql), F.lit(True))
-        violated = cond if violated is None else (violated | cond)
-    bad = df.filter(violated).limit(1).collect()
+    if table_schema is not None:
+        have = {c.lower() for c in df.columns}
+        for f in table_schema.fields:
+            if f.name.lower() not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    def violates(expr_sql: str):
+        return ~F.coalesce(F.expr(expr_sql), F.lit(True))
+
+    combined = None
+    for expr_sql in constraints.values():
+        cond = violates(expr_sql)
+        combined = cond if combined is None else (combined | cond)
+    bad = df.filter(combined).limit(1).collect()
     if bad:
-        # identify which constraint(s) the sample row breaks for the error
+        # Identify which constraint(s) the SAMPLE row breaks by evaluating
+        # each expression against a local 1-row frame — no re-scan of df.
         row = bad[0]
+        spark = df.sparkSession
+        one = spark.createDataFrame([row], df.schema)
         broken = [
             f"{name} ({expr_sql})"
             for name, expr_sql in constraints.items()
-            if df.filter(
-                ~F.coalesce(F.expr(expr_sql), F.lit(True))
-            ).limit(1).count()
-        ]
+            if one.filter(violates(expr_sql)).count()
+        ] or [f"{n} ({e})" for n, e in constraints.items()]
         raise DeltaError(
             f"CHECK constraint violated: {', '.join(broken)}; "
             f"example row: {row.asDict()}"
@@ -295,7 +314,8 @@ def write_dataframe(
             )
 
     if exists:
-        check_constraints(df, txn.snapshot.metadata().configuration)
+        meta0 = txn.snapshot.metadata()
+        check_constraints(df, meta0.configuration, meta0.schema())
     else:
         check_constraints(df, configuration)
 

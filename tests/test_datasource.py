@@ -242,20 +242,27 @@ def test_stream_max_files_per_trigger(spark, tmp_path):
     assert got.select(F.sum("k")).collect()[0][0] == (
         sum(range(100)) + sum(range(100, 110)) + sum(range(200, 210)) + sum(range(300, 310))
     )
-    # Throttle mechanics at the reader level (latestOffset() has no
-    # admission-control form in this pyspark, so the first batch after a
-    # (re)start is unthrottled by design; once the position is known the
-    # offset advances at most ~maxFilesPerTrigger files per trigger):
+    # (availableNow snapshots ONE end offset up front in Spark's wrapper,
+    # so the e2e drain above may run as a single batch regardless of the
+    # limit; the throttle governs processing-time triggers, whose
+    # latestOffset-per-trigger mechanics are asserted below.)
+
+    # Throttle mechanics at the reader level: after initialOffset the
+    # offset advances at most ~maxFilesPerTrigger files per trigger; a
+    # RESTARTED reader (no initialOffset call) is unthrottled for its
+    # first batch by design (position unknown until partitions/commit).
     from delta_go_spark.datasource import DeltaGoStreamReader
 
-    reader = DeltaGoStreamReader(
-        spark.read.format("delta_go").load(path).schema,
-        {"path": path, "maxfilespertrigger": "1"},
-    )
+    schema = spark.read.format("delta_go").load(path).schema
+    reader = DeltaGoStreamReader(schema, {"path": path, "maxfilespertrigger": "1"})
     tip = reader.log.update().version + 1
-    assert reader.latestOffset() == {"version": tip}  # position unknown yet
+    assert reader.latestOffset() == {"version": tip}  # restart: unthrottled
     reader.partitions({"version": 0}, {"version": 1})  # engine replays v0
     bounded = reader.latestOffset()["version"]
     assert 1 < bounded < tip  # one version's worth of files, not the tip
     reader.commit({"version": bounded})
     assert reader.latestOffset()["version"] > bounded  # keeps advancing
+
+    fresh = DeltaGoStreamReader(schema, {"path": path, "maxfilespertrigger": "1"})
+    fresh.initialOffset()
+    assert fresh.latestOffset()["version"] < tip  # fresh stream throttles
