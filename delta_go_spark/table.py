@@ -33,7 +33,24 @@ class DeltaTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         configuration: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "DeltaTable":
+        """`generated` maps column name -> SQL expression: the column is
+        computed from the expression (or validated, if the frame already
+        carries it) and the expression is recorded in the field metadata
+        (`delta.generationExpression`, the public Delta layout) so every
+        later write computes/validates it too."""
+        if generated:
+            from pyspark.sql import functions as F
+
+            from delta_go_spark.writer import GENERATION_EXPRESSION_KEY
+
+            for name, expr_sql in generated.items():
+                col = F.col(name) if name in df.columns else F.expr(expr_sql)
+                df = df.withColumn(
+                    name,
+                    col.alias(name, metadata={GENERATION_EXPRESSION_KEY: expr_sql}),
+                )
         write_dataframe(df, table_path, "append", partition_by, configuration)
         return cls(spark, table_path)
 

@@ -150,6 +150,39 @@ CDC_DIR = "_change_data"
 CHANGE_TYPE_COL = "_change_type"
 
 CONSTRAINT_PREFIX = "delta.constraints."
+GENERATION_EXPRESSION_KEY = "delta.generationExpression"
+
+
+def apply_generated_columns(df: DataFrame, table_schema) -> DataFrame:
+    """Generated columns (public Delta layout: the expression lives in the
+    field metadata under `delta.generationExpression`).  A generated
+    column ABSENT from the written frame is computed; one the writer
+    supplies is validated against the expression (null-safe equality) —
+    Delta's contract that stored values always agree with the formula."""
+    from pyspark.sql import functions as F
+
+    generated = {
+        f.name: f.metadata[GENERATION_EXPRESSION_KEY]
+        for f in table_schema.fields
+        if f.metadata and GENERATION_EXPRESSION_KEY in f.metadata
+    }
+    if not generated:
+        return df
+    have = {c.lower() for c in df.columns}
+    for name, expr_sql in generated.items():
+        field = table_schema[name]
+        if name.lower() not in have:
+            df = df.withColumn(name, F.expr(expr_sql).cast(field.dataType))
+        else:
+            mismatch = df.filter(
+                ~F.col(name).eqNullSafe(F.expr(expr_sql).cast(field.dataType))
+            ).limit(1).collect()
+            if mismatch:
+                raise DeltaError(
+                    f"generated column {name} does not match its expression "
+                    f"{expr_sql!r}; example row: {mismatch[0].asDict()}"
+                )
+    return df
 
 
 def check_constraints(
@@ -290,6 +323,7 @@ def write_dataframe(
             )
         partition_by = meta.partition_columns
         table_schema = meta.schema()
+        df = apply_generated_columns(df, table_schema)
         known = {f.name.lower() for f in table_schema.fields}
         extras = [f for f in df.schema.fields if f.name.lower() not in known]
         if extras and not merge_schema:

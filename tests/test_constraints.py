@@ -67,3 +67,34 @@ def test_drop_constraint_reopens_writes(spark, tmp_path):
     assert t.to_df().filter(F.col("v") == 99).count() == 1
     with pytest.raises(ValueError):
         t.drop_check_constraint("nope")
+
+
+def test_generated_columns(spark, tmp_path):
+    """Generated columns (delta.generationExpression in field metadata):
+    computed at create, computed when absent on append, validated when
+    supplied; the expression round-trips through the schema JSON."""
+    from delta_go_spark.writer import GENERATION_EXPRESSION_KEY
+
+    path = str(tmp_path / "tgen")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    t = DeltaTable.create(spark, path, base, generated={"v2": "v * 2"})
+    got = {r["k"]: r["v2"] for r in t.to_df().collect()}
+    assert got == {1: 20, 2: 40}
+    # expression survives in the committed schema metadata
+    field = {f.name: f for f in t.log.update().metadata().schema().fields}["v2"]
+    assert field.metadata[GENERATION_EXPRESSION_KEY] == "v * 2"
+
+    # append WITHOUT the generated column: computed from the formula
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    assert {r["k"]: r["v2"] for r in t.to_df().collect()}[3] == 60
+
+    # append WITH a matching value: accepted
+    t.append(spark.createDataFrame([(4, 40, 80)], "k long, v long, v2 long"))
+    assert t.to_df().count() == 4
+
+    # append WITH a contradicting value: rejected, nothing committed
+    v_before = t.log.update().version
+    with pytest.raises(DeltaError, match="generated column"):
+        t.append(spark.createDataFrame([(5, 50, 999)], "k long, v long, v2 long"))
+    assert t.log.update().version == v_before
+    assert t.to_df().count() == 4
