@@ -267,61 +267,65 @@ class DeltaDml:
             tdf = files_to_df(self.spark, snap, touched)
             if cdf or _has_constraints(snap):
                 tdf = tdf.persist()  # rewrite/constraints/cdc share one scan
-            src_cols = [c for c in source.columns if c != on]
-            src = source.select(
-                F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
-            )
-            joined = tdf.join(F.broadcast(src), tdf[on] == F.col("_mk"), "left_outer")
-            is_match = F.col("_mk").isNotNull()
-            if delete_matched:
-                rewritten = joined.filter(~is_match).select(*tdf.columns)
-                if cdf:
-                    actions.extend(
-                        stage_cdc_files(
-                            joined.filter(is_match)
-                            .select(*tdf.columns)
-                            .withColumn(CHANGE_TYPE_COL, F.lit("delete")),
-                            self.table_path,
-                        )
-                    )
-            else:
-                rewritten = joined
-                for col, expr in (update_set or {}).items():
-                    value = (
-                        expr
-                        if hasattr(expr, "_jc") or hasattr(expr, "_expr")
-                        else F.lit(expr)
-                    )
-                    rewritten = rewritten.withColumn(
-                        col, F.when(is_match, value).otherwise(F.col(col))
-                    )
-                # constraints BEFORE any staging: a rejected merge must not
-                # leave orphaned change-data parquet on disk
-                check_constraints(
-                    rewritten.select(*tdf.columns),
-                    snap.metadata().configuration,
-                    snap.metadata().schema(),
+            try:
+                src_cols = [c for c in source.columns if c != on]
+                src = source.select(
+                    F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
                 )
-                if cdf:
-                    pre = joined.filter(is_match).select(*tdf.columns)
-                    post = rewritten.filter(is_match).select(*tdf.columns)
-                    actions.extend(
-                        stage_cdc_files(
-                            pre.withColumn(
-                                CHANGE_TYPE_COL, F.lit("update_preimage")
-                            ).unionByName(
-                                post.withColumn(
-                                    CHANGE_TYPE_COL, F.lit("update_postimage")
-                                )
-                            ),
-                            self.table_path,
+                joined = tdf.join(F.broadcast(src), tdf[on] == F.col("_mk"), "left_outer")
+                is_match = F.col("_mk").isNotNull()
+                if delete_matched:
+                    rewritten = joined.filter(~is_match).select(*tdf.columns)
+                    if cdf:
+                        actions.extend(
+                            stage_cdc_files(
+                                joined.filter(is_match)
+                                .select(*tdf.columns)
+                                .withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                                self.table_path,
+                            )
                         )
+                else:
+                    rewritten = joined
+                    for col, expr in (update_set or {}).items():
+                        value = (
+                            expr
+                            if hasattr(expr, "_jc") or hasattr(expr, "_expr")
+                            else F.lit(expr)
+                        )
+                        rewritten = rewritten.withColumn(
+                            col, F.when(is_match, value).otherwise(F.col(col))
+                        )
+                    # constraints BEFORE any staging: a rejected merge must not
+                    # leave orphaned change-data parquet on disk
+                    check_constraints(
+                        rewritten.select(*tdf.columns),
+                        snap.metadata().configuration,
+                        snap.metadata().schema(),
                     )
-                rewritten = rewritten.select(*tdf.columns)
-            actions.extend(stage_files(rewritten, self.table_path, pcols))
-            actions.extend(a.remove(clock_ms) for a in touched)
-            if cdf or _has_constraints(snap):
-                tdf.unpersist()
+                    if cdf:
+                        pre = joined.filter(is_match).select(*tdf.columns)
+                        post = rewritten.filter(is_match).select(*tdf.columns)
+                        actions.extend(
+                            stage_cdc_files(
+                                pre.withColumn(
+                                    CHANGE_TYPE_COL, F.lit("update_preimage")
+                                ).unionByName(
+                                    post.withColumn(
+                                        CHANGE_TYPE_COL, F.lit("update_postimage")
+                                    )
+                                ),
+                                self.table_path,
+                            )
+                        )
+                    rewritten = rewritten.select(*tdf.columns)
+                actions.extend(stage_files(rewritten, self.table_path, pcols))
+                actions.extend(a.remove(clock_ms) for a in touched)
+            finally:
+                # unpersist even when a constraint rejection aborts the
+                # merge — otherwise the cached frame leaks for the session
+                if cdf or _has_constraints(snap):
+                    tdf.unpersist()
 
         if insert_not_matched:
             schema_cols = [f.name for f in snap.metadata().schema().fields]
