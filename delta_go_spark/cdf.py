@@ -22,6 +22,7 @@ broadcast path->version map joined via input_file_name.
 from __future__ import annotations
 
 import os
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,17 +34,38 @@ from delta_go_spark.log import DeltaLog
 from delta_go_spark.snapshot import canonicalize_path
 from delta_go_spark.writer import CHANGE_TYPE_COL
 
+# Characters java.net.URI leaves unescaped in a path component (RFC 2396
+# mark + reserved-in-path set).  input_file_name() returns Hadoop Path URIs
+# percent-encoded with exactly this safe set (space -> %20, '%' -> %25),
+# so mapping keys must be encoded the same way to join against it.
+_URI_PATH_SAFE = "/:@!$&'()*+,;=~-._"
+
 
 def _with_version(df: DataFrame, version_of: dict[str, int]) -> DataFrame:
-    mapping = F.create_map(
-        *[
-            x
-            for p, v in version_of.items()
-            for x in (F.lit(f"file://{p}"), F.lit(v))
-        ]
+    """Attach `_commit_version` by broadcast-joining a 2-column
+    (file URI, version) relation on ``input_file_name()``.
+
+    The mapping is DATA, not plan: plan size stays O(1) however many files
+    the version range touched.  (A month-long CDF range on a 100 TB table
+    can span millions of changed files; the previous ``F.create_map`` of
+    2x-that-many literals stalled Catalyst on the driver long before any
+    executor ran.)  Each path is keyed under both its raw and its
+    percent-encoded URI spelling, because input_file_name() emits Hadoop's
+    URI-encoded form — a partition value with a space yields ``%20`` in
+    the scan's file name but not in the AddFile path."""
+    spark = df.sparkSession
+    keyed = set()
+    for p, v in version_of.items():
+        keyed.add((f"file://{p}", v))
+        keyed.add(("file://" + quote(p, safe=_URI_PATH_SAFE), v))
+    mapping = spark.createDataFrame(
+        sorted(keyed), "_dgs_input_file string, _dgs_commit_version long"
     )
-    return df.withColumn(
-        "_commit_version", mapping[F.input_file_name()].cast("long")
+    return (
+        df.withColumn("_dgs_input_file", F.input_file_name())
+        .join(F.broadcast(mapping), on="_dgs_input_file", how="left")
+        .drop("_dgs_input_file")
+        .withColumnRenamed("_dgs_commit_version", "_commit_version")
     )
 
 

@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from urllib.parse import unquote
+
 from delta_go_spark import config as cfg
 from delta_go_spark import ops
 from delta_go_spark.actions import AddFile
@@ -82,7 +84,10 @@ def _touched_paths(
         .distinct()
         .toLocalIterator()
     )
-    matched_paths = {r["_f"].replace("file://", "") for r in matched_rows}
+    # input_file_name() returns percent-encoded URIs (space -> %20); the
+    # log's canonical paths are decoded — normalize before comparing, or a
+    # partition value with a space silently no-ops the whole statement.
+    matched_paths = {unquote(r["_f"].replace("file://", "")) for r in matched_rows}
     root = snapshot.table_root
     touched = [
         a
@@ -251,7 +256,7 @@ class DeltaDml:
                 .distinct()
                 .toLocalIterator()
             )
-            matched_paths = {r["_f"].replace("file://", "") for r in semi}
+            matched_paths = {unquote(r["_f"].replace("file://", "")) for r in semi}
             root = snap.table_root
             touched = [
                 a

@@ -142,14 +142,10 @@ def changes_df(
         return spark.createDataFrame([], schema).withColumn(
             "_commit_version", F.lit(0).cast("long")
         )
+    from delta_go_spark.cdf import _with_version
+
     df = files_to_df(spark, snap, added)
-    mapping = F.create_map(
-        *[x for p, v in version_of.items() for x in (F.lit(f"file://{p}"), F.lit(v))]
-    )
-    return df.withColumn(
-        "_commit_version",
-        mapping[F.input_file_name()].cast("long"),
-    )
+    return _with_version(df, version_of)
 
 
 def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> list[str]:

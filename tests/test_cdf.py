@@ -226,6 +226,47 @@ def test_streaming_change_feed(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 3
 
 
+def test_cdf_partition_value_with_space(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; a partition value
+    containing a space must still resolve its _commit_version (the mapping
+    is keyed under the encoded spelling too)."""
+    path = str(tmp_path / "tcdfspace")
+    df = spark.createDataFrame(
+        [(1, "north america"), (2, "south america"), (3, "north america")],
+        "k long, region string",
+    )
+    DeltaTable.create(
+        spark, path, df, partition_by=["region"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.update(EqualTo(Column("k", LongType()), Literal(1)), {"k": F.lit(10).cast("long")})
+    changes = t.table_changes(start_version=0).collect()
+    assert changes and all(r["_commit_version"] is not None for r in changes)
+    v = t.log.update().version
+    got = {(r["_change_type"], r["k"]) for r in changes if r["_commit_version"] == v}
+    assert got == {("update_preimage", 1), ("update_postimage", 10)}
+
+
+def test_cdf_version_plan_size_constant_in_file_count(spark, tmp_path):
+    """The version-attribution plan must not grow with the number of
+    changed files: 1000 entries stay a broadcast relation (data), never a
+    create_map literal (plan).  A month-long CDF range at 100 TB touches
+    millions of files — a literal map would stall Catalyst."""
+    from delta_go_spark.cdf import _with_version
+
+    df = spark.range(3).selectExpr("id AS k")
+    small = _with_version(df, {f"/tmp/f{i}.parquet": i for i in range(2)})
+    big = _with_version(df, {f"/tmp/f{i}.parquet": i for i in range(1000)})
+    small_plan = small._jdf.queryExecution().analyzed().toString()
+    big_plan = big._jdf.queryExecution().analyzed().toString()
+    assert "create_map" not in big_plan
+    # plan text growth is O(1), not O(files)
+    assert len(big_plan) < len(small_plan) + 2000
+    optimized = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in optimized or "broadcast" in optimized.lower()
+
+
 def test_sql_table_changes_tvf(spark, tmp_path):
     """table_changes(name, start [, end]) in SQL text — Delta's CDF TVF
     syntax, rewritten to a view over cdf.table_changes."""
