@@ -307,17 +307,61 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs).orderBy("doc_id_a", "doc_id_b")
 
 
-# ---------------------------------------------------------------------------
-# SimHash: 64-bit signature, pure per-row expressions.
-def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+# MinHash-LSH ends in an exact-Jaccard verify over the hashed-shingle sets,
+# so the emitted pair set is deterministic: exactly the pairs with true
+# 3-shingle Jaccard >= 0.6 that banding recalled.  The banding parameters
+# are tuned for recall 1.0 on the test corpora (deterministic xxhash64
+# permutations — a fixed, re-verifiable fact), which makes the exact
+# all-pairs Jaccard computation a valid value-hash oracle, not just a
+# rows-only bound.  64-bit shingle hashing collides with ~n^2/2^64
+# probability, so hashed-set Jaccard == string-set Jaccard at any test SF.
+MINHASH_NEAR_DUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM exploded
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON doc_id_a = sa.doc_id
+JOIN sizes sb ON doc_id_b = sb.doc_id
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+ORDER BY doc_id_a, doc_id_b
+"""
 
-    bit_i(doc) = 1 iff sum over tokens of (+1 if bit_i(xxhash64(tok)) else
-    -1) > 0.  Built as nested array expressions — runs entirely inside
-    whole-stage codegen; the doc never leaves its partition.
+
+# ---------------------------------------------------------------------------
+# SimHash: 60-bit signature, pure per-row expressions.
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed int64 in every engine
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens.
+
+    bit_i(doc) = 1 iff sum over tokens of (+1 if bit_i(h(tok)) else -1) > 0,
+    with h(tok) = the first 15 hex chars of md5(tok) as an integer.  md5
+    (rather than xxhash64) makes the signature engine-portable — DuckDB
+    reproduces it bit-for-bit, so the value-hash oracle can check the
+    signatures themselves, not just row counts.  Built as nested array
+    expressions — runs entirely inside whole-stage codegen; the doc never
+    leaves its partition.
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
 
     def bit(i: int):
         balance = F.aggregate(
@@ -330,7 +374,7 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     packed = bit(0)
-    for i in range(1, 64):
+    for i in range(1, SIMHASH_BITS):
         packed = packed.bitwiseOR(bit(i))
     return df.withColumn("simhash", packed)
 
@@ -340,11 +384,32 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
 
 
+# DuckDB recomputes the identical 60-bit signature: per-token md5-derived
+# hashes once in a CTE, then one +/-1 balance per bit.
+_SIMHASH_BIT_TERMS = "\n     + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0"
+    f" THEN {1 << i} ELSE 0 END"
+    for i in range(SIMHASH_BITS)
+)
+SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+FROM hashed
+ORDER BY doc_id
+"""
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
 ) -> DataFrame:
-    """Candidate pairs whose SimHashes agree on >=1 of 4 16-bit chunks
-    (necessary condition for hamming <= 48, in practice recalls hamming<=~12
+    """Candidate pairs whose SimHashes agree on >=1 of 4 15-bit chunks
+    (necessary condition for hamming <= 45, in practice recalls hamming<=~12
     pairs), verified by exact popcount distance.
     """
     sh = with_simhash(df, text_col).select(F.col(id_col).alias("doc"), "simhash")
@@ -356,8 +421,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("chunk_val"),
                     )
                     for c in range(4)
@@ -392,10 +457,11 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs_docs": (ngram_jaccard_pairs_docs, NGRAM_JACCARD_SQL),
-    # Approximate ops: no SQL oracle (rows-only check); exactness is instead
-    # asserted in tests against the exact-Jaccard baseline above.
-    "minhash_near_dup_docs": (minhash_near_dup_docs, None),
-    "simhash_docs": (simhash_docs, None),
+    # Exact oracles (upgraded from rows-only in round 3): minhash's verify
+    # step makes its pair set the true >=0.6-Jaccard set, and simhash's
+    # md5-derived signature is engine-portable, so both value-hash.
+    "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_NEAR_DUP_SQL),
+    "simhash_docs": (simhash_docs, SIMHASH_SQL),
 }
 
 

@@ -33,27 +33,62 @@ from delta_go_spark.operators import (
     subqueries,
 )
 
+class _Pick:
+    """Module-shaped view over a subset of another module's QUERIES, so one
+    module's queries can straddle the driver's 50-entry window boundary
+    without duplicating their definitions."""
+
+    def __init__(self, mod, names: list[str]):
+        self.QUERIES = {n: mod.QUERIES[n] for n in names}
+
+
+# The 8 coverage queries the round-2 driver window already hash-verified;
+# the other 10 were last externally checked in round 1.
+_COVERAGE_R2_CHECKED = [
+    "q12_priority_shipping",
+    "window_lag_lead_orders",
+    "join_full_outer_nation",
+    "join_right_outer_parts",
+    "join_cross_regions",
+    "agg_percentiles_lineitem",
+    "stats_agg_lineitem",
+    "q2_min_cost_supplier",
+]
+_COVERAGE_R1_ONLY = [
+    n for n in coverage.QUERIES if n not in _COVERAGE_R2_CHECKED
+]
+
 # Order matters: the driver's CORRECTNESS oracle checks the FIRST 50 entries
-# in iteration order.  Modules whose queries most need fresh driver evidence
-# (LLM-pipeline ops, streaming, Delta-protocol data queries, and coverage —
-# which includes q12) come first; the TPC-H shapes proven in round 1 and
-# pinned locally by scripts/check_parity.py come last (positions 51+).
+# in iteration order.  Round-3 window (positions 1-50): the 41 queries whose
+# last external check was round 1 (relational, subqueries, asof, rangejoin,
+# and coverage's r1-only ten), plus every query this round's code touches —
+# the CDF/DML protocol queries (cdf.py + dml.py changed), minhash/simhash
+# (upgraded from rows-only to exact oracles) and cosine_near_dup (verify-scan
+# tuning).  Queries verified in round 2 and untouched since fill 51+ and
+# stay pinned locally by scripts/check_parity.py.
 _MODULES = [
+    relational,  # 18 -> 1-18
+    subqueries,  # 11 -> 19-29
+    asof,  # 30
+    rangejoin,  # 31
+    _Pick(coverage, _COVERAGE_R1_ONLY),  # 10 -> 32-41
+    cdf_queries,  # 42 (cdf.py changed this round)
+    delta_queries,  # 5 -> 43-47 (dml.py changed this round)
+    _Pick(dedup, ["minhash_near_dup_docs", "simhash_docs"]),  # 48-49 new oracles
+    _Pick(similarity, ["cosine_near_dup_docs"]),  # 50 (verify-scan tuning)
+    # ---- window boundary: everything below was r2-green and is untouched
+    _Pick(coverage, _COVERAGE_R2_CHECKED),
+    _Pick(
+        dedup,
+        ["exact_dedup_docs", "ngram_jaccard_pairs_docs", "dedup_keep_longest_docs"],
+    ),
+    _Pick(similarity, ["embedding_norms", "knn_cosine_docs", "ann_lsh_docs", "ann_ivf_docs"]),
     textops,
-    dedup,
     sampling,
-    similarity,
     multimodal,
     streaming_windows,
     streaming_stateful,
-    delta_queries,
-    curation,  # new in round 2: 9 queries, in-window
-    cdf_queries,  # position 42 — in-window (never driver-checked before)
-    coverage,  # q12 leads the module so it lands at 43, inside the window
-    relational,
-    subqueries,
-    asof,
-    rangejoin,
+    curation,
 ]
 
 
