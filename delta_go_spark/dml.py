@@ -39,7 +39,9 @@ from delta_go_spark.log import DeltaLog
 from delta_go_spark.snapshot import DeltaError, canonicalize_path
 from delta_go_spark.writer import (
     CHANGE_TYPE_COL,
+    apply_generated_columns,
     check_constraints,
+    recompute_generated_columns,
     stage_cdc_files,
     stage_files,
 )
@@ -174,6 +176,12 @@ class DeltaDml:
             for col, expr in assignments.items():
                 value = expr if hasattr(expr, "_jc") or hasattr(expr, "_expr") else F.lit(expr)
                 updated = updated.withColumn(col, F.when(pred_col, value).otherwise(F.col(col)))
+            # Assigning a base column leaves stored generated values stale —
+            # recompute them on the rewritten frame (no-op on untouched
+            # rows, whose stored values already satisfy the formula).
+            updated = recompute_generated_columns(
+                updated, snap.metadata().schema(), set(assignments)
+            )
             check_constraints(
                 updated, snap.metadata().configuration, snap.metadata().schema()
             )
@@ -196,6 +204,9 @@ class DeltaDml:
                         else F.lit(expr)
                     )
                     post = post.withColumn(col, value)
+                post = recompute_generated_columns(
+                    post, snap.metadata().schema(), set(assignments)
+                )
                 cdc = stage_cdc_files(
                     pre_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
                     .unionByName(
@@ -233,18 +244,18 @@ class DeltaDml:
         log, txn, snap = self._begin()
         txn.read_whole_table()
         candidates = snap.all_files()
-        # One aggregation serves both needs: the distinct keys for the
-        # semi-join AND the duplicate-source-key guard (Delta semantics: a
-        # target row may match at most ONE source row; duplicates would
-        # multiply matched rows and double-insert, so fail fast).
-        key_counts = source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
-        dup = key_counts.filter(F.col("_n") > 1).limit(1).count()
-        if dup:
-            raise DeltaError(
-                f"MERGE source has multiple rows with the same '{on}' key; "
-                "each target row may match at most one source row"
-            )
-        keys = key_counts.select(F.col(on))
+        # Delta's multiple-match rule: a TARGET row may match at most one
+        # source row.  Duplicate source keys alone are legal (an insert-only
+        # merge inserts them all), so the guard is deferred until touched
+        # target files are known and only runs for matched-clause merges —
+        # insert-only merges pay no extra job.
+        has_matched_clause = bool(update_set) or delete_matched
+        if has_matched_clause:
+            key_counts = source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+            keys = key_counts.select(F.col(on))
+        else:
+            key_counts = None
+            keys = source.select(on).distinct()
         from delta_go_spark.datareader import files_to_df
 
         target_df = files_to_df(self.spark, snap, candidates) if candidates else None
@@ -273,6 +284,22 @@ class DeltaDml:
             if cdf or _has_constraints(snap):
                 tdf = tdf.persist()  # rewrite/constraints/cdc share one scan
             try:
+                if has_matched_clause:
+                    # The multiple-match check proper: a duplicated source
+                    # key only errors when it hits an actual target row.
+                    # Reads the touched files (already cached when
+                    # cdf/constraints), never the whole table.
+                    dup_keys = key_counts.filter(F.col("_n") > 1).select(F.col(on))
+                    hit = (
+                        tdf.join(F.broadcast(dup_keys), on, "left_semi")
+                        .limit(1)
+                        .count()
+                    )
+                    if hit:
+                        raise DeltaError(
+                            f"MERGE: a target row matches multiple source rows "
+                            f"on '{on}'; matched-clause semantics are ambiguous"
+                        )
                 src_cols = [c for c in source.columns if c != on]
                 src = source.select(
                     F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
@@ -301,6 +328,9 @@ class DeltaDml:
                         rewritten = rewritten.withColumn(
                             col, F.when(is_match, value).otherwise(F.col(col))
                         )
+                    rewritten = recompute_generated_columns(
+                        rewritten, snap.metadata().schema(), set(update_set or {})
+                    )
                     # constraints BEFORE any staging: a rejected merge must not
                     # leave orphaned change-data parquet on disk
                     check_constraints(
@@ -342,15 +372,28 @@ class DeltaDml:
             new_rows = source
             if existing_keys is not None:
                 new_rows = source.join(existing_keys, on, "left_anti")
-            fields = {f.name: f.dataType for f in snap.metadata().schema().fields}
-            insertable = new_rows.select(
+            from delta_go_spark.writer import GENERATION_EXPRESSION_KEY
+
+            schema = snap.metadata().schema()
+            fields = {f.name: f.dataType for f in schema.fields}
+            gen_cols = {
+                f.name
+                for f in schema.fields
+                if f.metadata and GENERATION_EXPRESSION_KEY in f.metadata
+            }
+            # Missing NON-generated columns become typed NULLs; missing
+            # generated columns are computed from their expressions (a NULL
+            # fill would violate the stored-value contract on insert).
+            base = new_rows.select(
                 *[
                     F.col(c)
                     if c in new_rows.columns
                     else F.lit(None).cast(fields[c]).alias(c)
                     for c in schema_cols
+                    if c in new_rows.columns or c not in gen_cols
                 ]
             )
+            insertable = apply_generated_columns(base, schema).select(*schema_cols)
             if insertable.limit(1).count() > 0:
                 check_constraints(
                     insertable,

@@ -52,10 +52,15 @@ class DeltaStreamCommitter:
         if exists:
             meta = txn.snapshot.metadata()
             partition_by = meta.partition_columns
-            # the streaming sink is a write path like any other: CHECK
-            # constraints reject the batch before anything is staged
-            from delta_go_spark.writer import check_constraints
+            # the streaming sink is a write path like any other: generated
+            # columns are computed/validated and CHECK constraints reject
+            # the batch before anything is staged
+            from delta_go_spark.writer import (
+                apply_generated_columns,
+                check_constraints,
+            )
 
+            batch_df = apply_generated_columns(batch_df, meta.schema())
             check_constraints(batch_df, meta.configuration, meta.schema())
 
         new_files = stage_files(batch_df, self.table_path, partition_by)

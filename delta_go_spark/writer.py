@@ -185,6 +185,38 @@ def apply_generated_columns(df: DataFrame, table_schema) -> DataFrame:
     return df
 
 
+def recompute_generated_columns(
+    df: DataFrame, table_schema, assigned: frozenset[str] | set[str] = frozenset()
+) -> DataFrame:
+    """DML-rewrite variant of apply_generated_columns: stored generated
+    values may be STALE after a base-column assignment, so every generated
+    column is overwritten with its expression — except columns the
+    statement explicitly assigned, which are validated against the formula
+    instead (assigning a non-conforming value is an error, the same
+    contract as a conflicting explicit write)."""
+    from pyspark.sql import functions as F
+
+    generated = {
+        f.name: f.metadata[GENERATION_EXPRESSION_KEY]
+        for f in table_schema.fields
+        if f.metadata and GENERATION_EXPRESSION_KEY in f.metadata
+    }
+    assigned_lower = {a.lower() for a in assigned}
+    for name, expr_sql in generated.items():
+        field = table_schema[name]
+        value = F.expr(expr_sql).cast(field.dataType)
+        if name.lower() in assigned_lower:
+            mismatch = df.filter(~F.col(name).eqNullSafe(value)).limit(1).collect()
+            if mismatch:
+                raise DeltaError(
+                    f"generated column {name} does not match its expression "
+                    f"{expr_sql!r}; example row: {mismatch[0].asDict()}"
+                )
+        else:
+            df = df.withColumn(name, value)
+    return df
+
+
 def check_constraints(
     df: DataFrame,
     configuration: dict[str, str] | None,

@@ -98,3 +98,42 @@ def test_generated_columns(spark, tmp_path):
         t.append(spark.createDataFrame([(5, 50, 999)], "k long, v long, v2 long"))
     assert t.log.update().version == v_before
     assert t.to_df().count() == 4
+
+
+def test_generated_columns_dml_and_streaming(spark, tmp_path):
+    """Every write path keeps stored generated values in sync with the
+    formula: UPDATE/MERGE rewrites recompute them after base-column
+    assignments, merge-inserts compute them for absent columns, and the
+    streaming committer applies the same rules as batch appends."""
+    from delta_go_spark.streaming.committer import DeltaStreamCommitter
+
+    path = str(tmp_path / "tgendml")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    t = DeltaTable.create(spark, path, base, generated={"v2": "v * 2"})
+
+    # UPDATE of the base column recomputes the generated one
+    t.update(EqualTo(Column("v", LongType()), Literal(10)), {"v": F.lit(15).cast("long")})
+    assert {r["k"]: r["v2"] for r in t.to_df().collect()} == {1: 30, 2: 40}
+
+    # explicitly assigning a contradicting generated value is rejected
+    v_before = t.log.update().version
+    with pytest.raises(DeltaError, match="generated column"):
+        t.update(
+            EqualTo(Column("k", LongType()), Literal(2)),
+            {"v2": F.lit(999).cast("long")},
+        )
+    assert t.log.update().version == v_before
+
+    # MERGE update recomputes; merge-insert computes the absent column
+    src = spark.createDataFrame([(2, 25), (3, 30)], "k long, v long")
+    t.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    assert {r["k"]: r["v2"] for r in t.to_df().collect()} == {1: 30, 2: 50, 3: 60}
+
+    # streaming sink: absent generated column computed; mismatch rejected
+    committer = DeltaStreamCommitter(path, app_id="genapp")
+    committer.commit_batch(spark.createDataFrame([(4, 40)], "k long, v long"), 0)
+    assert {r["k"]: r["v2"] for r in t.to_df().collect()}[4] == 80
+    with pytest.raises(DeltaError, match="generated column"):
+        committer.commit_batch(
+            spark.createDataFrame([(5, 50, 1)], "k long, v long, v2 long"), 1
+        )

@@ -174,8 +174,9 @@ def test_vacuum_spares_freshly_staged_uncommitted_files(spark, tmp_path):
 
 
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
-    """Delta raises when multiple source rows match one target row; a silent
-    run would multiply matched rows and double-insert new keys."""
+    """Delta raises only when multiple source rows match one TARGET row; a
+    silent run would multiply matched rows.  Duplicate source keys that hit
+    no target row, or any duplicates in an insert-only merge, are legal."""
     import pytest
 
     from delta_go_spark.snapshot import DeltaError
@@ -185,8 +186,19 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     dup_source = spark.createDataFrame(
         [(50, 111), (50, 222), (9999, 333)], "k long, v long"
     )
-    with pytest.raises(DeltaError, match="multiple rows"):
+    with pytest.raises(DeltaError, match="multiple source rows"):
         t.merge(dup_source, on="k", update_set={"v": F.col("_s_v")})
     # nothing committed, table unchanged
     assert t.log.update().version == v_before
     assert t.to_df().count() == 400
+
+    # duplicates that match NO target row don't trip the matched-clause guard
+    miss_dup = spark.createDataFrame(
+        [(8888, 1), (8888, 2), (50, 555)], "k long, v long"
+    )
+    t.merge(miss_dup, on="k", update_set={"v": F.col("_s_v")}, insert_not_matched=False)
+    assert t.to_df().filter(F.col("k") == 50).first()["v"] == 555
+
+    # insert-only merge: Delta inserts every not-matched source row, dups included
+    t.merge(miss_dup, on="k", update_set=None, insert_not_matched=True)
+    assert t.to_df().filter(F.col("k") == 8888).count() == 2
