@@ -21,7 +21,6 @@ broadcast path->version map joined via input_file_name.
 
 from __future__ import annotations
 
-import os
 from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,10 +123,23 @@ def table_changes(
     ('insert' | 'delete' | 'update_preimage' | 'update_postimage') +
     `_commit_version`.  Raises when the range reaches into expired
     (cleaned-up) versions unless fail_on_data_loss=False."""
-    table_path = os.path.abspath(table_path)
+    from delta_go_spark.store import is_cloud_uri, normalize_table_uri
+
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()
     schema = snap.metadata().schema()
+    cloud = is_cloud_uri(table_path)
+
+    def scan_key(p: str) -> str:
+        # the path the Spark scan actually reads (and input_file_name
+        # reports): the canonical path locally, the local cache entry for a
+        # connector-less cloud table
+        if cloud:
+            from delta_go_spark.datacache import localize
+
+            return localize([p], log.store)[0]
+        return p.replace("file://", "")
 
     cdc_version: dict[str, int] = {}
     add_version: dict[str, int] = {}
@@ -138,7 +150,7 @@ def table_changes(
     for path, pv, ctype, version, _size in cdf_entries(
         log, table_path, start_version, end_excl, fail_on_data_loss
     ):
-        p = path.replace("file://", "")
+        p = scan_key(path)
         if ctype is None:
             cdc_version[p] = version
         elif ctype == "insert":

@@ -1,0 +1,58 @@
+"""Driver-coordinated local cache of cloud data files.
+
+Spark reads a cloud table's parquet natively when the scheme's Hadoop
+connector (hadoop-aws, gcs-connector, hadoop-azure) is on the classpath —
+that is the production path at scale: executors stream ranged reads
+straight from the object store and nothing here runs.  When the connector
+is absent (SDK-only environments, the fake-client tests), this module
+keeps the engine CORRECT by materializing the referenced objects into a
+deterministic local cache and pointing the scan there.
+
+The cache path is a pure function of the remote URI, so every layer (scan,
+DML touched-file detection, CDF version attribution) independently computes
+the same local name for the same object — no shared state to thread
+through.  Objects are immutable in a Delta table (copy-on-write), so a
+size-matching cached copy is always valid.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from delta_go_spark.store import LogStore, is_cloud_uri, store_for
+
+CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs_data_cache")
+
+
+def cache_path(uri: str) -> str:
+    """Deterministic local path for a remote object (md5 of the URI keeps
+    it flat and collision-free; extension preserved for format sniffing)."""
+    digest = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    ext = os.path.splitext(uri)[1] or ".bin"
+    return os.path.join(CACHE_ROOT, f"{digest}{ext}")
+
+
+def localize(uris: list[str], store: LogStore | None = None) -> list[str]:
+    """Ensure every remote object has a local copy; returns the local paths
+    in input order.  Delta files are immutable, so an existing non-empty
+    cache entry is trusted without a round trip."""
+    if not uris:
+        return []
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    store = store or store_for(uris[0])
+    out: list[str] = []
+    for uri in uris:
+        local = cache_path(uri)
+        if not (os.path.exists(local) and os.path.getsize(local) > 0):
+            data = store.read_bytes(uri)
+            tmp = f"{local}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, local)
+        out.append(local)
+    return out
+
+
+__all__ = ["CACHE_ROOT", "cache_path", "is_cloud_uri", "localize"]

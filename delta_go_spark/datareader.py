@@ -41,6 +41,14 @@ def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -
     if not paths:
         return spark.createDataFrame([], schema)
 
+    # Cloud table without a Hadoop connector for the scheme: read from the
+    # deterministic local cache (datacache docstring).  With a connector
+    # configured, pass the URIs straight through instead.
+    from delta_go_spark.datacache import is_cloud_uri, localize
+
+    if is_cloud_uri(snapshot.table_root):
+        paths = localize(paths, getattr(snapshot, "store", None))
+
     if not pcols:
         return spark.read.schema(schema).parquet(*paths)
 

@@ -62,6 +62,18 @@ def _has_constraints(snap) -> bool:
     )
 
 
+def _scan_path(canonical: str, table_root: str) -> str:
+    """The filesystem path the Spark scan actually reads for a canonical
+    log path: the path itself locally, the deterministic local cache entry
+    for a connector-less cloud table (input_file_name() reports whichever
+    one the scan touched)."""
+    from delta_go_spark.datacache import cache_path, is_cloud_uri
+
+    if is_cloud_uri(table_root):
+        return cache_path(canonical)
+    return canonical.replace("file://", "")
+
+
 def _touched_paths(
     spark: SparkSession, snapshot, candidates: list[AddFile], predicate
 ) -> tuple[list[AddFile], DataFrame]:
@@ -94,7 +106,7 @@ def _touched_paths(
     touched = [
         a
         for a in candidates
-        if canonicalize_path(a.path, root).replace("file://", "") in matched_paths
+        if _scan_path(canonicalize_path(a.path, root), root) in matched_paths
     ]
     if not touched:
         return [], None
@@ -105,8 +117,10 @@ class DeltaDml:
     """DML executor bound to one table.  Each method is one transaction."""
 
     def __init__(self, spark: SparkSession, table_path: str):
+        from delta_go_spark.store import normalize_table_uri
+
         self.spark = spark
-        self.table_path = os.path.abspath(table_path)
+        self.table_path = normalize_table_uri(table_path)
 
     def _begin(self):
         log = DeltaLog.for_table(self.table_path)
@@ -272,7 +286,7 @@ class DeltaDml:
             touched = [
                 a
                 for a in candidates
-                if canonicalize_path(a.path, root).replace("file://", "") in matched_paths
+                if _scan_path(canonicalize_path(a.path, root), root) in matched_paths
             ]
         pcols = snap.metadata().partition_columns
         clock_ms = log.clock.now_millis()

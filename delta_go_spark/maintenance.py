@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from delta_go_spark import ops
 from delta_go_spark.actions import AddFile
 from delta_go_spark.log import DeltaLog
+from delta_go_spark.store import normalize_table_uri
 
 
 DEFAULT_TARGET_SIZE = 128 * 1024 * 1024  # a sane parquet target; tunable
@@ -51,7 +52,7 @@ def optimize(
     from delta_go_spark.datareader import files_to_df
     from delta_go_spark.writer import stage_files
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     txn = log.start_transaction()
     snap = txn.snapshot
@@ -125,16 +126,21 @@ def changes_df(
     from delta_go_spark.datareader import files_to_df
     from delta_go_spark.snapshot import canonicalize_path
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()
     schema = snap.metadata().schema()
+    from delta_go_spark.datacache import cache_path, is_cloud_uri
+
+    cloud = is_cloud_uri(table_path)
     added: list[AddFile] = []
     version_of: dict[str, int] = {}
     for vlog in log.changes(start_version):
         for action in vlog.actions:
             if isinstance(action, AddFile) and action.data_change:
-                p = canonicalize_path(action.path, table_path).replace("file://", "")
+                p = canonicalize_path(action.path, table_path)
+                # key by the path the scan reads (local cache for cloud)
+                p = cache_path(p) if cloud else p.replace("file://", "")
                 if p not in version_of:
                     added.append(action)
                 version_of[p] = vlog.version
@@ -267,7 +273,7 @@ def zorder(
     from delta_go_spark.datareader import files_to_df
     from delta_go_spark.writer import stage_files
 
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     txn = log.start_transaction()
     snap = txn.snapshot
@@ -314,7 +320,7 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     (the read side is snapshot_for_version_as_of).  History is preserved:
     the restore is itself a new version, so nothing is lost.
     """
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     txn = log.start_transaction()
     snap = txn.snapshot

@@ -162,6 +162,10 @@ def canonicalize_path(path: str, table_root: str) -> str:
         return p
     if os.path.isabs(p):
         return os.path.normpath(p)
+    if "://" in table_root:
+        # cloud root: plain join — os.path.normpath would collapse the
+        # scheme's double slash (s3:// -> s3:/)
+        return f"{table_root.rstrip('/')}/{p}"
     return os.path.normpath(os.path.join(table_root, p))
 
 

@@ -167,10 +167,43 @@ class LocalStore(LogStore):
             pass
 
 
+def is_cloud_uri(path: str) -> bool:
+    """True for object-store URIs (s3://, gs://, abfss://, ...) — anything
+    whose data files Spark cannot reach through the local filesystem."""
+    return "://" in path and not path.startswith("file://")
+
+
+def normalize_table_uri(path: str) -> str:
+    """Canonical table root: absolute path for local tables (file:// scheme
+    stripped), the URI verbatim minus trailing slash for cloud tables —
+    os.path.abspath would mangle a scheme into a relative path."""
+    if is_cloud_uri(path):
+        return path.rstrip("/")
+    return os.path.abspath(path.removeprefix("file://"))
+
+
+# URI-prefix -> LogStore bindings (longest prefix wins).  Lets tests and
+# emulator runs route a table at a cloud URI through an injected client
+# without monkey-patching scheme dispatch.
+_registered: dict[str, LogStore] = {}
+
+
+def register_store(prefix: str, store: LogStore | None) -> None:
+    """Bind `prefix` (e.g. "s3://bucket/tables") to a store instance for
+    store_for resolution; None unbinds."""
+    if store is None:
+        _registered.pop(prefix, None)
+    else:
+        _registered[prefix] = store
+
+
 def store_for(path: str) -> LogStore:
     """Scheme dispatch (reference: store/store.go:75-92).  file:// and bare
     paths -> LocalStore; s3/gs/azure go to cloud_stores (SDKs import-gated
-    there)."""
+    there).  Registered prefix bindings (register_store) take priority."""
+    for prefix in sorted(_registered, key=len, reverse=True):
+        if path.startswith(prefix):
+            return _registered[prefix]
     if path.startswith("file://"):
         return LocalStore(path[len("file://"):])
     if "://" in path:

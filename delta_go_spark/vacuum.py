@@ -34,6 +34,13 @@ def vacuum(
 ) -> list[str]:
     """Delete unreferenced data files older than the retention window.
     Returns the list of deleted (or would-be-deleted) absolute paths."""
+    from delta_go_spark.store import is_cloud_uri
+
+    if is_cloud_uri(table_path):
+        # Cloud vacuum needs a recursive object listing + batched deletes
+        # through the store; not implemented — fail loudly rather than
+        # os.walk-ing a URI and silently deleting nothing.
+        raise NotImplementedError("vacuum on cloud table URIs is not supported yet")
     table_path = os.path.abspath(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()

@@ -112,7 +112,14 @@ def stage_files(
     """Executors write `df` as parquet into a staging dir; files are then
     moved into the table root (hive layout preserved) and returned as
     AddFile actions with footer-derived stats.  Shared by append/overwrite
-    and the DML rewrites (delete/update/merge)."""
+    and the DML rewrites (delete/update/merge).
+
+    Cloud table roots route through _stage_files_cloud: same layout and
+    stats, objects PUT through the LogStore abstraction."""
+    from delta_go_spark.store import is_cloud_uri
+
+    if is_cloud_uri(table_path):
+        return _stage_files_cloud(df, table_path, partition_by)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -144,6 +151,62 @@ def stage_files(
             )
     shutil.rmtree(staging, ignore_errors=True)
     return new_files
+
+
+def _stage_files_cloud(
+    df: DataFrame, table_uri: str, partition_by: list[str]
+) -> list[AddFile]:
+    """Cloud staging: executors write parquet to local scratch (hive layout
+    preserved), then the driver PUTs each object into the table prefix via
+    the LogStore.  With the scheme's Hadoop connector on the classpath a
+    deployment should instead configure Spark to write the staging prefix
+    directly in the object store — executors upload, the driver only
+    commits — but the SDK-only fallback keeps every write path (append,
+    DML rewrite, CDF) correct without the connector.  No renames needed:
+    object visibility is governed by the log commit, not the filesystem."""
+    import tempfile
+    import time
+
+    from delta_go_spark.store import store_for
+
+    store = store_for(table_uri)
+    scratch = tempfile.mkdtemp(prefix="dgs-stage-")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(scratch)
+
+        new_files: list[AddFile] = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, files in os.walk(scratch):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, scratch)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                rel_path = "/".join(
+                    p for p in (rel_dir.replace(os.sep, "/"), name) if p
+                )
+                with open(src, "rb") as f:
+                    data = f.read()
+                store.write_bytes(f"{table_uri.rstrip('/')}/{rel_path}", data)
+                new_files.append(
+                    AddFile(
+                        path=encode_path(rel_path),
+                        partition_values=_partition_values_from_rel(
+                            rel_dir, partition_by
+                        ),
+                        size=len(data),
+                        modification_time=now_ms,
+                        data_change=True,
+                        stats=_stats_from_footer(src),
+                    )
+                )
+        return new_files
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 CDC_DIR = "_change_data"
@@ -279,6 +342,37 @@ def stage_cdc_files(df: DataFrame, table_path: str) -> list:
     they never join the active file set).  Executors write; same
     stage-then-move pattern as stage_files."""
     from delta_go_spark.actions import AddCDCFile
+    from delta_go_spark.store import is_cloud_uri
+
+    if is_cloud_uri(table_path):
+        import tempfile
+
+        from delta_go_spark.store import store_for
+
+        store = store_for(table_path)
+        scratch = tempfile.mkdtemp(prefix="dgs-stage-cdc-")
+        try:
+            df.write.mode("overwrite").parquet(scratch)
+            out: list[AddCDCFile] = []
+            for root, _dirs, files in os.walk(scratch):
+                for name in files:
+                    if not name.endswith(".parquet"):
+                        continue
+                    with open(os.path.join(root, name), "rb") as f:
+                        data = f.read()
+                    store.write_bytes(
+                        f"{table_path.rstrip('/')}/{CDC_DIR}/{name}", data
+                    )
+                    out.append(
+                        AddCDCFile(
+                            path=encode_path(f"{CDC_DIR}/{name}"),
+                            partition_values={},
+                            size=len(data),
+                        )
+                    )
+            return out
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     staging = os.path.join(table_path, f".staging-cdc-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
@@ -334,9 +428,11 @@ def write_dataframe(
 
     from pyspark.sql.types import StructType
 
+    from delta_go_spark.store import normalize_table_uri
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
-    table_path = os.path.abspath(table_path)
+    table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     txn = log.start_transaction()
 
@@ -401,9 +497,18 @@ def write_dataframe(
             nulls = (json.loads(add.stats).get("nullCount") or {})
             violated = [c for c in required if nulls.get(c, 0) > 0]
             if violated:
+                from delta_go_spark.store import is_cloud_uri, store_for
+
+                cloud = is_cloud_uri(table_path)
+                cleaner = store_for(table_path) if cloud else None
                 for a in new_files:
                     try:
-                        os.remove(os.path.join(table_path, a.decoded_path()))
+                        if cloud:
+                            cleaner.delete(
+                                f"{table_path.rstrip('/')}/{a.decoded_path()}"
+                            )
+                        else:
+                            os.remove(os.path.join(table_path, a.decoded_path()))
                     except FileNotFoundError:
                         pass
                 raise DeltaError(
