@@ -91,7 +91,8 @@ def cdf_entries(
         if cdcs:
             for c in cdcs:
                 entries.append(
-                    (canonicalize_path(c.path, table_root), {}, None,
+                    (canonicalize_path(c.path, table_root),
+                     dict(c.partition_values or {}), None,
                      vlog.version, c.size or 0)
                 )
             continue
@@ -117,19 +118,42 @@ def table_changes(
     start_version: int = 0,
     end_version: int | None = None,
     fail_on_data_loss: bool = True,
+    predicate=None,
 ) -> DataFrame:
     """Row-level changes for versions in [start_version, end_version]
     (end defaults to latest).  Output: table schema + `_change_type`
     ('insert' | 'delete' | 'update_preimage' | 'update_postimage') +
     `_commit_version`.  Raises when the range reaches into expired
-    (cleaned-up) versions unless fail_on_data_loss=False."""
+    (cleaned-up) versions unless fail_on_data_loss=False.
+
+    `predicate` (an expressions.Expression) filters the change rows; its
+    partition-column conjunct prunes whole files — cdc files included,
+    since they carry partitionValues like data files — before any scan."""
     from delta_go_spark.store import is_cloud_uri, normalize_table_uri
 
     table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()
-    schema = snap.metadata().schema()
+    meta = snap.metadata()
+    schema = meta.schema()
+    pcols = list(meta.partition_columns or [])
     cloud = is_cloud_uri(table_path)
+
+    pushed = None
+    if predicate is not None and pcols:
+        from delta_go_spark.expressions import (
+            split_metadata_and_data_predicates,
+        )
+
+        pushed, _residual = split_metadata_and_data_predicates(predicate, pcols)
+
+    def pruned_out(pv: dict) -> bool:
+        # Prune only when the entry carries a complete partition tuple:
+        # legacy cdc files recorded {} and must always be read.
+        if pushed is None or not all(c in pv for c in pcols):
+            return False
+        record = {k.lower(): v for k, v in pv.items()}
+        return pushed.eval(record) is not True
 
     def scan_key(p: str) -> str:
         # the path the Spark scan actually reads (and input_file_name
@@ -142,6 +166,7 @@ def table_changes(
         return p.replace("file://", "")
 
     cdc_version: dict[str, int] = {}
+    cdc_pv: dict[str, dict] = {}
     add_version: dict[str, int] = {}
     adds: list[AddFile] = []
     rm_version: dict[str, int] = {}
@@ -150,9 +175,12 @@ def table_changes(
     for path, pv, ctype, version, _size in cdf_entries(
         log, table_path, start_version, end_excl, fail_on_data_loss
     ):
+        if pruned_out(pv):
+            continue
         p = scan_key(path)
         if ctype is None:
             cdc_version[p] = version
+            cdc_pv[p] = pv
         elif ctype == "insert":
             add_version[p] = version
             adds.append(
@@ -169,10 +197,29 @@ def table_changes(
     out_schema = schema.add(StructField(CHANGE_TYPE_COL, StringType()))
     parts: list[DataFrame] = []
     if cdc_version:
-        cdc_df = spark.read.schema(out_schema).parquet(
-            *sorted(cdc_version.keys())
-        )
-        parts.append(_with_version(cdc_df, cdc_version))
+        # Hive-layout cdc files (complete partitionValues, written by the
+        # current staging) get the columns injected from the log; legacy
+        # cdc files recorded {} and embed partition columns physically.
+        hive = [
+            p
+            for p in sorted(cdc_version)
+            if pcols and all(c in cdc_pv[p] for c in pcols)
+        ]
+        phys = sorted(set(cdc_version) - set(hive))
+        if hive:
+            from delta_go_spark.datareader import read_files_with_pv
+
+            cdc_df = read_files_with_pv(
+                spark, out_schema, pcols, [(p, cdc_pv[p]) for p in hive]
+            )
+            parts.append(
+                _with_version(cdc_df, {p: cdc_version[p] for p in hive})
+            )
+        if phys:
+            cdc_df = spark.read.schema(out_schema).parquet(*phys)
+            parts.append(
+                _with_version(cdc_df, {p: cdc_version[p] for p in phys})
+            )
     if adds:
         df = files_to_df(spark, snap, adds).withColumn(
             CHANGE_TYPE_COL, F.lit("insert")
@@ -190,4 +237,8 @@ def table_changes(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if predicate is not None:
+        # row-level filter on top of the file-level prune (same layering as
+        # DeltaScan.to_df — the pushed conjunct re-applies for free)
+        out = out.filter(predicate.to_spark())
     return out

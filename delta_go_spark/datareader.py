@@ -30,25 +30,19 @@ def _data_schema(full: StructType, partition_cols: list[str]) -> StructType:
     return StructType([f for f in full.fields if f.name.lower() not in pset])
 
 
-def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
-    meta = snapshot.metadata()
-    schema = meta.schema()
-    if schema is None:
-        raise ValueError("snapshot has no schema")
-    pcols = meta.partition_columns
-
-    paths = [canonicalize_path(a.path, snapshot.table_root) for a in files]
+def read_files_with_pv(
+    spark: SparkSession,
+    schema: StructType,
+    pcols: list[str],
+    files: list[tuple[str, dict]],
+) -> DataFrame:
+    """One scan over already-readable paths with partition columns injected
+    from the supplied (path -> partitionValues) mapping — the log is the
+    canonical source of partition values per the Delta protocol.  Shared by
+    snapshot reads and the hive-partitioned CDF read."""
+    paths = [p for p, _ in files]
     if not paths:
         return spark.createDataFrame([], schema)
-
-    # Cloud table without a Hadoop connector for the scheme: read from the
-    # deterministic local cache (datacache docstring).  With a connector
-    # configured, pass the URIs straight through instead.
-    from delta_go_spark.datacache import is_cloud_uri, localize
-
-    if is_cloud_uri(snapshot.table_root):
-        paths = localize(paths, getattr(snapshot, "store", None))
-
     if not pcols:
         return spark.read.schema(schema).parquet(*paths)
 
@@ -59,8 +53,8 @@ def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -
     # sides are normalized to a plain decoded filesystem path, so no
     # URI-encoding table needs replicating.
     rows = []
-    for a, p in zip(files, paths):
-        pv = a.partition_values or {}
+    for p, pv in files:
+        pv = pv or {}
         rows.append((p, *[pv.get(c) for c in pcols]))
     from pyspark.sql.types import StructField
 
@@ -87,6 +81,33 @@ def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -
         raw = F.nullif(F.col(f"_pv_{c}"), F.lit(""))  # empty string = NULL (record.go:34-45)
         df = df.withColumn(c, raw.cast(declared.dataType))
     return df.select(*[f.name for f in schema.fields])
+
+
+def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
+    meta = snapshot.metadata()
+    schema = meta.schema()
+    if schema is None:
+        raise ValueError("snapshot has no schema")
+    pcols = meta.partition_columns
+
+    paths = [canonicalize_path(a.path, snapshot.table_root) for a in files]
+    if not paths:
+        return spark.createDataFrame([], schema)
+
+    # Cloud table without a Hadoop connector for the scheme: read from the
+    # deterministic local cache (datacache docstring).  With a connector
+    # configured, pass the URIs straight through instead.
+    from delta_go_spark.datacache import is_cloud_uri, localize
+
+    if is_cloud_uri(snapshot.table_root):
+        paths = localize(paths, getattr(snapshot, "store", None))
+
+    return read_files_with_pv(
+        spark,
+        schema,
+        pcols,
+        [(p, a.partition_values or {}) for a, p in zip(files, paths)],
+    )
 
 
 def snapshot_to_df(snapshot: Snapshot, spark: SparkSession) -> DataFrame:

@@ -354,7 +354,11 @@ def _cdf_partition_batches(
 
     for abs_path, pv, ctype, version in partition.files:
         if ctype is None:
-            file_schema, pcols = cdc_schema, []
+            # hive-layout cdc files carry a complete partition tuple and
+            # inject it like data files; legacy cdc files ({}) embed the
+            # partition columns physically
+            hive = partition_cols and all(c in (pv or {}) for c in partition_cols)
+            file_schema, pcols = cdc_schema, (partition_cols if hive else [])
         else:
             file_schema, pcols = table_schema, partition_cols
         for batch in _arrow_batches_for_file(abs_path, file_schema, pcols, pv):

@@ -159,6 +159,7 @@ class DeltaDml:
                         CHANGE_TYPE_COL, F.lit("delete")
                     ),
                     self.table_path,
+                    pcols,
                 )
             return txn.commit(
                 [*adds, *removes, *cdc],
@@ -227,6 +228,7 @@ class DeltaDml:
                         post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
                     ),
                     self.table_path,
+                    pcols,
                 )
             return txn.commit(
                 [*adds, *removes, *cdc],
@@ -329,6 +331,7 @@ class DeltaDml:
                                 .select(*tdf.columns)
                                 .withColumn(CHANGE_TYPE_COL, F.lit("delete")),
                                 self.table_path,
+                                pcols,
                             )
                         )
                 else:
@@ -365,6 +368,7 @@ class DeltaDml:
                                     )
                                 ),
                                 self.table_path,
+                                pcols,
                             )
                         )
                     rewritten = rewritten.select(*tdf.columns)

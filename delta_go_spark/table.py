@@ -119,13 +119,21 @@ class DeltaTable:
         return changes_df(self.spark, self.log.table_path, start_version)
 
     def table_changes(
-        self, start_version: int = 0, end_version: int | None = None
+        self,
+        start_version: int = 0,
+        end_version: int | None = None,
+        predicate: Expression | None = None,
     ) -> DataFrame:
-        """Row-level Change Data Feed (see cdf.table_changes)."""
+        """Row-level Change Data Feed (see cdf.table_changes).  `predicate`
+        filters change rows; its partition conjunct prunes whole files."""
         from delta_go_spark.cdf import table_changes
 
         return table_changes(
-            self.spark, self.log.table_path, start_version, end_version
+            self.spark,
+            self.log.table_path,
+            start_version,
+            end_version,
+            predicate=predicate,
         )
 
     def add_check_constraint(self, name: str, expr_sql: str) -> int:

@@ -335,14 +335,26 @@ def check_constraints(
         )
 
 
-def stage_cdc_files(df: DataFrame, table_path: str) -> list:
+def stage_cdc_files(
+    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+) -> list:
     """Write change-data rows (schema + `_change_type`) as parquet under
     `_change_data/` and return AddCDCFile actions (Delta CDF layout:
     change files live beside the data, referenced only by cdc actions —
-    they never join the active file set).  Executors write; same
-    stage-then-move pattern as stage_files."""
+    they never join the active file set).  With partition_by, cdc files
+    use the table's hive layout and carry partitionValues — exactly like
+    data files — so a partition-filtered CDF read skips whole cdc files.
+    Executors write; same stage-then-move pattern as stage_files."""
     from delta_go_spark.actions import AddCDCFile
     from delta_go_spark.store import is_cloud_uri
+
+    partition_by = [c for c in (partition_by or []) if c in df.columns]
+
+    def _write(target_dir: str) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_dir)
 
     if is_cloud_uri(table_path):
         import tempfile
@@ -352,21 +364,28 @@ def stage_cdc_files(df: DataFrame, table_path: str) -> list:
         store = store_for(table_path)
         scratch = tempfile.mkdtemp(prefix="dgs-stage-cdc-")
         try:
-            df.write.mode("overwrite").parquet(scratch)
+            _write(scratch)
             out: list[AddCDCFile] = []
             for root, _dirs, files in os.walk(scratch):
                 for name in files:
                     if not name.endswith(".parquet"):
                         continue
+                    rel_dir = os.path.relpath(root, scratch)
+                    rel_dir = "" if rel_dir == "." else rel_dir
+                    rel = "/".join(
+                        p
+                        for p in (CDC_DIR, rel_dir.replace(os.sep, "/"), name)
+                        if p
+                    )
                     with open(os.path.join(root, name), "rb") as f:
                         data = f.read()
-                    store.write_bytes(
-                        f"{table_path.rstrip('/')}/{CDC_DIR}/{name}", data
-                    )
+                    store.write_bytes(f"{table_path.rstrip('/')}/{rel}", data)
                     out.append(
                         AddCDCFile(
-                            path=encode_path(f"{CDC_DIR}/{name}"),
-                            partition_values={},
+                            path=encode_path(rel),
+                            partition_values=_partition_values_from_rel(
+                                rel_dir, partition_by
+                            ),
                             size=len(data),
                         )
                     )
@@ -375,21 +394,28 @@ def stage_cdc_files(df: DataFrame, table_path: str) -> list:
             shutil.rmtree(scratch, ignore_errors=True)
 
     staging = os.path.join(table_path, f".staging-cdc-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    _write(staging)
     out: list[AddCDCFile] = []
-    cdc_root = os.path.join(table_path, CDC_DIR)
-    os.makedirs(cdc_root, exist_ok=True)
     for root, _dirs, files in os.walk(staging):
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
-            dst = os.path.join(cdc_root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            target_dir = os.path.join(table_path, CDC_DIR, rel_dir)
+            os.makedirs(target_dir, exist_ok=True)
+            dst = os.path.join(target_dir, name)
             os.rename(src, dst)
+            rel = "/".join(
+                p for p in (CDC_DIR, rel_dir.replace(os.sep, "/"), name) if p
+            )
             out.append(
                 AddCDCFile(
-                    path=encode_path(f"{CDC_DIR}/{name}"),
-                    partition_values={},
+                    path=encode_path(rel),
+                    partition_values=_partition_values_from_rel(
+                        rel_dir, partition_by
+                    ),
                     size=os.path.getsize(dst),
                 )
             )

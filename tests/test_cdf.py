@@ -324,3 +324,48 @@ def test_table_changes_raises_on_expired_range(spark, tmp_path):
     got = table_changes(spark, t.log.table_path, 0, fail_on_data_loss=False)
     versions = {r["_commit_version"] for r in got.collect()}
     assert versions == {0, 2}
+
+
+def test_cdf_partition_pruning_skips_cdc_files(spark, tmp_path):
+    """cdc files carry partitionValues and use the table's hive layout, so
+    a partition-filtered table_changes reads ONLY the matching partition's
+    cdc files (asserted via the plan's input file list) — at scale this is
+    the difference between scanning one partition's changes and a month of
+    them."""
+    from pyspark.sql.types import StringType
+
+    path = str(tmp_path / "tcdfprune")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else "en") for i in range(20)], "k long, region string"
+    )
+    DeltaTable.create(
+        spark, path, df, partition_by=["region"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.for_path(spark, path)
+    # one UPDATE per partition -> cdc files in region=en and region=de dirs
+    t.update(EqualTo(Column("k", LongType()), Literal(0)), {"k": F.lit(100).cast("long")})
+    t.update(EqualTo(Column("k", LongType()), Literal(1)), {"k": F.lit(101).cast("long")})
+
+    cdc_dir = os.path.join(path, "_change_data")
+    assert os.path.isdir(os.path.join(cdc_dir, "region=en"))
+    assert os.path.isdir(os.path.join(cdc_dir, "region=de"))
+
+    pred = EqualTo(Column("region", StringType()), Literal("en"))
+    pruned = t.table_changes(start_version=1, predicate=pred)
+    files = pruned.inputFiles()
+    cdc_inputs = [f for f in files if "_change_data" in f]
+    assert cdc_inputs and all("region=en" in f for f in cdc_inputs), files
+
+    rows = pruned.collect()
+    assert {r["_change_type"] for r in rows} == {"update_preimage", "update_postimage"}
+    assert all(r["region"] == "en" for r in rows)
+    assert {r["k"] for r in rows} == {0, 100}
+
+    # unpredicated read still sees both partitions' changes
+    allrows = t.table_changes(start_version=1).collect()
+    assert {r["region"] for r in allrows} == {"en", "de"}
+    # partition values survive the hive-layout cdc roundtrip
+    assert {(r["k"], r["region"]) for r in allrows} == {
+        (0, "en"), (100, "en"), (1, "de"), (101, "de"),
+    }
