@@ -74,3 +74,25 @@ def test_ivf_recall_vs_bruteforce(spark):
 
     full = {r["vec_id"] for r in ivf_search(assigned, centers, qvec, nprobe=16).collect()}
     assert full == exact  # probing every list is exact
+
+
+def test_cosine_lsh_vs_exact_block(spark):
+    """The LSH+verify variant (high-threshold scale path) must emit a
+    subset of the exact block-matmul pairs with high recall at the default
+    threshold; the exact path is recall 1.0 by construction."""
+    from delta_go_spark.functions.similarity import (
+        cosine_all_pairs_exact,
+        cosine_near_dup_pairs,
+    )
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+             for r in cosine_all_pairs_exact(emb).collect()}
+    lsh = {(r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+           for r in cosine_near_dup_pairs(emb).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert set(lsh) <= set(exact)  # verify step forbids false positives
+    assert len(set(lsh) & set(exact)) / len(exact) >= 0.95
+    for k in lsh:
+        assert abs(lsh[k] - exact[k]) < 1e-3

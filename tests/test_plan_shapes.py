@@ -62,9 +62,10 @@ def test_tfidf_broadcasts_lang_totals(spark):
 
 
 def test_cosine_near_dup_has_no_nested_loop(spark):
-    """Near-dup pairs must come from the LSH bucket EQUI-join + exact
-    verify — an all-pairs BroadcastNestedLoop/cartesian self-join passes
-    the oracle at sf0.01 but is quadratic at any real scale."""
+    """Exact near-dup pairs come from the block-pair EQUI-join (B(B+1)/2
+    block rows, one vectorized matmul each) — never a row-level
+    BroadcastNestedLoop/cartesian self-join, which passes the oracle at
+    sf0.01 but explodes the task graph at any real scale."""
     from delta_go_spark.queries import queries
 
     plan = _plan(queries()["cosine_near_dup_docs"](spark, SF_DIR))
