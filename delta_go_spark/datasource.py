@@ -197,14 +197,22 @@ class _FilePartition(InputPartition):
 def _pack_partitions(
     files: list[tuple[str, dict[str, str | None], int]],
     target_bytes: int,
+    max_files: int | None = None,
 ) -> list[_FilePartition]:
     """First-fit pack by on-disk size from the AddFile metadata (no file
-    system calls).  Files above target_bytes get their own task."""
+    system calls).  Files above target_bytes get their own task.
+    max_files additionally caps files per task — the admission control
+    that keeps a post-restart catch-up batch (whose OFFSET range cannot be
+    throttled, see latestOffset) a set of bounded tasks instead of one
+    unbounded scan."""
     parts: list[_FilePartition] = []
     cur: list[tuple[str, dict[str, str | None]]] = []
     cur_bytes = 0
     for path, pv, size in files:
-        if cur and cur_bytes + size > target_bytes:
+        if cur and (
+            cur_bytes + size > target_bytes
+            or (max_files is not None and len(cur) >= max_files)
+        ):
             parts.append(_FilePartition(cur))
             cur, cur_bytes = [], 0
         cur.append((path, pv))
@@ -290,13 +298,18 @@ class _CDFPartition(InputPartition):
         self.files = files
 
 
-def _pack_cdf_partitions(entries: list[tuple], target_bytes: int) -> list[_CDFPartition]:
+def _pack_cdf_partitions(
+    entries: list[tuple], target_bytes: int, max_files: int | None = None
+) -> list[_CDFPartition]:
     """Size-pack cdf_entries (same first-fit policy as _pack_partitions)."""
     parts: list[_CDFPartition] = []
     cur: list[tuple] = []
     cur_bytes = 0
     for path, pv, ctype, version, size in entries:
-        if cur and cur_bytes + size > target_bytes:
+        if cur and (
+            cur_bytes + size > target_bytes
+            or (max_files is not None and len(cur) >= max_files)
+        ):
             parts.append(_CDFPartition(cur))
             cur, cur_bytes = [], 0
         cur.append((path, pv, ctype, version))
@@ -441,9 +454,12 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         # (pyspark's DataSourceStreamReader has no latestOffset(start,
         # limit) form, so the reader tracks its own position: seeded by
         # initialOffset on fresh streams, by partitions()/commit() after a
-        # restart — where the FIRST batch is unthrottled by design, since a
-        # limited offset computed blind could land behind the checkpointed
-        # position and stall the stream.)
+        # restart — where the FIRST batch's offset range is unthrottled by
+        # design, since a limited offset computed blind could land behind
+        # the checkpointed position and stall the stream.  That catch-up
+        # batch is still admission-controlled: partitions() caps files per
+        # task at maxFilesPerTrigger, so it executes as bounded tasks, not
+        # one unbounded scan.)
         tip = self.log.update().version + 1
         limit = self.options.get("maxfilespertrigger")
         if limit is None or self._committed is None:
@@ -497,6 +513,8 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         # advancing optimistically here cannot skip data.
         self._committed = max(self._committed or 0, int(end["version"]))
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
+        limit = self.options.get("maxfilespertrigger")
+        max_files = int(limit) if limit is not None else None
         if self._cdf:
             from delta_go_spark.cdf import cdf_entries
 
@@ -506,7 +524,7 @@ class DeltaGoStreamReader(DataSourceStreamReader):
                 if end_v > start_v
                 else []
             )
-            return _pack_cdf_partitions(entries, target)
+            return _pack_cdf_partitions(entries, target, max_files)
         adds = self._adds_between(int(start["version"]), int(end["version"]))
         return _pack_partitions(
             [
@@ -518,6 +536,7 @@ class DeltaGoStreamReader(DataSourceStreamReader):
                 for a in adds
             ],
             target,
+            max_files,
         ) or [_FilePartition([])]
 
     def read(self, partition) -> Iterator["pa.RecordBatch"]:

@@ -266,3 +266,40 @@ def test_stream_max_files_per_trigger(spark, tmp_path):
     fresh = DeltaGoStreamReader(schema, {"path": path, "maxfilespertrigger": "1"})
     fresh.initialOffset()
     assert fresh.latestOffset()["version"] < tip  # fresh stream throttles
+
+
+def test_restart_catch_up_batch_is_admission_controlled(spark, tmp_path):
+    """A restarted reader's first batch covers the whole backlog in ONE
+    offset range (the API cannot throttle it), but partitions() caps files
+    per task at maxFilesPerTrigger — the catch-up executes as ceil(n/cap)
+    bounded tasks, never one unbounded scan."""
+    import math
+
+    from delta_go_spark.datasource import DeltaGoStreamReader
+
+    path = str(tmp_path / "t7")
+    t = _make_table(spark, path, partitioned=False)
+    for lo in (100, 200, 300, 400):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"),
+                F.lit("z").alias("p"),
+                F.lit(1.0).alias("v"),
+            )
+        )
+    schema = spark.read.format("delta_go").load(path).schema
+    cap = 2
+    reader = DeltaGoStreamReader(
+        schema, {"path": path, "maxfilespertrigger": str(cap)}
+    )
+    tip = reader.log.update().version + 1
+    # restart: latestOffset jumps to the tip (offset range unthrottled)
+    assert reader.latestOffset() == {"version": tip}
+    parts = reader.partitions({"version": 0}, {"version": tip})
+    n_files = sum(len(p.files) for p in parts)
+    assert n_files >= 5  # the whole backlog is in this one batch
+    assert all(len(p.files) <= cap for p in parts)
+    assert len(parts) == math.ceil(n_files / cap)
+    # every row still delivered exactly once across the partitions
+    seen = [f for p in parts for f in p.files]
+    assert len(seen) == len({f[0] for f in seen})
