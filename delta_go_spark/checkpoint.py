@@ -208,24 +208,76 @@ def _row_to_action(row: dict) -> Action | None:
     return None
 
 
+class _RangedStoreFile:
+    """pyarrow-compatible random-access file over LogStore ranged reads:
+    each read() is one ranged GET, so ParquetFile streams footer + row
+    groups without ever materializing the whole object."""
+
+    def __init__(self, store: LogStore, path: str):
+        self._store = store
+        self._path = path
+        self._size = store.size_of(path)
+        self._pos = 0
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        return self._pos
+
+    def read(self, nbytes: int = -1) -> bytes:
+        if nbytes is None or nbytes < 0:
+            nbytes = self._size - self._pos
+        nbytes = max(0, min(nbytes, self._size - self._pos))
+        if nbytes == 0:
+            return b""
+        data = self._store.read_range(self._path, self._pos, nbytes)
+        self._pos += len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self.closed = True
+
+    def flush(self) -> None:
+        pass
+
+
 def iter_checkpoint_actions(
     paths: list[str], store: LogStore | None = None, batch_size: int = 10_000
 ):
     """Stream checkpoint actions row-group-batch by batch — the memory
     ceiling is one arrow batch, never the whole checkpoint (mirrors the
-    reference's streaming replay, replay_file.go:70-140).  With a `store`,
-    bytes come through the LogStore (the table's backend — works for cloud
-    URIs with fake/SDK clients alike); without one, pyarrow filesystem
-    dispatch."""
+    reference's streaming replay, replay_file.go:70-140).  Cloud stores
+    stream through ranged GETs (_RangedStoreFile); local tables stream
+    from the filesystem — neither path materializes a multi-GB checkpoint
+    as one bytes object on the driver."""
     from delta_go_spark.store import LocalStore
 
     for path in paths:
         if store is not None and not isinstance(store, LocalStore):
-            # Cloud store: bytes come through the (possibly fake) client.
-            pf = pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
+            # Cloud store: ranged reads through the (possibly fake) client.
+            pf = pq.ParquetFile(pa.PythonFile(_RangedStoreFile(store, path), mode="r"))
         else:
-            # Local (or no store): stream from the file — never the whole
-            # multi-GB checkpoint as one bytes object on the driver.
+            # Local (or no store): stream from the file.
             fs, rel = _open_fs(path)
             pf = pq.ParquetFile(fs.open_input_file(rel))
         for batch in pf.iter_batches(batch_size):

@@ -124,6 +124,16 @@ class S3Store(LogStore):
         bucket, key = _split_bucket_key(path)
         self._client.delete_object(Bucket=bucket, Key=key)
 
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        bucket, key = _split_bucket_key(path)
+        return self._client.get_object(
+            Bucket=bucket, Key=key, Range=f"bytes={start}-{start + length - 1}"
+        )["Body"].read()
+
+    def size_of(self, path: str) -> int:
+        bucket, key = _split_bucket_key(path)
+        return self._client.head_object(Bucket=bucket, Key=key)["ContentLength"]
+
 
 class GCSStore(LogStore):
     """reference: store/gcs.go:33-47 (generation-0 precondition)."""
@@ -198,6 +208,18 @@ class GCSStore(LogStore):
         self._client.bucket(_split_bucket_key(path)[0]).blob(
             _split_bucket_key(path)[1]
         ).delete()
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        bucket, key = _split_bucket_key(path)
+        # download_as_bytes end is INCLUSIVE
+        return self._client.bucket(bucket).blob(key).download_as_bytes(
+            start=start, end=start + length - 1
+        )
+
+    def size_of(self, path: str) -> int:
+        bucket, key = _split_bucket_key(path)
+        blob = self._client.bucket(bucket).get_blob(key)
+        return blob.size
 
 
 class AzureBlobStore(LogStore):
@@ -284,3 +306,12 @@ class AzureBlobStore(LogStore):
     def delete(self, path: str) -> None:
         container, key = self._container_key(path)
         self._svc.get_blob_client(container, key).delete_blob()
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        container, key = self._container_key(path)
+        blob = self._svc.get_blob_client(container, key)
+        return blob.download_blob(offset=start, length=length).readall()
+
+    def size_of(self, path: str) -> int:
+        container, key = self._container_key(path)
+        return self._svc.get_blob_client(container, key).get_blob_properties().size

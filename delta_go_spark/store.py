@@ -70,6 +70,17 @@ class LogStore(ABC):
     def delete(self, path: str) -> None:
         """Remove one object/file; FileNotFoundError may pass silently."""
 
+    # Ranged object I/O: lets checkpoint replay stream row-group batches
+    # from cloud stores (one GET per read) instead of materializing a
+    # multi-GB checkpoint as a single bytes object on the driver.  The
+    # defaults fall back to a full read — correct, not streaming —
+    # so custom stores keep working unmodified.
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        return self.read_bytes(path)[start : start + length]
+
+    def size_of(self, path: str) -> int:
+        return len(self.read_bytes(path))
+
 
 class LocalStore(LogStore):
     """Local-filesystem store: write-temp + atomic link/rename for mutual
@@ -165,6 +176,14 @@ class LocalStore(LogStore):
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
+    def size_of(self, path: str) -> int:
+        return os.path.getsize(path)
 
 
 def is_cloud_uri(path: str) -> bool:

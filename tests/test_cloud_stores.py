@@ -58,15 +58,19 @@ class FakeS3Client:
             raise _ClientError(412)
         bucket[Key] = Body
 
-    def get_object(self, Bucket, Key):
+    def get_object(self, Bucket, Key, Range=None):
         import io
 
-        return {"Body": io.BytesIO(self.objects[Bucket][Key])}
+        data = self.objects[Bucket][Key]
+        if Range is not None:  # "bytes=a-b", b inclusive (S3 semantics)
+            a, b = Range.removeprefix("bytes=").split("-")
+            data = data[int(a): int(b) + 1]
+        return {"Body": io.BytesIO(data)}
 
     def head_object(self, Bucket, Key):
         if Key not in self.objects.get(Bucket, {}):
             raise KeyError(Key)
-        return {}
+        return {"ContentLength": len(self.objects[Bucket][Key])}
 
     def delete_object(self, Bucket, Key):
         self.objects.get(Bucket, {}).pop(Key, None)
