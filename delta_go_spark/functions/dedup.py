@@ -110,11 +110,14 @@ def ngram_jaccard_pairs(
     (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
     the corpus.
     """
-    # Single-scan formulation: the corpus text is read and shingled exactly
-    # once.  Each (doc, shingle-hash) row carries the doc's shingle count, so
-    # no separate sizes aggregate / joins; pairs are generated inside each
-    # shingle bucket with array combinatorics instead of a self-join (which
-    # would re-scan and re-shingle the corpus for each side of the join).
+    # Single-scan formulation: the corpus is shingled once — the self-join's
+    # two sides are the identical subplan, so Catalyst's ReuseExchange
+    # materializes ONE shuffle and probes it from both sides.  Each
+    # (doc, shingle-hash) row carries the doc's shingle count, so no
+    # separate sizes aggregate.  The equi-join + count stay entirely inside
+    # whole-stage codegen (an earlier in-bucket array-combinatorics variant
+    # ran the pair expansion through interpreted higher-order functions —
+    # measurably slower at sf0.1 and harder to reason about).
     toks = F.split(F.col(text_col), " ")
     shingles = F.array_distinct(
         F.transform(
@@ -126,28 +129,15 @@ def ngram_jaccard_pairs(
         _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("hs"))
         .select("doc", F.size("hs").alias("n"), F.explode("hs").alias("h"))
     )
-    # Bucket by shingle hash; docs-per-shingle is small (duplicate clusters),
-    # so the in-bucket pair expansion is bounded.  sort_array orders structs
-    # by doc, guaranteeing doc_id_a < doc_id_b.
-    buckets = (
-        sh.groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-
-    def _tail_pairs(x, i):
-        return F.transform(
-            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-            lambda y: F.struct(
-                x["doc"].alias("da"), x["n"].alias("na"),
-                y["doc"].alias("db"), y["n"].alias("nb"),
-            ),
-        )
-
-    pairs = buckets.select(F.explode(F.flatten(F.transform("ds", _tail_pairs))).alias("p"))
+    a, b = sh.alias("a"), sh.alias("b")
     common = (
-        pairs.select("p.da", "p.na", "p.db", "p.nb")
-        .groupBy("da", "na", "db", "nb")
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("da"),
+            F.col("a.n").alias("na"),
+            F.col("b.doc").alias("db"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
