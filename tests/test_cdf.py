@@ -369,3 +369,35 @@ def test_cdf_partition_pruning_skips_cdc_files(spark, tmp_path):
     assert {(r["k"], r["region"]) for r in allrows} == {
         (0, "en"), (100, "en"), (1, "de"), (101, "de"),
     }
+
+
+def test_datasource_cdf_read_partitioned_table(spark, tmp_path):
+    """option('readChangeFeed') on a PARTITIONED table: hive-layout cdc
+    files inject partition columns from the log inside the executor's
+    Arrow path (the pv-complete branch of _cdf_partition_batches)."""
+    from delta_go_spark.datasource import register
+
+    register(spark)
+    path = str(tmp_path / "tcdfds")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else "en") for i in range(10)], "k long, region string"
+    )
+    DeltaTable.create(
+        spark, path, df, partition_by=["region"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.update(EqualTo(Column("k", LongType()), Literal(2)), {"k": F.lit(200).cast("long")})
+
+    got = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(path)
+    )
+    rows = got.collect()
+    assert {r["_change_type"] for r in rows} == {"update_preimage", "update_postimage"}
+    # partition column values come back non-null from hive-layout cdc files
+    assert all(r["region"] == "en" for r in rows)
+    assert {r["k"] for r in rows} == {2, 200}
+    assert all(r["_commit_version"] == 1 for r in rows)
