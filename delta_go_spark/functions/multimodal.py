@@ -79,7 +79,9 @@ def _decode_stub(content: bytes, kind: str) -> list[float]:
     """
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("media decoding requires PIL/torchaudio")
-    h = hashlib.sha256(content or b"").digest()
+    # hash the UPPERCASE HEX of the bytes (not the raw bytes): every engine
+    # can reproduce it — SQL sha256 implementations take text, not blobs
+    h = hashlib.sha256((content or b"").hex().upper().encode()).digest()
     return [b / 255.0 for b in h[:16]]
 
 
@@ -112,7 +114,8 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         def decode(content: bytes) -> list[float]:
             if not fake:
                 raise NotImplementedError("media decoding requires PIL/torchaudio")
-            h = _hl.sha256(content or b"").digest()
+            # sha256 over the uppercase hex (engine-portable; see _decode_stub)
+            h = _hl.sha256((content or b"").hex().upper().encode()).digest()
             return [b / 255.0 for b in h[:16]]
 
         for pdf in batches:
@@ -233,22 +236,52 @@ ORDER BY doc_id
 def media_pipeline_summary(spark, sf_dir: str) -> DataFrame:
     """Deterministic media pipeline end-to-end: synthesize binary media,
     Arrow-batched feature extraction (mapInPandas), metadata summary.
-    No SQL oracle (binary decode is non-relational); rows-only check here,
-    exact assertions in tests/test_multimodal.py."""
+    Exact oracle (round 3): the deterministic fake decoder hashes the hex
+    of the payload, so DuckDB rebuilds the identical media table and
+    features from first principles — the value-hash now covers the whole
+    mapInPandas pipeline, not just its row count."""
     df = make_media_df(spark, 96)
     feats = extract_features(df)  # carries kind through the Arrow batches
     return (
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
             F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
         )
         .orderBy("kind")
     )
 
 
+# DuckDB rebuilds make_media_df + the fake decoder exactly: payload =
+# sha256-digest(str(i)) repeated (4 + i%8) times; f0 = first byte of
+# sha256(UPPER-HEX(payload)) / 255, truncated to float32 like the
+# pipeline's ArrayType(FloatType) column so both engines average the
+# same 32-bit values.
+MEDIA_PIPELINE_SQL = """
+WITH media AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(unhex(sha256(CAST(i AS VARCHAR))), 4 + i % 8) AS content
+  FROM range(96) t(i)
+), feat AS (
+  SELECT kind,
+         octet_length(content) AS n_bytes,
+         CAST(CAST(concat('0x', substring(sha256(hex(content)), 1, 2)) AS INT)
+              / 255.0 AS FLOAT) AS f0
+  FROM media
+)
+SELECT kind,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(f0), 4) AS avg_f0
+FROM feat
+GROUP BY kind
+ORDER BY kind
+"""
+
+
 QUERIES: dict = {
     "binary_stats_docs": (binary_stats_docs, BINARY_STATS_SQL),
-    "media_pipeline_summary": (media_pipeline_summary, None),
+    "media_pipeline_summary": (media_pipeline_summary, MEDIA_PIPELINE_SQL),
 }

@@ -35,6 +35,7 @@ SAMPLE = [
     "delta_roundtrip_agg",
     # outside the driver's 50-query window this round — pytest is its gate
     "delta_cdf_agg",
+    "media_pipeline_summary",  # upgraded to an exact oracle in round 3
 ]
 
 
