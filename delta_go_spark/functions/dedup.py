@@ -241,10 +241,17 @@ def minhash_lsh_pairs(
     """
     rows = num_perm // bands
     # Signatures are materialized once (num_perm longs + hashed-shingle set
-    # per doc — tiny next to the corpus); everything downstream reads the
-    # cache instead of re-shingling the text.  At cluster scale this persist
-    # spills to disk and is the standard "signature table" materialization.
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k).persist()
+    # per doc — tiny next to the corpus); everything downstream (banding +
+    # both sides of the verify join) reads the materialization instead of
+    # re-shingling the text.  localCheckpoint rather than persist(): the
+    # returned DataFrame is lazy, so a persist() here could never be
+    # unpersisted and would pin executor memory for the session; checkpoint
+    # blocks are released when the plan is garbage-collected.  At cluster
+    # scale this is the standard "signature table" materialization
+    # (memory+disk blocks).
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k).localCheckpoint(
+        eager=False
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
