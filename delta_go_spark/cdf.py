@@ -155,16 +155,6 @@ def table_changes(
         record = {k.lower(): v for k, v in pv.items()}
         return pushed.eval(record) is not True
 
-    def scan_key(p: str) -> str:
-        # the path the Spark scan actually reads (and input_file_name
-        # reports): the canonical path locally, the local cache entry for a
-        # connector-less cloud table
-        if cloud:
-            from delta_go_spark.datacache import localize
-
-            return localize([p], log.store)[0]
-        return p.replace("file://", "")
-
     cdc_version: dict[str, int] = {}
     cdc_pv: dict[str, dict] = {}
     add_version: dict[str, int] = {}
@@ -172,12 +162,23 @@ def table_changes(
     rm_version: dict[str, int] = {}
     removed: list[AddFile] = []
     end_excl = end_version + 1 if end_version is not None else None
-    for path, pv, ctype, version, _size in cdf_entries(
-        log, table_path, start_version, end_excl, fail_on_data_loss
-    ):
-        if pruned_out(pv):
-            continue
-        p = scan_key(path)
+    entries = [
+        e
+        for e in cdf_entries(
+            log, table_path, start_version, end_excl, fail_on_data_loss
+        )
+        if not pruned_out(e[1])
+    ]
+    # The path the Spark scan actually reads (and input_file_name reports):
+    # the canonical path locally, the local cache entry for a connector-less
+    # cloud table — localized in ONE parallel batch, not a GET per entry.
+    if cloud:
+        from delta_go_spark.datacache import localize
+
+        scan_paths = localize([e[0] for e in entries], log.store)
+    else:
+        scan_paths = [e[0].replace("file://", "") for e in entries]
+    for (path, pv, ctype, version, _size), p in zip(entries, scan_paths):
         if ctype is None:
             cdc_version[p] = version
             cdc_pv[p] = pv

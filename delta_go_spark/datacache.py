@@ -34,24 +34,42 @@ def cache_path(uri: str) -> str:
     return os.path.join(CACHE_ROOT, f"{digest}{ext}")
 
 
-def localize(uris: list[str], store: LogStore | None = None) -> list[str]:
+def localize(
+    uris: list[str], store: LogStore | None = None, max_workers: int = 16
+) -> list[str]:
     """Ensure every remote object has a local copy; returns the local paths
     in input order.  Delta files are immutable, so an existing non-empty
-    cache entry is trusted without a round trip."""
+    cache entry is trusted without a round trip.  Missing objects download
+    on a thread pool — object-store GETs are latency-bound, so a wide
+    range (a month-long CDF read) fills the cache in parallel instead of
+    one sequential GET per file."""
     if not uris:
         return []
     os.makedirs(CACHE_ROOT, exist_ok=True)
     store = store or store_for(uris[0])
-    out: list[str] = []
-    for uri in uris:
-        local = cache_path(uri)
-        if not (os.path.exists(local) and os.path.getsize(local) > 0):
-            data = store.read_bytes(uri)
-            tmp = f"{local}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, local)
-        out.append(local)
+    out = [cache_path(u) for u in uris]
+    missing = [
+        (u, local)
+        for u, local in dict(zip(uris, out)).items()
+        if not (os.path.exists(local) and os.path.getsize(local) > 0)
+    ]
+
+    def _fetch(pair: tuple[str, str]) -> None:
+        uri, local = pair
+        data = store.read_bytes(uri)
+        tmp = f"{local}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local)
+
+    if len(missing) <= 1:
+        for pair in missing:
+            _fetch(pair)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_workers, len(missing))) as pool:
+            list(pool.map(_fetch, missing))
     return out
 
 
