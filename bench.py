@@ -34,6 +34,9 @@ HEADLINE = [
     "cosine_near_dup_docs",
     "repetition_topword_docs",
     "word_entropy_docs",
+    "dedup_clusters_docs",  # r3: iterative connected components
+    "pack_sequences_docs",  # r3: context-window packing
+    "simhash_docs",  # r3: engine-portable 60-bit signatures
 ]
 
 

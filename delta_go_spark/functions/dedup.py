@@ -508,3 +508,128 @@ ORDER BY source, lang
 
 
 QUERIES["dedup_keep_longest_docs"] = (dedup_keep_longest_docs, DEDUP_KEEP_LONGEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation: connected components over the pair graph.
+# The operator every dedup pipeline ends with — pairs say "these two are
+# dups"; training-data curation needs "keep ONE representative per
+# transitive cluster" (a~b, b~c => {a,b,c} even when a,c never paired).
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, cluster_rep) for every node in `pairs`, where cluster_rep is
+    the minimum node id reachable through the pair graph.
+
+    Iterative min-label propagation — the alternating-join formulation of
+    GraphX/GraphFrames connected components, on plain DataFrames:
+    each round every node adopts min(own label, neighbors' labels); a
+    fixed point is reached in O(graph diameter) rounds (dedup clusters are
+    shallow — near-cliques — so 2-3 rounds in practice).  Per round: one
+    join on node id + one min-aggregate, both shuffling only (node, label)
+    longs; localCheckpoint truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.  The driver-side loop is inherent to
+    iterative fixed-point algorithms (one action per round to test
+    convergence) — each action is a bounded two-stage job, never a
+    per-row driver loop."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
+
+
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the exact >=0.6-Jaccard pairs:
+    every clustered doc with its representative (min reachable doc_id) and
+    the cluster's size."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_rep")
+        .select(F.col("node").alias("doc_id"), "cluster_rep", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB: same clusters via recursive transitive closure (fine at oracle
+# scale; the Spark path above is the one that scales).
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM exploded
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db
+  FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+), edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION
+  SELECT db AS src, da AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+)
+SELECT l.doc_id, l.cluster_rep, s.cluster_size
+FROM labels l
+JOIN (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1) s
+  USING (cluster_rep)
+ORDER BY l.doc_id
+"""
+
+
+QUERIES["dedup_clusters_docs"] = (dedup_clusters_docs, DEDUP_CLUSTERS_SQL)

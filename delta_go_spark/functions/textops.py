@@ -430,3 +430,89 @@ ORDER BY lang
 
 
 QUERIES["quality_quartile_docs"] = (quality_quartile_docs, QUALITY_QUARTILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget context windows —
+# the step between a curated corpus and a training run (every LLM data
+# pipeline packs documents into max-seq-len windows).
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic streaming pack: within each `stream_col` group, docs
+    are laid out in `order_col` order and window `bin_id` is the budget
+    bucket where the doc STARTS (floor(start_offset / budget) — a doc
+    crossing a boundary stays in the window it started in, the standard
+    contiguous-packing contract).
+
+    Scale: the running sum is a window partitioned BY STREAM — packing is
+    embarrassingly parallel across streams (shards), never a global
+    single-partition window.  One shuffle on the stream key.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        F.col(stream_col), F.col(order_col), n_tokens.alias("n_tokens")
+    ).withColumn("_end", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        stream_col,
+        order_col,
+        "n_tokens",
+        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+        F.floor((F.col("_end") - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2048-token context-window packing summary: windows per
+    stream, docs per window checksums — exact cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("window_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM toks
+)
+SELECT source,
+       CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS window_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+QUERIES["pack_sequences_docs"] = (pack_sequences_docs, PACK_SEQUENCES_SQL)

@@ -80,7 +80,12 @@ _MODULES = [
     _Pick(coverage, _COVERAGE_R2_CHECKED),
     _Pick(
         dedup,
-        ["exact_dedup_docs", "ngram_jaccard_pairs_docs", "dedup_keep_longest_docs"],
+        [
+            "exact_dedup_docs",
+            "ngram_jaccard_pairs_docs",
+            "dedup_keep_longest_docs",
+            "dedup_clusters_docs",  # new r3: connected-components clusters
+        ],
     ),
     _Pick(similarity, ["embedding_norms", "knn_cosine_docs", "ann_lsh_docs", "ann_ivf_docs"]),
     textops,
@@ -99,6 +104,15 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = entry
+    # A _Pick that names a stale subset would silently drop queries added
+    # to its module later — fail loudly instead.
+    for mod in (coverage, dedup, similarity):
+        missing = [n for n in mod.QUERIES if n not in out]
+        if missing:
+            raise ValueError(
+                f"queries defined in {mod.__name__} but absent from the "
+                f"registry picks: {missing}"
+            )
     return out
 
 

@@ -96,3 +96,20 @@ def test_cosine_lsh_vs_exact_block(spark):
     assert len(set(lsh) & set(exact)) / len(exact) >= 0.95
     for k in lsh:
         assert abs(lsh[k] - exact[k]) < 1e-3
+
+
+def test_connected_components_transitivity(spark):
+    """a~b, b~c (a,c never paired) must land in ONE cluster with rep=min;
+    disjoint clusters stay separate; chain depth exercises >1 iteration."""
+    from delta_go_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 4)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r["node"]: r["cluster_rep"] for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,   # 5-node chain collapses to min=1
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }

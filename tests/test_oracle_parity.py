@@ -36,6 +36,8 @@ SAMPLE = [
     # outside the driver's 50-query window this round — pytest is its gate
     "delta_cdf_agg",
     "media_pipeline_summary",  # upgraded to an exact oracle in round 3
+    "dedup_clusters_docs",  # new in round 3: connected components
+    "pack_sequences_docs",  # new in round 3: context-window packing
 ]
 
 
