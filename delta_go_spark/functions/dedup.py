@@ -439,7 +439,7 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc").alias("doc_id_a"),
             F.col("b.doc").alias("doc_id_b"),
-            ham.alias("hamming"),
+            ham.cast("long").alias("hamming"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
         .filter(F.col("hamming") <= max_hamming)
@@ -447,8 +447,42 @@ def simhash_near_dup_pairs(
 
 
 def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming distance 3 of the 60-bit SimHash.
+
+    max_hamming=3 is the largest radius where the 4-chunk banding has
+    GUARANTEED recall 1.0 (pigeonhole: <=3 differing bits cannot touch all
+    4 chunks), which is what makes the exact all-pairs DuckDB oracle
+    valid — the emitted set is provably the true <=3 set, not a candidate
+    gamble."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+_SIMHASH_CTE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+  FROM hashed
+)
+"""
+
+SIMHASH_NEAR_DUP_SQL = (
+    _SIMHASH_CTE
+    + """
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
+)
 
 
 QUERIES: dict = {
@@ -459,6 +493,7 @@ QUERIES: dict = {
     # md5-derived signature is engine-portable, so both value-hash.
     "minhash_near_dup_docs": (minhash_near_dup_docs, MINHASH_NEAR_DUP_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_SQL),
+    "simhash_near_dup_docs": (simhash_near_dup_docs, SIMHASH_NEAR_DUP_SQL),
 }
 
 

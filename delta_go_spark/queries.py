@@ -85,6 +85,7 @@ _MODULES = [
             "ngram_jaccard_pairs_docs",
             "dedup_keep_longest_docs",
             "dedup_clusters_docs",  # new r3: connected-components clusters
+            "simhash_near_dup_docs",  # new r3: provable <=3-Hamming pairs
         ],
     ),
     _Pick(similarity, ["embedding_norms", "knn_cosine_docs", "ann_lsh_docs", "ann_ivf_docs"]),

@@ -28,8 +28,15 @@ def test_minhash_recall_and_precision(spark):
 
 
 def test_simhash_finds_near_dups(spark):
+    from delta_go_spark.functions.dedup import simhash_near_dup_pairs
+    from delta_go_spark.session import load_table
+
     exact = {(r["doc_id_a"], r["doc_id_b"]) for r in ngram_jaccard_pairs_docs(spark, SF).collect()}
-    sh = {(r["doc_id_a"], r["doc_id_b"]) for r in simhash_near_dup_docs(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    # the wide-radius library call (the registry query uses max_hamming=3,
+    # the largest radius where 4-chunk banding recall is PROVABLY 1.0)
+    sh = {(r["doc_id_a"], r["doc_id_b"])
+          for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()}
     # simhash is token-set based while jaccard is shingle based; require
     # meaningful overlap, not equality
     assert len(sh & exact) / len(exact) >= 0.5

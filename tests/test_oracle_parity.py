@@ -38,6 +38,7 @@ SAMPLE = [
     "media_pipeline_summary",  # upgraded to an exact oracle in round 3
     "dedup_clusters_docs",  # new in round 3: connected components
     "pack_sequences_docs",  # new in round 3: context-window packing
+    "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
 ]
 
 
