@@ -37,10 +37,7 @@ def vacuum(
     from delta_go_spark.store import is_cloud_uri
 
     if is_cloud_uri(table_path):
-        # Cloud vacuum needs a recursive object listing + batched deletes
-        # through the store; not implemented — fail loudly rather than
-        # os.walk-ing a URI and silently deleting nothing.
-        raise NotImplementedError("vacuum on cloud table URIs is not supported yet")
+        return _vacuum_cloud(table_path, retention_millis, dry_run)
     table_path = os.path.abspath(table_path)
     log = DeltaLog.for_table(table_path)
     snap = log.update()
@@ -106,4 +103,59 @@ def vacuum(
                     os.rmdir(root)
                 except OSError:
                     pass
+    return sorted(doomed)
+
+
+def _vacuum_cloud(
+    table_uri: str, retention_millis: int | None, dry_run: bool
+) -> list[str]:
+    """Cloud-table VACUUM: object-store LISTs are flat key-prefix scans, so
+    one list_from over the table prefix enumerates every object recursively
+    (the reference's store contract, store/base.go paging).  Same deletable
+    rule as local: not active, not a young tombstone, older than the
+    retention horizon by the store's LastModified.  No directory pruning —
+    object stores have no directories."""
+    from delta_go_spark.store import normalize_table_uri
+
+    table_uri = normalize_table_uri(table_uri)
+    log = DeltaLog.for_table(table_uri)
+    snap = log.update()
+    if retention_millis is None:
+        retention_millis = cfg.get_millis(
+            snap.metadata().configuration or {}, cfg.TOMBSTONE_RETENTION
+        )
+    horizon = log.clock.now_millis() - retention_millis
+
+    def norm(p: str) -> str:
+        return canonicalize_path(p, table_uri)
+
+    active = {norm(a.path) for a in snap.all_files()}
+    protected = {
+        norm(r.path)
+        for r in snap.state().tombstones.values()
+        if (r.deletion_timestamp or 0) >= horizon
+    }
+
+    prefix = f"{table_uri}/"
+    doomed: list[str] = []
+    for meta in log.store.list_from(prefix):
+        rel = meta.path[len(prefix):] if meta.path.startswith(prefix) else None
+        if rel is None or not rel.endswith(".parquet"):
+            continue
+        # log, change data and staging/hidden objects are never touched
+        first = rel.split("/", 1)[0]
+        base = rel.rsplit("/", 1)[-1]
+        if first in ("_delta_log", "_change_data"):
+            continue
+        if base.startswith((".", "_")):
+            continue
+        if meta.path in active or meta.path in protected:
+            continue
+        if meta.modification_time >= horizon:
+            continue  # possibly staged by an in-flight commit
+        doomed.append(meta.path)
+
+    if not dry_run:
+        for path in doomed:
+            log.store.delete(path)
     return sorted(doomed)

@@ -472,5 +472,28 @@ def test_data_plane_over_fake_s3(spark, tmp_path):
         # cdc objects landed under _change_data/ in the bucket
         assert any("_change_data/" in k for k in client.objects["bucket"])
         assert os.path.isdir(CACHE_ROOT)
+
+        # cloud VACUUM: unreferenced rewritten-away objects leave the
+        # bucket (fake LastModified is past the horizon); active data,
+        # the log and cdc objects survive; the table still reads.
+        from delta_go_spark.vacuum import vacuum
+
+        n_parquet_before = sum(
+            1 for k in client.objects["bucket"]
+            if k.endswith(".parquet") and "_delta_log" not in k
+            and "_change_data" not in k
+        )
+        would = vacuum(root, retention_millis=0, dry_run=True)
+        assert would, "rewritten-away objects should be deletable"
+        deleted = vacuum(root, retention_millis=0)
+        assert deleted == would
+        n_parquet_after = sum(
+            1 for k in client.objects["bucket"]
+            if k.endswith(".parquet") and "_delta_log" not in k
+            and "_change_data" not in k
+        )
+        assert n_parquet_after == n_parquet_before - len(deleted)
+        assert any("_change_data/" in k for k in client.objects["bucket"])
+        assert t.to_df().count() == 100
     finally:
         register_store("s3://bucket/tables/tdata", None)
