@@ -93,3 +93,28 @@ def test_curation_queries_join_shapes(spark):
         plan = _plan(qs[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pack_sequences_window_is_stream_partitioned(spark):
+    """The running sum must be a window PARTITIONED BY the stream key —
+    a global (empty-partition) window serializes the corpus through one
+    task at any scale."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["pack_sequences_docs"](spark, SF_DIR))
+    assert "Window" in plan
+    # Spark renders an unpartitioned window spec as an empty partition list
+    assert "windowspecdefinition(source" in plan.replace(" ", "").lower() or \
+        "partitionby" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_joins_are_hash_joins(spark):
+    """Connected components: every per-round join must be an equi hash
+    join on node ids (8-byte keys), never a nested-loop product."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["dedup_clusters_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
