@@ -177,34 +177,42 @@ def _stage_files_cloud(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(scratch)
 
-        new_files: list[AddFile] = []
-        now_ms = int(time.time() * 1000)
+        staged: list[tuple[str, str, str]] = []  # (src, rel_dir, rel_path)
         for root, _dirs, files in os.walk(scratch):
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
-                src = os.path.join(root, name)
                 rel_dir = os.path.relpath(root, scratch)
                 rel_dir = "" if rel_dir == "." else rel_dir
                 rel_path = "/".join(
                     p for p in (rel_dir.replace(os.sep, "/"), name) if p
                 )
-                with open(src, "rb") as f:
-                    data = f.read()
-                store.write_bytes(f"{table_uri.rstrip('/')}/{rel_path}", data)
-                new_files.append(
-                    AddFile(
-                        path=encode_path(rel_path),
-                        partition_values=_partition_values_from_rel(
-                            rel_dir, partition_by
-                        ),
-                        size=len(data),
-                        modification_time=now_ms,
-                        data_change=True,
-                        stats=_stats_from_footer(src),
-                    )
-                )
-        return new_files
+                staged.append((os.path.join(root, name), rel_dir, rel_path))
+
+        now_ms = int(time.time() * 1000)
+
+        def _put(item: tuple[str, str, str]) -> AddFile:
+            src, rel_dir, rel_path = item
+            with open(src, "rb") as f:
+                data = f.read()
+            store.write_bytes(f"{table_uri.rstrip('/')}/{rel_path}", data)
+            return AddFile(
+                path=encode_path(rel_path),
+                partition_values=_partition_values_from_rel(rel_dir, partition_by),
+                size=len(data),
+                modification_time=now_ms,
+                data_change=True,
+                stats=_stats_from_footer(src),
+            )
+
+        # PUTs are latency-bound — upload on a thread pool like
+        # datacache.localize does for the read side.
+        if len(staged) <= 1:
+            return [_put(item) for item in staged]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(staged))) as pool:
+            return list(pool.map(_put, staged))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
