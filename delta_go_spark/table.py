@@ -113,6 +113,16 @@ class DeltaTable:
 
         return vacuum(self.log.table_path, retention_millis, dry_run)
 
+    def zorder(self, cols: list[str], n_files: int | None = None) -> int | None:
+        from delta_go_spark.maintenance import zorder
+
+        return zorder(self.spark, self.log.table_path, cols, n_files)
+
+    def restore(self, version: int) -> int:
+        from delta_go_spark.maintenance import restore
+
+        return restore(self.spark, self.log.table_path, version)
+
     def changes_df(self, start_version: int = 0) -> DataFrame:
         from delta_go_spark.maintenance import changes_df
 
