@@ -53,12 +53,17 @@ def _with_version(df: DataFrame, version_of: dict[str, int]) -> DataFrame:
     URI-encoded form — a partition value with a space yields ``%20`` in
     the scan's file name but not in the AddFile path."""
     spark = df.sparkSession
-    keyed = set()
+    keyed: dict[str, int] = {}
+    # raw spellings first, encoded second and only when absent: if one
+    # file's RAW path equals another's ENCODED spelling (literal '%20' vs
+    # a real space), a duplicate join key would emit that file's rows
+    # twice with conflicting versions — exact spellings take precedence.
     for p, v in version_of.items():
-        keyed.add((f"file://{p}", v))
-        keyed.add(("file://" + quote(p, safe=_URI_PATH_SAFE), v))
+        keyed.setdefault(f"file://{p}", v)
+    for p, v in version_of.items():
+        keyed.setdefault("file://" + quote(p, safe=_URI_PATH_SAFE), v)
     mapping = spark.createDataFrame(
-        sorted(keyed), "_dgs_input_file string, _dgs_commit_version long"
+        sorted(keyed.items()), "_dgs_input_file string, _dgs_commit_version long"
     )
     return (
         df.withColumn("_dgs_input_file", F.input_file_name())

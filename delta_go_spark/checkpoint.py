@@ -270,12 +270,21 @@ def iter_checkpoint_actions(
     stream through ranged GETs (_RangedStoreFile); local tables stream
     from the filesystem — neither path materializes a multi-GB checkpoint
     as one bytes object on the driver."""
-    from delta_go_spark.store import LocalStore
+    from delta_go_spark.store import LocalStore, LogStore as _Base
 
     for path in paths:
         if store is not None and not isinstance(store, LocalStore):
-            # Cloud store: ranged reads through the (possibly fake) client.
-            pf = pq.ParquetFile(pa.PythonFile(_RangedStoreFile(store, path), mode="r"))
+            if type(store).read_range is not _Base.read_range:
+                # Cloud store with a real ranged read: stream row groups
+                # through per-read GETs.
+                pf = pq.ParquetFile(
+                    pa.PythonFile(_RangedStoreFile(store, path), mode="r")
+                )
+            else:
+                # Custom store with only the abstract surface: its default
+                # read_range re-downloads the WHOLE object per read call —
+                # one buffered download is strictly better there.
+                pf = pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
         else:
             # Local (or no store): stream from the file.
             fs, rel = _open_fs(path)

@@ -219,6 +219,8 @@ class GCSStore(LogStore):
     def size_of(self, path: str) -> int:
         bucket, key = _split_bucket_key(path)
         blob = self._client.bucket(bucket).get_blob(key)
+        if blob is None:  # get_blob returns None for missing objects
+            raise FileNotFoundError(path)
         return blob.size
 
 

@@ -55,9 +55,14 @@ def localize(
     ]
 
     def _fetch(pair: tuple[str, str]) -> None:
+        import uuid
+
         uri, local = pair
         data = store.read_bytes(uri)
-        tmp = f"{local}.tmp.{os.getpid()}"
+        # unique tmp per fetch: two concurrent queries caching the same
+        # object must not interleave writes into one tmp file (pid alone
+        # is shared by every thread of the driver)
+        tmp = f"{local}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, local)

@@ -185,6 +185,23 @@ def _arrow_batches_for_file(
     yield from out.to_batches()
 
 
+def _readable_paths(paths: list[str], table_root: str) -> list[str]:
+    """Paths an executor's pyarrow can open: cloud URIs are localized into
+    the deterministic cache AT PLANNING TIME (executor Python workers
+    cannot reach per-process store state; planner and executors share the
+    cache directory in the connector-less local mode this fallback
+    serves).  Local paths pass through untouched.  Note: Spark 4 runs
+    DataSource planning in its own Python worker, so cloud reads through
+    this surface need real SDK configuration (credentials/endpoint env) —
+    driver-process register_store bindings are not visible here; the
+    DeltaTable API sees them, the format("delta_go") API does not."""
+    from delta_go_spark.datacache import is_cloud_uri, localize
+
+    if not paths or not is_cloud_uri(table_root):
+        return paths
+    return localize(paths)
+
+
 class _FilePartition(InputPartition):
     """One scan task: a size-bounded group of data files (the
     maxPartitionBytes analog — a million tiny files must not become a
@@ -267,14 +284,14 @@ class DeltaGoBatchReader(DataSourceReader):
         target = int(
             self.options.get("maxpartitionbytes", 128 * 1024 * 1024)
         )
+        paths = _readable_paths(
+            [canonicalize_path(a.path, self.table_root) for a in files],
+            self.table_root,
+        )
         return _pack_partitions(
             [
-                (
-                    canonicalize_path(a.path, self.table_root),
-                    dict(a.partition_values or {}),
-                    a.size or 0,
-                )
-                for a in files
+                (p, dict(a.partition_values or {}), a.size or 0)
+                for a, p in zip(files, paths)
             ],
             target,
         )
@@ -342,7 +359,9 @@ class DeltaGoCDFReader(DataSourceReader):
         start = int(self.options.get("startingversion", 0))
         end = self.options.get("endingversion")
         end_excl = int(end) + 1 if end is not None else None
-        self._entries = cdf_entries(log, self.table_root, start, end_excl)
+        entries = cdf_entries(log, self.table_root, start, end_excl)
+        paths = _readable_paths([e[0] for e in entries], self.table_root)
+        self._entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
 
     def partitions(self) -> list[InputPartition]:
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
@@ -524,16 +543,18 @@ class DeltaGoStreamReader(DataSourceStreamReader):
                 if end_v > start_v
                 else []
             )
+            paths = _readable_paths([e[0] for e in entries], self.table_root)
+            entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
             return _pack_cdf_partitions(entries, target, max_files)
         adds = self._adds_between(int(start["version"]), int(end["version"]))
+        paths = _readable_paths(
+            [canonicalize_path(a.path, self.table_root) for a in adds],
+            self.table_root,
+        )
         return _pack_partitions(
             [
-                (
-                    canonicalize_path(a.path, self.table_root),
-                    dict(a.partition_values or {}),
-                    a.size or 0,
-                )
-                for a in adds
+                (p, dict(a.partition_values or {}), a.size or 0)
+                for a, p in zip(adds, paths)
             ],
             target,
             max_files,

@@ -424,6 +424,7 @@ class DeltaDml:
                         stage_cdc_files(
                             insertable.withColumn(CHANGE_TYPE_COL, F.lit("insert")),
                             self.table_path,
+                            pcols,
                         )
                     )
 

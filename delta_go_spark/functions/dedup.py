@@ -155,8 +155,10 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs).orderBy("doc_id_a", "doc_id_b")
 
 
-NGRAM_JACCARD_SQL = """
-WITH toks AS (
+# Shared CTE chain: 3-token shingles -> >=0.6-Jaccard pairs.  Composed
+# into three oracles below (plain pairs, minhash, clusters) so a shingling
+# tweak cannot silently diverge them.
+_JACCARD_PAIRS_CTES = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), exploded AS (
   SELECT doc_id, t,
@@ -171,13 +173,18 @@ WITH toks AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_id_a, doc_id_b,
-       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON doc_id_a = sa.doc_id
-JOIN sizes sb ON doc_id_b = sb.doc_id
-WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+), jpairs AS (
+  SELECT doc_id_a, doc_id_b,
+         round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON doc_id_a = sa.doc_id
+  JOIN sizes sb ON doc_id_b = sb.doc_id
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+)"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_JACCARD_PAIRS_CTES}
+SELECT doc_id_a, doc_id_b, jaccard FROM jpairs
 ORDER BY doc_id_a, doc_id_b
 """
 
@@ -312,31 +319,7 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all-pairs Jaccard computation a valid value-hash oracle, not just a
 # rows-only bound.  64-bit shingle hashing collides with ~n^2/2^64
 # probability, so hashed-set Jaccard == string-set Jaccard at any test SF.
-MINHASH_NEAR_DUP_SQL = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), exploded AS (
-  SELECT doc_id, t,
-         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
-  FROM toks
-), sh AS (
-  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-  FROM exploded
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_id_a, doc_id_b,
-       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
-FROM common
-JOIN sizes sa ON doc_id_a = sa.doc_id
-JOIN sizes sb ON doc_id_b = sb.doc_id
-WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
-ORDER BY doc_id_a, doc_id_b
-"""
+MINHASH_NEAR_DUP_SQL = NGRAM_JACCARD_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -607,6 +590,14 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        # Falling through without convergence would silently return SPLIT
+        # clusters (under-deduplication) — fail loudly instead; raise
+        # max_iterations for graphs whose diameter genuinely exceeds it.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (pair-graph diameter exceeds the bound)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
 
 
@@ -627,30 +618,11 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB: same clusters via recursive transitive closure (fine at oracle
 # scale; the Spark path above is the one that scales).
-DEDUP_CLUSTERS_SQL = """
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), exploded AS (
-  SELECT doc_id, t,
-         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
-  FROM toks
-), sh AS (
-  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-  FROM exploded
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT da, db
-  FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-  WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
-), edges AS (
-  SELECT da AS src, db AS dst FROM pairs
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
   UNION
-  SELECT db AS src, da AS dst FROM pairs
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
 ), reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION

@@ -221,7 +221,9 @@ def store_for(path: str) -> LogStore:
     paths -> LocalStore; s3/gs/azure go to cloud_stores (SDKs import-gated
     there).  Registered prefix bindings (register_store) take priority."""
     for prefix in sorted(_registered, key=len, reverse=True):
-        if path.startswith(prefix):
+        # boundary-checked prefix match: a binding for .../tables/t must
+        # not capture .../tables/t2
+        if path == prefix or path.startswith(prefix.rstrip("/") + "/"):
             return _registered[prefix]
     if path.startswith("file://"):
         return LocalStore(path[len("file://"):])

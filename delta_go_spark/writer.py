@@ -153,6 +153,44 @@ def stage_files(
     return new_files
 
 
+def _upload_scratch(scratch: str, table_uri: str, rel_prefix: str, make_action):
+    """Walk a local scratch tree and PUT every parquet file under
+    `table_uri/rel_prefix/<hive dirs>/<name>` through the LogStore; PUTs
+    run on a thread pool (latency-bound, same pattern as the read-side
+    cache fill).  make_action(src, rel_dir, rel_path, n_bytes) builds the
+    log action for each uploaded object.  Shared by data and cdc staging."""
+    from delta_go_spark.store import store_for
+
+    store = store_for(table_uri)
+    staged: list[tuple[str, str, str]] = []  # (src, rel_dir, rel_path)
+    for root, _dirs, files in os.walk(scratch):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, scratch)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            rel_path = "/".join(
+                p
+                for p in (rel_prefix, rel_dir.replace(os.sep, "/"), name)
+                if p
+            )
+            staged.append((os.path.join(root, name), rel_dir, rel_path))
+
+    def _put(item: tuple[str, str, str]):
+        src, rel_dir, rel_path = item
+        with open(src, "rb") as f:
+            data = f.read()
+        store.write_bytes(f"{table_uri.rstrip('/')}/{rel_path}", data)
+        return make_action(src, rel_dir, rel_path, len(data))
+
+    if len(staged) <= 1:
+        return [_put(item) for item in staged]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(staged))) as pool:
+        return list(pool.map(_put, staged))
+
+
 def _stage_files_cloud(
     df: DataFrame, table_uri: str, partition_by: list[str]
 ) -> list[AddFile]:
@@ -167,52 +205,25 @@ def _stage_files_cloud(
     import tempfile
     import time
 
-    from delta_go_spark.store import store_for
-
-    store = store_for(table_uri)
     scratch = tempfile.mkdtemp(prefix="dgs-stage-")
     try:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(scratch)
-
-        staged: list[tuple[str, str, str]] = []  # (src, rel_dir, rel_path)
-        for root, _dirs, files in os.walk(scratch):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(root, scratch)
-                rel_dir = "" if rel_dir == "." else rel_dir
-                rel_path = "/".join(
-                    p for p in (rel_dir.replace(os.sep, "/"), name) if p
-                )
-                staged.append((os.path.join(root, name), rel_dir, rel_path))
-
         now_ms = int(time.time() * 1000)
 
-        def _put(item: tuple[str, str, str]) -> AddFile:
-            src, rel_dir, rel_path = item
-            with open(src, "rb") as f:
-                data = f.read()
-            store.write_bytes(f"{table_uri.rstrip('/')}/{rel_path}", data)
+        def make(src, rel_dir, rel_path, n_bytes) -> AddFile:
             return AddFile(
                 path=encode_path(rel_path),
                 partition_values=_partition_values_from_rel(rel_dir, partition_by),
-                size=len(data),
+                size=n_bytes,
                 modification_time=now_ms,
                 data_change=True,
                 stats=_stats_from_footer(src),
             )
 
-        # PUTs are latency-bound — upload on a thread pool like
-        # datacache.localize does for the read side.
-        if len(staged) <= 1:
-            return [_put(item) for item in staged]
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(min(16, len(staged))) as pool:
-            return list(pool.map(_put, staged))
+        return _upload_scratch(scratch, table_uri, "", make)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -367,37 +378,20 @@ def stage_cdc_files(
     if is_cloud_uri(table_path):
         import tempfile
 
-        from delta_go_spark.store import store_for
-
-        store = store_for(table_path)
         scratch = tempfile.mkdtemp(prefix="dgs-stage-cdc-")
         try:
             _write(scratch)
-            out: list[AddCDCFile] = []
-            for root, _dirs, files in os.walk(scratch):
-                for name in files:
-                    if not name.endswith(".parquet"):
-                        continue
-                    rel_dir = os.path.relpath(root, scratch)
-                    rel_dir = "" if rel_dir == "." else rel_dir
-                    rel = "/".join(
-                        p
-                        for p in (CDC_DIR, rel_dir.replace(os.sep, "/"), name)
-                        if p
-                    )
-                    with open(os.path.join(root, name), "rb") as f:
-                        data = f.read()
-                    store.write_bytes(f"{table_path.rstrip('/')}/{rel}", data)
-                    out.append(
-                        AddCDCFile(
-                            path=encode_path(rel),
-                            partition_values=_partition_values_from_rel(
-                                rel_dir, partition_by
-                            ),
-                            size=len(data),
-                        )
-                    )
-            return out
+
+            def make(_src, rel_dir, rel_path, n_bytes) -> AddCDCFile:
+                return AddCDCFile(
+                    path=encode_path(rel_path),
+                    partition_values=_partition_values_from_rel(
+                        rel_dir, partition_by
+                    ),
+                    size=n_bytes,
+                )
+
+            return _upload_scratch(scratch, table_path, CDC_DIR, make)
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
