@@ -202,3 +202,46 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     # insert-only merge: Delta inserts every not-matched source row, dups included
     t.merge(miss_dup, on="k", update_set=None, insert_not_matched=True)
     assert t.to_df().filter(F.col("k") == 8888).count() == 2
+
+
+def test_concurrent_disjoint_updates_both_commit(spark, tmp_path):
+    """Two UPDATEs racing on DISJOINT partitions: copy-on-write touches
+    disjoint file sets, the conflict checker finds no overlap, and the
+    loser of the version race retries and lands — both commits succeed
+    and both effects are visible (the multi-writer story DML inherits
+    from doCommitRetryIteratively)."""
+    import threading
+
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tdmlrace")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 0) for i in range(40)],
+        "k long, p string, v long",
+    )
+    DeltaTable.create(spark, path, df, partition_by=["p"])
+    v0 = DeltaTable.for_path(spark, path).log.update().version
+
+    errors: list = []
+
+    def run(part: str, val: int) -> None:
+        try:
+            t = DeltaTable.for_path(spark, path)
+            t.update(
+                EqualTo(Column("p", StringType()), Literal(part)),
+                {"v": F.lit(val).cast("long")},
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    from pyspark.sql.types import StringType
+
+    th1 = threading.Thread(target=run, args=("a", 1))
+    th2 = threading.Thread(target=run, args=("b", 2))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors, errors
+
+    t = DeltaTable.for_path(spark, path)
+    assert t.log.update().version == v0 + 2
+    rows = {(r["p"], r["v"]) for r in t.to_df().collect()}
+    assert rows == {("a", 1), ("b", 2)}
