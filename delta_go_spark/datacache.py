@@ -24,6 +24,10 @@ import tempfile
 from delta_go_spark.store import LogStore, is_cloud_uri, store_for
 
 CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs_data_cache")
+# Cache budget (bytes) before least-recently-used entries are evicted;
+# override with DGS_DATA_CACHE_BYTES.  Objects are immutable, so eviction
+# only costs a re-download on next touch.
+CACHE_BUDGET_BYTES = int(os.environ.get("DGS_DATA_CACHE_BYTES", 10 * 1024**3))
 
 
 def cache_path(uri: str) -> str:
@@ -75,7 +79,45 @@ def localize(
 
         with ThreadPoolExecutor(min(max_workers, len(missing))) as pool:
             list(pool.map(_fetch, missing))
+    if missing:
+        prune(keep=set(out))
     return out
+
+
+def prune(budget_bytes: int | None = None, keep: set[str] | None = None) -> int:
+    """Evict least-recently-used cache entries until the cache fits the
+    budget; paths in `keep` (the current query's working set) survive.
+    Returns bytes freed.  Runs after every batch of downloads, so the
+    driver's scratch disk stays bounded however many cloud tables a
+    session touches."""
+    budget = CACHE_BUDGET_BYTES if budget_bytes is None else budget_bytes
+    entries = []
+    total = 0
+    try:
+        names = os.listdir(CACHE_ROOT)
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        full = os.path.join(CACHE_ROOT, name)
+        try:
+            st = os.stat(full)
+        except OSError:
+            continue
+        entries.append((st.st_atime, st.st_size, full))
+        total += st.st_size
+    freed = 0
+    keep = keep or set()
+    for _atime, size, full in sorted(entries):
+        if total - freed <= budget:
+            break
+        if full in keep:
+            continue
+        try:
+            os.remove(full)
+            freed += size
+        except OSError:
+            pass
+    return freed
 
 
 __all__ = ["CACHE_ROOT", "cache_path", "is_cloud_uri", "localize"]

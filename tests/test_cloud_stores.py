@@ -502,3 +502,34 @@ def test_data_plane_over_fake_s3(spark, tmp_path):
         # path needs real SDK config (credentials/endpoint env).
     finally:
         register_store("s3://bucket/tables/tdata", None)
+
+
+def test_datacache_prune_lru(tmp_path, monkeypatch):
+    """Cache eviction: over-budget entries go oldest-atime-first, the
+    current working set survives, under-budget caches are untouched."""
+    import os
+    import time
+
+    from delta_go_spark import datacache
+
+    cache = str(tmp_path / "cache")
+    monkeypatch.setattr(datacache, "CACHE_ROOT", cache)
+    os.makedirs(cache)
+    paths = []
+    for i in range(5):
+        p = os.path.join(cache, f"f{i}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x" * 100)
+        t = time.time() - (100 - i)  # f0 oldest
+        os.utime(p, (t, t))
+        paths.append(p)
+    # budget 250 -> need to free >= 250 bytes; f0, f1 evicted first but f1
+    # is in the working set, so f0 and f2 go
+    freed = datacache.prune(budget_bytes=250, keep={paths[1]})
+    assert freed == 300
+    assert not os.path.exists(paths[0])
+    assert os.path.exists(paths[1])
+    survivors = {p for p in paths if os.path.exists(p)}
+    assert len(survivors) == 2 or len(survivors) == 3
+    # under budget: nothing further evicted
+    assert datacache.prune(budget_bytes=10**9) == 0
