@@ -54,14 +54,16 @@ def _with_version(df: DataFrame, version_of: dict[str, int]) -> DataFrame:
     the scan's file name but not in the AddFile path."""
     spark = df.sparkSession
     keyed: dict[str, int] = {}
-    # raw spellings first, encoded second and only when absent: if one
+    # ENCODED spellings first, raw second and only when absent:
+    # input_file_name() reports Hadoop's percent-encoded form, so when one
     # file's RAW path equals another's ENCODED spelling (literal '%20' vs
-    # a real space), a duplicate join key would emit that file's rows
-    # twice with conflicting versions — exact spellings take precedence.
-    for p, v in version_of.items():
-        keyed.setdefault(f"file://{p}", v)
+    # a real space) the scan only ever emits the encoded reading — the
+    # encoded owner's version must win the collision.  Raw keys remain as
+    # a defensive fallback for spellings the safe-set model misses.
     for p, v in version_of.items():
         keyed.setdefault("file://" + quote(p, safe=_URI_PATH_SAFE), v)
+    for p, v in version_of.items():
+        keyed.setdefault(f"file://{p}", v)
     mapping = spark.createDataFrame(
         sorted(keyed.items()), "_dgs_input_file string, _dgs_commit_version long"
     )

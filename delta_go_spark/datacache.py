@@ -28,6 +28,12 @@ CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs_data_cache")
 # override with DGS_DATA_CACHE_BYTES.  Objects are immutable, so eviction
 # only costs a re-download on next touch.
 CACHE_BUDGET_BYTES = int(os.environ.get("DGS_DATA_CACHE_BYTES", 10 * 1024**3))
+# Entries touched within the grace window are NEVER evicted: a concurrent
+# query plans local paths at localize() time and its executors read them a
+# moment later — eviction in that window would fail the in-flight job.
+CACHE_EVICTION_GRACE_SECONDS = int(
+    os.environ.get("DGS_DATA_CACHE_GRACE_SECONDS", 1800)
+)
 
 
 def cache_path(uri: str) -> str:
@@ -52,11 +58,18 @@ def localize(
     os.makedirs(CACHE_ROOT, exist_ok=True)
     store = store or store_for(uris[0])
     out = [cache_path(u) for u in uris]
-    missing = [
-        (u, local)
-        for u, local in dict(zip(uris, out)).items()
-        if not (os.path.exists(local) and os.path.getsize(local) > 0)
-    ]
+    missing = []
+    for u, local in dict(zip(uris, out)).items():
+        if os.path.exists(local) and os.path.getsize(local) > 0:
+            # refresh the LRU clock explicitly (atime is unreliable under
+            # relatime/noatime mounts; mtime is ours to manage — objects
+            # are immutable so a touch never lies about content)
+            try:
+                os.utime(local, None)
+            except OSError:
+                pass
+        else:
+            missing.append((u, local))
 
     def _fetch(pair: tuple[str, str]) -> None:
         import uuid
@@ -84,13 +97,26 @@ def localize(
     return out
 
 
-def prune(budget_bytes: int | None = None, keep: set[str] | None = None) -> int:
+def prune(
+    budget_bytes: int | None = None,
+    keep: set[str] | None = None,
+    grace_seconds: int | None = None,
+) -> int:
     """Evict least-recently-used cache entries until the cache fits the
-    budget; paths in `keep` (the current query's working set) survive.
-    Returns bytes freed.  Runs after every batch of downloads, so the
-    driver's scratch disk stays bounded however many cloud tables a
-    session touches."""
+    budget; paths in `keep` (the calling query's working set) and ANY
+    entry touched within the grace window survive — the window is what
+    protects a concurrent query's planned-but-not-yet-read files and
+    in-progress .tmp downloads, which this process cannot see in `keep`.
+    Recency comes from mtime, refreshed explicitly on every cache hit
+    (atime is unreliable under relatime/noatime mounts).  Returns bytes
+    freed."""
+    import time
+
     budget = CACHE_BUDGET_BYTES if budget_bytes is None else budget_bytes
+    grace = (
+        CACHE_EVICTION_GRACE_SECONDS if grace_seconds is None else grace_seconds
+    )
+    now = time.time()
     entries = []
     total = 0
     try:
@@ -103,14 +129,14 @@ def prune(budget_bytes: int | None = None, keep: set[str] | None = None) -> int:
             st = os.stat(full)
         except OSError:
             continue
-        entries.append((st.st_atime, st.st_size, full))
+        entries.append((st.st_mtime, st.st_size, full))
         total += st.st_size
     freed = 0
     keep = keep or set()
-    for _atime, size, full in sorted(entries):
+    for mtime, size, full in sorted(entries):
         if total - freed <= budget:
             break
-        if full in keep:
+        if full in keep or now - mtime < grace:
             continue
         try:
             os.remove(full)

@@ -253,9 +253,10 @@ def minhash_lsh_pairs(
     # re-shingling the text.  localCheckpoint rather than persist(): the
     # returned DataFrame is lazy, so a persist() here could never be
     # unpersisted and would pin executor memory for the session; checkpoint
-    # blocks are released when the plan is garbage-collected.  At cluster
-    # scale this is the standard "signature table" materialization
-    # (memory+disk blocks).
+    # blocks are released when the plan is garbage-collected.  Trade-off:
+    # checkpoint blocks are NOT lineage-recomputable — on a multi-executor
+    # cluster where executor loss matters, swap for persist()+unpersist()
+    # around a materializing action, or a reliable checkpoint directory.
     sig = minhash_signatures(df, id_col, text_col, num_perm, k).localCheckpoint(
         eager=False
     )
@@ -365,22 +366,27 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB recomputes the identical 60-bit signature: per-token md5-derived
-# hashes once in a CTE, then one +/-1 balance per bit.
+# hashes once in a CTE, then one +/-1 balance per bit.  ONE shared CTE
+# chain feeds both simhash oracles, so a signature-formula tweak cannot
+# silently diverge them.
 _SIMHASH_BIT_TERMS = "\n     + ".join(
     f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0"
     f" THEN {1 << i} ELSE 0 END"
     for i in range(SIMHASH_BITS)
 )
-SIMHASH_SQL = f"""
-WITH hashed AS (
+_SIMHASH_SIG_CTES = f"""hashed AS (
   SELECT doc_id,
          list_transform(list_distinct(string_split(text, ' ')),
            t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
   FROM documents
-)
-SELECT doc_id,
-       CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
-FROM hashed
+), sig AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
+  FROM hashed
+)"""
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_SIG_CTES}
+SELECT doc_id, simhash FROM sig
 ORDER BY doc_id
 """
 
@@ -443,29 +449,14 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_CTE = f"""
-WITH hashed AS (
-  SELECT doc_id,
-         list_transform(list_distinct(string_split(text, ' ')),
-           t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hs
-  FROM documents
-), sig AS (
-  SELECT doc_id,
-         CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS simhash
-  FROM hashed
-)
-"""
-
-SIMHASH_NEAR_DUP_SQL = (
-    _SIMHASH_CTE
-    + """
+SIMHASH_NEAR_DUP_SQL = f"""
+WITH {_SIMHASH_SIG_CTES}
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY doc_id_a, doc_id_b
 """
-)
 
 
 QUERIES: dict = {
@@ -549,7 +540,9 @@ def connected_components(
     shallow — near-cliques — so 2-3 rounds in practice).  Per round: one
     join on node id + one min-aggregate, both shuffling only (node, label)
     longs; localCheckpoint truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1.  The driver-side loop is inherent to
+    does not replay rounds 1..N-1 (blocks are not lineage-recomputable —
+    use a reliable checkpoint dir where executor loss matters).  The
+    driver-side loop is inherent to
     iterative fixed-point algorithms (one action per round to test
     convergence) — each action is a bounded two-stage job, never a
     per-row driver loop."""

@@ -114,7 +114,10 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
         def decode(content: bytes) -> list[float]:
             if not fake:
                 raise NotImplementedError("media decoding requires PIL/torchaudio")
-            # sha256 over the uppercase hex (engine-portable; see _decode_stub)
+            # MUST mirror _decode_stub AND MEDIA_PIPELINE_SQL exactly — the
+            # three are kept in sync by hand because this closure cannot
+            # reference the module (cloudpickle ships it by value; executor
+            # workers do not have the package on sys.path).
             h = _hl.sha256((content or b"").hex().upper().encode()).digest()
             return [b / 255.0 for b in h[:16]]
 

@@ -142,12 +142,15 @@ def _vacuum_cloud(
         rel = meta.path[len(prefix):] if meta.path.startswith(prefix) else None
         if rel is None or not rel.endswith(".parquet"):
             continue
-        # log, change data and staging/hidden objects are never touched
-        first = rel.split("/", 1)[0]
-        base = rel.rsplit("/", 1)[-1]
-        if first in ("_delta_log", "_change_data"):
+        # log, change data and staging/hidden objects are never touched —
+        # a dot-prefixed segment at ANY depth protects the object, the
+        # same rule the local walk applies by pruning hidden directories
+        segments = rel.split("/")
+        if segments[0] in ("_delta_log", "_change_data"):
             continue
-        if base.startswith((".", "_")):
+        if any(s.startswith(".") for s in segments[:-1]):
+            continue
+        if segments[-1].startswith((".", "_")):
             continue
         if meta.path in active or meta.path in protected:
             continue

@@ -525,11 +525,15 @@ def test_datacache_prune_lru(tmp_path, monkeypatch):
         paths.append(p)
     # budget 250 -> need to free >= 250 bytes; f0, f1 evicted first but f1
     # is in the working set, so f0 and f2 go
-    freed = datacache.prune(budget_bytes=250, keep={paths[1]})
+    freed = datacache.prune(budget_bytes=250, keep={paths[1]}, grace_seconds=0)
     assert freed == 300
     assert not os.path.exists(paths[0])
     assert os.path.exists(paths[1])
     survivors = {p for p in paths if os.path.exists(p)}
     assert len(survivors) == 2 or len(survivors) == 3
     # under budget: nothing further evicted
-    assert datacache.prune(budget_bytes=10**9) == 0
+    assert datacache.prune(budget_bytes=10**9, grace_seconds=0) == 0
+    # grace window: over-budget but recently-touched entries survive
+    for p in survivors:
+        os.utime(p, None)
+    assert datacache.prune(budget_bytes=0, grace_seconds=3600) == 0

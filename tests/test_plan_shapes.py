@@ -101,11 +101,13 @@ def test_pack_sequences_window_is_stream_partitioned(spark):
     task at any scale."""
     from delta_go_spark.queries import queries
 
+    import re
+
     plan = _plan(queries()["pack_sequences_docs"](spark, SF_DIR))
     assert "Window" in plan
-    # Spark renders an unpartitioned window spec as an empty partition list
-    assert "windowspecdefinition(source" in plan.replace(" ", "").lower() or \
-        "partitionby" not in plan.lower()
+    # The window spec's first argument must be the stream key (a global
+    # window renders as windowspecdefinition(doc_id... with no source#).
+    assert re.search(r"windowspecdefinition\(source#", plan), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
