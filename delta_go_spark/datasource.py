@@ -362,10 +362,36 @@ class DeltaGoCDFReader(DataSourceReader):
         entries = cdf_entries(log, self.table_root, start, end_excl)
         paths = _readable_paths([e[0] for e in entries], self.table_root)
         self._entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
+        self._pushed: list[E.Expression] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # Same contract as the batch reader: remember what we can prune
+        # on, report everything unsupported so Spark re-applies row-level.
+        for f in filters:
+            expr = _filter_to_expression(f, self.schema)
+            if expr is not None:
+                self._pushed.append(expr)
+            yield f
 
     def partitions(self) -> list[InputPartition]:
+        entries = self._entries
+        if self._pushed and self.partition_cols:
+            pushed, _residual = E.split_metadata_and_data_predicates(
+                E.and_all(self._pushed), self.partition_cols
+            )
+            if pushed is not None:
+                # prune only entries carrying a complete partition tuple —
+                # legacy cdc files recorded {} and must always be read
+                # (mirrors cdf.table_changes' pruned_out rule)
+                def keep(pv: dict) -> bool:
+                    if not all(c in pv for c in self.partition_cols):
+                        return True
+                    record = {k.lower(): v for k, v in pv.items()}
+                    return pushed.eval(record) is True
+
+                entries = [e for e in entries if keep(e[1])]
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
-        return _pack_cdf_partitions(self._entries, target)
+        return _pack_cdf_partitions(entries, target)
 
     def read(self, partition: _CDFPartition) -> Iterator["pa.RecordBatch"]:
         yield from _cdf_partition_batches(

@@ -401,3 +401,48 @@ def test_datasource_cdf_read_partitioned_table(spark, tmp_path):
     assert all(r["region"] == "en" for r in rows)
     assert {r["k"] for r in rows} == {2, 200}
     assert all(r["_commit_version"] == 1 for r in rows)
+
+
+def test_datasource_cdf_pushdown_prunes_cdc_files(spark, tmp_path):
+    """A partition filter on option('readChangeFeed') reads prunes whole
+    cdc files at planning time (pushFilters on the CDF reader), matching
+    table_changes(predicate=...)."""
+    from delta_go_spark.datasource import DeltaGoCDFReader, register
+
+    register(spark)
+    path = str(tmp_path / "tcdfpush")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 else "en") for i in range(20)], "k long, region string"
+    )
+    DeltaTable.create(
+        spark, path, df, partition_by=["region"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.update(EqualTo(Column("k", LongType()), Literal(0)), {"k": F.lit(100).cast("long")})
+    t.update(EqualTo(Column("k", LongType()), Literal(1)), {"k": F.lit(101).cast("long")})
+
+    got = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(path)
+        .filter(F.col("region") == "en")
+    )
+    rows = got.collect()
+    assert {(r["k"], r["_change_type"]) for r in rows} == {
+        (0, "update_preimage"), (100, "update_postimage"),
+    }
+    # planner-level check: with the filter pushed, only region=en cdc
+    # entries survive partition packing
+    import pyspark.sql.datasource as dsmod
+
+    reader = DeltaGoCDFReader(
+        spark.read.format("delta_go").option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(path).schema,
+        {"path": path, "readchangefeed": "true", "startingversion": "1"},
+    )
+    list(reader.pushFilters([dsmod.EqualTo(("region",), "en")]))
+    parts = reader.partitions()
+    files = [f for p in parts for f in p.files]
+    assert files and all("region=en" in f[0] for f in files), files
