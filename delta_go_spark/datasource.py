@@ -93,6 +93,23 @@ def _open_snapshot(options: dict):
     return log, log.update()
 
 
+def _starting_version(log: DeltaLog, options: dict) -> int:
+    """Resolve the stream/CDF start: explicit startingVersion wins, else
+    startingTimestamp (epoch millis) resolves to the first commit at or
+    after it (Delta's semantics; a future timestamp starts past the tip,
+    yielding nothing until new commits land), else version 0."""
+    sv = options.get("startingversion")
+    if sv is not None:
+        return int(sv)
+    st = options.get("startingtimestamp")
+    if st is not None:
+        v = log.history.first_version_at_or_after(int(st))
+        if v is not None:
+            return v
+        return log.update().version + 1
+    return 0
+
+
 def _filter_to_expression(
     f: Filter, schema: StructType
 ) -> E.Expression | None:
@@ -356,7 +373,7 @@ class DeltaGoCDFReader(DataSourceReader):
         self.cdc_schema = StructType(
             [*table_schema.fields, schema["_change_type"]]
         )
-        start = int(self.options.get("startingversion", 0))
+        start = _starting_version(log, self.options)
         end = self.options.get("endingversion")
         end_excl = int(end) + 1 if end is not None else None
         entries = cdf_entries(log, self.table_root, start, end_excl)
@@ -455,7 +472,7 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         meta = snap.metadata()
         self.partition_cols = list(meta.partition_columns or [])
         self.table_root = snap.table_root
-        self._start = int(options.get("startingversion", 0))
+        self._start = _starting_version(log, options)
         self._committed: int | None = None  # advanced by commit()
         self._planned: tuple | None = None  # (start, end, adds) memo
         # Change-feed mode: micro-batches carry row-level changes

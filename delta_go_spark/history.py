@@ -110,6 +110,16 @@ class HistoryManager:
                 )
         return chosen
 
+    def first_version_at_or_after(self, timestamp_millis: int) -> int | None:
+        """The first committed version whose timestamp is >= the given
+        time — Delta's `startingTimestamp` streaming semantics (start with
+        changes committed at or after the timestamp).  None when every
+        commit predates it (the stream starts past the current tip)."""
+        for c in self._list_commits(0):
+            if c.timestamp >= timestamp_millis:
+                return c.version
+        return None
+
     def earliest_reproducible_version(self) -> int:
         """Earliest version reconstructable from the files present
         (reference: history_manager.go:130-189): a version is reproducible

@@ -303,3 +303,47 @@ def test_restart_catch_up_batch_is_admission_controlled(spark, tmp_path):
     # every row still delivered exactly once across the partitions
     seen = [f for p in parts for f in p.files]
     assert len(seen) == len({f[0] for f in seen})
+
+
+def test_starting_timestamp_resolves_first_commit_at_or_after(spark, tmp_path):
+    """startingTimestamp (epoch millis) picks the first commit at or after
+    the time — Delta's streaming option — for both the stream reader and
+    the CDF batch reader; a future timestamp yields an empty stream."""
+    import os
+    import time
+
+    from delta_go_spark.datasource import DeltaGoStreamReader, _starting_version
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "t8")
+    t = _make_table(spark, path, partitioned=False)
+    # space the commits out in mtime so timestamps are distinguishable
+    log_dir = os.path.join(path, "_delta_log")
+    for lo in (100, 200):
+        t.append(
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), F.lit("z").alias("p"), F.lit(1.0).alias("v")
+            )
+        )
+    # force distinct, known commit mtimes: v0=1000s, v1=2000s, v2=3000s
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        f = os.path.join(log_dir, f"{v:020d}.json")
+        os.utime(f, (ts, ts))
+
+    log = DeltaLog.for_table(path)
+    assert _starting_version(log, {"startingtimestamp": str(1500 * 1000)}) == 1
+    assert _starting_version(log, {"startingtimestamp": str(2000 * 1000)}) == 1
+    assert _starting_version(log, {"startingtimestamp": str(2500 * 1000)}) == 2
+    # future timestamp: starts past the tip
+    future = int((time.time() + 3600) * 1000)
+    assert _starting_version(log, {"startingtimestamp": str(future)}) == log.update().version + 1
+    # explicit version wins over timestamp
+    assert _starting_version(
+        log, {"startingversion": "0", "startingtimestamp": str(2500 * 1000)}
+    ) == 0
+
+    schema = spark.read.format("delta_go").load(path).schema
+    reader = DeltaGoStreamReader(
+        schema, {"path": path, "startingtimestamp": str(2500 * 1000)}
+    )
+    assert reader.initialOffset() == {"version": 2}
