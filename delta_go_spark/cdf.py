@@ -126,6 +126,8 @@ def table_changes(
     end_version: int | None = None,
     fail_on_data_loss: bool = True,
     predicate=None,
+    start_timestamp: int | None = None,
+    end_timestamp: int | None = None,
 ) -> DataFrame:
     """Row-level changes for versions in [start_version, end_version]
     (end defaults to latest).  Output: table schema + `_change_type`
@@ -135,11 +137,23 @@ def table_changes(
 
     `predicate` (an expressions.Expression) filters the change rows; its
     partition-column conjunct prunes whole files — cdc files included,
-    since they carry partitionValues like data files — before any scan."""
+    since they carry partitionValues like data files — before any scan.
+
+    Timestamp bounds (epoch millis, Delta's TVF semantics) may replace the
+    version bounds: start = first commit at-or-after start_timestamp, end
+    = last commit at-or-before end_timestamp."""
     from delta_go_spark.store import is_cloud_uri, normalize_table_uri
 
     table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
+    if start_timestamp is not None:
+        v = log.history.first_version_at_or_after(int(start_timestamp))
+        # every commit older than the bound -> empty change set past the tip
+        start_version = v if v is not None else log.update().version + 1
+    if end_timestamp is not None:
+        end_version = log.history.active_commit_at_time(
+            log.update().version, int(end_timestamp), can_return_last_commit=True
+        ).version
     snap = log.update()
     meta = snap.metadata()
     schema = meta.schema()
@@ -169,13 +183,18 @@ def table_changes(
     rm_version: dict[str, int] = {}
     removed: list[AddFile] = []
     end_excl = end_version + 1 if end_version is not None else None
-    entries = [
-        e
-        for e in cdf_entries(
-            log, table_path, start_version, end_excl, fail_on_data_loss
-        )
-        if not pruned_out(e[1])
-    ]
+    if start_version > snap.version:
+        # start bound past the tip (e.g. a future startingTimestamp):
+        # an empty change set, not a range error
+        entries = []
+    else:
+        entries = [
+            e
+            for e in cdf_entries(
+                log, table_path, start_version, end_excl, fail_on_data_loss
+            )
+            if not pruned_out(e[1])
+        ]
     # The path the Spark scan actually reads (and input_file_name reports):
     # the canonical path locally, the local cache entry for a connector-less
     # cloud table — localized in ONE parallel batch, not a GET per entry.

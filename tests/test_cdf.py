@@ -446,3 +446,29 @@ def test_datasource_cdf_pushdown_prunes_cdc_files(spark, tmp_path):
     parts = reader.partitions()
     files = [f for p in parts for f in p.files]
     assert files and all("region=en" in f[0] for f in files), files
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    """start/end timestamp bounds resolve to versions like Delta's TVF:
+    start = first commit at-or-after, end = last commit at-or-before."""
+    from delta_go_spark.cdf import table_changes
+
+    t = _cdf_table(spark, tmp_path, "tcdfts")
+    t.update(EqualTo(Column("k", LongType()), Literal(1)), {"v": F.lit(10).cast("long")})
+    t.update(EqualTo(Column("k", LongType()), Literal(2)), {"v": F.lit(20).cast("long")})
+    path = t.log.table_path
+    # pin commit mtimes: v0=1000s, v1=2000s, v2=3000s
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        f = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        os.utime(f, (ts, ts))
+
+    # [1500s, 2500s] -> exactly version 1
+    rows = table_changes(
+        spark, path, start_timestamp=1500 * 1000, end_timestamp=2500 * 1000
+    ).collect()
+    assert {r["_commit_version"] for r in rows} == {1}
+    assert {r["_change_type"] for r in rows} == {"update_preimage", "update_postimage"}
+    # start after every commit -> empty
+    assert (
+        table_changes(spark, path, start_timestamp=10_000 * 1000).count() == 0
+    )
