@@ -58,6 +58,31 @@ class DeltaSqlContext:
         ).createOrReplaceTempView(view)
         return view
 
+    def _view_for_changes_ts(
+        self, name: str, start_text: str, end_text: str | None
+    ) -> str:
+        """table_changes(name, '<ts>' [, '<ts>']) — timestamp-argument form
+        of Delta's CDF TVF (bounds resolve first-at-or-after /
+        last-at-or-before)."""
+        from delta_go_spark.cdf import table_changes
+
+        def millis(text: str) -> int:
+            ts = datetime.datetime.fromisoformat(text)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            return int(ts.timestamp() * 1000)
+
+        start_ms = millis(start_text)
+        end_ms = millis(end_text) if end_text is not None else None
+        view = f"{name}__changes_ts_{start_ms}_{end_ms if end_ms is not None else 'latest'}"
+        table_changes(
+            self.spark,
+            self._tables[name],
+            start_timestamp=start_ms,
+            end_timestamp=end_ms,
+        ).createOrReplaceTempView(view)
+        return view
+
     def sql(self, text: str) -> DataFrame:
         out = text
         for name in self._tables:
@@ -70,6 +95,18 @@ class DeltaSqlContext:
                 rf"\btable_changes\s*\(\s*['\"]?{name}['\"]?\s*,\s*(\d+)"
                 rf"(?:\s*,\s*(\d+))?\s*\)",
                 sub_c,
+                out,
+                flags=re.IGNORECASE,
+            )
+
+            # table_changes(name, '<timestamp>' [, '<timestamp>'])
+            def sub_cts(m, _name=name):
+                return self._view_for_changes_ts(_name, m.group(1), m.group(2))
+
+            out = re.sub(
+                rf"\btable_changes\s*\(\s*['\"]?{name}['\"]?\s*,\s*'([^']+)'"
+                rf"(?:\s*,\s*'([^']+)')?\s*\)",
+                sub_cts,
                 out,
                 flags=re.IGNORECASE,
             )

@@ -133,9 +133,12 @@ class DeltaTable:
         start_version: int = 0,
         end_version: int | None = None,
         predicate: Expression | None = None,
+        start_timestamp: int | None = None,
+        end_timestamp: int | None = None,
     ) -> DataFrame:
         """Row-level Change Data Feed (see cdf.table_changes).  `predicate`
-        filters change rows; its partition conjunct prunes whole files."""
+        filters change rows; its partition conjunct prunes whole files;
+        timestamp bounds (epoch millis) may replace version bounds."""
         from delta_go_spark.cdf import table_changes
 
         return table_changes(
@@ -144,6 +147,8 @@ class DeltaTable:
             start_version,
             end_version,
             predicate=predicate,
+            start_timestamp=start_timestamp,
+            end_timestamp=end_timestamp,
         )
 
     def add_check_constraint(self, name: str, expr_sql: str) -> int:

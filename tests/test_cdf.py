@@ -472,3 +472,34 @@ def test_table_changes_timestamp_bounds(spark, tmp_path):
     assert (
         table_changes(spark, path, start_timestamp=10_000 * 1000).count() == 0
     )
+
+
+def test_sql_table_changes_timestamp_tvf(spark, tmp_path):
+    """table_changes(name, '<ts>' [, '<ts>']) — the timestamp-argument TVF
+    form, resolving bounds through the same first-at-or-after /
+    last-at-or-before rules."""
+    import datetime
+
+    from delta_go_spark.sql import DeltaSqlContext
+
+    t = _cdf_table(spark, tmp_path, "tcdftvfts")
+    t.update(EqualTo(Column("k", LongType()), Literal(1)), {"v": F.lit(10).cast("long")})
+    path = t.log.table_path
+    for v, ts in ((0, 1000), (1, 2000)):
+        f = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        os.utime(f, (ts, ts))
+
+    sess = DeltaSqlContext(spark)
+    sess.register("cdftvfts", path)
+
+    def iso(sec: int) -> str:
+        return datetime.datetime.fromtimestamp(
+            sec, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S+00:00")
+
+    rows = sess.sql(
+        f"SELECT _change_type, k FROM table_changes(cdftvfts, '{iso(1500)}', '{iso(2500)}')"
+    ).collect()
+    assert {(r["_change_type"], r["k"]) for r in rows} == {
+        ("update_preimage", 1), ("update_postimage", 1),
+    }
