@@ -247,17 +247,30 @@ class DeltaDml:
         update_set: dict[str, object] | None = None,
         delete_matched: bool = False,
         insert_not_matched: bool = True,
-    ) -> int:
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int | None:
         """MERGE INTO target USING source ON target.<on> = source.<on>.
 
         whenMatched: UPDATE SET (update_set) or DELETE (delete_matched);
         whenNotMatched: INSERT (insert_not_matched).  `on` is an equi-join
         key present in both sides — the standard upsert shape; the source
         is joined once (broadcast when small, shuffle hash otherwise, by
-        Catalyst's choice)."""
+        Catalyst's choice).
+
+        txn_app_id/txn_version: idempotent merges (SetTransaction tokens,
+        same contract as write_dataframe) — a replayed merge with the same
+        (app_id, version) is a no-op returning None, which is what makes
+        exactly-once streaming upserts possible."""
         if update_set and delete_matched:
             raise ValueError("choose update_set or delete_matched, not both")
         log, txn, snap = self._begin()
+        if (
+            txn_app_id is not None
+            and txn_version is not None
+            and txn.txn_version(txn_app_id) >= txn_version
+        ):
+            return None  # already applied by a previous attempt
         txn.read_whole_table()
         candidates = snap.all_files()
         # Delta's multiple-match rule: a TARGET row may match at most one
@@ -428,6 +441,10 @@ class DeltaDml:
                         )
                     )
 
+        if txn_app_id is not None and txn_version is not None:
+            from delta_go_spark.actions import SetTransaction
+
+            actions.append(SetTransaction(txn_app_id, txn_version, clock_ms))
         return txn.commit(actions, ops.MERGE, operation_parameters={"on": on})
 
     # -- TRUNCATE ----------------------------------------------------------

@@ -83,3 +83,94 @@ class DeltaStreamCommitter:
             if check.txn_version(self.app_id) >= batch_id:
                 return None
             raise
+
+
+class DeltaUpsertStreamCommitter:
+    """Streaming CDC-apply: each micro-batch is MERGEd into the target —
+    the foreachBatch upsert pattern that keeps a mirror table converged
+    with a change stream.
+
+    A CDF batch (carries `_change_type`/`_commit_version`) is applied
+    with full change semantics: preimages dropped, the LATEST change per
+    key wins (one micro-batch can span several source commits), deletes
+    remove matched target rows, inserts/postimages upsert.  A plain
+    append batch upserts directly; duplicate keys there raise unless
+    `order_by` names a latest-wins ordering.
+
+    Exactly-once EFFECT per batch id via merge's SetTransaction token: the
+    token rides the final merge, and the guard at the top skips replayed
+    batches entirely.  (A crash between the delete-merge and the
+    upsert-merge replays the delete-merge, which is idempotent —
+    re-deleting absent keys is a no-op.)"""
+
+    def __init__(
+        self,
+        table_path: str,
+        app_id: str,
+        on: str,
+        update_set: dict | None = None,
+        order_by: list | None = None,
+    ):
+        self.table_path = table_path
+        self.app_id = app_id
+        self.on = on
+        self.update_set = update_set
+        self.order_by = order_by
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.commit_batch(batch_df, batch_id)
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from delta_go_spark.dml import DeltaDml
+        from delta_go_spark.writer import CHANGE_TYPE_COL
+
+        log = DeltaLog.for_table(self.table_path)
+        if log.start_transaction().txn_version(self.app_id) >= batch_id:
+            return None  # replayed batch: skip before any work
+
+        df = batch_df
+        deletes = None
+        is_cdf = CHANGE_TYPE_COL in df.columns
+        order = self.order_by
+        if is_cdf:
+            df = df.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+            if order is None and "_commit_version" in df.columns:
+                order = [F.col("_commit_version").desc()]
+        if order is not None:
+            w = Window.partitionBy(self.on).orderBy(*order)
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if is_cdf:
+            deletes = df.filter(F.col(CHANGE_TYPE_COL) == "delete").drop(
+                CHANGE_TYPE_COL, "_commit_version"
+            )
+            df = df.filter(F.col(CHANGE_TYPE_COL) != "delete").drop(
+                CHANGE_TYPE_COL, "_commit_version"
+            )
+
+        dml = DeltaDml(batch_df.sparkSession, self.table_path)
+        if deletes is not None and not deletes.isEmpty():
+            dml.merge(
+                deletes.select(self.on).distinct(),
+                on=self.on,
+                delete_matched=True,
+                insert_not_matched=False,
+            )
+        update_set = self.update_set
+        if update_set is None:
+            update_set = {
+                c: F.col(f"_s_{c}") for c in df.columns if c != self.on
+            }
+        return dml.merge(
+            df,
+            on=self.on,
+            update_set=update_set,
+            txn_app_id=self.app_id,
+            txn_version=batch_id,
+        )

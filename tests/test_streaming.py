@@ -146,3 +146,64 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     # user 1 must have emitted twice (once per batch) with growing counts
     u1 = sorted(r["n_events"] for r in rows if r["user_id"] == 1)
     assert len(u1) >= 2 and u1[0] < u1[-1]
+
+
+def test_upsert_stream_committer_cdc_apply(spark, tmp_path):
+    """End-to-end CDC apply: stream table A's Change Data Feed into mirror
+    table B via foreachBatch MERGE — latest change per key wins across a
+    multi-commit batch, deletes propagate, upserts land exactly once, and
+    a replayed batch id is a no-op."""
+    from delta_go_spark.datasource import register
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from delta_go_spark.streaming.committer import DeltaUpsertStreamCommitter
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import LongType
+
+    register(spark)
+    src_path = str(tmp_path / "cdc_src")
+    dst_path = str(tmp_path / "cdc_dst")
+    DeltaTable.create(
+        spark,
+        src_path,
+        spark.createDataFrame([(1, 10), (2, 20), (4, 40)], "k long, v long"),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    DeltaTable.create(
+        spark,
+        dst_path,
+        spark.createDataFrame([(2, -1), (99, 99)], "k long, v long"),
+    )
+    src = DeltaTable.for_path(spark, src_path)
+    # changes: update k=2 twice (latest must win), add k=3, delete k=4
+    src.update(EqualTo(Column("k", LongType()), Literal(2)), {"v": F.lit(21).cast("long")})
+    src.update(EqualTo(Column("k", LongType()), Literal(2)), {"v": F.lit(22).cast("long")})
+    src.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    src.delete(EqualTo(Column("k", LongType()), Literal(4)))
+
+    committer = DeltaUpsertStreamCommitter(dst_path, app_id="cdcapply", on="k")
+    chk = str(tmp_path / "chk_cdc")
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .load(src_path)
+        .writeStream.foreachBatch(committer)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    dst = DeltaTable.for_path(spark, dst_path)
+    got = {r["k"]: r["v"] for r in dst.to_df().collect()}
+    assert got[1] == 10          # initial insert applied
+    assert got[2] == 22          # LATEST of the two updates wins
+    assert got[3] == 30          # later append applied
+    assert 4 not in got          # delete propagated
+    assert got[99] == 99         # non-conflicting mirror row kept
+
+    # manual replay of an already-committed batch id: no-op, no double apply
+    v_before = dst.log.update().version
+    replay = spark.createDataFrame([(1, 999)], "k long, v long")
+    assert committer.commit_batch(replay, 0) is None
+    assert dst.log.update().version == v_before
+    assert {r["k"]: r["v"] for r in dst.to_df().collect()}[1] == 10
