@@ -146,15 +146,16 @@ def table_changes(
 
     table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
-    if start_timestamp is not None:
+    snap = log.update()  # resolved once; timestamp bounds reuse it
+    start_from_timestamp = start_timestamp is not None
+    if start_from_timestamp:
         v = log.history.first_version_at_or_after(int(start_timestamp))
         # every commit older than the bound -> empty change set past the tip
-        start_version = v if v is not None else log.update().version + 1
+        start_version = v if v is not None else snap.version + 1
     if end_timestamp is not None:
         end_version = log.history.active_commit_at_time(
-            log.update().version, int(end_timestamp), can_return_last_commit=True
+            snap.version, int(end_timestamp), can_return_last_commit=True
         ).version
-    snap = log.update()
     meta = snap.metadata()
     schema = meta.schema()
     pcols = list(meta.partition_columns or [])
@@ -183,9 +184,10 @@ def table_changes(
     rm_version: dict[str, int] = {}
     removed: list[AddFile] = []
     end_excl = end_version + 1 if end_version is not None else None
-    if start_version > snap.version:
-        # start bound past the tip (e.g. a future startingTimestamp):
-        # an empty change set, not a range error
+    if start_from_timestamp and start_version > snap.version:
+        # a TIMESTAMP bound past the tip means "no changes yet" — empty
+        # set.  An explicit start_version past the tip stays an error
+        # (Delta semantics: a typo'd version should not read as empty).
         entries = []
     else:
         entries = [

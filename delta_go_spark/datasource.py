@@ -99,9 +99,13 @@ def _starting_version(log: DeltaLog, options: dict) -> int:
     after it (Delta's semantics; a future timestamp starts past the tip,
     yielding nothing until new commits land), else version 0."""
     sv = options.get("startingversion")
+    st = options.get("startingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "startingVersion and startingTimestamp are mutually exclusive"
+        )
     if sv is not None:
         return int(sv)
-    st = options.get("startingtimestamp")
     if st is not None:
         v = log.history.first_version_at_or_after(int(st))
         if v is not None:
@@ -376,7 +380,12 @@ class DeltaGoCDFReader(DataSourceReader):
         start = _starting_version(log, self.options)
         end = self.options.get("endingversion")
         end_excl = int(end) + 1 if end is not None else None
-        entries = cdf_entries(log, self.table_root, start, end_excl)
+        if start > snap.version:
+            # timestamp resolved past the tip: an empty change set, not a
+            # planning-time range error (cdf.table_changes' guard)
+            entries = []
+        else:
+            entries = cdf_entries(log, self.table_root, start, end_excl)
         paths = _readable_paths([e[0] for e in entries], self.table_root)
         self._entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
         self._pushed: list[E.Expression] = []

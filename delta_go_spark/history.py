@@ -114,9 +114,15 @@ class HistoryManager:
         """The first committed version whose timestamp is >= the given
         time — Delta's `startingTimestamp` streaming semantics (start with
         changes committed at or after the timestamp).  None when every
-        commit predates it (the stream starts past the current tip)."""
-        for c in self._list_commits(0):
-            if c.timestamp >= timestamp_millis:
+        commit predates it (the stream starts past the current tip).
+        Timestamps are monotonically clamped exactly like
+        active_commit_at_time, so start and end bounds resolved from the
+        two helpers agree on one timeline under commit-mtime skew."""
+        prev_ts = None
+        for c in sorted(self._list_commits(0), key=lambda c: c.version):
+            ts = c.timestamp if prev_ts is None else max(c.timestamp, prev_ts + 1)
+            prev_ts = ts
+            if ts >= timestamp_millis:
                 return c.version
         return None
 

@@ -67,7 +67,14 @@ class DeltaSqlContext:
         from delta_go_spark.cdf import table_changes
 
         def millis(text: str) -> int:
-            ts = datetime.datetime.fromisoformat(text)
+            try:
+                ts = datetime.datetime.fromisoformat(text)
+            except ValueError as e:
+                raise ValueError(
+                    f"table_changes({name!r}, ...): quoted argument {text!r} "
+                    "must be an ISO timestamp (use unquoted integers for "
+                    "version bounds)"
+                ) from e
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=datetime.timezone.utc)
             return int(ts.timestamp() * 1000)

@@ -137,8 +137,20 @@ class DeltaUpsertStreamCommitter:
         order = self.order_by
         if is_cdf:
             df = df.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
-            if order is None and "_commit_version" in df.columns:
-                order = [F.col("_commit_version").desc()]
+            if order is None:
+                if "_commit_version" not in df.columns:
+                    raise ValueError(
+                        "CDF batch without _commit_version: pass order_by "
+                        "so latest-wins compaction is deterministic"
+                    )
+                # within one version a key can carry BOTH a delete and an
+                # insert (pre-CDF rewrite commits degrade to file-level
+                # delete+insert) — the insert is the surviving state, so
+                # non-delete outranks delete at equal versions
+                order = [
+                    F.col("_commit_version").desc(),
+                    (F.col(CHANGE_TYPE_COL) != "delete").desc(),
+                ]
         if order is not None:
             w = Window.partitionBy(self.on).orderBy(*order)
             df = (

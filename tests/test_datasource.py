@@ -337,10 +337,11 @@ def test_starting_timestamp_resolves_first_commit_at_or_after(spark, tmp_path):
     # future timestamp: starts past the tip
     future = int((time.time() + 3600) * 1000)
     assert _starting_version(log, {"startingtimestamp": str(future)}) == log.update().version + 1
-    # explicit version wins over timestamp
-    assert _starting_version(
-        log, {"startingversion": "0", "startingtimestamp": str(2500 * 1000)}
-    ) == 0
+    # conflicting options are rejected, not silently resolved
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _starting_version(
+            log, {"startingversion": "0", "startingtimestamp": str(2500 * 1000)}
+        )
 
     schema = spark.read.format("delta_go").load(path).schema
     reader = DeltaGoStreamReader(
