@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, SparkSession
 from delta_go_spark.log import DeltaLog
 
 
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas outside single-quoted strings (SET-clause lists)."""
+    parts, buf, in_str = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+            buf.append(ch)
+        elif ch == "," and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 class DeltaSqlContext:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -90,7 +106,75 @@ class DeltaSqlContext:
         ).createOrReplaceTempView(view)
         return view
 
+    # -- SQL DML statements -------------------------------------------------
+    def _dml_statement(self, text: str) -> DataFrame | None:
+        """DELETE FROM t WHERE ... / UPDATE t SET c = lit [, ...] WHERE ...
+        / TRUNCATE TABLE t — routed through the engine's DML (predicates
+        parse into the Expression AST, so file pruning applies exactly as
+        in the Python API).  Returns a 1-row (version) frame, or None when
+        the text is not a DML statement."""
+        from delta_go_spark.sqlpred import parse_predicate
+        from delta_go_spark.table import DeltaTable
+
+        stripped = text.strip().rstrip(";")
+        names = "|".join(re.escape(n) for n in self._tables) or r"(?!x)x"
+
+        def result(version: int) -> DataFrame:
+            return self.spark.createDataFrame([(version,)], "version long")
+
+        m = re.fullmatch(
+            rf"\s*DELETE\s+FROM\s+({names})\s+WHERE\s+(.+)",
+            stripped,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, where = m.group(1), m.group(2)
+            t = DeltaTable.for_path(self.spark, self._tables[name])
+            pred = parse_predicate(where, t.log.update().metadata().schema())
+            return result(t.delete(pred))
+
+        m = re.fullmatch(
+            rf"\s*UPDATE\s+({names})\s+SET\s+(.+?)\s+WHERE\s+(.+)",
+            stripped,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            name, set_text, where = m.group(1), m.group(2), m.group(3)
+            t = DeltaTable.for_path(self.spark, self._tables[name])
+            schema = t.log.update().metadata().schema()
+            pred = parse_predicate(where, schema)
+            assignments = {}
+            for part in _split_top_level_commas(set_text):
+                am = re.fullmatch(
+                    r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*", part
+                )
+                if not am:
+                    raise ValueError(f"cannot parse SET clause: {part!r}")
+                col, lit_text = am.group(1), am.group(2)
+                # type the literal through the column like the predicate
+                # parser does (reuses its tokenizer/typing)
+                lit_pred = parse_predicate(f"{col} = {lit_text}", schema)
+                value = lit_pred.right.value  # EqualTo(Column, Literal)
+                field = {f.name.lower(): f for f in schema.fields}[col.lower()]
+                assignments[field.name] = F.lit(value).cast(field.dataType)
+            return result(t.update(pred, assignments))
+
+        m = re.fullmatch(
+            rf"\s*TRUNCATE\s+TABLE\s+({names})\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = DeltaTable.for_path(self.spark, self._tables[m.group(1)])
+            return result(t.truncate())
+        return None
+
     def sql(self, text: str) -> DataFrame:
+        dml = self._dml_statement(text)
+        if dml is not None:
+            return dml
         out = text
         for name in self._tables:
             # table_changes(name, start [, end]) — Delta's CDF TVF syntax

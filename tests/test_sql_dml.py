@@ -1,0 +1,92 @@
+"""SQL-text DML through DeltaSqlContext: DELETE FROM / UPDATE ... SET /
+TRUNCATE TABLE parse into the engine's Expression AST (file pruning
+applies) and commit through the same transactions as the Python API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_go_spark.sql import DeltaSqlContext
+from delta_go_spark.sqlpred import PredicateParseError, parse_predicate
+from delta_go_spark.table import DeltaTable
+
+
+def _ctx(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, "ab" if i % 2 else "cd", i * 2) for i in range(100)],
+        "k long, p string, v long",
+    )
+    DeltaTable.create(spark, path, df)
+    sess = DeltaSqlContext(spark)
+    sess.register(name, path)
+    return sess, DeltaTable.for_path(spark, path)
+
+
+def test_sql_delete(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqldel")
+    out = sess.sql("DELETE FROM tsqldel WHERE k >= 90 OR p = 'zz'")
+    assert out.collect()[0]["version"] == t.log.update().version
+    rows = {r["k"] for r in t.to_df().collect()}
+    assert rows == set(range(90))
+
+
+def test_sql_update_multi_assign(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlupd")
+    sess.sql("UPDATE tsqlupd SET v = 0, p = 'xx' WHERE k < 3")
+    got = {r["k"]: (r["p"], r["v"]) for r in t.to_df().collect()}
+    for k in (0, 1, 2):
+        assert got[k] == ("xx", 0)
+    assert got[3] == ("ab", 6)  # untouched row
+
+
+def test_sql_update_like_and_in(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlupd2")
+    sess.sql("UPDATE tsqlupd2 SET v = -1 WHERE p LIKE 'a%' AND k IN (1, 3)")
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[1] == -1 and got[3] == -1 and got[5] == 10
+
+
+def test_sql_truncate(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqltrunc")
+    sess.sql("TRUNCATE TABLE tsqltrunc")
+    assert t.to_df().count() == 0
+
+
+def test_sql_dml_does_not_shadow_select(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlsel")
+    t.register_temp_view("tsqlsel")
+    n = sess.sql("SELECT count(*) AS n FROM tsqlsel").collect()[0]["n"]
+    assert n == 100
+
+
+def test_predicate_parser_errors(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    s = StructType([StructField("k", LongType())])
+    with pytest.raises(PredicateParseError, match="unknown column"):
+        parse_predicate("zz = 1", s)
+    with pytest.raises(PredicateParseError):
+        parse_predicate("k = ", s)
+    with pytest.raises(PredicateParseError, match="trailing"):
+        parse_predicate("k = 1 k", s)
+
+
+def test_sql_delete_prunes_partitions(spark, tmp_path):
+    """The parsed predicate reaches the DML pruner: a partition-restricted
+    SQL DELETE must not rewrite other partitions' files."""
+    path = str(tmp_path / "tsqlprune")
+    df = spark.createDataFrame(
+        [(i, str(i % 4)) for i in range(80)], "k long, p string"
+    )
+    DeltaTable.create(spark, path, df, partition_by=["p"])
+    t = DeltaTable.for_path(spark, path)
+    before = {a.path for a in t.log.update().all_files()}
+    other_part = {p for p in before if "p=3" not in p and "p%3D3" not in p}
+
+    sess = DeltaSqlContext(spark)
+    sess.register("tsqlprune", path)
+    sess.sql("DELETE FROM tsqlprune WHERE p = '3'")
+    after = {a.path for a in t.log.update().all_files()}
+    assert other_part <= after  # untouched partitions survive byte-identical
+    assert t.to_df().filter(F.col("p") == "3").count() == 0
+    assert t.to_df().count() == 60
