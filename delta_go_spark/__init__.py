@@ -21,4 +21,36 @@ Layout:
   streaming/      structured-streaming Delta committer
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+
+def __getattr__(name):
+    # Lazy re-exports of the user-facing surface: importing the package
+    # stays cheap (no pyspark import until first use), while
+    # `from delta_go_spark import DeltaTable` works as users expect.
+    lazy = {
+        "DeltaTable": ("delta_go_spark.table", "DeltaTable"),
+        "DeltaLog": ("delta_go_spark.log", "DeltaLog"),
+        "DeltaSqlContext": ("delta_go_spark.sql", "DeltaSqlContext"),
+        "table_changes": ("delta_go_spark.cdf", "table_changes"),
+        "write_dataframe": ("delta_go_spark.writer", "write_dataframe"),
+        "vacuum": ("delta_go_spark.vacuum", "vacuum"),
+        "optimize": ("delta_go_spark.maintenance", "optimize"),
+        "zorder": ("delta_go_spark.maintenance", "zorder"),
+        "restore": ("delta_go_spark.maintenance", "restore"),
+        "register": ("delta_go_spark.datasource", "register"),
+        "DeltaStreamCommitter": (
+            "delta_go_spark.streaming.committer",
+            "DeltaStreamCommitter",
+        ),
+        "DeltaUpsertStreamCommitter": (
+            "delta_go_spark.streaming.committer",
+            "DeltaUpsertStreamCommitter",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'delta_go_spark' has no attribute {name!r}")
