@@ -82,6 +82,22 @@ class DeltaTable:
         )
 
     # -- DML (copy-on-write; see dml.py) -----------------------------------
+    def parse_predicate(self, where_sql: str) -> Expression:
+        """SQL WHERE text -> Expression typed against this table's schema
+        (sqlpred grammar); usable with to_df/delete/update/table_changes
+        for SQL-driven yet fully file-pruned operations."""
+        from delta_go_spark.sqlpred import parse_predicate
+
+        return parse_predicate(where_sql, self.log.update().metadata().schema())
+
+    def delete_where(self, where_sql: str) -> int:
+        """DELETE with a SQL WHERE string (same pruning as delete())."""
+        return self.delete(self.parse_predicate(where_sql))
+
+    def update_where(self, where_sql: str, assignments: dict) -> int:
+        """UPDATE with a SQL WHERE string (same pruning as update())."""
+        return self.update(self.parse_predicate(where_sql), assignments)
+
     def delete(self, predicate: Expression) -> int:
         from delta_go_spark.dml import DeltaDml
 

@@ -90,3 +90,15 @@ def test_sql_delete_prunes_partitions(spark, tmp_path):
     assert other_part <= after  # untouched partitions survive byte-identical
     assert t.to_df().filter(F.col("p") == "3").count() == 0
     assert t.to_df().count() == 60
+
+
+def test_facade_where_sql_helpers(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlfacade")
+    t.update_where("k < 2", {"v": F.lit(-5).cast("long")})
+    t.delete_where("k >= 95 AND p = 'ab'")
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[0] == -5 and got[1] == -5
+    assert 95 not in got and 97 not in got  # odd ks >= 95 ('ab') deleted
+    assert 96 in got  # 'cd' rows survive
+    # predicate also drives pruned reads
+    assert t.to_df(t.parse_predicate("p = 'cd' AND k < 10")).count() == 5
