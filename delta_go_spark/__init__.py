@@ -24,11 +24,10 @@ Layout:
 __version__ = "0.3.0"
 
 
-def __getattr__(name):
-    # Lazy re-exports of the user-facing surface: importing the package
-    # stays cheap (no pyspark import until first use), while
-    # `from delta_go_spark import DeltaTable` works as users expect.
-    lazy = {
+# Lazy re-exports of the user-facing surface: importing the package stays
+# cheap (no pyspark import until first use), while
+# `from delta_go_spark import DeltaTable` works as users expect.
+_LAZY = {
         "DeltaTable": ("delta_go_spark.table", "DeltaTable"),
         "DeltaLog": ("delta_go_spark.log", "DeltaLog"),
         "DeltaSqlContext": ("delta_go_spark.sql", "DeltaSqlContext"),
@@ -47,10 +46,21 @@ def __getattr__(name):
             "delta_go_spark.streaming.committer",
             "DeltaUpsertStreamCommitter",
         ),
-    }
-    if name in lazy:
+}
+
+__all__ = [*_LAZY, "__version__"]
+
+
+def __getattr__(name):
+    if name in _LAZY:
         import importlib
 
-        module, attr = lazy[name]
-        return getattr(importlib.import_module(module), attr)
+        module, attr = _LAZY[name]
+        value = getattr(importlib.import_module(module), attr)
+        globals()[name] = value  # cache: next access skips __getattr__
+        return value
     raise AttributeError(f"module 'delta_go_spark' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

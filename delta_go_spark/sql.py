@@ -113,7 +113,12 @@ class DeltaSqlContext:
         parse into the Expression AST, so file pruning applies exactly as
         in the Python API).  Returns a 1-row (version) frame, or None when
         the text is not a DML statement."""
-        from delta_go_spark.sqlpred import parse_predicate
+        from delta_go_spark.expressions import TRUE
+        from delta_go_spark.sqlpred import (
+            parse_literal,
+            parse_predicate,
+            split_where,
+        )
         from delta_go_spark.table import DeltaTable
 
         stripped = text.strip().rstrip(";")
@@ -122,43 +127,53 @@ class DeltaSqlContext:
         def result(version: int) -> DataFrame:
             return self.spark.createDataFrame([(version,)], "version long")
 
+        def resolve(name: str) -> DeltaTable:
+            # statement keywords are case-insensitive, so accept the table
+            # name in any casing too
+            key = next(k for k in self._tables if k.lower() == name.lower())
+            return DeltaTable.for_path(self.spark, self._tables[key])
+
         m = re.fullmatch(
-            rf"\s*DELETE\s+FROM\s+({names})\s+WHERE\s+(.+)",
+            rf"\s*DELETE\s+FROM\s+({names})\b(.*)",
             stripped,
             flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
-            name, where = m.group(1), m.group(2)
-            t = DeltaTable.for_path(self.spark, self._tables[name])
-            pred = parse_predicate(where, t.log.update().metadata().schema())
+            t = resolve(m.group(1))
+            head, where = split_where(m.group(2))
+            if head:
+                raise ValueError(f"unexpected text after table name: {head!r}")
+            schema = t.log.snapshot().metadata().schema()
+            # no WHERE = delete every row (SQL semantics)
+            pred = parse_predicate(where, schema) if where else TRUE
             return result(t.delete(pred))
 
         m = re.fullmatch(
-            rf"\s*UPDATE\s+({names})\s+SET\s+(.+?)\s+WHERE\s+(.+)",
+            rf"\s*UPDATE\s+({names})\s+SET\s+(.+)",
             stripped,
             flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
             from pyspark.sql import functions as F
 
-            name, set_text, where = m.group(1), m.group(2), m.group(3)
-            t = DeltaTable.for_path(self.spark, self._tables[name])
-            schema = t.log.update().metadata().schema()
-            pred = parse_predicate(where, schema)
+            t = resolve(m.group(1))
+            schema = t.log.snapshot().metadata().schema()
+            # split SET text from WHERE outside string literals — a regex
+            # would cut inside a value like 'a where b'
+            set_text, where = split_where(m.group(2))
+            pred = parse_predicate(where, schema) if where else TRUE
+            fields = {f.name.lower(): f for f in schema.fields}
             assignments = {}
             for part in _split_top_level_commas(set_text):
                 am = re.fullmatch(
                     r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*", part
                 )
-                if not am:
+                if not am or am.group(1).lower() not in fields:
                     raise ValueError(f"cannot parse SET clause: {part!r}")
                 col, lit_text = am.group(1), am.group(2)
-                # type the literal through the column like the predicate
-                # parser does (reuses its tokenizer/typing)
-                lit_pred = parse_predicate(f"{col} = {lit_text}", schema)
-                value = lit_pred.right.value  # EqualTo(Column, Literal)
-                field = {f.name.lower(): f for f in schema.fields}[col.lower()]
-                assignments[field.name] = F.lit(value).cast(field.dataType)
+                lit = parse_literal(lit_text, col, schema)
+                field = fields[col.lower()]
+                assignments[field.name] = F.lit(lit.value).cast(field.dataType)
             return result(t.update(pred, assignments))
 
         m = re.fullmatch(
@@ -167,8 +182,7 @@ class DeltaSqlContext:
             flags=re.IGNORECASE,
         )
         if m:
-            t = DeltaTable.for_path(self.spark, self._tables[m.group(1)])
-            return result(t.truncate())
+            return result(resolve(m.group(1)).truncate())
         return None
 
     def sql(self, text: str) -> DataFrame:

@@ -150,6 +150,15 @@ class _Parser:
         if k == "null":
             return Literal(None, col.dtype)
         if k in ("true", "false"):
+            # boolean literals only type against boolean columns — typing
+            # them through a string/numeric column would build an ill-typed
+            # comparison that crashes mid-prune instead of at parse time
+            from pyspark.sql.types import BooleanType
+
+            if not isinstance(col.dtype, BooleanType):
+                raise PredicateParseError(
+                    f"boolean literal {k} against non-boolean column {col.name}"
+                )
             return Literal(k == "true", col.dtype)
         if k == "str":
             raw = v.replace("''", "'")
@@ -177,6 +186,12 @@ class _Parser:
             negate = True
             k2, v2 = self.next()
         if k2 == "is":
+            if negate:
+                # 'col NOT IS NULL' is not SQL; silently dropping the NOT
+                # would invert the meaning — reject it
+                raise PredicateParseError(
+                    "use 'IS NOT NULL', not 'NOT IS NULL'"
+                )
             if self.peek() and self.peek()[0] == "not":
                 self.next()
                 self.expect("null")
@@ -194,6 +209,11 @@ class _Parser:
             return Not(e) if negate else e
         if k2 == "like":
             lit = self._literal(col)
+            if lit.value is None:
+                raise PredicateParseError(
+                    "LIKE NULL matches nothing in SQL; write an explicit "
+                    "pattern (str(None) would silently match 'None')"
+                )
             e = Like(col, str(lit.value))
             return Not(e) if negate else e
         if negate:
@@ -219,3 +239,38 @@ class _Parser:
 def parse_predicate(text: str, schema: StructType) -> Expression:
     """SQL WHERE text -> engine Expression, typed against `schema`."""
     return _Parser(_tokenize(text), schema).parse()
+
+
+def parse_literal(text: str, column: str, schema: StructType) -> Literal:
+    """A single SQL literal (number / 'string' / NULL / TRUE / FALSE),
+    typed against `column`'s declared type — the SET-clause rhs parser."""
+    p = _Parser(_tokenize(text), schema)
+    lit = p._literal(p._column(column))
+    if p.peek() is not None:
+        raise PredicateParseError(
+            f"SET value must be a single literal, got trailing {p.peek()[1]!r}"
+        )
+    return lit
+
+
+def split_where(text: str) -> tuple[str, str | None]:
+    """Split `text` at the first top-level (outside single quotes) WHERE
+    keyword; returns (head, where_clause|None).  Regex splitting would cut
+    inside a string literal containing the word where."""
+    low = text.lower()
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and low.startswith("where", i):
+            before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            after = i + 5
+            after_ok = after >= len(text) or not (
+                text[after].isalnum() or text[after] == "_"
+            )
+            if before_ok and after_ok:
+                return text[:i].strip(), text[after:].strip()
+        i += 1
+    return text.strip(), None

@@ -102,3 +102,35 @@ def test_facade_where_sql_helpers(spark, tmp_path):
     assert 96 in got  # 'cd' rows survive
     # predicate also drives pruned reads
     assert t.to_df(t.parse_predicate("p = 'cd' AND k < 10")).count() == 5
+
+
+def test_sql_dml_edge_cases(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqledge")
+    # case-insensitive table name
+    sess.sql("UPDATE TSQLEDGE SET v = 1 WHERE k = 0")
+    assert {r["v"] for r in t.to_df().filter(F.col("k") == 0).collect()} == {1}
+    # WHERE inside a string literal must not split the SET clause
+    sess.sql("UPDATE tsqledge SET p = 'a where b' WHERE k = 1")
+    assert t.to_df().filter(F.col("p") == "a where b").count() == 1
+    # UPDATE without WHERE touches every row
+    sess.sql("UPDATE tsqledge SET v = 7")
+    assert t.to_df().filter(F.col("v") != 7).count() == 0
+    # DELETE without WHERE = delete-all (schema survives)
+    sess.sql("DELETE FROM tsqledge")
+    assert t.to_df().count() == 0
+
+
+def test_sql_dml_rejects_malformed(spark, tmp_path):
+    from delta_go_spark.sqlpred import PredicateParseError
+
+    sess, t = _ctx(spark, tmp_path, "tsqlbad")
+    with pytest.raises((ValueError, PredicateParseError)):
+        sess.sql("UPDATE tsqlbad SET v = 1 AND k = 2 WHERE k = 0")
+    with pytest.raises(PredicateParseError, match="boolean literal"):
+        sess.sql("DELETE FROM tsqlbad WHERE p = true")
+    with pytest.raises(PredicateParseError, match="IS NOT NULL"):
+        sess.sql("DELETE FROM tsqlbad WHERE k NOT IS NULL")
+    with pytest.raises(PredicateParseError, match="LIKE NULL"):
+        sess.sql("DELETE FROM tsqlbad WHERE p LIKE NULL")
+    # nothing committed by the rejected statements
+    assert t.to_df().count() == 100
