@@ -170,26 +170,59 @@ ORDER BY region_a, region_b
 # Exact percentiles (interpolated): Spark `percentile` == DuckDB
 # `quantile_cont`.  One shuffle; each group's values gathered once.
 def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (lower nearest-rank) percentiles: the value at sorted row
+    floor(p*(n-1))+1 per group.  Interpolating percentiles land on
+    half-cent midpoints whose doubles print as .xx49999..., which Spark
+    (binary HALF_UP) and SQL engines (decimal-string rounding) then round
+    DIFFERENTLY — a real data value sidesteps the entire class of
+    boundary flips, at every scale factor.  Both sides of the oracle
+    select by the identical rank expression."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
+
+    def pick(col: str, p: float, rn: str = "_rn", n: str = "_n"):
+        idx = F.floor(F.lit(p) * (F.col(n) - 1)) + 1
+        return F.max(F.when(F.col(rn) == idx, F.col(col)))
+
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.row_number().over(wp).alias("_rp"),
+        F.row_number().over(wq).alias("_rq"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("_n"),
+    )
     return (
-        li.groupBy("l_returnflag")
+        ranked.groupBy("l_returnflag")
         .agg(
-            _r2(F.expr("percentile(l_extendedprice, 0.25)")).alias("price_p25"),
-            _r2(F.expr("percentile(l_extendedprice, 0.5)")).alias("price_p50"),
-            _r2(F.expr("percentile(l_extendedprice, 0.75)")).alias("price_p75"),
-            _r2(F.expr("percentile(l_quantity, 0.5)")).alias("qty_median"),
+            _r2(pick("l_extendedprice", 0.25, "_rp")).alias("price_p25"),
+            _r2(pick("l_extendedprice", 0.5, "_rp")).alias("price_p50"),
+            _r2(pick("l_extendedprice", 0.75, "_rp")).alias("price_p75"),
+            _r2(pick("l_quantity", 0.5, "_rq")).alias("qty_median"),
         )
         .orderBy("l_returnflag")
     )
 
 
 AGG_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rp,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rq,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 2) AS price_p25,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS price_p50,
-       round(quantile_cont(l_extendedprice, 0.75), 2) AS price_p75,
-       round(quantile_cont(l_quantity, 0.5), 2) AS qty_median
-FROM lineitem
+       round(max(CASE WHEN rp = floor(0.25 * (n - 1)) + 1 THEN l_extendedprice END), 2) AS price_p25,
+       round(max(CASE WHEN rp = floor(0.5 * (n - 1)) + 1 THEN l_extendedprice END), 2) AS price_p50,
+       round(max(CASE WHEN rp = floor(0.75 * (n - 1)) + 1 THEN l_extendedprice END), 2) AS price_p75,
+       round(max(CASE WHEN rq = floor(0.5 * (n - 1)) + 1 THEN l_quantity END), 2) AS qty_median
+FROM ranked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """

@@ -39,6 +39,7 @@ SAMPLE = [
     "dedup_clusters_docs",  # new in round 3: connected components
     "pack_sequences_docs",  # new in round 3: context-window packing
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
+    "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
 
 
