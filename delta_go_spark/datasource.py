@@ -93,11 +93,14 @@ def _open_snapshot(options: dict):
     return log, log.update()
 
 
-def _starting_version(log: DeltaLog, options: dict) -> int:
+def _starting_version(log: DeltaLog, options: dict) -> tuple[int, bool]:
     """Resolve the stream/CDF start: explicit startingVersion wins, else
     startingTimestamp (epoch millis) resolves to the first commit at or
     after it (Delta's semantics; a future timestamp starts past the tip,
-    yielding nothing until new commits land), else version 0."""
+    yielding nothing until new commits land), else version 0.  Returns
+    (version, from_timestamp): a timestamp past the tip legitimately means
+    'empty for now', while an EXPLICIT startingVersion past the tip is a
+    user error that batch CDF must surface, not silently read as empty."""
     sv = options.get("startingversion")
     st = options.get("startingtimestamp")
     if sv is not None and st is not None:
@@ -105,13 +108,13 @@ def _starting_version(log: DeltaLog, options: dict) -> int:
             "startingVersion and startingTimestamp are mutually exclusive"
         )
     if sv is not None:
-        return int(sv)
+        return int(sv), False
     if st is not None:
         v = log.history.first_version_at_or_after(int(st))
         if v is not None:
-            return v
-        return log.update().version + 1
-    return 0
+            return v, True
+        return log.update().version + 1, True
+    return 0, False
 
 
 def _filter_to_expression(
@@ -377,17 +380,22 @@ class DeltaGoCDFReader(DataSourceReader):
         self.cdc_schema = StructType(
             [*table_schema.fields, schema["_change_type"]]
         )
-        start = _starting_version(log, self.options)
+        start, from_ts = _starting_version(log, self.options)
         end = self.options.get("endingversion")
         end_excl = int(end) + 1 if end is not None else None
-        if start > snap.version:
-            # timestamp resolved past the tip: an empty change set, not a
-            # planning-time range error (cdf.table_changes' guard)
+        if start > snap.version and from_ts:
+            # A TIMESTAMP resolved past the tip: an empty change set, not a
+            # planning-time range error (cdf.table_changes' guard).  An
+            # explicit startingVersion past the tip falls through to
+            # cdf_entries, which raises — a typo'd version must not read
+            # as an empty feed.
             entries = []
         else:
             entries = cdf_entries(log, self.table_root, start, end_excl)
-        paths = _readable_paths([e[0] for e in entries], self.table_root)
-        self._entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
+        # Raw (possibly cloud) paths here; localization is deferred to
+        # partitions(), AFTER partition pruning — pruned-out files must
+        # never be downloaded.
+        self._entries = entries
         self._pushed: list[E.Expression] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -416,6 +424,11 @@ class DeltaGoCDFReader(DataSourceReader):
                     return pushed.eval(record) is True
 
                 entries = [e for e in entries if keep(e[1])]
+        # Localize only what survived pruning (cloud fallback is a no-op
+        # for local tables): cdf.table_changes prunes before localize and
+        # this surface must match — a pruned file is never downloaded.
+        paths = _readable_paths([e[0] for e in entries], self.table_root)
+        entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
         return _pack_cdf_partitions(entries, target)
 
@@ -481,7 +494,10 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         meta = snap.metadata()
         self.partition_cols = list(meta.partition_columns or [])
         self.table_root = snap.table_root
-        self._start = _starting_version(log, options)
+        # Streams tolerate a past-tip start either way: they simply wait
+        # for future commits (the from_timestamp flag only matters for
+        # batch CDF, where an explicit bad version must raise).
+        self._start, _ = _starting_version(log, options)
         self._committed: int | None = None  # advanced by commit()
         self._planned: tuple | None = None  # (start, end, adds) memo
         # Change-feed mode: micro-batches carry row-level changes

@@ -249,6 +249,7 @@ class DeltaDml:
         insert_not_matched: bool = True,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        delete_condition: str | None = None,
     ) -> int | None:
         """MERGE INTO target USING source ON target.<on> = source.<on>.
 
@@ -258,12 +259,28 @@ class DeltaDml:
         is joined once (broadcast when small, shuffle hash otherwise, by
         Catalyst's choice).
 
+        delete_condition names a BOOLEAN source column (Delta's
+        whenMatchedDelete(condition=...) shape): matched target rows whose
+        source row flags true are DELETED, other matched rows take
+        update_set, and flagged not-matched rows are skipped rather than
+        inserted.  This makes a mixed delete+upsert change batch a SINGLE
+        atomic commit — the CDC-apply committer's whole contract.
+
         txn_app_id/txn_version: idempotent merges (SetTransaction tokens,
         same contract as write_dataframe) — a replayed merge with the same
         (app_id, version) is a no-op returning None, which is what makes
         exactly-once streaming upserts possible."""
         if update_set and delete_matched:
             raise ValueError("choose update_set or delete_matched, not both")
+        if delete_condition is not None and delete_matched:
+            raise ValueError(
+                "delete_condition refines update_set merges; with "
+                "delete_matched every matched row is deleted already"
+            )
+        if delete_condition is not None and delete_condition not in source.columns:
+            raise ValueError(
+                f"delete_condition column '{delete_condition}' not in source"
+            )
         log, txn, snap = self._begin()
         if (
             txn_app_id is not None
@@ -278,7 +295,9 @@ class DeltaDml:
         # merge inserts them all), so the guard is deferred until touched
         # target files are known and only runs for matched-clause merges —
         # insert-only merges pay no extra job.
-        has_matched_clause = bool(update_set) or delete_matched
+        has_matched_clause = (
+            bool(update_set) or delete_matched or delete_condition is not None
+        )
         if has_matched_clause:
             key_counts = source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
             keys = key_counts.select(F.col(on))
@@ -349,6 +368,26 @@ class DeltaDml:
                         )
                 else:
                     rewritten = joined
+                    if delete_condition is not None:
+                        # matched + flagged => the row is deleted, not
+                        # updated; CDC records it before the filter drops it
+                        is_del = is_match & F.coalesce(
+                            F.col(f"_s_{delete_condition}").cast("boolean"),
+                            F.lit(False),
+                        )
+                        if cdf:
+                            actions.extend(
+                                stage_cdc_files(
+                                    rewritten.filter(is_del)
+                                    .select(*tdf.columns)
+                                    .withColumn(
+                                        CHANGE_TYPE_COL, F.lit("delete")
+                                    ),
+                                    self.table_path,
+                                    pcols,
+                                )
+                            )
+                        rewritten = rewritten.filter(~is_del)
                     for col, expr in (update_set or {}).items():
                         value = (
                             expr
@@ -369,8 +408,16 @@ class DeltaDml:
                         snap.metadata().schema(),
                     )
                     if cdf:
-                        pre = joined.filter(is_match).select(*tdf.columns)
-                        post = rewritten.filter(is_match).select(*tdf.columns)
+                        # deleted-by-condition rows already emitted their
+                        # 'delete' images; pre must mirror post's row set
+                        updated = is_match
+                        if delete_condition is not None:
+                            updated = is_match & ~F.coalesce(
+                                F.col(f"_s_{delete_condition}").cast("boolean"),
+                                F.lit(False),
+                            )
+                        pre = joined.filter(updated).select(*tdf.columns)
+                        post = rewritten.filter(updated).select(*tdf.columns)
                         actions.extend(
                             stage_cdc_files(
                                 pre.withColumn(
@@ -401,8 +448,15 @@ class DeltaDml:
                 else None
             )
             new_rows = source
+            if delete_condition is not None:
+                # a delete for an absent key is a no-op, never an insert
+                new_rows = new_rows.filter(
+                    ~F.coalesce(
+                        F.col(delete_condition).cast("boolean"), F.lit(False)
+                    )
+                )
             if existing_keys is not None:
-                new_rows = source.join(existing_keys, on, "left_anti")
+                new_rows = new_rows.join(existing_keys, on, "left_anti")
             from delta_go_spark.writer import GENERATION_EXPRESSION_KEY
 
             schema = snap.metadata().schema()

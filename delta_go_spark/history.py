@@ -67,6 +67,22 @@ class HistoryManager:
                 f"[{earliest}, {latest_version}]"
             )
 
+    def _adjusted_timeline(self) -> list[Commit]:
+        """The monotonically-clamped (version, mtime) sequence over EVERY
+        commit file present — the ONE timeline all timestamp resolution
+        uses.  Both active_commit_at_time (end bounds) and
+        first_version_at_or_after (start bounds) slice this same list, so
+        under commit-mtime clock skew a given commit always resolves to
+        the same adjusted timestamp regardless of which helper asks."""
+        commits = sorted(self._list_commits(0), key=lambda c: c.version)
+        adjusted: list[Commit] = []
+        prev_ts = None
+        for c in commits:
+            ts = c.timestamp if prev_ts is None else max(c.timestamp, prev_ts + 1)
+            adjusted.append(Commit(c.version, ts))
+            prev_ts = ts
+        return adjusted
+
     def active_commit_at_time(
         self,
         latest_version: int,
@@ -76,20 +92,17 @@ class HistoryManager:
         can_return_earliest_commit: bool = False,
     ) -> Commit:
         """Last commit with mtime <= ts (reference:
-        history_manager.go:68-104)."""
+        history_manager.go:68-104).  The clamp runs over the full commit
+        list BEFORE the reproducibility filter, so it shares one timeline
+        with first_version_at_or_after."""
         start = self.earliest_reproducible_version() if must_be_recreatable else 0
-        commits = [c for c in self._list_commits(start) if c.version <= latest_version]
-        if not commits:
+        adjusted = [
+            c
+            for c in self._adjusted_timeline()
+            if start <= c.version <= latest_version
+        ]
+        if not adjusted:
             raise DeltaError("no commits found")
-        commits.sort(key=lambda c: c.version)
-        # Commit timestamps must be monotonic for resolution; clamp like
-        # delta does for clock skew.
-        adjusted: list[Commit] = []
-        prev_ts = -1
-        for c in commits:
-            ts = max(c.timestamp, prev_ts + 1) if adjusted else c.timestamp
-            adjusted.append(Commit(c.version, ts))
-            prev_ts = ts
         chosen = None
         for c in adjusted:
             if c.timestamp <= timestamp_millis:
@@ -115,14 +128,11 @@ class HistoryManager:
         time — Delta's `startingTimestamp` streaming semantics (start with
         changes committed at or after the timestamp).  None when every
         commit predates it (the stream starts past the current tip).
-        Timestamps are monotonically clamped exactly like
-        active_commit_at_time, so start and end bounds resolved from the
-        two helpers agree on one timeline under commit-mtime skew."""
-        prev_ts = None
-        for c in sorted(self._list_commits(0), key=lambda c: c.version):
-            ts = c.timestamp if prev_ts is None else max(c.timestamp, prev_ts + 1)
-            prev_ts = ts
-            if ts >= timestamp_millis:
+        Resolution slices the same _adjusted_timeline as
+        active_commit_at_time, so start and end bounds agree on one
+        timeline under commit-mtime skew."""
+        for c in self._adjusted_timeline():
+            if c.timestamp >= timestamp_millis:
                 return c.version
         return None
 

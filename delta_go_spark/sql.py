@@ -191,13 +191,15 @@ class DeltaSqlContext:
             return dml
         out = text
         for name in self._tables:
+            # regex-safe table name: registered names may contain metachars
+            pat = re.escape(name)
             # table_changes(name, start [, end]) — Delta's CDF TVF syntax
             def sub_c(m, _name=name):
                 end = int(m.group(2)) if m.group(2) is not None else None
                 return self._view_for_changes(_name, int(m.group(1)), end)
 
             out = re.sub(
-                rf"\btable_changes\s*\(\s*['\"]?{name}['\"]?\s*,\s*(\d+)"
+                rf"\btable_changes\s*\(\s*['\"]?{pat}['\"]?\s*,\s*(\d+)"
                 rf"(?:\s*,\s*(\d+))?\s*\)",
                 sub_c,
                 out,
@@ -209,7 +211,7 @@ class DeltaSqlContext:
                 return self._view_for_changes_ts(_name, m.group(1), m.group(2))
 
             out = re.sub(
-                rf"\btable_changes\s*\(\s*['\"]?{name}['\"]?\s*,\s*'([^']+)'"
+                rf"\btable_changes\s*\(\s*['\"]?{pat}['\"]?\s*,\s*'([^']+)'"
                 rf"(?:\s*,\s*'([^']+)')?\s*\)",
                 sub_cts,
                 out,
@@ -220,7 +222,7 @@ class DeltaSqlContext:
                 return self._view_for_version(_name, int(m.group(1)))
 
             out = re.sub(
-                rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                rf"\b{pat}\s+VERSION\s+AS\s+OF\s+(\d+)",
                 sub_v,
                 out,
                 flags=re.IGNORECASE,
@@ -231,14 +233,14 @@ class DeltaSqlContext:
                 return self._view_for_timestamp(_name, m.group(1))
 
             out = re.sub(
-                rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+                rf"\b{pat}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
                 sub_t,
                 out,
                 flags=re.IGNORECASE,
             )
 
             # plain references get the CURRENT snapshot
-            if re.search(rf"\b{name}\b", out):
+            if re.search(rf"\b{pat}\b", out):
                 DeltaLog.for_table(self._tables[name]).update().to_df(
                     self.spark
                 ).createOrReplaceTempView(name)

@@ -94,14 +94,17 @@ class DeltaUpsertStreamCommitter:
     with full change semantics: preimages dropped, the LATEST change per
     key wins (one micro-batch can span several source commits), deletes
     remove matched target rows, inserts/postimages upsert.  A plain
-    append batch upserts directly; duplicate keys there raise unless
-    `order_by` names a latest-wins ordering.
+    append batch upserts directly; a duplicate key there raises only when
+    it hits an existing target row (merge's multiple-match rule) —
+    duplicates matching no target row insert BOTH copies, so pass
+    `order_by` for a latest-wins compaction when the stream can repeat
+    keys within a batch.
 
-    Exactly-once EFFECT per batch id via merge's SetTransaction token: the
-    token rides the final merge, and the guard at the top skips replayed
-    batches entirely.  (A crash between the delete-merge and the
-    upsert-merge replays the delete-merge, which is idempotent —
-    re-deleting absent keys is a no-op.)"""
+    Atomic + exactly-once per batch id: deletes and upserts are folded
+    into ONE merge transaction (delete_condition) carrying the
+    SetTransaction token — readers never observe deletes without the
+    corresponding upserts, and the guard at the top skips replayed
+    batches entirely."""
 
     def __init__(
         self,
@@ -132,7 +135,6 @@ class DeltaUpsertStreamCommitter:
             return None  # replayed batch: skip before any work
 
         df = batch_df
-        deletes = None
         is_cdf = CHANGE_TYPE_COL in df.columns
         order = self.order_by
         if is_cdf:
@@ -158,31 +160,29 @@ class DeltaUpsertStreamCommitter:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
+        delete_col = None
         if is_cdf:
-            deletes = df.filter(F.col(CHANGE_TYPE_COL) == "delete").drop(
-                CHANGE_TYPE_COL, "_commit_version"
-            )
-            df = df.filter(F.col(CHANGE_TYPE_COL) != "delete").drop(
-                CHANGE_TYPE_COL, "_commit_version"
-            )
+            # one source frame, flagged rows delete: the whole batch is a
+            # SINGLE merge transaction — no window where readers see the
+            # deletes without the corresponding upserts
+            delete_col = "__dgs_is_delete"
+            df = df.withColumn(
+                delete_col, F.col(CHANGE_TYPE_COL) == "delete"
+            ).drop(CHANGE_TYPE_COL, "_commit_version")
 
         dml = DeltaDml(batch_df.sparkSession, self.table_path)
-        if deletes is not None and not deletes.isEmpty():
-            dml.merge(
-                deletes.select(self.on).distinct(),
-                on=self.on,
-                delete_matched=True,
-                insert_not_matched=False,
-            )
         update_set = self.update_set
         if update_set is None:
             update_set = {
-                c: F.col(f"_s_{c}") for c in df.columns if c != self.on
+                c: F.col(f"_s_{c}")
+                for c in df.columns
+                if c != self.on and c != delete_col
             }
         return dml.merge(
             df,
             on=self.on,
             update_set=update_set,
+            delete_condition=delete_col,
             txn_app_id=self.app_id,
             txn_version=batch_id,
         )

@@ -331,12 +331,12 @@ def test_starting_timestamp_resolves_first_commit_at_or_after(spark, tmp_path):
         os.utime(f, (ts, ts))
 
     log = DeltaLog.for_table(path)
-    assert _starting_version(log, {"startingtimestamp": str(1500 * 1000)}) == 1
-    assert _starting_version(log, {"startingtimestamp": str(2000 * 1000)}) == 1
-    assert _starting_version(log, {"startingtimestamp": str(2500 * 1000)}) == 2
+    assert _starting_version(log, {"startingtimestamp": str(1500 * 1000)}) == (1, True)
+    assert _starting_version(log, {"startingtimestamp": str(2000 * 1000)}) == (1, True)
+    assert _starting_version(log, {"startingtimestamp": str(2500 * 1000)}) == (2, True)
     # future timestamp: starts past the tip
     future = int((time.time() + 3600) * 1000)
-    assert _starting_version(log, {"startingtimestamp": str(future)}) == log.update().version + 1
+    assert _starting_version(log, {"startingtimestamp": str(future)}) == (log.update().version + 1, True)
     # conflicting options are rejected, not silently resolved
     with pytest.raises(ValueError, match="mutually exclusive"):
         _starting_version(
@@ -348,3 +348,36 @@ def test_starting_timestamp_resolves_first_commit_at_or_after(spark, tmp_path):
         schema, {"path": path, "startingtimestamp": str(2500 * 1000)}
     )
     assert reader.initialOffset() == {"version": 2}
+
+
+def test_cdf_reader_past_tip_semantics(spark, tmp_path):
+    """Batch CDF via format('delta_go'): a startingTimestamp past the tip
+    is a legitimate empty feed, but an EXPLICIT startingVersion past the
+    tip must raise (a typo'd version must never read as empty) — and
+    localization of change files is deferred until after pruning."""
+    from delta_go_spark.datasource import DeltaGoCDFReader
+    from delta_go_spark.snapshot import DeltaError
+
+    path = str(tmp_path / "cdf_tip")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.range(5).select(F.col("id").alias("k")),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    schema = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .schema
+    )
+    future_ts = str(4102444800 * 1000)  # year 2100
+    empty = DeltaGoCDFReader(
+        schema, {"path": path, "startingtimestamp": future_ts}
+    )
+    assert [f for p in empty.partitions() for f in p.files] == []
+    with pytest.raises(DeltaError):
+        DeltaGoCDFReader(schema, {"path": path, "startingversion": "99"})
+    # in-range explicit version still plans files
+    ok = DeltaGoCDFReader(schema, {"path": path, "startingversion": "0"})
+    assert len([f for p in ok.partitions() for f in p.files]) > 0

@@ -194,6 +194,9 @@ def test_upsert_stream_committer_cdc_apply(spark, tmp_path):
     q.awaitTermination(240)
 
     dst = DeltaTable.for_path(spark, dst_path)
+    # the mixed delete+upsert batch lands as ONE atomic commit (create=v0,
+    # merge=v1): no window where readers see deletes without the upserts
+    assert dst.log.update().version == 1
     got = {r["k"]: r["v"] for r in dst.to_df().collect()}
     assert got[1] == 10          # initial insert applied
     assert got[2] == 22          # LATEST of the two updates wins
