@@ -201,9 +201,15 @@ def table_changes(
     # the canonical path locally, the local cache entry for a connector-less
     # cloud table — localized in ONE parallel batch, not a GET per entry.
     if cloud:
-        from delta_go_spark.datacache import localize
+        from delta_go_spark.datacloud import use_native_cloud
 
-        scan_paths = localize([e[0] for e in entries], log.store)
+        if use_native_cloud(spark, table_path):
+            # connector present: the scan reads the remote URIs directly
+            scan_paths = [e[0] for e in entries]
+        else:
+            from delta_go_spark.datacache import localize
+
+            scan_paths = localize([e[0] for e in entries], log.store)
     else:
         scan_paths = [e[0].replace("file://", "") for e in entries]
     for (path, pv, ctype, version, _size), p in zip(entries, scan_paths):

@@ -94,12 +94,18 @@ def files_to_df(spark: SparkSession, snapshot: Snapshot, files: list[AddFile]) -
     if not paths:
         return spark.createDataFrame([], schema)
 
-    # Cloud table without a Hadoop connector for the scheme: read from the
-    # deterministic local cache (datacache docstring).  With a connector
-    # configured, pass the URIs straight through instead.
+    # Cloud table: with the scheme's Hadoop connector available (probed
+    # once per scheme, or forced via spark.delta_go.nativeCloud /
+    # DGS_NATIVE_CLOUD), the URIs pass STRAIGHT THROUGH — executors
+    # stream ranged reads from the object store and no byte crosses the
+    # driver.  Only without a connector does the SDK localize() fallback
+    # materialize the files into the local cache.
     from delta_go_spark.datacache import is_cloud_uri, localize
+    from delta_go_spark.datacloud import use_native_cloud
 
-    if is_cloud_uri(snapshot.table_root):
+    if is_cloud_uri(snapshot.table_root) and not use_native_cloud(
+        spark, snapshot.table_root
+    ):
         paths = localize(paths, getattr(snapshot, "store", None))
 
     return read_files_with_pv(

@@ -209,19 +209,30 @@ def _arrow_batches_for_file(
     yield from out.to_batches()
 
 
-def _readable_paths(paths: list[str], table_root: str) -> list[str]:
+def _readable_paths(
+    paths: list[str], table_root: str, native_opt: str | None = None
+) -> list[str]:
     """Paths an executor's pyarrow can open: cloud URIs are localized into
     the deterministic cache AT PLANNING TIME (executor Python workers
     cannot reach per-process store state; planner and executors share the
     cache directory in the connector-less local mode this fallback
-    serves).  Local paths pass through untouched.  Note: Spark 4 runs
-    DataSource planning in its own Python worker, so cloud reads through
-    this surface need real SDK configuration (credentials/endpoint env) —
-    driver-process register_store bindings are not visible here; the
-    DeltaTable API sees them, the format("delta_go") API does not."""
+    serves).  Local paths pass through untouched.
+
+    Native pass-through: with DGS_NATIVE_CLOUD set (or the reader's
+    nativeCloud option), cloud URIs are returned as-is for pyarrow's own
+    filesystem layer to open — Spark 4 runs DataSource planning in a
+    separate Python worker with no JVM handle, so the env/option flag is
+    the only native signal available here (no auto-probe).  Note also
+    that driver-process register_store bindings are not visible in this
+    worker; SDK reads through this surface need real credentials/endpoint
+    env — the DeltaTable API sees in-process fakes, format("delta_go")
+    does not."""
     from delta_go_spark.datacache import is_cloud_uri, localize
+    from delta_go_spark.datacloud import use_native_cloud
 
     if not paths or not is_cloud_uri(table_root):
+        return paths
+    if use_native_cloud(None, table_root, option=native_opt):
         return paths
     return localize(paths)
 
@@ -311,6 +322,7 @@ class DeltaGoBatchReader(DataSourceReader):
         paths = _readable_paths(
             [canonicalize_path(a.path, self.table_root) for a in files],
             self.table_root,
+            self.options.get("nativecloud"),
         )
         return _pack_partitions(
             [
@@ -427,7 +439,11 @@ class DeltaGoCDFReader(DataSourceReader):
         # Localize only what survived pruning (cloud fallback is a no-op
         # for local tables): cdf.table_changes prunes before localize and
         # this surface must match — a pruned file is never downloaded.
-        paths = _readable_paths([e[0] for e in entries], self.table_root)
+        paths = _readable_paths(
+            [e[0] for e in entries],
+            self.table_root,
+            self.options.get("nativecloud"),
+        )
         entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
         target = int(self.options.get("maxpartitionbytes", 128 * 1024 * 1024))
         return _pack_cdf_partitions(entries, target)
@@ -611,13 +627,18 @@ class DeltaGoStreamReader(DataSourceStreamReader):
                 if end_v > start_v
                 else []
             )
-            paths = _readable_paths([e[0] for e in entries], self.table_root)
+            paths = _readable_paths(
+                [e[0] for e in entries],
+                self.table_root,
+                self.options.get("nativecloud"),
+            )
             entries = [(p, *e[1:]) for e, p in zip(entries, paths)]
             return _pack_cdf_partitions(entries, target, max_files)
         adds = self._adds_between(int(start["version"]), int(end["version"]))
         paths = _readable_paths(
             [canonicalize_path(a.path, self.table_root) for a in adds],
             self.table_root,
+            self.options.get("nativecloud"),
         )
         return _pack_partitions(
             [

@@ -64,12 +64,19 @@ def _has_constraints(snap) -> bool:
 
 def _scan_path(canonical: str, table_root: str) -> str:
     """The filesystem path the Spark scan actually reads for a canonical
-    log path: the path itself locally, the deterministic local cache entry
-    for a connector-less cloud table (input_file_name() reports whichever
-    one the scan touched)."""
+    log path: the path itself locally, the remote URI itself when the
+    scheme's Hadoop connector serves the scan natively, or the
+    deterministic local cache entry for a connector-less cloud table
+    (input_file_name() reports whichever one the scan touched)."""
     from delta_go_spark.datacache import cache_path, is_cloud_uri
 
     if is_cloud_uri(table_root):
+        from pyspark.sql import SparkSession
+
+        from delta_go_spark.datacloud import use_native_cloud
+
+        if use_native_cloud(SparkSession.getActiveSession(), table_root):
+            return canonical
         return cache_path(canonical)
     return canonical.replace("file://", "")
 

@@ -131,16 +131,22 @@ def changes_df(
     snap = log.update()
     schema = snap.metadata().schema()
     from delta_go_spark.datacache import cache_path, is_cloud_uri
+    from delta_go_spark.datacloud import use_native_cloud
 
     cloud = is_cloud_uri(table_path)
+    native = cloud and use_native_cloud(spark, table_path)
     added: list[AddFile] = []
     version_of: dict[str, int] = {}
     for vlog in log.changes(start_version):
         for action in vlog.actions:
             if isinstance(action, AddFile) and action.data_change:
                 p = canonicalize_path(action.path, table_path)
-                # key by the path the scan reads (local cache for cloud)
-                p = cache_path(p) if cloud else p.replace("file://", "")
+                # key by the path the scan reads (the remote URI when a
+                # connector serves it, the local cache entry otherwise)
+                if cloud:
+                    p = p if native else cache_path(p)
+                else:
+                    p = p.replace("file://", "")
                 if p not in version_of:
                     added.append(action)
                 version_of[p] = vlog.version

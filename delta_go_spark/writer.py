@@ -50,6 +50,35 @@ def _stats_from_footer(path: str) -> str | None:
         meta = pq.ParquetFile(path).metadata
     except Exception:
         return None
+    return _stats_from_metadata(meta)
+
+
+def _stats_from_remote_footer(uri: str, store) -> str | None:
+    """Footer-only stats for a natively-written cloud object: the footer
+    (KBs) streams through the LogStore's ranged GETs — the log store is
+    always configured (commits require it, store.go:16-27), so the native
+    write path keeps file-skipping stats without pulling data bytes
+    through the driver.  Stores lacking a real ranged read would download
+    the whole object per call; stats are skipped there (they're an
+    optional optimization, never a correctness dependency)."""
+    from delta_go_spark.store import LogStore as _Base
+
+    if type(store).read_range is _Base.read_range:
+        return None
+    try:
+        import pyarrow as pa
+
+        from delta_go_spark.checkpoint import _RangedStoreFile
+
+        pf = pq.ParquetFile(
+            pa.PythonFile(_RangedStoreFile(store, uri), mode="r")
+        )
+        return _stats_from_metadata(pf.metadata)
+    except Exception:
+        return None
+
+
+def _stats_from_metadata(meta) -> str | None:
     num_records = meta.num_rows
     mins: dict = {}
     maxs: dict = {}
@@ -119,6 +148,10 @@ def stage_files(
     from delta_go_spark.store import is_cloud_uri
 
     if is_cloud_uri(table_path):
+        from delta_go_spark.datacloud import use_native_cloud
+
+        if use_native_cloud(df.sparkSession, table_path):
+            return _stage_files_native(df, table_path, partition_by)
         return _stage_files_cloud(df, table_path, partition_by)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -189,6 +222,80 @@ def _upload_scratch(scratch: str, table_uri: str, rel_prefix: str, make_action):
 
     with ThreadPoolExecutor(min(16, len(staged))) as pool:
         return list(pool.map(_put, staged))
+
+
+def _stage_files_native(
+    df: DataFrame,
+    table_uri: str,
+    partition_by: list[str],
+    sub_dir: str = "",
+    make_action=None,
+) -> list:
+    """Connector-present write path: EXECUTORS stream parquet directly to
+    the object store under a unique per-commit prefix inside the table —
+    no driver staging, no uploads through the driver, and no renames
+    (object-store renames are copies; none are needed because file
+    visibility is governed by the log commit, and AddFile.path is
+    arbitrary — readers take partition values from the LOG's
+    partitionValues, not the directory layout, so files under
+    commit-<id>/ read identically to hive-rooted ones).  Post-write
+    enumeration goes through the JVM Hadoop FileSystem; footer stats
+    stream as ranged GETs through the LogStore (KBs per file).
+
+    sub_dir places the prefix under a table subdirectory (``_change_data``
+    for cdc files); make_action overrides the default AddFile builder.
+    """
+    import time
+
+    from delta_go_spark.datacloud import hadoop_list_files
+    from delta_go_spark.store import store_for
+
+    spark = df.sparkSession
+    prefix = "/".join(
+        p for p in (sub_dir, f"commit-{uuid.uuid4().hex}") if p
+    )
+    staging_uri = f"{table_uri.rstrip('/')}/{prefix}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging_uri)
+
+    try:
+        store = store_for(table_uri)
+    except Exception:
+        store = None
+    now_ms = int(time.time() * 1000)
+
+    if make_action is None:
+
+        def make_action(abs_uri, rel_dir, rel_path, size, mtime):
+            return AddFile(
+                path=encode_path(rel_path),
+                partition_values=_partition_values_from_rel(
+                    rel_dir, partition_by
+                ),
+                size=size,
+                modification_time=mtime or now_ms,
+                data_change=True,
+                stats=(
+                    _stats_from_remote_footer(abs_uri, store)
+                    if store is not None
+                    else None
+                ),
+            )
+
+    out = []
+    base = staging_uri.rstrip("/") + "/"
+    for abs_uri, size, mtime in hadoop_list_files(spark, staging_uri):
+        if not abs_uri.endswith(".parquet"):
+            continue  # _SUCCESS markers etc.
+        rel = abs_uri[len(base):] if abs_uri.startswith(base) else abs_uri.rsplit("/", 1)[-1]
+        rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        rel_path = f"{prefix}/{rel}"
+        out.append(
+            make_action(abs_uri, rel_dir.replace("/", os.sep), rel_path, size, mtime)
+        )
+    return out
 
 
 def _stage_files_cloud(
@@ -377,6 +484,27 @@ def stage_cdc_files(
 
     if is_cloud_uri(table_path):
         import tempfile
+
+        from delta_go_spark.datacloud import use_native_cloud
+
+        if use_native_cloud(df.sparkSession, table_path):
+
+            def make_cdc(_abs_uri, rel_dir, rel_path, size, _mtime):
+                return AddCDCFile(
+                    path=encode_path(rel_path),
+                    partition_values=_partition_values_from_rel(
+                        rel_dir, partition_by
+                    ),
+                    size=size,
+                )
+
+            return _stage_files_native(
+                df,
+                table_path,
+                partition_by,
+                sub_dir=CDC_DIR,
+                make_action=make_cdc,
+            )
 
         scratch = tempfile.mkdtemp(prefix="dgs-stage-cdc-")
         try:
