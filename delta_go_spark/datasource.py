@@ -25,12 +25,16 @@ identical data plane to the batch reader.
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     GreaterThan,
@@ -667,14 +671,337 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         self._committed = int(end["version"])
 
 
-class DeltaGoDataSource(DataSource):
-    """``format("delta_go")``: batch + streaming read of a delta_go table.
+class _DeltaWriteBase:
+    """Shared executor-side write logic for the batch and streaming
+    DataSource writers: each task streams its Arrow batches into one
+    parquet file per partition-value combination under a unique staging
+    prefix inside the table (``dswrite-<id>/<hive dirs>/part-*.parquet``),
+    and reports (rel_path, size, partition_values, rows) back to the
+    driver.  No file ever moves afterwards — AddFile.path is arbitrary
+    and visibility is governed by the log commit, so the "staging" prefix
+    IS the final location (same rationale as the native cloud write).
 
-    Options: ``versionAsOf``/``timestampAsOf`` (batch time travel),
-    ``startingVersion`` (streaming).  Writes go through DeltaTable
-    (append/overwrite/DML) — the log commit must be driver-side and
-    transactional, which the DataSourceWriter contract cannot express as
-    naturally as the txn API."""
+    Driver-side __init__ resolves everything the pickled writer needs as
+    plain data (no log/store handles cross the pickle boundary).
+    Semantics to match: reference trnx.go:144-224 (blind append vs
+    logical replace).
+
+    Scope guards (honest limits of a no-SparkSession commit worker):
+    local table roots only — cloud URIs must use the DeltaTable facade,
+    whose write path routes the LogStore/native-connector branches; and
+    tables with CHECK constraints or generated columns are refused, since
+    enforcing them requires a Spark scan the DataSource commit worker
+    cannot run (NOT NULL is still enforced, from footer stats)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        import uuid
+
+        from delta_go_spark.store import is_cloud_uri, normalize_table_uri
+        from delta_go_spark.writer import (
+            CONSTRAINT_PREFIX,
+            GENERATION_EXPRESSION_KEY,
+        )
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "delta_go requires a table path: .save('/table/path')"
+            )
+        if is_cloud_uri(path):
+            raise ValueError(
+                "df.write.format('delta_go') supports local table roots; "
+                "write cloud tables through the DeltaTable facade "
+                "(append/overwrite), which routes the LogStore and "
+                "native-connector paths"
+            )
+        self.table_root = normalize_table_uri(path)
+        self.schema = schema
+        self.options = dict(options)
+        self.staging_rel = f"dswrite-{uuid.uuid4().hex}"
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
+        log = DeltaLog.for_table(self.table_root)
+        snap = None
+        try:
+            snap = log.update()
+        except Exception:
+            snap = None
+        if snap is not None and snap.version >= 0:
+            meta = snap.metadata()
+            cfg = meta.configuration or {}
+            if any(k.startswith(CONSTRAINT_PREFIX) for k in cfg):
+                raise ValueError(
+                    "table has CHECK constraints; the DataSource commit "
+                    "worker cannot evaluate them — write via DeltaTable"
+                )
+            if any(
+                f.metadata and GENERATION_EXPRESSION_KEY in f.metadata
+                for f in meta.schema().fields
+            ):
+                raise ValueError(
+                    "table has generated columns; the DataSource commit "
+                    "worker cannot compute them — write via DeltaTable"
+                )
+            self.partition_cols = list(meta.partition_columns or [])
+            pb = options.get("partitionby")
+            if pb is not None:
+                want = [c.strip() for c in pb.split(",") if c.strip()]
+                if want != self.partition_cols:
+                    raise ValueError(
+                        f"partitionBy {want} does not match the existing "
+                        f"table partitioning {self.partition_cols}"
+                    )
+        else:
+            pb = options.get("partitionby", "") or ""
+            self.partition_cols = [c.strip() for c in pb.split(",") if c.strip()]
+        names = [f.name for f in schema.fields]
+        missing = [c for c in self.partition_cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} absent from the written "
+                f"schema {names}"
+            )
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        pcols = self.partition_cols
+        data_schema = StructType(
+            [f for f in self.schema.fields if f.name not in pcols]
+        )
+        arrow_schema = to_arrow_schema(data_schema)
+        base_dir = os.path.join(self.table_root, self.staging_rel)
+        # pv tuple -> [ParquetWriter, local_path, rel_path, rows, pv_dict]
+        writers: dict = {}
+
+        def sink_for(pv: dict):
+            key = tuple(sorted(pv.items()))
+            if key not in writers:
+                hive = "/".join(
+                    f"{c}={_hive_value(pv[c])}" for c in pcols
+                )
+                d = os.path.join(base_dir, *hive.split("/")) if hive else base_dir
+                os.makedirs(d, exist_ok=True)
+                name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+                rel = "/".join(
+                    x for x in (self.staging_rel, hive, name) if x
+                )
+                writers[key] = [
+                    pq.ParquetWriter(os.path.join(d, name), arrow_schema),
+                    os.path.join(d, name),
+                    rel,
+                    0,
+                    pv,
+                ]
+            return writers[key]
+
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            for pv, sub in _split_by_partitions(tbl, pcols, arrow_schema):
+                sink = sink_for(pv)
+                sink[0].write_table(sub)
+                sink[3] += sub.num_rows
+
+        files = []
+        for w, local, rel, rows, pv in writers.values():
+            w.close()
+            files.append((rel, os.path.getsize(local), pv, rows))
+        return _WriteMessage(files)
+
+    # -- driver side -------------------------------------------------------
+    def _staged_adds(self, messages) -> list[AddFile]:
+        import time
+
+        from delta_go_spark.actions import encode_path
+        from delta_go_spark.writer import _stats_from_footer
+
+        now_ms = int(time.time() * 1000)
+        adds = []
+        for m in messages:
+            if m is None:
+                continue
+            for rel, size, pv, _rows in m.files:
+                local = os.path.join(self.table_root, *rel.split("/"))
+                adds.append(
+                    AddFile(
+                        path=encode_path(rel),
+                        partition_values=dict(pv),
+                        size=size,
+                        modification_time=now_ms,
+                        data_change=True,
+                        stats=_stats_from_footer(local),
+                    )
+                )
+        return adds
+
+    def _drop_staged(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.table_root, self.staging_rel),
+            ignore_errors=True,
+        )
+        del messages  # whole-prefix cleanup covers every task's files
+
+
+class DeltaGoWriter(_DeltaWriteBase, DataSourceArrowWriter):
+    """``df.write.format("delta_go").mode("append"|"overwrite").save(p)``:
+    executors write the parquet, the commit worker runs the optimistic
+    transaction (bootstrap / schema-evolve / NOT NULL / logical replace)."""
+
+    def __init__(self, schema: StructType, overwrite: bool, options: dict):
+        super().__init__(schema, options)
+        self.mode = "overwrite" if overwrite else "append"
+
+    def commit(self, messages) -> None:
+        from delta_go_spark.writer import commit_staged_adds
+
+        adds = self._staged_adds(messages)
+        try:
+            commit_staged_adds(
+                self.table_root,
+                adds,
+                self.schema,
+                mode=self.mode,
+                partition_by=self.partition_cols,
+                merge_schema=self.merge_schema,
+            )
+        except Exception:
+            self._drop_staged(messages)
+            raise
+
+    def abort(self, messages) -> None:
+        self._drop_staged(messages)
+
+
+class DeltaGoStreamWriter(_DeltaWriteBase, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("delta_go")``: each micro-batch commits as
+    one transaction.  Pass ``.option("txnAppId", <stable id>)`` to ride a
+    SetTransaction token (appId, batchId) per commit — replayed batch ids
+    then become no-ops, upgrading restart semantics from at-least-once to
+    exactly-once (same contract as DeltaStreamCommitter)."""
+
+    def __init__(self, schema: StructType, overwrite: bool, options: dict):
+        super().__init__(schema, options)
+        if overwrite:
+            raise ValueError(
+                "delta_go streaming sink supports append output mode only"
+            )
+        self.txn_app_id = options.get("txnappid")
+
+    def commit(self, messages, batchId: int) -> None:
+        from delta_go_spark.writer import commit_staged_adds
+
+        adds = self._staged_adds(messages)
+        try:
+            committed = commit_staged_adds(
+                self.table_root,
+                adds,
+                self.schema,
+                mode="append",
+                partition_by=self.partition_cols,
+                merge_schema=self.merge_schema,
+                txn_app_id=self.txn_app_id,
+                txn_version=batchId if self.txn_app_id is not None else None,
+            )
+        except Exception:
+            self._drop_staged(messages)
+            raise
+        if committed is None:
+            # replayed batch: the token check skipped the commit — the
+            # just-staged duplicates must not linger until VACUUM
+            self._drop_staged(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)
+
+
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files
+
+
+def _hive_value(v) -> str:
+    from delta_go_spark.writer import HIVE_NULL
+
+    if v is None:
+        return HIVE_NULL
+    from urllib.parse import quote
+
+    return quote(str(v), safe="")
+
+
+def _split_by_partitions(tbl, pcols: list[str], arrow_schema):
+    """Split one Arrow table into (partition_values, data-only table)
+    groups.  The no-partition fast path never leaves Arrow; partitioned
+    writes group via pandas (robust across key types — partition keys are
+    low-cardinality, so the conversion is bounded by design)."""
+    import pyarrow as pa
+
+    if not pcols:
+        return [({}, tbl.select(arrow_schema.names).cast(arrow_schema))]
+    pdf = tbl.to_pandas()
+    out = []
+    for key, sub in pdf.groupby(pcols, dropna=False, sort=False):
+        if not isinstance(key, tuple):
+            key = (key,)
+        pv = {c: _partition_value_str(v) for c, v in zip(pcols, key)}
+        data = sub.drop(columns=pcols)
+        out.append(
+            (
+                pv,
+                pa.Table.from_pandas(
+                    data, schema=arrow_schema, preserve_index=False
+                ),
+            )
+        )
+    return out
+
+
+def _partition_value_str(v) -> str | None:
+    """Delta partitionValues serialization (record.go string forms):
+    None for NULL, ISO forms for date/timestamp, plain str otherwise."""
+    import datetime
+
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+class DeltaGoDataSource(DataSource):
+    """``format("delta_go")``: batch + streaming read AND write of a
+    delta_go table.
+
+    Read options: ``versionAsOf``/``timestampAsOf`` (batch time travel),
+    ``startingVersion``/``startingTimestamp`` (streaming/CDF),
+    ``readChangeFeed``.  Write options: ``partitionBy`` (comma-separated,
+    first write only), ``mergeSchema``, ``txnAppId`` (streaming
+    exactly-once token)."""
 
     @classmethod
     def name(cls) -> str:
@@ -713,3 +1040,11 @@ class DeltaGoDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DeltaGoStreamReader:
         return DeltaGoStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DeltaGoWriter:
+        return DeltaGoWriter(schema, overwrite, self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DeltaGoStreamWriter:
+        return DeltaGoStreamWriter(schema, overwrite, self.options)

@@ -228,21 +228,36 @@ QUERIES["delta_sql_time_travel"] = (delta_sql_time_travel, DELTA_SQL_TT_SQL)
 
 
 def delta_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Python Data Source path inside the correctness gate: lineitem ->
-    Delta table -> spark.read.format("delta_go") with a partition filter
-    (pruned via pushFilters before any file I/O) -> aggregate.  The oracle
-    recomputes from the original parquet, so a hash match proves the
-    Arrow-batch read path (schema mapping, partition-value materialization,
-    pruning) loses nothing."""
+    """BOTH halves of the Python Data Source surface inside the
+    correctness gate: lineitem -> Delta table -> filtered
+    spark.read.format("delta_go") (pruned via pushFilters before any file
+    I/O) -> df.write.format("delta_go") into a second, l_linestatus-
+    partitioned table (executors stage the parquet, the commit worker
+    runs the transaction — trnx.go:144-224 semantics) -> aggregate read
+    back from the table the format itself wrote.  The oracle recomputes
+    from the original parquet, so a hash match proves the whole
+    write+read cycle (schema mapping, partition-value serialization and
+    re-materialization, pruning) loses nothing."""
     from delta_go_spark.datasource import register
 
     snap = _delta_copy(spark, sf_dir, "lineitem", partition_by=["l_returnflag"])
     register(spark)
-    df = (
-        spark.read.format("delta_go")
-        .load(snap.table_root)
-        .filter(F.col("l_returnflag") == "A")
-    )
+    key = sf_dir.strip("/").replace("/", "_")
+    out_path = os.path.join(_CACHE_ROOT, key, "lineitem_dswrite")
+
+    def build():
+        (
+            spark.read.format("delta_go")
+            .load(snap.table_root)
+            .filter(F.col("l_returnflag") == "A")
+            .write.format("delta_go")
+            .option("partitionBy", "l_linestatus")
+            .mode("append")
+            .save(out_path)
+        )
+
+    _ensure_built(out_path, 0, build)
+    df = spark.read.format("delta_go").load(out_path)
     return (
         df.groupBy("l_linestatus")
         .agg(

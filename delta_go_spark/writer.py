@@ -553,6 +553,117 @@ def stage_cdc_files(
     return out
 
 
+def commit_staged_adds(
+    table_path: str,
+    adds: list[AddFile],
+    schema,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int | None:
+    """Commit ALREADY-STAGED files as one transaction — the driver half of
+    the DataSource write path, where executors have produced the parquet
+    (DataSourceWriter.write) and only the log commit remains.  Mirrors
+    write_dataframe's semantics (reference trnx.go:144-224: blind append
+    vs logical replace): bootstrap Metadata on first write, evolve the
+    schema for unknown columns when merge_schema, enforce NOT NULL from
+    the staged footer stats, remove the previous active set on overwrite,
+    and ride an optional SetTransaction token (idempotent replays return
+    None without committing).
+
+    Runs without a SparkSession on purpose: Spark 4 executes Python
+    DataSource commit() in a worker process that has no JVM handle, so
+    everything here is pure-Python log machinery."""
+    import dataclasses
+
+    from pyspark.sql.types import StructField, StructType
+
+    from delta_go_spark.store import normalize_table_uri
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    table_path = normalize_table_uri(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+    exists = txn.snapshot is not None and txn.read_version >= 0
+    if txn_app_id is not None and txn_version is not None and exists:
+        if txn.txn_version(txn_app_id) >= txn_version:
+            return None  # replayed batch: staged files stay orphaned
+                         # until VACUUM, nothing commits twice
+    partition_by = list(partition_by or [])
+    clock_ms = log.clock.now_millis()
+    actions: list = []
+
+    if exists:
+        meta = txn.snapshot.metadata()
+        if partition_by and partition_by != meta.partition_columns:
+            raise DeltaError(
+                f"partitionBy {partition_by} does not match table "
+                f"partitioning {meta.partition_columns}"
+            )
+        table_schema = meta.schema()
+        known = {f.name.lower() for f in table_schema.fields}
+        extras = [
+            f for f in schema.fields if f.name.lower() not in known
+        ]
+        if extras and not merge_schema:
+            raise DeltaError(
+                f"DataFrame columns {[f.name for f in extras]} do not exist "
+                "in the table schema; set mergeSchema=true to evolve it"
+            )
+        if extras:
+            evolved = StructType(
+                [
+                    *table_schema.fields,
+                    *[
+                        StructField(f.name, f.dataType, True, f.metadata)
+                        for f in extras
+                    ],
+                ]
+            )
+            txn.update_metadata(
+                dataclasses.replace(meta, schema_string=schema_to_json(evolved))
+            )
+        required = {f.name for f in table_schema.fields if not f.nullable}
+        for add in adds:
+            if not add.stats or not required:
+                continue
+            nulls = json.loads(add.stats).get("nullCount") or {}
+            violated = [c for c in required if nulls.get(c, 0) > 0]
+            if violated:
+                raise DeltaError(
+                    f"NOT NULL invariant violated for column(s) {violated} "
+                    f"in {add.path}"
+                )
+    else:
+        txn.update_metadata(
+            Metadata(
+                schema_string=schema_to_json(schema),
+                partition_columns=partition_by,
+                created_time=clock_ms,
+            )
+        )
+
+    actions.extend(adds)
+    if mode == "overwrite" and exists:
+        actions.extend(a.remove(clock_ms) for a in txn.snapshot.all_files())
+    if txn_app_id is not None and txn_version is not None:
+        from delta_go_spark.actions import SetTransaction
+
+        actions.append(SetTransaction(txn_app_id, txn_version, clock_ms))
+    op = ops.CREATE_TABLE if not exists else ops.WRITE
+    return txn.commit(
+        actions,
+        op,
+        operation_parameters={
+            "mode": "Append" if mode == "append" else "Overwrite",
+            "partitionBy": json.dumps(partition_by),
+        },
+    )
+
+
 def write_dataframe(
     df: DataFrame,
     table_path: str,
