@@ -391,38 +391,88 @@ ORDER BY doc_id
 """
 
 
+def _simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per chunk, splitting the 60-bit signature as
+    evenly as possible (e.g. 7 -> four 9-bit + three 8-bit chunks)."""
+    base, extra = divmod(SIMHASH_BITS, n_chunks)
+    bounds, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+    pair_bands: bool = False,
 ) -> DataFrame:
-    """Candidate pairs whose SimHashes agree on >=1 of 4 15-bit chunks
-    (necessary condition for hamming <= 45, in practice recalls hamming<=~12
-    pairs), verified by exact popcount distance.
+    """SimHash near-duplicate pairs via banded bucketing + exact popcount
+    verification.  One shuffle on the band key either way; the banding
+    mode trades bucket size against table count:
+
+    - ``pair_bands=False`` (default, small/medium corpora): bucket on
+      each of n_chunks single chunks; recall is GUARANTEED 1.0 for
+      hamming <= n_chunks-1 (pigeonhole: that many flipped bits cannot
+      dirty every chunk).  With the default 4x15-bit chunks, bucket
+      occupancy grows linearly in corpus size (2^15 distinct values per
+      chunk) and in-bucket pairing is quadratic — fine up to ~10^7 docs.
+    - ``pair_bands=True`` (the billion-doc scale path): bucket on every
+      PAIR of chunks — C(n_chunks, 2) tables keyed by the concatenated
+      pair values (~2x wider keys => quadratically more buckets, ~2^9x
+      smaller ones at n_chunks=7).  Recall stays GUARANTEED 1.0 for
+      hamming <= n_chunks-2: that many flipped bits leave >= 2 clean
+      chunks, i.e. at least one clean pair key.  n_chunks=7 therefore
+      preserves the hamming<=3 contract (and up to <=5) with bounded
+      buckets.
     """
     sh = with_simhash(df, text_col).select(F.col(id_col).alias("doc"), "simhash")
-    chunks = sh.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(4)
-                ]
+    bounds = _simhash_chunk_bounds(n_chunks)
+
+    def chunk(c: int):
+        off, width = bounds[c]
+        return (
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+        )
+
+    if pair_bands:
+        combos = [
+            (i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)
+        ]
+        bands = [
+            F.struct(
+                F.lit(k).alias("band_id"),
+                # one packed long per pair: v_i in the high bits, v_j low
+                # (widths are <= 30 bits combined, no overflow)
+                F.shiftleft(chunk(i), bounds[j][1])
+                .bitwiseOR(chunk(j))
+                .alias("band_val"),
             )
-        ).alias("ch"),
-    ).select("doc", "simhash", "ch.chunk_id", "ch.chunk_val")
+            for k, (i, j) in enumerate(combos)
+        ]
+    else:
+        bands = [
+            F.struct(
+                F.lit(c).alias("band_id"), chunk(c).alias("band_val")
+            )
+            for c in range(n_chunks)
+        ]
+    chunks = sh.select(
+        "doc", "simhash", F.explode(F.array(*bands)).alias("ch")
+    ).select("doc", "simhash", "ch.band_id", "ch.band_val")
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
@@ -529,6 +579,7 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_rep) for every node in `pairs`, where cluster_rep is
     the minimum node id reachable through the pair graph.
@@ -539,26 +590,37 @@ def connected_components(
     fixed point is reached in O(graph diameter) rounds (dedup clusters are
     shallow — near-cliques — so 2-3 rounds in practice).  Per round: one
     join on node id + one min-aggregate, both shuffling only (node, label)
-    longs; localCheckpoint truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1 (blocks are not lineage-recomputable —
-    use a reliable checkpoint dir where executor loss matters).  The
-    driver-side loop is inherent to
-    iterative fixed-point algorithms (one action per round to test
-    convergence) — each action is a bounded two-stage job, never a
-    per-row driver loop."""
-    edges = (
+    longs; per-round checkpointing truncates the growing lineage so round
+    N's plan does not replay rounds 1..N-1.  The default localCheckpoint
+    stores blocks on executors — fast, but not recomputable after
+    executor loss; pass checkpoint_dir (HDFS/object-store path on a real
+    cluster) to use reliable df.checkpoint() storage instead, the right
+    trade for long jobs where losing an executor mid-iteration must not
+    kill the run.  The driver-side loop is inherent to iterative
+    fixed-point algorithms (one action per round to test convergence) —
+    each action is a bounded two-stage job, never a per-row driver loop."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+
+    else:
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
+    edges = _checkpoint(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    labels = (
+    labels = _checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -566,7 +628,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        updated = _checkpoint(
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -577,7 +639,6 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")

@@ -120,3 +120,124 @@ def test_connected_components_transitivity(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_simhash_pair_banding_same_pairs_smaller_buckets(spark):
+    """The billion-doc banding (n_chunks=7, pair keys, C(7,2)=21 tables)
+    must emit EXACTLY the pair set of the 4-chunk default at the
+    guaranteed radius (hamming<=3: both modes are provably recall-1.0
+    there — 4-chunk by 1-clean-chunk pigeonhole, 7-chunk pairs by
+    2-clean-chunks), while bounding per-bucket occupancy far below the
+    single-chunk tables'."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import (
+        _simhash_chunk_bounds,
+        simhash_near_dup_pairs,
+        with_simhash,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    base = {(r["doc_id_a"], r["doc_id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    scaled = {(r["doc_id_a"], r["doc_id_b"], r["hamming"])
+              for r in simhash_near_dup_pairs(
+                  docs, max_hamming=3, n_chunks=7, pair_bands=True
+              ).collect()}
+    assert base, "fixture should contain <=3-hamming pairs"
+    assert scaled == base
+
+    # the 7-chunk bounds tile the 60 bits exactly
+    bounds = _simhash_chunk_bounds(7)
+    assert sum(w for _, w in bounds) == 60
+    assert [w for _, w in bounds] == [9, 9, 9, 9, 8, 8, 8]
+
+    # occupancy: the scale win is about RANDOM collisions (2^17 vs 2^15
+    # key space), which tiny true-near-dup corpora cannot show (a cluster
+    # of k genuine dups shares a bucket under ANY banding).  Measure on
+    # synthetic uniform signatures: per-table max occupancy must drop by
+    # roughly the key-space ratio.
+    n = 200_000
+    sig = spark.range(n).select(
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 60) - 1)).alias("simhash")
+    )
+
+    def max_bucket(n_chunks, pair):
+        b = _simhash_chunk_bounds(n_chunks)
+
+        def chunk(c):
+            off, width = b[c]
+            return (
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("long")
+            )
+
+        if pair:
+            combos = [
+                (i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)
+            ]
+            bands = [
+                F.struct(
+                    F.lit(k).alias("band_id"),
+                    F.shiftleft(chunk(i), b[j][1])
+                    .bitwiseOR(chunk(j))
+                    .alias("band_val"),
+                )
+                for k, (i, j) in enumerate(combos)
+            ]
+        else:
+            bands = [
+                F.struct(F.lit(c).alias("band_id"), chunk(c).alias("band_val"))
+                for c in range(n_chunks)
+            ]
+        row = (
+            sig.select(F.explode(F.array(*bands)).alias("ch"))
+            .groupBy("ch.band_id", "ch.band_val")
+            .count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+            .collect()[0]
+        )
+        return row["mx"], row["avg"]
+
+    single_max, single_avg = max_bucket(4, False)  # mean ~n/2^15 = ~6.1
+    paired_max, paired_avg = max_bucket(7, True)   # mean ~n/2^17 = ~1.5
+    # mean occupancy (the quadratic-pairing driver) drops by roughly the
+    # 4x key-space ratio; the max also drops, though extreme-value tails
+    # compress the ratio at this n
+    assert paired_avg < single_avg / 2.5, (paired_avg, single_avg)
+    assert paired_max < single_max, (paired_max, single_max)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage truncation to
+    reliable df.checkpoint() storage (recomputable after executor loss);
+    clusters must be identical to the localCheckpoint default, and the
+    checkpoint dir must actually receive RDD data."""
+    import os
+
+    from delta_go_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_id_a long, doc_id_b long",
+    )
+    want = {(r["node"], r["cluster_rep"])
+            for r in connected_components(pairs).collect()}
+    assert want == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {(r["node"], r["cluster_rep"])
+           for r in connected_components(pairs, checkpoint_dir=ckpt).collect()}
+    assert got == want
+    # reliable checkpoints materialized on the shared dir
+    found = [
+        os.path.join(d, f)
+        for d, _dirs, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert found, "df.checkpoint() must write into checkpoint_dir"
