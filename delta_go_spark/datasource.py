@@ -547,10 +547,11 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         return state
 
     def initialOffset(self) -> dict:
-        # Spark calls this only when there is NO checkpoint, so seeding the
-        # position here is restart-safe and lets maxFilesPerTrigger throttle
-        # the very first catch-up batch (its primary use case).
-        self._committed = self._start
+        # Spark calls this only when there is NO checkpoint (and, observed
+        # on Spark 4, AFTER the first latestOffset of batch 0 — so it
+        # cannot seed throttling for that batch; see latestOffset).
+        if self._committed is None:
+            self._committed = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -558,15 +559,21 @@ class DeltaGoStreamReader(DataSourceStreamReader):
         # maxFilesPerTrigger bounds the batch like Delta's option: with a
         # deep backlog the stream advances version-by-version in chunks of
         # roughly that many files instead of one giant catch-up batch.
-        # (pyspark's DataSourceStreamReader has no latestOffset(start,
-        # limit) form, so the reader tracks its own position: seeded by
-        # initialOffset on fresh streams, by partitions()/commit() after a
-        # restart — where the FIRST batch's offset range is unthrottled by
-        # design, since a limited offset computed blind could land behind
-        # the checkpointed position and stall the stream.  That catch-up
-        # batch is still admission-controlled: partitions() caps files per
-        # task at maxFilesPerTrigger, so it executes as bounded tasks, not
-        # one unbounded scan.)
+        #
+        # The FIRST latestOffset of a (re)started query necessarily
+        # returns the unthrottled tip: pyspark's DataSourceStreamReader
+        # has no latestOffset(start, limit) form, Spark asks for the
+        # latest offset BEFORE revealing the start (initialOffset comes
+        # after it on fresh queries; on restarts the start lives only in
+        # the JVM's checkpoint), and a limited offset computed blind
+        # could land BEHIND the checkpointed position — Spark compares
+        # offsets by inequality, so that would plan a backwards batch and
+        # then replay versions (duplicates), or stall.  That one catch-up
+        # batch is still admission-controlled: partitions() caps files
+        # per task at maxFilesPerTrigger, so it executes as bounded
+        # tasks, never one unbounded scan.  The reader learns its
+        # position from that call's range (partitions()/commit() both
+        # seed it), so every batch AFTER the first throttles normally.
         tip = self.log.update().version + 1
         limit = self.options.get("maxfilespertrigger")
         if limit is None or self._committed is None:

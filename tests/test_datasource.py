@@ -381,3 +381,167 @@ def test_cdf_reader_past_tip_semantics(spark, tmp_path):
     # in-range explicit version still plans files
     ok = DeltaGoCDFReader(schema, {"path": path, "startingversion": "0"})
     assert len([f for p in ok.partitions() for f in p.files]) > 0
+
+
+def _fast_commits(table_path, lo, hi):
+    """Append commits [lo, hi) directly through the log machinery — one
+    tiny single-row parquet per commit, no Spark jobs — so depth-100
+    backlogs build in seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_go_spark.actions import AddFile, Metadata
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.types import schema_to_json
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    log = DeltaLog.for_table(table_path)
+    for i in range(lo, hi):
+        name = f"part-{i:05d}.parquet"
+        local = os.path.join(table_path, name)
+        pq.write_table(pa.table({"k": pa.array([i], pa.int64())}), local)
+        txn = log.start_transaction()
+        if txn.snapshot is None or txn.read_version < 0:
+            txn.update_metadata(Metadata(schema_string=schema_to_json(schema)))
+        txn.commit(
+            [
+                AddFile(
+                    path=name,
+                    size=os.path.getsize(local),
+                    modification_time=0,
+                    data_change=True,
+                )
+            ],
+            "WRITE",
+        )
+
+
+def _offset_versions(chk):
+    """The per-batch end offsets Spark checkpointed (offsets/<batchId>)."""
+    import json
+
+    out = []
+    odir = os.path.join(chk, "offsets")
+    for name in sorted(os.listdir(odir), key=lambda n: int(n) if n.isdigit() else -1):
+        if not name.isdigit():
+            continue
+        with open(os.path.join(odir, name)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        out.append((int(name), json.loads(lines[-1])["version"]))
+    return out
+
+
+def test_deep_backlog_restart_bounded_batches_exactly_once(spark, tmp_path):
+    """Depth test for the streaming admission control: a 100-commit
+    backlog that builds up WHILE the stream runs drains in
+    maxFilesPerTrigger-bounded offset steps; 100 more commits land while
+    the stream is down; the restarted stream's single catch-up range is
+    size-packed into capped tasks (the Python DS API cannot throttle the
+    first offset of a (re)start — see latestOffset), and every row
+    arrives exactly once."""
+    import time
+
+    path = str(tmp_path / "deep")
+    os.makedirs(path)
+    _fast_commits(path, 0, 1)
+
+    out_dir = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+
+    def drain_until(target):
+        q = (
+            spark.readStream.format("delta_go")
+            .option("maxFilesPerTrigger", "10")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= target:
+                        break
+                except Exception:
+                    pass  # sink dir not created yet
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    # backlog builds WHILE the stream runs: after batch 0 the reader
+    # knows its position, so every subsequent batch is offset-throttled
+    def drain_and_backfill():
+        q = (
+            spark.readStream.format("delta_go")
+            .option("maxFilesPerTrigger", "10")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= 1:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            _fast_commits(path, 1, 101)
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= 101:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    drain_and_backfill()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 101
+    assert got.select("k").distinct().count() == 101
+
+    # post-batch-0 offsets advanced <= ~cap versions each (1 file per
+    # commit): the deep backlog drained as many bounded batches
+    offs = _offset_versions(chk)
+    assert len(offs) >= 9, offs
+    prev = None
+    for _batch, v in offs:
+        if prev is not None and prev >= 1:
+            assert v - prev <= 11, offs
+        prev = v
+
+    # stream down; 100 more commits pile up
+    _fast_commits(path, 101, 201)
+
+    # the restarted reader's single catch-up offset range is planned as
+    # capped tasks (admission control at partitions())
+    from delta_go_spark.datasource import DeltaGoStreamReader
+
+    schema = spark.read.format("delta_go").load(path).schema
+    reader = DeltaGoStreamReader(
+        schema, {"path": path, "maxfilespertrigger": "10"}
+    )
+    tip = reader.log.update().version + 1
+    parts = reader.partitions({"version": 101}, {"version": tip})
+    assert sum(len(pt.files) for pt in parts) == 100
+    assert all(len(pt.files) <= 10 for pt in parts)
+    assert len(parts) >= 10
+
+    n_batches_before = len(offs)
+    drain_until(201)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 201                     # exactly once, no loss
+    assert got.select("k").distinct().count() == 201
+    assert got.agg(F.sum("k")).collect()[0][0] == sum(range(201))
+    assert len(_offset_versions(chk)) > n_batches_before
