@@ -134,7 +134,6 @@ def test_simhash_pair_banding_same_pairs_smaller_buckets(spark):
     from delta_go_spark.functions.dedup import (
         _simhash_chunk_bounds,
         simhash_near_dup_pairs,
-        with_simhash,
     )
     from delta_go_spark.session import load_table
 
