@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_clusters_docs",  # r3: iterative connected components
     "pack_sequences_docs",  # r3: context-window packing
     "simhash_docs",  # r3: engine-portable 60-bit signatures
+    "decontaminate_docs",  # r4: benchmark n-gram decontamination
+    "redact_pii_docs",  # r4: regexp PII redaction (codegen, no shuffle)
 ]
 
 

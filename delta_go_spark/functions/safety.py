@@ -1,0 +1,215 @@
+"""Pipeline-safety operators for training-data preparation: benchmark
+decontamination and PII redaction.
+
+Both are first-class LLM-pipeline needs the reference (a metadata-layer
+library, README.md:14-16) deliberately leaves to the compute engine:
+
+- **Decontamination**: before training, any document sharing an n-token
+  gram with an evaluation/benchmark set must be flagged (the GPT-3-style
+  13-gram rule; n is a parameter).  Spark-first shape: the probe set's
+  distinct gram hashes are SMALL (benchmarks are thousands of docs, not
+  billions) — broadcast them and semi-join the corpus' exploded gram
+  hashes, so the corpus is read once, nothing quadratic ever runs, and
+  the only shuffle is the final per-doc aggregate.
+- **PII redaction**: regexp_replace chains for emails, IPv4s and long
+  digit runs — pure codegen expressions, one projection over the scan,
+  no shuffle at all.  Patterns are restricted to syntax with identical
+  semantics in Java regex (Spark) and RE2 (DuckDB) so the oracle can
+  value-hash the REDACTED TEXT itself, not just the counts.
+
+Both registry queries carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
+    """n-token-gram xxhash64 values per document, exploded — possibly
+    with per-doc duplicates (consumers dedup only where it matters).
+    Built as explode + codegen'd slice/concat/hash rather than a
+    higher-order transform(): Spark's HOFs are interpreted, and the
+    codegen form measured ~2.8x faster at sf0.1.  Hashing before any
+    downstream movement means 8 bytes per gram cross the wire, not the
+    n-token string."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("_g"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_hits): corpus documents sharing >= 1 n-token gram with ANY
+    probe document, with the count of distinct shared grams.  Join order
+    is the scale decision: probe grams broadcast to the corpus scan — at
+    100 TB the corpus side streams through ONE shuffle-free stage
+    (explode, hash, broadcast semi-join), and only the rare hits reach
+    the aggregate, where count(DISTINCT) dedups a doc's repeated grams —
+    dedup AFTER the semi-join, so no corpus-wide distinct shuffle ever
+    runs."""
+    probe_grams = (
+        _gram_hashes(probes, id_col, text_col, n).select("_g").distinct()
+    )
+    corpus_grams = _gram_hashes(corpus, id_col, text_col, n)
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_hits"))
+    )
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the 'benchmark' is the deterministic slice
+    doc_id % 97 == 0 of the documents table itself; every OTHER document
+    sharing an 8-gram with it is contaminated.  The synthetic corpus is
+    near-dup-heavy, so real hits exist at every scale factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        decontaminate(rest, probes)
+        .select("doc_id", "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
+  FROM exploded
+), probe AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM grams g JOIN probe USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
+# Patterns valid with identical semantics in Java regex AND RE2: character
+# classes, bounded repetition, alternation — no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "long_digits": r"\b[0-9]{7,}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Adds `<text_col>_redacted` plus one `n_<kind>` count per pattern.
+    Pure regexp expressions — codegen, zero shuffle, the document never
+    leaves its partition.  Counts are taken BEFORE redaction (a later
+    pattern must not hide an earlier kind's matches); replacement order
+    follows the dict, most-specific first."""
+    patterns = patterns or PII_PATTERNS
+    out = df
+    for kind, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    red = F.col(text_col)
+    for kind, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the synthetic corpus carries no PII, so each doc
+    first gets DETERMINISTIC synthetic PII appended (an email, an IPv4
+    and an account number derived from doc_id), then the redactor runs.
+    The oracle hash-checks md5 of the redacted text — the redaction
+    output itself, not just the match counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17 acct 900"),
+            (F.col("doc_id") + 1234567).cast("string"),
+        ),
+    )
+    out = redact_pii(salted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_long_digits").cast("long").alias("n_long_digits"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+REDACT_PII_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com at 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                '.17 acct 900', CAST(doc_id + 1234567 AS VARCHAR)) AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS n_long_digits
+  FROM salted
+)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_long_digits AS BIGINT) AS n_long_digits,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+           '\b[0-9]{7,}\b', '<LONG_DIGITS>', 'g')) AS redacted_md5
+FROM counted
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict = {
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "redact_pii_docs": (redact_pii_docs, REDACT_PII_SQL),
+}

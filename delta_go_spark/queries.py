@@ -17,6 +17,7 @@ from delta_go_spark.functions import (
     curation,
     dedup,
     multimodal,
+    safety,
     sampling,
     similarity,
     textops,
@@ -82,9 +83,13 @@ _MODULES = [
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)
     streaming_windows,  # 3 -> 30-32 (b)
     streaming_stateful,  # 33 (b)
-    curation,  # 9 -> 34-42 (b)
-    _Pick(coverage, _COVERAGE_R2_CHECKED),  # 8 -> 43-50 (b)
-    # ---- window boundary: everything below was r3-green and is untouched
+    safety,  # 2 -> 34-35: NEW round-4 operators (decontaminate, redact_pii)
+    curation,  # 9 -> 36-44 (b)
+    _Pick(coverage, _COVERAGE_R2_CHECKED[:6]),  # 6 -> 45-50 (b)
+    # ---- window boundary: everything below was r2/r3-green and untouched
+    # (the two r2-checked coverage rows displaced by the new safety
+    # operators stay pinned locally by check_parity like all of 51+)
+    _Pick(coverage, _COVERAGE_R2_CHECKED[6:]),
     relational,
     subqueries,
     asof,

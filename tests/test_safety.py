@@ -1,0 +1,68 @@
+"""Pipeline-safety operators (functions/safety.py): decontamination and
+PII redaction library semantics beyond what the oracle queries cover."""
+
+from pyspark.sql import functions as F
+
+from delta_go_spark.functions.safety import decontaminate, redact_pii
+
+
+def test_decontaminate_flags_exact_gram_overlap(spark):
+    probes = spark.createDataFrame(
+        [(100, "a b c d e f g h unique benchmark tail")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x y a b c d e f g h z"),      # contains probe 8-gram
+            (2, "totally different words with no overlap at all here"),
+            (3, "a b c d e f g SPLIT h"),      # 7-gram prefix only: no hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, probes).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+    assert 3 not in got
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 3 distinct 8-grams
+    probes = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = decontaminate(corpus, probes).collect()
+    assert got[0]["n_hits"] == 3
+
+    # a doc REPEATING a probe gram still counts it once (distinct grams)
+    rep = "a b c d e f g h a b c d e f g h"
+    probes2 = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    corpus2 = spark.createDataFrame([(1, rep)], "doc_id long, text string")
+    got2 = decontaminate(corpus2, probes2).collect()
+    assert got2[0]["n_hits"] == 1
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or admin@a.co thanks"),
+            (2, "server 192.168.1.7 and card 12345678901"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ipv4"] == 0
+    assert "<EMAIL>" in rows[1]["text_redacted"]
+    assert "@" not in rows[1]["text_redacted"]
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_long_digits"] == 1
+    assert "<IPV4>" in rows[2]["text_redacted"]
+    assert "<LONG_DIGITS>" in rows[2]["text_redacted"]
+    assert "192.168" not in rows[2]["text_redacted"]
+    assert rows[3]["text_redacted"] == "clean text only"
+    assert rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_long_digits"] == 0
+
+
+def test_redact_pii_plan_is_shuffle_free(spark):
+    """The redactor must stay a single projection over the scan."""
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
