@@ -120,3 +120,15 @@ def test_dedup_clusters_joins_are_hash_joins(spark):
     plan = _plan(queries()["dedup_clusters_docs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_is_broadcast_semi_join(spark):
+    """Decontamination: probe grams must BROADCAST to the corpus side
+    (one shuffle-free corpus stage + the final hits aggregate) — a
+    shuffled join here would move every corpus gram hash at 100 TB."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["decontaminate_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
