@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_docs",  # r3: engine-portable 60-bit signatures
     "decontaminate_docs",  # r4: benchmark n-gram decontamination
     "redact_pii_docs",  # r4: regexp PII redaction (codegen, no shuffle)
+    "duplicated_gram_fraction_docs",  # r4: inter-doc duplication gate
 ]
 
 

@@ -209,7 +209,77 @@ ORDER BY doc_id
 """
 
 
+def duplicated_gram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_grams, n_dup, dup_frac): per document, the fraction of its
+    DISTINCT n-grams that also occur in at least one OTHER document —
+    the Gopher/RefinedWeb inter-document duplication gate (complements
+    the INTRA-doc repetition signals in curation.py).
+
+    Plan: one distinct over (doc, gram-hash), a gram doc-frequency
+    aggregate, and a join back — the join and the aggregate share the
+    same hash partitioning on the 8-byte gram key, so Catalyst reuses
+    the exchange; nothing wider than (id, hash) ever shuffles."""
+    grams = _gram_hashes(df, id_col, text_col, n).dropDuplicates(
+        [id_col, "_g"]
+    )
+    doc_freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    frac = F.col("n_dup") / F.col("n_grams")
+    return (
+        grams.join(doc_freq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.round(frac, 4).alias("dup_frac"),
+        )
+    )
+
+
+def duplicated_gram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_gram_fraction(docs).orderBy("doc_id")
+
+
+DUP_GRAM_FRACTION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
+  FROM exploded
+), df AS (
+  SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+FROM grams g JOIN df USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "redact_pii_docs": (redact_pii_docs, REDACT_PII_SQL),
+    "duplicated_gram_fraction_docs": (
+        duplicated_gram_fraction_docs,
+        DUP_GRAM_FRACTION_SQL,
+    ),
 }

@@ -83,13 +83,13 @@ _MODULES = [
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)
     streaming_windows,  # 3 -> 30-32 (b)
     streaming_stateful,  # 33 (b)
-    safety,  # 2 -> 34-35: NEW round-4 operators (decontaminate, redact_pii)
-    curation,  # 9 -> 36-44 (b)
-    _Pick(coverage, _COVERAGE_R2_CHECKED[:6]),  # 6 -> 45-50 (b)
+    safety,  # 3 -> 34-36: NEW round-4 ops (decontaminate, redact, dup-frac)
+    curation,  # 9 -> 37-45 (b)
+    _Pick(coverage, _COVERAGE_R2_CHECKED[:5]),  # 5 -> 46-50 (b)
     # ---- window boundary: everything below was r2/r3-green and untouched
-    # (the two r2-checked coverage rows displaced by the new safety
+    # (the three r2-checked coverage rows displaced by the new safety
     # operators stay pinned locally by check_parity like all of 51+)
-    _Pick(coverage, _COVERAGE_R2_CHECKED[6:]),
+    _Pick(coverage, _COVERAGE_R2_CHECKED[5:]),
     relational,
     subqueries,
     asof,

@@ -66,3 +66,22 @@ def test_redact_pii_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_duplicated_gram_fraction_semantics(spark):
+    from delta_go_spark.functions.safety import duplicated_gram_fraction
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),  # 9 grams, 1 shared
+            (2, shared),                                # 1 gram, shared
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),          # 2 grams, unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicated_gram_fraction(docs).collect()}
+    assert rows[2]["n_grams"] == 1 and rows[2]["n_dup"] == 1
+    assert rows[2]["dup_frac"] == 1.0
+    assert rows[3]["n_dup"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert rows[1]["n_grams"] == 9 and rows[1]["n_dup"] == 1
