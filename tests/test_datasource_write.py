@@ -175,3 +175,48 @@ def test_abort_leaves_no_active_files(spark, tmp_path):
     # the failed write's staging prefix was cleaned up
     leftovers = [d for d in os.listdir(path) if d.startswith("dswrite-")]
     assert leftovers == []
+
+
+def test_concurrent_datasource_writes_both_commit(spark, tmp_path):
+    """Two df.write.format('delta_go') appends racing on one table: each
+    stages under its own prefix, the optimistic-commit retry resolves the
+    version race, and BOTH land (blind appends never conflict —
+    reference conflict rules, trnx.go/conflict_checker.go).
+
+    Spark 4 quirk: DataFrameWriter resolves PYTHON data sources through
+    the JVM's thread-local active session, which a fresh py4j-pinned
+    thread lacks — so each writer thread must setActiveSession first
+    (reads fall back to the default session; writes do not)."""
+    import threading
+
+    path = str(tmp_path / "race")
+    spark.range(1).toDF("k").write.format("delta_go").mode("append").save(path)
+
+    errs = []
+
+    def write(lo):
+        try:
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            (
+                spark.range(lo, lo + 50)
+                .toDF("k")
+                .write.format("delta_go")
+                .mode("append")
+                .save(path)
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(lo,)) for lo in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    log = DeltaLog.for_table(path)
+    assert log.update().version == 2
+    got = spark.read.format("delta_go").load(path)
+    assert got.count() == 101
+    assert got.select("k").distinct().count() == 101
