@@ -762,13 +762,21 @@ class _DeltaWriteBase:
         else:
             pb = options.get("partitionby", "") or ""
             self.partition_cols = [c.strip() for c in pb.split(",") if c.strip()]
-        names = [f.name for f in schema.fields]
-        missing = [c for c in self.partition_cols if c not in names]
+        # Delta field lookup is case-insensitive (type_utils.go:100-107):
+        # keep self.partition_cols in the TABLE's spelling (AddFile
+        # partitionValues keys, commit-side partitionBy check) but record
+        # the WRITTEN frame's spelling separately for the executor-side
+        # groupby and data-schema split.
+        by_lower = {f.name.lower(): f.name for f in schema.fields}
+        missing = [
+            c for c in self.partition_cols if c.lower() not in by_lower
+        ]
         if missing:
             raise ValueError(
                 f"partition column(s) {missing} absent from the written "
-                f"schema {names}"
+                f"schema {[f.name for f in schema.fields]}"
             )
+        self.frame_pcols = [by_lower[c.lower()] for c in self.partition_cols]
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator):
@@ -782,9 +790,10 @@ class _DeltaWriteBase:
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        pcols = self.partition_cols
+        pcols = self.partition_cols  # table spelling: pv keys + hive dirs
+        fcols = self.frame_pcols  # frame spelling: groupby + schema split
         data_schema = StructType(
-            [f for f in self.schema.fields if f.name not in pcols]
+            [f for f in self.schema.fields if f.name not in fcols]
         )
         arrow_schema = to_arrow_schema(data_schema)
         base_dir = os.path.join(self.table_root, self.staging_rel)
@@ -814,7 +823,7 @@ class _DeltaWriteBase:
 
         for batch in iterator:
             tbl = pa.Table.from_batches([batch])
-            for pv, sub in _split_by_partitions(tbl, pcols, arrow_schema):
+            for pv, sub in _split_by_partitions(tbl, fcols, arrow_schema, pcols):
                 sink = sink_for(pv)
                 sink[0].write_table(sub)
                 sink[3] += sub.num_rows
@@ -948,22 +957,26 @@ def _hive_value(v) -> str:
     return quote(str(v), safe="")
 
 
-def _split_by_partitions(tbl, pcols: list[str], arrow_schema):
+def _split_by_partitions(tbl, fcols: list[str], arrow_schema, pv_names=None):
     """Split one Arrow table into (partition_values, data-only table)
-    groups.  The no-partition fast path never leaves Arrow; partitioned
-    writes group via pandas (robust across key types — partition keys are
+    groups.  fcols are the FRAME's partition-column spellings (grouping);
+    pv_names the table metadata's (partitionValues keys) — Delta matches
+    fields case-insensitively, so the two may differ in case.  The
+    no-partition fast path never leaves Arrow; partitioned writes group
+    via pandas (robust across key types — partition keys are
     low-cardinality, so the conversion is bounded by design)."""
     import pyarrow as pa
 
-    if not pcols:
+    if not fcols:
         return [({}, tbl.select(arrow_schema.names).cast(arrow_schema))]
+    pv_names = pv_names or fcols
     pdf = tbl.to_pandas()
     out = []
-    for key, sub in pdf.groupby(pcols, dropna=False, sort=False):
+    for key, sub in pdf.groupby(fcols, dropna=False, sort=False):
         if not isinstance(key, tuple):
             key = (key,)
-        pv = {c: _partition_value_str(v) for c, v in zip(pcols, key)}
-        data = sub.drop(columns=pcols)
+        pv = {c: _partition_value_str(v) for c, v in zip(pv_names, key)}
+        data = sub.drop(columns=fcols)
         out.append(
             (
                 pv,

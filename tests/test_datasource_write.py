@@ -220,3 +220,25 @@ def test_concurrent_datasource_writes_both_commit(spark, tmp_path):
     got = spark.read.format("delta_go").load(path)
     assert got.count() == 101
     assert got.select("k").distinct().count() == 101
+
+
+def test_write_partition_column_case_insensitive(spark, tmp_path):
+    """Delta field lookup is case-insensitive (type_utils.go:100-107):
+    a frame spelling the partition column differently must still write,
+    with partitionValues keyed by the TABLE's spelling."""
+    path = str(tmp_path / "w6")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "k long, p string"),
+        partition_by=["p"],
+    )
+    spark.createDataFrame([(2, "b")], "k long, P string") \
+        .write.format("delta_go").mode("append").save(path)
+    snap = DeltaLog.for_table(path).update()
+    assert all(
+        "p" in (a.partition_values or {}) for a in snap.all_files()
+    )
+    got = spark.read.format("delta_go").load(path)
+    assert got.count() == 2
+    assert got.filter(F.col("p") == "b").count() == 1
