@@ -81,15 +81,15 @@ _MODULES = [
     textops,  # 10 -> 16-25 (b) + pack_sequences_docs (a)
     sampling,  # 2 -> 26-27 (b)
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)
-    streaming_windows,  # 3 -> 30-32 (b)
-    streaming_stateful,  # 33 (b)
-    safety,  # 3 -> 34-36: NEW round-4 ops (decontaminate, redact, dup-frac)
-    curation,  # 9 -> 37-45 (b)
-    _Pick(coverage, _COVERAGE_R2_CHECKED[:5]),  # 5 -> 46-50 (b)
+    streaming_windows,  # 4 -> 30-33 (b) + streaming_dedup_events (new r4)
+    streaming_stateful,  # 34 (b)
+    safety,  # 3 -> 35-37: NEW round-4 ops (decontaminate, redact, dup-frac)
+    curation,  # 9 -> 38-46 (b)
+    _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),  # 4 -> 47-50 (b)
     # ---- window boundary: everything below was r2/r3-green and untouched
-    # (the three r2-checked coverage rows displaced by the new safety
+    # (the four r2-checked coverage rows displaced by the new round-4
     # operators stay pinned locally by check_parity like all of 51+)
-    _Pick(coverage, _COVERAGE_R2_CHECKED[5:]),
+    _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
     relational,
     subqueries,
     asof,

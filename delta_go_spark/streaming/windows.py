@@ -249,3 +249,52 @@ ORDER BY window_start, event_type
 
 
 QUERIES["sliding_avg_events"] = (sliding_avg_events, SLIDING_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: dropDuplicates state over the event key while the
+# stream flows — the in-flight deduplication every event pipeline needs
+# before counts/feature extraction.  The deduped stream lands in the sink
+# in append mode; state is bounded by KEY cardinality (documented
+# contract; use dropDuplicatesWithinWatermark to bound by time instead
+# when keys are unbounded).  Deterministic because the output aggregates
+# only the key columns — whichever physical row wins per key, the key set
+# is exactly the distinct set, so the oracle is COUNT(DISTINCT ...).
+def streaming_dedup_events(spark, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = "streaming_dedup_events_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["streaming_dedup_events"] = (streaming_dedup_events, STREAMING_DEDUP_SQL)
