@@ -345,3 +345,19 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
         ops.MANUAL_UPDATE,
         operation_parameters={"operation": "RESTORE", "version": str(version)},
     )
+
+
+def restore_to_timestamp(
+    spark: SparkSession, table_path: str, timestamp_millis: int
+) -> int:
+    """RESTORE TABLE TO TIMESTAMP: resolve the last commit at-or-before
+    the timestamp on the table's adjusted timeline (the same resolution
+    the read side's snapshot_for_timestamp_as_of uses), then restore to
+    that version."""
+    table_path = normalize_table_uri(table_path)
+    log = DeltaLog.for_table(table_path)
+    latest = log.update().version
+    commit = log.history.active_commit_at_time(
+        latest, timestamp_millis, can_return_last_commit=True
+    )
+    return restore(spark, table_path, commit.version)

@@ -139,6 +139,13 @@ class DeltaTable:
 
         return restore(self.spark, self.log.table_path, version)
 
+    def restore_to_timestamp(self, timestamp_millis: int) -> int:
+        from delta_go_spark.maintenance import restore_to_timestamp
+
+        return restore_to_timestamp(
+            self.spark, self.log.table_path, timestamp_millis
+        )
+
     def changes_df(self, start_version: int = 0) -> DataFrame:
         from delta_go_spark.maintenance import changes_df
 

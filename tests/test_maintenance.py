@@ -229,3 +229,27 @@ def test_restore_to_earlier_version(spark, tmp_path):
     # restoring forward again (to v2's state) also works
     restore(spark, path, 2)
     assert t.to_df().count() == 30
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TO TIMESTAMP resolves on the same adjusted timeline as the
+    read side's timestamp time travel, then restores to that version."""
+    import os
+
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "rts")
+    t = DeltaTable.create(spark, path, spark.range(10).toDF("k"))
+    t.append(spark.range(10, 20).toDF("k"))
+    t.append(spark.range(20, 30).toDF("k"))
+    log_dir = os.path.join(path, "_delta_log")
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        os.utime(os.path.join(log_dir, f"{v:020d}.json"), (ts, ts))
+
+    # between v1 and v2 -> restore to v1's state (20 rows)
+    t.restore_to_timestamp(2500 * 1000)
+    assert t.to_df().count() == 20
+    # history preserved: the restore is a NEW version
+    assert t.log.update().version == 3
+    # read-side timestamp resolution agrees with what was restored
+    assert t.timestamp_as_of(2500 * 1000).count() == 20
