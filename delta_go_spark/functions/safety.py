@@ -85,12 +85,14 @@ def decontaminate(
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: the 'benchmark' is the deterministic slice
-    doc_id % 97 == 0 of the documents table itself; every OTHER document
+    doc_id % 7 == 0 of the documents table itself; every OTHER document
     sharing an 8-gram with it is contaminated.  The synthetic corpus is
-    near-dup-heavy, so real hits exist at every scale factor."""
+    near-dup-heavy and the 1-in-7 slice is wide enough that real hits
+    exist even at sf0.01 (9 docs) — a 0-row result would make the
+    oracle trivially green, so the slice is chosen to avoid that."""
     docs = load_table(spark, sf_dir, "documents")
-    probes = docs.filter(F.col("doc_id") % 97 == 0)
-    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    probes = docs.filter(F.col("doc_id") % 7 == 0)
+    rest = docs.filter(F.col("doc_id") % 7 != 0)
     return (
         decontaminate(rest, probes)
         .select("doc_id", "n_hits")
@@ -111,11 +113,11 @@ WITH toks AS (
                         t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
   FROM exploded
 ), probe AS (
-  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
 )
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM grams g JOIN probe USING (gram)
-WHERE g.doc_id % 97 <> 0
+WHERE g.doc_id % 7 <> 0
 GROUP BY g.doc_id
 ORDER BY doc_id
 """
