@@ -556,3 +556,99 @@ def ann_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_docs"] = (ann_ivf_docs, None)
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization: the memory path for billion-vector ANN (a
+# 64-dim float32 vector is 256 bytes; int8 + one scale is 72 — the standard
+# 4x shrink before an IVF/LSH index is built).  Absent in the reference
+# (README.md:14-16 delegates all compute); first-class here because a
+# 100 TB embedding corpus rarely fits an index in RAM un-quantized.
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric max-abs quantization: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) in [-127, 127].
+
+    Everything is codegen expressions over the scan — one narrow
+    projection, zero shuffle, no Python.  floor(x + 0.5) is used instead
+    of round() so Spark and the DuckDB oracle share one exactly-defined
+    IEEE-double rounding rule (round() half-even vs half-away differs
+    between engines).  A zero vector quantizes to zeros (scale guarded).
+
+    Adds: `scale` (double) and `q` (array<long> in [-127,127]).
+    """
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    safe = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
+    out = df.withColumn("_scale_safe", safe).withColumn(
+        "scale", scale
+    )
+    q = F.transform(v, lambda x: F.floor(x / F.col("_scale_safe") + 0.5))
+    return out.withColumn("q", q).drop("_scale_safe")
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: quantize every embedding and report exact integer
+    invariants of the codes (L1, squared L2 — order-independent integer
+    sums, hash-stable) plus the worst-case reconstruction error
+    (array_max — order-independent), so the value hash pins the ENTIRE
+    quantized code vector, not a float summary.  The error is reported in
+    integer micro-units via floor(x*1e6 + 0.5) — round(x, 6) hits
+    half-way ties differently on Spark (HALF_UP) vs DuckDB and flips the
+    last digit on ~1% of rows; floor of an IEEE product is bit-identical
+    everywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(emb)
+    v = _as_double("embedding")
+    err = F.array_max(
+        F.zip_with(v, F.col("q"), lambda x, qi: F.abs(x - qi * F.col("scale")))
+    )
+    # Materialize the error BEFORE the projection that re-aliases `scale`
+    # to its rounded form: Spark 4's lateral column aliasing would
+    # otherwise resolve the err lambda's `scale` against the SIBLING
+    # rounded alias, silently shifting the last digit.
+    qd = qd.withColumn("_err_micro", F.floor(err * 1e6 + 0.5))
+    return qd.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(
+            F.transform("q", F.abs), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_l1"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("q_l2sq"),
+        F.col("_err_micro").alias("max_abs_err_micro"),
+    ).orderBy("vec_id")
+
+
+QUANTIZE_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127
+           AS scale
+  FROM embeddings
+), g AS (
+  SELECT *, CASE WHEN scale = 0 THEN 1 ELSE scale END AS safe FROM s
+), q AS (
+  SELECT vec_id, label, v, scale,
+         list_transform(v, x -> floor(x / safe + 0.5)) AS qv
+  FROM g
+)
+SELECT vec_id, label,
+       round(scale, 9) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2sq,
+       CAST(floor(list_max(list_transform(list_zip(v, qv),
+                                          p -> abs(p[1] - p[2] * scale)))
+                  * 1e6 + 0.5) AS BIGINT) AS max_abs_err_micro
+FROM q
+ORDER BY vec_id
+"""
+
+
+QUERIES["quantize_embeddings_int8"] = (
+    quantize_embeddings_int8,
+    QUANTIZE_INT8_SQL,
+)

@@ -80,7 +80,10 @@ _MODULES = [
     cdf_queries,  # 1 (datasource CDF reader changed)
     delta_queries,  # 5 -> 2-6 (dml.py / datasource.py / data plane changed)
     dedup,  # 7 -> 7-13: all seven — banding + clusters changes + (a)+(b)
-    _Pick(similarity, ["embedding_norms", "knn_cosine_docs"]),  # 14-15 (b)
+    _Pick(
+        similarity,
+        ["embedding_norms", "knn_cosine_docs", "quantize_embeddings_int8"],
+    ),  # 14-16: (b) + NEW round-4 quantization
     textops,  # 10 -> 16-25 (b) + pack_sequences_docs (a)
     sampling,  # 2 -> 26-27 (b)
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)

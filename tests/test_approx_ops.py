@@ -240,3 +240,40 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for f in fs
     ]
     assert found, "df.checkpoint() must write into checkpoint_dir"
+
+
+def test_quantize_int8_codes_and_error_bound(spark):
+    from delta_go_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [-2.0, 2.0, 0.001, -0.001]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale guard
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # max|v| always maps to +/-127; everything stays in [-127, 127]
+    assert rows[1]["q"][0] == 127 and rows[2]["q"][0] == -127
+    assert all(-127 <= q <= 127 for r in rows.values() for q in r["q"])
+    # zero vector quantizes to zeros with scale 0, no divide error
+    assert rows[3]["scale"] == 0.0 and rows[3]["q"] == [0, 0, 0, 0]
+    # reconstruction error bounded by scale/2 (the rounding half-step)
+    for r in (rows[1], rows[2]):
+        recon = [q * r["scale"] for q in r["q"]]
+        orig = [1.0, -0.5, 0.25, 0.0] if r["vec_id"] == 1 else [-2.0, 2.0, 0.001, -0.001]
+        assert all(
+            abs(o - rc) <= r["scale"] / 2 + 1e-12 for o, rc in zip(orig, recon)
+        )
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    from delta_go_spark.functions.similarity import quantize_int8
+
+    df = spark.range(100).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(rand(7) AS FLOAT)) AS embedding",
+    )
+    plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
