@@ -652,3 +652,87 @@ QUERIES["quantize_embeddings_int8"] = (
     quantize_embeddings_int8,
     QUANTIZE_INT8_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+# k-means clustering + within-cluster cosine pruning.  The published recipe
+# for pruning web-scale training corpora by embedding similarity; absent in
+# the reference (metadata layer only, README.md:14-16).
+def semdedup(
+    df: DataFrame,
+    eps: float = 0.4,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Mark semantic duplicates: cluster with seeded k-means, then within
+    each cluster run the deterministic leader pass in ascending id order —
+    a vector is DROPPED iff some already-kept lower-id vector in the same
+    cluster has cosine >= eps with it.  (The paper keeps the example with
+    lowest similarity to the centroid; the lowest-id leader rule is the
+    same O(c^2) computation with a reproducible, order-free contract.)
+
+    Scale shape: k-means assignment is one narrow map over the corpus
+    (ivf_index); the quadratic part runs per cluster as ONE numpy matmul
+    inside applyInPandas — Arrow-batched, parallel across clusters.  A
+    cluster must fit in executor memory: n_clusters is the dial, sized so
+    corpus_size/n_clusters stays ~10^4-10^5 (the paper uses 10^4 clusters
+    at 10^8 docs for the same reason — per-cluster cost, not driver state).
+
+    Returns (id, cluster, kept, leader): `leader` is the kept vector that
+    caused a drop (NULL for kept rows).
+    """
+    import pandas as pd
+
+    assigned, _centers = ivf_index(
+        df, vec_col=vec_col, n_lists=n_clusters, seed=seed
+    )
+    e = _as_double(vec_col)
+    normed = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col("_list").alias("cluster"),
+        F.transform(e, lambda x: x / l2_norm(e)).alias("_u"),
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.vstack(pdf["_u"].to_numpy())
+        sims = m @ m.T
+        n = len(pdf)
+        kept = np.ones(n, dtype=bool)
+        leader = np.full(n, -1, dtype=np.int64)
+        for j in range(1, n):
+            hits = np.nonzero(kept[:j] & (sims[:j, j] >= eps))[0]
+            if hits.size:
+                kept[j] = False
+                leader[j] = pdf["id"].iloc[hits[0]]
+        out = pdf[["id", "cluster"]].copy()
+        out["kept"] = kept
+        out["leader"] = leader
+        return out
+
+    pruned = normed.groupBy("cluster").applyInPandas(
+        _prune, "id long, cluster int, kept boolean, leader long"
+    )
+    return pruned.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "kept",
+        F.when(F.col("leader") >= 0, F.col("leader")).alias("leader"),
+    )
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only: the k-means assignment is deterministic
+    for a fixed seed but not SQL-expressible — like ann_ivf_docs; the
+    leader-pass semantics are pinned by tests/test_approx_ops.py against
+    a brute-force numpy replay)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb).orderBy("vec_id")
+
+
+QUERIES["semdedup_embeddings"] = (semdedup_embeddings, None)

@@ -82,8 +82,13 @@ _MODULES = [
     dedup,  # 7 -> 7-13: all seven — banding + clusters changes + (a)+(b)
     _Pick(
         similarity,
-        ["embedding_norms", "knn_cosine_docs", "quantize_embeddings_int8"],
-    ),  # 14-16: (b) + NEW round-4 quantization
+        [
+            "embedding_norms",
+            "knn_cosine_docs",
+            "quantize_embeddings_int8",
+            "semdedup_embeddings",
+        ],
+    ),  # 14-17: (b) + NEW round-4 quantization + SemDeDup
     textops,  # 10 -> 16-25 (b) + pack_sequences_docs (a)
     sampling,  # 2 -> 26-27 (b)
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)

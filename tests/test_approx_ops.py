@@ -277,3 +277,54 @@ def test_quantize_int8_is_shuffle_free(spark):
     )
     plan = quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_semdedup_matches_bruteforce_leader_pass(spark):
+    import numpy as np
+
+    from delta_go_spark.functions.similarity import semdedup
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = semdedup(emb, eps=0.4, n_clusters=4).collect()
+    rows = {r["vec_id"]: r for r in got}
+    src = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    assert set(rows) == set(src)
+
+    # replay the leader pass per cluster with plain numpy
+    clusters: dict = {}
+    for vid, r in rows.items():
+        clusters.setdefault(r["cluster"], []).append(vid)
+    for members in clusters.values():
+        members.sort()
+        mat = np.vstack([src[v] / np.linalg.norm(src[v]) for v in members])
+        sims = mat @ mat.T
+        kept: list[int] = []
+        for j, vid in enumerate(members):
+            hit = next(
+                (members[i] for i in range(j)
+                 if members[i] in kept and sims[i, j] >= 0.4),
+                None,
+            )
+            if hit is None:
+                kept.append(vid)
+                assert rows[vid]["kept"] and rows[vid]["leader"] is None, vid
+            else:
+                assert not rows[vid]["kept"] and rows[vid]["leader"] == hit, vid
+
+
+def test_semdedup_drops_planted_duplicate(spark):
+    from delta_go_spark.functions.similarity import semdedup
+
+    base = [float(i) for i in range(8)]
+    near = [x * 1.001 + 0.0001 for x in base]          # cosine ~1 with base
+    far = [(-1.0) ** i * float(i + 1) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(df, eps=0.9, n_clusters=2).collect()}
+    assert out[1]["kept"]
+    assert not out[2]["kept"] and out[2]["leader"] == 1
+    assert out[3]["kept"]
