@@ -298,3 +298,118 @@ ORDER BY event_type
 
 
 QUERIES["streaming_dedup_events"] = (streaming_dedup_events, STREAMING_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: signup->purchase attribution run THROUGH the
+# streaming engine.  The canonical Structured Streaming stateful join: both
+# sides watermarked, the join condition carries an event-time interval, so
+# Spark can evict state — signup state is held at most (watermark delay +
+# join window), purchase state at most the watermark delay.  Without the
+# interval bound the state store would grow with the stream; with it,
+# state is O(traffic within the window) regardless of total stream length
+# (the 100 TB/day requirement).  Deterministic under availableNow, so the
+# result hash-matches the equivalent BATCH interval-join SQL in DuckDB —
+# an independent engine executing the same semantics.
+def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts_ntz",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        else:
+            s = s.withColumn("ts_ntz", F.col("ts"))
+        # Watermarks/joins need TIMESTAMP_LTZ; the NTZ original is kept for
+        # output so results never depend on the session time zone (the
+        # LTZ values shift with TZ, but both sides shift together, so the
+        # interval condition is TZ-invariant).
+        return s.withColumn("ts_wm", F.col("ts_ntz").cast("timestamp"))
+
+    signups = (
+        _stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts_ntz").alias("signup_ts"),
+            F.col("ts_wm").alias("s_wm"),
+        )
+        .withWatermark("s_wm", "1 hour")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("purchase_value"),
+            F.col("ts_wm").alias("p_wm"),
+        )
+        .withWatermark("p_wm", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_wm") >= F.col("s_wm"))
+        & (F.col("p_wm") <= F.col("s_wm") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    sink = "streaming_interval_join_sink"
+    q = (
+        joined.select("s_user", "signup_ts", "purchase_value")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.date_trunc("hour", "signup_ts").alias("signup_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("s_user").alias("n_users"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_purchase"),
+        )
+        .orderBy("signup_hour")
+    )
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT date_trunc('hour', s.ts) AS signup_hour,
+       count(*)                 AS n_pairs,
+       count(DISTINCT s.user_id) AS n_users,
+       round(CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_purchase
+FROM s JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 2 HOUR
+GROUP BY 1
+ORDER BY signup_hour
+"""
+
+
+QUERIES["streaming_interval_join_events"] = (
+    streaming_interval_join_events,
+    STREAMING_INTERVAL_JOIN_SQL,
+)

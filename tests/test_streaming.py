@@ -210,3 +210,74 @@ def test_upsert_stream_committer_cdc_apply(spark, tmp_path):
     assert committer.commit_batch(replay, 0) is None
     assert dst.log.update().version == v_before
     assert {r["k"]: r["v"] for r in dst.to_df().collect()}[1] == 10
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """The interval join must match the batch join even when the two sides
+    arrive over SEVERAL micro-batches (maxFilesPerTrigger=1): rows whose
+    partner is in a later batch are held in the state store and emitted
+    when the partner arrives — exactly once, no loss, no duplication."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    signups = [(u, t0 + dt.timedelta(minutes=10 * u)) for u in range(6)]
+    purchases = [
+        # u0: inside window (same batch), u1: inside window (later batch),
+        # u2: outside the 2h window, u3: before signup, u4/u5: no purchase
+        (0, t0 + dt.timedelta(minutes=30), 10.0),
+        (1, t0 + dt.timedelta(minutes=70), 20.0),
+        (2, t0 + dt.timedelta(hours=5), 30.0),
+        (3, t0 - dt.timedelta(minutes=5), 40.0),
+    ]
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id long, event_type string, ets timestamp, value double"
+    # three files -> three micro-batches, partners split across them
+    spark.createDataFrame(
+        [(u, "signup", ts, 0.0) for u, ts in signups[:3]]
+        + [(0, "purchase", purchases[0][1], purchases[0][2])], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(u, "signup", ts, 0.0) for u, ts in signups[3:]]
+        + [(3, "purchase", purchases[3][1], purchases[3][2])], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(u, "purchase", ts, v) for u, ts, v in purchases[1:3]], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    read_schema = spark.read.parquet(str(src / "f0")).schema
+
+    def side(kind, cols):
+        return (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .filter(F.col("event_type") == kind)
+            .select(*cols)
+        )
+
+    s = side("signup", [F.col("user_id").alias("s_user"),
+                        F.col("ets").alias("s_ts")]).withWatermark("s_ts", "1 hour")
+    p = side("purchase", [F.col("user_id").alias("p_user"),
+                          F.col("ets").alias("p_ts"),
+                          F.col("value")]).withWatermark("p_ts", "1 hour")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3, "must have run several micro-batches"
+    got = {(r["s_user"], r["value"]) for r in spark.table("ssj_sink").collect()}
+    assert got == {(0, 10.0), (1, 20.0)}
