@@ -316,9 +316,14 @@ class DeltaDml:
         target_df = files_to_df(self.spark, snap, candidates) if candidates else None
         touched: list[AddFile] = []
         if target_df is not None:
+            # input_file_name() must bind to the TARGET scan before the
+            # join: selected after it, Spark rejects the expression as
+            # ambiguous whenever the source is itself file-backed (e.g.
+            # merging from another Delta table) — MULTI_SOURCES_UNSUPPORTED.
             semi = (
-                target_df.join(F.broadcast(keys), on, "left_semi")
-                .select(F.input_file_name().alias("_f"))
+                target_df.withColumn("_f", F.input_file_name())
+                .join(F.broadcast(keys), on, "left_semi")
+                .select("_f")
                 .distinct()
                 .toLocalIterator()
             )

@@ -109,7 +109,8 @@ class DeltaSqlContext:
     # -- SQL DML statements -------------------------------------------------
     def _dml_statement(self, text: str) -> DataFrame | None:
         """DELETE FROM t WHERE ... / UPDATE t SET c = lit [, ...] WHERE ...
-        / TRUNCATE TABLE t — routed through the engine's DML (predicates
+        / TRUNCATE TABLE t / MERGE INTO t USING s ON ... WHEN ... — routed
+        through the engine's DML (predicates
         parse into the Expression AST, so file pruning applies exactly as
         in the Python API).  Returns a 1-row (version) frame, or None when
         the text is not a DML statement."""
@@ -183,7 +184,143 @@ class DeltaSqlContext:
         )
         if m:
             return result(resolve(m.group(1)).truncate())
+
+        m = re.fullmatch(
+            rf"\s*MERGE\s+INTO\s+({names})(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+            rf"\s+USING\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+            rf"\s+ON\s+(.+?)((?:\s+WHEN\s+.+)+)",
+            stripped,
+            flags=re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return result(self._merge_statement(*m.groups()))
         return None
+
+    def _merge_statement(
+        self,
+        target: str,
+        target_alias: str | None,
+        source: str,
+        source_alias: str | None,
+        on_text: str,
+        clauses_text: str,
+    ) -> int:
+        """MERGE INTO t [AS a] USING s [AS b] ON <equi-key>
+             [WHEN MATCHED THEN UPDATE SET c = <b.c | literal> [, ...]
+              | WHEN MATCHED THEN DELETE]
+             [WHEN NOT MATCHED THEN INSERT *]
+
+        The Delta MERGE surface (reference: op/names.go MERGE), restricted
+        to the engine's upsert shape: one equi-join key, UPDATE-from-source
+        or literal assignments, INSERT *.  `s` resolves to another
+        registered Delta table's current snapshot, else to any Spark
+        table/temp view.  Routed through DeltaTable.merge, so conflict
+        detection, CDF, constraints and generated columns all apply."""
+        from pyspark.sql import functions as F
+
+        from delta_go_spark.sqlpred import parse_literal
+        from delta_go_spark.table import DeltaTable
+
+        key = next(k for k in self._tables if k.lower() == target.lower())
+        t = DeltaTable.for_path(self.spark, self._tables[key])
+        src_key = next(
+            (k for k in self._tables if k.lower() == source.lower()), None
+        )
+        if src_key is not None:
+            src_df = DeltaLog.for_table(self._tables[src_key]).update().to_df(
+                self.spark
+            )
+        else:
+            src_df = self.spark.table(source)
+
+        t_names = {n.lower() for n in (target, target_alias) if n}
+        s_names = {n.lower() for n in (source, source_alias) if n}
+
+        # ON: qualified or bare single equi-key; different source/target
+        # column names are allowed (the source side is renamed to match).
+        om = re.fullmatch(
+            r"\s*(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*=\s*"
+            r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)\s*",
+            on_text,
+            flags=re.DOTALL,
+        ) or re.fullmatch(r"\s*([A-Za-z_]\w*)\s*", on_text)
+        if om is None:
+            raise ValueError(f"MERGE: cannot parse ON condition: {on_text!r}")
+        if len(om.groups()) == 1:
+            on_col = src_col = om.group(1)
+        else:
+            q1, c1, q2, c2 = om.groups()
+            if q1 and q1.lower() in s_names or q2 and q2.lower() in t_names:
+                c1, c2 = c2, c1  # written source-first; normalize
+            on_col, src_col = c1, c2
+        if src_col.lower() != on_col.lower():
+            src_df = src_df.withColumnRenamed(src_col, on_col)
+
+        schema = t.log.snapshot().metadata().schema()
+        fields = {f.name.lower(): f for f in schema.fields}
+        update_set: dict | None = None
+        delete_matched = False
+        insert_not_matched = False
+        seen = 0
+        for cm in re.finditer(
+            r"WHEN\s+MATCHED\s+THEN\s+DELETE"
+            r"|WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$)"
+            r"|WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            clauses_text,
+            flags=re.IGNORECASE | re.DOTALL,
+        ):
+            seen += 1
+            text = cm.group(0)
+            if re.match(r"WHEN\s+NOT", text, re.IGNORECASE):
+                insert_not_matched = True
+            elif re.search(r"THEN\s+DELETE", text, re.IGNORECASE):
+                delete_matched = True
+            else:
+                update_set = {}
+                for part in _split_top_level_commas(cm.group(1)):
+                    am = re.fullmatch(
+                        r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*", part, re.DOTALL
+                    )
+                    if not am or am.group(1).lower() not in fields:
+                        raise ValueError(
+                            f"MERGE: cannot parse SET clause: {part!r}"
+                        )
+                    col = fields[am.group(1).lower()]
+                    rhs = am.group(2)
+                    rm = re.fullmatch(
+                        r"(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)", rhs
+                    )
+                    if rm and (
+                        (rm.group(1) or "").lower() in s_names
+                        or rm.group(1) is None
+                        and rm.group(2).lower() in
+                        {c.lower() for c in src_df.columns}
+                        and not re.fullmatch(
+                            r"true|false|null", rm.group(2), re.IGNORECASE
+                        )
+                    ):
+                        update_set[col.name] = F.col(f"_s_{rm.group(2)}")
+                    else:
+                        lit = parse_literal(rhs, col.name, schema)
+                        update_set[col.name] = F.lit(lit.value).cast(
+                            col.dataType
+                        )
+        if not seen or not re.fullmatch(
+            r"(?:\s*WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+(?:DELETE|UPDATE\s+SET"
+            r"\s+.+?|INSERT\s+\*)\s*){1,3}",
+            clauses_text,
+            flags=re.IGNORECASE | re.DOTALL,
+        ):
+            raise ValueError(
+                f"MERGE: cannot parse WHEN clauses: {clauses_text!r}"
+            )
+        return t.merge(
+            src_df,
+            on=on_col,
+            update_set=update_set,
+            delete_matched=delete_matched,
+            insert_not_matched=insert_not_matched,
+        )
 
     def sql(self, text: str) -> DataFrame:
         dml = self._dml_statement(text)

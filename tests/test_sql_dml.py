@@ -134,3 +134,79 @@ def test_sql_dml_rejects_malformed(spark, tmp_path):
         sess.sql("DELETE FROM tsqlbad WHERE p LIKE NULL")
     # nothing committed by the rejected statements
     assert t.to_df().count() == 100
+
+
+def test_sql_merge_upsert_from_temp_view(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg")
+    spark.createDataFrame(
+        [(1, "zz", -1), (200, "nn", -2)], "k long, p string, v long"
+    ).createOrReplaceTempView("mrg_src")
+    out = sess.sql(
+        "MERGE INTO tsqlmrg AS t USING mrg_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert out.collect()[0]["version"] == t.log.update().version
+    got = {r["k"]: (r["p"], r["v"]) for r in t.to_df().collect()}
+    assert got[1] == ("zz", -1)          # matched: updated from source
+    assert got[200] == ("nn", -2)        # not matched: inserted
+    assert got[2] == ("cd", 4)           # untouched
+    assert len(got) == 101
+
+
+def test_sql_merge_delete_matched_between_delta_tables(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg2")
+    src_path = str(tmp_path / "mrg2src")
+    DeltaTable.create(
+        spark,
+        src_path,
+        spark.createDataFrame([(0, "x", 0), (4, "x", 0)], "k long, p string, v long"),
+    )
+    sess.register("mrg2src", src_path)
+    sess.sql(
+        "MERGE INTO tsqlmrg2 USING mrg2src ON tsqlmrg2.k = mrg2src.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    rows = {r["k"] for r in t.to_df().collect()}
+    assert rows == set(range(100)) - {0, 4}
+
+
+def test_sql_merge_literal_assignment_and_bare_key(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg3")
+    spark.createDataFrame([(7,), (8,)], "k long").createOrReplaceTempView(
+        "mrg3_src"
+    )
+    sess.sql(
+        "MERGE INTO tsqlmrg3 USING mrg3_src ON k "
+        "WHEN MATCHED THEN UPDATE SET v = 999"
+    )
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[7] == 999 and got[8] == 999 and got[9] == 18
+    assert len(got) == 100  # no insert clause -> no new rows
+
+
+def test_sql_merge_renamed_source_key(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg4")
+    spark.createDataFrame(
+        [(3, 111)], "src_k long, v long"
+    ).createOrReplaceTempView("mrg4_src")
+    sess.sql(
+        "MERGE INTO tsqlmrg4 t USING mrg4_src s ON t.k = s.src_k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    got = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert got[3] == 111 and got[2] == 4
+
+
+def test_sql_merge_rejects_malformed(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg5")
+    spark.createDataFrame([(1, 0)], "k long, v long").createOrReplaceTempView(
+        "mrg5_src"
+    )
+    with pytest.raises(ValueError, match="WHEN clauses"):
+        sess.sql("MERGE INTO tsqlmrg5 USING mrg5_src ON k WHEN MATCHED THEN FROB")
+    with pytest.raises(ValueError, match="SET clause"):
+        sess.sql(
+            "MERGE INTO tsqlmrg5 USING mrg5_src ON k "
+            "WHEN MATCHED THEN UPDATE SET nosuch = 1"
+        )
