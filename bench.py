@@ -40,6 +40,8 @@ HEADLINE = [
     "decontaminate_docs",  # r4: benchmark n-gram decontamination
     "redact_pii_docs",  # r4: regexp PII redaction (codegen, no shuffle)
     "duplicated_gram_fraction_docs",  # r4: inter-doc duplication gate
+    "quantize_embeddings_int8",  # r4: int8 codes, codegen-only projection
+    "semdedup_embeddings",  # r4: SemDeDup k-means + per-cluster matmul
 ]
 
 

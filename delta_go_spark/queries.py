@@ -64,18 +64,20 @@ _COVERAGE_R1_ONLY = [
 #   (a) the 4 queries that have NEVER had a driver row (judge-verified only
 #       in r3): dedup_clusters_docs, simhash_near_dup_docs,
 #       pack_sequences_docs, media_pipeline_summary;
-#   (b) the 4 NEW round-4 operators: streaming_dedup_events,
-#       decontaminate_docs, redact_pii_docs, duplicated_gram_fraction_docs;
+#   (b) the 7 NEW round-4 operators: streaming_dedup_events,
+#       decontaminate_docs, redact_pii_docs, duplicated_gram_fraction_docs,
+#       quantize_embeddings_int8, semdedup_embeddings (rows-only),
+#       streaming_interval_join_events;
 #   (c) the queries whose code changed this round: the 6 delta-protocol
 #       queries (dml.py merge + datasource.py CDF/write + cloud data
 #       plane), simhash_docs / simhash_near_dup_docs (signature +
 #       banding rewrites) and minhash_near_dup_docs;
 #   (d) queries whose last driver check was round 2 (exact/ngram/
 #       keep-longest dedup, norms+knn, textops, sampling, binary_stats,
-#       streaming, curation, and the first 4 of coverage's r2-checked
-#       eight — the other 4 were displaced by (b) into 51+).
+#       streaming, curation, and q12 from coverage's r2-checked eight —
+#       the rest were displaced by (b) into 51+).
 # Everything in 51+ was hash-green in an earlier round and is untouched;
-# scripts/check_parity.py still pins all 98 locally.
+# scripts/check_parity.py still pins all 101 locally.
 _MODULES = [
     cdf_queries,  # 1 (datasource CDF reader changed)
     delta_queries,  # 5 -> 2-6 (dml.py / datasource.py / data plane changed)
