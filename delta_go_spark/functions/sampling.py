@@ -148,3 +148,123 @@ QUERIES: dict = {
     "hash_sample_docs": (hash_sample_docs, HASH_SAMPLE_SQL),
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture sampling — the "data mixing" step of a training pipeline:
+# given integer mixture weights per source and a token budget, sample each
+# source down (deterministically) so the sampled corpus approximates the
+# target mixture.  The fraction derivation is one tiny O(#sources)
+# aggregate; the sampling itself is the same narrow hash filter as
+# hash_sample, with per-source thresholds attached via a BROADCAST join —
+# at thousands of sources this stays a map-side join, never a giant CASE
+# expression and never a shuffle of the corpus.
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    budget_tokens: float,
+    token_count: Column,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture sampling.
+
+    fraction_s = min(1, ((w_s / W) * budget_tokens) / tokens_s) — a source
+    with fewer tokens than its target keeps everything (no upsampling).
+    Weights are INTEGERS so the normalizer W is exact; the float formula
+    is evaluated in one fixed parenthesization so an external engine (the
+    DuckDB oracle) reproduces the identical IEEE doubles and therefore
+    the identical per-source thresholds and row sets.  Sources absent
+    from `weights` are dropped (weight 0).
+
+    The per-source token totals are collected to the driver: one row per
+    source, the same O(small) driver state as IVF centroids — never rows.
+    """
+    spark = df.sparkSession
+    totals = {
+        r["_s"]: r["_t"]
+        for r in df.groupBy(F.col(source_col).alias("_s"))
+        .agg(F.sum(token_count).alias("_t"))
+        .collect()
+        if r["_s"] in weights
+    }
+    W = sum(weights[s] for s in totals)
+    rows = [
+        (
+            s,
+            fraction_threshold(
+                min(1.0, ((weights[s] / W) * budget_tokens) / totals[s])
+            ),
+        )
+        for s in sorted(totals)
+    ]
+    thr = spark.createDataFrame(rows, f"{source_col} string, _thr string")
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .filter(_bucket(key_cols, salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+_MIX_SALT = "dgs-r4"
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: re-mix the documents corpus to a 50%-of-total token
+    budget where even-numbered sources get weight 2 and odd get weight 1.
+    The oracle re-derives weights, totals, fractions, thresholds and the
+    md5 sample membership entirely in SQL — hash-checking every sampled
+    row's identity, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    per = docs.groupBy("source").agg(F.sum(toks).alias("t")).collect()
+    weights = {
+        r["source"]: 2 if int(r["source"][3:]) % 2 == 0 else 1 for r in per
+    }
+    budget = 0.5 * sum(r["t"] for r in per)
+    sampled = mixture_sample(
+        docs, "source", weights, budget, toks, ["doc_id"], _MIX_SALT
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("sum_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(toks) AS BIGINT) AS toks,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 2 ELSE 1 END AS w
+  FROM tk GROUP BY source
+), gl AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS t_all, CAST(sum(w) AS BIGINT) AS w_all
+  FROM tot
+), thr AS (
+  SELECT source,
+         lower(lpad(hex(CAST(least(floor(
+           least(1.0, ((CAST(w AS DOUBLE) / w_all) * (0.5 * t_all)) / toks)
+           * 4294967296), 4294967295) AS BIGINT)), 8, '0')) AS thr
+  FROM tot, gl
+)
+SELECT tk.source,
+       count(*) AS n_docs,
+       CAST(sum(tk.toks) AS BIGINT) AS sum_tokens,
+       CAST(sum(tk.doc_id) AS BIGINT) AS id_checksum
+FROM tk JOIN thr ON tk.source = thr.source
+WHERE substr(md5(CAST(tk.doc_id AS VARCHAR) || '{_MIX_SALT}'), 1, 8) < thr.thr
+GROUP BY tk.source
+ORDER BY tk.source
+"""
+
+
+QUERIES["mixture_sample_docs"] = (mixture_sample_docs, MIXTURE_SAMPLE_SQL)

@@ -52,3 +52,39 @@ def test_stratified_rates(docs):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == docs.filter("lang = 'en'").count()
+
+
+def test_mixture_sample_budget_and_weights(spark):
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.sampling import mixture_sample
+
+    rows = []
+    # big: 4000 tokens, small: 40 tokens, dropped: not in weights
+    for i in range(400):
+        rows.append((i, "big", "w " * 9 + "w"))
+    for i in range(400, 404):
+        rows.append((i, "small", "w " * 9 + "w"))
+    for i in range(404, 410):
+        rows.append((i, "dropped", "w " * 9 + "w"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    toks = F.size(F.split(F.col("text"), " "))
+    out = mixture_sample(
+        df, "source", {"big": 1, "small": 1}, 800.0, toks, ["doc_id"], "s"
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "dropped" not in got                 # weight 0 -> excluded
+    assert got["small"] == 4                    # under target: keep all
+    # big's target is 400 tokens of 4000 -> ~10% of 400 docs
+    assert 20 <= got["big"] <= 60
+    # determinism: identical second draw
+    again = {
+        r["source"]: r["n"]
+        for r in mixture_sample(
+            df, "source", {"big": 1, "small": 1}, 800.0, toks, ["doc_id"], "s"
+        ).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert again == got
