@@ -194,6 +194,68 @@ class DeltaSqlContext:
         )
         if m:
             return result(self._merge_statement(*m.groups()))
+
+        # -- utility statements (Delta SQL surface) -------------------------
+        m = re.fullmatch(
+            rf"\s*DESCRIBE\s+HISTORY\s+({names})\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            import json as _json
+
+            rows = [
+                (
+                    ci.version,
+                    ci.timestamp,
+                    ci.operation,
+                    _json.dumps(ci.operation_parameters or {}, sort_keys=True),
+                    ci.read_version,
+                    ci.is_blind_append,
+                )
+                for ci in reversed(t.history())
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, timestamp_ms long, operation string, "
+                "operation_parameters string, read_version long, "
+                "is_blind_append boolean",
+            )
+
+        m = re.fullmatch(
+            rf"\s*OPTIMIZE\s+({names})"
+            rf"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z0-9_\s,]+?)\s*\))?\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            if m.group(2):
+                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+                v = t.zorder(cols)
+            else:
+                v = t.optimize()
+            # None = nothing to compact; report the (unchanged) version
+            return result(v if v is not None else t.version())
+
+        m = re.fullmatch(
+            rf"\s*VACUUM\s+({names})"
+            rf"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            retention = (
+                int(m.group(2)) * 3_600_000 if m.group(2) is not None else None
+            )
+            deleted = t.vacuum(
+                retention_millis=retention, dry_run=bool(m.group(3))
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in deleted], "path string"
+            )
         return None
 
     def _merge_statement(

@@ -210,3 +210,44 @@ def test_sql_merge_rejects_malformed(spark, tmp_path):
             "MERGE INTO tsqlmrg5 USING mrg5_src ON k "
             "WHEN MATCHED THEN UPDATE SET nosuch = 1"
         )
+
+
+def test_sql_describe_history(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlhist")
+    sess.sql("DELETE FROM tsqlhist WHERE k >= 50")
+    rows = sess.sql("DESCRIBE HISTORY tsqlhist").collect()
+    assert [r["version"] for r in rows] == [1, 0]   # newest first
+    assert rows[0]["operation"] == "DELETE"
+    assert rows[1]["operation"] in ("CREATE TABLE", "WRITE")
+    assert all(r["timestamp_ms"] > 0 for r in rows)
+
+
+def test_sql_optimize_and_vacuum(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlopt")
+    # several small appends -> compactable files
+    for i in range(3):
+        t.append(spark.createDataFrame([(1000 + i, "zz", 0)], "k long, p string, v long"))
+    v0 = t.version()
+    out = sess.sql("OPTIMIZE tsqlopt").collect()
+    assert out[0]["version"] == v0 + 1 == t.log.update().version
+    assert t.to_df().count() == 103  # compaction preserves rows
+    # optimizing an already-compact table is a no-op reporting the version
+    again = sess.sql("OPTIMIZE tsqlopt").collect()
+    assert again[0]["version"] == t.log.update().version
+
+    # vacuum with 0-hour retention drops files the compaction removed
+    dry = {r["path"] for r in sess.sql("VACUUM tsqlopt RETAIN 0 HOURS DRY RUN").collect()}
+    assert dry, "compacted-away files should be vacuum candidates"
+    gone = {r["path"] for r in sess.sql("VACUUM tsqlopt RETAIN 0 HOURS").collect()}
+    assert gone == dry
+    import os
+    assert all(not os.path.exists(p) for p in gone)
+    assert t.to_df().count() == 103  # table still fully readable
+
+
+def test_sql_optimize_zorder_by(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlzord")
+    v0 = t.version()
+    out = sess.sql("OPTIMIZE tsqlzord ZORDER BY (k, v)").collect()
+    assert out[0]["version"] >= v0
+    assert t.to_df().count() == 100
