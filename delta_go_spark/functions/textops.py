@@ -516,3 +516,82 @@ ORDER BY source, bin_id
 
 
 QUERIES["pack_sequences_docs"] = (pack_sequences_docs, PACK_SEQUENCES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking — the context-window preparation step for
+# RAG/embedding/training pipelines: split each document into ~chunk_tokens
+# windows with `overlap` tokens of context carried between neighbors.
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_md5): whitespace tokens, chunk k
+    covering tokens [k*stride+1, k*stride+chunk_tokens] with
+    stride = chunk_tokens - overlap; a document never emits a tail chunk
+    fully contained in its predecessor (n_chunks =
+    max(1, ceil((n - overlap) / stride))).
+
+    Pure codegen: split + explode(sequence) + slice — a narrow per-row
+    flatMap with NO shuffle; at 100 TB this runs entirely inside the scan
+    stage and the output is ~(1 + overlap/stride)x the input tokens.
+    All arithmetic is exact integer-in-double (< 2^53), so the DuckDB
+    oracle reproduces chunk boundaries bit-for-bit.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)),
+    )
+    out = df.select(
+        F.col(id_col), toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+), ex AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+           CAST(greatest(1, floor((n - 16 + 47) / 48)) AS BIGINT) - 1)) AS chunk_idx
+  FROM toks
+), sliced AS (
+  SELECT doc_id, chunk_idx,
+         t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS c
+  FROM ex
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(c) AS INT) AS n_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM sliced
+ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES["chunk_documents_docs"] = (chunk_documents_docs, CHUNK_DOCUMENTS_SQL)

@@ -38,6 +38,9 @@ SAMPLE = [
     "media_pipeline_summary",  # upgraded to an exact oracle in round 3
     "dedup_clusters_docs",  # new in round 3: connected components
     "pack_sequences_docs",  # new in round 3: context-window packing
+    "quantize_embeddings_int8",  # new in round 4: int8 codes
+    "mixture_sample_docs",  # new in round 4: corpus mixture sampling
+    "chunk_documents_docs",  # new in round 4: sliding-window chunking
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]

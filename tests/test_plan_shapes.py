@@ -132,3 +132,41 @@ def test_decontaminate_is_broadcast_semi_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking must stay a narrow per-row flatMap inside the scan stage —
+    no Exchange anywhere (the registry query's orderBy is presentation)."""
+    from delta_go_spark.functions.textops import chunk_documents
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_documents_boundaries(spark):
+    from delta_go_spark.functions.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),   # n == chunk: 1 chunk
+            (2, " ".join(f"w{i}" for i in range(11))),   # one over: 2 chunks
+            (3, "w0"),                                   # tiny doc: 1 chunk
+            (4, " ".join(f"w{i}" for i in range(25))),   # 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    for v in got.values():
+        v.sort()
+    assert got[1] == [(0, 10)]
+    assert got[2] == [(0, 10), (1, 3)]     # tail starts at token 9 (overlap 2)
+    assert got[3] == [(0, 1)]
+    # stride 8: starts 1, 9, 17 -> lengths 10, 10, 9
+    assert got[4] == [(0, 10), (1, 10), (2, 9)]
