@@ -736,3 +736,65 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["semdedup_embeddings"] = (semdedup_embeddings, None)
+
+
+# ---------------------------------------------------------------------------
+# IVF over int8 codes: the memory-bounded ANN path.  The index stores ONLY
+# quantized codes + one scale per vector (4x smaller than float32); search
+# dequantizes on the fly inside the probed posting lists.  At 10^9 vectors
+# this is the difference between an index that fits executor memory and one
+# that doesn't — the standard IVF-SQ8 layout (FAISS terminology).
+def ann_ivf_int8(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k by cosine against DEQUANTIZED int8 codes, restricted to the
+    nprobe nearest posting lists.  Training/assignment runs on the float
+    vectors (one narrow map, as ivf_index); the float column is then
+    DROPPED — the probed scan touches only (id, q, scale, _list)."""
+    import math
+
+    assigned, centers = ivf_index(corpus, vec_col=vec_col, n_lists=n_lists, seed=seed)
+    coded = quantize_int8(assigned, vec_col=vec_col, id_col=id_col).drop(vec_col)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        range(len(centers)), key=lambda i: -cos(centers[i], query_vec)
+    )[:nprobe]
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame([(query_vec,)], "_q array<double>")
+    deq = F.transform(F.col("q"), lambda x: x * F.col("scale"))
+    return (
+        coded.filter(F.col("_list").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cos_sim", F.round(cosine(deq, F.col("_q")), 4))
+        .select(id_col, "label", "_list", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_ivf_int8_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query (rows-only, like ann_ivf_docs): IVF-SQ8 search with
+    query = vec_id 0, corpus = the rest; recall vs float brute force is
+    asserted in tests/test_approx_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("q")
+    ).first()
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return ann_ivf_int8(corpus, list(qrow["q"]), nprobe=8)
+
+
+QUERIES["ann_ivf_int8_docs"] = (ann_ivf_int8_docs, None)

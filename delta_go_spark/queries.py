@@ -89,8 +89,9 @@ _MODULES = [
             "knn_cosine_docs",
             "quantize_embeddings_int8",
             "semdedup_embeddings",
+            "ann_ivf_int8_docs",
         ],
-    ),  # 14-17: (b) + NEW round-4 quantization + SemDeDup
+    ),  # 14-18: (b) + NEW round-4 quantization + SemDeDup + IVF-SQ8
     textops,  # 10 -> 16-25 (b) + pack_sequences_docs (a)
     sampling,  # 2 -> 26-27 (b)
     multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)

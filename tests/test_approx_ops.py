@@ -328,3 +328,24 @@ def test_semdedup_drops_planted_duplicate(spark):
     assert out[1]["kept"]
     assert not out[2]["kept"] and out[2]["leader"] == 1
     assert out[3]["kept"]
+
+
+def test_ann_ivf_int8_recall_vs_float(spark):
+    """Quantized IVF search must track the float paths: high overlap with
+    the exact brute-force top-10 (int8 reconstruction error is ~scale/2
+    per dim — far below the inter-neighbor cosine gaps here)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.similarity import ann_ivf_int8, knn_bruteforce
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in knn_bruteforce(corpus, q).collect()}
+    qvec = [float(x) for x in q.first()["embedding"]]
+    got = {r["vec_id"] for r in ann_ivf_int8(corpus, qvec, nprobe=8).collect()}
+    assert len(got & exact) >= 6
+    full = {r["vec_id"] for r in ann_ivf_int8(corpus, qvec, nprobe=16).collect()}
+    # probing every list: misses only where quantization noise reorders
+    assert len(full & exact) >= 8
