@@ -240,6 +240,57 @@ class DeltaSqlContext:
             return result(v if v is not None else t.version())
 
         m = re.fullmatch(
+            rf"\s*DESCRIBE\s+DETAIL\s+({names})\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            snap = t.log.update()
+            meta = snap.metadata()
+            files = snap.all_files()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        "delta",
+                        meta.id,
+                        meta.name,
+                        self._tables[
+                            next(
+                                k
+                                for k in self._tables
+                                if k.lower() == m.group(1).lower()
+                            )
+                        ],
+                        list(meta.partition_columns),
+                        len(files),
+                        sum(f.size for f in files),
+                        snap.version,
+                        meta.configuration or {},
+                    )
+                ],
+                "format string, id string, name string, location string, "
+                "partition_columns array<string>, num_files long, "
+                "size_in_bytes long, version long, "
+                "properties map<string,string>",
+            )
+
+        m = re.fullmatch(
+            rf"\s*RESTORE\s+(?:TABLE\s+)?({names})\s+TO\s+"
+            rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            if m.group(2) is not None:
+                return result(t.restore(int(m.group(2))))
+            ts = datetime.datetime.fromisoformat(m.group(3))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            return result(t.restore_to_timestamp(int(ts.timestamp() * 1000)))
+
+        m = re.fullmatch(
             rf"\s*VACUUM\s+({names})"
             rf"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*",
             stripped,

@@ -251,3 +251,18 @@ def test_sql_optimize_zorder_by(spark, tmp_path):
     out = sess.sql("OPTIMIZE tsqlzord ZORDER BY (k, v)").collect()
     assert out[0]["version"] >= v0
     assert t.to_df().count() == 100
+
+
+def test_sql_describe_detail_and_restore(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqldet")
+    d = sess.sql("DESCRIBE DETAIL tsqldet").collect()[0]
+    assert d["format"] == "delta" and d["version"] == 0
+    assert d["num_files"] >= 1 and d["size_in_bytes"] > 0
+    assert d["partition_columns"] == []
+
+    sess.sql("DELETE FROM tsqldet WHERE k < 50")
+    assert t.to_df().count() == 50
+    sess.sql("RESTORE TABLE tsqldet TO VERSION AS OF 0")
+    assert t.to_df().count() == 100
+    # restore is itself a commit; history is preserved
+    assert t.version() == 2
