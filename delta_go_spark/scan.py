@@ -260,3 +260,49 @@ class DeltaScan:
         if self.predicate is not None:
             df = df.filter(self.predicate.to_spark())
         return df
+
+
+def metadata_only_count(snapshot, predicate=None, spark=None) -> int:
+    """Exact COUNT(*) from log statistics — no data scan.
+
+    The 100 TB query Delta answers in O(#files): every AddFile carries
+    numRecords, so a bare count (or one filtered ONLY on partition
+    columns, where file pruning is exact) is a sum over the log.  Files
+    without stats (e.g. written by other engines) are counted by scanning
+    JUST those files when a SparkSession is supplied.
+
+    Raises ValueError when `predicate` has a data-column conjunct —
+    min/max skipping is conservative (a surviving file may still hold
+    zero matching rows), so a stats-only count would overcount; callers
+    fall back to the real scan.  reference: scan.go:54-231 (file
+    iteration), writer stats contract writer.py:117.
+    """
+    scan = DeltaScan(snapshot, predicate)
+    if scan.residual_predicate() is not None:
+        raise ValueError(
+            "metadata-only count needs a partition-only predicate; "
+            f"residual data predicate: {scan.residual_predicate()}"
+        )
+    total = 0
+    statless: list[AddFile] = []
+    for add in scan.files():
+        n = None
+        if add.stats:
+            try:
+                n = json.loads(add.stats).get("numRecords")
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            statless.append(add)
+        else:
+            total += int(n)
+    if statless:
+        if spark is None:
+            raise ValueError(
+                f"{len(statless)} files lack numRecords stats and no "
+                "SparkSession was supplied to count them"
+            )
+        from delta_go_spark.datareader import files_to_df
+
+        total += files_to_df(spark, snapshot, statless).count()
+    return total

@@ -307,6 +307,22 @@ class DeltaSqlContext:
             return self.spark.createDataFrame(
                 [(p,) for p in deleted], "path string"
             )
+
+        # Metadata-only COUNT(*): a bare full-table count never scans data —
+        # it sums numRecords over the log (scan.metadata_only_count), the
+        # O(#files) fast path Delta engines implement.  Only the exact bare
+        # form is intercepted; any WHERE/joins go through Spark as usual.
+        m = re.fullmatch(
+            rf"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_]\w*))?"
+            rf"\s+FROM\s+({names})\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            alias = m.group(1) or "count"
+            return self.spark.createDataFrame(
+                [(resolve(m.group(2)).count(),)], f"{alias} long"
+            )
         return None
 
     def _merge_statement(

@@ -243,6 +243,18 @@ class DeltaTable:
         )
         return txn.commit([], ops.ADD_COLUMNS, operation_parameters={})
 
+    def count(self, predicate: "Expression | None" = None) -> int:
+        """COUNT(*) — answered from log stats in O(#files) when the
+        predicate is absent or partition-only (scan.metadata_only_count);
+        falls back to the real scan for data-column predicates."""
+        from delta_go_spark.scan import metadata_only_count
+
+        snap = self.log.update()
+        try:
+            return metadata_only_count(snap, predicate, self.spark)
+        except ValueError:
+            return self.to_df(predicate).count()
+
     # -- metadata ----------------------------------------------------------
     def version(self) -> int:
         return self.log.update().version

@@ -227,3 +227,74 @@ def test_startswith_stats_and_partition_pruning(spark, tmp_path):
     kept = reader.partitions()
     all_files = DeltaGoBatchReader(got.schema, {"path": path}).partitions()
     assert sum(len(p.files) for p in kept) < sum(len(p.files) for p in all_files)
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """Bare and partition-only counts come from log stats (no scan job);
+    data-column predicates refuse (conservative skipping would overcount);
+    stats-stripped files are counted by scanning ONLY those files."""
+    import json as _json
+    import os
+    import re
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.expressions import Column as C, EqualTo, GreaterThan, Literal
+    from delta_go_spark.scan import metadata_only_count
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import LongType, StringType
+
+    path = str(tmp_path / "cnt_tbl")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i * 2) for i in range(100)],
+        "k long, par string, v long",
+    )
+    t = DeltaTable.create(spark, path, df, partition_by=["par"])
+    snap = t.log.update()
+    assert metadata_only_count(snap) == 100
+    assert t.count() == 100
+    par_even = EqualTo(C("par", StringType()), Literal("even"))
+    assert metadata_only_count(snap, par_even) == 50
+
+    # data-column predicate: the stats path must refuse...
+    data_pred = GreaterThan(C("k", LongType()), Literal(10))
+    with pytest.raises(ValueError, match="partition-only"):
+        metadata_only_count(snap, data_pred)
+    # ...and the facade falls back to a real scan with the right answer
+    assert t.count(data_pred) == 89
+
+    # strip numRecords from the commit JSON: fallback scans ONLY those files
+    log_file = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    lines = []
+    for line in open(log_file):
+        o = _json.loads(line)
+        if "add" in o and "even" in str(o["add"].get("partitionValues")):
+            stats = _json.loads(o["add"]["stats"])
+            stats.pop("numRecords")
+            o["add"]["stats"] = _json.dumps(stats)
+        lines.append(_json.dumps(o))
+    with open(log_file, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    t2 = DeltaTable.for_path(spark, path)
+    snap2 = t2.log.update()
+    with pytest.raises(ValueError, match="lack numRecords"):
+        metadata_only_count(snap2, spark=None)
+    assert metadata_only_count(snap2, spark=spark) == 100
+
+
+def test_sql_bare_count_is_metadata_only(spark, tmp_path):
+    from delta_go_spark.sql import DeltaSqlContext
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "cnt_sql")
+    DeltaTable.create(
+        spark, path, spark.createDataFrame([(i,) for i in range(7)], "k long")
+    )
+    sess = DeltaSqlContext(spark)
+    sess.register("cnt_sql", path)
+    assert sess.sql("SELECT COUNT(*) FROM cnt_sql").collect()[0]["count"] == 7
+    assert sess.sql("SELECT count(*) AS n FROM cnt_sql").collect()[0]["n"] == 7
+    # non-bare forms still go through Spark SQL
+    got = sess.sql("SELECT count(*) AS n FROM cnt_sql WHERE k < 3").collect()
+    assert got[0]["n"] == 3
