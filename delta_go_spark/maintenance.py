@@ -361,3 +361,58 @@ def restore_to_timestamp(
         latest, timestamp_millis, can_return_last_commit=True
     )
     return restore(spark, table_path, commit.version)
+
+
+def clone_shallow(
+    spark: SparkSession, src_path: str, dest_path: str
+) -> int:
+    """SHALLOW CLONE: create `dest_path` as a zero-copy table whose log
+    references the SOURCE's data files by absolute path (the Delta
+    protocol's absolute-path AddFile form; `_relativize` deliberately
+    leaves outside-the-root paths absolute — transaction.py:289-292).
+
+    O(#files) metadata work, zero data bytes moved: the 100 TB way to
+    fork a table for experimentation.  The clone starts its OWN history
+    (version 0 = CLONE), gets a fresh table id, and subsequent writes
+    land inside the clone's root — the source is never touched.  VACUUM
+    on the clone only lists under the clone's root, so it can never
+    delete source data; VACUUM on the source CAN delete files the clone
+    still references (the documented Delta shallow-clone hazard).
+
+    reference: delta-go has no clone; semantics follow the public Delta
+    protocol (add.path "may be absolute") + OSS delta SHALLOW CLONE.
+    """
+    import dataclasses
+    import uuid
+
+    from delta_go_spark.actions import encode_path
+    from delta_go_spark.snapshot import DeltaError, canonicalize_path
+
+    src_log = DeltaLog.for_table(src_path)
+    snap = src_log.update()
+    dest_log = DeltaLog.for_table(dest_path)
+    if dest_log.table_exists():
+        raise DeltaError(f"clone destination already exists: {dest_path}")
+    txn = dest_log.start_transaction()
+    meta = snap.metadata()
+    txn.update_metadata(
+        dataclasses.replace(
+            meta, id=str(uuid.uuid4()), created_time=dest_log.clock.now_millis()
+        )
+    )
+    adds = [
+        dataclasses.replace(
+            a,
+            path=encode_path(canonicalize_path(a.path, snap.table_root)),
+            data_change=True,
+        )
+        for a in snap.all_files()
+    ]
+    return txn.commit(
+        adds,
+        "CLONE",
+        operation_parameters={
+            "source": snap.table_root,
+            "sourceVersion": str(snap.version),
+        },
+    )

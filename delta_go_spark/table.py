@@ -139,6 +139,14 @@ class DeltaTable:
 
         return restore(self.spark, self.log.table_path, version)
 
+    def clone_shallow(self, dest_path: str) -> "DeltaTable":
+        """Zero-copy fork: dest's log references this table's data files
+        by absolute path (maintenance.clone_shallow)."""
+        from delta_go_spark.maintenance import clone_shallow
+
+        clone_shallow(self.spark, self.log.table_path, dest_path)
+        return DeltaTable.for_path(self.spark, dest_path)
+
     def restore_to_timestamp(self, timestamp_millis: int) -> int:
         from delta_go_spark.maintenance import restore_to_timestamp
 

@@ -253,3 +253,59 @@ def test_restore_to_timestamp(spark, tmp_path):
     assert t.log.update().version == 3
     # read-side timestamp resolution agrees with what was restored
     assert t.timestamp_as_of(2500 * 1000).count() == 20
+
+
+def test_shallow_clone_zero_copy_fork(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.table import DeltaTable
+
+    src_path = str(tmp_path / "clone_src")
+    dst_path = str(tmp_path / "clone_dst")
+    t = DeltaTable.create(
+        spark,
+        src_path,
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(40)],
+            "k long, par string",
+        ),
+        partition_by=["par"],
+    )
+    t.append(spark.createDataFrame([(100, "even")], "k long, par string"))
+
+    c = t.clone_shallow(dst_path)
+    # identical content, fresh history, fresh id
+    assert c.to_df().count() == 41
+    assert c.version() == 0
+    assert (
+        c.log.snapshot().metadata().id != t.log.snapshot().metadata().id
+    )
+    # clone's adds reference the source absolutely; no data copied
+    data_files = [
+        f for f in os.listdir(dst_path) if not f.startswith("_delta_log")
+    ]
+    assert data_files == []
+    # partition pruning still applies on the clone
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from pyspark.sql.types import StringType
+
+    even = EqualTo(Column("par", StringType()), Literal("even"))
+    assert c.to_df(even).count() == 21
+
+    # divergence: writes to the clone never touch the source (and vice versa)
+    c.append(spark.createDataFrame([(200, "odd")], "k long, par string"))
+    t.delete(EqualTo(Column("par", StringType()), Literal("odd")))
+    assert c.to_df().count() == 42
+    assert t.to_df().count() == 21
+
+    # VACUUM on the clone lists only its own root: source files survive
+    c.vacuum(retention_millis=0)
+    assert t.to_df().count() == 21
+    assert c.to_df().count() == 42
+
+    with pytest.raises(DeltaError, match="already exists"):
+        t.clone_shallow(dst_path)
