@@ -29,6 +29,7 @@ from delta_go_spark.operators import (
     cdf_queries,
     coverage,
     delta_queries,
+    funnel,
     rangejoin,
     relational,
     subqueries,
@@ -98,6 +99,7 @@ _MODULES = [
     streaming_windows,  # 4 -> 30-33 (b) + streaming_dedup_events (new r4)
     streaming_stateful,  # 34 (b)
     safety,  # 3 -> 35-37: NEW round-4 ops (decontaminate, redact, dup-frac)
+    funnel,  # NEW round-4: multi-step conversion funnel
     curation,  # 9 -> 38-46 (b)
     _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),  # 4 -> 47-50 (b)
     # ---- window boundary: everything below was r2/r3-green and untouched

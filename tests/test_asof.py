@@ -71,3 +71,39 @@ def test_asof_multi_payload_prefix(spark):
     )
     row = {r["tag"]: r for r in out.collect()}["p2"]
     assert row["prev_etype"] == "view" and row["prev_score"] == 4.0
+
+
+def test_funnel_ordering_and_window(spark):
+    """Step k+1 must be AFTER the user's step-k time and within the window
+    of step 1; out-of-order or late events don't convert."""
+    import datetime as dt
+
+    from delta_go_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1 converts fully in order
+        (1, "signup", ts(0)), (1, "view", ts(10)), (1, "purchase", ts(20)),
+        # u2: purchase BEFORE view -> stops at view
+        (2, "signup", ts(0)), (2, "purchase", ts(5)), (2, "view", ts(10)),
+        # u3: view outside the 1h window -> stops at signup
+        (3, "signup", ts(0)), (3, "view", ts(120)),
+        # u4: no signup -> never enters
+        (4, "view", ts(0)), (4, "purchase", ts(1)),
+        # u5: converts at the window edge (inclusive)
+        (5, "signup", ts(0)), (5, "view", ts(30)), (5, "purchase", ts(60)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r["step"], r["event_type"]): (r["n_users"], r["total_delta_us"])
+        for r in funnel(ev, ["signup", "view", "purchase"], 3600).collect()
+    }
+    assert out[(1, "signup")] == (4, 0)
+    assert out[(2, "view")] == (3, (10 + 10 + 30) * 60_000_000)
+    assert out[(3, "purchase")] == (2, (20 + 60) * 60_000_000)
