@@ -489,3 +489,45 @@ QUERIES: dict = {
     "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
     "q22_global_sales": (q22_global_sales, Q22_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (round 4): top-2 suppliers per nation by
+# account balance.  Exercises Spark's lateral-join decorrelation: Catalyst
+# rewrites the per-nation ORDER BY ... LIMIT subquery into a rank-window
+# over one shuffle of supplier — same plan a hand-written window query
+# would get, but through the SQL surface users actually write.  DuckDB
+# executes the identical LATERAL text natively, an independent
+# implementation of the semantics.
+def lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "v_lat_nation"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "v_lat_supplier"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, s.s_name AS supplier,
+               round(s.s_acctbal, 2) AS acctbal
+        FROM v_lat_nation n,
+        LATERAL (SELECT s_name, s_acctbal FROM v_lat_supplier
+                 WHERE s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        ORDER BY nation, acctbal DESC, supplier
+        """
+    )
+
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name AS nation, s.s_name AS supplier,
+       round(s.s_acctbal, 2) AS acctbal
+FROM nation n,
+LATERAL (SELECT s_name, s_acctbal FROM supplier
+         WHERE s_nationkey = n.n_nationkey
+         ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+ORDER BY nation, acctbal DESC, supplier
+"""
+
+
+QUERIES["lateral_topk_suppliers"] = (lateral_topk_suppliers, LATERAL_TOPK_SQL)

@@ -100,6 +100,7 @@ _MODULES = [
     streaming_stateful,  # 34 (b)
     safety,  # 3 -> 35-37: NEW round-4 ops (decontaminate, redact, dup-frac)
     funnel,  # NEW round-4: multi-step conversion funnel
+    _Pick(subqueries, ["lateral_topk_suppliers"]),  # NEW round-4: LATERAL
     curation,  # 9 -> 38-46 (b)
     _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),  # 4 -> 47-50 (b)
     # ---- window boundary: everything below was r2/r3-green and untouched
@@ -107,7 +108,7 @@ _MODULES = [
     # operators stay pinned locally by check_parity like all of 51+)
     _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
     relational,
-    subqueries,
+    _Pick(subqueries, [n for n in subqueries.QUERIES if n != "lateral_topk_suppliers"]),
     asof,
     rangejoin,
     _Pick(coverage, _COVERAGE_R1_ONLY),
@@ -124,7 +125,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             out[name] = entry
     # A _Pick that names a stale subset would silently drop queries added
     # to its module later — fail loudly instead.
-    for mod in (coverage, dedup, similarity):
+    for mod in (coverage, dedup, similarity, subqueries):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:
             raise ValueError(
