@@ -36,8 +36,15 @@ def optimize(
     target_size_bytes: int = DEFAULT_TARGET_SIZE,
     min_files: int = 2,
     cluster_by: list[str] | None = None,
+    predicate=None,
 ) -> int | None:
     """Compact small active files into ~target-size files.
+
+    `predicate` (partition-only Expression) scopes the compaction to
+    matching partitions — the way a 100 TB table is maintained: compact
+    yesterday's partition, not the world.  Partition pruning is exact, so
+    the scope is precise; a data-column conjunct raises (min/max skipping
+    is conservative and compaction must not silently touch extra files).
 
     Only files smaller than target_size participate; they are grouped into
     bins whose total is ~target_size and each bin is rewritten as one file
@@ -59,7 +66,19 @@ def optimize(
     if snap is None or txn.read_version < 0:
         raise ValueError(f"not a Delta table: {table_path}")
 
-    small = [a for a in snap.all_files() if (a.size or 0) < target_size_bytes]
+    if predicate is not None:
+        from delta_go_spark.scan import DeltaScan
+
+        scan = DeltaScan(snap, predicate)
+        if scan.residual_predicate() is not None:
+            raise ValueError(
+                "OPTIMIZE predicate must be partition-only; residual "
+                f"data predicate: {scan.residual_predicate()}"
+            )
+        candidates = list(scan.files())
+    else:
+        candidates = snap.all_files()
+    small = [a for a in candidates if (a.size or 0) < target_size_bytes]
     # group per partition tuple — compaction must not mix partitions
     by_part: dict[tuple, list[AddFile]] = {}
     for a in small:

@@ -225,17 +225,26 @@ class DeltaSqlContext:
 
         m = re.fullmatch(
             rf"\s*OPTIMIZE\s+({names})"
+            rf"(?:\s+WHERE\s+(.+?))?"
             rf"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z0-9_\s,]+?)\s*\))?\s*",
             stripped,
-            flags=re.IGNORECASE,
+            flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
             t = resolve(m.group(1))
+            pred = None
             if m.group(2):
-                cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+                schema = t.log.snapshot().metadata().schema()
+                pred = parse_predicate(m.group(2), schema)
+            if m.group(3):
+                if pred is not None:
+                    raise ValueError(
+                        "OPTIMIZE ... WHERE with ZORDER BY is not supported"
+                    )
+                cols = [c.strip() for c in m.group(3).split(",") if c.strip()]
                 v = t.zorder(cols)
             else:
-                v = t.optimize()
+                v = t.optimize(predicate=pred)
             # None = nothing to compact; report the (unchanged) version
             return result(v if v is not None else t.version())
 

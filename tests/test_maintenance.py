@@ -309,3 +309,59 @@ def test_shallow_clone_zero_copy_fork(spark, tmp_path):
 
     with pytest.raises(DeltaError, match="already exists"):
         t.clone_shallow(dst_path)
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE WHERE compacts ONLY the matching partition's files; a
+    data-column predicate is refused (conservative skipping must not
+    silently widen the scope)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.expressions import Column, EqualTo, GreaterThan, Literal
+    from delta_go_spark.maintenance import optimize
+    from delta_go_spark.sql import DeltaSqlContext
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import LongType, StringType
+
+    path = str(tmp_path / "opt_where")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(0, "a"), (1, "b")], "k long, par string"
+        ),
+        partition_by=["par"],
+    )
+    for i in range(2, 6):
+        t.append(
+            spark.createDataFrame([(i, "a"), (i, "b")], "k long, par string")
+        )
+
+    def files_by_part():
+        out = {}
+        for a in t.log.update().all_files():
+            out.setdefault(a.partition_values["par"], []).append(a.path)
+        return out
+
+    before = files_by_part()
+    assert len(before["a"]) == 5 and len(before["b"]) == 5
+
+    par_a = EqualTo(Column("par", StringType()), Literal("a"))
+    v = optimize(spark, path, predicate=par_a)
+    assert v is not None
+    after = files_by_part()
+    assert len(after["a"]) == 1                      # compacted
+    assert sorted(after["b"]) == sorted(before["b"])  # untouched
+    assert t.to_df().count() == 10
+
+    with pytest.raises(ValueError, match="partition-only"):
+        optimize(spark, path, predicate=GreaterThan(Column("k", LongType()), Literal(2)))
+
+    # the SQL form scopes identically
+    sess = DeltaSqlContext(spark)
+    sess.register("opt_where", path)
+    sess.sql("OPTIMIZE opt_where WHERE par = 'b'")
+    final = files_by_part()
+    assert len(final["b"]) == 1 and len(final["a"]) == 1
+    assert t.to_df().count() == 10
