@@ -595,3 +595,56 @@ ORDER BY doc_id, chunk_idx
 
 
 QUERIES["chunk_documents_docs"] = (chunk_documents_docs, CHUNK_DOCUMENTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (round 4): the GPT-2-style pre-tokenizer regex —
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs — restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): alternation, classes, +, no lookaround.  The
+# segment count is what a BPE tokenizer would merge within; together with
+# the 1-token-per-4-chars heuristic it brackets the true subword count —
+# the budget estimate every training pipeline needs before the real
+# tokenizer runs (which is a Python library, not a SQL engine's job).
+_BPE_SEGMENT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+)
+
+
+def with_bpe_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_ws_tokens (whitespace), n_bpe_segments (pre-tokenizer
+    segments) and est_subwords (ceil(chars/4), exact integer arithmetic).
+    Pure codegen — one projection, zero shuffle."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(F.split(F.col(text_col), " ")),
+            "n_bpe_segments": F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_BPE_SEGMENT_RE), F.lit(0)
+                )
+            ),
+            "est_subwords": F.floor(
+                (F.length(text_col) + F.lit(3)) / F.lit(4)
+            ).cast("long"),
+        }
+    )
+
+
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_bpe_token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_segments", "est_subwords"
+    ).orderBy("doc_id")
+
+
+BPE_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_SEGMENT_RE.replace("'", "''")}')) AS n_bpe_segments,
+       CAST(floor((length(text) + 3) / 4) AS BIGINT) AS est_subwords
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES["bpe_token_count_docs"] = (bpe_token_count_docs, BPE_TOKEN_COUNT_SQL)
