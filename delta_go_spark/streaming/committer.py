@@ -186,3 +186,100 @@ class DeltaUpsertStreamCommitter:
             txn_app_id=self.app_id,
             txn_version=batch_id,
         )
+
+
+class DeltaIncrementalAggCommitter:
+    """Incremental materialized aggregate: maintain a per-key (n, total)
+    table from a source table's Change Data Feed — the CDC-driven view
+    maintenance every warehouse bolts on top of a change stream.
+
+    Additive aggregates are SIGN-summable from changes: insert/postimage
+    rows contribute +1/+value, delete/preimage rows -1/-value, so each
+    micro-batch folds to ONE tiny per-key delta frame (a single groupBy
+    over the batch) merged into the aggregate table — work proportional
+    to the CHANGE volume, never the table size (the 100 TB property; a
+    recomputation would scan the world every trigger).  This also makes
+    the result independent of CDF fidelity: a pre-CDF file-rewrite commit
+    that degrades to whole-file delete+insert nets the same deltas.
+
+    Exactly-once per batch id: the delta merge carries the SetTransaction
+    token (same contract as DeltaUpsertStreamCommitter).  A group whose
+    count reaches zero keeps its zero row (documented; removing it would
+    need a second transaction and buys nothing for correctness).
+    """
+
+    def __init__(
+        self, table_path: str, app_id: str, key: str, value_col: str
+    ):
+        self.table_path = table_path
+        self.app_id = app_id
+        self.key = key
+        self.value_col = value_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.commit_batch(batch_df, batch_id)
+
+    def commit_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
+        from pyspark.sql import functions as F
+
+        from delta_go_spark.dml import DeltaDml
+        from delta_go_spark.writer import CHANGE_TYPE_COL
+
+        if CHANGE_TYPE_COL not in batch_df.columns:
+            raise ValueError(
+                "DeltaIncrementalAggCommitter needs a CDF batch "
+                f"(readChangeFeed=true); no {CHANGE_TYPE_COL} column"
+            )
+        log = DeltaLog.for_table(self.table_path)
+        txn = log.start_transaction()
+        if txn.txn_version(self.app_id) >= batch_id:
+            return None  # replayed batch
+
+        sign = F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        deltas = (
+            batch_df.groupBy(F.col(self.key))
+            .agg(
+                F.sum(sign).alias("n"),
+                F.sum(sign * F.col(self.value_col)).alias("total"),
+            )
+        )
+
+        exists = txn.snapshot is not None and txn.read_version >= 0
+        if not exists:
+            from delta_go_spark.actions import Metadata, SetTransaction
+            from delta_go_spark.types import schema_to_json
+            from delta_go_spark.writer import stage_files
+
+            txn.update_metadata(
+                Metadata(
+                    schema_string=schema_to_json(deltas.schema),
+                    created_time=log.clock.now_millis(),
+                )
+            )
+            actions = [
+                SetTransaction(
+                    self.app_id, batch_id, log.clock.now_millis()
+                ),
+                *stage_files(deltas, self.table_path, []),
+            ]
+            try:
+                return txn.commit(actions, ops.STREAMING_UPDATE)
+            except DeltaError:
+                check = DeltaLog.for_table(self.table_path).start_transaction()
+                if check.txn_version(self.app_id) >= batch_id:
+                    return None
+                raise
+
+        dml = DeltaDml(batch_df.sparkSession, self.table_path)
+        return dml.merge(
+            deltas,
+            on=self.key,
+            update_set={
+                "n": F.col("n") + F.col("_s_n"),
+                "total": F.col("total") + F.col("_s_total"),
+            },
+            txn_app_id=self.app_id,
+            txn_version=batch_id,
+        )

@@ -281,3 +281,67 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     assert len(q.recentProgress) >= 3, "must have run several micro-batches"
     got = {(r["s_user"], r["value"]) for r in spark.table("ssj_sink").collect()}
     assert got == {(0, 10.0), (1, 20.0)}
+
+
+def test_incremental_agg_committer_tracks_source(spark, tmp_path):
+    """Stream a table's CDF into a per-key (n, total) aggregate: after
+    inserts, updates and deletes across several commits, the maintained
+    aggregate equals a fresh groupBy of the source's final state; a
+    replayed batch id is a no-op."""
+    from delta_go_spark.datasource import register
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from delta_go_spark.streaming.committer import DeltaIncrementalAggCommitter
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import LongType
+
+    register(spark)
+    src_path = str(tmp_path / "iagg_src")
+    agg_path = str(tmp_path / "iagg_dst")
+    src = DeltaTable.create(
+        spark,
+        src_path,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "k long, g string, v double",
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # commits: update moves k=3 value; insert adds to g=b; delete removes k=2
+    src.update(EqualTo(Column("k", LongType()), Literal(3)), {"v": F.lit(31.0)})
+    src.append(spark.createDataFrame([(4, "b", 5.0)], "k long, g string, v double"))
+    src.delete(EqualTo(Column("k", LongType()), Literal(2)))
+
+    committer = DeltaIncrementalAggCommitter(agg_path, app_id="iagg", key="g", value_col="v")
+    chk = str(tmp_path / "iagg_chk")
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .load(src_path)
+        .writeStream.foreachBatch(committer)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    agg = DeltaTable.for_path(spark, agg_path)
+    got = {r["g"]: (r["n"], r["total"]) for r in agg.to_df().collect()}
+    want = {
+        r["g"]: (r["n"], r["total"])
+        for r in src.to_df()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert {k: v for k, v in got.items() if v[0] != 0} == want
+
+    # replay: feeding the last batch again must be a no-op
+    last_version = agg.version()
+    cdf_again = (
+        spark.read.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(src_path)
+    )
+    assert committer.commit_batch(cdf_again, 0) is None
+    assert agg.version() == last_version
