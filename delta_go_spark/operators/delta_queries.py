@@ -282,3 +282,112 @@ ORDER BY l_linestatus
 
 
 QUERIES["delta_datasource_agg"] = (delta_datasource_agg, DELTA_DATASOURCE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate (round 4): build a CDF-enabled source
+# from the events table, run inserts/updates/deletes against it, then
+# STREAM its change feed through DeltaIncrementalAggCommitter into a
+# per-type (n, total) aggregate table.  The query returns that maintained
+# table; the oracle recomputes the same aggregate from the RAW parquet by
+# replaying the DML history in SQL — a hash match proves the incremental
+# path (sign-summed change deltas, merged per micro-batch) converges to
+# exactly the batch recomputation.  Values are integer cents so the
+# incremental sum order cannot drift a float ulp.
+def delta_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.streaming.committer import DeltaIncrementalAggCommitter
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import StringType
+
+    key = sf_dir.strip("/").replace("/", "_")
+    src_path = os.path.join(_CACHE_ROOT, key, "iagg_src")
+    agg_path = os.path.join(_CACHE_ROOT, key, "iagg_agg")
+    chk_path = agg_path + "_chk"
+    marker = agg_path + "_DONE"
+
+    def build_source():
+        shutil.rmtree(agg_path, ignore_errors=True)
+        shutil.rmtree(chk_path, ignore_errors=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            (F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        t = DeltaTable.create(
+            spark,
+            src_path,
+            ev.filter(F.col("event_id") < 1000),
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") < 1200)))
+        t.delete(EqualTo(Column("event_type", StringType()), Literal("click")))
+        t.update(
+            EqualTo(Column("event_type", StringType()), Literal("view")),
+            {"value_cents": F.lit(0).cast("long")},
+        )
+
+    _ensure_built(src_path, 3, build_source)
+    if not os.path.exists(marker):
+        # half-built aggregate (crash mid-stream): wipe and re-stream —
+        # the batch-id tokens are only valid with their own checkpoint
+        shutil.rmtree(agg_path, ignore_errors=True)
+        shutil.rmtree(chk_path, ignore_errors=True)
+        from delta_go_spark.datasource import register
+
+        register(spark)
+        committer = DeltaIncrementalAggCommitter(
+            agg_path, app_id="iagg-query", key="event_type",
+            value_col="value_cents",
+        )
+        q = (
+            spark.readStream.format("delta_go")
+            .option("readChangeFeed", "true")
+            .load(src_path)
+            .writeStream.foreachBatch(committer)
+            .option("checkpointLocation", chk_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(marker, "w").close()
+    agg = DeltaLog.for_table(agg_path).update().to_df(spark)
+    return (
+        agg.filter(F.col("n") != 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("long").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DELTA_INCREMENTAL_AGG_SQL = """
+WITH state AS (
+  -- trunc(): Spark's double->long cast truncates toward zero, DuckDB's
+  -- CAST rounds — make the oracle truncate explicitly
+  SELECT event_type,
+         CASE WHEN event_type = 'view' THEN 0
+              ELSE CAST(trunc(value * 100) AS BIGINT) END AS value_cents
+  FROM events
+  WHERE event_id < 1200 AND event_type <> 'click'
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(value_cents) AS BIGINT) AS total_cents
+FROM state
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["delta_incremental_agg"] = (
+    delta_incremental_agg,
+    DELTA_INCREMENTAL_AGG_SQL,
+)
