@@ -170,3 +170,13 @@ def test_chunk_documents_boundaries(spark):
     assert got[3] == [(0, 1)]
     # stride 8: starts 1, 9, 17 -> lengths 10, 10, 9
     assert got[4] == [(0, 10), (1, 10), (2, 9)]
+
+
+def test_funnel_has_no_nested_loop(spark):
+    """The per-step joins must be hash joins on the user key — never a
+    BroadcastNestedLoop/cartesian (the funnel's 100 TB property)."""
+    from delta_go_spark.operators.funnel import funnel_conversion_events
+
+    plan = _plan(funnel_conversion_events(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
