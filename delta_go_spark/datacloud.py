@@ -63,22 +63,34 @@ def _flag(spark) -> bool | None:
     return None  # "auto" or anything unrecognized: probe
 
 
-def _jvm_probe(spark, uri: str) -> bool:
-    """True iff the JVM resolves a Hadoop FileSystem for the URI.  The
-    REAL table URI is probed (not a synthetic one): resolution can be
-    authority-specific (viewfs mount tables, per-bucket overrides), and
-    FileSystem.get performs no network I/O — it only instantiates the
-    connector class, so a missing jar raises right here."""
+def _jvm_probe(spark, uri: str) -> bool | None:
+    """True iff the JVM resolves a Hadoop FileSystem for the URI; None
+    when the probe could not run AT ALL (no session handle) — only a
+    definitive verdict may be cached.  The REAL table URI is probed (not
+    a synthetic one): resolution can be authority-specific (viewfs mount
+    tables, per-bucket overrides), and FileSystem.get performs no
+    network I/O — it only instantiates the connector class, so a missing
+    jar raises UnsupportedFileSystemException/ClassNotFound right here.
+    Any OTHER exception is treated as not-probed (None), not as "no
+    connector": caching a transient failure would permanently disable
+    the native path for the scheme in this process."""
     if spark is None:
-        return False
+        return None
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         juri = jvm.java.net.URI(uri)
         jvm.org.apache.hadoop.fs.FileSystem.get(juri, conf)
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        msg = str(e)
+        if (
+            "No FileSystem for scheme" in msg
+            or "UnsupportedFileSystemException" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            return False
+        return None
 
 
 def use_native_cloud(spark, uri: str, option: str | None = None) -> bool:
@@ -87,7 +99,10 @@ def use_native_cloud(spark, uri: str, option: str | None = None) -> bool:
     `option` carries a per-read/write override (e.g. the DataSource's
     ``nativeCloud`` option) and beats the session-level flag; pass None
     to defer to conf/env/auto-probe.  With spark=None (DataSource
-    planning worker) only explicit flags can enable the native path.
+    planning worker, or a py4j-pinned thread where getActiveSession()
+    is None) only explicit flags can enable the native path — and that
+    inconclusive state is NOT cached, so a later call with a real
+    session still probes.
     """
     if option is not None:
         val = str(option).strip().lower()
@@ -100,7 +115,10 @@ def use_native_cloud(spark, uri: str, option: str | None = None) -> bool:
         return flag
     key = _probe_key(uri)
     if key not in _probe_cache:
-        _probe_cache[key] = _jvm_probe(spark, uri)
+        verdict = _jvm_probe(spark, uri)
+        if verdict is None:
+            return False  # inconclusive: fall back now, probe again later
+        _probe_cache[key] = verdict
     return _probe_cache[key]
 
 

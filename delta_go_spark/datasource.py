@@ -754,7 +754,11 @@ class _DeltaWriteBase:
             pb = options.get("partitionby")
             if pb is not None:
                 want = [c.strip() for c in pb.split(",") if c.strip()]
-                if want != self.partition_cols:
+                # case-insensitive, like every Delta field lookup
+                # (type_utils.go:100-107)
+                if [c.lower() for c in want] != [
+                    c.lower() for c in self.partition_cols
+                ]:
                     raise ValueError(
                         f"partitionBy {want} does not match the existing "
                         f"table partitioning {self.partition_cols}"

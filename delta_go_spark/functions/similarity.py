@@ -564,9 +564,7 @@ QUERIES["ann_ivf_docs"] = (ann_ivf_docs, None)
 # 4x shrink before an IVF/LSH index is built).  Absent in the reference
 # (README.md:14-16 delegates all compute); first-class here because a
 # 100 TB embedding corpus rarely fits an index in RAM un-quantized.
-def quantize_int8(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric max-abs quantization: scale = max|v|/127,
     q_i = floor(v_i/scale + 0.5) in [-127, 127].
 
@@ -761,7 +759,7 @@ def ann_ivf_int8(
     import math
 
     assigned, centers = ivf_index(corpus, vec_col=vec_col, n_lists=n_lists, seed=seed)
-    coded = quantize_int8(assigned, vec_col=vec_col, id_col=id_col).drop(vec_col)
+    coded = quantize_int8(assigned, vec_col=vec_col).drop(vec_col)
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))

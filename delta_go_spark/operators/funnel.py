@@ -19,13 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delta_go_spark.operators.rangejoin import _us
 from delta_go_spark.session import load_table
-
-_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-
-
-def _us(col: str):
-    return F.expr(_EPOCH_US.format(col=col))
 
 
 def funnel(

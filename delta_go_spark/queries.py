@@ -65,24 +65,32 @@ _COVERAGE_R1_ONLY = [
 #   (a) the 4 queries that have NEVER had a driver row (judge-verified only
 #       in r3): dedup_clusters_docs, simhash_near_dup_docs,
 #       pack_sequences_docs, media_pipeline_summary;
-#   (b) the 7 NEW round-4 operators: streaming_dedup_events,
-#       decontaminate_docs, redact_pii_docs, duplicated_gram_fraction_docs,
-#       quantize_embeddings_int8, semdedup_embeddings (rows-only),
-#       streaming_interval_join_events;
-#   (c) the queries whose code changed this round: the 6 delta-protocol
+#   (b) the NEW round-4 operators (all inside 1-47, verified by the
+#       position probe below): delta_incremental_agg (7),
+#       streaming_dedup_events, decontaminate_docs, redact_pii_docs,
+#       duplicated_gram_fraction_docs, quantize_embeddings_int8,
+#       semdedup_embeddings + ann_ivf_int8_docs (rows-only),
+#       chunk_documents_docs, bpe_token_count_docs, mixture_sample_docs,
+#       streaming_interval_join_events, funnel_conversion_events (46),
+#       lateral_topk_suppliers (47);
+#   (c) the queries whose code changed this round: the delta-protocol
 #       queries (dml.py merge + datasource.py CDF/write + cloud data
 #       plane), simhash_docs / simhash_near_dup_docs (signature +
 #       banding rewrites) and minhash_near_dup_docs;
-#   (d) queries whose last driver check was round 2 (exact/ngram/
-#       keep-longest dedup, norms+knn, textops, sampling, binary_stats,
-#       streaming, curation, and q12 from coverage's r2-checked eight —
-#       the rest were displaced by (b) into 51+).
-# Everything in 51+ was hash-green in an earlier round and is untouched;
-# scripts/check_parity.py still pins all 101 locally.
+#   (d) the remaining 1-50 slots (48-50) hold round-2-green curation rows
+#       (repetition_topword, bigram_repetition, word_entropy).
+# Positions 51+ (rest of curation, q12 + coverage, relational,
+# subqueries, asof, rangejoin, the below-window similarity pick) were all
+# hash-green in earlier driver rounds, are pinned by the pytest oracle
+# sample (tests/test_oracle_parity.py), and scripts/check_parity.py still
+# pins all 108 locally — growth of the round-4 surface displaced them, a
+# deliberate trade: driver slots go to new/changed code first.
+# Position comments are tier labels, not exact slots — the authoritative
+# placement check is tests/test_oracle_parity.py::test_round4_queries_in_window.
 _MODULES = [
     cdf_queries,  # 1 (datasource CDF reader changed)
-    delta_queries,  # 5 -> 2-6 (dml.py / datasource.py / data plane changed)
-    dedup,  # 7 -> 7-13: all seven — banding + clusters changes + (a)+(b)
+    delta_queries,  # 2-7: protocol queries + NEW delta_incremental_agg
+    dedup,  # 8-14: banding + clusters changes + (a)
     _Pick(
         similarity,
         [
@@ -92,20 +100,20 @@ _MODULES = [
             "semdedup_embeddings",
             "ann_ivf_int8_docs",
         ],
-    ),  # 14-18: (b) + NEW round-4 quantization + SemDeDup + IVF-SQ8
-    textops,  # 10 -> 16-25 (b) + pack_sequences_docs (a)
-    sampling,  # 2 -> 26-27 (b)
-    multimodal,  # 2 -> 28-29 (b) + media_pipeline_summary (a)
-    streaming_windows,  # 4 -> 30-33 (b) + streaming_dedup_events (new r4)
-    streaming_stateful,  # 34 (b)
-    safety,  # 3 -> 35-37: NEW round-4 ops (decontaminate, redact, dup-frac)
+    ),  # 15-19: (b) + NEW quantization + SemDeDup + IVF-SQ8
+    textops,  # 20-31: (b) + pack_sequences (a) + NEW chunking + BPE count
+    sampling,  # 32-34: (b) + NEW mixture_sample_docs
+    multimodal,  # (b) + media_pipeline_summary (a)
+    streaming_windows,  # (b) + NEW streaming dedup + interval join
+    streaming_stateful,
+    safety,  # NEW round-4 ops (decontaminate, redact, dup-frac)
     funnel,  # NEW round-4: multi-step conversion funnel
     _Pick(subqueries, ["lateral_topk_suppliers"]),  # NEW round-4: LATERAL
-    curation,  # 9 -> 38-46 (b)
-    _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),  # 4 -> 47-50 (b)
-    # ---- window boundary: everything below was r2/r3-green and untouched
-    # (the four r2-checked coverage rows displaced by the new round-4
-    # operators stay pinned locally by check_parity like all of 51+)
+    curation,  # first 3 rows land inside 1-50; the rest spill past it
+    # ---- window boundary (position 50 falls inside curation) ----------
+    # Everything below was hash-green in earlier driver rounds, is pinned
+    # by the pytest oracle sample, and check_parity pins all 108 locally.
+    _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),
     _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
     relational,
     _Pick(subqueries, [n for n in subqueries.QUERIES if n != "lateral_topk_suppliers"]),

@@ -48,6 +48,15 @@ class DeltaSqlContext:
             raise ValueError(f"invalid table name: {name}")
         self._tables[name] = table_path
 
+    def _key_for(self, name: str) -> str:
+        """Registered-table key for `name`, case-insensitively (statement
+        keywords are case-insensitive, so table names are accepted in any
+        casing too)."""
+        for k in self._tables:
+            if k.lower() == name.lower():
+                return k
+        raise ValueError(f"table not registered: {name}")
+
     def _view_for_version(self, name: str, version: int) -> str:
         view = f"{name}__v{version}"
         log = DeltaLog.for_table(self._tables[name])
@@ -129,10 +138,9 @@ class DeltaSqlContext:
             return self.spark.createDataFrame([(version,)], "version long")
 
         def resolve(name: str) -> DeltaTable:
-            # statement keywords are case-insensitive, so accept the table
-            # name in any casing too
-            key = next(k for k in self._tables if k.lower() == name.lower())
-            return DeltaTable.for_path(self.spark, self._tables[key])
+            return DeltaTable.for_path(
+                self.spark, self._tables[self._key_for(name)]
+            )
 
         m = re.fullmatch(
             rf"\s*DELETE\s+FROM\s+({names})\b(.*)",
@@ -264,13 +272,7 @@ class DeltaSqlContext:
                         "delta",
                         meta.id,
                         meta.name,
-                        self._tables[
-                            next(
-                                k
-                                for k in self._tables
-                                if k.lower() == m.group(1).lower()
-                            )
-                        ],
+                        self._tables[self._key_for(m.group(1))],
                         list(meta.partition_columns),
                         len(files),
                         sum(f.size for f in files),
@@ -359,11 +361,13 @@ class DeltaSqlContext:
         from delta_go_spark.sqlpred import parse_literal
         from delta_go_spark.table import DeltaTable
 
-        key = next(k for k in self._tables if k.lower() == target.lower())
-        t = DeltaTable.for_path(self.spark, self._tables[key])
-        src_key = next(
-            (k for k in self._tables if k.lower() == source.lower()), None
+        t = DeltaTable.for_path(
+            self.spark, self._tables[self._key_for(target)]
         )
+        try:
+            src_key = self._key_for(source)
+        except ValueError:
+            src_key = None
         if src_key is not None:
             src_df = DeltaLog.for_table(self._tables[src_key]).update().to_df(
                 self.spark

@@ -285,11 +285,24 @@ def _stage_files_native(
             )
 
     out = []
-    base = staging_uri.rstrip("/") + "/"
+    # Anchor on the unique per-write "commit-<uuid>" marker rather than
+    # string-prefix-matching the full staging URI: Hadoop's Path.toString
+    # may normalize scheme case/authority ('S3A://', fully-qualified
+    # URIs), which would fail a startswith(base) check — and a bare-
+    # filename guess would fabricate a WRONG AddFile path (and empty
+    # partition values) that commits silently and 404s on every read.
+    marker = "/" + prefix.split("/")[-1] + "/"
     for abs_uri, size, mtime in hadoop_list_files(spark, staging_uri):
         if not abs_uri.endswith(".parquet"):
             continue  # _SUCCESS markers etc.
-        rel = abs_uri[len(base):] if abs_uri.startswith(base) else abs_uri.rsplit("/", 1)[-1]
+        idx = abs_uri.rfind(marker)
+        if idx < 0:
+            raise DeltaError(
+                f"native staging listing returned {abs_uri!r}, which does "
+                f"not contain the staging prefix {marker!r}; refusing to "
+                "guess an AddFile path"
+            )
+        rel = abs_uri[idx + len(marker):]
         rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
         rel_path = f"{prefix}/{rel}"
         out.append(
@@ -598,7 +611,11 @@ def commit_staged_adds(
 
     if exists:
         meta = txn.snapshot.metadata()
-        if partition_by and partition_by != meta.partition_columns:
+        # Delta field lookup is case-insensitive (type_utils.go:100-107);
+        # the partitioning comparison must be too
+        if partition_by and [p.lower() for p in partition_by] != [
+            c.lower() for c in meta.partition_columns
+        ]:
             raise DeltaError(
                 f"partitionBy {partition_by} does not match table "
                 f"partitioning {meta.partition_columns}"
@@ -627,11 +644,32 @@ def commit_staged_adds(
                 dataclasses.replace(meta, schema_string=schema_to_json(evolved))
             )
         required = {f.name for f in table_schema.fields if not f.nullable}
+        # Footer stats are keyed by the FRAME's spelling (the write path
+        # admits case-different spellings), and a required column absent
+        # from the frame altogether materializes as NULL — both must
+        # violate, not silently pass a nulls.get(c, 0) default.
+        frame_cols = {f.name.lower() for f in schema.fields}
+        absent = sorted(
+            c
+            for c in required
+            if c.lower() not in frame_cols
+            and c.lower() not in {p.lower() for p in partition_by}
+        )
+        if absent:
+            raise DeltaError(
+                f"NOT NULL columns {absent} are missing from the written "
+                "DataFrame"
+            )
         for add in adds:
             if not add.stats or not required:
                 continue
-            nulls = json.loads(add.stats).get("nullCount") or {}
-            violated = [c for c in required if nulls.get(c, 0) > 0]
+            nulls = {
+                k.lower(): v
+                for k, v in (
+                    json.loads(add.stats).get("nullCount") or {}
+                ).items()
+            }
+            violated = [c for c in required if nulls.get(c.lower(), 0) > 0]
             if violated:
                 raise DeltaError(
                     f"NOT NULL invariant violated for column(s) {violated} "
@@ -761,8 +799,15 @@ def write_dataframe(
         for add in new_files:
             if not add.stats or not required:
                 continue
-            nulls = (json.loads(add.stats).get("nullCount") or {})
-            violated = [c for c in required if nulls.get(c, 0) > 0]
+            # footer stats carry the frame's spelling; compare
+            # case-insensitively like every other field lookup
+            nulls = {
+                k.lower(): v
+                for k, v in (
+                    json.loads(add.stats).get("nullCount") or {}
+                ).items()
+            }
+            violated = [c for c in required if nulls.get(c.lower(), 0) > 0]
             if violated:
                 from delta_go_spark.store import is_cloud_uri, store_for
 

@@ -94,3 +94,36 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     problems = compare_one(spark, duck, fn, sql, SF_DIR)
     assert not problems, problems  # rebuilt, not served half-built
     assert DeltaLog.for_table(path).update().version == 2
+
+
+def test_round4_queries_in_window():
+    """The driver hash-checks only the FIRST 50 registry entries; every
+    query that is new or whose code changed this round must sit inside
+    that window (the registry's ordering contract)."""
+    from delta_go_spark.queries import queries
+
+    order = list(queries())
+    round4 = [
+        "delta_incremental_agg",
+        "quantize_embeddings_int8",
+        "semdedup_embeddings",
+        "ann_ivf_int8_docs",
+        "chunk_documents_docs",
+        "bpe_token_count_docs",
+        "mixture_sample_docs",
+        "streaming_dedup_events",
+        "streaming_interval_join_events",
+        "decontaminate_docs",
+        "redact_pii_docs",
+        "duplicated_gram_fraction_docs",
+        "funnel_conversion_events",
+        "lateral_topk_suppliers",
+        # never driver-checked before round 4 (judge-verified in r3)
+        "dedup_clusters_docs",
+        "simhash_near_dup_docs",
+        "pack_sequences_docs",
+        "media_pipeline_summary",
+    ]
+    positions = {n: order.index(n) + 1 for n in round4}
+    out_of_window = {n: p for n, p in positions.items() if p > 50}
+    assert not out_of_window, out_of_window

@@ -250,3 +250,45 @@ def test_idempotent_write_with_txn_version(spark, tmp_path):
         path, txn_app_id="job-7", txn_version=2,
     )
     assert DeltaTable.for_path(spark, path).to_df().count() == 25
+
+
+def test_not_null_case_spelling_and_absent_column(spark, tmp_path):
+    """NOT NULL enforcement must survive the case-insensitive field
+    contract: a frame spelling the required column differently, or
+    omitting it entirely, must still violate — footer stats are keyed by
+    the FRAME's spelling and a missing column materializes as NULL."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from delta_go_spark.writer import commit_staged_adds, stage_files
+
+    path = str(tmp_path / "tnn_case")
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("note", StringType(), True),
+        ]
+    )
+    write_dataframe(spark.createDataFrame([(1, "a")], schema), path)
+
+    # case-different spelling with NULLs: stats carry key 'K'
+    bad = spark.createDataFrame(
+        [(None, "x")],
+        StructType(
+            [
+                StructField("K", LongType(), True),
+                StructField("note", StringType(), True),
+            ]
+        ),
+    )
+    adds = stage_files(bad, path, [])
+    with pytest.raises(DeltaError, match="NOT NULL"):
+        commit_staged_adds(path, adds, bad.schema)
+
+    # required column absent from the frame altogether
+    only_note = spark.createDataFrame(
+        [("y",)], StructType([StructField("note", StringType(), True)])
+    )
+    adds2 = stage_files(only_note, path, [])
+    with pytest.raises(DeltaError, match="missing from the written"):
+        commit_staged_adds(path, adds2, only_note.schema)
+    assert DeltaLog.for_table(path).update().version == 0
