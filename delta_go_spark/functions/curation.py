@@ -399,3 +399,98 @@ QUERIES: dict = {
     "length_outlier_docs": (length_outlier_docs, LENGTH_OUTLIER_SQL),
     "source_rank_by_lang": (source_rank_by_lang, SOURCE_RANK_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (round 4): the corpus-to-training-run DAG
+# as ONE declarative plan — normalize+dedup, quality-gate, pack into
+# context windows — the composition a real data pipeline runs nightly,
+# here hash-checked stage-for-stage against DuckDB.
+#
+# Plan shape at 100 TB: stage 1 shuffles 16-byte md5 keys (never the
+# corpus), stage 2 is a codegen filter inside the same stage, stage 3 is
+# a per-source window (embarrassingly parallel across streams).  Catalyst
+# fuses the gate into the dedup-join's project, so the whole pipeline is
+# two shuffles end-to-end (dedup key, stream key).
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_windows, sum_tokens, id_checksum) after:
+    1. bag-of-words dedup — key = md5 of the SORTED DISTINCT token set
+       (catches shuffled-word near-dups exact hashing misses), keep the
+       min-doc_id representative;
+    2. quality gate — 30 <= n_tokens <= 120 (integer bounds: exact on
+       both engines);
+    3. 512-token contiguous packing per source in doc_id order.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(toks))
+            ).cast("binary")
+        ).alias("_k"),
+        F.size(toks).alias("n_tokens"),
+    )
+    keep = base.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    deduped = base.join(keep, ["_k", "doc_id"])
+    gated = deduped.filter(
+        (F.col("n_tokens") >= 30) & (F.col("n_tokens") <= 120)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = gated.withColumn("_end", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor((F.col("_end") - F.col("n_tokens")) / F.lit(512)),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("bin_id").alias("n_windows"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_PIPELINE_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), keep AS (
+  SELECT k, min(doc_id) AS doc_id FROM base GROUP BY k
+), gated AS (
+  SELECT b.doc_id, b.source, b.n_tokens
+  FROM base b JOIN keep USING (k, doc_id)
+  WHERE b.n_tokens BETWEEN 30 AND 120
+), packed AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM gated
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT CAST(floor((e - n_tokens) / 512) AS BIGINT)) AS n_windows,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM packed
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["corpus_curation_pipeline"] = (
+    corpus_curation_pipeline,
+    CURATION_PIPELINE_SQL,
+)

@@ -109,7 +109,11 @@ _MODULES = [
     safety,  # NEW round-4 ops (decontaminate, redact, dup-frac)
     funnel,  # NEW round-4: multi-step conversion funnel
     _Pick(subqueries, ["lateral_topk_suppliers"]),  # NEW round-4: LATERAL
-    curation,  # first 3 rows land inside 1-50; the rest spill past it
+    _Pick(curation, ["corpus_curation_pipeline"]),  # NEW round-4 pipeline
+    _Pick(
+        curation,
+        [n for n in curation.QUERIES if n != "corpus_curation_pipeline"],
+    ),  # first rows land inside 1-50; the rest spill past it
     # ---- window boundary (position 50 falls inside curation) ----------
     # Everything below was hash-green in earlier driver rounds, is pinned
     # by the pytest oracle sample, and check_parity pins all 108 locally.
@@ -133,7 +137,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             out[name] = entry
     # A _Pick that names a stale subset would silently drop queries added
     # to its module later — fail loudly instead.
-    for mod in (coverage, dedup, similarity, subqueries):
+    for mod in (coverage, dedup, similarity, subqueries, curation):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:
             raise ValueError(

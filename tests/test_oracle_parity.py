@@ -118,6 +118,7 @@ def test_round4_queries_in_window():
         "duplicated_gram_fraction_docs",
         "funnel_conversion_events",
         "lateral_topk_suppliers",
+        "corpus_curation_pipeline",
         # never driver-checked before round 4 (judge-verified in r3)
         "dedup_clusters_docs",
         "simhash_near_dup_docs",
