@@ -180,3 +180,89 @@ def test_funnel_has_no_nested_loop(spark):
     plan = _plan(funnel_conversion_events(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_two_data_shuffles(spark):
+    """The end-to-end pipeline must stay at two DATA shuffles (dedup key,
+    stream key) + the presentation sort — and never a nested loop."""
+    import re
+
+    from delta_go_spark.functions.curation import corpus_curation_pipeline
+
+    plan = _plan(corpus_curation_pipeline(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) <= 2, plan
+
+
+def test_chunk_documents_randomized_coverage(spark):
+    """Randomized invariant check (one job, 80 docs): chunk k starts at
+    token k*stride+1; chunks tile the doc with exactly `overlap` shared
+    tokens between neighbors; the union of non-overlap spans reconstructs
+    every token index exactly once; no chunk is empty or oversized."""
+    import random
+
+    from delta_go_spark.functions.textops import chunk_documents
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 300))))
+        for i in range(80)
+    ]
+    n_tokens = {i: len(t.split(" ")) for i, t in rows}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    got = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["n_tokens"]
+    for i, n in n_tokens.items():
+        chunks = got[i]
+        assert set(chunks) == set(range(len(chunks)))  # contiguous idxs
+        assert all(1 <= c <= chunk for c in chunks.values())
+        # start of chunk k is k*stride; last chunk reaches exactly n
+        last = max(chunks)
+        assert last * stride + chunks[last] == n
+        # every non-final chunk is full (only the tail may be short)
+        for k in range(last):
+            assert chunks[k] == chunk or (k * stride + chunks[k]) == n
+        # no spurious tail: a chunk fully inside its predecessor never emits
+        if last > 0:
+            assert last * stride < n - overlap or last == 0
+
+
+def test_quantize_int8_randomized_bounds(spark):
+    """Randomized invariant check: codes within [-127, 127], max|code| is
+    127 for any nonzero vector, reconstruction error <= scale/2 + eps,
+    negative and tiny values included."""
+    import random
+
+    from delta_go_spark.functions.similarity import quantize_int8
+
+    rng = random.Random(13)
+    rows = [
+        (
+            i,
+            [
+                rng.uniform(-10, 10) * (10 ** rng.randint(-6, 3))
+                for _ in range(16)
+            ],
+        )
+        for i in range(60)
+    ]
+    src = {i: v for i, v in rows}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    for r in quantize_int8(df).collect():
+        v32 = [float(x) for x in src[r["vec_id"]]]
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v32]
+        scale = r["scale"]
+        assert all(-127 <= q <= 127 for q in r["q"])
+        assert max(abs(q) for q in r["q"]) == 127
+        for x, q in zip(v32, r["q"]):
+            assert abs(x - q * scale) <= scale / 2 + 1e-12, (x, q, scale)
