@@ -42,6 +42,10 @@ HEADLINE = [
     "duplicated_gram_fraction_docs",  # r4: inter-doc duplication gate
     "quantize_embeddings_int8",  # r4: int8 codes, codegen-only projection
     "semdedup_embeddings",  # r4: SemDeDup k-means + per-cluster matmul
+    "chunk_documents_docs",  # r4: sliding-window chunking (shuffle-free)
+    "funnel_conversion_events",  # r4: multi-step conversion funnel
+    "corpus_curation_pipeline",  # r4: dedup+gate+pack end-to-end
+    "mixture_sample_docs",  # r4: token-budget corpus mixing
 ]
 
 
