@@ -606,8 +606,12 @@ QUERIES["chunk_documents_docs"] = (chunk_documents_docs, CHUNK_DOCUMENTS_SQL)
 # the 1-token-per-4-chars heuristic it brackets the true subword count —
 # the budget estimate every training pipeline needs before the real
 # tokenizer runs (which is a Python library, not a SQL engine's job).
+# whitespace spelled as an EXPLICIT class: Java's \s includes U+000B
+# vertical tab, RE2's does not — an implicit \s would silently diverge
+# the two engines on VT-bearing documents
 _BPE_SEGMENT_RE = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\r\x0B\fA-Za-z0-9]+"
 )
 
 

@@ -77,13 +77,14 @@ _COVERAGE_R1_ONLY = [
 #       queries (dml.py merge + datasource.py CDF/write + cloud data
 #       plane), simhash_docs / simhash_near_dup_docs (signature +
 #       banding rewrites) and minhash_near_dup_docs;
-#   (d) the remaining 1-50 slots (48-50) hold round-2-green curation rows
-#       (repetition_topword, bigram_repetition, word_entropy).
+#   (d) the remaining 1-50 slots hold corpus_curation_pipeline (48) and
+#       the first round-2-green curation rows (repetition_topword,
+#       bigram_repetition at 49-50; word_entropy and later spill to 51+).
 # Positions 51+ (rest of curation, q12 + coverage, relational,
 # subqueries, asof, rangejoin, the below-window similarity pick) were all
 # hash-green in earlier driver rounds, are pinned by the pytest oracle
 # sample (tests/test_oracle_parity.py), and scripts/check_parity.py still
-# pins all 108 locally — growth of the round-4 surface displaced them, a
+# pins all 109 locally — growth of the round-4 surface displaced them, a
 # deliberate trade: driver slots go to new/changed code first.
 # Position comments are tier labels, not exact slots — the authoritative
 # placement check is tests/test_oracle_parity.py::test_round4_queries_in_window.
@@ -116,7 +117,7 @@ _MODULES = [
     ),  # first rows land inside 1-50; the rest spill past it
     # ---- window boundary (position 50 falls inside curation) ----------
     # Everything below was hash-green in earlier driver rounds, is pinned
-    # by the pytest oracle sample, and check_parity pins all 108 locally.
+    # by the pytest oracle sample, and check_parity pins all 109 locally.
     _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),
     _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
     relational,

@@ -235,6 +235,16 @@ class DeltaIncrementalAggCommitter:
         if txn.txn_version(self.app_id) >= batch_id:
             return None  # replayed batch
 
+        if batch_df.filter(F.col(self.key).isNull()).limit(1).count():
+            # merge's equi-join (standard SQL MERGE ON semantics) never
+            # matches NULL = NULL, so a NULL group would insert a fresh
+            # duplicate row EVERY batch instead of accumulating — refuse
+            # loudly rather than silently diverge
+            raise ValueError(
+                f"NULL values in aggregate key '{self.key}': the merge "
+                "join cannot accumulate a NULL group; filter or coalesce "
+                "the key upstream"
+            )
         sign = F.when(
             F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), 1
         ).otherwise(-1)
@@ -242,7 +252,12 @@ class DeltaIncrementalAggCommitter:
             batch_df.groupBy(F.col(self.key))
             .agg(
                 F.sum(sign).alias("n"),
-                F.sum(sign * F.col(self.value_col)).alias("total"),
+                # coalesce: a batch whose contributions for a key are all
+                # NULL in value_col sums to NULL, and NULL would poison
+                # the running total (total + NULL = NULL) forever
+                F.coalesce(
+                    F.sum(sign * F.col(self.value_col)), F.lit(0.0)
+                ).alias("total"),
             )
         )
 
@@ -278,7 +293,8 @@ class DeltaIncrementalAggCommitter:
             on=self.key,
             update_set={
                 "n": F.col("n") + F.col("_s_n"),
-                "total": F.col("total") + F.col("_s_total"),
+                "total": F.coalesce(F.col("total"), F.lit(0.0))
+                + F.col("_s_total"),
             },
             txn_app_id=self.app_id,
             txn_version=batch_id,

@@ -749,7 +749,11 @@ def write_dataframe(
     schema_evolution: Metadata | None = None
     if exists:
         meta = txn.snapshot.metadata()
-        if partition_by and partition_by != meta.partition_columns:
+        # case-insensitive, like every Delta field lookup
+        # (type_utils.go:100-107) and the DataSource write path
+        if partition_by and [p.lower() for p in partition_by] != [
+            c.lower() for c in meta.partition_columns
+        ]:
             raise DeltaError(
                 f"partitionBy {partition_by} does not match table partitioning "
                 f"{meta.partition_columns}"
@@ -757,6 +761,19 @@ def write_dataframe(
         partition_by = meta.partition_columns
         table_schema = meta.schema()
         df = apply_generated_columns(df, table_schema)
+        # NOT NULL columns absent from the frame would materialize as
+        # NULLs — fail BEFORE staging (same guard as commit_staged_adds)
+        frame_cols = {f.name.lower() for f in df.schema.fields}
+        absent_required = sorted(
+            f.name
+            for f in table_schema.fields
+            if not f.nullable and f.name.lower() not in frame_cols
+        )
+        if absent_required:
+            raise DeltaError(
+                f"NOT NULL columns {absent_required} are missing from the "
+                "written DataFrame"
+            )
         known = {f.name.lower() for f in table_schema.fields}
         extras = [f for f in df.schema.fields if f.name.lower() not in known]
         if extras and not merge_schema:

@@ -41,6 +41,9 @@ SAMPLE = [
     "quantize_embeddings_int8",  # new in round 4: int8 codes
     "mixture_sample_docs",  # new in round 4: corpus mixture sampling
     "chunk_documents_docs",  # new in round 4: sliding-window chunking
+    "bpe_token_count_docs",  # new in round 4: pre-tokenizer segments
+    "corpus_curation_pipeline",  # new in round 4: end-to-end pipeline
+    "delta_incremental_agg",  # new in round 4: CDF view maintenance
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]

@@ -345,3 +345,42 @@ def test_incremental_agg_committer_tracks_source(spark, tmp_path):
     )
     assert committer.commit_batch(cdf_again, 0) is None
     assert agg.version() == last_version
+
+
+def test_incremental_agg_null_values_and_null_keys(spark, tmp_path):
+    """All-NULL value contributions must not poison the running total
+    (sum over only-NULLs is NULL; total + NULL = NULL forever), and NULL
+    group keys must be refused loudly (merge's equi-join would insert a
+    duplicate row per batch instead of accumulating)."""
+    import pytest
+
+    from delta_go_spark.streaming.committer import DeltaIncrementalAggCommitter
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import CHANGE_TYPE_COL
+
+    agg_path = str(tmp_path / "nagg")
+    committer = DeltaIncrementalAggCommitter(
+        agg_path, app_id="nagg", key="g", value_col="v"
+    )
+    b0 = spark.createDataFrame(
+        [("a", 10.0, "insert"), ("b", 1.0, "insert")],
+        f"g string, v double, {CHANGE_TYPE_COL} string",
+    )
+    committer.commit_batch(b0, 0)
+    # batch 1: 'a' contributes only a NULL value
+    b1 = spark.createDataFrame(
+        [("a", None, "insert")], f"g string, v double, {CHANGE_TYPE_COL} string"
+    )
+    committer.commit_batch(b1, 1)
+    got = {
+        r["g"]: (r["n"], r["total"])
+        for r in DeltaTable.for_path(spark, agg_path).to_df().collect()
+    }
+    assert got["a"] == (2, 10.0)   # NULL contribution counts, adds 0
+    assert got["b"] == (1, 1.0)
+
+    bad = spark.createDataFrame(
+        [(None, 5.0, "insert")], f"g string, v double, {CHANGE_TYPE_COL} string"
+    )
+    with pytest.raises(ValueError, match="NULL values in aggregate key"):
+        committer.commit_batch(bad, 2)
