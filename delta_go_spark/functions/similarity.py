@@ -485,6 +485,7 @@ def ivf_index(
     vec_col: str = "embedding",
     n_lists: int = 16,
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """Train the coarse quantizer and assign every vector to its list.
 
@@ -498,7 +499,13 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = df.withColumn("_v", array_to_vector(_as_double(vec_col)))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list")
+    km = KMeans(
+        k=n_lists,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_v",
+        predictionCol="_list",
+    )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("_v")
     centers = [list(map(float, c)) for c in model.clusterCenters()]
@@ -684,8 +691,11 @@ def semdedup(
     """
     import pandas as pd
 
+    # dedup only needs a stable partition of the space, not a converged
+    # quantizer: fewer Lloyd iterations, identical guarantees (every
+    # cluster is pruned exactly; only the grouping differs)
     assigned, _centers = ivf_index(
-        df, vec_col=vec_col, n_lists=n_clusters, seed=seed
+        df, vec_col=vec_col, n_lists=n_clusters, seed=seed, max_iter=8
     )
     e = _as_double(vec_col)
     normed = assigned.select(

@@ -266,3 +266,13 @@ def test_quantize_int8_randomized_bounds(spark):
         assert max(abs(q) for q in r["q"]) == 127
         for x, q in zip(v32, r["q"]):
             assert abs(x - q * scale) <= scale / 2 + 1e-12, (x, q, scale)
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    """Per-source thresholds must attach via a broadcast join — never a
+    shuffle of the corpus on the source key."""
+    from delta_go_spark.functions.sampling import mixture_sample_docs
+
+    plan = _plan(mixture_sample_docs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
