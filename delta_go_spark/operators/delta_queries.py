@@ -391,3 +391,118 @@ QUERIES["delta_incremental_agg"] = (
     delta_incremental_agg,
     DELTA_INCREMENTAL_AGG_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution through the log (round 4): v0 writes orders WITHOUT a
+# channel column; v1 appends WITH one via mergeSchema — old rows read back
+# as typed NULLs under the evolved schema.  Driver-green evidence for the
+# write-compatibility rules (reference types/type_utils.go:109-133: adding
+# nullable columns is the one legal evolution).
+def delta_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "evo_orders")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t = DeltaTable.create(
+            spark, path, orders.filter(F.col("o_orderkey") % 2 == 0)
+        )
+        newer = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store"),
+        )
+        t.append(newer, merge_schema=True)
+
+    _ensure_built(path, 1, build)
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("o_orderstatus", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("o_orderstatus", "channel")
+    )
+
+
+DELTA_SCHEMA_EVOLUTION_SQL = """
+WITH evolved AS (
+  SELECT o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+              ELSE NULL END AS channel
+  FROM orders
+)
+SELECT o_orderstatus, channel,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM evolved
+GROUP BY o_orderstatus, channel
+ORDER BY o_orderstatus, channel
+"""
+
+
+QUERIES["delta_schema_evolution_agg"] = (
+    delta_schema_evolution_agg,
+    DELTA_SCHEMA_EVOLUTION_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Generated columns through the write path (round 4): o_year is declared
+# with delta.generationExpression = year(o_orderdate); the second append
+# OMITS it and the engine computes it.  A CHECK constraint added mid-
+# history validates existing rows and gates both appends.  The oracle
+# recomputes the generation expression from the raw parquet — a hash
+# match proves stored values == declared expression over every row.
+def delta_generated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "gen_orders")
+
+    def build():
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        t = DeltaTable.create(
+            spark,
+            path,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            generated={"o_year": "year(o_orderdate)"},
+        )
+        t.add_check_constraint("price_nonneg", "o_totalprice >= 0")
+        # generated column omitted: computed by the engine on write
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    _ensure_built(path, 2, build)
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_year")
+    )
+
+
+DELTA_GENERATED_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+QUERIES["delta_generated_agg"] = (delta_generated_agg, DELTA_GENERATED_SQL)

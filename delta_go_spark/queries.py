@@ -77,9 +77,8 @@ _COVERAGE_R1_ONLY = [
 #       queries (dml.py merge + datasource.py CDF/write + cloud data
 #       plane), simhash_docs / simhash_near_dup_docs (signature +
 #       banding rewrites) and minhash_near_dup_docs;
-#   (d) the remaining 1-50 slots hold corpus_curation_pipeline (48) and
-#       the first round-2-green curation rows (repetition_topword,
-#       bigram_repetition at 49-50; word_entropy and later spill to 51+).
+#   (d) corpus_curation_pipeline closes the window at position 50;
+#       curation's round-2-green rows spill to 51+ (pytest-pinned).
 # Positions 51+ (rest of curation, q12 + coverage, relational,
 # subqueries, asof, rangejoin, the below-window similarity pick) were all
 # hash-green in earlier driver rounds, are pinned by the pytest oracle

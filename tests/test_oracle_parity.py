@@ -44,6 +44,8 @@ SAMPLE = [
     "bpe_token_count_docs",  # new in round 4: pre-tokenizer segments
     "corpus_curation_pipeline",  # new in round 4: end-to-end pipeline
     "delta_incremental_agg",  # new in round 4: CDF view maintenance
+    "delta_schema_evolution_agg",  # new in round 4: mergeSchema append
+    "delta_generated_agg",  # new in round 4: generated cols + CHECK
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
@@ -108,6 +110,8 @@ def test_round4_queries_in_window():
     order = list(queries())
     round4 = [
         "delta_incremental_agg",
+        "delta_schema_evolution_agg",
+        "delta_generated_agg",
         "quantize_embeddings_int8",
         "semdedup_embeddings",
         "ann_ivf_int8_docs",
