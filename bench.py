@@ -46,6 +46,7 @@ HEADLINE = [
     "funnel_conversion_events",  # r4: multi-step conversion funnel
     "corpus_curation_pipeline",  # r4: dedup+gate+pack end-to-end
     "mixture_sample_docs",  # r4: token-budget corpus mixing
+    "shuffle_shard_docs",  # r4: training-shard permutation export
 ]
 
 

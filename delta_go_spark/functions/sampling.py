@@ -268,3 +268,122 @@ ORDER BY tk.source
 
 
 QUERIES["mixture_sample_docs"] = (mixture_sample_docs, MIXTURE_SAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-shard export — the FINAL step of a training-data pipeline: give
+# every document a deterministic pseudorandom position in one of N shards
+# so the training job reads a stable global permutation (no RNG state, no
+# epoch-to-epoch drift, reproducible on any cluster layout).
+#
+# Plan shape (the part that matters at 100 TB): shard = content hash mod
+# N, so ONE hash-partition exchange on the shard key distributes the
+# corpus; the per-shard ordering is a sort WITHIN each shard (row_number
+# window partitioned by shard) — there is never a global sort.  md5 is
+# uniform, so shards are balanced by construction; pick n_shards so a
+# shard ~= the target output file size (the shard is the unit one writer
+# task must produce in order anyway).
+def shuffle_shard(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Assign each row a deterministic (shard, position) under a
+    pseudorandom global permutation keyed by ``md5(key || salt)``.
+
+    Position is dense 1..shard_size within each shard, ordered by the
+    hash (ties broken by the key columns, so the permutation is total
+    and reproducible even across hash collisions)."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hx = _bucket(key_cols, salt)
+    out = df.withColumn("_hx", hx).withColumn(
+        shard_col,
+        F.pmod(F.conv(F.col("_hx"), 16, 10).cast("long"), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_hx"), *key_cols)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("_hx")
+
+
+def shuffle_shard_export(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    path: str,
+    salt: str = "",
+) -> None:
+    """Write the shuffled corpus as ``path/shard=K/*.parquet``, each shard
+    internally ordered by the permutation.  repartition on the shard key
+    (one exchange) + sortWithinPartitions keeps every shard a single
+    ordered writer task — the layout a sequential training reader wants."""
+    sharded = shuffle_shard(df, key_cols, n_shards, salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+_SHARD_SALT = "dgs-shard-r4"
+_N_SHARDS = 16
+
+
+def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 16-shard permutation of the documents corpus,
+    summarized per shard.  ``perm_checksum`` = sum(doc_id * pos) pins the
+    ENTIRE permutation — swapping any two documents' positions changes it
+    — so the hash match proves shard membership AND within-shard order,
+    not just counts.  The shard-key agg reuses the window's partitioning
+    (no second exchange; pinned in test_plan_shapes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shuffle_shard(docs, ["doc_id"], _N_SHARDS, _SHARD_SALT)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum(F.col("doc_id") * F.col("pos")).alias("perm_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+# 16 = 16^1 divides the 8-hex-digit hash space, so bucket mod 16 equals the
+# value of the LAST hex digit — which DuckDB (no hex→int cast for strings)
+# can compute portably via strpos on the digit alphabet.
+SHUFFLE_SHARD_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR) || '{_SHARD_SALT}'), 1,
+                {_HEX_DIGITS}) AS hx
+  FROM documents
+), s AS (
+  SELECT doc_id, hx,
+         CAST(strpos('0123456789abcdef',
+                     substr(hx, {_HEX_DIGITS}, 1)) - 1 AS INT) AS shard
+  FROM h
+), p AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos
+  FROM s
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(doc_id * pos) AS BIGINT) AS perm_checksum
+FROM p
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+QUERIES["shuffle_shard_docs"] = (shuffle_shard_docs, SHUFFLE_SHARD_SQL)

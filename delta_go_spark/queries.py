@@ -102,7 +102,10 @@ _MODULES = [
         ],
     ),  # 15-19: (b) + NEW quantization + SemDeDup + IVF-SQ8
     textops,  # 20-31: (b) + pack_sequences (a) + NEW chunking + BPE count
-    sampling,  # 32-34: (b) + NEW mixture_sample_docs
+    _Pick(
+        sampling,
+        ["hash_sample_docs", "stratified_sample_docs", "mixture_sample_docs"],
+    ),  # 32-34: (b) + NEW mixture_sample_docs
     multimodal,  # (b) + media_pipeline_summary (a)
     streaming_windows,  # (b) + NEW streaming dedup + interval join
     streaming_stateful,
@@ -125,6 +128,7 @@ _MODULES = [
     rangejoin,
     _Pick(coverage, _COVERAGE_R1_ONLY),
     _Pick(similarity, ["cosine_near_dup_docs", "ann_lsh_docs", "ann_ivf_docs"]),
+    _Pick(sampling, ["shuffle_shard_docs"]),  # NEW late-r4: below window
 ]
 
 
@@ -137,7 +141,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             out[name] = entry
     # A _Pick that names a stale subset would silently drop queries added
     # to its module later — fail loudly instead.
-    for mod in (coverage, dedup, similarity, subqueries, curation):
+    for mod in (coverage, dedup, similarity, subqueries, curation, sampling):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:
             raise ValueError(

@@ -276,3 +276,13 @@ def test_mixture_sample_broadcasts_thresholds(spark):
     plan = _plan(mixture_sample_docs(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_shuffle_shard_single_exchange(spark):
+    """The shard window's hash partitioning must be reused by the per-shard
+    aggregate — one exchange total, never a global sort."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["shuffle_shard_docs"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan.split("Sort [shard")[0], plan

@@ -88,3 +88,43 @@ def test_mixture_sample_budget_and_weights(spark):
         ).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert again == got
+
+
+def test_shuffle_shard_permutation_properties(docs):
+    from delta_go_spark.functions.sampling import shuffle_shard
+
+    n = docs.count()
+    out = shuffle_shard(docs, ["doc_id"], 4, salt="sh").cache()
+    try:
+        rows = out.select("doc_id", "shard", "pos").collect()
+        assert len(rows) == n                       # a permutation: no loss
+        assert {r["shard"] for r in rows} <= set(range(4))
+        # positions are dense 1..size within each shard
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # md5 balance: no shard more than 2x the fair share at 4 shards
+        assert max(len(p) for p in by_shard.values()) < 2 * n / 4 + 8
+        # deterministic: identical second assignment
+        again = sorted(
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in shuffle_shard(docs, ["doc_id"], 4, salt="sh").collect()
+        )
+        assert again == sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    finally:
+        out.unpersist()
+
+
+def test_shuffle_shard_export_roundtrip(docs, tmp_path):
+    from delta_go_spark.functions.sampling import shuffle_shard_export
+
+    path = str(tmp_path / "shards")
+    shuffle_shard_export(docs, ["doc_id"], 4, path, salt="sh")
+    spark = docs.sparkSession
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # each shard directory holds exactly that shard, readable in pos order
+    one = spark.read.parquet(f"{path}/shard=2").orderBy("pos").collect()
+    assert [r["pos"] for r in one] == list(range(1, len(one) + 1))
