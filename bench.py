@@ -47,6 +47,7 @@ HEADLINE = [
     "corpus_curation_pipeline",  # r4: dedup+gate+pack end-to-end
     "mixture_sample_docs",  # r4: token-budget corpus mixing
     "shuffle_shard_docs",  # r4: training-shard permutation export
+    "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
 ]
 
 

@@ -723,3 +723,124 @@ ORDER BY l.doc_id
 
 
 QUERIES["dedup_clusters_docs"] = (dedup_clusters_docs, DEDUP_CLUSTERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document SEGMENT dedup (the C4 / RefinedWeb "repeated paragraph"
+# rule): split every document into units, keep only the FIRST occurrence
+# (ordered by doc_id, then position) of each distinct unit corpus-wide,
+# and reassemble the survivors in original order.  Real corpora split on
+# paragraph breaks; this synthetic corpus has none, so the unit is a
+# fixed-width token segment — the splitter is the only pluggable part.
+#
+# Scale design: segments shuffle as (doc_id, seg_idx, 16-byte md5) — the
+# TEXT never travels.  First-occurrence is a groupBy-min on the segment
+# hash (map-side partial aggregation absorbs hot segments: a boilerplate
+# unit repeated 10^6 times combines locally instead of skewing one
+# window partition), the keep-mask joins back on the same hash key, and
+# reassembly rebuilds text from each doc's OWN token array via one
+# doc_id join.  Three narrow-key shuffles total, AQE-skew-safe.
+def segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_segments, n_kept, rebuilt_md5): rebuilt_md5 fingerprints the
+    document text after dropping every repeated segment occurrence (the
+    first occurrence corpus-wide survives; ties are impossible because
+    (doc_id, seg_idx) is unique)."""
+    k = seg_tokens
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.greatest(F.lit(1), F.ceil(F.size(toks) / F.lit(k)))
+    segs = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), (n_segs - 1).cast("int"))).alias(
+            "seg_idx"
+        ),
+    ).select(
+        id_col,
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_t"), F.col("seg_idx") * k + 1, k)
+            ).cast("binary")
+        ).alias("_h"),
+    )
+    firsts = segs.groupBy("_h").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("_first")
+    )
+    flagged = segs.join(firsts, "_h").select(
+        id_col,
+        "seg_idx",
+        (F.struct(id_col, "seg_idx") == F.col("_first")).alias("_kept"),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("_kept"), F.col("seg_idx")))
+        ).alias("_idxs"),
+    )
+    rebuilt = F.array_join(
+        F.flatten(
+            F.transform(
+                F.col("_idxs"),
+                lambda i: F.slice(F.col("_toks"), i * k + 1, k),
+            )
+        ),
+        " ",
+    )
+    return (
+        per_doc.join(df.select(id_col, toks.alias("_toks")), id_col)
+        .select(
+            id_col,
+            "n_segments",
+            "n_kept",
+            F.md5(rebuilt.cast("binary")).alias("rebuilt_md5"),
+        )
+    )
+
+
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=4).orderBy("doc_id")
+
+
+SEGMENT_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), seg AS (
+  SELECT doc_id, tk, unnest(generate_series(0,
+           CAST(greatest(1, ceil(n / 4.0)) AS BIGINT) - 1)) AS seg_idx
+  FROM toks
+), hashed AS (
+  SELECT doc_id, seg_idx,
+         md5(array_to_string(tk[seg_idx*4+1 : seg_idx*4+4], ' ')) AS h
+  FROM seg
+), ranked AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM hashed
+), perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_segments,
+         CAST(sum(CAST(rn = 1 AS INT)) AS BIGINT) AS n_kept,
+         list_sort(coalesce(list(seg_idx) FILTER (WHERE rn = 1),
+                            []::BIGINT[])) AS idxs
+  FROM ranked GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_segments AS BIGINT) AS n_segments,
+       p.n_kept,
+       md5(coalesce(array_to_string(flatten(list_transform(p.idxs,
+             i -> t.tk[i*4+1 : i*4+4])), ' '), '')) AS rebuilt_md5
+FROM perdoc p JOIN toks t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES["segment_dedup_docs"] = (segment_dedup_docs, SEGMENT_DEDUP_SQL)

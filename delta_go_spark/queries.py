@@ -90,7 +90,18 @@ _COVERAGE_R1_ONLY = [
 _MODULES = [
     cdf_queries,  # 1 (datasource CDF reader changed)
     delta_queries,  # 2-7: protocol queries + NEW delta_incremental_agg
-    dedup,  # 8-14: banding + clusters changes + (a)
+    _Pick(
+        dedup,
+        [
+            "exact_dedup_docs",
+            "ngram_jaccard_pairs_docs",
+            "minhash_near_dup_docs",
+            "simhash_docs",
+            "simhash_near_dup_docs",
+            "dedup_keep_longest_docs",
+            "dedup_clusters_docs",
+        ],
+    ),  # 8-14: banding + clusters changes + (a)
     _Pick(
         similarity,
         [
@@ -129,6 +140,7 @@ _MODULES = [
     _Pick(coverage, _COVERAGE_R1_ONLY),
     _Pick(similarity, ["cosine_near_dup_docs", "ann_lsh_docs", "ann_ivf_docs"]),
     _Pick(sampling, ["shuffle_shard_docs"]),  # NEW late-r4: below window
+    _Pick(dedup, ["segment_dedup_docs"]),  # NEW late-r4: below window
 ]
 
 

@@ -349,3 +349,48 @@ def test_ann_ivf_int8_recall_vs_float(spark):
     full = {r["vec_id"] for r in ann_ivf_int8(corpus, qvec, nprobe=16).collect()}
     # probing every list: misses only where quantization noise reorders
     assert len(full & exact) >= 8
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    """A segment shared by two docs survives only in the lower doc_id; a
+    segment repeated WITHIN one doc survives only at its first position."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import segment_dedup
+
+    # k=2 segments: doc 1 = [a b][c d], doc 2 = [a b][x y],
+    # doc 3 = [p q][p q] (intra-doc repeat)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "p q p q")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, seg_tokens=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["rebuilt_md5"] == md5("a b c d")
+    # doc 2 loses "a b" to doc 1 and keeps only "x y"
+    assert out[2]["n_kept"] == 1
+    assert out[2]["rebuilt_md5"] == md5("x y")
+    # doc 3 keeps the first "p q" only
+    assert out[3]["n_kept"] == 1
+    assert out[3]["rebuilt_md5"] == md5("p q")
+
+
+def test_segment_dedup_total_loss_yields_empty_text(spark):
+    """A doc whose every segment already appeared rebuilds to ''."""
+    import hashlib
+
+    from delta_go_spark.functions.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "c d a b")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=2).collect()}
+    assert out[2]["n_kept"] == 0
+    assert out[2]["rebuilt_md5"] == hashlib.md5(b"").hexdigest()

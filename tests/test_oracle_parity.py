@@ -47,6 +47,7 @@ SAMPLE = [
     "delta_schema_evolution_agg",  # new in round 4: mergeSchema append
     "delta_generated_agg",  # new in round 4: generated cols + CHECK
     "shuffle_shard_docs",  # new in round 4: training-shard permutation
+    "segment_dedup_docs",  # new in round 4: C4-style repeated-segment drop
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]

@@ -286,3 +286,14 @@ def test_shuffle_shard_single_exchange(spark):
     plan = _plan(queries()["shuffle_shard_docs"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan.split("Sort [shard")[0], plan
+
+
+def test_segment_dedup_shuffles_hashes_not_text(spark):
+    """First-occurrence selection must be a partial-aggregable groupBy-min
+    (skew-safe under hot boilerplate segments), never a window rank; and
+    the reassembly join carries token arrays only on the doc_id side."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["segment_dedup_docs"](spark, SF_DIR))
+    assert "partial_min" in plan, plan      # map-side combine on seg hash
+    assert "Window" not in plan, plan       # no skew-prone global rank
