@@ -48,6 +48,7 @@ HEADLINE = [
     "mixture_sample_docs",  # r4: token-budget corpus mixing
     "shuffle_shard_docs",  # r4: training-shard permutation export
     "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
+    "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
 ]
 
 

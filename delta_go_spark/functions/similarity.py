@@ -806,3 +806,143 @@ def ann_ivf_int8_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_int8_docs"] = (ann_ivf_int8_docs, None)
+
+
+# ---------------------------------------------------------------------------
+# Label-consistency audit (supervised-data curation): assign every vector
+# to its nearest per-label centroid and report the label-vs-nearest
+# confusion matrix — off-diagonal cells are the candidate mislabels a
+# finetuning-data pipeline routes to review (the centroid special case of
+# confident-learning-style audits).
+#
+# Cross-engine determinism is the hard part: a float row-sum's value
+# depends on reduction order, so everything stays in INTEGERS.  Vector
+# components quantize as q_i = floor(x_i * 2^20) (exact, order-free);
+# centroids round to integer components c_i = floor(csum_i / n_l); the
+# argmin compares score_l = sum_i (q_i - c_i)^2 — an exact integer in
+# every engine, no float reduction anywhere, ties broken by ascending
+# label.  Bound: |score| <= dim * (2 * 2^20 * max|x|)^2, safe in int64
+# for any label size and |x| up to ~500 under ANSI mode.
+#
+# Scale: one narrow (label, pos, long) shuffle builds the centroids; the
+# #labels x dim table collects to the driver (classification label sets
+# are small by nature — same O(small) driver state as IVF centroids) and
+# re-enters the plan as literals, so scoring is a single scan with
+# per-row expressions.  At very high #labels x dim, swap the zip_with
+# scoring for the Arrow matmul pattern used by ANN-LSH signatures.
+_LABEL_Q_SCALE = 1 << 20
+
+
+def label_centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(label, nearest, n_vecs, id_checksum): nearest-centroid confusion
+    matrix over integer-quantized embeddings and integer-rounded
+    centroids (the quantization IS the contract — it is what makes the
+    audit bit-reproducible on any engine or cluster layout)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * _LABEL_Q_SCALE).cast("long"),
+    )
+    base = df.select(F.col(id_col), F.col(label_col), q.alias("_q"))
+    ex = base.select(label_col, F.posexplode("_q").alias("_pos", "_qv"))
+    cent = (
+        ex.groupBy(label_col, "_pos")
+        .agg(F.sum("_qv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in cent:
+        # Python // floors (matches the oracle's floor(cs / n) on exact
+        # doubles); centroid components are plain ints thereafter.
+        by_label.setdefault(r[label_col], {})[r["_pos"]] = (
+            r["_cs"] // r["_n"]
+        )
+    labels = sorted(by_label)
+
+    scored = base
+    for lab in labels:
+        dim = len(by_label[lab])
+        c = [int(by_label[lab][p]) for p in range(dim)]
+        score = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(v) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = scored.withColumn(f"_s_{lab}", score)
+    best = F.least(*[F.col(f"_s_{lab}") for lab in labels])
+    nearest = F.lit(None).cast("int")
+    # first match in ascending label order = deterministic tie-break
+    for lab in reversed(labels):
+        nearest = F.when(F.col(f"_s_{lab}") == best, F.lit(lab)).otherwise(
+            nearest
+        )
+    return (
+        scored.select(label_col, nearest.alias("nearest"), id_col)
+        .groupBy(label_col, "nearest")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(id_col).alias("id_checksum"),
+        )
+        .orderBy(label_col, "nearest")
+    )
+
+
+def mislabel_confusion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_confusion(emb)
+
+
+# floor(cs / n): BIGINT / BIGINT is DOUBLE in DuckDB and |cs| < 2^40 is
+# exactly representable, so the floor matches Python's // on the driver.
+MISLABEL_CONFUSION_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_LABEL_Q_SCALE}) AS BIGINT))
+           AS qs
+  FROM embeddings
+), ex AS (
+  SELECT label, p.pos, qs[p.pos] AS qv
+  FROM q, (SELECT unnest(generate_series(1, 64)) AS pos) p
+), cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(sum(qv) AS BIGINT) / count(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, pos
+), centl AS (
+  SELECT label, list(c ORDER BY pos) AS cl
+  FROM cent GROUP BY label
+), scored AS (
+  SELECT q.vec_id, q.label AS label, c.label AS cand,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> (q.qs[i] - c.cl[i]) * (q.qs[i] - c.cl[i])))
+           AS BIGINT) AS score
+  FROM q CROSS JOIN centl c
+), best AS (
+  SELECT vec_id, label, cand AS nearest
+  FROM (SELECT vec_id, label, cand, score,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score, cand) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT label, nearest,
+       count(*) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+FROM best
+GROUP BY label, nearest
+ORDER BY label, nearest
+"""
+
+
+QUERIES["mislabel_confusion_embeddings"] = (
+    mislabel_confusion_embeddings,
+    MISLABEL_CONFUSION_SQL,
+)

@@ -138,7 +138,15 @@ _MODULES = [
     asof,
     rangejoin,
     _Pick(coverage, _COVERAGE_R1_ONLY),
-    _Pick(similarity, ["cosine_near_dup_docs", "ann_lsh_docs", "ann_ivf_docs"]),
+    _Pick(
+        similarity,
+        [
+            "cosine_near_dup_docs",
+            "ann_lsh_docs",
+            "ann_ivf_docs",
+            "mislabel_confusion_embeddings",  # NEW late-r4: below window
+        ],
+    ),
     _Pick(sampling, ["shuffle_shard_docs"]),  # NEW late-r4: below window
     _Pick(dedup, ["segment_dedup_docs"]),  # NEW late-r4: below window
 ]

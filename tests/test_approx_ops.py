@@ -394,3 +394,28 @@ def test_segment_dedup_total_loss_yields_empty_text(spark):
     out = {r["doc_id"]: r for r in segment_dedup(df, seg_tokens=2).collect()}
     assert out[2]["n_kept"] == 0
     assert out[2]["rebuilt_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_label_confusion_flags_planted_mislabel(spark):
+    """Two tight clusters; one vector carries the wrong label and must
+    land in the off-diagonal cell of the confusion matrix."""
+    from delta_go_spark.functions.similarity import label_centroid_confusion
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    jig = lambda v, e: [x + e for x in v]
+    rows = (
+        [(i, jig(a, i * 0.001), 0) for i in range(1, 5)]
+        + [(10 + i, jig(b, i * 0.001), 1) for i in range(1, 5)]
+        + [(99, jig(a, 0.002), 1)]  # planted: near cluster A, labeled 1
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r["label"], r["nearest"]): (r["n_vecs"], r["id_checksum"])
+        for r in label_centroid_confusion(df).collect()
+    }
+    assert out[(0, 0)][0] == 4          # cluster A all consistent
+    assert out[(1, 0)] == (1, 99)       # the plant is the only off-diagonal
+    assert out[(1, 1)][0] == 4

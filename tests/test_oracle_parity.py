@@ -48,6 +48,7 @@ SAMPLE = [
     "delta_generated_agg",  # new in round 4: generated cols + CHECK
     "shuffle_shard_docs",  # new in round 4: training-shard permutation
     "segment_dedup_docs",  # new in round 4: C4-style repeated-segment drop
+    "mislabel_confusion_embeddings",  # new in round 4: label audit
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
