@@ -49,6 +49,7 @@ HEADLINE = [
     "shuffle_shard_docs",  # r4: training-shard permutation export
     "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
     "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
+    "minhash_incremental_docs",  # r4: CDF-incremental near-dup upkeep
 ]
 
 

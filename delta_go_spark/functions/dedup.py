@@ -262,7 +262,6 @@ def minhash_lsh_pairs(
     verification is array_intersect over 8-byte hashes on candidates only —
     no quadratic stage ever touches the corpus.
     """
-    rows = num_perm // bands
     # Signatures are materialized once (num_perm longs + hashed-shingle set
     # per doc — tiny next to the corpus); everything downstream (banding +
     # both sides of the verify join) reads the materialization instead of
@@ -276,18 +275,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, num_perm, k).localCheckpoint(
         eager=False
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("band")).select(
-        "doc",
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_hash").alias("band_hash"),
-    )
+    banded = _band_table(sig, num_perm, bands)
     # Candidate pairs by grouping each LSH bucket (one shuffle on the band
     # key) rather than a self-join, which would shuffle both sides; the
     # in-bucket expansion is bounded by the S-curve's collision rate.
@@ -308,7 +296,30 @@ def minhash_lsh_pairs(
         .select(F.col("p.da").alias("doc_id_a"), F.col("p.db").alias("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    # Jaccard-verify candidates against the cached hashed-shingle sets.
+    return _jaccard_verify(cand, sig, threshold)
+
+
+def _band_table(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc, band_id, band_hash) from a signature table — per-row codegen
+    only; the hash of each band's signature rows is the LSH bucket key."""
+    rows = num_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def _jaccard_verify(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify candidate pairs against the hashed-shingle sets
+    in `sig`; emits (doc_id_a, doc_id_b, jaccard) for true pairs only."""
     ha = sig.select(F.col("doc").alias("doc_id_a"), F.col("hset").alias("sh_a"))
     hb = sig.select(F.col("doc").alias("doc_id_b"), F.col("hset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -844,3 +855,127 @@ ORDER BY doc_id
 
 
 QUERIES["segment_dedup_docs"] = (segment_dedup_docs, SEGMENT_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup maintenance: when new documents land in a Delta
+# table, extend the corpus pair set with work proportional to the CHANGE
+# volume, not the corpus — the batch analog of what a 100 TB pipeline
+# must do on every ingest (a full-recompute of LSH over the corpus per
+# batch is the scale-killer this avoids).
+def minhash_incremental_pairs(
+    sig_base: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Pairs involving at least one NEW document.
+
+    ``sig_base`` is the persisted signature table of the corpus so far
+    (schema of minhash_signatures: doc, hset, mh0..mh{num_perm-1}) — a
+    production deployment maintains it alongside the table and appends
+    ``sig_new`` to it after this call.  Only the new batch is shingled;
+    candidates come from one equi-join of the new bands against all
+    bands (shuffle keyed on the band hash, collision-bounded), and the
+    exact-Jaccard verify touches candidates only.  Union the result with
+    the previously-stored pair set to get exactly the pairs a full
+    recompute over the grown corpus would emit: old-old pairs are already
+    stored, and any pair involving a new doc collides here on the same
+    band keys a full run would use.
+    """
+    # A persisted signature table computed under different parameters
+    # would silently change which pairs collide — refuse it loudly.
+    have = {c for c in sig_base.columns if c.startswith("mh")}
+    want = {f"mh{j}" for j in range(num_perm)}
+    if have != want:
+        raise ValueError(
+            f"sig_base has {len(have)} permutations, expected {num_perm} — "
+            "pass the num_perm the signature table was built with"
+        )
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_perm, k
+    ).localCheckpoint(eager=False)
+    sig_all = sig_base.unionByName(sig_new)
+    nb = _band_table(sig_new, num_perm, bands).withColumnRenamed("doc", "doc_n")
+    ab = _band_table(sig_all, num_perm, bands)
+    cand = (
+        nb.join(ab, ["band_id", "band_hash"])
+        .filter(F.col("doc_n") != F.col("doc"))
+        .select(
+            F.least("doc_n", "doc").alias("doc_id_a"),
+            F.greatest("doc_n", "doc").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return _jaccard_verify(cand, sig_all, threshold)
+
+
+def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: CDF-driven incremental near-dup maintenance.
+
+    Build (cached once per sf_dir): a Delta documents table whose v0
+    holds 80% of the corpus, plus the two artifacts a production
+    pipeline persists — the v0 signature table and the v0 pair set; then
+    v1 appends the remaining 20%.  Query: read ONLY the v1 change feed,
+    run the incremental band join against the stored signatures, and
+    union with the stored pairs.  The oracle is the full-recompute pair
+    SQL over the whole corpus — a hash match proves incremental
+    maintenance converges to exactly the from-scratch answer.
+    """
+    import os
+    import shutil
+
+    from delta_go_spark import cdf
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_minhash")
+    tbl = os.path.join(root, "docs")
+    sig_path = os.path.join(root, "sig_v0")
+    pairs_path = os.path.join(root, "pairs_v0")
+
+    def build():
+        # artifacts first, the Delta table's final version last: the table
+        # version is the completion marker _ensure_built checks, so a
+        # crash mid-build can never serve the table without its artifacts
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        # num_perm must match minhash_incremental_pairs' default (16) —
+        # minhash_signatures' own default is 32
+        minhash_signatures(v0, num_perm=16).write.mode("overwrite").parquet(
+            sig_path
+        )
+        minhash_lsh_pairs(v0).write.mode("overwrite").parquet(pairs_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+    _ensure_built(tbl, 1, build)
+    new_docs = (
+        cdf.table_changes(spark, tbl, start_version=1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    sig_base = spark.read.parquet(sig_path)
+    inc = minhash_incremental_pairs(sig_base, new_docs)
+    base_pairs = spark.read.parquet(pairs_path)
+    return base_pairs.unionByName(inc).orderBy("doc_id_a", "doc_id_b")
+
+
+# Full-recompute oracle over the final corpus — identical SQL to the
+# one-shot minhash query: incremental maintenance must converge to it.
+MINHASH_INCREMENTAL_SQL = NGRAM_JACCARD_SQL
+
+
+QUERIES["minhash_incremental_docs"] = (
+    minhash_incremental_docs,
+    MINHASH_INCREMENTAL_SQL,
+)

@@ -148,7 +148,9 @@ _MODULES = [
         ],
     ),
     _Pick(sampling, ["shuffle_shard_docs"]),  # NEW late-r4: below window
-    _Pick(dedup, ["segment_dedup_docs"]),  # NEW late-r4: below window
+    _Pick(
+        dedup, ["segment_dedup_docs", "minhash_incremental_docs"]
+    ),  # NEW late-r4: below window
 ]
 
 

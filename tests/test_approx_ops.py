@@ -419,3 +419,46 @@ def test_label_confusion_flags_planted_mislabel(spark):
     assert out[(0, 0)][0] == 4          # cluster A all consistent
     assert out[(1, 0)] == (1, 99)       # the plant is the only off-diagonal
     assert out[(1, 1)][0] == 4
+
+
+def test_minhash_incremental_matches_full_recompute(spark):
+    """Splitting a corpus into base + batch and maintaining pairs
+    incrementally must produce exactly the full-recompute pair set."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    sig_base = minhash_signatures(base, num_perm=16)
+    inc = minhash_incremental_pairs(sig_base, batch)
+    combined = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(base).unionByName(inc).collect()
+    )
+    full = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+    )
+    assert combined == full and len(full) > 0
+
+
+def test_minhash_incremental_rejects_mismatched_signature_table(spark):
+    import pytest as _pytest
+
+    from delta_go_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig32 = minhash_signatures(docs, num_perm=32)
+    with _pytest.raises(ValueError, match="permutations"):
+        minhash_incremental_pairs(sig32, docs, num_perm=16)

@@ -49,6 +49,7 @@ SAMPLE = [
     "shuffle_shard_docs",  # new in round 4: training-shard permutation
     "segment_dedup_docs",  # new in round 4: C4-style repeated-segment drop
     "mislabel_confusion_embeddings",  # new in round 4: label audit
+    "minhash_incremental_docs",  # new in round 4: CDF-incremental LSH
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
