@@ -494,3 +494,91 @@ QUERIES["corpus_curation_pipeline"] = (
     corpus_curation_pipeline,
     CURATION_PIPELINE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Source similarity matrix — the signal behind mixture design: cosine
+# similarity between per-source term-count vectors tells you which
+# sources are near-redundant (down-weight one) and which add diversity.
+#
+# Determinism: counts, dot products and squared norms are INTEGER sums
+# (order-free in any engine); only the final cosine divides — both
+# engines divide the same integers through the same IEEE ops, and the
+# result is emitted as floor(cos*1e4 + 0.5) so even representation is
+# integral.  Bound: dot <= vocab * max_count^2 — safe in int64 while a
+# source's per-term counts stay under ~3e9 (pre-scale counts for larger
+# corpora).
+#
+# Scale: one (source, term) count aggregate (map-side combined), then an
+# equi-join on the term key whose output is <= vocab * n_sources^2 rows
+# — never a corpus-sized product; the final matrix is n_sources^2.
+def source_similarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(_words()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tc.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a, b = tc.alias("a"), tc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("n2").alias("nb2")
+    )
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            F.floor(cos * 10000 + F.lit(0.5)).cast("long").alias("cos_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_SIMILARITY_SQL = """
+WITH tc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+), norms AS (
+  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM tc GROUP BY source
+), dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM tc a JOIN tc b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT d.source_a, d.source_b, d.dot,
+       CAST(floor(CAST(d.dot AS DOUBLE)
+            / (sqrt(na.n2) * sqrt(nb.n2)) * 10000 + 0.5) AS BIGINT) AS cos_e4
+FROM dots d
+JOIN norms na ON d.source_a = na.source
+JOIN norms nb ON d.source_b = nb.source
+ORDER BY d.source_a, d.source_b
+"""
+
+
+QUERIES["source_similarity_docs"] = (
+    source_similarity_docs,
+    SOURCE_SIMILARITY_SQL,
+)

@@ -462,3 +462,26 @@ def test_minhash_incremental_rejects_mismatched_signature_table(spark):
     sig32 = minhash_signatures(docs, num_perm=32)
     with _pytest.raises(ValueError, match="permutations"):
         minhash_incremental_pairs(sig32, docs, num_perm=16)
+
+
+def test_source_similarity_identical_and_disjoint(spark):
+    from delta_go_spark.functions import curation
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b c", "s2"),   # s2 identical to s1 -> cos 1.0
+            (3, "x y z", "s3"),   # s3 disjoint -> no pair row vs s1/s2
+        ],
+        "doc_id long, text string, source string",
+    )
+    orig = curation.load_table
+    try:
+        curation.load_table = lambda s, d, t: df
+        out = {(r["source_a"], r["source_b"]): r["cos_e4"]
+               for r in curation.source_similarity_docs(spark, "unused").collect()}
+    finally:
+        curation.load_table = orig
+    assert out[("s1", "s2")] == 10000       # identical vectors
+    assert ("s1", "s3") not in out          # disjoint: no shared term row
+    assert ("s2", "s3") not in out

@@ -50,6 +50,7 @@ SAMPLE = [
     "segment_dedup_docs",  # new in round 4: C4-style repeated-segment drop
     "mislabel_confusion_embeddings",  # new in round 4: label audit
     "minhash_incremental_docs",  # new in round 4: CDF-incremental LSH
+    "source_similarity_docs",  # new in round 4: mixture-design signal
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
