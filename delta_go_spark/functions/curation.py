@@ -514,10 +514,15 @@ QUERIES["corpus_curation_pipeline"] = (
 # — never a corpus-sized product; the final matrix is n_sources^2.
 def source_similarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tc feeds four plan branches (self-join a/b + both norm builds);
+    # localCheckpoint materializes the corpus explode+aggregate once so
+    # the branches read the result instead of re-scanning the corpus
+    # (same pattern and rationale as minhash_lsh_pairs' signature table).
     tc = (
         docs.select("source", F.explode(_words()).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     norms = tc.groupBy("source").agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")

@@ -902,8 +902,12 @@ def minhash_incremental_pairs(
     sig_all = sig_base.unionByName(sig_new)
     nb = _band_table(sig_new, num_perm, bands).withColumnRenamed("doc", "doc_n")
     ab = _band_table(sig_all, num_perm, bands)
+    # The batch side is small by contract — broadcast it so the corpus
+    # band table is scanned in place, never shuffled (a plain join would
+    # sort-merge BOTH sides on the band key: O(corpus) per ingest, the
+    # exact cost this operator exists to avoid).
     cand = (
-        nb.join(ab, ["band_id", "band_hash"])
+        F.broadcast(nb).join(ab, ["band_id", "band_hash"])
         .filter(F.col("doc_n") != F.col("doc"))
         .select(
             F.least("doc_n", "doc").alias("doc_id_a"),

@@ -320,13 +320,16 @@ def shuffle_shard_export(
     salt: str = "",
 ) -> None:
     """Write the shuffled corpus as ``path/shard=K/*.parquet``, each shard
-    internally ordered by the permutation.  repartition on the shard key
-    (one exchange) + sortWithinPartitions keeps every shard a single
-    ordered writer task — the layout a sequential training reader wants."""
+    internally ordered by the permutation: one exchange on the shard key,
+    then a (shard, pos) sort within each task.  Hash partitioning may
+    co-locate several shards in one task, so the sort MUST lead with
+    shard — sorting by pos alone would leave the dynamic-partition
+    writer to re-sort on shard itself, and that implicit sort does not
+    guarantee stability on pos once it spills at scale."""
     sharded = shuffle_shard(df, key_cols, n_shards, salt)
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

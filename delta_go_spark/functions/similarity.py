@@ -862,6 +862,10 @@ def label_centroid_confusion(
             r["_cs"] // r["_n"]
         )
     labels = sorted(by_label)
+    if len(labels) < 2:
+        raise ValueError(
+            f"label audit needs >= 2 distinct labels, got {len(labels)}"
+        )
 
     scored = base
     for lab in labels:
@@ -910,8 +914,8 @@ WITH q AS (
            AS qs
   FROM embeddings
 ), ex AS (
-  SELECT label, p.pos, qs[p.pos] AS qv
-  FROM q, (SELECT unnest(generate_series(1, 64)) AS pos) p
+  SELECT label, pos, qs[pos] AS qv
+  FROM (SELECT label, qs, unnest(generate_series(1, len(qs))) AS pos FROM q)
 ), cent AS (
   SELECT label, pos,
          CAST(floor(CAST(sum(qv) AS BIGINT) / count(*)) AS BIGINT) AS c
@@ -921,7 +925,7 @@ WITH q AS (
   FROM cent GROUP BY label
 ), scored AS (
   SELECT q.vec_id, q.label AS label, c.label AS cand,
-         CAST(list_sum(list_transform(generate_series(1, 64),
+         CAST(list_sum(list_transform(generate_series(1, len(q.qs)),
              i -> (q.qs[i] - c.cl[i]) * (q.qs[i] - c.cl[i])))
            AS BIGINT) AS score
   FROM q CROSS JOIN centl c

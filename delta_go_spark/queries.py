@@ -83,13 +83,15 @@ _COVERAGE_R1_ONLY = [
 # subqueries, asof, rangejoin, the below-window similarity pick) were all
 # hash-green in earlier driver rounds, are pinned by the pytest oracle
 # sample (tests/test_oracle_parity.py), and scripts/check_parity.py still
-# pins all 109 locally — growth of the round-4 surface displaced them, a
-# deliberate trade: driver slots go to new/changed code first.
+# pins the whole registry locally — growth of the round-4 surface
+# displaced them, a deliberate trade: driver slots go to new/changed
+# code first.  Late-round-4 additions land at the registry tail.
 # Position comments are tier labels, not exact slots — the authoritative
 # placement check is tests/test_oracle_parity.py::test_round4_queries_in_window.
 _MODULES = [
     cdf_queries,  # 1 (datasource CDF reader changed)
-    delta_queries,  # 2-7: protocol queries + NEW delta_incremental_agg
+    delta_queries,  # 2-9: protocol queries + NEW delta_incremental_agg,
+    #      schema-evolution and generated-column rows
     _Pick(
         dedup,
         [
@@ -101,7 +103,7 @@ _MODULES = [
             "dedup_keep_longest_docs",
             "dedup_clusters_docs",
         ],
-    ),  # 8-14: banding + clusters changes + (a)
+    ),  # 10-16: banding + clusters changes + (a)
     _Pick(
         similarity,
         [
@@ -111,12 +113,12 @@ _MODULES = [
             "semdedup_embeddings",
             "ann_ivf_int8_docs",
         ],
-    ),  # 15-19: (b) + NEW quantization + SemDeDup + IVF-SQ8
-    textops,  # 20-31: (b) + pack_sequences (a) + NEW chunking + BPE count
+    ),  # 17-21: (b) + NEW quantization + SemDeDup + IVF-SQ8
+    textops,  # 22-33: (b) + pack_sequences (a) + NEW chunking + BPE count
     _Pick(
         sampling,
         ["hash_sample_docs", "stratified_sample_docs", "mixture_sample_docs"],
-    ),  # 32-34: (b) + NEW mixture_sample_docs
+    ),  # 34-36: (b) + NEW mixture_sample_docs
     multimodal,  # (b) + media_pipeline_summary (a)
     streaming_windows,  # (b) + NEW streaming dedup + interval join
     streaming_stateful,
@@ -127,10 +129,11 @@ _MODULES = [
     _Pick(
         curation,
         [n for n in curation.QUERIES if n != "corpus_curation_pipeline"],
-    ),  # first rows land inside 1-50; the rest spill past it
-    # ---- window boundary (position 50 falls inside curation) ----------
-    # Everything below was hash-green in earlier driver rounds, is pinned
-    # by the pytest oracle sample, and check_parity pins all 109 locally.
+    ),  # 51-59: curation's earlier-round rows, first spill past the window
+    # ---- window boundary (corpus_curation_pipeline is position 50) ----
+    # Everything below was hash-green in earlier driver rounds or is a
+    # late-round-4 addition; the pytest oracle sample and check_parity
+    # pin the whole registry locally.
     _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),
     _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
     relational,

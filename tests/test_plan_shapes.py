@@ -297,3 +297,22 @@ def test_segment_dedup_shuffles_hashes_not_text(spark):
     plan = _plan(queries()["segment_dedup_docs"](spark, SF_DIR))
     assert "partial_min" in plan, plan      # map-side combine on seg hash
     assert "Window" not in plan, plan       # no skew-prone global rank
+
+
+def test_minhash_incremental_broadcasts_batch_bands(spark):
+    """The new-batch band table must broadcast so the corpus band table is
+    scanned in place — a sort-merge join here would shuffle the whole
+    corpus on every ingest."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0), num_perm=16)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    plan = _plan(minhash_incremental_pairs(sig, batch))
+    assert "BroadcastHashJoin" in plan, plan
