@@ -435,3 +435,83 @@ def clone_shallow(
             "sourceVersion": str(snap.version),
         },
     )
+
+
+def clone_deep(
+    spark: SparkSession, src_path: str, dest_path: str, max_workers: int = 8
+) -> int:
+    """DEEP CLONE: a fully independent copy — every live data file is
+    copied under the destination root, then a CLONE commit references
+    the copies by relative path.  Unlike `clone_shallow`, VACUUM on the
+    source can never invalidate the clone.
+
+    Copies run through the LogStore abstraction (local or cloud on
+    either side) on a driver thread pool — the same driver-coordinated
+    I/O model as the staged-upload write path; file CONTENTS are copied
+    byte-for-byte, so sizes and stats carry over unchanged and data
+    skipping works immediately on the clone.  Outside-the-root absolute
+    references (e.g. in a shallow clone being deepened) are flattened to
+    uniquified basenames under the clone root.
+
+    reference: delta-go has no clone; semantics follow OSS Delta's
+    CREATE TABLE ... DEEP CLONE (fresh table id, history restarts at 0).
+    """
+    import dataclasses
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import unquote
+
+    from delta_go_spark.actions import encode_path
+    from delta_go_spark.snapshot import DeltaError, canonicalize_path
+    from delta_go_spark.store import store_for
+
+    src_log = DeltaLog.for_table(src_path)
+    snap = src_log.update()
+    dest_log = DeltaLog.for_table(dest_path)
+    if dest_log.table_exists():
+        raise DeltaError(f"clone destination already exists: {dest_path}")
+    dest_root = dest_log.table_path
+
+    copies: list[tuple[str, str, AddFile, str]] = []
+    for i, a in enumerate(snap.all_files()):
+        src_uri = canonicalize_path(a.path, snap.table_root)
+        rel = unquote(a.path)
+        if "://" in rel or rel.startswith("file:") or os.path.isabs(rel):
+            # flatten outside-root references; the index prefix keeps two
+            # same-named source files from colliding in the flat layout
+            rel = f"{i:05d}-{src_uri.rstrip('/').rsplit('/', 1)[-1]}"
+        if "://" in dest_root:
+            dest_uri = f"{dest_root}/{rel}"
+        else:
+            dest_uri = os.path.join(dest_root, rel)
+        copies.append((src_uri, dest_uri, a, rel))
+
+    def _cp(t: tuple) -> None:
+        src_uri, dest_uri = t[0], t[1]
+        store_for(dest_uri).write_bytes(
+            dest_uri, store_for(src_uri).read_bytes(src_uri)
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(_cp, copies))
+
+    txn = dest_log.start_transaction()
+    meta = snap.metadata()
+    txn.update_metadata(
+        dataclasses.replace(
+            meta, id=str(uuid.uuid4()), created_time=dest_log.clock.now_millis()
+        )
+    )
+    adds = [
+        dataclasses.replace(a, path=encode_path(rel), data_change=True)
+        for (_, _, a, rel) in copies
+    ]
+    return txn.commit(
+        adds,
+        "CLONE",
+        operation_parameters={
+            "source": snap.table_root,
+            "sourceVersion": str(snap.version),
+            "deep": "true",
+        },
+    )

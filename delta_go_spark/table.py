@@ -147,6 +147,15 @@ class DeltaTable:
         clone_shallow(self.spark, self.log.table_path, dest_path)
         return DeltaTable.for_path(self.spark, dest_path)
 
+    def clone_deep(self, dest_path: str) -> "DeltaTable":
+        """Independent fork: every live data file is copied under dest's
+        root (maintenance.clone_deep) — source VACUUM can never break
+        the clone."""
+        from delta_go_spark.maintenance import clone_deep
+
+        clone_deep(self.spark, self.log.table_path, dest_path)
+        return DeltaTable.for_path(self.spark, dest_path)
+
     def restore_to_timestamp(self, timestamp_millis: int) -> int:
         from delta_go_spark.maintenance import restore_to_timestamp
 

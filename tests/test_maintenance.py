@@ -365,3 +365,76 @@ def test_optimize_where_partition_scoped(spark, tmp_path):
     final = files_by_part()
     assert len(final["b"]) == 1 and len(final["a"]) == 1
     assert t.to_df().count() == 10
+
+
+def test_deep_clone_independent_copy(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.table import DeltaTable
+
+    src_path = str(tmp_path / "dclone_src")
+    dst_path = str(tmp_path / "dclone_dst")
+    t = DeltaTable.create(
+        spark,
+        src_path,
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(40)],
+            "k long, par string",
+        ),
+        partition_by=["par"],
+    )
+    t.append(spark.createDataFrame([(100, "even")], "k long, par string"))
+
+    c = t.clone_deep(dst_path)
+    assert c.to_df().count() == 41
+    assert c.version() == 0
+    assert c.log.snapshot().metadata().id != t.log.snapshot().metadata().id
+    # data physically present under the clone root (partition dirs kept)
+    data_dirs = sorted(
+        d for d in os.listdir(dst_path) if d.startswith("par=")
+    )
+    assert data_dirs == ["par=even", "par=odd"]
+    # stats survive the copy: partition pruning still works
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from pyspark.sql.types import StringType
+
+    even = EqualTo(Column("par", StringType()), Literal("even"))
+    assert c.to_df(even).count() == 21
+
+    # FULL independence: vacuum source at zero retention after deleting
+    # everything there — the deep clone must still read all its rows
+    # (this is exactly the case that breaks a shallow clone)
+    t.truncate()
+    t.vacuum(retention_millis=0)
+    assert c.to_df().count() == 41
+    assert t.to_df().count() == 0
+
+    with pytest.raises(DeltaError, match="already exists"):
+        t.clone_deep(dst_path)
+
+
+def test_deep_clone_of_shallow_clone_flattens_absolute_refs(spark, tmp_path):
+    """Deepening a shallow clone: outside-root absolute references are
+    copied in and flattened to uniquified names."""
+    import os
+
+    from delta_go_spark.table import DeltaTable
+
+    src = str(tmp_path / "flat_src")
+    mid = str(tmp_path / "flat_mid")
+    dst = str(tmp_path / "flat_dst")
+    t = DeltaTable.create(
+        spark, src, spark.range(50).toDF("k")
+    )
+    deep = t.clone_shallow(mid).clone_deep(dst)
+    assert deep.to_df().count() == 50
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert files and all(f[:5].isdigit() for f in files)
+    # and the deepened clone survives the ORIGINAL source being vacuumed
+    t.truncate()
+    t.vacuum(retention_millis=0)
+    assert deep.to_df().count() == 50
