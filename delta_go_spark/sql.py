@@ -319,6 +319,79 @@ class DeltaSqlContext:
                 [(p,) for p in deleted], "path string"
             )
 
+        # ALTER TABLE t ADD COLUMN[S] (c1 type1 [, ...]) — metadata-only
+        # schema evolution (the one legal in-place change); old files read
+        # the new columns as typed NULLs.
+        m = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+COLUMNS?\s*"
+            rf"\(?\s*([^()]+?)\s*\)?\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            from pyspark.sql.types import StructType
+
+            t = resolve(m.group(1))
+            fields = StructType.fromDDL(m.group(2)).fields
+            return result(t.add_columns(list(fields)))
+
+        # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT
+        m = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+CONSTRAINT\s+"
+            rf"([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            return result(t.add_check_constraint(m.group(2), m.group(3)))
+        m = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({names})\s+DROP\s+CONSTRAINT\s+"
+            rf"([A-Za-z_]\w*)\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            return result(t.drop_check_constraint(m.group(2)))
+
+        # ALTER TABLE t SET TBLPROPERTIES ('k' = 'v' [, ...])
+        m = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({names})\s+SET\s+TBLPROPERTIES\s*"
+            rf"\((.+)\)\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(1))
+            props: dict[str, str] = {}
+            for kv in re.finditer(
+                r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)
+            ):
+                props[kv.group(1).replace("''", "'")] = kv.group(2).replace(
+                    "''", "'"
+                )
+            if not props:
+                raise ValueError(
+                    f"could not parse TBLPROPERTIES from: {m.group(2)!r}"
+                )
+            return result(t.set_properties(props))
+
+        # CREATE TABLE new [SHALLOW|DEEP] CLONE t LOCATION '<path>' — the
+        # clone registers under the new name for subsequent statements.
+        m = re.fullmatch(
+            rf"\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+(SHALLOW|DEEP)?\s*"
+            rf"CLONE\s+({names})\s+LOCATION\s+'([^']+)'\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            t = resolve(m.group(3))
+            deep = (m.group(2) or "SHALLOW").upper() == "DEEP"
+            c = t.clone_deep(m.group(4)) if deep else t.clone_shallow(m.group(4))
+            self.register(m.group(1), m.group(4))
+            return result(c.version())
+
         # Metadata-only COUNT(*): a bare full-table count never scans data —
         # it sums numRecords over the log (scan.metadata_only_count), the
         # O(#files) fast path Delta engines implement.  Only the exact bare

@@ -260,6 +260,24 @@ class DeltaTable:
         )
         return txn.commit([], ops.ADD_COLUMNS, operation_parameters={})
 
+    def set_properties(self, props: dict) -> int:
+        """SET TBLPROPERTIES: merge keys into the table configuration in
+        one metadata-only commit; validated configs (config.py) take
+        effect from the next operation."""
+        import dataclasses
+
+        from delta_go_spark import ops
+
+        txn = self.log.start_transaction()
+        meta = txn.snapshot.metadata()
+        cfg = dict(meta.configuration or {})
+        cfg.update({str(k): str(v) for k, v in props.items()})
+        txn.update_metadata(dataclasses.replace(meta, configuration=cfg))
+        return txn.commit(
+            [], ops.SET_TABLE_PROPERTIES,
+            operation_parameters={"properties": sorted(props)},
+        )
+
     def count(self, predicate: "Expression | None" = None) -> int:
         """COUNT(*) — answered from log stats in O(#files) when the
         predicate is absent or partition-only (scan.metadata_only_count);

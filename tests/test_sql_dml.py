@@ -266,3 +266,58 @@ def test_sql_describe_detail_and_restore(spark, tmp_path):
     assert t.to_df().count() == 100
     # restore is itself a commit; history is preserved
     assert t.version() == 2
+
+
+def test_sql_alter_add_columns(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqladdc")
+    sess.sql("ALTER TABLE tsqladdc ADD COLUMNS (tag string, score double)")
+    df = t.to_df()
+    assert {"tag", "score"} <= set(df.columns)
+    # existing rows read the new columns as NULLs
+    assert df.filter(F.col("tag").isNull()).count() == 100
+
+
+def test_sql_alter_constraint_roundtrip(spark, tmp_path):
+    from delta_go_spark.snapshot import DeltaError
+
+    sess, t = _ctx(spark, tmp_path, "tsqlcons")
+    sess.sql("ALTER TABLE tsqlcons ADD CONSTRAINT vpos CHECK (v >= 0)")
+    bad = spark.createDataFrame([(999, "ab", -5)], "k long, p string, v long")
+    with pytest.raises(DeltaError):
+        t.append(bad)
+    sess.sql("ALTER TABLE tsqlcons DROP CONSTRAINT vpos")
+    t.append(bad)
+    assert t.to_df().count() == 101
+
+
+def test_sql_set_tblproperties(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlprops")
+    sess.sql(
+        "ALTER TABLE tsqlprops SET TBLPROPERTIES "
+        "('delta.appendOnly' = 'true', 'team.owner' = 'data''s own')"
+    )
+    cfg = t.log.update().metadata().configuration
+    assert cfg["delta.appendOnly"] == "true"
+    assert cfg["team.owner"] == "data's own"   # escaped quote round-trips
+    from delta_go_spark.snapshot import DeltaError
+
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from pyspark.sql.types import LongType
+
+    with pytest.raises(DeltaError):            # appendOnly now enforced
+        t.delete(EqualTo(Column("k", LongType()), Literal(0)))
+
+
+def test_sql_create_table_clone(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlclsrc")
+    dst = str(tmp_path / "tsqlcldst")
+    out = sess.sql(
+        f"CREATE TABLE tclone DEEP CLONE tsqlclsrc LOCATION '{dst}'"
+    )
+    assert out.collect()[0]["version"] == 0
+    # the clone is registered and queryable under its new name
+    assert sess.sql("SELECT count(*) AS n FROM tclone").collect()[0]["n"] == 100
+    # and is deep: truncating + vacuuming the source leaves it intact
+    sess.sql("TRUNCATE TABLE tsqlclsrc")
+    t.vacuum(retention_millis=0)
+    assert sess.sql("SELECT count(*) AS n FROM tclone").collect()[0]["n"] == 100
