@@ -390,3 +390,72 @@ ORDER BY shard
 
 
 QUERIES["shuffle_shard_docs"] = (shuffle_shard_docs, SHUFFLE_SHARD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Exact-k-per-group sampling: "exactly k documents per stratum,
+# reproducibly" — the fixed-budget complement to fraction-based
+# stratified sampling (eval-set construction, per-source spot-check
+# exports).  Rank rows inside each group by the same content hash the
+# fraction samplers use and keep rank <= k: deterministic on any engine
+# or layout, and nested (k=10 is a superset of k=5 for the same salt).
+#
+# Scale: one shuffle on the group key.  Rank is a window here (exact
+# contract); if a group's rows outnumber executor memory, pre-filter
+# with hash_sample at ~2k/|group| first so the window sees a small
+# superset — the nesting property makes that pre-filter lossless.
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Keep the k rows with the smallest sample hash per group (ties
+    broken by the key columns, so exactly k unless the group is
+    smaller)."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+_K_PER_SOURCE = 5
+
+
+def sample_k_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_k_per_group(docs, "source", _K_PER_SOURCE, ["doc_id"], _SALT)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+SAMPLE_K_PER_SOURCE_SQL = f"""
+SELECT source, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_bucket("CAST(doc_id AS VARCHAR)", _SALT)}, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {_K_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+QUERIES["sample_k_per_source_docs"] = (
+    sample_k_per_source_docs,
+    SAMPLE_K_PER_SOURCE_SQL,
+)

@@ -150,7 +150,9 @@ _MODULES = [
             "mislabel_confusion_embeddings",  # NEW late-r4: below window
         ],
     ),
-    _Pick(sampling, ["shuffle_shard_docs"]),  # NEW late-r4: below window
+    _Pick(
+        sampling, ["shuffle_shard_docs", "sample_k_per_source_docs"]
+    ),  # NEW late-r4: below window
     _Pick(
         dedup, ["segment_dedup_docs", "minhash_incremental_docs"]
     ),  # NEW late-r4: below window

@@ -128,3 +128,24 @@ def test_shuffle_shard_export_roundtrip(docs, tmp_path):
     # each shard directory holds exactly that shard, readable in pos order
     one = spark.read.parquet(f"{path}/shard=2").orderBy("pos").collect()
     assert [r["pos"] for r in one] == list(range(1, len(one) + 1))
+
+
+def test_sample_k_per_group_exact_and_nested(docs):
+    from delta_go_spark.functions.sampling import sample_k_per_group
+
+    k5 = sample_k_per_group(docs, "source", 5, ["doc_id"], "s").collect()
+    sizes: dict = {}
+    for r in k5:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    per_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for src, n in sizes.items():
+        assert n == min(5, per_source[src]), src
+    # nesting: k=2 selection is a subset of k=5 (same salt)
+    k2 = {
+        (r["source"], r["doc_id"])
+        for r in sample_k_per_group(docs, "source", 2, ["doc_id"], "s").collect()
+    }
+    assert k2 <= {(r["source"], r["doc_id"]) for r in k5}
