@@ -421,10 +421,14 @@ def sample_k_per_group(
     w = Window.partitionBy(group_col).orderBy(
         _bucket(key_cols, salt), *[F.col(c) for c in key_cols]
     )
+    # collision-proof temp name: a caller's own _rk column must survive
+    rk = "_rk"
+    while rk in df.columns:
+        rk += "_"
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= k)
+        .drop(rk)
     )
 
 

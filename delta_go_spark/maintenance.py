@@ -492,26 +492,39 @@ def clone_deep(
             dest_uri, store_for(src_uri).read_bytes(src_uri)
         )
 
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        list(pool.map(_cp, copies))
-
-    txn = dest_log.start_transaction()
-    meta = snap.metadata()
-    txn.update_metadata(
-        dataclasses.replace(
-            meta, id=str(uuid.uuid4()), created_time=dest_log.clock.now_millis()
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(_cp, copies))
+        txn = dest_log.start_transaction()
+        meta = snap.metadata()
+        txn.update_metadata(
+            dataclasses.replace(
+                meta,
+                id=str(uuid.uuid4()),
+                created_time=dest_log.clock.now_millis(),
+            )
         )
-    )
-    adds = [
-        dataclasses.replace(a, path=encode_path(rel), data_change=True)
-        for (_, _, a, rel) in copies
-    ]
-    return txn.commit(
-        adds,
-        "CLONE",
-        operation_parameters={
-            "source": snap.table_root,
-            "sourceVersion": str(snap.version),
-            "deep": "true",
-        },
-    )
+        adds = [
+            dataclasses.replace(a, path=encode_path(rel), data_change=True)
+            for (_, _, a, rel) in copies
+        ]
+        return txn.commit(
+            adds,
+            "CLONE",
+            operation_parameters={
+                "source": snap.table_root,
+                "sourceVersion": str(snap.version),
+                "deep": "true",
+            },
+        )
+    except BaseException:
+        # until the CLONE commit lands there is no _delta_log at dest, so
+        # files left by a failed copy (or a lost commit race) could never
+        # be VACUUMed — best-effort clean them out so a retry starts from
+        # nothing
+        for _, dest_uri, _, _ in copies:
+            try:
+                store_for(dest_uri).delete(dest_uri)
+            except Exception:
+                pass
+        raise

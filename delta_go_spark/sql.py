@@ -323,16 +323,31 @@ class DeltaSqlContext:
         # schema evolution (the one legal in-place change); old files read
         # the new columns as typed NULLs.
         m = re.fullmatch(
-            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+COLUMNS?\s*"
-            rf"\(?\s*([^()]+?)\s*\)?\s*",
+            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+COLUMNS?\s+(.+?)\s*",
             stripped,
-            flags=re.IGNORECASE,
+            flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
             from pyspark.sql.types import StructType
 
             t = resolve(m.group(1))
-            fields = StructType.fromDDL(m.group(2)).fields
+            ddl = m.group(2).strip()
+            if ddl.startswith("(") and ddl.endswith(")"):
+                # strip ONE optional outer paren layer; column types may
+                # themselves carry parens (decimal(10,2)), so fall back to
+                # the raw text when the stripped form fails to parse
+                try:
+                    fields = StructType.fromDDL(ddl[1:-1]).fields
+                except Exception:
+                    fields = StructType.fromDDL(ddl).fields
+            else:
+                fields = StructType.fromDDL(ddl).fields
+            bad = [f.name for f in fields if not f.nullable]
+            if bad:
+                raise ValueError(
+                    f"ADD COLUMNS requires nullable columns (existing rows "
+                    f"read them as NULL); NOT NULL on: {bad}"
+                )
             return result(t.add_columns(list(fields)))
 
         # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT
@@ -340,7 +355,7 @@ class DeltaSqlContext:
             rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+CONSTRAINT\s+"
             rf"([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*",
             stripped,
-            flags=re.IGNORECASE,
+            flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
             t = resolve(m.group(1))
@@ -360,20 +375,27 @@ class DeltaSqlContext:
             rf"\s*ALTER\s+TABLE\s+({names})\s+SET\s+TBLPROPERTIES\s*"
             rf"\((.+)\)\s*",
             stripped,
-            flags=re.IGNORECASE,
+            flags=re.IGNORECASE | re.DOTALL,
         )
         if m:
             t = resolve(m.group(1))
+            # the WHOLE list must be well-formed quoted pairs — a partial
+            # finditer would silently drop malformed pairs (e.g. an
+            # unquoted value) while applying the rest
+            pair = r"'(?:[^']|'')*'\s*=\s*'(?:[^']|'')*'"
+            if not re.fullmatch(
+                rf"\s*{pair}(?:\s*,\s*{pair})*\s*", m.group(2), flags=re.DOTALL
+            ):
+                raise ValueError(
+                    f"malformed TBLPROPERTIES (every key and value must be "
+                    f"single-quoted): {m.group(2)!r}"
+                )
             props: dict[str, str] = {}
             for kv in re.finditer(
                 r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", m.group(2)
             ):
                 props[kv.group(1).replace("''", "'")] = kv.group(2).replace(
                     "''", "'"
-                )
-            if not props:
-                raise ValueError(
-                    f"could not parse TBLPROPERTIES from: {m.group(2)!r}"
                 )
             return result(t.set_properties(props))
 
@@ -386,6 +408,13 @@ class DeltaSqlContext:
             flags=re.IGNORECASE,
         )
         if m:
+            new_name = m.group(1)
+            if any(k.lower() == new_name.lower() for k in self._tables):
+                raise ValueError(
+                    f"table name already registered: {new_name!r} — "
+                    "rebinding it to the clone would silently redirect "
+                    "every later statement"
+                )
             t = resolve(m.group(3))
             deep = (m.group(2) or "SHALLOW").upper() == "DEEP"
             c = t.clone_deep(m.group(4)) if deep else t.clone_shallow(m.group(4))

@@ -263,19 +263,34 @@ class DeltaTable:
     def set_properties(self, props: dict) -> int:
         """SET TBLPROPERTIES: merge keys into the table configuration in
         one metadata-only commit; validated configs (config.py) take
-        effect from the next operation."""
+        effect from the next operation.  `delta.constraints.*` keys are
+        refused — they would bypass add_check_constraint's whole-table
+        validation and SERIALIZABLE isolation."""
         import dataclasses
+        import json
 
         from delta_go_spark import ops
 
+        clean = {str(k): str(v) for k, v in props.items()}
+        guarded = [k for k in clean if k.startswith("delta.constraints.")]
+        if guarded:
+            raise ValueError(
+                f"set constraints via add_check_constraint, not "
+                f"TBLPROPERTIES (would skip existing-data validation): "
+                f"{guarded}"
+            )
         txn = self.log.start_transaction()
         meta = txn.snapshot.metadata()
         cfg = dict(meta.configuration or {})
-        cfg.update({str(k): str(v) for k, v in props.items()})
+        cfg.update(clean)
         txn.update_metadata(dataclasses.replace(meta, configuration=cfg))
         return txn.commit(
             [], ops.SET_TABLE_PROPERTIES,
-            operation_parameters={"properties": sorted(props)},
+            # full key->value map, as the Delta spec records it — keys
+            # alone would leave history unable to say WHAT was set
+            operation_parameters={
+                "properties": json.dumps(clean, sort_keys=True)
+            },
         )
 
     def count(self, predicate: "Expression | None" = None) -> int:

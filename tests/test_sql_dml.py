@@ -321,3 +321,47 @@ def test_sql_create_table_clone(spark, tmp_path):
     sess.sql("TRUNCATE TABLE tsqlclsrc")
     t.vacuum(retention_millis=0)
     assert sess.sql("SELECT count(*) AS n FROM tclone").collect()[0]["n"] == 100
+
+
+def test_sql_alter_add_column_with_parenthesized_type(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqldec")
+    sess.sql("ALTER TABLE tsqldec ADD COLUMNS (price decimal(10,2))")
+    assert "price" in t.to_df().columns
+
+
+def test_sql_alter_add_column_rejects_not_null(spark, tmp_path):
+    sess, _ = _ctx(spark, tmp_path, "tsqlnn")
+    with pytest.raises(ValueError, match="nullable"):
+        sess.sql("ALTER TABLE tsqlnn ADD COLUMNS (c long NOT NULL)")
+
+
+def test_sql_tblproperties_rejects_partial_and_constraints(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlbadp")
+    # one malformed pair must fail the WHOLE statement, not drop the pair
+    with pytest.raises(ValueError, match="malformed"):
+        sess.sql(
+            "ALTER TABLE tsqlbadp SET TBLPROPERTIES "
+            "('delta.appendOnly' = 'true', 'delta.enableChangeDataFeed' = true)"
+        )
+    assert "delta.appendOnly" not in (
+        t.log.update().metadata().configuration or {}
+    )
+    # constraint keys must go through add_check_constraint
+    with pytest.raises(ValueError, match="add_check_constraint"):
+        sess.sql(
+            "ALTER TABLE tsqlbadp SET TBLPROPERTIES "
+            "('delta.constraints.c1' = 'v > 100')"
+        )
+
+
+def test_sql_clone_refuses_registered_name(spark, tmp_path):
+    sess, _ = _ctx(spark, tmp_path, "tsqlclna")
+    dst = str(tmp_path / "clnb")
+    with pytest.raises(ValueError, match="already registered"):
+        sess.sql(f"CREATE TABLE tsqlclna SHALLOW CLONE tsqlclna LOCATION '{dst}'")
+
+
+def test_sql_multiline_constraint(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlml")
+    sess.sql("ALTER TABLE tsqlml ADD CONSTRAINT vpos CHECK (\n  v >= 0\n)")
+    assert "delta.constraints.vpos" in t.log.update().metadata().configuration
