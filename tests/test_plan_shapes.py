@@ -316,3 +316,30 @@ def test_minhash_incremental_broadcasts_batch_bands(spark):
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     plan = _plan(minhash_incremental_pairs(sig, batch))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mislabel_confusion_stays_jvm_side(spark):
+    """Centroid scoring is literal-array expressions — no Python row eval,
+    and only the centroid aggregate plus the confusion groupBy shuffle."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["mislabel_confusion_embeddings"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_source_similarity_broadcasts_norms(spark):
+    """Per-source norms (tiny) must broadcast onto the dot-product pairs."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["source_similarity_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sample_k_single_group_shuffle(spark):
+    """Exact-k-per-group is one window over the group key — a single hash
+    exchange before the final presentation sort."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["sample_k_per_source_docs"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
