@@ -50,6 +50,7 @@ HEADLINE = [
     "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
     "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
     "minhash_incremental_docs",  # r4: CDF-incremental near-dup upkeep
+    "hash_features_docs",  # r4: hashing-trick featurization
 ]
 
 

@@ -652,3 +652,100 @@ ORDER BY doc_id
 
 
 QUERIES["bpe_token_count_docs"] = (bpe_token_count_docs, BPE_TOKEN_COUNT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): project each document onto a
+# fixed-dim integer count vector, vec[i] = number of token occurrences
+# whose md5 bucket lands on i — the classic in-engine featurizer when no
+# embedding model is in the loop (fastText/Vowpal-style), and the input
+# representation for linear probes, clustering, or cheap similarity.
+#
+# Scale: explode + one (doc, bucket) count aggregate + one per-doc
+# rebuild — shuffles only (id, bucket, count) triples.  md5 keeps the
+# bucket assignment engine-portable, so the oracle reproduces the exact
+# vectors; the registry query pins them through order-free integer
+# invariants (nnz, l2^2, index-weighted sum) instead of comparing raw
+# arrays.
+_FEATURE_DIM = 64
+
+
+def hash_features(
+    df: DataFrame,
+    dim: int = _FEATURE_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, features): dense int-count vector of length ``dim``."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    ).cast("int")
+    counts = (
+        df.select(F.col(id_col), tok)
+        .select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    return per_doc.select(id_col, dense.alias("features"))
+
+
+def hash_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hash_features(docs)
+    idx = F.transform(
+        F.col("features"), lambda c, i: F.struct(c.alias("c"), i.alias("i"))
+    )
+    return feats.select(
+        "doc_id",
+        F.aggregate(
+            F.col("features"),
+            F.lit(0).cast("long"),
+            lambda a, c: a + F.when(c > 0, 1).otherwise(0),
+        ).alias("nnz"),
+        F.aggregate(
+            F.col("features"), F.lit(0).cast("long"), lambda a, c: a + c * c
+        ).alias("l2sq"),
+        F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda a, s: a + s["c"] * s["i"],
+        ).alias("idx_weighted"),
+    ).orderBy("doc_id")
+
+
+HASH_FEATURES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+              % {_FEATURE_DIM} AS INT) AS bkt
+  FROM tok
+), counts AS (
+  SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY doc_id, bkt
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS nnz,
+       CAST(sum(c * c) AS BIGINT) AS l2sq,
+       CAST(sum(c * bkt) AS BIGINT) AS idx_weighted
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["hash_features_docs"] = (hash_features_docs, HASH_FEATURES_SQL)

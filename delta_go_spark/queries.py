@@ -114,7 +114,23 @@ _MODULES = [
             "ann_ivf_int8_docs",
         ],
     ),  # 17-21: (b) + NEW quantization + SemDeDup + IVF-SQ8
-    textops,  # 22-33: (b) + pack_sequences (a) + NEW chunking + BPE count
+    _Pick(
+        textops,
+        [
+            "token_stats_docs",
+            "complex_types_docs",
+            "like_regexp_docs",
+            "pandas_udf_score_docs",
+            "text_quality_docs",
+            "lang_id_docs",
+            "fingerprint_docs",
+            "tfidf_top_terms_docs",
+            "quality_quartile_docs",
+            "pack_sequences_docs",
+            "chunk_documents_docs",
+            "bpe_token_count_docs",
+        ],
+    ),  # 22-33: (b) + pack_sequences (a) + NEW chunking + BPE count
     _Pick(
         sampling,
         ["hash_sample_docs", "stratified_sample_docs", "mixture_sample_docs"],
@@ -156,6 +172,7 @@ _MODULES = [
     _Pick(
         dedup, ["segment_dedup_docs", "minhash_incremental_docs"]
     ),  # NEW late-r4: below window
+    _Pick(textops, ["hash_features_docs"]),  # NEW late-r4: below window
 ]
 
 
@@ -168,7 +185,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             out[name] = entry
     # A _Pick that names a stale subset would silently drop queries added
     # to its module later — fail loudly instead.
-    for mod in (coverage, dedup, similarity, subqueries, curation, sampling):
+    for mod in (
+        coverage, dedup, similarity, subqueries, curation, sampling, textops,
+    ):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:
             raise ValueError(

@@ -485,3 +485,19 @@ def test_source_similarity_identical_and_disjoint(spark):
     assert out[("s1", "s2")] == 10000       # identical vectors
     assert ("s1", "s3") not in out          # disjoint: no shared term row
     assert ("s2", "s3") not in out
+
+
+def test_hash_features_dense_and_consistent(spark):
+    from delta_go_spark.functions.textops import hash_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["features"] for r in hash_features(df, dim=8).collect()}
+    assert len(out[1]) == 8 and len(out[2]) == 8
+    assert sum(out[1]) == 3          # token occurrences preserved
+    assert sum(out[2]) == 1
+    assert max(out[1]) == 2          # 'a' twice, same bucket
+    # determinism across calls
+    again = {r["doc_id"]: r["features"] for r in hash_features(df, dim=8).collect()}
+    assert again == out
