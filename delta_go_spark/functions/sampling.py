@@ -422,8 +422,10 @@ def sample_k_per_group(
         _bucket(key_cols, salt), *[F.col(c) for c in key_cols]
     )
     # collision-proof temp name: a caller's own _rk column must survive
+    # (Spark resolution is case-INsensitive by default, so compare lowered)
+    lowered = {c.lower() for c in df.columns}
     rk = "_rk"
-    while rk in df.columns:
+    while rk in lowered:
         rk += "_"
     return (
         df.withColumn(rk, F.row_number().over(w))

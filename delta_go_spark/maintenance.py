@@ -519,12 +519,16 @@ def clone_deep(
         )
     except BaseException:
         # until the CLONE commit lands there is no _delta_log at dest, so
-        # files left by a failed copy (or a lost commit race) could never
-        # be VACUUMed — best-effort clean them out so a retry starts from
-        # nothing
-        for _, dest_uri, _, _ in copies:
-            try:
-                store_for(dest_uri).delete(dest_uri)
-            except Exception:
-                pass
+        # files left by a failed copy could never be VACUUMed — clean
+        # them out so a retry starts from nothing.  EXCEPT when the
+        # failure is a lost commit race: a concurrent clone committed the
+        # same rel-path files, and deleting them would gut the winner's
+        # live table — re-check for a committed log before touching
+        # anything.
+        if not DeltaLog.for_table(dest_path).table_exists():
+            for _, dest_uri, _, _ in copies:
+                try:
+                    store_for(dest_uri).delete(dest_uri)
+                except Exception:
+                    pass
         raise

@@ -323,7 +323,7 @@ class DeltaSqlContext:
         # schema evolution (the one legal in-place change); old files read
         # the new columns as typed NULLs.
         m = re.fullmatch(
-            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+COLUMNS?\s+(.+?)\s*",
+            rf"\s*ALTER\s+TABLE\s+({names})\s+ADD\s+COLUMNS?\b\s*(.+?)\s*",
             stripped,
             flags=re.IGNORECASE | re.DOTALL,
         )
@@ -342,12 +342,8 @@ class DeltaSqlContext:
                     fields = StructType.fromDDL(ddl).fields
             else:
                 fields = StructType.fromDDL(ddl).fields
-            bad = [f.name for f in fields if not f.nullable]
-            if bad:
-                raise ValueError(
-                    f"ADD COLUMNS requires nullable columns (existing rows "
-                    f"read them as NULL); NOT NULL on: {bad}"
-                )
+            # nullability is enforced in DeltaTable.add_columns, so the
+            # Python API path is covered too
             return result(t.add_columns(list(fields)))
 
         # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT

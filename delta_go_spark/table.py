@@ -244,7 +244,8 @@ class DeltaTable:
         """ADD COLUMNS: append nullable fields to the schema (the only
         schema change the write-compat rules allow without rewriting —
         type_utils.go:109-133; existing files read the new columns as
-        null)."""
+        null).  NOT NULL fields are refused: existing rows would read
+        NULL under a non-nullable schema, violating the invariant."""
         from pyspark.sql.types import StructType
 
         from delta_go_spark import ops
@@ -252,6 +253,12 @@ class DeltaTable:
 
         import dataclasses
 
+        bad = [f.name for f in new_fields if not f.nullable]
+        if bad:
+            raise ValueError(
+                f"ADD COLUMNS requires nullable columns (existing rows "
+                f"read them as NULL); NOT NULL on: {bad}"
+            )
         txn = self.log.start_transaction()
         meta = txn.snapshot.metadata()
         evolved = StructType([*meta.schema().fields, *new_fields])
@@ -271,8 +278,10 @@ class DeltaTable:
 
         from delta_go_spark import ops
 
+        from delta_go_spark.writer import CONSTRAINT_PREFIX
+
         clean = {str(k): str(v) for k, v in props.items()}
-        guarded = [k for k in clean if k.startswith("delta.constraints.")]
+        guarded = [k for k in clean if k.startswith(CONSTRAINT_PREFIX)]
         if guarded:
             raise ValueError(
                 f"set constraints via add_check_constraint, not "

@@ -149,3 +149,16 @@ def test_sample_k_per_group_exact_and_nested(docs):
         for r in sample_k_per_group(docs, "source", 2, ["doc_id"], "s").collect()
     }
     assert k2 <= {(r["source"], r["doc_id"]) for r in k5}
+
+
+def test_sample_k_preserves_caller_rk_column_any_case(spark):
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", i * 10) for i in range(6)], "doc_id long, grp string, _RK long"
+    )
+    out = sample_k_per_group(df, "grp", 3, ["doc_id"])
+    assert "_RK" in out.columns
+    assert {r["_RK"] for r in out.collect()} <= {i * 10 for i in range(6)}

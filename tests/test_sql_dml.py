@@ -365,3 +365,17 @@ def test_sql_multiline_constraint(spark, tmp_path):
     sess, t = _ctx(spark, tmp_path, "tsqlml")
     sess.sql("ALTER TABLE tsqlml ADD CONSTRAINT vpos CHECK (\n  v >= 0\n)")
     assert "delta.constraints.vpos" in t.log.update().metadata().configuration
+
+
+def test_sql_alter_add_columns_no_space_form(spark, tmp_path):
+    sess, t = _ctx(spark, tmp_path, "tsqlnosp")
+    sess.sql("ALTER TABLE tsqlnosp ADD COLUMNS(tag string)")
+    assert "tag" in t.to_df().columns
+
+
+def test_api_add_columns_rejects_not_null(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    _, t = _ctx(spark, tmp_path, "tapinn")
+    with pytest.raises(ValueError, match="nullable"):
+        t.add_columns(StructType.fromDDL("c long NOT NULL").fields)
