@@ -587,3 +587,65 @@ QUERIES["source_similarity_docs"] = (
     source_similarity_docs,
     SOURCE_SIMILARITY_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Word rarity — the integer-exact stand-in for LM-perplexity filtering:
+# a document whose tokens are mostly corpus-rare is disproportionately
+# likely to be gibberish/noise (the same intuition KenLM gates encode).
+# Scoring by SUM of integer corpus counts (not log-probs) keeps the
+# signal bit-reproducible across engines — no libm, no float row-sums.
+#
+# Scale: one (word, count) corpus aggregate, one equi-join of exploded
+# tokens against it on the word key (map-side combined on both sides),
+# one per-doc integer sum.  Vocab tables are small relative to any
+# corpus; Spark's AQE will broadcast the count side when it fits.
+def word_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    per_doc = (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            F.min("cf").alias("rarest_cf"),
+        )
+    )
+    # mean corpus frequency in milli-units as an exact integer:
+    # floor(1000 * sum_cf / n_tokens) — both engines floor the same
+    # exactly-representable double
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_cf",
+        "rarest_cf",
+        F.floor(F.lit(1000) * F.col("sum_cf") / F.col("n_tokens"))
+        .cast("long")
+        .alias("mean_cf_milli"),
+    ).orderBy("doc_id")
+
+
+WORD_RARITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cf) AS BIGINT) AS sum_cf,
+         CAST(min(cf) AS BIGINT) AS rarest_cf
+  FROM tok JOIN vocab USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_cf, rarest_cf,
+       CAST(floor(1000 * CAST(sum_cf AS DOUBLE) / n_tokens) AS BIGINT)
+         AS mean_cf_milli
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+QUERIES["word_rarity_docs"] = (word_rarity_docs, WORD_RARITY_SQL)

@@ -53,6 +53,7 @@ SAMPLE = [
     "source_similarity_docs",  # new in round 4: mixture-design signal
     "sample_k_per_source_docs",  # new in round 4: exact-k per stratum
     "hash_features_docs",  # new in round 4: hashing-trick featurizer
+    "word_rarity_docs",  # new in round 4: integer-exact rarity gate
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
 ]
