@@ -602,26 +602,39 @@ QUERIES["source_similarity_docs"] = (
 # corpus; Spark's AQE will broadcast the count side when it fits.
 def word_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
-    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    # pre-aggregate to (doc, word) counts BEFORE any join: the join probe
+    # then carries distinct pairs, not raw token occurrences, so a
+    # stopword's billions of occurrences partial-aggregate map-side
+    # instead of hot-keying one shuffle partition; vocab reuses the same
+    # aggregate (one scan + explode total)
+    counts = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = counts.groupBy("w").agg(F.sum("c").alias("cf"))
     per_doc = (
-        tok.join(vocab, "w")
+        counts.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("cf").alias("sum_cf"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("cf")).alias("sum_cf"),
             F.min("cf").alias("rarest_cf"),
         )
     )
-    # mean corpus frequency in milli-units as an exact integer:
-    # floor(1000 * sum_cf / n_tokens) — both engines floor the same
-    # exactly-representable double
+    # mean corpus frequency in milli-units: cast to double BEFORE the
+    # 1000x so the Spark side is the IDENTICAL IEEE formula as the
+    # oracle's `1000 * CAST(sum_cf AS DOUBLE) / n` — long arithmetic
+    # here would ANSI-overflow at sum_cf > 2^63/1000 where the oracle
+    # succeeds, and round once more in the 2^53 boundary band
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "sum_cf",
         "rarest_cf",
-        F.floor(F.lit(1000) * F.col("sum_cf") / F.col("n_tokens"))
+        F.floor(
+            F.lit(1000) * F.col("sum_cf").cast("double") / F.col("n_tokens")
+        )
         .cast("long")
         .alias("mean_cf_milli"),
     ).orderBy("doc_id")
