@@ -617,7 +617,11 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qd.select(
         "vec_id",
         "label",
-        F.round("scale", 9).alias("scale"),
+        # scale in integer nano-units: round(scale, 9) hits Spark's
+        # HALF_UP exact-decimal rounding vs DuckDB's float-multiply
+        # round() on near-half values; floor of an IEEE product is
+        # bit-identical on both engines (scale >= 0 so floor == trunc).
+        F.floor(F.col("scale") * 1e9 + 0.5).alias("scale_nano"),
         F.aggregate(
             F.transform("q", F.abs), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("q_l1"),
@@ -642,7 +646,7 @@ WITH s AS (
   FROM g
 )
 SELECT vec_id, label,
-       round(scale, 9) AS scale,
+       CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_nano,
        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_l2sq,
        CAST(floor(list_max(list_transform(list_zip(v, qv),

@@ -539,15 +539,35 @@ class DeltaSqlContext:
                             r"true|false|null", rm.group(2), re.IGNORECASE
                         )
                     ):
-                        update_set[col.name] = F.col(f"_s_{rm.group(2)}")
+                        rhs_col = rm.group(2)
+                        # The source join column is aliased `_mk` (not
+                        # `_s_<col>`) inside DeltaTable.merge, and ON may
+                        # additionally have renamed it (src_col -> on_col)
+                        # — a SET rhs naming it by EITHER name must map to
+                        # _mk or it resolves to a nonexistent column.
+                        if rhs_col.lower() in (src_col.lower(), on_col.lower()):
+                            update_set[col.name] = F.col("_mk")
+                        else:
+                            update_set[col.name] = F.col(f"_s_{rhs_col}")
                     else:
                         lit = parse_literal(rhs, col.name, schema)
                         update_set[col.name] = F.lit(lit.value).cast(
                             col.dataType
                         )
-        if not seen or not re.fullmatch(
+        # The UPDATE alternative is bounded by the SAME lookahead the
+        # finditer uses — an unbounded lazy `.+?` under DOTALL would
+        # absorb a trailing unsupported clause (e.g. a conditional
+        # `WHEN MATCHED AND ... THEN DELETE`) and silently drop it.  The
+        # WHEN-count cross-check catches anything that still slips both
+        # regexes (raise, never execute a partial merge).
+        n_when = len(
+            re.findall(
+                r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", clauses_text, re.IGNORECASE
+            )
+        )
+        if not seen or seen != n_when or not re.fullmatch(
             r"(?:\s*WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+(?:DELETE|UPDATE\s+SET"
-            r"\s+.+?|INSERT\s+\*)\s*){1,3}",
+            r"\s+.+?(?=\s+WHEN\s+|\s*$)|INSERT\s+\*)\s*){1,3}",
             clauses_text,
             flags=re.IGNORECASE | re.DOTALL,
         ):

@@ -314,6 +314,13 @@ QUERIES["streaming_dedup_events"] = (streaming_dedup_events, STREAMING_DEDUP_SQL
 def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The interval condition is evaluated on ts_wm = NTZ cast to LTZ.
+    # "Both sides shift together" only holds for FIXED-offset zones; under
+    # a DST-observing session TZ the NTZ->LTZ cast is non-injective across
+    # transitions and pair membership could diverge from the oracle's
+    # pure-NTZ arithmetic.  Pin UTC for the cast (driver sessions are not
+    # guaranteed to run under the repo's UTC-pinned session builder).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
 
     def _stream():

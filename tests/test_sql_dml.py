@@ -210,6 +210,40 @@ def test_sql_merge_rejects_malformed(spark, tmp_path):
             "MERGE INTO tsqlmrg5 USING mrg5_src ON k "
             "WHEN MATCHED THEN UPDATE SET nosuch = 1"
         )
+    # An unsupported trailing clause must RAISE, never silently execute a
+    # partial merge: the lazy UPDATE-SET regex used to absorb the whole
+    # conditional DELETE into the SET text and run update-only.
+    with pytest.raises(ValueError, match="WHEN clauses"):
+        sess.sql(
+            "MERGE INTO tsqlmrg5 USING mrg5_src ON k "
+            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN MATCHED AND v = 0 THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="WHEN clauses"):
+        sess.sql(
+            "MERGE INTO tsqlmrg5 USING mrg5_src ON k "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    # nothing committed by the rejected statements
+    assert t.to_df().filter(F.col("v") != 2 * F.col("k")).count() == 0
+
+
+def test_sql_merge_set_rhs_references_renamed_join_column(spark, tmp_path):
+    # ON renames the source join column (src_k -> k); a SET rhs naming the
+    # ORIGINAL source column must follow the rename instead of failing on
+    # an unresolved _s_src_k.
+    sess, t = _ctx(spark, tmp_path, "tsqlmrg6")
+    spark.createDataFrame(
+        [(5, "zz")], "src_k long, p string"
+    ).createOrReplaceTempView("mrg6_src")
+    sess.sql(
+        "MERGE INTO tsqlmrg6 t USING mrg6_src s ON t.k = s.src_k "
+        "WHEN MATCHED THEN UPDATE SET v = s.src_k, p = s.p"
+    )
+    got = {r["k"]: (r["p"], r["v"]) for r in t.to_df().collect()}
+    assert got[5] == ("zz", 5)
+    assert got[6] == ("cd", 12)
 
 
 def test_sql_describe_history(spark, tmp_path):
