@@ -299,6 +299,28 @@ def minhash_lsh_pairs(
     return _jaccard_verify(cand, sig, threshold)
 
 
+# Conservative in-memory bytes per (doc, band_id, band_hash) broadcast row:
+# a ~32-char doc id string + two longs + JVM row overhead.
+_BAND_ROW_EST_BYTES = 96
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (<=0 means the
+    user disabled broadcasting — honor that by never hinting)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 10 << 20
+
+
 def _band_table(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(doc, band_id, band_hash) from a signature table — per-row codegen
     only; the hash of each band's signature rows is the LSH bucket key."""
@@ -902,12 +924,22 @@ def minhash_incremental_pairs(
     sig_all = sig_base.unionByName(sig_new)
     nb = _band_table(sig_new, num_perm, bands).withColumnRenamed("doc", "doc_n")
     ab = _band_table(sig_all, num_perm, bands)
-    # The batch side is small by contract — broadcast it so the corpus
-    # band table is scanned in place, never shuffled (a plain join would
-    # sort-merge BOTH sides on the band key: O(corpus) per ingest, the
-    # exact cost this operator exists to avoid).
+    # The batch side is USUALLY small (a CDF micro-batch) — broadcast it
+    # so the corpus band table is scanned in place, never shuffled (a
+    # plain join would sort-merge BOTH sides on the band key: O(corpus)
+    # per ingest, the exact cost this operator exists to avoid).  But a
+    # backfill or first-load pushed through the same path would OOM
+    # executors on a multi-GB broadcast, so the hint is guarded by a size
+    # estimate: past the session's autoBroadcastJoinThreshold the join
+    # falls back to a plain shuffle (and counting sig_new here doubles as
+    # eager materialization of its checkpoint, so the batch signatures are
+    # computed once either way).
+    n_new = sig_new.count()
+    est_bytes = n_new * bands * _BAND_ROW_EST_BYTES
+    if est_bytes <= _broadcast_threshold_bytes(sig_base.sparkSession):
+        nb = F.broadcast(nb)
     cand = (
-        F.broadcast(nb).join(ab, ["band_id", "band_hash"])
+        nb.join(ab, ["band_id", "band_hash"])
         .filter(F.col("doc_n") != F.col("doc"))
         .select(
             F.least("doc_n", "doc").alias("doc_id_a"),

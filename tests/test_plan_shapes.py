@@ -318,6 +318,36 @@ def test_minhash_incremental_broadcasts_batch_bands(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_minhash_incremental_oversized_batch_falls_back_to_shuffle(spark):
+    """A backfill-sized batch must NOT be force-broadcast (an unguarded
+    hint would OOM executors on a multi-GB build side) — past the
+    session's autoBroadcastJoinThreshold the band join degrades to a
+    plain shuffle join, and the pair set is unchanged either way."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signatures(docs.filter(F.col("doc_id") % 4 != 0), num_perm=16)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        guarded = minhash_incremental_pairs(sig, batch)
+        assert "BroadcastHashJoin" not in _plan(guarded), _plan(guarded)
+        fallback_rows = {tuple(r) for r in guarded.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    hinted_rows = {
+        tuple(r) for r in minhash_incremental_pairs(sig, batch).collect()
+    }
+    assert fallback_rows == hinted_rows
+
+
 def test_mislabel_confusion_stays_jvm_side(spark):
     """Centroid scoring is literal-array expressions — no Python row eval,
     and only the centroid aggregate plus the confusion groupBy shuffle."""
