@@ -738,16 +738,156 @@ def semdedup(
     )
 
 
+def semdedup_int8(
+    df: DataFrame,
+    eps_num: int = 2,
+    eps_den: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup leader pass over an INTEGER-EXACT similarity — the
+    cross-engine-verifiable variant of :func:`semdedup`.
+
+    Same algorithm, three substitutions that make every decision exactly
+    reproducible by an independent SQL engine (so the driver's DuckDB
+    oracle hash-checks the pruning itself, not just row counts):
+
+    - vectors are int8-quantized per :func:`quantize_int8` (whose
+      floor-of-IEEE-division formula is already hash-proven bit-identical
+      across engines by the quantize_embeddings_int8 row);
+    - the cluster assignment is the 4-bit sign pattern of the four
+      16-coordinate block sums of the codes — a deterministic
+      random-projection-style bucketing (axis-aligned hyperplanes)
+      instead of seeded k-means, pure codegen, no training pass;
+    - the drop rule cos(a,b) >= eps becomes the integer predicate
+      dot > 0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2  (eps = num/den),
+      all in int64 (|dot| <= 64*127^2 so nothing approaches overflow).
+
+    The quadratic part keeps the same shape as semdedup: ONE integer
+    matmul per cluster inside applyInPandas; clusters must fit executor
+    memory (16 buckets here — a production run splits blocks further,
+    exactly the n_clusters dial of the float variant).
+
+    Returns per-row (id, cluster, kept, leader), leader NULL for kept.
+    """
+    import pandas as pd
+
+    coded = quantize_int8(df, vec_col=vec_col)
+    q = F.col("q")
+    na2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    block = [
+        F.aggregate(
+            F.slice(q, 16 * b + 1, 16), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        for b in range(4)
+    ]
+    cluster = sum(
+        F.when(block[b] > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(4)
+    ).cast("int")
+    normed = coded.select(
+        F.col(id_col).alias("id"),
+        cluster.alias("cluster"),
+        q.alias("_q"),
+        na2.alias("_na2"),
+    )
+    n2, d2 = eps_num * eps_num, eps_den * eps_den
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.vstack(pdf["_q"].to_numpy()).astype(np.int64)
+        na2v = pdf["_na2"].to_numpy().astype(np.int64)
+        sims = m @ m.T  # exact: entries bounded by 64*127^2 < 2^21
+        n = len(pdf)
+        kept = np.ones(n, dtype=bool)
+        leader = np.full(n, -1, dtype=np.int64)
+        for j in range(1, n):
+            d = sims[:j, j]
+            hits = np.nonzero(
+                kept[:j] & (d > 0) & (d2 * d * d >= n2 * na2v[:j] * na2v[j])
+            )[0]
+            if hits.size:
+                kept[j] = False
+                leader[j] = pdf["id"].iloc[hits[0]]
+        out = pdf[["id", "cluster"]].copy()
+        out["kept"] = kept
+        out["leader"] = leader
+        return out
+
+    pruned = normed.groupBy("cluster").applyInPandas(
+        _prune, "id long, cluster int, kept boolean, leader long"
+    )
+    return pruned.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "kept",
+        F.when(F.col("leader") >= 0, F.col("leader")).alias("leader"),
+    )
+
+
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only: the k-means assignment is deterministic
-    for a fixed seed but not SQL-expressible — like ann_ivf_docs; the
-    leader-pass semantics are pinned by tests/test_approx_ops.py against
-    a brute-force numpy replay)."""
+    """Registry query: the integer-exact SemDeDup leader pass, oracle-backed
+    (upgraded from rows-only in round 5) — DuckDB replays the identical
+    quantization, block-sign clustering and sequential leader walk (via a
+    recursive CTE), so the value hash pins every kept/dropped/leader
+    decision.  The float k-means variant (:func:`semdedup`) remains the
+    production path and is pinned by the brute-force numpy replay in
+    tests/test_approx_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb).orderBy("vec_id")
+    return semdedup_int8(emb).orderBy("vec_id")
 
 
-QUERIES["semdedup_embeddings"] = (semdedup_embeddings, None)
+SEMDEDUP_INT8_SQL = """
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), qc AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2,
+         (CASE WHEN list_sum(qv[1:16])  > 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum(qv[17:32]) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_sum(qv[33:48]) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_sum(qv[49:64]) > 0 THEN 8 ELSE 0 END) AS cluster
+  FROM q
+), pairs AS (
+  SELECT a.cluster, a.vec_id AS ia, b.vec_id AS ib,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) AS dot,
+         a.na2 AS na2a, b.na2 AS nb2
+  FROM qc a JOIN qc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), edges AS (
+  SELECT cluster, ib AS j, list(ia ORDER BY ia) AS cand
+  FROM pairs
+  WHERE dot > 0 AND 25 * dot * dot >= 4 * na2a * nb2
+  GROUP BY cluster, ib
+), ranked AS (
+  SELECT cluster, vec_id,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rnk
+  FROM qc
+), walk AS (
+  SELECT cluster, rnk, vec_id, TRUE AS kept, CAST(NULL AS BIGINT) AS leader,
+         [vec_id] AS kept_ids
+  FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT r.cluster, r.rnk, r.vec_id,
+         list_filter(coalesce(e.cand, []), x -> list_contains(w.kept_ids, x))[1] IS NULL,
+         list_filter(coalesce(e.cand, []), x -> list_contains(w.kept_ids, x))[1],
+         CASE WHEN list_filter(coalesce(e.cand, []), x -> list_contains(w.kept_ids, x))[1] IS NULL
+              THEN list_append(w.kept_ids, r.vec_id) ELSE w.kept_ids END
+  FROM walk w
+  JOIN ranked r ON r.cluster = w.cluster AND r.rnk = w.rnk + 1
+  LEFT JOIN edges e ON e.cluster = r.cluster AND e.j = r.vec_id
+)
+SELECT vec_id, cluster, kept, leader FROM walk ORDER BY vec_id
+"""
+
+
+QUERIES["semdedup_embeddings"] = (semdedup_embeddings, SEMDEDUP_INT8_SQL)
 
 
 # ---------------------------------------------------------------------------

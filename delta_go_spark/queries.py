@@ -44,9 +44,10 @@ class _Pick:
         self.QUERIES = {n: mod.QUERIES[n] for n in names}
 
 
-# The 8 coverage queries the round-2 driver window already hash-verified;
-# the other 10 were last externally checked in round 1.
-_COVERAGE_R2_CHECKED = [
+# Driver-check history (from CORRECTNESS_r01..r04): the round each query
+# was last hash-verified by the driver.  The r5 window freshens the
+# stalest evidence first.
+_COVERAGE_LAST_R2 = [
     "q12_priority_shipping",
     "window_lag_lead_orders",
     "join_full_outer_nation",
@@ -56,123 +57,123 @@ _COVERAGE_R2_CHECKED = [
     "stats_agg_lineitem",
     "q2_min_cost_supplier",
 ]
-_COVERAGE_R1_ONLY = [
-    n for n in coverage.QUERIES if n not in _COVERAGE_R2_CHECKED
+_COVERAGE_LAST_R3 = [
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q20_excess_quantity",
+    "q21_waiting_suppliers",
+    "pivot_lineitem_status",
+    "grouping_sets_orders",
+    "argmax_orders_per_status",
 ]
 
 # Order matters: the driver's CORRECTNESS oracle checks the FIRST 50 entries
-# in iteration order.  Round-4 window (positions 1-50), in priority order:
-#   (a) the 4 queries that have NEVER had a driver row (judge-verified only
-#       in r3): dedup_clusters_docs, simhash_near_dup_docs,
-#       pack_sequences_docs, media_pipeline_summary;
-#   (b) the NEW round-4 operators (all inside 1-47, verified by the
-#       position probe below): delta_incremental_agg (7),
-#       streaming_dedup_events, decontaminate_docs, redact_pii_docs,
-#       duplicated_gram_fraction_docs, quantize_embeddings_int8,
-#       semdedup_embeddings + ann_ivf_int8_docs (rows-only),
-#       chunk_documents_docs, bpe_token_count_docs, mixture_sample_docs,
-#       streaming_interval_join_events, funnel_conversion_events (46),
-#       lateral_topk_suppliers (47);
-#   (c) the queries whose code changed this round: the delta-protocol
-#       queries (dml.py merge + datasource.py CDF/write + cloud data
-#       plane), simhash_docs / simhash_near_dup_docs (signature +
-#       banding rewrites) and minhash_near_dup_docs;
-#   (d) corpus_curation_pipeline closes the window at position 50;
-#       curation's round-2-green rows spill to 51+ (pytest-pinned).
-# Positions 51+ (rest of curation, q12 + coverage, relational,
-# subqueries, asof, rangejoin, the below-window similarity pick) were all
-# hash-green in earlier driver rounds, are pinned by the pytest oracle
-# sample (tests/test_oracle_parity.py), and scripts/check_parity.py still
-# pins the whole registry locally — growth of the round-4 surface
-# displaced them, a deliberate trade: driver slots go to new/changed
-# code first.  Late-round-4 additions land at the registry tail.
+# in iteration order.  Round-5 window (positions 1-50), in priority order:
+#   (a) the 8 queries that have NEVER had a driver row (judge-verified via
+#       check_parity in r4): word_rarity_docs, source_similarity_docs,
+#       mislabel_confusion_embeddings, shuffle_shard_docs,
+#       sample_k_per_source_docs, segment_dedup_docs,
+#       minhash_incremental_docs, hash_features_docs;
+#   (b) queries whose code changed this round: quantize_embeddings_int8
+#       (scale_nano), semdedup_embeddings (upgraded from rows-only to the
+#       integer-exact oracle-backed leader pass), streaming_interval_join
+#       (UTC pin), minhash_incremental_docs (broadcast guard), plus
+#       delta_dml_agg as insurance on the MERGE-layer parse fixes;
+#   (c) the 17 oracle-backed rows last driver-checked in ROUND 2
+#       (9 curation + 8 coverage — the stalest evidence in the registry);
+#   (d) 21 of the oldest round-3 rows: the 11 TPC-H subquery shapes, asof,
+#       range join, cosine_near_dup and 7 coverage rows.
+# Everything displaced below the boundary was hash-green in r3/r4 and
+# remains pinned by the pytest oracle sample + scripts/check_parity.py;
+# the remaining 21 r3-checked rows rotate in next round.
 # Position comments are tier labels, not exact slots — the authoritative
-# placement check is tests/test_oracle_parity.py::test_round4_queries_in_window.
+# placement check is tests/test_oracle_parity.py::test_round5_queries_in_window.
 _MODULES = [
-    cdf_queries,  # 1 (datasource CDF reader changed)
-    delta_queries,  # 2-9: protocol queries + NEW delta_incremental_agg,
-    #      schema-evolution and generated-column rows
+    _Pick(delta_queries, ["delta_dml_agg"]),  # 1: MERGE-layer insurance (b)
+    _Pick(
+        similarity,
+        [
+            "quantize_embeddings_int8",   # (b) scale_nano
+            "semdedup_embeddings",        # (b) now oracle-backed
+            "mislabel_confusion_embeddings",  # (a)
+            "cosine_near_dup_docs",       # (d)
+        ],
+    ),  # 2-5
+    _Pick(streaming_windows, ["streaming_interval_join_events"]),  # 6 (b)
+    _Pick(
+        curation,
+        [
+            "word_rarity_docs",           # (a)
+            "source_similarity_docs",     # (a)
+            "repetition_topword_docs",    # (c) r2-stale from here on
+            "bigram_repetition_docs",
+            "word_entropy_docs",
+            "lang_source_matrix",
+            "doc_length_buckets",
+            "vocab_by_source",
+            "char_trigram_profile",
+            "length_outlier_docs",
+            "source_rank_by_lang",
+        ],
+    ),  # 7-17
+    _Pick(sampling, ["shuffle_shard_docs", "sample_k_per_source_docs"]),  # 18-19 (a)
+    _Pick(dedup, ["segment_dedup_docs", "minhash_incremental_docs"]),  # 20-21 (a+b)
+    _Pick(textops, ["hash_features_docs"]),  # 22 (a)
+    _Pick(coverage, _COVERAGE_LAST_R2),  # 23-30 (c)
+    _Pick(coverage, _COVERAGE_LAST_R3),  # 31-37 (d)
+    _Pick(
+        subqueries, [n for n in subqueries.QUERIES if n != "lateral_topk_suppliers"]
+    ),  # 38-48: the 11 TPC-H subquery shapes (d)
+    asof,  # 49 (d)
+    rangejoin,  # 50 (d)
+    # ---- window boundary (range_join_purchase_errors is position 50) ----
+    # Everything below was hash-green in r3/r4; the pytest oracle sample
+    # and check_parity pin the whole registry locally.
+    cdf_queries,
+    _Pick(delta_queries, [n for n in delta_queries.QUERIES if n != "delta_dml_agg"]),
     _Pick(
         dedup,
         [
-            "exact_dedup_docs",
-            "ngram_jaccard_pairs_docs",
-            "minhash_near_dup_docs",
-            "simhash_docs",
-            "simhash_near_dup_docs",
-            "dedup_keep_longest_docs",
-            "dedup_clusters_docs",
+            n for n in dedup.QUERIES
+            if n not in ("segment_dedup_docs", "minhash_incremental_docs")
         ],
-    ),  # 10-16: banding + clusters changes + (a)
+    ),
     _Pick(
         similarity,
         [
             "embedding_norms",
             "knn_cosine_docs",
-            "quantize_embeddings_int8",
-            "semdedup_embeddings",
+            "ann_lsh_docs",
+            "ann_ivf_docs",
             "ann_ivf_int8_docs",
         ],
-    ),  # 17-21: (b) + NEW quantization + SemDeDup + IVF-SQ8
-    _Pick(
-        textops,
-        [
-            "token_stats_docs",
-            "complex_types_docs",
-            "like_regexp_docs",
-            "pandas_udf_score_docs",
-            "text_quality_docs",
-            "lang_id_docs",
-            "fingerprint_docs",
-            "tfidf_top_terms_docs",
-            "quality_quartile_docs",
-            "pack_sequences_docs",
-            "chunk_documents_docs",
-            "bpe_token_count_docs",
-        ],
-    ),  # 22-33: (b) + pack_sequences (a) + NEW chunking + BPE count
+    ),
+    _Pick(textops, [n for n in textops.QUERIES if n != "hash_features_docs"]),
     _Pick(
         sampling,
         ["hash_sample_docs", "stratified_sample_docs", "mixture_sample_docs"],
-    ),  # 34-36: (b) + NEW mixture_sample_docs
-    multimodal,  # (b) + media_pipeline_summary (a)
-    streaming_windows,  # (b) + NEW streaming dedup + interval join
-    streaming_stateful,
-    safety,  # NEW round-4 ops (decontaminate, redact, dup-frac)
-    funnel,  # NEW round-4: multi-step conversion funnel
-    _Pick(subqueries, ["lateral_topk_suppliers"]),  # NEW round-4: LATERAL
-    _Pick(curation, ["corpus_curation_pipeline"]),  # NEW round-4 pipeline
+    ),
+    multimodal,
     _Pick(
-        curation,
-        [n for n in curation.QUERIES if n != "corpus_curation_pipeline"],
-    ),  # 51-59: curation's earlier-round rows, first spill past the window
-    # ---- window boundary (corpus_curation_pipeline is position 50) ----
-    # Everything below was hash-green in earlier driver rounds or is a
-    # late-round-4 addition; the pytest oracle sample and check_parity
-    # pin the whole registry locally.
-    _Pick(coverage, _COVERAGE_R2_CHECKED[:4]),
-    _Pick(coverage, _COVERAGE_R2_CHECKED[4:]),
-    relational,
-    _Pick(subqueries, [n for n in subqueries.QUERIES if n != "lateral_topk_suppliers"]),
-    asof,
-    rangejoin,
-    _Pick(coverage, _COVERAGE_R1_ONLY),
-    _Pick(
-        similarity,
+        streaming_windows,
         [
-            "cosine_near_dup_docs",
-            "ann_lsh_docs",
-            "ann_ivf_docs",
-            "mislabel_confusion_embeddings",  # NEW late-r4: below window
+            n for n in streaming_windows.QUERIES
+            if n != "streaming_interval_join_events"
         ],
     ),
+    streaming_stateful,
+    safety,
+    funnel,
+    _Pick(subqueries, ["lateral_topk_suppliers"]),
+    _Pick(curation, ["corpus_curation_pipeline"]),
     _Pick(
-        sampling, ["shuffle_shard_docs", "sample_k_per_source_docs"]
-    ),  # NEW late-r4: below window
-    _Pick(
-        dedup, ["segment_dedup_docs", "minhash_incremental_docs"]
-    ),  # NEW late-r4: below window
-    _Pick(textops, ["hash_features_docs"]),  # NEW late-r4: below window
+        coverage,
+        [
+            n for n in coverage.QUERIES
+            if n not in _COVERAGE_LAST_R2 and n not in _COVERAGE_LAST_R3
+        ],
+    ),
+    relational,
 ]
 
 
@@ -187,6 +188,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # to its module later — fail loudly instead.
     for mod in (
         coverage, dedup, similarity, subqueries, curation, sampling, textops,
+        delta_queries, streaming_windows,
     ):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:

@@ -109,37 +109,55 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round4_queries_in_window():
+def test_round5_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
-    query that is new or whose code changed this round must sit inside
-    that window (the registry's ordering contract)."""
+    query that is new, changed this round, or carries the stalest driver
+    evidence must sit inside that window (the registry's ordering
+    contract)."""
     from delta_go_spark.queries import queries
 
     order = list(queries())
-    round4 = [
-        "delta_incremental_agg",
-        "delta_schema_evolution_agg",
-        "delta_generated_agg",
+    round5 = [
+        # (a) never driver-checked before round 5 (judge-verified in r4)
+        "word_rarity_docs",
+        "source_similarity_docs",
+        "mislabel_confusion_embeddings",
+        "shuffle_shard_docs",
+        "sample_k_per_source_docs",
+        "segment_dedup_docs",
+        "minhash_incremental_docs",
+        "hash_features_docs",
+        # (b) code changed in round 5
         "quantize_embeddings_int8",
         "semdedup_embeddings",
-        "ann_ivf_int8_docs",
-        "chunk_documents_docs",
-        "bpe_token_count_docs",
-        "mixture_sample_docs",
-        "streaming_dedup_events",
         "streaming_interval_join_events",
-        "decontaminate_docs",
-        "redact_pii_docs",
-        "duplicated_gram_fraction_docs",
-        "funnel_conversion_events",
-        "lateral_topk_suppliers",
-        "corpus_curation_pipeline",
-        # never driver-checked before round 4 (judge-verified in r3)
-        "dedup_clusters_docs",
-        "simhash_near_dup_docs",
-        "pack_sequences_docs",
-        "media_pipeline_summary",
+        "delta_dml_agg",
+        # (c) last driver-checked in round 2 (the stalest rows)
+        "repetition_topword_docs",
+        "bigram_repetition_docs",
+        "word_entropy_docs",
+        "lang_source_matrix",
+        "doc_length_buckets",
+        "vocab_by_source",
+        "char_trigram_profile",
+        "length_outlier_docs",
+        "source_rank_by_lang",
+        "q12_priority_shipping",
+        "window_lag_lead_orders",
+        "join_full_outer_nation",
+        "join_right_outer_parts",
+        "join_cross_regions",
+        "agg_percentiles_lineitem",
+        "stats_agg_lineitem",
+        "q2_min_cost_supplier",
     ]
-    positions = {n: order.index(n) + 1 for n in round4}
+    positions = {n: order.index(n) + 1 for n in round5}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
+    # every window slot must carry an oracle (no rows-only filler inside
+    # the hard-evidence window)
+    from delta_go_spark.queries import oracle_sql
+
+    osql = oracle_sql()
+    rows_only_in_window = [n for n in order[:50] if n not in osql]
+    assert not rows_only_in_window, rows_only_in_window
