@@ -14,6 +14,7 @@ shipped here (reference: store/local.go:73-96).
 
 from __future__ import annotations
 
+import io
 import os
 import threading
 from abc import ABC, abstractmethod
@@ -80,6 +81,41 @@ class LogStore(ABC):
 
     def size_of(self, path: str) -> int:
         return len(self.read_bytes(path))
+
+    def write_stream(
+        self, path: str, chunks: Iterable[bytes], overwrite: bool = True
+    ) -> None:
+        """Streaming variant of write_bytes for bulk data copies (DEEP
+        CLONE): consume `chunks` without ever holding more than one chunk
+        plus the SDK's own buffer in memory.  The base implementation
+        buffers the whole object (correct for any custom store; bounded
+        by one file per calling task) — LocalStore writes chunk-by-chunk
+        and the cloud stores hand the stream to their SDK's multipart
+        upload when the real SDK is present."""
+        self.write_bytes(path, b"".join(chunks), overwrite)
+
+
+class ChunkStream(io.RawIOBase):
+    """Read-only file-like view over an iterator of byte chunks, for SDK
+    streaming-upload APIs (boto3 upload_fileobj, GCS upload_from_file)."""
+
+    def __init__(self, chunks: Iterable[bytes]):
+        self._it = iter(chunks)
+        self._buf = memoryview(b"")
+
+    def readable(self) -> bool:  # pragma: no cover - trivial
+        return True
+
+    def readinto(self, out) -> int:
+        while not len(self._buf):
+            try:
+                self._buf = memoryview(next(self._it))
+            except StopIteration:
+                return 0
+        n = min(len(out), len(self._buf))
+        out[:n] = self._buf[:n]
+        self._buf = self._buf[n:]
+        return n
 
 
 class LocalStore(LogStore):
@@ -177,6 +213,27 @@ class LocalStore(LogStore):
         except FileNotFoundError:
             pass
 
+    def write_stream(
+        self, path: str, chunks: Iterable[bytes], overwrite: bool = True
+    ) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for c in chunks:
+                f.write(c)
+            f.flush()
+            os.fsync(f.fileno())
+        if overwrite:
+            os.replace(tmp, path)
+        else:
+            try:
+                os.link(tmp, path)
+            except FileExistsError as e:
+                raise FileAlreadyExistsError(path) from e
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
     def read_range(self, path: str, start: int, length: int) -> bytes:
         with open(path, "rb") as f:
             f.seek(start)
@@ -214,6 +271,17 @@ def register_store(prefix: str, store: LogStore | None) -> None:
         _registered.pop(prefix, None)
     else:
         _registered[prefix] = store
+
+
+def has_registered_binding(path: str) -> bool:
+    """True when `path` resolves through a register_store binding — those
+    store instances live only in THIS process, so work that would run on
+    Spark executors (e.g. the distributed DEEP CLONE copy) must stay on
+    the driver for such paths."""
+    return any(
+        path == prefix or path.startswith(prefix.rstrip("/") + "/")
+        for prefix in _registered
+    )
 
 
 def store_for(path: str) -> LogStore:

@@ -417,6 +417,74 @@ def test_deep_clone_independent_copy(spark, tmp_path):
         t.clone_deep(dst_path)
 
 
+def test_deep_clone_copies_on_executors_not_driver(spark, tmp_path, monkeypatch):
+    """The clone's byte movement must run as a Spark job: poisoning the
+    DRIVER process's byte-read methods must not affect the copy (executor
+    workers are separate processes), proving no data byte transits the
+    driver.  A driver-funnel implementation fails this immediately."""
+    import hashlib
+    import os
+
+    import delta_go_spark.store as store_mod
+    from delta_go_spark.table import DeltaTable
+
+    src_path = str(tmp_path / "xclone_src")
+    dst_path = str(tmp_path / "xclone_dst")
+    t = DeltaTable.create(spark, src_path, spark.range(200).toDF("k"))
+    t.append(spark.range(200, 300).toDF("k"))
+
+    def _boom(self, path, *a, **k):
+        raise AssertionError(f"driver-side byte read during deep clone: {path}")
+
+    with monkeypatch.context() as m:
+        m.setattr(store_mod.LocalStore, "read_bytes", _boom)
+        m.setattr(store_mod.LocalStore, "read_range", _boom)
+        c = t.clone_deep(dst_path)
+    assert c.to_df().count() == 300
+    # byte-identical copies (stats/sizes carry over unchanged)
+    src_files = {
+        f: hashlib.md5(open(os.path.join(src_path, f), "rb").read()).hexdigest()
+        for f in os.listdir(src_path)
+        if f.endswith(".parquet")
+    }
+    dst_files = {
+        f: hashlib.md5(open(os.path.join(dst_path, f), "rb").read()).hexdigest()
+        for f in os.listdir(dst_path)
+        if f.endswith(".parquet")
+    }
+    assert src_files == dst_files and src_files
+
+
+def test_deep_clone_registered_binding_falls_back_to_driver_streaming(
+    spark, tmp_path, monkeypatch
+):
+    """register_store-bound URIs exist only in the driver process, so the
+    copy must stay on the driver — and must stream ranged chunks, never
+    read whole files (read_bytes poisoned to prove it)."""
+    import delta_go_spark.store as store_mod
+    from delta_go_spark.store import LocalStore, register_store
+    from delta_go_spark.table import DeltaTable
+
+    src_path = str(tmp_path / "bclone_src")
+    dst_path = str(tmp_path / "bclone_dst")
+    t = DeltaTable.create(spark, src_path, spark.range(100).toDF("k"))
+    # bind the source root so the clone must take the driver path
+    register_store(src_path, LocalStore(src_path))
+    try:
+        with monkeypatch.context() as m:
+            m.setattr(
+                store_mod.LocalStore,
+                "read_bytes",
+                lambda self, p, *a, **k: (_ for _ in ()).throw(
+                    AssertionError(f"whole-file read during deep clone: {p}")
+                ),
+            )
+            c = t.clone_deep(dst_path)
+        assert c.to_df().count() == 100
+    finally:
+        register_store(src_path, None)
+
+
 def test_deep_clone_of_shallow_clone_flattens_absolute_refs(spark, tmp_path):
     """Deepening a shallow clone: outside-root absolute references are
     copied in and flattened to uniquified names."""
