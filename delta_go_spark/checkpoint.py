@@ -386,19 +386,15 @@ CHECKPOINT_SCHEMA = pa.schema(
 )
 
 
-def write_checkpoint(
-    store: LogStore,
-    log_path: str,
-    version: int,
+def _small_action_rows(
     protocol: Protocol,
     metadata: Metadata,
-    active_files: list[AddFile],
-    tombstones: list[RemoveFile],
     set_transactions: list[SetTransaction],
-    max_actions_per_part: int | None = 500_000,
-) -> CheckpointMetadata:
-    """Write a single-file checkpoint + _last_checkpoint pointer
-    (reference: checkpoint.go:247-276, checkpoint_writer.go:19-94)."""
+    tombstones: list[RemoveFile],
+) -> list[dict]:
+    """Checkpoint rows for everything EXCEPT the add actions: protocol,
+    metaData, txns, removes — bounded by the tombstone retention window
+    and app count, never by table size."""
     rows: list[dict] = []
     rows.append({"protocol": {"minReaderVersion": protocol.min_reader_version,
                               "minWriterVersion": protocol.min_writer_version}})
@@ -432,6 +428,43 @@ def write_checkpoint(
                 }
             }
         )
+    return rows
+
+
+def _emit_part(store: LogStore, tbl: pa.Table, target: str) -> None:
+    from delta_go_spark.store import LocalStore
+
+    if isinstance(store, LocalStore):
+        # Stream to a temp file + atomic rename — no in-memory copy of
+        # the serialized part.
+        import os
+
+        tmp = target + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, target)
+    else:
+        # Object stores: serialize and hand bytes to the LogStore
+        # (single PUT, atomic at object level) — raw-path
+        # pq.write_table would crash cloud tables.
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        store.write_bytes(target, sink.getvalue().to_pybytes(), overwrite=True)
+
+
+def write_checkpoint(
+    store: LogStore,
+    log_path: str,
+    version: int,
+    protocol: Protocol,
+    metadata: Metadata,
+    active_files: list[AddFile],
+    tombstones: list[RemoveFile],
+    set_transactions: list[SetTransaction],
+    max_actions_per_part: int | None = 500_000,
+) -> CheckpointMetadata:
+    """Write a single-file checkpoint + _last_checkpoint pointer
+    (reference: checkpoint.go:247-276, checkpoint_writer.go:19-94)."""
+    rows = _small_action_rows(protocol, metadata, set_transactions, tombstones)
     for a in active_files:
         rows.append(
             {
@@ -448,24 +481,8 @@ def write_checkpoint(
         )
     table = pa.Table.from_pylist(rows, schema=CHECKPOINT_SCHEMA)
 
-    from delta_go_spark.store import LocalStore
-
     def emit(tbl: pa.Table, target: str) -> None:
-        if isinstance(store, LocalStore):
-            # Stream to a temp file + atomic rename — no in-memory copy of
-            # the serialized part.
-            import os
-
-            tmp = target + ".tmp"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, target)
-        else:
-            # Object stores: serialize and hand bytes to the LogStore
-            # (single PUT, atomic at object level) — raw-path
-            # pq.write_table would crash cloud tables.
-            sink = pa.BufferOutputStream()
-            pq.write_table(tbl, sink)
-            store.write_bytes(target, sink.getvalue().to_pybytes(), overwrite=True)
+        _emit_part(store, tbl, target)
 
     # Multi-part when the state outgrows one comfortable parquet file
     # (reference reads multi-part checkpoints: checkpoint.go:214-245,
@@ -489,6 +506,139 @@ def write_checkpoint(
     store.write(
         last_checkpoint_path(log_path),
         [json.dumps(payload, separators=(",", ":"))],
+        overwrite=True,
+    )
+    return meta
+
+
+# Checkpoint column DDLs for the Spark-job writer (mirrors CHECKPOINT_SCHEMA;
+# Spark's parquet MAP/LIST encodings match pyarrow's, so parts written by
+# either path read back through the same iter_checkpoint_actions).
+_TXN_DDL = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+_REMOVE_DDL = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+_META_DDL = (
+    "struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>"
+)
+_PROTOCOL_DDL = "struct<minReaderVersion:int,minWriterVersion:int>"
+
+
+def write_checkpoint_spark(
+    spark,
+    store: LogStore,
+    log_path: str,
+    version: int,
+    snapshot,
+    protocol: Protocol,
+    metadata: Metadata,
+    set_transactions: list[SetTransaction],
+    tombstones: list[RemoveFile],
+    max_actions_per_part: int = 500_000,
+) -> CheckpointMetadata:
+    """Multi-part checkpoint written AS A SPARK JOB — the million-file
+    scale path.
+
+    The add actions (the only O(table-size) component) are reconstructed
+    distributively from the previous checkpoint + log tail
+    (snapshot.checkpoint_adds_df) and written by executors straight into
+    the multi-part form (filename.go:73-79); the driver handles only the
+    bounded small actions (protocol/metaData/txn/removes, part 1) and
+    O(parts) renames.  Nothing O(active-files) is ever materialized
+    driver-side, unlike the pyarrow path in write_checkpoint — which
+    remains the exact single-file contract for ordinary tables.
+
+    Part layout: part 1 = small actions (driver pyarrow), parts 2..N =
+    adds (Spark, renamed from a staging dir under _delta_log; names
+    starting with '_' are outside the log's delta/checkpoint patterns so
+    a crashed staging dir can never corrupt replay, and the next attempt
+    clears it).  All parts land before the _last_checkpoint pointer
+    flips, so readers see the complete group or the previous anchor.
+    """
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.snapshot import DeltaError, checkpoint_adds_df
+
+    adds = checkpoint_adds_df(spark, snapshot)
+    full = adds.select(
+        F.lit(None).cast(_TXN_DDL).alias("txn"),
+        F.col("add"),
+        F.lit(None).cast(_REMOVE_DDL).alias("remove"),
+        F.lit(None).cast(_META_DDL).alias("metaData"),
+        F.lit(None).cast(_PROTOCOL_DDL).alias("protocol"),
+    )
+    n_adds = full.count()
+    if n_adds == 0:
+        # nothing to distribute — the pyarrow path is strictly better
+        return write_checkpoint(
+            store, log_path, version, protocol, metadata, [],
+            tombstones, set_transactions,
+        )
+    n_add_parts = max(1, math.ceil(n_adds / max_actions_per_part))
+    n_parts = 1 + n_add_parts
+    targets = filenames.checkpoint_file_parts(log_path, version, n_parts)
+
+    local = "://" not in log_path
+    staging = os.path.join(log_path, f"_staging_checkpoint_{version:020d}")
+    if local and os.path.isdir(staging):
+        shutil.rmtree(staging)  # debris from a crashed earlier attempt
+    full.repartition(n_add_parts).write.mode("overwrite").parquet(staging)
+    if local:
+        part_files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    else:
+        from delta_go_spark.datacloud import hadoop_list_files
+
+        part_files = sorted(
+            p
+            for p, _, _ in hadoop_list_files(spark, staging)
+            if os.path.basename(p).startswith("part-")
+            and p.endswith(".parquet")
+        )
+    if len(part_files) != n_add_parts:
+        raise DeltaError(
+            f"distributed checkpoint wrote {len(part_files)} parts, "
+            f"expected {n_add_parts}"
+        )
+    if local:
+        for src, dst in zip(part_files, targets[1:]):
+            os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(log_path).getFileSystem(conf)
+        for src, dst in zip(part_files, targets[1:]):
+            if not fs.rename(
+                jvm.org.apache.hadoop.fs.Path(src),
+                jvm.org.apache.hadoop.fs.Path(dst),
+            ):
+                raise DeltaError(f"checkpoint part rename failed: {src}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+    small = _small_action_rows(protocol, metadata, set_transactions, tombstones)
+    _emit_part(
+        store, pa.Table.from_pylist(small, schema=CHECKPOINT_SCHEMA), targets[0]
+    )
+    meta = CheckpointMetadata(
+        version=version, size=len(small) + n_adds, parts=n_parts
+    )
+    store.write(
+        last_checkpoint_path(log_path),
+        [
+            json.dumps(
+                {"version": meta.version, "size": meta.size, "parts": n_parts},
+                separators=(",", ":"),
+            )
+        ],
         overwrite=True,
     )
     return meta

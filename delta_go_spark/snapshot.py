@@ -449,3 +449,115 @@ def active_files_df(spark, snapshot: "Snapshot"):
         .filter((F.col("_rn") == 1) & F.col("is_add"))
         .select("path", "size", "version")
     )
+
+
+_ADD_STRUCT_DDL = (
+    "struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "tags:map<string,string>>"
+)
+
+
+def checkpoint_adds_df(spark, snapshot: "Snapshot"):
+    """Active AddFiles with their COMPLETE action payload (partition
+    values, stats, tags), reconstructed as a Spark job — the checkpoint
+    writer's scale path.
+
+    Same newest-wins/tombstone fold as :func:`active_files_df` (window
+    over path, version desc, add-beats-remove within a version —
+    replay_action.go:80-116), but carrying the full add struct in the
+    parquet checkpoint layout so the result can be written straight into
+    multi-part checkpoint files without the driver ever materializing
+    the file list.  JSON-sourced partitionValues/tags arrive as structs
+    (Spark's JSON inference) and are converted to the checkpoint's
+    map<string,string> form; checkpoint-sourced rows already match.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType, StructType
+
+    seg = snapshot.segment
+    null_add = F.lit(None).cast(_ADD_STRUCT_DDL)
+    parts = []
+    if seg.checkpoints:
+        ck = spark.read.parquet(*[p for p in seg.checkpoints])
+        cols = ck.columns
+        parts.append(
+            ck.select(
+                (F.col("add").cast(_ADD_STRUCT_DDL) if "add" in cols else null_add).alias("add"),
+                (F.col("remove.path") if "remove" in cols else F.lit(None).cast("string")).alias("rm_path"),
+                F.lit(seg.checkpoint_version or -1).cast("long").alias("version"),
+            )
+        )
+    for path in seg.deltas:
+        v = int(os.path.basename(path).split(".")[0])
+        dj = spark.read.json(path)
+        cols = dj.columns
+        if "add" not in cols:
+            add_col = null_add
+        else:
+            afields = {f.name: f for f in dj.schema["add"].dataType.fields}
+
+            def _as_map(field: str, _af=afields) -> "F.Column":
+                if field not in _af:
+                    return F.lit(None).cast("map<string,string>")
+                dt = _af[field].dataType
+                if isinstance(dt, MapType):
+                    return F.col(f"add.{field}").cast("map<string,string>")
+                if isinstance(dt, StructType):
+                    ks = dt.fieldNames()
+                    if not ks:
+                        return F.expr("map()").cast("map<string,string>")
+                    return F.map_from_arrays(
+                        F.array(*[F.lit(k) for k in ks]),
+                        F.array(
+                            *[F.col(f"add.{field}.{k}").cast("string") for k in ks]
+                        ),
+                    )
+                return F.lit(None).cast("map<string,string>")
+
+            def _fld(field: str, typ: str, _af=afields) -> "F.Column":
+                if field not in _af:
+                    return F.lit(None).cast(typ)
+                return F.col(f"add.{field}").cast(typ)
+
+            add_col = F.when(
+                F.col("add.path").isNotNull(),
+                F.struct(
+                    F.col("add.path").alias("path"),
+                    _as_map("partitionValues").alias("partitionValues"),
+                    _fld("size", "bigint").alias("size"),
+                    _fld("modificationTime", "bigint").alias("modificationTime"),
+                    _fld("dataChange", "boolean").alias("dataChange"),
+                    _fld("stats", "string").alias("stats"),
+                    _as_map("tags").alias("tags"),
+                ),
+            ).otherwise(null_add)
+        parts.append(
+            dj.select(
+                add_col.alias("add"),
+                (
+                    F.col("remove.path")
+                    if "remove" in cols
+                    else F.lit(None).cast("string")
+                ).alias("rm_path"),
+                F.lit(v).cast("long").alias("version"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], f"add {_ADD_STRUCT_DDL}").select("add")
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    events = union.select(
+        "add",
+        F.coalesce(F.col("add.path"), F.col("rm_path")).alias("path"),
+        "version",
+        F.col("add.path").isNotNull().alias("is_add"),
+    ).filter(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("is_add"))
+        .select("add")
+    )

@@ -390,6 +390,38 @@ class OptimisticTransaction:
                 return True
         return False
 
+    def _use_distributed_checkpoint(self, n_files: int) -> bool:
+        """Route the checkpoint through the Spark-job multi-part writer
+        when the active-file count crosses the configured threshold
+        (spark.delta_go.checkpoint.distributedFileThreshold, default
+        200k) — a million-add pyarrow table on the driver is the scale
+        ceiling this avoids.  Requires a live session and a log Spark
+        itself can read (local path or native-capable cloud; never a
+        register_store-bound fake)."""
+        from pyspark.sql import SparkSession
+
+        from delta_go_spark.datacloud import use_native_cloud
+        from delta_go_spark.store import has_registered_binding
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        try:
+            threshold = int(
+                spark.conf.get(
+                    "spark.delta_go.checkpoint.distributedFileThreshold",
+                    "200000",
+                )
+            )
+        except Exception:
+            threshold = 200_000
+        if n_files < max(1, threshold):
+            return False
+        log_path = self.log.log_path
+        if has_registered_binding(log_path):
+            return False
+        return "://" not in log_path or use_native_cloud(spark, log_path)
+
     def _post_commit(self, version: int) -> None:
         """Checkpoint every checkpointInterval commits
         (reference: trnx.go:647-675)."""
@@ -408,16 +440,31 @@ class OptimisticTransaction:
                 else self.log.snapshot_for_version_as_of(version)
             )
             st = target.state()
-            ckpt_mod.write_checkpoint(
-                self.log.store,
-                self.log.log_path,
-                version,
-                st.protocol,
-                st.metadata,
-                list(st.active_files.values()),
-                list(st.tombstones.values()),
-                list(st.set_transactions.values()),
-            )
+            if self._use_distributed_checkpoint(len(st.active_files)):
+                from pyspark.sql import SparkSession
+
+                ckpt_mod.write_checkpoint_spark(
+                    SparkSession.getActiveSession(),
+                    self.log.store,
+                    self.log.log_path,
+                    version,
+                    target,
+                    st.protocol,
+                    st.metadata,
+                    list(st.set_transactions.values()),
+                    list(st.tombstones.values()),
+                )
+            else:
+                ckpt_mod.write_checkpoint(
+                    self.log.store,
+                    self.log.log_path,
+                    version,
+                    st.protocol,
+                    st.metadata,
+                    list(st.active_files.values()),
+                    list(st.tombstones.values()),
+                    list(st.set_transactions.values()),
+                )
             if cfg.get_bool(meta.configuration, cfg.ENABLE_EXPIRED_LOG_CLEANUP):
                 from delta_go_spark.maintenance import cleanup_expired_logs
 

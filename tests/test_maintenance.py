@@ -208,6 +208,112 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert snap2.to_df(spark).count() == snap.to_df(spark).count()
 
 
+def test_distributed_checkpoint_spark_writer_roundtrip(spark, tmp_path):
+    """write_checkpoint_spark: adds reconstructed + written by a Spark
+    job into the multi-part form; our own reader stitches the parts and
+    reproduces exactly the driver-fold state (paths, partition values,
+    stats, tombstones)."""
+    import os
+
+    from delta_go_spark import checkpoint as ckpt_mod
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "dckpt")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(20)], "k long, par string"
+        ),
+        partition_by=["par"],
+    )
+    t = DeltaTable.for_path(spark, path)
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(100 + i, "a")], "k long, par string")
+        )
+    t.delete_where("k >= 0")  # produce tombstones
+    t.append(
+        spark.createDataFrame([(7, "a"), (8, "b")], "k long, par string")
+    )
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    st = snap.state()
+    meta = ckpt_mod.write_checkpoint_spark(
+        spark,
+        log.store,
+        log.log_path,
+        snap.version,
+        snap,
+        st.protocol,
+        st.metadata,
+        list(st.set_transactions.values()),
+        list(st.tombstones.values()),
+        max_actions_per_part=1,  # force one add per part
+    )
+    n_adds = len(st.active_files)
+    assert meta.parts == 1 + n_adds
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert (
+        sum(1 for n in names if ".checkpoint." in n and n.endswith(".parquet"))
+        == meta.parts
+    )
+    assert not any(n.startswith("_staging_checkpoint") for n in names)
+    # fresh open anchors at the multi-part checkpoint; full state parity
+    snap2 = DeltaLog.for_table(path).snapshot()
+    assert snap2.segment.checkpoint_version == snap.version
+    assert len(snap2.segment.checkpoints) == meta.parts
+    by_path = {a.path: a for a in snap.all_files()}
+    by_path2 = {a.path: a for a in snap2.all_files()}
+    assert by_path.keys() == by_path2.keys()
+    for p, a in by_path.items():
+        b = by_path2[p]
+        assert (a.partition_values, a.size, a.stats) == (
+            b.partition_values, b.size, b.stats,
+        )
+    assert {r.path for r in snap2.tombstones()} == {
+        r.path for r in snap.tombstones()
+    }
+    assert snap2.to_df(spark).count() == snap.to_df(spark).count() == 2
+    # and the table keeps working past the checkpoint anchor
+    t.append(spark.createDataFrame([(9, "b")], "k long, par string"))
+    assert DeltaTable.for_path(spark, path).to_df().count() == 3
+
+
+def test_distributed_checkpoint_threshold_wiring(spark, tmp_path):
+    """Above spark.delta_go.checkpoint.distributedFileThreshold the
+    postCommit checkpoint goes through the Spark-job writer (multi-part
+    group appears at the checkpointInterval boundary)."""
+    import os
+
+    path = str(tmp_path / "dckpt2")
+    old = spark.conf.get(
+        "spark.delta_go.checkpoint.distributedFileThreshold", None
+    )
+    spark.conf.set("spark.delta_go.checkpoint.distributedFileThreshold", "1")
+    try:
+        DeltaTable.create(
+            spark,
+            path,
+            spark.range(10).select(F.col("id").alias("k")),
+            configuration={"delta.checkpointInterval": "2"},
+        )
+        t = DeltaTable.for_path(spark, path)
+        t.append(spark.range(10, 20).select(F.col("id").alias("k")))
+        t.append(spark.range(20, 30).select(F.col("id").alias("k")))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.delta_go.checkpoint.distributedFileThreshold")
+        else:
+            spark.conf.set(
+                "spark.delta_go.checkpoint.distributedFileThreshold", old
+            )
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    multi = [n for n in names if ".checkpoint.0000000" in n]
+    assert multi, names  # multi-part group written at version 2
+    assert DeltaTable.for_path(spark, path).to_df().count() == 30
+
+
 def test_restore_to_earlier_version(spark, tmp_path):
     from delta_go_spark.maintenance import restore
 
