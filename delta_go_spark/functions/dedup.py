@@ -1015,3 +1015,78 @@ QUERIES["minhash_incremental_docs"] = (
     minhash_incremental_docs,
     MINHASH_INCREMENTAL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-keyed dedup (the C4/web-corpus "fuzzy exact" pass): case,
+# punctuation and whitespace variants of the same opening boilerplate are
+# grouped by the md5 of a NORMALIZED prefix — catching near-identical pages
+# that raw-byte hashing (exact_dedup_docs) misses, at exact-dedup cost.
+def normalized_dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    prefix: int = 80,
+) -> DataFrame:
+    """Duplicate groups under the normalized-prefix key: lowercase, every
+    non-alphanumeric run collapsed to one space, trimmed, first `prefix`
+    chars, md5'd.  Emits one row per group with >1 member: the canonical
+    document (longest, doc-id tiebreak — the keep-best rule) plus member
+    count/checksum.
+
+    Scale shape: one narrow projection then ONE partial-aggregable
+    groupBy on a 16-byte key — the canonical pick rides the same
+    aggregate as a struct-max, so there is no window and no second
+    shuffle (skew-safe under hot boilerplate, like segment_dedup).
+    """
+    nk = F.md5(
+        F.substring(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+            ),
+            1,
+            prefix,
+        )
+    )
+    best = F.max(
+        F.struct(
+            F.col(len_col).alias("nc"), (-F.col(id_col)).alias("nid")
+        )
+    )
+    return (
+        df.select(nk.alias("nk"), id_col, len_col)
+        .groupBy("nk")
+        .agg(
+            (-best.getField("nid")).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(id_col).alias("member_id_sum"),
+            F.max(len_col).alias("max_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("canonical_id", "n_members", "member_id_sum", "max_chars")
+        .orderBy("canonical_id")
+    )
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalized_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+NORMALIZED_DEDUP_SQL = """
+WITH normed AS (
+  SELECT doc_id, n_chars,
+         md5(substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    1, 80)) AS nk
+  FROM documents
+)
+SELECT CAST(-max(struct_pack(nc := n_chars, nid := -doc_id)).nid AS BIGINT)
+         AS canonical_id,
+       count(*) AS n_members,
+       CAST(sum(doc_id) AS BIGINT) AS member_id_sum,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM normed GROUP BY nk HAVING count(*) > 1 ORDER BY canonical_id
+"""
+
+
+QUERIES["normalized_dedup_docs"] = (normalized_dedup_docs, NORMALIZED_DEDUP_SQL)

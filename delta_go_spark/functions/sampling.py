@@ -465,3 +465,91 @@ QUERIES["sample_k_per_source_docs"] = (
     sample_k_per_source_docs,
     SAMPLE_K_PER_SOURCE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the assignment is a pure function of
+# document CONTENT (hash of the content key), never of doc_id or position,
+# so exact duplicates land in the same split by construction — the standard
+# guard against train->eval contamination when a corpus carries duplicates.
+# Generalizes to any grouping: pass a near-dup cluster representative as
+# `key_col` and whole clusters stay within one split.
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: Column,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Adds `split` ('train'|'val'|'test') derived from
+    md5(key || salt) mod 100 — deterministic, reshuffle-free, and stable
+    under corpus growth (adding documents never moves existing ones).
+
+    Scale shape: one narrow projection over the scan, zero shuffle —
+    split assignment at 100 TB is embarrassingly parallel.
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(key_col, F.lit(salt))), 1, 8), 16, 10
+               ).cast("long"),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: split the documents table on the content key and
+    report per (split, source) counts + id checksums, carrying the
+    leakage invariant as a column — the number of content groups that
+    straddle more than one split, computed from the tagged data itself
+    (an implementation that keyed the split on anything but content
+    would show non-zero and fail the value hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = leakage_safe_split(
+        docs.withColumn("ck", F.md5("text")), F.col("ck")
+    )
+    leaked = (
+        tagged.groupBy("ck")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_groups"))
+    )
+    return (
+        tagged.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split", "source")
+    )
+
+
+SPLIT_LEAKAGE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS ck,
+         CAST(concat('0x', substr(md5(concat(md5(text), 'split-v1')), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+), tagged AS (
+  SELECT doc_id, source, ck,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed
+), guard AS (
+  SELECT count(*) AS straddlers FROM (
+    SELECT ck FROM tagged GROUP BY ck HAVING count(DISTINCT split) > 1)
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       (SELECT straddlers FROM guard) AS leaked_groups
+FROM tagged GROUP BY split, source ORDER BY split, source
+"""
+
+
+QUERIES["split_leakage_docs"] = (split_leakage_docs, SPLIT_LEAKAGE_SQL)

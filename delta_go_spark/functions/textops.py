@@ -749,3 +749,109 @@ ORDER BY doc_id
 
 
 QUERIES["hash_features_docs"] = (hash_features_docs, HASH_FEATURES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): chunk boundaries are decided by the LOCAL
+# content of a sliding window (boundary where the window hash falls in a
+# 1/8 band), not by fixed offsets — so an insertion near a document's head
+# shifts only the chunks it touches, and identical passages produce
+# identical chunks corpus-wide.  The standard storage/dedup trick (rsync,
+# FastCDC) applied to training text: chunk-level dedup survives edits that
+# defeat fixed-stride chunking (chunk_documents above).
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(id, chunk_md5) per content-defined chunk.
+
+    Candidate cut positions run every `stride` chars; a cut happens where
+    the md5 of the `window`-char lookahead starts with hex 0 or 1
+    (p = 1/8, expected chunk ~ stride * 8 chars).  Everything is codegen/
+    higher-order expressions over the scan followed by one explode —
+    zero shuffle, no Python; downstream dedup aggregates shuffle only
+    (16-byte hash) pairs.
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    pos = F.sequence(
+        F.lit(window), F.greatest(n - window, F.lit(window)), F.lit(stride)
+    )
+    cuts = F.filter(
+        F.transform(
+            pos,
+            lambda i: F.when(
+                F.substring(F.md5(F.substring(text, i, window)), 1, 1).isin(
+                    "0", "1"
+                ),
+                i,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    ).cast("array<bigint>")
+    starts = F.concat(F.array(F.lit(1).cast("bigint")), cuts)
+    ends = F.concat(cuts, F.array((n + 1).cast("bigint")))
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: F.md5(
+            F.substring(
+                text,
+                F.element_at(starts, j).cast("int"),
+                (F.element_at(ends, j) - F.element_at(starts, j)).cast("int"),
+            )
+        ),
+    )
+    return df.withColumn("chunk_md5", F.explode(chunk_hashes)).drop(text_col)
+
+
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: CDC-chunk the corpus and report per-source chunk
+    counts and distinct-chunk counts — the chunk-level dedup opportunity
+    measurement a storage/dedup pipeline runs first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cdc_chunks(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.count_distinct("chunk_md5").alias("distinct_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_CHUNK_SQL = """
+WITH pos AS (
+  SELECT doc_id, source, text, length(text) AS n,
+         list_filter(
+           list_transform(
+             generate_series(8, greatest(length(text) - 8, 8), 4),
+             i -> CASE WHEN substr(md5(substr(text, i, 8)), 1, 1)
+                            IN ('0','1') THEN i ELSE NULL END),
+           x -> x IS NOT NULL) AS cuts
+  FROM documents
+), chunked AS (
+  SELECT doc_id, source, text, n,
+         list_prepend(CAST(1 AS BIGINT),
+                      list_transform(cuts, c -> CAST(c AS BIGINT))) AS starts,
+         list_append(list_transform(cuts, c -> CAST(c AS BIGINT)),
+                     CAST(n + 1 AS BIGINT)) AS ends
+  FROM pos
+), chunks AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(starts)),
+                 j -> md5(substr(text, CAST(starts[j] AS INT),
+                                 CAST(ends[j] - starts[j] AS INT))))) AS ch
+  FROM chunked
+)
+SELECT source,
+       count(*) AS total_chunks,
+       count(DISTINCT ch) AS distinct_chunks
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["cdc_chunk_docs"] = (cdc_chunk_docs, CDC_CHUNK_SQL)

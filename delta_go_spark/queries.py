@@ -151,7 +151,12 @@ _MODULES = [
     _Pick(textops, [n for n in textops.QUERIES if n != "hash_features_docs"]),
     _Pick(
         sampling,
-        ["hash_sample_docs", "stratified_sample_docs", "mixture_sample_docs"],
+        [
+            "hash_sample_docs",
+            "stratified_sample_docs",
+            "mixture_sample_docs",
+            "split_leakage_docs",  # NEW late-r5: below window
+        ],
     ),
     multimodal,
     _Pick(

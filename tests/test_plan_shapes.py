@@ -373,3 +373,54 @@ def test_sample_k_single_group_shuffle(spark):
 
     plan = _plan(queries()["sample_k_per_source_docs"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_split_leakage_assignment_is_shuffle_free(spark):
+    """Split assignment is a pure content-hash projection — the tagging
+    itself must add NO exchange; the registry query's only shuffles are
+    the leakage-guard groupBy and the report aggregate (guard broadcast
+    onto the report)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.sampling import leakage_safe_split
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tag_plan = _plan(leakage_safe_split(docs, F.md5("text")))
+    assert "Exchange" not in tag_plan, tag_plan
+    # Registry query: report agg (1) + guard's count-distinct pair (2),
+    # all keyed on 16-byte hashes; the guard's single row broadcasts onto
+    # the report (a 1-row BroadcastNestedLoop cross is the intended
+    # shape, not a scale hazard).
+    qplan = _plan(queries()["split_leakage_docs"](spark, SF_DIR))
+    assert qplan.count("Exchange hashpartitioning") <= 3, qplan
+    assert "BroadcastExchange" in qplan, qplan
+
+
+def test_cdc_chunks_no_shuffle_before_explode(spark):
+    """Chunking is expression-only over the scan (explode included) — the
+    only exchange in the registry query is the per-source aggregate; no
+    Python evaluation anywhere."""
+    from delta_go_spark.functions.textops import cdc_chunks
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(cdc_chunks(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    qplan = _plan(queries()["cdc_chunk_docs"](spark, SF_DIR))
+    assert "BatchEvalPython" not in qplan, qplan
+
+
+def test_normalized_dedup_single_shuffle_no_window(spark):
+    """Group stats AND the canonical pick ride one partial-aggregable
+    groupBy on the 16-byte normalized key — no Window, one hash
+    exchange (skew-safe under hot boilerplate)."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["normalized_dedup_docs"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan or "partial" in plan, plan
