@@ -536,6 +536,7 @@ def write_checkpoint_spark(
     set_transactions: list[SetTransaction],
     tombstones: list[RemoveFile],
     max_actions_per_part: int = 500_000,
+    n_adds: int | None = None,
 ) -> CheckpointMetadata:
     """Multi-part checkpoint written AS A SPARK JOB — the million-file
     scale path.
@@ -545,9 +546,12 @@ def write_checkpoint_spark(
     (snapshot.checkpoint_adds_df) and written by executors straight into
     the multi-part form (filename.go:73-79); the driver handles only the
     bounded small actions (protocol/metaData/txn/removes, part 1) and
-    O(parts) renames.  Nothing O(active-files) is ever materialized
-    driver-side, unlike the pyarrow path in write_checkpoint — which
-    remains the exact single-file contract for ordinary tables.
+    O(parts) renames.  This moves the checkpoint's pyarrow row-building
+    and parquet serialization off the driver; the TRANSACTION's own
+    replay state (the AddFile dict conflict checking needs) remains a
+    driver cost for now — pairing this writer with a fully distributed
+    state fold is the documented next frontier.  write_checkpoint stays
+    the exact single-file contract for ordinary tables.
 
     Part layout: part 1 = small actions (driver pyarrow), parts 2..N =
     adds (Spark, renamed from a staging dir under _delta_log; names
@@ -572,7 +576,11 @@ def write_checkpoint_spark(
         F.lit(None).cast(_META_DDL).alias("metaData"),
         F.lit(None).cast(_PROTOCOL_DDL).alias("protocol"),
     )
-    n_adds = full.count()
+    # The caller usually knows the add count from its own state fold —
+    # counting here would execute the whole distributed reconstruction a
+    # second time (count + write), doubling the dominant cost.
+    if n_adds is None:
+        n_adds = full.count()
     if n_adds == 0:
         # nothing to distribute — the pyarrow path is strictly better
         return write_checkpoint(

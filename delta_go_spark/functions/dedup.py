@@ -310,8 +310,16 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
+    # Spark accepts both single-letter (k/m/g/t/p) and two-letter (kb/..)
+    # suffixes; parse both or the guard silently falls back to 10MB and
+    # force-broadcasts past the user's own cap.
     mult = 1
-    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("tb", 1 << 40), ("pb", 1 << 50),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
+    ):
         if raw.endswith(suffix):
             raw, mult = raw[: -len(suffix)], m
             break

@@ -97,25 +97,42 @@ class LogStore(ABC):
 
 class ChunkStream(io.RawIOBase):
     """Read-only file-like view over an iterator of byte chunks, for SDK
-    streaming-upload APIs (boto3 upload_fileobj, GCS upload_from_file)."""
+    streaming-upload APIs (boto3 upload_fileobj, GCS upload_from_file).
+
+    read(n) returns EXACTLY n bytes until true end-of-stream (readinto
+    fills across chunk boundaries): the SDKs treat a short read as EOF —
+    a single-chunk readinto would silently truncate any upload whose
+    transfer chunk size exceeds the producer's chunk size.  tell() is
+    supported (GCS's resumable-upload initiator calls it); seeking is
+    not — a mid-upload retry cannot rewind a stream."""
 
     def __init__(self, chunks: Iterable[bytes]):
         self._it = iter(chunks)
         self._buf = memoryview(b"")
+        self._pos = 0
 
     def readable(self) -> bool:  # pragma: no cover - trivial
         return True
 
+    def tell(self) -> int:
+        return self._pos
+
     def readinto(self, out) -> int:
-        while not len(self._buf):
-            try:
-                self._buf = memoryview(next(self._it))
-            except StopIteration:
-                return 0
-        n = min(len(out), len(self._buf))
-        out[:n] = self._buf[:n]
-        self._buf = self._buf[n:]
-        return n
+        out = memoryview(out)
+        filled = 0
+        while filled < len(out):
+            if not len(self._buf):
+                try:
+                    self._buf = memoryview(next(self._it))
+                except StopIteration:
+                    break
+                continue
+            n = min(len(out) - filled, len(self._buf))
+            out[filled : filled + n] = self._buf[:n]
+            self._buf = self._buf[n:]
+            filled += n
+        self._pos += filled
+        return filled
 
 
 class LocalStore(LogStore):

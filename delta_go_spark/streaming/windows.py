@@ -319,7 +319,12 @@ def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
     # a DST-observing session TZ the NTZ->LTZ cast is non-injective across
     # transitions and pair membership could diverge from the oracle's
     # pure-NTZ arithmetic.  Pin UTC for the cast (driver sessions are not
-    # guaranteed to run under the repo's UTC-pinned session builder).
+    # guaranteed to run under the repo's UTC-pinned session builder), and
+    # RESTORE the caller's TZ after the stream materializes — leaking UTC
+    # would shift every LTZ-rendering query that runs later in the same
+    # session while its oracle stays on the system TZ.  The final agg
+    # below is TZ-safe either way: the sink stores only NTZ timestamps.
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
 
@@ -373,15 +378,18 @@ def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
         "inner",
     )
     sink = "streaming_interval_join_sink"
-    q = (
-        joined.select("s_user", "signup_ts", "purchase_value")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            joined.select("s_user", "signup_ts", "purchase_value")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
     return (
         spark.table(sink)
         .groupBy(F.date_trunc("hour", "signup_ts").alias("signup_hour"))

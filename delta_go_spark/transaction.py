@@ -453,6 +453,7 @@ class OptimisticTransaction:
                     st.metadata,
                     list(st.set_transactions.values()),
                     list(st.tombstones.values()),
+                    n_adds=len(st.active_files),
                 )
             else:
                 ckpt_mod.write_checkpoint(

@@ -537,3 +537,25 @@ def test_datacache_prune_lru(tmp_path, monkeypatch):
     for p in survivors:
         os.utime(p, None)
     assert datacache.prune(budget_bytes=0, grace_seconds=3600) == 0
+
+
+def test_chunk_stream_full_reads_and_tell():
+    """SDK streaming uploads treat a short read as EOF — read(n) must
+    return exactly n bytes across chunk boundaries until the stream is
+    truly exhausted, and tell() must track position (GCS's resumable
+    initiator calls it before the first byte moves)."""
+    from delta_go_spark.store import ChunkStream
+
+    chunks = [b"a" * 10, b"b" * 3, b"", b"c" * 20]
+    s = ChunkStream(iter(chunks))
+    assert s.tell() == 0
+    first = s.read(16)  # spans three chunks; must NOT stop at 10
+    assert first == b"a" * 10 + b"b" * 3 + b"c" * 3
+    assert s.tell() == 16
+    rest = s.read()  # read-to-EOF
+    assert rest == b"c" * 17
+    assert s.tell() == 33
+    assert s.read(8) == b"" and s.tell() == 33  # stable EOF
+    # empty stream
+    e = ChunkStream(iter([]))
+    assert e.read(4) == b"" and e.tell() == 0
