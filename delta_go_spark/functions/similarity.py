@@ -1094,3 +1094,128 @@ QUERIES["mislabel_confusion_embeddings"] = (
     mislabel_confusion_embeddings,
     MISLABEL_CONFUSION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH ANN with an EXACT oracle: the bucketed-search pattern of ann_lsh
+# made fully deterministic — block-sign buckets over int8 codes (the same
+# assignment as semdedup_int8), multi-probe = the query's bucket plus its
+# four Hamming-1 neighbors, scoring by integer dot products scaled through
+# IEEE sqrt/divide (bit-identical cross-engine).  The first ANN row whose
+# entire result set is value-hashed by the driver; the k-means IVF variants
+# keep their recall-pinned rows-only contracts.
+def ann_signlsh(
+    corpus: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine over int8 codes, restricted to the query's
+    block-sign bucket and its Hamming-1 neighbors (5 of 16 buckets ≈ 31%
+    of the corpus scanned — the LSH trade dialled by block count).
+
+    Scale shape: the probed scan is a pure codegen filter + projection
+    (bucket comparison, zip_with dot product); top-k compiles to
+    TakeOrderedAndProject, never a global sort.  The one driver-side
+    collect is the single query row (O(1)).  At 10^9 vectors the bucket
+    column doubles as the partition key so probes touch only matching
+    files — the posting-list layout of ann_ivf without a training pass.
+    """
+    coded = quantize_int8(corpus, vec_col=vec_col)
+    q = F.col("q")
+    na2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    block = [
+        F.aggregate(
+            F.slice(q, 16 * b + 1, 16), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        for b in range(4)
+    ]
+    bucket = sum(
+        F.when(block[b] > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(4)
+    ).cast("int")
+    sig = coded.withColumn("na2", na2).withColumn("bucket", bucket)
+    qrow = (
+        sig.filter(F.col(id_col) == query_vec_id)
+        .select("q", "na2", "bucket")
+        .first()
+    )
+    pv, pn2, pb = list(qrow["q"]), int(qrow["na2"]), int(qrow["bucket"])
+    probes = [pb, pb ^ 1, pb ^ 2, pb ^ 4, pb ^ 8]
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in pv])
+    dot = F.aggregate(
+        F.zip_with(q, qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # floor of (int / (IEEE sqrt * IEEE sqrt)) — every op exactly defined,
+    # so the score is bit-identical on any engine evaluating this shape.
+    score = F.floor(
+        F.col("_dot")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.lit(float(pn2))))
+        * 1e6
+        + 0.5
+    )
+    return (
+        sig.filter(
+            (F.col(id_col) != query_vec_id)
+            & F.col("bucket").isin(probes)
+            & (F.col("na2") > 0)
+        )
+        .withColumn("_dot", dot)
+        .select(
+            id_col,
+            "label",
+            "bucket",
+            score.cast("long").alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_signlsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_signlsh(load_table(spark, sf_dir, "embeddings"))
+
+
+ANN_SIGNLSH_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv,
+         label
+  FROM embeddings
+), qc AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2,
+         (CASE WHEN list_sum(qv[1:16])  > 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum(qv[17:32]) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_sum(qv[33:48]) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_sum(qv[49:64]) > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM q
+), probe AS (
+  SELECT qv AS pv, na2 AS pn2, bucket AS pb FROM qc WHERE vec_id = 0
+), cand AS (
+  SELECT c.vec_id, c.label, c.bucket,
+         CAST(list_sum(list_transform(list_zip(c.qv, p.pv), z -> z[1] * z[2]))
+              AS BIGINT) AS dot,
+         c.na2, p.pn2
+  FROM qc c CROSS JOIN probe p
+  WHERE c.vec_id != 0
+    AND c.bucket IN (p.pb, xor(p.pb, 1), xor(p.pb, 2), xor(p.pb, 4),
+                     xor(p.pb, 8))
+)
+SELECT vec_id, label, bucket,
+       CAST(floor(dot / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS cos_micro
+FROM cand
+WHERE na2 > 0
+ORDER BY cos_micro DESC, vec_id
+LIMIT 10
+"""
+
+
+QUERIES["ann_signlsh_docs"] = (ann_signlsh_docs, ANN_SIGNLSH_SQL)

@@ -146,6 +146,7 @@ _MODULES = [
             "ann_lsh_docs",
             "ann_ivf_docs",
             "ann_ivf_int8_docs",
+            "ann_signlsh_docs",  # NEW late-r5: below window, exact oracle
         ],
     ),
     _Pick(textops, [n for n in textops.QUERIES if n != "hash_features_docs"]),

@@ -501,3 +501,19 @@ def test_hash_features_dense_and_consistent(spark):
     # determinism across calls
     again = {r["doc_id"]: r["features"] for r in hash_features(df, dim=8).collect()}
     assert again == out
+
+
+def test_ann_signlsh_recall_vs_bruteforce(spark):
+    """Probing the query's bucket + Hamming-1 neighbors must recover most
+    of the true float top-10 (cosine concentrates mass in nearby sign
+    buckets); scores are exact integers per the oracle contract."""
+    from delta_go_spark.functions.similarity import ann_signlsh, knn_bruteforce
+    from delta_go_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    approx = {r["vec_id"] for r in ann_signlsh(emb, k=10).collect()}
+    query = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in knn_bruteforce(corpus, query, k=10).collect()}
+    assert len(approx & exact) >= 5, (approx, exact)
