@@ -51,6 +51,10 @@ HEADLINE = [
     "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
     "minhash_incremental_docs",  # r4: CDF-incremental near-dup upkeep
     "hash_features_docs",  # r4: hashing-trick featurization
+    "split_leakage_docs",  # r5: leakage-safe train/val/test split
+    "cdc_chunk_docs",  # r5: content-defined chunking
+    "normalized_dedup_docs",  # r5: normalized-prefix fuzzy-exact dedup
+    "ann_signlsh_docs",  # r5: sign-LSH ANN (exact-oracle bucketed search)
 ]
 
 

@@ -13,6 +13,7 @@ no Python UDFs in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1112,46 +1113,61 @@ def ann_signlsh(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k by cosine over int8 codes, restricted to the query's
-    block-sign bucket and its Hamming-1 neighbors (5 of 16 buckets ≈ 31%
-    of the corpus scanned — the LSH trade dialled by block count).
+    block-sign bucket and its Hamming-1 neighbors (5 of 16 buckets \u2248 31%
+    of the corpus scanned \u2014 the LSH trade dialled by block count).
 
-    Scale shape: the probed scan is a pure codegen filter + projection
-    (bucket comparison, zip_with dot product); top-k compiles to
+    Scale shape: the per-row signature + dot product run in ONE
+    Arrow-batched pandas UDF (a batch\u00d764 numpy pass; elementwise IEEE
+    float64 ops are bit-identical to the oracle's SQL formulas, and the
+    integer matmul is exact) \u2014 the pure-expression formulation paid a
+    multi-second Catalyst cost PER BUILD because projection collapsing
+    inlines the quantization lambda tree into every consumer (na2, four
+    block sums, the dot).  Bucket filter, scoring (floor of
+    int / (IEEE sqrt\u00b7sqrt)) and top-k stay JVM-side; top-k compiles to
     TakeOrderedAndProject, never a global sort.  The one driver-side
     collect is the single query row (O(1)).  At 10^9 vectors the bucket
     column doubles as the partition key so probes touch only matching
-    files — the posting-list layout of ann_ivf without a training pass.
+    files \u2014 the posting-list layout of ann_ivf without a training pass.
     """
-    coded = quantize_int8(corpus, vec_col=vec_col)
-    q = F.col("q")
-    na2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
-    block = [
-        F.aggregate(
-            F.slice(q, 16 * b + 1, 16), F.lit(0).cast("long"), lambda a, x: a + x
-        )
-        for b in range(4)
-    ]
-    bucket = sum(
-        F.when(block[b] > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(4)
-    ).cast("int")
-    sig = coded.withColumn("na2", na2).withColumn("bucket", bucket)
-    qrow = (
-        sig.filter(F.col(id_col) == query_vec_id)
-        .select("q", "na2", "bucket")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _np_sig(m):
+        """(codes, na2, bucket) for a batch \u2014 the exact integer/IEEE
+        formulas of quantize_int8 + block-sign bucketing, vectorized."""
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        qm = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        na2 = (qm * qm).sum(axis=1)
+        blocks = qm.reshape(len(qm), 4, 16).sum(axis=2)
+        bucket = ((blocks > 0) * np.array([1, 2, 4, 8])).sum(axis=1)
+        return qm, na2, bucket
+
+    qraw = (
+        corpus.filter(F.col(id_col) == query_vec_id)
+        .select(_as_double(vec_col).alias("_v"))
         .first()
     )
-    pv, pn2, pb = list(qrow["q"]), int(qrow["na2"]), int(qrow["bucket"])
+    pm, pn2a, pba = _np_sig(np.asarray([list(qraw["_v"])], dtype=np.float64))
+    pv, pn2, pb = pm[0], int(pn2a[0]), int(pba[0])
     probes = [pb, pb ^ 1, pb ^ 2, pb ^ 4, pb ^ 8]
-    qlit = F.array(*[F.lit(int(v)).cast("long") for v in pv])
-    dot = F.aggregate(
-        F.zip_with(q, qlit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    # floor of (int / (IEEE sqrt * IEEE sqrt)) — every op exactly defined,
+
+    @pandas_udf("struct<bucket:int,na2:bigint,dot:bigint>")
+    def _sig_dot(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        qm, na2, bucket = _np_sig(m)
+        return pd.DataFrame(
+            {"bucket": bucket.astype("int32"), "na2": na2, "dot": qm @ pv}
+        )
+
+    sig = corpus.select(
+        id_col, "label", _sig_dot(_as_double(vec_col)).alias("_s")
+    ).select(id_col, "label", "_s.bucket", "_s.na2", "_s.dot")
+    # floor of (int / (IEEE sqrt * IEEE sqrt)) \u2014 every op exactly defined,
     # so the score is bit-identical on any engine evaluating this shape.
     score = F.floor(
-        F.col("_dot")
+        F.col("dot")
         / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.lit(float(pn2))))
         * 1e6
         + 0.5
@@ -1162,7 +1178,6 @@ def ann_signlsh(
             & F.col("bucket").isin(probes)
             & (F.col("na2") > 0)
         )
-        .withColumn("_dot", dot)
         .select(
             id_col,
             "label",

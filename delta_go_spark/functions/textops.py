@@ -770,41 +770,45 @@ def cdc_chunks(
 
     Candidate cut positions run every `stride` chars; a cut happens where
     the md5 of the `window`-char lookahead starts with hex 0 or 1
-    (p = 1/8, expected chunk ~ stride * 8 chars).  Everything is codegen/
-    higher-order expressions over the scan followed by one explode —
-    zero shuffle, no Python; downstream dedup aggregates shuffle only
-    (16-byte hash) pairs.
+    (p = 1/8, expected chunk ~ stride * 8 chars).
+
+    The per-position hashing runs in an Arrow-batched pandas UDF: it is
+    O(len/stride) md5 calls PER ROW with data-dependent control flow —
+    the one shape where Spark's (interpreted, not codegen) higher-order
+    transform/filter lambdas lose badly (the expression formulation of
+    this exact function measured 22 s vs ~1 s at sf0.1).  Still zero
+    shuffle — one narrow map over the scan, then one explode; downstream
+    dedup aggregates shuffle only (16-byte hash) pairs.  hashlib.md5 of
+    the UTF-8 bytes of a CHARACTER slice matches Spark's md5(substring)
+    and DuckDB's md5(substr) exactly, so the oracle is unchanged.
     """
-    text = F.col(text_col)
-    n = F.length(text)
-    pos = F.sequence(
-        F.lit(window), F.greatest(n - window, F.lit(window)), F.lit(stride)
-    )
-    cuts = F.filter(
-        F.transform(
-            pos,
-            lambda i: F.when(
-                F.substring(F.md5(F.substring(text, i, window)), 1, 1).isin(
-                    "0", "1"
-                ),
-                i,
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    ).cast("array<bigint>")
-    starts = F.concat(F.array(F.lit(1).cast("bigint")), cuts)
-    ends = F.concat(cuts, F.array((n + 1).cast("bigint")))
-    chunk_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(starts)),
-        lambda j: F.md5(
-            F.substring(
-                text,
-                F.element_at(starts, j).cast("int"),
-                (F.element_at(ends, j) - F.element_at(starts, j)).cast("int"),
-            )
-        ),
-    )
-    return df.withColumn("chunk_md5", F.explode(chunk_hashes)).drop(text_col)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _chunk_hashes(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(t: str | None) -> list[str]:
+            if t is None:
+                t = ""
+            n = len(t)
+            cuts = []
+            for i in range(window, max(n - window, window) + 1, stride):
+                h = hashlib.md5(t[i - 1 : i - 1 + window].encode("utf-8"))
+                if h.hexdigest()[0] in "01":
+                    cuts.append(i)
+            starts = [1] + cuts
+            ends = cuts + [n + 1]
+            return [
+                hashlib.md5(t[s - 1 : e - 1].encode("utf-8")).hexdigest()
+                for s, e in zip(starts, ends)
+            ]
+
+        return texts.map(one)
+
+    return df.withColumn(
+        "chunk_md5", F.explode(_chunk_hashes(F.col(text_col)))
+    ).drop(text_col)
 
 
 def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -427,12 +427,14 @@ def test_normalized_dedup_single_shuffle_no_window(spark):
 
 
 def test_ann_signlsh_is_filter_plus_takeordered(spark):
-    """Sign-LSH ANN: the probed search must be a pure codegen filter +
-    projection ending in TakeOrderedAndProject — no join, no global sort,
-    no Python row eval (the one collect is the single query row)."""
+    """Sign-LSH ANN: one Arrow-batched signature pass over the scan, then
+    a JVM filter/score ending in TakeOrderedAndProject — no join, no
+    global sort, no row-at-a-time Python (the one collect is the single
+    query row)."""
     from delta_go_spark.queries import queries
 
     plan = _plan(queries()["ann_signlsh_docs"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan       # vectorized, not per-row
     assert "BatchEvalPython" not in plan, plan
