@@ -428,3 +428,64 @@ QUERIES["streaming_interval_join_events"] = (
     streaming_interval_join_events,
     STREAMING_INTERVAL_JOIN_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: the canonical Structured Streaming lookup
+# pattern — a streaming fact joined to a STATIC dimension (broadcast into
+# every micro-batch, no state store involved; the static side is re-read
+# per batch, which is what makes slowly-refreshed dimension tables work).
+# Completes the streaming class coverage: rollup / session / sliding /
+# stateful / dedup / interval-join / static-enrich.
+def streaming_static_enrich_events(spark, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold"), (3, "platinum")],
+        "tier_id int, tier string",
+    )
+    enriched = stream.withColumn(
+        "tier_id", (F.col("user_id") % 4).cast("int")
+    ).join(F.broadcast(tiers), "tier_id")
+    agg = (
+        enriched.groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    sink = "streaming_static_enrich_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("tier", "event_type")
+
+
+STREAMING_STATIC_ENRICH_SQL = """
+WITH tiers(tier_id, tier) AS (
+  VALUES (0, 'bronze'), (1, 'silver'), (2, 'gold'), (3, 'platinum')
+)
+SELECT tier, event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e JOIN tiers t ON CAST(e.user_id % 4 AS INT) = t.tier_id
+GROUP BY tier, event_type
+ORDER BY tier, event_type
+"""
+
+
+QUERIES["streaming_static_enrich_events"] = (
+    streaming_static_enrich_events,
+    STREAMING_STATIC_ENRICH_SQL,
+)

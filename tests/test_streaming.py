@@ -384,3 +384,38 @@ def test_incremental_agg_null_values_and_null_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL values in aggregate key"):
         committer.commit_batch(bad, 2)
+
+
+def test_streaming_static_enrich_matches_batch(spark):
+    """Stream-static broadcast enrichment: the streaming result must equal
+    the identical batch plan (same join, same agg) — the static side is
+    re-joined per micro-batch, never staged in the state store."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import load_table
+    from delta_go_spark.streaming.windows import streaming_static_enrich_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["tier"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streaming_static_enrich_events(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold"), (3, "platinum")],
+        "tier_id int, tier string",
+    )
+    batch = (
+        ev.withColumn("tier_id", (F.col("user_id") % 4).cast("int"))
+        .join(F.broadcast(tiers), "tier_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    want = {
+        (r["tier"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) >= 4
