@@ -1135,12 +1135,19 @@ def ann_signlsh(
 
     def _np_sig(m):
         """(codes, na2, bucket) for a batch \u2014 the exact integer/IEEE
-        formulas of quantize_int8 + block-sign bucketing, vectorized."""
+        formulas of quantize_int8 + block-sign bucketing, vectorized.
+        The 4-way block split derives from the vector length (dim must
+        divide by 4; 64-dim fixtures give 16-coordinate blocks)."""
+        dim = m.shape[1]
+        if dim % 4:
+            raise ValueError(
+                f"ann_signlsh needs dim divisible by 4, got {dim}"
+            )
         scale = np.abs(m).max(axis=1) / 127.0
         safe = np.where(scale == 0.0, 1.0, scale)
         qm = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
         na2 = (qm * qm).sum(axis=1)
-        blocks = qm.reshape(len(qm), 4, 16).sum(axis=2)
+        blocks = qm.reshape(len(qm), 4, dim // 4).sum(axis=2)
         bucket = ((blocks > 0) * np.array([1, 2, 4, 8])).sum(axis=1)
         return qm, na2, bucket
 
@@ -1149,6 +1156,10 @@ def ann_signlsh(
         .select(_as_double(vec_col).alias("_v"))
         .first()
     )
+    if qraw is None:
+        raise ValueError(
+            f"ann_signlsh: query vector {id_col}={query_vec_id} not found"
+        )
     pm, pn2a, pba = _np_sig(np.asarray([list(qraw["_v"])], dtype=np.float64))
     pv, pn2, pb = pm[0], int(pn2a[0]), int(pba[0])
     probes = [pb, pb ^ 1, pb ^ 2, pb ^ 4, pb ^ 8]

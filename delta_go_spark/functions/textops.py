@@ -790,7 +790,10 @@ def cdc_chunks(
 
         def one(t: str | None) -> list[str]:
             if t is None:
-                t = ""
+                # match the SQL semantics: a NULL text yields NO chunks
+                # (unnest over a NULL-derived list emits zero rows; an
+                # EMPTY string still yields one md5("") chunk)
+                return []
             n = len(t)
             cuts = []
             for i in range(window, max(n - window, window) + 1, stride):

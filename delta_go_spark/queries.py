@@ -118,12 +118,19 @@ _MODULES = [
     ),  # 7-17
     _Pick(sampling, ["shuffle_shard_docs", "sample_k_per_source_docs"]),  # 18-19 (a)
     _Pick(dedup, ["segment_dedup_docs", "minhash_incremental_docs"]),  # 20-21 (a+b)
-    _Pick(textops, ["hash_features_docs"]),  # 22 (a)
-    _Pick(coverage, _COVERAGE_LAST_R2),  # 23-30 (c)
-    _Pick(coverage, _COVERAGE_LAST_R3),  # 31-37 (d)
     _Pick(
-        subqueries, [n for n in subqueries.QUERIES if n != "lateral_topk_suppliers"]
-    ),  # 38-48: the 11 TPC-H subquery shapes (d)
+        textops, ["hash_features_docs", "cdc_chunk_docs"]
+    ),  # 22-23: (a) + cdc (b — NEW r5, rewritten to the Arrow path mid-round)
+    _Pick(coverage, _COVERAGE_LAST_R2),  # 24-31 (c)
+    _Pick(coverage, _COVERAGE_LAST_R3),  # 32-38 (d)
+    _Pick(
+        subqueries,
+        [
+            n for n in subqueries.QUERIES
+            if n not in ("lateral_topk_suppliers", "q22_global_sales")
+        ],
+    ),  # 39-48: 10 TPC-H subquery shapes (d; q22 displaced below to make
+    #      room for cdc_chunk_docs — it stays pinned by the parity sample)
     asof,  # 49 (d)
     rangejoin,  # 50 (d)
     # ---- window boundary (range_join_purchase_errors is position 50) ----
@@ -149,7 +156,14 @@ _MODULES = [
             "ann_signlsh_docs",  # NEW late-r5: below window, exact oracle
         ],
     ),
-    _Pick(textops, [n for n in textops.QUERIES if n != "hash_features_docs"]),
+    _Pick(
+        textops,
+        [
+            n for n in textops.QUERIES
+            if n not in ("hash_features_docs", "cdc_chunk_docs")
+        ],
+    ),
+    _Pick(subqueries, ["q22_global_sales"]),  # displaced from the window
     _Pick(
         sampling,
         [

@@ -457,7 +457,11 @@ def streaming_static_enrich_events(spark, sf_dir: str) -> DataFrame:
         enriched.groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal accumulation: float partial-sum merge order differs
+            # across engines (same fix as streaming_interval_join above)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
         )
     )
     sink = "streaming_static_enrich_sink"
@@ -477,8 +481,9 @@ WITH tiers(tier_id, tier) AS (
   VALUES (0, 'bronze'), (1, 'silver'), (2, 'gold'), (3, 'platinum')
 )
 SELECT tier, event_type,
-       count(*)             AS n_events,
-       round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS sum_value
 FROM events e JOIN tiers t ON CAST(e.user_id % 4 AS INT) = t.tier_id
 GROUP BY tier, event_type
 ORDER BY tier, event_type

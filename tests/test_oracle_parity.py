@@ -56,6 +56,11 @@ SAMPLE = [
     "word_rarity_docs",  # new in round 4: integer-exact rarity gate
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
+    "split_leakage_docs",  # new in round 5: leakage-safe split
+    "normalized_dedup_docs",  # new in round 5: normalized-prefix dedup
+    "ann_signlsh_docs",  # new in round 5: oracle-backed sign-LSH ANN
+    "streaming_static_enrich_events",  # new in round 5: stream-static join
+    "q22_global_sales",  # displaced below the window in round 5
 ]
 
 
@@ -132,6 +137,7 @@ def test_round5_queries_in_window():
         "semdedup_embeddings",
         "streaming_interval_join_events",
         "delta_dml_agg",
+        "cdc_chunk_docs",  # new in r5 AND rewritten mid-round (Arrow path)
         # (c) last driver-checked in round 2 (the stalest rows)
         "repetition_topword_docs",
         "bigram_repetition_docs",

@@ -399,9 +399,9 @@ def test_split_leakage_assignment_is_shuffle_free(spark):
 
 
 def test_cdc_chunks_no_shuffle_before_explode(spark):
-    """Chunking is expression-only over the scan (explode included) — the
-    only exchange in the registry query is the per-source aggregate; no
-    Python evaluation anywhere."""
+    """Chunking is ONE Arrow-batched pass over the scan followed by the
+    explode — no exchange before the registry query's per-source
+    aggregate, vectorized Python only (never row-at-a-time)."""
     from delta_go_spark.functions.textops import cdc_chunks
     from delta_go_spark.queries import queries
     from delta_go_spark.session import load_table
@@ -409,6 +409,7 @@ def test_cdc_chunks_no_shuffle_before_explode(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(cdc_chunks(docs))
     assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan     # vectorized, not per-row
     assert "BatchEvalPython" not in plan, plan
     qplan = _plan(queries()["cdc_chunk_docs"](spark, SF_DIR))
     assert "BatchEvalPython" not in qplan, qplan

@@ -411,7 +411,9 @@ def test_streaming_static_enrich_matches_batch(spark):
         .groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
         )
     )
     want = {
