@@ -81,8 +81,10 @@ _COVERAGE_LAST_R3 = [
 #       delta_dml_agg as insurance on the MERGE-layer parse fixes;
 #   (c) the 17 oracle-backed rows last driver-checked in ROUND 2
 #       (9 curation + 8 coverage — the stalest evidence in the registry);
-#   (d) 21 of the oldest round-3 rows: the 11 TPC-H subquery shapes, asof,
-#       range join, cosine_near_dup and 7 coverage rows.
+#   (d) 20 of the oldest round-3 rows: 10 TPC-H subquery shapes (q22
+#       displaced below — parity-sample-pinned — to fit cdc_chunk_docs,
+#       which was rewritten mid-round), asof, range join, cosine_near_dup
+#       and 7 coverage rows.
 # Everything displaced below the boundary was hash-green in r3/r4 and
 # remains pinned by the pytest oracle sample + scripts/check_parity.py;
 # the remaining 21 r3-checked rows rotate in next round.
