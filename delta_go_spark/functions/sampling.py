@@ -553,3 +553,94 @@ FROM tagged GROUP BY split, source ORDER BY split, source
 
 
 QUERIES["split_leakage_docs"] = (split_leakage_docs, SPLIT_LEAKAGE_SQL)
+
+
+def split_cluster_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE train/val/test split: the assignment key is the
+    document's connected-component representative under the exact
+    >=0.6-Jaccard pair graph (its own id when unclustered), so entire
+    near-duplicate CLUSTERS travel together — the split an eval pipeline
+    actually needs, since a paraphrase of a training doc in the test set
+    is leakage even though no byte matches.
+
+    Composition of two existing scale paths: min-label connected
+    components over (long,long) pairs, then the zero-shuffle content-hash
+    split; the result carries the self-computed leaked-clusters invariant
+    (clusters straddling splits — provably 0 when keyed on the rep).
+    Oracle: recursive-CTE transitive closure + the same md5 arithmetic.
+    """
+    from delta_go_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(ngram_jaccard_pairs(docs)).withColumnRenamed(
+        "node", "doc_id"
+    )
+    rep = docs.join(cc, "doc_id", "left").withColumn(
+        "rep", F.coalesce("cluster_rep", F.col("doc_id"))
+    )
+    tagged = leakage_safe_split(
+        rep, F.col("rep").cast("string"), salt="cluster-split-v1"
+    )
+    leaked = (
+        tagged.groupBy("rep")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_clusters"))
+    )
+    return (
+        tagged.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split", "source")
+    )
+
+
+def _split_cluster_safe_sql() -> str:
+    from delta_go_spark.functions.dedup import _JACCARD_PAIRS_CTES
+
+    return f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+), rep AS (
+  SELECT d.doc_id, d.source, coalesce(l.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+), tagged AS (
+  SELECT doc_id, source, rep,
+         CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(rep AS VARCHAR),
+                   'cluster-split-v1')), 1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(concat(CAST(rep AS VARCHAR),
+                   'cluster-split-v1')), 1, 8)) AS BIGINT) % 100 < 95
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep
+), guard AS (
+  SELECT count(*) AS straddlers FROM (
+    SELECT rep FROM tagged GROUP BY rep HAVING count(DISTINCT split) > 1)
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       (SELECT straddlers FROM guard) AS leaked_clusters
+FROM tagged GROUP BY split, source ORDER BY split, source
+"""
+
+
+QUERIES["split_cluster_safe_docs"] = (
+    split_cluster_safe_docs,
+    _split_cluster_safe_sql(),
+)

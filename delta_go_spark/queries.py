@@ -173,6 +173,7 @@ _MODULES = [
             "stratified_sample_docs",
             "mixture_sample_docs",
             "split_leakage_docs",  # NEW late-r5: below window
+            "split_cluster_safe_docs",  # NEW late-r5: below window
         ],
     ),
     multimodal,

@@ -57,6 +57,7 @@ SAMPLE = [
     "simhash_near_dup_docs",  # new in round 3: provable <=3-Hamming pairs
     "agg_percentiles_lineitem",  # r3: discrete nearest-rank (was boundary-flaky)
     "split_leakage_docs",  # new in round 5: leakage-safe split
+    "split_cluster_safe_docs",  # new in round 5: near-dup-cluster-safe split
     "normalized_dedup_docs",  # new in round 5: normalized-prefix dedup
     "ann_signlsh_docs",  # new in round 5: oracle-backed sign-LSH ANN
     "streaming_static_enrich_events",  # new in round 5: stream-static join
