@@ -437,6 +437,73 @@ def clone_shallow(
     )
 
 
+def _stats_for_uri(uri: str) -> str | None:
+    """Footer-only Delta stats for one data file (local open or ranged
+    GETs through the store) — module-level so Spark executors can import
+    and run it inside the distributed backfill job."""
+    from delta_go_spark.store import store_for
+    from delta_go_spark.writer import (
+        _stats_from_footer,
+        _stats_from_remote_footer,
+    )
+
+    if "://" in uri and not uri.startswith("file://"):
+        return _stats_from_remote_footer(uri, store_for(uri))
+    return _stats_from_footer(uri.removeprefix("file://"))
+
+
+def compute_stats(spark: SparkSession, table_path: str) -> int | None:
+    """ANALYZE-style stats backfill (OSS Delta's `ANALYZE TABLE ...
+    COMPUTE DELTA STATISTICS`): recompute per-file stats for active files
+    MISSING them and commit replacement AddFiles with data_change=False —
+    newest-add-wins replay swaps the entries in place, so min/max file
+    skipping and metadata-only COUNT(*) start working on files written by
+    stats-less writers (a converted table, another engine's output).
+
+    Only parquet FOOTERS are read (KBs per file, ranged GETs on cloud
+    stores), as a Spark job over the missing-file list when the paths are
+    executor-resolvable (same dispatch rule as the deep-clone copy); each
+    returned stats string is a few hundred bytes, so collecting them is
+    O(missing files) driver memory — the same order the commit itself
+    requires.  Returns the new version, or None when nothing was missing
+    or no footer yielded stats (no empty commits).
+
+    reference: stats carriage per action/add.go:10-18; the reference has
+    no ANALYZE — semantics follow OSS Delta's statistics recompute.
+    """
+    import dataclasses
+
+    from delta_go_spark.snapshot import canonicalize_path
+    from delta_go_spark.store import has_registered_binding
+
+    log = DeltaLog.for_table(table_path)
+    snap = log.update()
+    missing = [a for a in snap.all_files() if not a.stats]
+    if not missing:
+        return None
+    uris = [canonicalize_path(a.path, snap.table_root) for a in missing]
+    driver_only = spark is None or any(has_registered_binding(u) for u in uris)
+    if driver_only:
+        stats_list = [_stats_for_uri(u) for u in uris]
+    else:
+        sc = spark.sparkContext
+        n = max(1, min(len(uris), sc.defaultParallelism * 2))
+        stats_list = sc.parallelize(uris, n).map(_stats_for_uri).collect()
+    updated = [
+        dataclasses.replace(a, stats=s, data_change=False)
+        for a, s in zip(missing, stats_list)
+        if s is not None
+    ]
+    if not updated:
+        return None
+    txn = log.start_transaction()
+    return txn.commit(
+        updated,
+        "COMPUTE STATISTICS",
+        operation_parameters={"files": str(len(updated))},
+    )
+
+
 # Ranged-GET / streamed-PUT chunk size for deep-clone copies: large enough
 # to amortize per-request overhead, small enough that a task never holds
 # more than ~2 chunks in memory regardless of file size.

@@ -319,6 +319,17 @@ class DeltaSqlContext:
                 [(p,) for p in deleted], "path string"
             )
 
+        # ANALYZE TABLE t COMPUTE DELTA STATISTICS — footer-stats backfill
+        # for files from stats-less writers (OSS Delta's statement shape).
+        m = re.fullmatch(
+            rf"\s*ANALYZE\s+TABLE\s+({names})\s+COMPUTE\s+DELTA\s+"
+            rf"STATISTICS\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            return result(resolve(m.group(1)).compute_stats())
+
         # ALTER TABLE t ADD COLUMN[S] (c1 type1 [, ...]) — metadata-only
         # schema evolution (the one legal in-place change); old files read
         # the new columns as typed NULLs.

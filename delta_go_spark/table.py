@@ -134,6 +134,14 @@ class DeltaTable:
 
         return zorder(self.spark, self.log.table_path, cols, n_files)
 
+    def compute_stats(self) -> int | None:
+        """Backfill per-file stats for active files missing them
+        (maintenance.compute_stats) — enables data skipping and
+        metadata-only COUNT on files from stats-less writers."""
+        from delta_go_spark.maintenance import compute_stats
+
+        return compute_stats(self.spark, self.log.table_path)
+
     def restore(self, version: int) -> int:
         from delta_go_spark.maintenance import restore
 

@@ -612,3 +612,81 @@ def test_deep_clone_of_shallow_clone_flattens_absolute_refs(spark, tmp_path):
     t.truncate()
     t.vacuum(retention_millis=0)
     assert deep.to_df().count() == 50
+
+
+def test_compute_stats_backfills_missing_footer_stats(spark, tmp_path):
+    """ANALYZE-style backfill: files committed without stats get footer
+    stats in a data_change=False commit; a second run is a no-op; the
+    backfilled stats match what the writer itself would have recorded."""
+    import dataclasses
+    import json
+
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "tstats")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(40)], "k long, p string"
+        ),
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.append(spark.createDataFrame([(100, "s0")], "k long, p string"))
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    original = {a.path: a.stats for a in snap.all_files()}
+    assert all(original.values())
+    # simulate a stats-less writer: replace every add with stats=None
+    txn = log.start_transaction()
+    txn.commit(
+        [
+            dataclasses.replace(a, stats=None, data_change=False)
+            for a in snap.all_files()
+        ],
+        "Manual Update",
+    )
+    assert all(a.stats is None for a in log.update().all_files())
+
+    v = t.compute_stats()
+    assert v == log.update().version
+    refilled = {a.path: a.stats for a in log.update().all_files()}
+    assert refilled == original  # footer-derived both times
+    total = sum(
+        json.loads(s)["numRecords"] for s in refilled.values()
+    )
+    assert total == 41 == t.to_df().count()
+    # the backfill commit's adds carry data_change=False (streams skip it)
+    from delta_go_spark.actions import AddFile
+
+    vlog = list(log.changes(v))[-1]
+    backfill_adds = [a for a in vlog.actions if isinstance(a, AddFile)]
+    assert backfill_adds and all(not a.data_change for a in backfill_adds)
+    # idempotent: nothing missing -> no empty commit
+    assert t.compute_stats() is None
+
+
+def test_sql_analyze_table_compute_stats(spark, tmp_path):
+    import dataclasses
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.sql import DeltaSqlContext
+
+    path = str(tmp_path / "tstats2")
+    DeltaTable.create(spark, path, spark.range(25).toDF("k"))
+    log = DeltaLog.for_table(path)
+    txn = log.start_transaction()
+    txn.commit(
+        [
+            dataclasses.replace(a, stats=None, data_change=False)
+            for a in log.update().all_files()
+        ],
+        "Manual Update",
+    )
+    sess = DeltaSqlContext(spark)
+    sess.register("tstats2", path)
+    out = sess.sql("ANALYZE TABLE tstats2 COMPUTE DELTA STATISTICS")
+    assert out.collect()[0]["version"] == log.update().version
+    assert all(a.stats for a in log.update().all_files())
+    # metadata-only COUNT(*) now answers from the backfilled stats
+    assert sess.sql("SELECT COUNT(*) FROM tstats2").collect()[0][0] == 25
