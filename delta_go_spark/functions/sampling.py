@@ -617,16 +617,15 @@ WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
   SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
   FROM reach GROUP BY src
 ), rep AS (
-  SELECT d.doc_id, d.source, coalesce(l.cluster_rep, d.doc_id) AS rep
+  SELECT d.doc_id, d.source, coalesce(l.cluster_rep, d.doc_id) AS rep,
+         CAST(concat('0x', substr(md5(concat(CAST(coalesce(l.cluster_rep,
+                d.doc_id) AS VARCHAR), 'cluster-split-v1')), 1, 8))
+              AS BIGINT) % 100 AS bucket
   FROM documents d LEFT JOIN labels l USING (doc_id)
 ), tagged AS (
   SELECT doc_id, source, rep,
-         CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(rep AS VARCHAR),
-                   'cluster-split-v1')), 1, 8)) AS BIGINT) % 100 < 90
-                THEN 'train'
-              WHEN CAST(concat('0x', substr(md5(concat(CAST(rep AS VARCHAR),
-                   'cluster-split-v1')), 1, 8)) AS BIGINT) % 100 < 95
-                THEN 'val'
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
               ELSE 'test' END AS split
   FROM rep
 ), guard AS (

@@ -1204,6 +1204,9 @@ def ann_signlsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_signlsh(load_table(spark, sf_dir, "embeddings"))
 
 
+# NOTE: the block slices below (qv[1:16] .. qv[49:64]) are fixed to the
+# 64-dim embeddings fixture — a different dimension needs regenerated
+# slices to stay in lockstep with _np_sig's dim//4 split.
 ANN_SIGNLSH_SQL = """
 WITH q AS (
   SELECT vec_id,

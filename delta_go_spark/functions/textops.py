@@ -790,9 +790,9 @@ def cdc_chunks(
 
         def one(t: str | None) -> list[str]:
             if t is None:
-                # match the SQL semantics: a NULL text yields NO chunks
-                # (unnest over a NULL-derived list emits zero rows; an
-                # EMPTY string still yields one md5("") chunk)
+                # NULL text yields NO chunks (the oracle filters NULL
+                # texts out for the same zero rows; an EMPTY string
+                # still yields one md5("") chunk on both engines)
                 return []
             n = len(t)
             cuts = []
@@ -840,6 +840,7 @@ WITH pos AS (
                             IN ('0','1') THEN i ELSE NULL END),
            x -> x IS NOT NULL) AS cuts
   FROM documents
+  WHERE text IS NOT NULL
 ), chunked AS (
   SELECT doc_id, source, text, n,
          list_prepend(CAST(1 AS BIGINT),

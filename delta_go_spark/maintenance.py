@@ -477,7 +477,15 @@ def compute_stats(spark: SparkSession, table_path: str) -> int | None:
     from delta_go_spark.store import has_registered_binding
 
     log = DeltaLog.for_table(table_path)
-    snap = log.update()
+    # The transaction opens BEFORE the missing-file list is derived, and
+    # declares the whole table read: a concurrent DELETE/OPTIMIZE that
+    # removes a listed file while the (potentially long) footer job runs
+    # must surface as a commit conflict — committing a replacement
+    # AddFile for a removed path would RESURRECT it under newest-add-wins
+    # replay (deleted rows back, compacted rows duplicated).
+    txn = log.start_transaction()
+    snap = txn.snapshot
+    txn.read_whole_table()
     missing = [a for a in snap.all_files() if not a.stats]
     if not missing:
         return None
@@ -496,7 +504,6 @@ def compute_stats(spark: SparkSession, table_path: str) -> int | None:
     ]
     if not updated:
         return None
-    txn = log.start_transaction()
     return txn.commit(
         updated,
         "COMPUTE STATISTICS",

@@ -328,7 +328,11 @@ class DeltaSqlContext:
             flags=re.IGNORECASE,
         )
         if m:
-            return result(resolve(m.group(1)).compute_stats())
+            t = resolve(m.group(1))
+            v = t.compute_stats()
+            # no-op (nothing missing) still reports the current version,
+            # matching the OPTIMIZE statement's convention
+            return result(v if v is not None else t.version())
 
         # ALTER TABLE t ADD COLUMN[S] (c1 type1 [, ...]) — metadata-only
         # schema evolution (the one legal in-place change); old files read

@@ -12,6 +12,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cents(dec_sum):
+    """Exact integer cents from a DECIMAL sum: floor(x*100 + 0.5) in pure
+    decimal arithmetic — bit-identical on any engine running the same
+    formula (no double ever appears; sign-uniform round-half-up)."""
+    import decimal
+
+    return F.floor(dec_sum * 100 + F.lit(decimal.Decimal("0.5"))).cast("long")
+
+
 def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP_LTZ; promote NTZ event time (the session
     time zone defines the instant mapping, consistently for the pipeline)."""
@@ -396,12 +405,12 @@ def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.count_distinct("s_user").alias("n_users"),
-            F.round(
-                F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_purchase"),
+            # integer cents from exact decimal arithmetic: rounding a
+            # DOUBLE at 2dp can flip the last digit cross-engine (Spark
+            # HALF_UP on the shortest repr vs DuckDB on the binary value)
+            _cents(F.sum(F.col("purchase_value").cast("decimal(18,6)"))).alias(
+                "purchase_cents"
+            ),
         )
         .orderBy("signup_hour")
     )
@@ -413,8 +422,8 @@ WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
 SELECT date_trunc('hour', s.ts) AS signup_hour,
        count(*)                 AS n_pairs,
        count(DISTINCT s.user_id) AS n_users,
-       round(CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 2)
-         AS sum_purchase
+       CAST(floor(sum(CAST(p.value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+         AS purchase_cents
 FROM s JOIN p
   ON s.user_id = p.user_id
  AND p.ts >= s.ts
@@ -457,11 +466,12 @@ def streaming_static_enrich_events(spark, sf_dir: str) -> DataFrame:
         enriched.groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal accumulation: float partial-sum merge order differs
-            # across engines (same fix as streaming_interval_join above)
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("sum_value"),
+            # decimal accumulation + integer cents: float sums merge in
+            # engine-specific order, and even rounding an exact-decimal
+            # sum as a DOUBLE can flip the last digit cross-engine
+            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "value_cents"
+            ),
         )
     )
     sink = "streaming_static_enrich_sink"
@@ -482,8 +492,8 @@ WITH tiers(tier_id, tier) AS (
 )
 SELECT tier, event_type,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
-         AS sum_value
+       CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+         AS value_cents
 FROM events e JOIN tiers t ON CAST(e.user_id % 4 AS INT) = t.tier_id
 GROUP BY tier, event_type
 ORDER BY tier, event_type

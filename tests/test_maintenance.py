@@ -690,3 +690,45 @@ def test_sql_analyze_table_compute_stats(spark, tmp_path):
     assert all(a.stats for a in log.update().all_files())
     # metadata-only COUNT(*) now answers from the backfilled stats
     assert sess.sql("SELECT COUNT(*) FROM tstats2").collect()[0][0] == 25
+
+
+def test_compute_stats_conflicts_with_concurrent_delete(
+    spark, tmp_path, monkeypatch
+):
+    """A file removed while the footer job runs must surface as a commit
+    conflict — committing its replacement AddFile would RESURRECT the
+    deleted rows under newest-add-wins replay."""
+    import dataclasses
+
+    import pytest
+
+    import delta_go_spark.maintenance as m
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.transaction import DeltaConcurrentModificationError
+
+    path = str(tmp_path / "tstats3")
+    DeltaTable.create(spark, path, spark.range(30).toDF("k"))
+    log = DeltaLog.for_table(path)
+    txn = log.start_transaction()
+    txn.commit(
+        [
+            dataclasses.replace(a, stats=None, data_change=False)
+            for a in log.update().all_files()
+        ],
+        "Manual Update",
+    )
+
+    orig = m._stats_for_uri
+    fired = {"done": False}
+
+    def hooked(uri):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaTable.for_path(spark, path).delete_where("k >= 0")
+        return orig(uri)
+
+    monkeypatch.setattr(m, "_stats_for_uri", hooked)
+    with pytest.raises(DeltaConcurrentModificationError):
+        m.compute_stats(None, path)  # spark=None forces the driver loop
+    # the delete stands; nothing was resurrected
+    assert DeltaTable.for_path(spark, path).to_df().count() == 0

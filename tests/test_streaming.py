@@ -396,8 +396,10 @@ def test_streaming_static_enrich_matches_batch(spark):
     from delta_go_spark.streaming.windows import streaming_static_enrich_events
 
     sf_dir = "/root/testdata/sf0.001"
+    from delta_go_spark.streaming.windows import _cents
+
     got = {
-        (r["tier"], r["event_type"]): (r["n_events"], r["sum_value"])
+        (r["tier"], r["event_type"]): (r["n_events"], r["value_cents"])
         for r in streaming_static_enrich_events(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -411,13 +413,13 @@ def test_streaming_static_enrich_matches_batch(spark):
         .groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("sum_value"),
+            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "value_cents"
+            ),
         )
     )
     want = {
-        (r["tier"], r["event_type"]): (r["n_events"], r["sum_value"])
+        (r["tier"], r["event_type"]): (r["n_events"], r["value_cents"])
         for r in batch.collect()
     }
     assert got == want and len(got) >= 4
