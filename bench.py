@@ -55,6 +55,8 @@ HEADLINE = [
     "cdc_chunk_docs",  # r5: content-defined chunking
     "normalized_dedup_docs",  # r5: normalized-prefix fuzzy-exact dedup
     "ann_signlsh_docs",  # r5: sign-LSH ANN (exact-oracle bucketed search)
+    "split_cluster_safe_docs",  # r5: near-dup-cluster-safe split
+    "streaming_static_enrich_events",  # r5: stream-static dimension join
 ]
 
 
