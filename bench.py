@@ -57,6 +57,8 @@ HEADLINE = [
     "ann_signlsh_docs",  # r5: sign-LSH ANN (exact-oracle bucketed search)
     "split_cluster_safe_docs",  # r5: near-dup-cluster-safe split
     "streaming_static_enrich_events",  # r5: stream-static dimension join
+    "lang_confusion_docs",  # r5: declared-vs-predicted language audit
+    "quantization_recall_embeddings",  # r5: float-vs-int8 top-k audit
 ]
 
 

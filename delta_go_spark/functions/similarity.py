@@ -1248,3 +1248,140 @@ LIMIT 10
 
 
 QUERIES["ann_signlsh_docs"] = (ann_signlsh_docs, ANN_SIGNLSH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-recall audit: for a panel of query vectors, compare the
+# float-cosine top-k against the int8-dequantization-free integer-cosine
+# top-k — the acceptance gate a pipeline runs before swapping its ANN
+# index to compressed codes (if the audit overlap drops, the 4x memory
+# win is costing recall).  Both rankings use exactly-defined arithmetic
+# (sequential double ops for the float side — the knn_cosine contract —
+# and int64 dots scaled through IEEE sqrt for the int8 side), so the
+# oracle hash pins both top-k SETS via id checksums, not just the
+# overlap count.
+def quantization_recall_audit(
+    corpus: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, n_overlap, float_id_sum, int8_id_sum) per query vector
+    (ids < n_queries).
+
+    Scale shape: signature columns (codes, norms) are computed once per
+    row and materialized (localCheckpoint) so the probe cross join —
+    corpus x n_queries rows, n_queries a small constant — reuses them;
+    per-query top-k is a window over the tiny qid key.  An audit op:
+    Q is a panel (5-100), never the corpus.
+    """
+    v = _as_double(vec_col)
+    sig = (
+        quantize_int8(corpus, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("cid"),
+            v.alias("v"),
+            "q",
+            l2_norm(v).alias("fn"),
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("na2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probes = sig.filter(F.col("cid") < n_queries).select(
+        F.col("cid").alias("qid"),
+        F.col("v").alias("pv"),
+        F.col("q").alias("pq"),
+        F.col("fn").alias("pfn"),
+        F.col("na2").alias("pn2"),
+    )
+    pairs = (
+        sig.filter((F.col("na2") > 0) & (F.col("fn") > 0))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cid") != F.col("qid"))
+    )
+    fcos = F.round(
+        dot(F.col("v"), F.col("pv")) / (F.col("fn") * F.col("pfn")), 4
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    icos = F.floor(
+        idot
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    from pyspark.sql import Window
+
+    scored = pairs.select(
+        "qid", "cid", fcos.alias("fcos"), icos.alias("icos")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("cid"))
+    wi = Window.partitionBy("qid").orderBy(F.desc("icos"), F.asc("cid"))
+    ranked = scored.withColumn("fr", F.row_number().over(wf)).withColumn(
+        "ir", F.row_number().over(wi)
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(F.when((F.col("fr") <= k) & (F.col("ir") <= k), 1)).alias(
+                "n_overlap"
+            ),
+            F.sum(F.when(F.col("fr") <= k, F.col("cid"))).alias("float_id_sum"),
+            F.sum(F.when(F.col("ir") <= k, F.col("cid"))).alias("int8_id_sum"),
+        )
+        .orderBy("qid")
+    )
+
+
+def quantization_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantization_recall_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+QUANTIZATION_RECALL_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, v, qv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS fn,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2
+  FROM q
+), probes AS (
+  SELECT vec_id AS qid, v AS pv, qv AS pqv, fn AS pfn, na2 AS pn2
+  FROM qn WHERE vec_id < 5
+), scored AS (
+  SELECT p.qid, c.vec_id,
+         round(list_dot_product(c.v, p.pv) / (c.fn * p.pfn), 4) AS fcos,
+         CAST(floor(CAST(list_sum(list_transform(list_zip(c.qv, p.pqv), z -> z[1] * z[2])) AS BIGINT)
+                    / (sqrt(CAST(c.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS icos
+  FROM qn c CROSS JOIN probes p
+  WHERE c.vec_id != p.qid AND c.na2 > 0 AND c.fn > 0
+), ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, vec_id) AS fr,
+         row_number() OVER (PARTITION BY qid ORDER BY icos DESC, vec_id) AS ir
+  FROM scored
+)
+SELECT qid,
+       count(*) FILTER (WHERE fr <= 10 AND ir <= 10) AS n_overlap,
+       CAST(sum(vec_id) FILTER (WHERE fr <= 10) AS BIGINT) AS float_id_sum,
+       CAST(sum(vec_id) FILTER (WHERE ir <= 10) AS BIGINT) AS int8_id_sum
+FROM ranked GROUP BY qid ORDER BY qid
+"""
+
+
+QUERIES["quantization_recall_embeddings"] = (
+    quantization_recall_embeddings,
+    QUANTIZATION_RECALL_SQL,
+)

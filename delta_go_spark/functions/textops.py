@@ -863,3 +863,52 @@ FROM chunks GROUP BY source ORDER BY source
 
 
 QUERIES["cdc_chunk_docs"] = (cdc_chunk_docs, CDC_CHUNK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-predicted language audit: cross-tabulate the corpus' `lang`
+# metadata against the n-gram-marker prediction (with_lang_id above) — the
+# metadata-trust check a curation pipeline runs before using a declared
+# field for filtering or mixture design (mislabeled-language documents are
+# a classic silent quality leak).
+def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(declared lang, predicted lang) -> count + id checksum.  Pure
+    codegen scoring (the same marker expressions as lang_id_docs) + ONE
+    partial-aggregable groupBy on two tiny string keys — zero extra cost
+    over the prediction itself at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_lang_id(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_hits_sql(_LANG_MARKERS["en"])} AS score_en,
+         {_hits_sql(_LANG_MARKERS["de"])} AS score_de,
+         {_hits_sql(_LANG_MARKERS["es"])} AS score_es,
+         {_hits_sql(_LANG_MARKERS["fr"])} AS score_fr
+  FROM documents
+), guessed AS (
+  SELECT doc_id, lang,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+  FROM scored
+)
+SELECT lang, lang_guess, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
+"""
+
+
+QUERIES["lang_confusion_docs"] = (lang_confusion_docs, LANG_CONFUSION_SQL)

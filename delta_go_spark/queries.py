@@ -156,6 +156,7 @@ _MODULES = [
             "ann_ivf_docs",
             "ann_ivf_int8_docs",
             "ann_signlsh_docs",  # NEW late-r5: below window, exact oracle
+            "quantization_recall_embeddings",  # NEW late-r5: below window
         ],
     ),
     _Pick(
@@ -164,7 +165,7 @@ _MODULES = [
             n for n in textops.QUERIES
             if n not in ("hash_features_docs", "cdc_chunk_docs")
         ],
-    ),
+    ),  # includes NEW late-r5 lang_confusion_docs (dynamic pick)
     _Pick(subqueries, ["q22_global_sales"]),  # displaced from the window
     _Pick(
         sampling,

@@ -62,6 +62,8 @@ SAMPLE = [
     "ann_signlsh_docs",  # new in round 5: oracle-backed sign-LSH ANN
     "streaming_static_enrich_events",  # new in round 5: stream-static join
     "q22_global_sales",  # displaced below the window in round 5
+    "lang_confusion_docs",  # new in round 5: declared-vs-predicted audit
+    "quantization_recall_embeddings",  # new in round 5: int8 recall audit
 ]
 
 

@@ -439,3 +439,25 @@ def test_ann_signlsh_is_filter_plus_takeordered(spark):
     assert "Join" not in plan, plan
     assert "ArrowEvalPython" in plan, plan       # vectorized, not per-row
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_quantization_recall_audit_plan(spark):
+    """The audit's cross join is a 5-row broadcast probe panel (benign by
+    design); per-query top-k rides windows over the tiny qid key; no
+    Python row eval anywhere."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["quantization_recall_embeddings"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_lang_confusion_single_aggregate(spark):
+    """Declared-vs-predicted audit: pure codegen scoring + ONE hash
+    exchange for the two-key groupBy."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["lang_confusion_docs"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
