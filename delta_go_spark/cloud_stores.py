@@ -41,6 +41,21 @@ def _decode(data: bytes) -> list[str]:
     return [line for line in data.decode("utf-8").splitlines() if line.strip()]
 
 
+# Default SDK clients cached per process (keyed by scheme / account):
+# store_for() constructs a store per URI, and the distributed clone /
+# stats-backfill jobs call it PER FILE on executors — rebuilding a boto3 /
+# GCS / Azure client per file would cost ~50-100 ms each, hours of pure
+# construction overhead at a million files.  Explicitly injected clients
+# (tests, emulators) bypass the cache entirely.
+_default_clients: dict = {}
+
+
+def _cached_default(key: str, build):
+    if key not in _default_clients:
+        _default_clients[key] = build()
+    return _default_clients[key]
+
+
 class S3Store(LogStore):
     """reference: store/s3.go — upgraded to multi-writer via conditional PUT."""
 
@@ -50,7 +65,7 @@ class S3Store(LogStore):
                 import boto3
             except ImportError as e:  # pragma: no cover - SDK not bundled
                 raise ImportError("S3Store requires boto3 (pip install boto3)") from e
-            client = boto3.client("s3")
+            client = _cached_default("s3", lambda: boto3.client("s3"))
         self._client = client
         self._root = root_uri.rstrip("/")
 
@@ -162,7 +177,7 @@ class GCSStore(LogStore):
                 raise ImportError(
                     "GCSStore requires google-cloud-storage"
                 ) from e
-            client = storage.Client()
+            client = _cached_default("gs", storage.Client)
         self._client = client
         self._root = root_uri.rstrip("/")
 
@@ -279,9 +294,12 @@ class AzureBlobStore(LogStore):
                     "AzureBlobStore requires azure-storage-blob + azure-identity"
                 ) from e
             account = urlparse(root_uri).netloc.split("@", 1)[-1].split(".")[0]
-            service_client = BlobServiceClient(
-                account_url=f"https://{account}.blob.core.windows.net",
-                credential=DefaultAzureCredential(),
+            service_client = _cached_default(
+                f"azure:{account}",
+                lambda: BlobServiceClient(
+                    account_url=f"https://{account}.blob.core.windows.net",
+                    credential=DefaultAzureCredential(),
+                ),
             )
         self._svc = service_client
         self._root = root_uri.rstrip("/")
