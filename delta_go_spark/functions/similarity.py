@@ -1290,7 +1290,12 @@ def quantization_recall_audit(
         )
         .localCheckpoint(eager=False)
     )
-    probes = sig.filter(F.col("cid") < n_queries).select(
+    # a zero-norm probe is skipped on BOTH engines: Spark's x/0.0 yields
+    # Inf/NaN (NaN sorts above Inf) while DuckDB's double division by
+    # zero yields NULL — divergent rankings with no error anywhere
+    probes = sig.filter(
+        (F.col("cid") < n_queries) & (F.col("na2") > 0) & (F.col("fn") > 0)
+    ).select(
         F.col("cid").alias("qid"),
         F.col("v").alias("pv"),
         F.col("q").alias("pq"),
@@ -1359,7 +1364,7 @@ WITH q AS (
   FROM q
 ), probes AS (
   SELECT vec_id AS qid, v AS pv, qv AS pqv, fn AS pfn, na2 AS pn2
-  FROM qn WHERE vec_id < 5
+  FROM qn WHERE vec_id < 5 AND na2 > 0 AND fn > 0
 ), scored AS (
   SELECT p.qid, c.vec_id,
          round(list_dot_product(c.v, p.pv) / (c.fn * p.pfn), 4) AS fcos,

@@ -131,7 +131,10 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores = {lang: _marker_hits(t, words) for lang, words in _LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     guess = (
-        F.when(best <= 0, F.lit("unknown"))
+        # NULL text -> every score is NULL and a bare when-chain would
+        # fall through to 'fr'; no evidence means 'unknown'
+        F.when(F.col(text_col).isNull(), F.lit("unknown"))
+        .when(best <= 0, F.lit("unknown"))
         .when(scores["en"] == best, F.lit("en"))
         .when(scores["de"] == best, F.lit("de"))
         .when(scores["es"] == best, F.lit("es"))
@@ -176,7 +179,8 @@ WITH scored AS (
   FROM documents
 )
 SELECT doc_id, score_en, score_de, score_es, score_fr,
-       CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
+       CASE WHEN score_en IS NULL THEN 'unknown'
+            WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
             WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
             WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
             WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
@@ -898,7 +902,8 @@ WITH scored AS (
   FROM documents
 ), guessed AS (
   SELECT doc_id, lang,
-       CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
+       CASE WHEN score_en IS NULL THEN 'unknown'
+            WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'unknown'
             WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
             WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
             WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'

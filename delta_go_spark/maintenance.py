@@ -485,6 +485,10 @@ def compute_stats(spark: SparkSession, table_path: str) -> int | None:
     # replay (deleted rows back, compacted rows duplicated).
     txn = log.start_transaction()
     snap = txn.snapshot
+    if snap is None:
+        from delta_go_spark.snapshot import DeltaError
+
+        raise DeltaError(f"table does not exist: {table_path}")
     txn.read_whole_table()
     missing = [a for a in snap.all_files() if not a.stats]
     if not missing:

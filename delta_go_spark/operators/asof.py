@@ -111,18 +111,24 @@ def asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["prior_type"],
     )
     gap_us = F.expr("timestampdiff(MICROSECOND, asof_ts, ts)")
+    # integer cents / centiseconds: rounding a DOUBLE at 2dp can flip the
+    # last digit cross-engine (Spark HALF_UP on the shortest repr vs
+    # DuckDB on the binary value) — same hardening as the streaming sums
+    from delta_go_spark.streaming.windows import _cents
+
     return (
         joined.groupBy(F.coalesce("asof_prior_type", F.lit("none")).alias("prior_type"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("sum_value"),
-            F.round(
+            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "value_cents"
+            ),
+            F.floor(
                 F.try_divide(F.sum(gap_us).cast("double"), F.count(gap_us))
-                / F.lit(1000000.0),
-                2,
-            ).alias("avg_gap_s"),
+                / F.lit(1000000.0)
+                * 100
+                + 0.5
+            ).cast("long").alias("avg_gap_cs"),
         )
         .orderBy("prior_type")
     )
@@ -139,9 +145,11 @@ WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
      )
 SELECT coalesce(prior_type, 'none') AS prior_type,
        count(*) AS n_purchases,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
-       round(CAST(sum(epoch_us(ts) - epoch_us(prior_ts)) AS DOUBLE)
-             / count(prior_ts) / 1000000.0, 2) AS avg_gap_s
+       CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+         AS value_cents,
+       CAST(floor(CAST(sum(epoch_us(ts) - epoch_us(prior_ts)) AS DOUBLE)
+                  / count(prior_ts) / 1000000.0 * 100 + 0.5) AS BIGINT)
+         AS avg_gap_cs
 FROM j
 GROUP BY 1
 ORDER BY 1

@@ -106,13 +106,16 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_purchase = pairs.groupBy("event_id", "value").agg(
         F.count("err_id").alias("n_nearby_errors")
     )
+    # integer cents, same cross-engine hardening as asof/streaming sums
+    from delta_go_spark.streaming.windows import _cents
+
     return (
         per_purchase.groupBy("n_nearby_errors")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("sum_value"),
+            _cents(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+                "value_cents"
+            ),
         )
         .orderBy("n_nearby_errors")
     )
@@ -133,7 +136,8 @@ WITH p AS (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase')
      )
 SELECT n_nearby_errors,
        count(*) AS n_purchases,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+       CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+         AS value_cents
 FROM per_p
 GROUP BY n_nearby_errors
 ORDER BY n_nearby_errors

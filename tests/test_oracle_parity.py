@@ -141,6 +141,8 @@ def test_round5_queries_in_window():
         "streaming_interval_join_events",
         "delta_dml_agg",
         "cdc_chunk_docs",  # new in r5 AND rewritten mid-round (Arrow path)
+        "asof_attribution_events",  # integer-cents hardening late in r5
+        "range_join_purchase_errors",  # integer-cents hardening late in r5
         # (c) last driver-checked in round 2 (the stalest rows)
         "repetition_topword_docs",
         "bigram_repetition_docs",
