@@ -114,7 +114,7 @@ def asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer cents / centiseconds: rounding a DOUBLE at 2dp can flip the
     # last digit cross-engine (Spark HALF_UP on the shortest repr vs
     # DuckDB on the binary value) — same hardening as the streaming sums
-    from delta_go_spark.streaming.windows import _cents
+    from delta_go_spark.exact import cents as _cents
 
     return (
         joined.groupBy(F.coalesce("asof_prior_type", F.lit("none")).alias("prior_type"))

@@ -107,7 +107,7 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("err_id").alias("n_nearby_errors")
     )
     # integer cents, same cross-engine hardening as asof/streaming sums
-    from delta_go_spark.streaming.windows import _cents
+    from delta_go_spark.exact import cents as _cents
 
     return (
         per_purchase.groupBy("n_nearby_errors")

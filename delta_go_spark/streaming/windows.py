@@ -12,13 +12,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cents(dec_sum):
-    """Exact integer cents from a DECIMAL sum: floor(x*100 + 0.5) in pure
-    decimal arithmetic — bit-identical on any engine running the same
-    formula (no double ever appears; sign-uniform round-half-up)."""
-    import decimal
-
-    return F.floor(dec_sum * 100 + F.lit(decimal.Decimal("0.5"))).cast("long")
+# Shared exact-arithmetic helper (delta_go_spark.exact); re-exported here
+# for the streaming queries and their tests.
+from delta_go_spark.exact import cents as _cents  # noqa: E402
 
 
 def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:

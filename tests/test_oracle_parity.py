@@ -32,6 +32,7 @@ SAMPLE = [
     "exact_dedup_docs",
     "token_stats_docs",
     "asof_attribution_events",
+    "range_join_purchase_errors",  # integer-cents hardened with asof in r5
     "delta_roundtrip_agg",
     # outside the driver's 50-query window this round — pytest is its gate
     "delta_cdf_agg",
