@@ -555,35 +555,66 @@ FROM tagged GROUP BY split, source ORDER BY split, source
 QUERIES["split_leakage_docs"] = (split_leakage_docs, SPLIT_LEAKAGE_SQL)
 
 
-def split_cluster_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup-AWARE train/val/test split: the assignment key is the
-    document's connected-component representative under the exact
-    >=0.6-Jaccard pair graph (its own id when unclustered), so entire
-    near-duplicate CLUSTERS travel together — the split an eval pipeline
-    actually needs, since a paraphrase of a training doc in the test set
-    is leakage even though no byte matches.
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "cluster-split-v1",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup-AWARE train/val/test split: tag `df` so that connected
+    components of the `pairs` graph travel together — the split an eval
+    pipeline actually needs, since a paraphrase of a training doc in the
+    test set is leakage even though no byte matches.
+
+    `pairs` is ANY near-duplicate pair source with (a_col, b_col) id
+    columns.  The exact >=threshold Jaccard graph
+    (``dedup.ngram_jaccard_pairs``) is the exact-contract baseline used
+    by the oracle-backed registry row; at 100 TB feed the banded
+    candidates instead — ``dedup.minhash_lsh_pairs`` or
+    ``dedup.simhash_near_dup_pairs`` — whose output plugs in unchanged (the
+    scale path pinned by tests/test_plan_shapes.py).
 
     Composition of two existing scale paths: min-label connected
-    components over (long,long) pairs, then the zero-shuffle content-hash
-    split; the result carries the self-computed leaked-clusters invariant
-    (clusters straddling splits — provably 0 when keyed on the rep).
-    Oracle: recursive-CTE transitive closure + the same md5 arithmetic.
+    components over (long,long) pairs (pass `checkpoint_dir` for
+    reliable lineage truncation on long cluster jobs), then the
+    zero-shuffle content-hash split keyed on the component
+    representative (a row's own id when unclustered).  Returns `df`
+    plus `rep` and `split` columns; clusters straddling splits is
+    provably 0 because the key is constant within a component.
     """
-    from delta_go_spark.functions.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
+    from delta_go_spark.functions.dedup import connected_components
+
+    cc = connected_components(
+        pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
+    rep = df.join(cc, id_col, "left").withColumn(
+        "rep", F.coalesce("cluster_rep", F.col(id_col))
+    ).drop("cluster_rep")
+    return leakage_safe_split(
+        rep,
+        F.col("rep").cast("string"),
+        train_pct=train_pct,
+        val_pct=val_pct,
+        salt=salt,
     )
 
+
+def split_cluster_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: :func:`cluster_safe_split` over the EXACT
+    >=0.6-Jaccard pair graph (the exactness is what the DuckDB oracle
+    needs — a recursive-CTE transitive closure replays the same
+    components; production swaps in minhash pairs, see
+    cluster_safe_split), reporting per (split, source) counts +
+    id checksums with the self-computed leaked-clusters invariant."""
+    from delta_go_spark.functions.dedup import ngram_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    cc = connected_components(ngram_jaccard_pairs(docs)).withColumnRenamed(
-        "node", "doc_id"
-    )
-    rep = docs.join(cc, "doc_id", "left").withColumn(
-        "rep", F.coalesce("cluster_rep", F.col("doc_id"))
-    )
-    tagged = leakage_safe_split(
-        rep, F.col("rep").cast("string"), salt="cluster-split-v1"
-    )
+    tagged = cluster_safe_split(docs, ngram_jaccard_pairs(docs))
     leaked = (
         tagged.groupBy("rep")
         .agg(F.count_distinct("split").alias("ns"))

@@ -776,9 +776,14 @@ def semdedup_int8(
     coded = quantize_int8(df, vec_col=vec_col)
     q = F.col("q")
     na2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    # Block width derives from the vector length (same contract as
+    # ann_signlsh): dim must divide by 4 — a hardcoded 16 would silently
+    # bucket the wrong coordinates for any dim != 64.  The raise lives in
+    # _prune below (first place a concrete row is in hand).
+    w = (F.size(q) / F.lit(4)).cast("int")
     block = [
         F.aggregate(
-            F.slice(q, 16 * b + 1, 16), F.lit(0).cast("long"), lambda a, x: a + x
+            F.slice(q, w * b + 1, w), F.lit(0).cast("long"), lambda a, x: a + x
         )
         for b in range(4)
     ]
@@ -798,6 +803,10 @@ def semdedup_int8(
 
         pdf = pdf.sort_values("id").reset_index(drop=True)
         m = np.vstack(pdf["_q"].to_numpy()).astype(np.int64)
+        if m.shape[1] % 4:
+            raise ValueError(
+                f"semdedup_int8 needs dim divisible by 4, got {m.shape[1]}"
+            )
         na2v = pdf["_na2"].to_numpy().astype(np.int64)
         sims = m @ m.T  # exact: entries bounded by 64*127^2 < 2^21
         n = len(pdf)
@@ -1307,9 +1316,13 @@ def quantization_recall_audit(
         .crossJoin(F.broadcast(probes))
         .filter(F.col("cid") != F.col("qid"))
     )
-    fcos = F.round(
-        dot(F.col("v"), F.col("pv")) / (F.col("fn") * F.col("pfn")), 4
-    )
+    # Rank on an exactly-defined integer: both engines compute the same
+    # IEEE quotient, then the same multiply/floor.  round(_, 4) would be
+    # Spark HALF_UP on the decimal expansion vs DuckDB rounding the
+    # binary double — a near-boundary value can flip one rank.
+    fcos = F.floor(
+        dot(F.col("v"), F.col("pv")) / (F.col("fn") * F.col("pfn")) * 1e4 + 0.5
+    ).cast("long")
     idot = F.aggregate(
         F.zip_with(F.col("q"), F.col("pq"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1367,7 +1380,7 @@ WITH q AS (
   FROM qn WHERE vec_id < 5 AND na2 > 0 AND fn > 0
 ), scored AS (
   SELECT p.qid, c.vec_id,
-         round(list_dot_product(c.v, p.pv) / (c.fn * p.pfn), 4) AS fcos,
+         CAST(floor(list_dot_product(c.v, p.pv) / (c.fn * p.pfn) * 1e4 + 0.5) AS BIGINT) AS fcos,
          CAST(floor(CAST(list_sum(list_transform(list_zip(c.qv, p.pqv), z -> z[1] * z[2])) AS BIGINT)
                     / (sqrt(CAST(c.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS icos
   FROM qn c CROSS JOIN probes p

@@ -162,3 +162,52 @@ def test_sample_k_preserves_caller_rk_column_any_case(spark):
     out = sample_k_per_group(df, "grp", 3, ["doc_id"])
     assert "_RK" in out.columns
     assert {r["_RK"] for r in out.collect()} <= {i * 10 for i in range(6)}
+
+
+def test_cluster_safe_split_minhash_pair_source(docs):
+    """The 100 TB path: cluster_safe_split accepts ANY pair source — feed
+    the banded MinHash candidates instead of the exact Jaccard graph and
+    the cluster-stays-together invariant still holds by construction."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.dedup import minhash_lsh_pairs
+    from delta_go_spark.functions.sampling import cluster_safe_split
+
+    pairs = minhash_lsh_pairs(docs).select("doc_id_a", "doc_id_b")
+    tagged = cluster_safe_split(docs, pairs).cache()
+    try:
+        straddlers = (
+            tagged.groupBy("rep")
+            .agg(F.count_distinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+        assert straddlers == 0
+        # every input row is tagged exactly once with a valid split
+        assert tagged.count() == docs.count()
+        splits = {r["split"] for r in tagged.select("split").distinct().collect()}
+        assert splits <= {"train", "val", "test"}
+        # a known near-dup pair really does share rep + split
+        pair = pairs.first()
+        if pair is not None:
+            a, b = pair["doc_id_a"], pair["doc_id_b"]
+            got = {
+                r["doc_id"]: (r["rep"], r["split"])
+                for r in tagged.filter(F.col("doc_id").isin([a, b])).collect()
+            }
+            assert got[a] == got[b]
+    finally:
+        tagged.unpersist()
+
+
+def test_semdedup_int8_rejects_non_multiple_of_4_dim(spark):
+    import pytest as _pytest
+
+    from delta_go_spark.functions.similarity import semdedup_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="divisible by 4"):
+        semdedup_int8(df).collect()
