@@ -261,47 +261,101 @@ class _RangedStoreFile:
         pass
 
 
+def _open_checkpoint_parquet(path: str, store: LogStore | None):
+    """ParquetFile over a checkpoint part, routed through the store's
+    cheapest streaming surface (ranged cloud GETs / one buffered download
+    for abstract stores / the local filesystem)."""
+    from delta_go_spark.store import LocalStore, LogStore as _Base
+
+    if store is not None and not isinstance(store, LocalStore):
+        if type(store).read_range is not _Base.read_range:
+            # Cloud store with a real ranged read: stream row groups
+            # through per-read GETs.
+            return pq.ParquetFile(
+                pa.PythonFile(_RangedStoreFile(store, path), mode="r")
+            )
+        # Custom store with only the abstract surface: its default
+        # read_range re-downloads the WHOLE object per read call —
+        # one buffered download is strictly better there.
+        return pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
+    # Local (or no store): stream from the file.
+    fs, rel = _open_fs(path)
+    return pq.ParquetFile(fs.open_input_file(rel))
+
+
+def checkpoint_num_rows(paths: list[str], store: LogStore | None = None) -> int:
+    """Total action rows across checkpoint parts from the parquet FOOTERS
+    alone — an O(bytes-of-footer) upper bound on the table's active-file
+    count (rows also cover removes/txns/protocol/metadata), used to route
+    state reconstruction to the distributed tier without folding
+    anything."""
+    return sum(
+        _open_checkpoint_parquet(p, store).metadata.num_rows for p in paths
+    )
+
+
 def iter_checkpoint_actions(
-    paths: list[str], store: LogStore | None = None, batch_size: int = 10_000
+    paths: list[str],
+    store: LogStore | None = None,
+    batch_size: int = 10_000,
+    columns: list[str] | None = None,
 ):
     """Stream checkpoint actions row-group-batch by batch — the memory
     ceiling is one arrow batch, never the whole checkpoint (mirrors the
     reference's streaming replay, replay_file.go:70-140).  Cloud stores
     stream through ranged GETs (_RangedStoreFile); local tables stream
     from the filesystem — neither path materializes a multi-GB checkpoint
-    as one bytes object on the driver."""
-    from delta_go_spark.store import LocalStore, LogStore as _Base
+    as one bytes object on the driver.
 
+    `columns` projects top-level action columns (parquet column pruning):
+    a caller that only needs protocol/metadata/txn rows reads those
+    columns' pages only, never the add/remove payload — the difference
+    between O(KB) and O(checkpoint) I/O on a million-file table."""
     for path in paths:
-        if store is not None and not isinstance(store, LocalStore):
-            if type(store).read_range is not _Base.read_range:
-                # Cloud store with a real ranged read: stream row groups
-                # through per-read GETs.
-                pf = pq.ParquetFile(
-                    pa.PythonFile(_RangedStoreFile(store, path), mode="r")
-                )
-            else:
-                # Custom store with only the abstract surface: its default
-                # read_range re-downloads the WHOLE object per read call —
-                # one buffered download is strictly better there.
-                pf = pq.ParquetFile(pa.BufferReader(store.read_bytes(path)))
-        else:
-            # Local (or no store): stream from the file.
-            fs, rel = _open_fs(path)
-            pf = pq.ParquetFile(fs.open_input_file(rel))
-        for batch in pf.iter_batches(batch_size):
+        pf = _open_checkpoint_parquet(path, store)
+        avail = set(pf.schema_arrow.names)
+        cols = [c for c in columns if c in avail] if columns is not None else None
+        if columns is not None and not cols:
+            continue
+        for batch in pf.iter_batches(batch_size, columns=cols):
             for row in batch.to_pylist():
                 a = _row_to_action(row)
                 if a is not None:
                     yield a
 
 
+def iter_checkpoint_actions_pruned(
+    paths: list[str],
+    store: LogStore | None,
+    column: str,
+    batch_size: int = 10_000,
+):
+    """Actions of ONE top-level kind (e.g. 'txn', 'remove'), with both
+    parquet column pruning and Arrow-side null filtering — Python-object
+    cost is O(non-null rows of that kind), so scanning the txn state of a
+    million-add checkpoint touches a handful of rows."""
+    import pyarrow.compute as pc
+
+    for path in paths:
+        pf = _open_checkpoint_parquet(path, store)
+        if column not in pf.schema_arrow.names:
+            continue
+        for batch in pf.iter_batches(batch_size, columns=[column]):
+            col = batch.column(0)
+            for d in col.filter(pc.is_valid(col)).to_pylist():
+                a = _row_to_action({column: d})
+                if a is not None:
+                    yield a
+
+
 def read_checkpoint_actions(
-    paths: list[str], store: LogStore | None = None
+    paths: list[str],
+    store: LogStore | None = None,
+    columns: list[str] | None = None,
 ) -> list[Action]:
     """Materialized variant of iter_checkpoint_actions (reverse P&M search
     needs a concrete batch)."""
-    return list(iter_checkpoint_actions(paths, store))
+    return list(iter_checkpoint_actions(paths, store, columns=columns))
 
 
 def _map_to_dict(v):
@@ -636,8 +690,13 @@ def write_checkpoint_spark(
     _emit_part(
         store, pa.Table.from_pylist(small, schema=CHECKPOINT_SCHEMA), targets[0]
     )
+    # _last_checkpoint.size must be exact even when the caller passed an
+    # ESTIMATED n_adds for part sizing (the distributed-state tier does,
+    # to avoid running the add reconstruction twice): the written parts'
+    # parquet footers give the true row count for free.
+    n_adds_written = checkpoint_num_rows(list(targets[1:]), store)
     meta = CheckpointMetadata(
-        version=version, size=len(small) + n_adds, parts=n_parts
+        version=version, size=len(small) + n_adds_written, parts=n_parts
     )
     store.write(
         last_checkpoint_path(log_path),

@@ -947,19 +947,218 @@ def ann_ivf_int8(
     )
 
 
+def ivf_sq8_exact(
+    corpus: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ8 with an EXACT oracle: the full IVF lifecycle — train a
+    coarse quantizer, assign vectors to posting lists, probe the nprobe
+    nearest lists, score inside them — with every step in exactly-defined
+    arithmetic so an independent SQL engine replays training AND search
+    bit-for-bit (the technique that upgraded semdedup/ann_signlsh to
+    oracle-backed, applied to the last rows-only ANN family):
+
+    - codes: per-vector symmetric int8 (quantize_int8's proven formula);
+    - training: ONE Lloyd step from deterministic seeding — initial
+      lists are the 4-bit block-sign buckets (ann_signlsh's bucketing),
+      centroids are the per-coordinate integer-floored means of the
+      codes (the mislabel-audit technique: floor(sum/n) is exact in
+      both engines since |sum| < 2^53);
+    - assignment: argmin over exact integer squared-L2 to the trained
+      centroids, ties to the lowest list id;
+    - probing: the query's codes rank lists by the same integer L2;
+    - scoring: integer cosine floor(dot/(sqrt*sqrt)*1e6 + 0.5).
+
+    The float-k-means variant (:func:`ann_ivf_int8`) stays the
+    production path (recall-tested in tests/test_approx_ops.py); this
+    one trades seeded Lloyd iterations for a deterministic single step
+    so the DuckDB oracle can replay it with GROUP BY + list ops.
+
+    Scale shape: training is one narrow (list, pos, long) shuffle whose
+    result — n_lists x dim integers, same O(small) driver state as any
+    IVF index — re-enters the plan as literals inside ONE Arrow-batched
+    pandas UDF (signature + assignment + query dot in a single numpy
+    pass; the expression formulation pays a multi-second per-build
+    Catalyst inlining cost, see ann_signlsh).  Search is then filter +
+    TakeOrderedAndProject — no join, no global sort; at 10^9 vectors
+    the assigned list doubles as the partition key so probes touch only
+    matching files.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _np_codes(m):
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        return np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+
+    # --- training job: block-sign seed lists -> integer-mean centroids
+    coded = quantize_int8(
+        corpus.filter(F.col(id_col) != query_vec_id), vec_col=vec_col
+    )
+    q = F.col("q")
+    w = (F.size(q) / F.lit(4)).cast("int")
+    seed_list = sum(
+        F.when(
+            F.aggregate(
+                F.slice(q, w * b + 1, w), F.lit(0).cast("long"), lambda a, x: a + x
+            )
+            > 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(4)
+    ).cast("int")
+    cent_rows = (
+        coded.select(seed_list.alias("_l"), F.posexplode(q).alias("_pos", "_qv"))
+        .groupBy("_l", "_pos")
+        .agg(F.sum("_qv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )  # n_lists x dim rows — the IVF index itself, O(small) by design
+    by_list: dict = {}
+    for r in cent_rows:
+        by_list.setdefault(r["_l"], {})[r["_pos"]] = r["_cs"] // r["_n"]
+    if not by_list:
+        raise ValueError("ivf_sq8_exact: empty corpus")
+    list_ids = sorted(by_list)
+    dim = max(by_list[list_ids[0]]) + 1
+    C = np.asarray(
+        [[int(by_list[l][p]) for p in range(dim)] for l in list_ids],
+        dtype=np.int64,
+    )
+    cn2 = (C * C).sum(axis=1)
+    ids_arr = np.asarray(list_ids, dtype=np.int64)
+
+    # --- query signature + probe selection (driver, O(n_lists * dim))
+    qraw = (
+        corpus.filter(F.col(id_col) == query_vec_id)
+        .select(_as_double(vec_col).alias("_v"))
+        .first()
+    )
+    if qraw is None:
+        raise ValueError(
+            f"ivf_sq8_exact: query vector {id_col}={query_vec_id} not found"
+        )
+    qv0 = _np_codes(np.asarray([list(qraw["_v"])], dtype=np.float64))[0]
+    qn2 = int((qv0 * qv0).sum())
+    if qn2 == 0:
+        raise ValueError("ivf_sq8_exact: zero-norm query vector")
+    qd = ((qv0[None, :] - C) ** 2).sum(axis=1)
+    order = np.lexsort((ids_arr, qd))  # (dist, list id) ascending
+    probes = [int(ids_arr[i]) for i in order[:nprobe]]
+
+    # --- search job: ONE Arrow pass computes codes, na2, assigned list
+    # (exact integer L2 argmin, expanded form: na2 - 2 q.C + |C|^2) and
+    # the query dot; everything downstream is codegen filter + top-k.
+    @pandas_udf("struct<lst:int,na2:bigint,dot:bigint>")
+    def _assign_dot(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        qm = _np_codes(m)
+        na2 = (qm * qm).sum(axis=1)
+        d = na2[:, None] - 2 * (qm @ C.T) + cn2[None, :]
+        lst = ids_arr[d.argmin(axis=1)]  # first min = lowest list id
+        return pd.DataFrame(
+            {"lst": lst.astype("int32"), "na2": na2, "dot": qm @ qv0}
+        )
+
+    sig = corpus.select(
+        id_col, "label", _assign_dot(_as_double(vec_col)).alias("_s")
+    ).select(id_col, "label", "_s.lst", "_s.na2", "_s.dot")
+    score = F.floor(
+        F.col("dot")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.lit(float(qn2))))
+        * 1e6
+        + 0.5
+    )
+    return (
+        sig.filter(
+            (F.col(id_col) != query_vec_id)
+            & F.col("lst").isin(probes)
+            & (F.col("na2") > 0)
+        )
+        .select(
+            id_col,
+            "label",
+            F.col("lst").alias("ivf_list"),
+            score.cast("long").alias("cos_micro"),
+        )
+        .orderBy(F.desc("cos_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_ivf_int8_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only, like ann_ivf_docs): IVF-SQ8 search with
-    query = vec_id 0, corpus = the rest; recall vs float brute force is
-    asserted in tests/test_approx_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select(
-        _as_double("embedding").alias("q")
-    ).first()
-    corpus = emb.filter(F.col("vec_id") != 0)
-    return ann_ivf_int8(corpus, list(qrow["q"]), nprobe=8)
+    """Registry query (oracle-backed since round 6 — previously the
+    rows-only float-k-means form): deterministic IVF-SQ8 with query =
+    vec_id 0, trained on the rest; DuckDB replays centroid training,
+    assignment, probing and scoring exactly."""
+    return ivf_sq8_exact(load_table(spark, sf_dir, "embeddings"))
 
 
-QUERIES["ann_ivf_int8_docs"] = (ann_ivf_int8_docs, None)
+# NOTE: block slices qv[1:16] .. qv[49:64] are fixed to the 64-dim
+# embeddings fixture (the Spark side derives width from the vector).
+ANN_IVF_SQ8_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), qc AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2,
+         (CASE WHEN list_sum(qv[1:16])  > 0 THEN 1 ELSE 0 END
+        + CASE WHEN list_sum(qv[17:32]) > 0 THEN 2 ELSE 0 END
+        + CASE WHEN list_sum(qv[33:48]) > 0 THEN 4 ELSE 0 END
+        + CASE WHEN list_sum(qv[49:64]) > 0 THEN 8 ELSE 0 END) AS seed_l
+  FROM q
+), q0 AS (
+  SELECT qv AS q0v, na2 AS q0n2 FROM qc WHERE vec_id = 0
+), ex AS (
+  SELECT seed_l, pos, qv[pos] AS v
+  FROM (SELECT seed_l, qv, unnest(generate_series(1, len(qv))) AS pos
+        FROM qc WHERE vec_id != 0)
+), centl AS (
+  SELECT seed_l, list(c ORDER BY pos) AS cl
+  FROM (SELECT seed_l, pos,
+               CAST(floor(CAST(sum(v) AS BIGINT) / count(*)) AS BIGINT) AS c
+        FROM ex GROUP BY seed_l, pos)
+  GROUP BY seed_l
+), probes AS (
+  SELECT seed_l FROM (
+    SELECT c.seed_l,
+           CAST(list_sum(list_transform(generate_series(1, len(c.cl)),
+               i -> (q0.q0v[i] - c.cl[i]) * (q0.q0v[i] - c.cl[i])))
+             AS BIGINT) AS d
+    FROM centl c CROSS JOIN q0)
+  ORDER BY d, seed_l LIMIT 4
+), assigned AS (
+  SELECT vec_id, label, qv, na2, lst FROM (
+    SELECT qc.vec_id, qc.label, qc.qv, qc.na2, c.seed_l AS lst,
+           row_number() OVER (PARTITION BY qc.vec_id ORDER BY
+             CAST(list_sum(list_transform(generate_series(1, len(qc.qv)),
+                 i -> (qc.qv[i] - c.cl[i]) * (qc.qv[i] - c.cl[i])))
+               AS BIGINT), c.seed_l) AS rn
+    FROM qc CROSS JOIN centl c
+    WHERE qc.vec_id != 0)
+  WHERE rn = 1
+)
+SELECT a.vec_id, a.label, a.lst AS ivf_list,
+       CAST(floor(CAST(list_sum(list_transform(list_zip(a.qv, q0.q0v), z -> z[1] * z[2])) AS BIGINT)
+            / (sqrt(CAST(a.na2 AS DOUBLE)) * sqrt(CAST(q0.q0n2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+FROM assigned a CROSS JOIN q0
+WHERE a.na2 > 0 AND a.lst IN (SELECT seed_l FROM probes)
+ORDER BY cos_micro DESC, a.vec_id
+LIMIT 10
+"""
+
+
+QUERIES["ann_ivf_int8_docs"] = (ann_ivf_int8_docs, ANN_IVF_SQ8_SQL)
 
 
 # ---------------------------------------------------------------------------

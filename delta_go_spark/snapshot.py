@@ -251,6 +251,7 @@ class Snapshot:
         self._lock = threading.RLock()  # state() -> metadata() re-enters
         self._state: TableState | None = None
         self._pm: tuple[Protocol, Metadata] | None = None
+        self._est_count: int | None = None
 
     @property
     def version(self) -> int:
@@ -298,7 +299,15 @@ class Snapshot:
                 if a is not None
             ]
         if self.segment.checkpoints:
-            yield ckpt.read_checkpoint_actions(list(self.segment.checkpoints), self.store)
+            # Column-projected: the reverse P&M search needs only the
+            # protocol/metaData rows, so read just those parquet columns —
+            # never the add/remove payload (O(KB), not O(#files), on a
+            # million-file checkpoint).
+            yield ckpt.read_checkpoint_actions(
+                list(self.segment.checkpoints),
+                self.store,
+                columns=["protocol", "metaData"],
+            )
 
     def protocol(self) -> Protocol:
         return self._resolve_pm()[0]
@@ -308,19 +317,40 @@ class Snapshot:
 
     # -- full state fold, lazily memoized (reference: snapshot.go:265-297,
     #    internal/util/lazy.go)
+    def min_file_retention_ts(self) -> int:
+        """Tombstone-expiry cutoff (millis): now - retention window."""
+        try:
+            meta = self.metadata()
+            retention_ms = get_millis(meta.configuration, TOMBSTONE_RETENTION)
+            return self.clock.now_millis() - retention_ms
+        except DeltaError:
+            return 0
+
+    def estimated_file_count(self) -> int:
+        """Upper bound on active files WITHOUT folding state: checkpoint
+        parquet footer row counts (O(footer bytes), no data pages) + tail
+        JSON line counts (the tail is read during any fold anyway).  Rows
+        also cover removes/txns/protocol/metadata, so this over-estimates —
+        the safe direction for routing to the distributed tier."""
+        if self._est_count is not None:
+            return self._est_count
+        n = 0
+        if self.segment.checkpoints:
+            n += ckpt.checkpoint_num_rows(
+                list(self.segment.checkpoints), self.store
+            )
+        for path in self.segment.deltas:
+            n += sum(1 for _ in self.store.read(path))
+        self._est_count = n
+        return n
+
     def state(self) -> TableState:
         if self._state is not None:
             return self._state
         with self._lock:
             if self._state is not None:
                 return self._state
-            retention = 0
-            try:
-                meta = self.metadata()
-                retention_ms = get_millis(meta.configuration, TOMBSTONE_RETENTION)
-                retention = self.clock.now_millis() - retention_ms
-            except DeltaError:
-                pass
+            retention = self.min_file_retention_ts()
             replay = InMemoryLogReplay(self.table_root, retention)
             replay.append(iter_segment_actions(self.store, self.segment))
             st = replay.state
@@ -561,3 +591,113 @@ def checkpoint_adds_df(spark, snapshot: "Snapshot"):
         .filter((F.col("_rn") == 1) & F.col("is_add"))
         .select("add")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed state fold (round 6): route every state consumer on the DML /
+# commit / checkpoint path away from the driver-side AddFile dict when the
+# table is large.  The reference folds in memory (snapshot.go:224-297) —
+# fine for its connector role; at a million-file 100 TB table that is
+# GB-scale driver state on every commit, so above the threshold:
+#   - candidate files  -> Spark job over checkpoint_adds_df (scan.py)
+#   - checkpoint write -> write_checkpoint_spark (checkpoint.py:528)
+#   - protocol/metadata -> column-projected reverse replay (never the
+#     add/remove payload)
+#   - txn / tombstone state -> the "lite" folds below: column-pruned
+#     checkpoint reads, O(non-add rows + tail), bounded driver memory.
+
+DISTRIBUTED_STATE_THRESHOLD_CONF = "spark.delta_go.state.distributedFileThreshold"
+
+
+def distributed_state_threshold(spark) -> int:
+    try:
+        return int(spark.conf.get(DISTRIBUTED_STATE_THRESHOLD_CONF, "200000"))
+    except Exception:
+        return 200_000
+
+
+def spark_can_read_log(spark, log_path: str) -> bool:
+    """Spark itself can list/read the log files: local paths always; cloud
+    URIs only with a native Hadoop connector; never a register_store-bound
+    fake (driver-process state is invisible to executors)."""
+    from delta_go_spark.datacloud import use_native_cloud
+    from delta_go_spark.store import has_registered_binding
+
+    if has_registered_binding(log_path):
+        return False
+    return "://" not in log_path or use_native_cloud(spark, log_path)
+
+
+def use_distributed_state(spark, snapshot: "Snapshot | None") -> bool:
+    """True when state consumers should run as Spark jobs instead of
+    folding the AddFile dict on the driver: a live session that can read
+    the log, an un-folded snapshot (an existing fold is free to reuse),
+    and an estimated file count over the threshold."""
+    if spark is None or snapshot is None or snapshot.version < 0:
+        return False
+    if snapshot._state is not None:
+        return False
+    threshold = distributed_state_threshold(spark)
+    if threshold <= 0:
+        return False
+    if not spark_can_read_log(spark, snapshot.segment.log_path):
+        return False
+    try:
+        return snapshot.estimated_file_count() >= threshold
+    except Exception:
+        return False
+
+
+def set_transactions_lite(snapshot: "Snapshot") -> list[SetTransaction]:
+    """SetTransaction state WITHOUT the full fold: column-pruned checkpoint
+    read (txn pages only, nulls dropped Arrow-side) + tail JSON replay —
+    O(#apps + tail), never O(#files).  Same newest-wins semantics as
+    InMemoryLogReplay (later action replaces earlier)."""
+    txns: dict[str, SetTransaction] = {}
+    seg = snapshot.segment
+    if seg.checkpoints:
+        for a in ckpt.iter_checkpoint_actions_pruned(
+            list(seg.checkpoints), snapshot.store, "txn"
+        ):
+            if isinstance(a, SetTransaction):
+                txns[a.app_id] = a
+    for path in seg.deltas:
+        for line in snapshot.store.read(path):
+            a = action_from_json(line)
+            if isinstance(a, SetTransaction):
+                txns[a.app_id] = a
+    return list(txns.values())
+
+
+def tombstones_lite(
+    snapshot: "Snapshot", min_file_retention_ts: int | None = None
+) -> list[RemoveFile]:
+    """Unexpired tombstones WITHOUT the full fold: column-pruned checkpoint
+    read (remove pages only) + tail replay, O(#tombstones + tail).
+
+    Replay-exact under the checkpoint invariant that a spec-compliant
+    writer emits disjoint add/remove sets (a checkpoint is folded state,
+    so no path appears as both) — tail adds still pop re-added paths and
+    tail removes insert, exactly like InMemoryLogReplay."""
+    if min_file_retention_ts is None:
+        min_file_retention_ts = snapshot.min_file_retention_ts()
+    tomb: dict[str, RemoveFile] = {}
+    seg = snapshot.segment
+    root = snapshot.table_root
+    if seg.checkpoints:
+        for a in ckpt.iter_checkpoint_actions_pruned(
+            list(seg.checkpoints), snapshot.store, "remove"
+        ):
+            if isinstance(a, RemoveFile) and (
+                (a.deletion_timestamp or 0) > min_file_retention_ts
+            ):
+                tomb[canonicalize_path(a.path, root)] = a
+    for path in seg.deltas:
+        for line in snapshot.store.read(path):
+            a = action_from_json(line)
+            if isinstance(a, AddFile):
+                tomb.pop(canonicalize_path(a.path, root), None)
+            elif isinstance(a, RemoveFile):
+                if (a.deletion_timestamp or 0) > min_file_retention_ts:
+                    tomb[canonicalize_path(a.path, root)] = a
+    return list(tomb.values())

@@ -92,10 +92,35 @@ class OptimisticTransaction:
 
     # -- reads recorded for conflict detection ----------------------------
     def txn_version(self, app_id: str) -> int:
-        """Idempotency lookup (reference: trnx.go:330-337)."""
+        """Idempotency lookup (reference: trnx.go:330-337).  On a large
+        un-folded snapshot the lookup runs off the lite fold (column-
+        pruned checkpoint txn pages + tail) instead of materializing the
+        AddFile dict just to read one SetTransaction."""
         self.read_txns.add(app_id)
         if self.snapshot is None:
             return -1
+        from delta_go_spark.snapshot import (
+            distributed_state_threshold,
+            set_transactions_lite,
+        )
+
+        if self.snapshot._state is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            try:
+                big = (
+                    spark is not None
+                    and self.snapshot.estimated_file_count()
+                    >= distributed_state_threshold(spark)
+                )
+            except Exception:
+                big = False
+            if big:
+                for t in set_transactions_lite(self.snapshot):
+                    if t.app_id == app_id:
+                        return t.version
+                return -1
         t = self.snapshot.state().set_transactions.get(app_id)
         return t.version if t else -1
 
@@ -439,12 +464,41 @@ class OptimisticTransaction:
                 if snap.version == version
                 else self.log.snapshot_for_version_as_of(version)
             )
-            st = target.state()
-            if self._use_distributed_checkpoint(len(st.active_files)):
-                from pyspark.sql import SparkSession
+            from pyspark.sql import SparkSession
 
+            from delta_go_spark.snapshot import (
+                set_transactions_lite,
+                tombstones_lite,
+                use_distributed_state,
+            )
+
+            spark = SparkSession.getActiveSession()
+            # Fully distributed tier: above the state threshold the driver
+            # never folds — protocol/metadata come from the column-
+            # projected reverse replay, txn/tombstone state from the lite
+            # folds, adds from the Spark reconstruction inside the writer.
+            if use_distributed_state(spark, target) and self._use_distributed_checkpoint(
+                target.estimated_file_count()
+            ):
                 ckpt_mod.write_checkpoint_spark(
-                    SparkSession.getActiveSession(),
+                    spark,
+                    self.log.store,
+                    self.log.log_path,
+                    version,
+                    target,
+                    target.protocol(),
+                    target.metadata(),
+                    set_transactions_lite(target),
+                    tombstones_lite(target),
+                    # upper-bound estimate sizes the parts; the writer
+                    # records the exact count from the part footers
+                    n_adds=target.estimated_file_count(),
+                )
+            elif self._use_distributed_checkpoint(
+                len((st := target.state()).active_files)
+            ):
+                ckpt_mod.write_checkpoint_spark(
+                    spark,
                     self.log.store,
                     self.log.log_path,
                     version,

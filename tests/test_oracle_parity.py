@@ -65,6 +65,7 @@ SAMPLE = [
     "q22_global_sales",  # displaced below the window in round 5
     "lang_confusion_docs",  # new in round 5: declared-vs-predicted audit
     "quantization_recall_embeddings",  # new in round 5: int8 recall audit
+    "ann_ivf_int8_docs",  # round 6: oracle-backed deterministic IVF-SQ8
 ]
 
 
@@ -118,7 +119,7 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round5_queries_in_window():
+def test_round6_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
@@ -126,44 +127,43 @@ def test_round5_queries_in_window():
     from delta_go_spark.queries import queries
 
     order = list(queries())
-    round5 = [
-        # (a) never driver-checked before round 5 (judge-verified in r4)
-        "word_rarity_docs",
-        "source_similarity_docs",
-        "mislabel_confusion_embeddings",
-        "shuffle_shard_docs",
-        "sample_k_per_source_docs",
-        "segment_dedup_docs",
-        "minhash_incremental_docs",
-        "hash_features_docs",
-        # (b) code changed in round 5
-        "quantize_embeddings_int8",
-        "semdedup_embeddings",
-        "streaming_interval_join_events",
-        "delta_dml_agg",
-        "cdc_chunk_docs",  # new in r5 AND rewritten mid-round (Arrow path)
-        "asof_attribution_events",  # integer-cents hardening late in r5
-        "range_join_purchase_errors",  # integer-cents hardening late in r5
-        # (c) last driver-checked in round 2 (the stalest rows)
-        "repetition_topword_docs",
-        "bigram_repetition_docs",
-        "word_entropy_docs",
-        "lang_source_matrix",
-        "doc_length_buckets",
-        "vocab_by_source",
-        "char_trigram_profile",
-        "length_outlier_docs",
-        "source_rank_by_lang",
-        "q12_priority_shipping",
-        "window_lag_lead_orders",
-        "join_full_outer_nation",
-        "join_right_outer_parts",
-        "join_cross_regions",
-        "agg_percentiles_lineitem",
-        "stats_agg_lineitem",
-        "q2_min_cost_supplier",
+    round6 = [
+        # (a) never driver-checked before round 6 (judge-verified in r5)
+        "normalized_dedup_docs",
+        "ann_signlsh_docs",
+        "quantization_recall_embeddings",
+        "lang_confusion_docs",
+        "split_leakage_docs",
+        "split_cluster_safe_docs",
+        "streaming_static_enrich_events",
+        # (b) code changed in round 6
+        "semdedup_embeddings",  # dim guard + dynamic block width
+        "ann_ivf_int8_docs",  # NEW oracle-backed deterministic IVF-SQ8
+        # (c) displaced in r5, last driver row r3
+        "q22_global_sales",
+        # (d) last driver-checked in round 3 (the stalest rows)
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "window_topk_orders",
+        "window_running_revenue",
+        "rollup_order_totals",
+        "cube_lineitem_counts",
+        "setops_loyal_customers",
+        "setops_segment_intersect",
+        "string_functions_part",
+        "date_functions_orders",
+        "agg_event_users",
+        "events_hourly_rollup",
+        "join_left_outer_orders",
+        "join_semi_anti_suppliers",
+        "unpivot_order_flags",
+        "null_semantics_orders",
+        "json_functions_events",
     ]
-    positions = {n: order.index(n) + 1 for n in round5}
+    positions = {n: order.index(n) + 1 for n in round6}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
     # every window slot must carry an oracle (no rows-only filler inside
