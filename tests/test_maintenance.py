@@ -732,3 +732,109 @@ def test_compute_stats_conflicts_with_concurrent_delete(
         m.compute_stats(None, path)  # spark=None forces the driver loop
     # the delete stands; nothing was resurrected
     assert DeltaTable.for_path(spark, path).to_df().count() == 0
+
+
+class _FileUriStore:
+    """LogStore facade that accepts file://-prefixed paths — stands in
+    for a cloud store so write_checkpoint_spark's NON-local branch
+    (Hadoop staging listing + JVM rename, checkpoint.py) runs against the
+    local filesystem with no emulator.  Deliberately NOT a LocalStore
+    subclass: the writer and the parquet opener must take their
+    object-store code paths (write_bytes part emission, ranged reads)."""
+
+    def __init__(self):
+        from delta_go_spark.store import LocalStore
+
+        self._inner = LocalStore("/")
+
+    @staticmethod
+    def _p(path):
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def read(self, path):
+        return self._inner.read(self._p(path))
+
+    def write(self, path, lines, overwrite=False):
+        return self._inner.write(self._p(path), lines, overwrite)
+
+    def write_bytes(self, path, data, overwrite=False):
+        return self._inner.write_bytes(self._p(path), data, overwrite)
+
+    def read_bytes(self, path):
+        return self._inner.read_bytes(self._p(path))
+
+    def read_range(self, path, start, length):
+        with open(self._p(path), "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
+    def size_of(self, path):
+        import os
+
+        return os.path.getsize(self._p(path))
+
+    def list_from(self, path):
+        return self._inner.list_from(self._p(path))
+
+
+def test_distributed_checkpoint_cloud_branch_rename_contract(spark, tmp_path):
+    """The writer's non-local branch end-to-end without emulators: a
+    file:// log URI routes staging enumeration through hadoop_list_files
+    and part placement through JVM FileSystem.rename — pinning the
+    rename/contiguity contract (all parts land, staging vanishes,
+    _last_checkpoint.size exact) for the cloud code path."""
+    import os
+
+    from delta_go_spark import checkpoint as ckpt_mod
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "cloudckpt")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(12)], "k long, par string"
+        ),
+        partition_by=["par"],
+    )
+    t = DeltaTable.for_path(spark, path)
+    for i in range(3):
+        t.append(spark.createDataFrame([(50 + i, "a")], "k long, par string"))
+    t.delete_where("k < 6")  # tombstones must survive the roundtrip
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    st = snap.state()
+
+    store = _FileUriStore()
+    meta = ckpt_mod.write_checkpoint_spark(
+        spark,
+        store,
+        "file://" + log.log_path,
+        snap.version,
+        snap,
+        st.protocol,
+        st.metadata,
+        list(st.set_transactions.values()),
+        list(st.tombstones.values()),
+        max_actions_per_part=2,  # force several parts
+    )
+    n_adds = len(st.active_files)
+    assert meta.parts == 1 + -(-n_adds // 2)
+    assert meta.size == 2 + len(st.tombstones) + n_adds  # exact, footer-counted
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    assert (
+        sum(1 for n in names if ".checkpoint." in n and n.endswith(".parquet"))
+        == meta.parts
+    )
+    assert not any(n.startswith("_staging_checkpoint") for n in names)
+    # a fresh plain-path reader anchors on the group and reproduces state
+    snap2 = DeltaLog.for_table(path).snapshot()
+    assert snap2.segment.checkpoint_version == snap.version
+    assert len(snap2.segment.checkpoints) == meta.parts
+    assert {a.path for a in snap2.all_files()} == {
+        a.path for a in st.active_files.values()
+    }
+    assert {r.path for r in snap2.tombstones()} == {
+        r.path for r in st.tombstones.values()
+    }
+    assert snap2.to_df(spark).count() == snap.to_df(spark).count()
