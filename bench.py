@@ -59,6 +59,10 @@ HEADLINE = [
     "streaming_static_enrich_events",  # r5: stream-static dimension join
     "lang_confusion_docs",  # r5: declared-vs-predicted language audit
     "quantization_recall_embeddings",  # r5: float-vs-int8 top-k audit
+    "ann_ivf_int8_docs",  # r6: deterministic IVF-SQ8 (oracle-backed)
+    "random_projection_embeddings",  # r6: SRP dim reduction (Arrow matmul)
+    "pagerank_docs",  # r6: integer PageRank over the near-dup graph
+    "source_drift_chisq_docs",  # r6: chi-square source mixture drift
 ]
 
 

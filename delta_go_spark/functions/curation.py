@@ -662,3 +662,87 @@ ORDER BY doc_id
 
 
 QUERIES["word_rarity_docs"] = (word_rarity_docs, WORD_RARITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square source drift: how far each source's language mix deviates
+# from the corpus-wide distribution — the mixture-monitoring statistic a
+# pipeline alarms on when one crawl source suddenly shifts composition
+# (scraper broke, new domain mix, injected spam).  Pearson's chi-square
+# over the (source, lang) contingency table; per-cell terms are emitted
+# as floor-scaled integers (every op on the way — counts, one multiply,
+# two divisions, one square — is an exactly-defined IEEE step, and the
+# final per-source SUM is over integers, so reduction order cannot
+# perturb the hash the way a float sum would).
+def source_drift_chisq(
+    df: DataFrame, group_col: str = "source", dist_col: str = "lang"
+) -> DataFrame:
+    """(source, n_cells, chisq_micro): sum over the source's observed
+    dist_col cells of floor((o - e)^2 / e * 1e6 + 0.5), with
+    e = (source_total * corpus_cell_count) / grand_total.
+
+    Scale shape: three tiny-key aggregates over one scan (cells,
+    per-source totals, per-value totals — #sources x #langs rows, never
+    data-sized), a broadcast-size join between them, one integer sum."""
+    cells = df.groupBy(group_col, dist_col).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    totals = cells.groupBy(group_col).agg(F.sum("o").alias("ts"))
+    dist = cells.groupBy(dist_col).agg(F.sum("o").alias("cl"))
+    grand = cells.agg(F.sum("o").alias("tt"))
+    e = (
+        F.col("ts").cast("double") * F.col("cl") / F.col("tt")
+    )
+    term = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1e6 + 0.5
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(totals), group_col)
+        .join(F.broadcast(dist), dist_col)
+        .crossJoin(F.broadcast(grand))
+        .select(group_col, term.alias("t"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("t").alias("chisq_micro"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def source_drift_chisq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_drift_chisq(load_table(spark, sf_dir, "documents"))
+
+
+SOURCE_DRIFT_CHISQ_SQL = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+), totals AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS ts FROM cells GROUP BY source
+), dist AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS cl FROM cells GROUP BY lang
+), grand AS (
+  SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells
+), terms AS (
+  SELECT c.source,
+         CAST(floor(
+           (c.o - (CAST(t.ts AS DOUBLE) * d.cl / g.tt))
+           * (c.o - (CAST(t.ts AS DOUBLE) * d.cl / g.tt))
+           / (CAST(t.ts AS DOUBLE) * d.cl / g.tt) * 1e6 + 0.5
+         ) AS BIGINT) AS t
+  FROM cells c
+  JOIN totals t USING (source)
+  JOIN dist d USING (lang)
+  CROSS JOIN grand g
+)
+SELECT source,
+       count(*) AS n_cells,
+       CAST(sum(t) AS BIGINT) AS chisq_micro
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["source_drift_chisq_docs"] = (
+    source_drift_chisq_docs,
+    SOURCE_DRIFT_CHISQ_SQL,
+)

@@ -1098,3 +1098,107 @@ FROM normed GROUP BY nk HAVING count(*) > 1 ORDER BY canonical_id
 
 
 QUERIES["normalized_dedup_docs"] = (normalized_dedup_docs, NORMALIZED_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the near-dup pair graph (Page et al. 1999, the
+# fixed-iteration form): rank mass flowing along duplicate edges surfaces
+# the "hub" documents that near-duplicate whole families of others — the
+# prioritization signal a curation pipeline uses to pick which cluster
+# member to keep (or which to route to review) beyond the min-id
+# representative CC gives.  The usual float PageRank cannot be
+# hash-checked across engines (sum order), so every step is an integer
+# floor: ranks live in micro-units, each edge contribution is
+# floor(floor(rank * damping%) / degree) — deterministic on any engine,
+# any partitioning, any reduction order (integer sums commute).
+def pagerank_int(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """(node, rank_micro) after `iterations` synchronous integer PageRank
+    rounds over the undirected pair graph (nodes = endpoints).
+
+    Scale shape: per round ONE join on node id + one integer-sum
+    aggregate, both shuffling (long, long) pairs — identical to the
+    connected-components loop that is already the cluster scale path;
+    the driver loop is the bounded iteration count, never data-sized.
+    The degree table is computed once and reused across rounds
+    (localCheckpoint), so round N's plan does not replay the explode."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = scale * (100 - damping_pct) // 100
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.floor(
+                    F.floor(F.col("rank") * damping_pct / 100) / F.col("deg")
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(base) + F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("src"), "rank")
+        )
+    return ranks.select(F.col("src").alias("node"), F.col("rank").alias("rank_micro"))
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: integer PageRank over the exact >=0.6-Jaccard pair
+    graph (the oracle's requirement — a production run feeds
+    minhash_lsh_pairs, which plugs in unchanged), ranks descending."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pagerank_int(ngram_jaccard_pairs(docs)).orderBy(
+        F.desc("rank_micro"), F.asc("node")
+    )
+
+
+def _pagerank_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for t in range(1, 4):
+        rounds.append(
+            f"""r{t} AS (
+  SELECT e.dst AS node,
+         150000 + CAST(sum(CAST(floor(CAST(floor(r.rank * 85 / 100) AS BIGINT) / d.deg) AS BIGINT)) AS BIGINT) AS rank
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN degs d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"r{t}"
+    chain = ", ".join(rounds)
+    return f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
+), degs AS (
+  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM degs
+), {chain}
+SELECT node, rank AS rank_micro FROM r3
+ORDER BY rank_micro DESC, node
+"""
+
+
+QUERIES["pagerank_docs"] = (pagerank_docs, _pagerank_sql())

@@ -1602,3 +1602,129 @@ QUERIES["quantization_recall_embeddings"] = (
     quantization_recall_embeddings,
     QUANTIZATION_RECALL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection dimensionality reduction (Achlioptas 2003 /
+# Charikar 2002 SimHash family): project d-dim embeddings onto k
+# pseudo-random +-1 hyperplanes — the cheap front-end that shrinks an
+# embedding store 4x (on top of int8) before ANN indexing, preserving
+# cosine geometry in expectation.  Everything is exactly reproducible:
+# codes come from the proven int8 quantization, the projection matrix
+# entries are md5-parity of ("rp-<j>-<i>") — a data-independent pure
+# function both engines can regenerate — and the projected coordinates
+# are int64 dot products.  The oracle hash pins the FULL projected
+# vector of every row via order-pinning integer invariants (weighted
+# checksum + L1 + squared L2 + the 16-bit sign signature).
+def _srp_row(j: int, dim: int) -> list[int]:
+    """+-1 projection row j: parity of the first md5 byte of 'rp-j-i'."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"rp-{j}-{i}".encode()).digest()[0] % 2 else -1
+        for i in range(dim)
+    ]
+
+
+def random_projection_int8(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, label, rp_l1, rp_l2sq, rp_cks, rp_sig): integer invariants of
+    the k-dim sign-random-projection of each int8-quantized embedding.
+
+    Scale shape: ONE Arrow-batched pandas UDF per row (quantize + int64
+    matmul against the k x d +-1 matrix in a single numpy pass — the
+    expression formulation would re-inline the quantize lambda tree into
+    every projected coordinate, the per-build Catalyst cost ann_signlsh
+    measured), zero shuffle, embarrassingly parallel.  rp_sig doubles as
+    a SimHash-style bucket key for downstream banding.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    r_cache: dict = {}
+
+    def _r(dim: int):
+        if dim not in r_cache:
+            r_cache[dim] = np.asarray(
+                [_srp_row(j, dim) for j in range(k)], dtype=np.int64
+            )
+        return r_cache[dim]
+
+    weights = np.arange(1, k + 1, dtype=np.int64)
+    bits = 1 << np.arange(k, dtype=np.int64)
+
+    @pandas_udf("struct<l1:bigint,l2:bigint,cks:bigint,sig:bigint>")
+    def _proj(vecs: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        scale = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        qm = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        y = qm @ _r(m.shape[1]).T  # (n, k) exact int64
+        return pd.DataFrame(
+            {
+                "l1": np.abs(y).sum(axis=1),
+                "l2": (y * y).sum(axis=1),
+                "cks": (y * weights).sum(axis=1),
+                "sig": ((y > 0) * bits).sum(axis=1),
+            }
+        )
+
+    return df.select(
+        id_col,
+        "label",
+        _proj(_as_double(vec_col)).alias("_p"),
+    ).select(
+        id_col,
+        "label",
+        F.col("_p.l1").alias("rp_l1"),
+        F.col("_p.l2").alias("rp_l2sq"),
+        F.col("_p.cks").alias("rp_cks"),
+        F.col("_p.sig").alias("rp_sig"),
+    )
+
+
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection_int8(
+        load_table(spark, sf_dir, "embeddings")
+    ).orderBy("vec_id")
+
+
+RANDOM_PROJECTION_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), rmat AS (
+  SELECT j, list_transform(generate_series(1, 64),
+           i -> CASE WHEN CAST(concat('0x', substr(md5('rp-' || (j - 1) || '-' || (i - 1)), 1, 2)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END) AS r
+  FROM (SELECT unnest(generate_series(1, 16)) AS j)
+), proj AS (
+  SELECT q.vec_id, q.label, m.j,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> q.qv[i] * m.r[i])) AS BIGINT) AS y
+  FROM q CROSS JOIN rmat m
+)
+SELECT vec_id, label,
+       CAST(sum(abs(y)) AS BIGINT) AS rp_l1,
+       CAST(sum(y * y) AS BIGINT) AS rp_l2sq,
+       CAST(sum(j * y) AS BIGINT) AS rp_cks,
+       CAST(sum(CASE WHEN y > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT) AS rp_sig
+FROM proj
+GROUP BY vec_id, label
+ORDER BY vec_id
+"""
+
+
+QUERIES["random_projection_embeddings"] = (
+    random_projection_embeddings,
+    RANDOM_PROJECTION_SQL,
+)

@@ -71,7 +71,7 @@ class _Pick:
 # Position comments are tier labels, not exact slots — the authoritative
 # placement check is tests/test_oracle_parity.py::test_round6_queries_in_window.
 _MODULES = [
-    _Pick(dedup, ["normalized_dedup_docs"]),  # 1 (a)
+    _Pick(dedup, ["normalized_dedup_docs", "pagerank_docs"]),  # 1-2 (a + NEW r6)
     _Pick(
         similarity,
         [
@@ -79,9 +79,11 @@ _MODULES = [
             "quantization_recall_embeddings", # (a+b)
             "semdedup_embeddings",            # (b) dim guard
             "ann_ivf_int8_docs",              # (b) NEW exact IVF-SQ8
+            "random_projection_embeddings",   # NEW r6: SRP dim reduction
         ],
-    ),  # 2-5
-    _Pick(textops, ["lang_confusion_docs"]),  # 6 (a)
+    ),  # 3-7
+    _Pick(textops, ["lang_confusion_docs"]),  # 8 (a)
+    _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
     _Pick(sampling, ["split_leakage_docs", "split_cluster_safe_docs"]),  # 7-8 (a+b)
     _Pick(streaming_windows, ["streaming_static_enrich_events"]),  # 9 (a)
     _Pick(subqueries, ["q22_global_sales"]),  # 10 (c)
@@ -109,16 +111,14 @@ _MODULES = [
             "dedup_clusters_docs",
         ],
     ),  # 39-45 (e)
-    _Pick(similarity, ["embedding_norms", "knn_cosine_docs"]),  # 46-47 (e)
-    _Pick(
-        textops, ["token_stats_docs", "complex_types_docs", "like_regexp_docs"]
-    ),  # 48-50 (e)
-    # ---- window boundary (like_regexp_docs is position 50) ----
+    _Pick(similarity, ["embedding_norms", "knn_cosine_docs"]),  # 49-50 (e)
+    # ---- window boundary (knn_cosine_docs is position 50) ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
     _Pick(delta_queries, ["delta_dml_agg"]),
     _Pick(dedup, ["segment_dedup_docs", "minhash_incremental_docs"]),
+    _Pick(curation, [n for n in curation.QUERIES if n != "source_drift_chisq_docs"]),
     _Pick(
         similarity,
         [
@@ -131,15 +131,7 @@ _MODULES = [
     ),
     _Pick(
         textops,
-        [
-            n for n in textops.QUERIES
-            if n not in (
-                "lang_confusion_docs",
-                "token_stats_docs",
-                "complex_types_docs",
-                "like_regexp_docs",
-            )
-        ],
+        [n for n in textops.QUERIES if n != "lang_confusion_docs"],
     ),
     _Pick(
         sampling,
@@ -151,7 +143,6 @@ _MODULES = [
             "sample_k_per_source_docs",
         ],
     ),
-    curation,
     multimodal,
     _Pick(
         streaming_windows,

@@ -66,6 +66,9 @@ SAMPLE = [
     "lang_confusion_docs",  # new in round 5: declared-vs-predicted audit
     "quantization_recall_embeddings",  # new in round 5: int8 recall audit
     "ann_ivf_int8_docs",  # round 6: oracle-backed deterministic IVF-SQ8
+    "random_projection_embeddings",  # new in round 6: SRP dim reduction
+    "pagerank_docs",  # new in round 6: integer PageRank on the pair graph
+    "source_drift_chisq_docs",  # new in round 6: chi-square mixture drift
 ]
 
 
@@ -139,6 +142,9 @@ def test_round6_queries_in_window():
         # (b) code changed in round 6
         "semdedup_embeddings",  # dim guard + dynamic block width
         "ann_ivf_int8_docs",  # NEW oracle-backed deterministic IVF-SQ8
+        "random_projection_embeddings",  # NEW r6
+        "pagerank_docs",  # NEW r6
+        "source_drift_chisq_docs",  # NEW r6
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

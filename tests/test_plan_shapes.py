@@ -461,3 +461,44 @@ def test_lang_confusion_single_aggregate(spark):
     plan = _plan(queries()["lang_confusion_docs"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_random_projection_is_single_arrow_pass_no_shuffle(spark):
+    """SRP dim reduction: one Arrow-batched pandas pass over the scan
+    (quantize + int64 matmul fused), a plain projection after it — no
+    exchange except the registry query's presentation sort, never
+    row-at-a-time Python."""
+    from delta_go_spark.functions.similarity import random_projection_int8
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(random_projection_int8(emb))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pagerank_rounds_shuffle_only_long_pairs(spark):
+    """Integer PageRank: per round one node-key join + one integer-sum
+    aggregate — every exchange moves (long, long) rows, no Window, no
+    Python in the loop; the edge/degree tables are localCheckpoint-reused
+    so round N never replays the shingle explode."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["pagerank_docs"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the iteration input is materialized, not re-derived: the shingle
+    # explode of the pair generation must not appear in the final plan
+    assert "posexplode" not in plan.lower(), plan
+
+
+def test_source_drift_chisq_broadcasts_tiny_aggregates(spark):
+    """Chi-square drift: the cells/totals/dist aggregates are tiny-key
+    (#sources x #langs); their joins back onto cells must broadcast, and
+    the whole query stays JVM-side."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["source_drift_chisq_docs"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "EvalPython" not in plan, plan
