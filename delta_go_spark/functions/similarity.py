@@ -996,24 +996,29 @@ def ivf_sq8_exact(
         safe = np.where(scale == 0.0, 1.0, scale)
         return np.floor(m / safe[:, None] + 0.5).astype(np.int64)
 
-    # --- training job: block-sign seed lists -> integer-mean centroids
-    coded = quantize_int8(
-        corpus.filter(F.col(id_col) != query_vec_id), vec_col=vec_col
+    # --- training job: block-sign seed lists -> integer-mean centroids.
+    # Codes + seed bucket come from ONE Arrow pass (the expression
+    # formulation re-inlines the quantize lambda tree into each of the 4
+    # block sums AND the explode — the multi-second per-build Catalyst
+    # cost ann_signlsh measured); the explode then runs over the
+    # materialized array column.
+    @pandas_udf("struct<lst:int,q:array<bigint>>")
+    def _seed_codes(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — worker-side import
+
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        qm = _np_codes(m)
+        blocks = qm.reshape(len(qm), 4, qm.shape[1] // 4).sum(axis=2)
+        lst = ((blocks > 0) * np.array([1, 2, 4, 8])).sum(axis=1)
+        return pd.DataFrame({"lst": lst.astype("int32"), "q": list(qm)})
+
+    coded = (
+        corpus.filter(F.col(id_col) != query_vec_id)
+        .select(_seed_codes(_as_double(vec_col)).alias("_s"))
+        .select("_s.lst", "_s.q")
     )
-    q = F.col("q")
-    w = (F.size(q) / F.lit(4)).cast("int")
-    seed_list = sum(
-        F.when(
-            F.aggregate(
-                F.slice(q, w * b + 1, w), F.lit(0).cast("long"), lambda a, x: a + x
-            )
-            > 0,
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(4)
-    ).cast("int")
     cent_rows = (
-        coded.select(seed_list.alias("_l"), F.posexplode(q).alias("_pos", "_qv"))
+        coded.select(F.col("lst").alias("_l"), F.posexplode("q").alias("_pos", "_qv"))
         .groupBy("_l", "_pos")
         .agg(F.sum("_qv").alias("_cs"), F.count(F.lit(1)).alias("_n"))
         .collect()
