@@ -311,6 +311,8 @@ def iter_checkpoint_actions(
     a caller that only needs protocol/metadata/txn rows reads those
     columns' pages only, never the add/remove payload — the difference
     between O(KB) and O(checkpoint) I/O on a million-file table."""
+    import pyarrow.compute as pc
+
     for path in paths:
         pf = _open_checkpoint_parquet(path, store)
         avail = set(pf.schema_arrow.names)
@@ -318,6 +320,15 @@ def iter_checkpoint_actions(
         if columns is not None and not cols:
             continue
         for batch in pf.iter_batches(batch_size, columns=cols):
+            if cols is not None:
+                # Projected read: drop rows where every projected column is
+                # null BEFORE building Python objects — a P&M resolution
+                # over a million-add checkpoint must not allocate ~1M empty
+                # dicts (the I/O is already pruned; this prunes the CPU).
+                keep = pc.is_valid(batch.column(0))
+                for c in range(1, batch.num_columns):
+                    keep = pc.or_(keep, pc.is_valid(batch.column(c)))
+                batch = batch.filter(keep)
             for row in batch.to_pylist():
                 a = _row_to_action(row)
                 if a is not None:
@@ -642,8 +653,6 @@ def write_checkpoint_spark(
             tombstones, set_transactions,
         )
     n_add_parts = max(1, math.ceil(n_adds / max_actions_per_part))
-    n_parts = 1 + n_add_parts
-    targets = filenames.checkpoint_file_parts(log_path, version, n_parts)
 
     local = "://" not in log_path
     staging = os.path.join(log_path, f"_staging_checkpoint_{version:020d}")
@@ -665,11 +674,21 @@ def write_checkpoint_spark(
             if os.path.basename(p).startswith("part-")
             and p.endswith(".parquet")
         )
-    if len(part_files) != n_add_parts:
+    # Spark skips part files for empty shuffle partitions, so when the
+    # caller passed an ESTIMATED n_adds (the distributed-state tier does)
+    # the actual file count can come in BELOW the estimate-derived target
+    # — e.g. right after a mass DELETE.  The checkpoint group is named for
+    # what was actually written; the estimate only sized the repartition.
+    if not part_files:
+        raise DeltaError("distributed checkpoint wrote no part files")
+    if len(part_files) > n_add_parts:
         raise DeltaError(
             f"distributed checkpoint wrote {len(part_files)} parts, "
-            f"expected {n_add_parts}"
+            f"expected at most {n_add_parts}"
         )
+    n_add_parts = len(part_files)
+    n_parts = 1 + n_add_parts
+    targets = filenames.checkpoint_file_parts(log_path, version, n_parts)
     if local:
         for src, dst in zip(part_files, targets[1:]):
             os.replace(src, dst)

@@ -1136,7 +1136,11 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     base = scale * (100 - damping_pct) // 100
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):

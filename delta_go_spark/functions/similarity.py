@@ -24,6 +24,23 @@ def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
 
 
+def np_int8_codes(m):
+    """Symmetric max-abs int8 codes for a (n, dim) float64 batch — THE
+    numpy mirror of quantize_int8's expression/SQL formula
+    (floor(v / (max|v|/127) + 0.5), zero-vector scale clamped to 1).
+    Every numpy consumer (ivf_sq8_exact, ann_signlsh,
+    random_projection_int8) must call this one definition — the
+    expression-side twin is quantize_int8, which quantization_recall_audit
+    consumes.  The formula is a cross-engine exactness contract pinned by
+    multiple DuckDB oracles, so a tweak applied to a private copy would
+    silently break parity for the queries still on the old one."""
+    import numpy as np
+
+    scale = np.abs(m).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    return np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -991,10 +1008,7 @@ def ivf_sq8_exact(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    def _np_codes(m):
-        scale = np.abs(m).max(axis=1) / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        return np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+    _np_codes = np_int8_codes  # the shared cross-engine formula
 
     # --- training job: block-sign seed lists -> integer-mean centroids.
     # Codes + seed bucket come from ONE Arrow pass (the expression
@@ -1356,9 +1370,7 @@ def ann_signlsh(
             raise ValueError(
                 f"ann_signlsh needs dim divisible by 4, got {dim}"
             )
-        scale = np.abs(m).max(axis=1) / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        qm = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        qm = np_int8_codes(m)
         na2 = (qm * qm).sum(axis=1)
         blocks = qm.reshape(len(qm), 4, dim // 4).sum(axis=2)
         bucket = ((blocks > 0) * np.array([1, 2, 4, 8])).sum(axis=1)
@@ -1665,9 +1677,7 @@ def random_projection_int8(
     @pandas_udf("struct<l1:bigint,l2:bigint,cks:bigint,sig:bigint>")
     def _proj(vecs: pd.Series) -> pd.DataFrame:
         m = np.vstack(vecs.to_numpy()).astype(np.float64)
-        scale = np.abs(m).max(axis=1) / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        qm = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        qm = np_int8_codes(m)
         y = qm @ _r(m.shape[1]).T  # (n, k) exact int64
         return pd.DataFrame(
             {

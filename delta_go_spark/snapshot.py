@@ -252,6 +252,7 @@ class Snapshot:
         self._state: TableState | None = None
         self._pm: tuple[Protocol, Metadata] | None = None
         self._est_count: int | None = None
+        self._txns_lite: list[SetTransaction] | None = None
 
     @property
     def version(self) -> int:
@@ -652,7 +653,11 @@ def set_transactions_lite(snapshot: "Snapshot") -> list[SetTransaction]:
     """SetTransaction state WITHOUT the full fold: column-pruned checkpoint
     read (txn pages only, nulls dropped Arrow-side) + tail JSON replay —
     O(#apps + tail), never O(#files).  Same newest-wins semantics as
-    InMemoryLogReplay (later action replaces earlier)."""
+    InMemoryLogReplay (later action replaces earlier).  Memoized on the
+    snapshot — a streaming writer probing txn_version per micro-batch
+    must not re-read the checkpoint txn pages every call."""
+    if snapshot._txns_lite is not None:
+        return snapshot._txns_lite
     txns: dict[str, SetTransaction] = {}
     seg = snapshot.segment
     if seg.checkpoints:
@@ -666,7 +671,8 @@ def set_transactions_lite(snapshot: "Snapshot") -> list[SetTransaction]:
             a = action_from_json(line)
             if isinstance(a, SetTransaction):
                 txns[a.app_id] = a
-    return list(txns.values())
+    snapshot._txns_lite = list(txns.values())
+    return snapshot._txns_lite
 
 
 def tombstones_lite(

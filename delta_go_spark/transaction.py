@@ -100,23 +100,19 @@ class OptimisticTransaction:
         if self.snapshot is None:
             return -1
         from delta_go_spark.snapshot import (
-            distributed_state_threshold,
             set_transactions_lite,
+            use_distributed_state,
         )
 
         if self.snapshot._state is None:
             from pyspark.sql import SparkSession
 
             spark = SparkSession.getActiveSession()
-            try:
-                big = (
-                    spark is not None
-                    and self.snapshot.estimated_file_count()
-                    >= distributed_state_threshold(spark)
-                )
-            except Exception:
-                big = False
-            if big:
+            # Same gate as every other distributed-state consumer: honors
+            # the threshold<=0 disable and never probes estimated_file_count
+            # on a register_store-bound log (whose count would fall back to
+            # driver-side full reads — the cost this tier exists to avoid).
+            if use_distributed_state(spark, self.snapshot):
                 for t in set_transactions_lite(self.snapshot):
                     if t.app_id == app_id:
                         return t.version

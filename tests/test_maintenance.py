@@ -280,6 +280,55 @@ def test_distributed_checkpoint_spark_writer_roundtrip(spark, tmp_path):
     assert DeltaTable.for_path(spark, path).to_df().count() == 3
 
 
+def test_distributed_checkpoint_survives_inflated_estimate(spark, tmp_path):
+    """The distributed-state tier passes an ESTIMATED n_adds (checkpoint
+    rows + tail lines — an over-count after a mass DELETE).  Spark skips
+    part files for empty shuffle partitions, so fewer parts than the
+    estimate-derived target can land; the checkpoint group must be named
+    for what was actually written, not raise and break interval
+    checkpointing forever."""
+    import os
+
+    from delta_go_spark import checkpoint as ckpt_mod
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "dckpt3")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i,) for i in range(20)], "k long"),
+    )
+    t = DeltaTable.for_path(spark, path)
+    t.delete_where("k > 0")  # mass delete: 1 add survives, many removes
+    log = DeltaLog.for_table(path)
+    snap = log.update()
+    st = snap.state()
+    meta = ckpt_mod.write_checkpoint_spark(
+        spark,
+        log.store,
+        log.log_path,
+        snap.version,
+        snap,
+        st.protocol,
+        st.metadata,
+        list(st.set_transactions.values()),
+        list(st.tombstones.values()),
+        max_actions_per_part=1,
+        n_adds=50,  # inflated estimate -> 50-part target, ~1 actual add
+    )
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    group = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(group) == meta.parts  # named for what was written
+    assert meta.parts < 51
+    assert not any(n.startswith("_staging_checkpoint") for n in names)
+    snap2 = DeltaLog.for_table(path).snapshot()
+    assert snap2.segment.checkpoint_version == snap.version
+    assert {a.path for a in snap2.all_files()} == {
+        a.path for a in snap.all_files()
+    }
+    assert snap2.to_df(spark).count() == 1
+
+
 def test_distributed_checkpoint_threshold_wiring(spark, tmp_path):
     """Above spark.delta_go.checkpoint.distributedFileThreshold the
     postCommit checkpoint goes through the Spark-job writer (multi-part
