@@ -63,6 +63,9 @@ HEADLINE = [
     "random_projection_embeddings",  # r6: SRP dim reduction (Arrow matmul)
     "pagerank_docs",  # r6: integer PageRank over the near-dup graph
     "source_drift_chisq_docs",  # r6: chi-square source mixture drift
+    "span_decontaminate_docs",  # r6: exact-substring contamination spans
+    "cross_source_matrix_docs",  # r6: near-dup source-pair matrix
+    "bm25_search_docs",  # r6: BM25 ranked search (rational idf)
 ]
 
 

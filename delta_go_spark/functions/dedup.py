@@ -1206,3 +1206,93 @@ ORDER BY rank_micro DESC, node
 
 
 QUERIES["pagerank_docs"] = (pagerank_docs, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: near-dup pair counts by source pair.
+# A curation team's first question after any near-dup pass is "WHICH
+# sources overlap?" — scrapes mirroring each other, a dataset ingested
+# twice under two names, benchmark sites leaking into web crawl.  The
+# matrix aggregates the pair graph to source granularity so that decision
+# is made per source pair, not per document.
+def cross_source_matrix(
+    pairs: DataFrame,
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_lo, source_hi, n_pairs, n_docs) per unordered source pair
+    over a near-dup pair graph (doc_id_a, doc_id_b) — diagonal rows
+    (lo == hi) are intra-source duplication, off-diagonal rows are
+    cross-source contamination.
+
+    Scale shape: two joins of the PAIR GRAPH (bounded by near-dup volume,
+    not corpus size) against a narrow (id, source) projection, then two
+    tiny aggregates on the sources² key — n_docs dedups via one explode
+    so no per-group collect ever materializes.  The pair source is
+    pluggable: the registry row feeds the exact Jaccard graph (the
+    oracle's requirement); at 100 TB feed minhash_lsh_pairs unchanged."""
+    ma = meta.select(
+        F.col(id_col).alias("_ida"), F.col(source_col).alias("_sa")
+    )
+    mb = meta.select(
+        F.col(id_col).alias("_idb"), F.col(source_col).alias("_sb")
+    )
+    lab = (
+        pairs.join(ma, F.col("doc_id_a") == F.col("_ida"))
+        .join(mb, F.col("doc_id_b") == F.col("_idb"))
+        .select(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+            "doc_id_a",
+            "doc_id_b",
+        )
+    )
+    n_pairs = lab.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        lab.select(
+            "source_lo",
+            "source_hi",
+            F.explode(F.array("doc_id_a", "doc_id_b")).alias("_d"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count_distinct("_d").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_lo", "source_hi"])
+
+
+def cross_source_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_source_matrix(ngram_jaccard_pairs(docs), docs).orderBy(
+        "source_lo", "source_hi"
+    )
+
+
+CROSS_SOURCE_MATRIX_SQL = f"""
+WITH {_JACCARD_PAIRS_CTES}, lab AS (
+  SELECT least(ma.source, mb.source) AS source_lo,
+         greatest(ma.source, mb.source) AS source_hi,
+         doc_id_a, doc_id_b
+  FROM jpairs
+  JOIN documents ma ON ma.doc_id = doc_id_a
+  JOIN documents mb ON mb.doc_id = doc_id_b
+), perpair AS (
+  SELECT source_lo, source_hi, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+), docs AS (
+  SELECT source_lo, source_hi, count(DISTINCT d) AS n_docs
+  FROM (SELECT source_lo, source_hi, doc_id_a AS d FROM lab
+        UNION ALL SELECT source_lo, source_hi, doc_id_b FROM lab)
+  GROUP BY 1, 2
+)
+SELECT p.source_lo, p.source_hi, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(d.n_docs AS BIGINT) AS n_docs
+FROM perpair p JOIN docs d USING (source_lo, source_hi)
+ORDER BY source_lo, source_hi
+"""
+
+QUERIES["cross_source_matrix_docs"] = (
+    cross_source_matrix_docs,
+    CROSS_SOURCE_MATRIX_SQL,
+)

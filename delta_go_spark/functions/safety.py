@@ -123,6 +123,122 @@ ORDER BY doc_id
 """
 
 
+def _gram_hashes_pos(df: DataFrame, id_col: str, text_col: str, n: int):
+    """Like _gram_hashes but keeps the gram's token position and the
+    document token length — span detection needs to know WHERE the
+    matching grams sit, not just that they exist."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.size("_t").alias("_dl"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            "_dl",
+            "_i",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+            ).alias("_g"),
+        )
+    )
+
+
+def span_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, max_span_tokens, n_contam_grams): span-LEVEL decontamination
+    (the exact-substring rule of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") — for each corpus document, the
+    longest run of CONSECUTIVE token positions whose n-grams all appear
+    in the probe set, reported in tokens (a run of L consecutive matching
+    gram starts covers L+n-1 tokens, clamped to the document length).
+    Doc-level decontaminate() answers "is it contaminated"; this answers
+    "how much is verbatim" — the signal that separates a quoted sentence
+    from a wholesale benchmark copy.
+
+    Scale shape: identical front half to decontaminate (probe gram hashes
+    broadcast, corpus streamed once through explode+hash+semi-join, no
+    shuffle); the islands detection (row_number over (doc, position))
+    then runs over HITS ONLY, so the single shuffle is bounded by the
+    contamination volume, never the corpus size."""
+    from pyspark.sql.window import Window
+
+    probe_grams = (
+        _gram_hashes(probes, id_col, text_col, n).select("_g").distinct()
+    )
+    hits = _gram_hashes_pos(corpus, id_col, text_col, n).join(
+        F.broadcast(probe_grams), "_g", "left_semi"
+    )
+    w = Window.partitionBy(id_col).orderBy("_i")
+    runs = (
+        hits.withColumn("_grp", F.col("_i") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"), F.max("_dl").alias("_dl"))
+    )
+    return runs.groupBy(id_col).agg(
+        F.least(F.max("_run") + (n - 1), F.max("_dl"))
+        .cast("long")
+        .alias("max_span_tokens"),
+        F.sum("_run").cast("long").alias("n_contam_grams"),
+    )
+
+
+def span_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: same benchmark slice as decontaminate_docs
+    (doc_id % 7 == 0), so the two rows agree on WHICH docs are flagged
+    while this one grades the verbatim depth."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 7 == 0)
+    rest = docs.filter(F.col("doc_id") % 7 != 0)
+    return (
+        span_decontaminate(rest, probes)
+        .select("doc_id", "max_span_tokens", "n_contam_grams")
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t, len(t) AS dl,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, dl, i,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
+  FROM exploded
+), probe AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+), hits AS (
+  SELECT g.doc_id, g.dl, g.i,
+         g.i - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.i) AS grp
+  FROM grams g
+  WHERE g.doc_id % 7 <> 0 AND gram IN (SELECT gram FROM probe)
+), runs AS (
+  SELECT doc_id, count(*) AS run_len, max(dl) AS dl
+  FROM hits GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(least(max(run_len) + 7, max(dl)) AS BIGINT) AS max_span_tokens,
+       CAST(sum(run_len) AS BIGINT) AS n_contam_grams
+FROM runs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # Patterns valid with identical semantics in Java regex AND RE2: character
 # classes, bounded repetition, alternation — no lookaround, no backrefs.
 PII_PATTERNS: dict[str, str] = {
@@ -279,6 +395,10 @@ ORDER BY doc_id
 
 QUERIES: dict = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "span_decontaminate_docs": (
+        span_decontaminate_docs,
+        SPAN_DECONTAMINATE_SQL,
+    ),
     "redact_pii_docs": (redact_pii_docs, REDACT_PII_SQL),
     "duplicated_gram_fraction_docs": (
         duplicated_gram_fraction_docs,

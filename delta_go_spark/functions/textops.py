@@ -917,3 +917,109 @@ FROM guessed GROUP BY lang, lang_guess ORDER BY lang, lang_guess
 
 
 QUERIES["lang_confusion_docs"] = (lang_confusion_docs, LANG_CONFUSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search (Robertson & Walker's Okapi weighting) — the retrieval
+# primitive a training-data pipeline uses for targeted corpus probes
+# ("find documents about X to audit / upsample / excise").  The classic
+# log-idf cannot be value-hash-checked across engines (libm ln differs in
+# the last ulp between the JVM and C++ — the same divergence class as
+# round()), so the scoring uses the RATIONAL idf surrogate
+# (N - df + 0.5) / (df + 0.5) — the exact argument of BM25's log, which
+# is strictly monotone in it, stays positive for common terms (the BM25+
+# fix), and is a single IEEE division both engines compute bit-identically.
+# Per-term scores are integer-scaled BEFORE summing so the cross-term sum
+# is an order-free integer sum.
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k (id, score_micro, n_terms) for a bag-of-words query, BM25
+    k1=1.2 b=0.75.
+
+    Scale shape: the corpus is read ONCE — explode + isin filter keeps
+    only query-term tokens (narrow, codegen), so the single (doc, term)
+    shuffle is bounded by match volume, not corpus size; df-per-term and
+    the (N, avgdl) corpus stats are tiny aggregates broadcast back; the
+    final top-k is TakeOrderedAndProject, never a global sort."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl")
+    )
+    tf = (
+        base.select(id_col, "_dl", F.explode("_t").alias("_tok"))
+        .filter(F.col("_tok").isin(terms))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    df_t = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    idf = (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    tfn = (F.col("_tf") * 2.2) / (
+        F.col("_tf") + 1.2 * (0.25 + 0.75 * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "_tok")
+        .crossJoin(F.broadcast(stats.withColumn("_avgdl", avgdl)))
+        .select(
+            id_col,
+            F.floor(idf * tfn * 1e6 + 0.5).cast("long").alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("_s").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the 3-term query mixes the corpus' one rare token
+    with a mid and a common one, so tf, df and dl all influence the
+    ranking at sf0.01 (a single-term query would reduce to tf ordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["dup", "vector", "key"], k=20)
+
+
+BM25_SEARCH_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl FROM base
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, dl, unnest(t) AS tok FROM base)
+  WHERE tok IN ('dup', 'vector', 'key')
+  GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(
+           ((s.n - d.df + 0.5) / (d.df + 0.5))
+           * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+               (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           * 1e6 + 0.5) AS BIGINT) AS s
+  FROM tf JOIN dft d USING (tok) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERIES["bm25_search_docs"] = (bm25_search_docs, BM25_SEARCH_SQL)

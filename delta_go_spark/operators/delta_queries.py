@@ -506,3 +506,107 @@ ORDER BY o_year
 
 
 QUERIES["delta_generated_agg"] = (delta_generated_agg, DELTA_GENERATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintained by a SINGLE atomic MERGE (round 6) —
+# the canonical warehouse pattern on top of Delta DML (Kimball's slowly
+# changing dimension, type 2): a change batch must CLOSE the current row
+# of every changed key (is_current=false, valid_to stamped) AND INSERT
+# the new version, in one commit, so readers never observe a key with
+# zero or two current rows.  Shape: the merge-key union trick — the
+# change batch enters twice, once keyed to match (-> whenMatched UPDATE
+# closes the old version) and once keyed to miss (-> whenNotMatched
+# INSERT adds the new version).  One source scan, one join, one commit.
+def delta_scd2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> SCD2 dimension; one MERGE applies a balance change to
+    every 5th key; aggregate (is_current, segment).  The oracle rebuilds
+    both row generations from the raw parquet — a hash match proves the
+    merge closed exactly the changed keys' old rows and inserted exactly
+    their new versions, losing/duplicating nothing."""
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "customer_scd2")
+
+    def build():
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        dim0 = cust.select(
+            F.col("c_custkey").alias("mk"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.lit(0).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        write_dataframe(dim0, path)
+        changes = cust.filter(F.col("c_custkey") % 5 == 0)
+        # keyed to MATCH: closes the current row via whenMatched UPDATE
+        close = changes.select(
+            F.col("c_custkey").alias("mk"),
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.lit(0).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        # keyed to MISS (negative surrogate): inserts the new version via
+        # whenNotMatched INSERT, new balance, valid_from = batch epoch
+        insert = changes.select(
+            (-F.col("c_custkey") - 1).alias("mk"),
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            F.lit(1).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        t = DeltaTable.for_path(spark, path)
+        t.merge(
+            close.unionByName(insert),
+            on="mk",
+            update_set={"valid_to": F.lit(1), "is_current": F.lit(False)},
+        )
+
+    _ensure_built(path, 1, build)
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("is_current", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.sum("valid_from").cast("long").alias("epoch_checksum"),
+        )
+        .orderBy("is_current", "c_mktsegment")
+    )
+
+
+DELTA_SCD2_SQL = """
+WITH closed AS (
+  SELECT c_mktsegment, c_acctbal, FALSE AS is_current, 0 AS valid_from
+  FROM customer WHERE c_custkey % 5 = 0
+), cur AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         TRUE AS is_current,
+         CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS valid_from
+  FROM customer
+), un AS (
+  SELECT * FROM closed UNION ALL SELECT * FROM cur
+)
+SELECT is_current, c_mktsegment,
+       count(*) AS n_rows,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       CAST(sum(valid_from) AS BIGINT) AS epoch_checksum
+FROM un GROUP BY is_current, c_mktsegment
+ORDER BY is_current, c_mktsegment
+"""
+
+
+QUERIES["delta_scd2_agg"] = (delta_scd2_agg, DELTA_SCD2_SQL)

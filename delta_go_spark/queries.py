@@ -70,8 +70,18 @@ class _Pick:
 # remains pinned by the pytest oracle sample + scripts/check_parity.py.
 # Position comments are tier labels, not exact slots — the authoritative
 # placement check is tests/test_oracle_parity.py::test_round6_queries_in_window.
+# Late-round-6 additions (all code NEW this round, so all in-window):
+#   span_decontaminate_docs (safety), cross_source_matrix_docs (dedup),
+#   bm25_search_docs (textops), delta_scd2_agg (delta_queries, which the
+#   window picks dynamically).  Four (e)-tier freshness rows — all
+#   driver-green in r4 with zero failures ever — moved below the boundary
+#   to make room: exact_dedup_docs, simhash_docs, simhash_near_dup_docs,
+#   embedding_norms.
 _MODULES = [
-    _Pick(dedup, ["normalized_dedup_docs", "pagerank_docs"]),  # 1-2 (a + NEW r6)
+    _Pick(
+        dedup,
+        ["normalized_dedup_docs", "pagerank_docs", "cross_source_matrix_docs"],
+    ),  # 1-3 (a + NEW r6 x2)
     _Pick(
         similarity,
         [
@@ -82,7 +92,8 @@ _MODULES = [
             "random_projection_embeddings",   # NEW r6: SRP dim reduction
         ],
     ),  # 3-7
-    _Pick(textops, ["lang_confusion_docs"]),  # 8 (a)
+    _Pick(textops, ["lang_confusion_docs", "bm25_search_docs"]),  # 8 (a + NEW r6)
+    _Pick(safety, ["span_decontaminate_docs"]),  # NEW r6
     _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
     _Pick(sampling, ["split_leakage_docs", "split_cluster_safe_docs"]),  # 7-8 (a+b)
     _Pick(streaming_windows, ["streaming_static_enrich_events"]),  # 9 (a)
@@ -102,26 +113,33 @@ _MODULES = [
     _Pick(
         dedup,
         [
-            "exact_dedup_docs",
             "ngram_jaccard_pairs_docs",
             "minhash_near_dup_docs",
-            "simhash_docs",
-            "simhash_near_dup_docs",
             "dedup_keep_longest_docs",
             "dedup_clusters_docs",
         ],
-    ),  # 39-45 (e)
-    _Pick(similarity, ["embedding_norms", "knn_cosine_docs"]),  # 49-50 (e)
+    ),  # (e)
+    _Pick(similarity, ["knn_cosine_docs"]),  # 50 (e)
     # ---- window boundary (knn_cosine_docs is position 50) ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
     _Pick(delta_queries, ["delta_dml_agg"]),
-    _Pick(dedup, ["segment_dedup_docs", "minhash_incremental_docs"]),
+    _Pick(
+        dedup,
+        [
+            "exact_dedup_docs",
+            "simhash_docs",
+            "simhash_near_dup_docs",
+            "segment_dedup_docs",
+            "minhash_incremental_docs",
+        ],
+    ),
     _Pick(curation, [n for n in curation.QUERIES if n != "source_drift_chisq_docs"]),
     _Pick(
         similarity,
         [
+            "embedding_norms",
             "quantize_embeddings_int8",
             "mislabel_confusion_embeddings",
             "cosine_near_dup_docs",
@@ -131,7 +149,10 @@ _MODULES = [
     ),
     _Pick(
         textops,
-        [n for n in textops.QUERIES if n != "lang_confusion_docs"],
+        [
+            n for n in textops.QUERIES
+            if n not in ("lang_confusion_docs", "bm25_search_docs")
+        ],
     ),
     _Pick(
         sampling,
@@ -152,7 +173,7 @@ _MODULES = [
         ],
     ),
     streaming_stateful,
-    safety,
+    _Pick(safety, [n for n in safety.QUERIES if n != "span_decontaminate_docs"]),
     funnel,
     _Pick(subqueries, [n for n in subqueries.QUERIES if n != "q22_global_sales"]),
     asof,

@@ -245,3 +245,43 @@ def test_concurrent_disjoint_updates_both_commit(spark, tmp_path):
     assert t.log.update().version == v0 + 2
     rows = {(r["p"], r["v"]) for r in t.to_df().collect()}
     assert rows == {("a", 1), ("b", 2)}
+
+
+def test_scd2_merge_exactly_one_current_row_per_key(spark):
+    """The SCD2 single-MERGE pattern (delta_queries.delta_scd2_agg): after
+    the change batch lands, EVERY key has exactly one current row, changed
+    keys carry exactly one closed generation, and the closed generation
+    holds the pre-change balance."""
+    from delta_go_spark.operators.delta_queries import delta_scd2_agg, _CACHE_ROOT
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    delta_scd2_agg(spark, sf_dir)  # builds (or reuses) the dimension
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "customer_scd2")
+    dim = DeltaTable.for_path(spark, path).to_df()
+
+    bad_current = (
+        dim.filter(F.col("is_current"))
+        .groupBy("c_custkey")
+        .count()
+        .filter(F.col("count") != 1)
+        .count()
+    )
+    assert bad_current == 0
+    closed = dim.filter(~F.col("is_current"))
+    assert closed.filter(F.col("c_custkey") % 5 != 0).count() == 0
+    assert closed.filter(F.col("valid_to").isNull()).count() == 0
+    # the closed generation holds the OLD balance: new - old == 100
+    delta_bal = (
+        dim.filter(F.col("c_custkey") % 5 == 0)
+        .groupBy("c_custkey")
+        .agg(
+            (F.max(F.when(F.col("is_current"), F.col("c_acctbal")))
+             - F.max(F.when(~F.col("is_current"), F.col("c_acctbal"))))
+            .alias("d")
+        )
+        .filter(F.round(F.col("d"), 2) != 100.0)
+        .count()
+    )
+    assert delta_bal == 0

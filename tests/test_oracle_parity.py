@@ -69,6 +69,10 @@ SAMPLE = [
     "random_projection_embeddings",  # new in round 6: SRP dim reduction
     "pagerank_docs",  # new in round 6: integer PageRank on the pair graph
     "source_drift_chisq_docs",  # new in round 6: chi-square mixture drift
+    "span_decontaminate_docs",  # new in round 6: exact-substring spans
+    "cross_source_matrix_docs",  # new in round 6: contamination matrix
+    "bm25_search_docs",  # new in round 6: BM25 rational-idf ranked search
+    "delta_scd2_agg",  # new in round 6: SCD2 single-MERGE dimension
 ]
 
 
@@ -145,6 +149,10 @@ def test_round6_queries_in_window():
         "random_projection_embeddings",  # NEW r6
         "pagerank_docs",  # NEW r6
         "source_drift_chisq_docs",  # NEW r6
+        "span_decontaminate_docs",  # NEW r6 (late)
+        "cross_source_matrix_docs",  # NEW r6 (late)
+        "bm25_search_docs",  # NEW r6 (late)
+        "delta_scd2_agg",  # NEW r6 (late)
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

@@ -502,3 +502,44 @@ def test_source_drift_chisq_broadcasts_tiny_aggregates(spark):
     plan = _plan(queries()["source_drift_chisq_docs"](spark, SF_DIR))
     assert "BroadcastExchange" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_span_decontaminate_window_only_over_hits(spark):
+    """Span decontamination: probe grams broadcast onto the corpus scan
+    (semi-join, no corpus-wide shuffle); the islands window + run
+    aggregates shuffle HITS only — the plan carries the broadcast
+    semi-join and stays JVM-side."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["span_decontaminate_docs"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "EvalPython" not in plan, plan
+    # the corpus side reaches the semi-join without a prior hash exchange:
+    # every hash exchange in the plan sits above the semi-join (window /
+    # aggregates over hits), so at most 3 remain (window, runs, per-doc)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cross_source_matrix_joins_pair_graph_not_corpus(spark):
+    """Contamination matrix: the (id, source) projections join the PAIR
+    GRAPH, and the n_pairs/n_docs aggregates ride the tiny sources^2 key
+    — no Python, no cartesian product."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["cross_source_matrix_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bm25_is_filtered_explode_plus_takeordered(spark):
+    """BM25: term filter sits under the explode's aggregate (match-bounded
+    shuffle), df/stats are broadcast back, and the top-k ends in
+    TakeOrderedAndProject — no global sort, no Python."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["bm25_search_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan

@@ -85,3 +85,73 @@ def test_duplicated_gram_fraction_semantics(spark):
     assert rows[2]["dup_frac"] == 1.0
     assert rows[3]["n_dup"] == 0 and rows[3]["dup_frac"] == 0.0
     assert rows[1]["n_grams"] == 9 and rows[1]["n_dup"] == 1
+
+
+def test_span_decontaminate_measures_verbatim_runs(spark):
+    from delta_go_spark.functions.safety import span_decontaminate
+
+    probe_text = " ".join(f"p{i}" for i in range(12))  # 12 probe tokens
+    probes = spark.createDataFrame(
+        [(100, probe_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 10 verbatim probe tokens embedded: 3 consecutive 8-gram hits
+            # -> span 3 + 7 = 10 tokens
+            (1, "x y " + " ".join(f"p{i}" for i in range(10)) + " z w"),
+            # the whole doc IS the probe: span clamps to doc length
+            (2, probe_text),
+            # two separate verbatim runs: max wins, total counts both
+            (3, " ".join(f"p{i}" for i in range(8)) + " QQ RR SS TT UU VV WW XX "
+                + " ".join(f"p{i}" for i in range(9))),
+            (4, "nothing shared here at all beyond stray p1 p2 tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["max_span_tokens"], r["n_contam_grams"])
+        for r in span_decontaminate(corpus, probes).collect()
+    }
+    assert got[1] == (10, 3)
+    assert got[2] == (12, 5)  # 5 gram positions, span clamped to 12 tokens
+    assert got[3] == (9, 3)   # runs of 1 and 2 grams; 2+7=9-token max span
+    assert 4 not in got
+
+
+def test_cross_source_matrix_accepts_any_pair_source(spark):
+    """The pair graph is a parameter: a hand-built pair set (standing in
+    for minhash_lsh_pairs at scale) aggregates identically."""
+    from delta_go_spark.functions.dedup import cross_source_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_id_a long, doc_id_b long"
+    )
+    meta = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "books"), (5, "books")],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["source_lo"], r["source_hi"]): (r["n_pairs"], r["n_docs"])
+        for r in cross_source_matrix(pairs, meta).collect()
+    }
+    assert got[("books", "web")] == (1, 2)   # pair (1,2)
+    assert got[("web", "web")] == (1, 2)     # pair (1,3)
+    assert got[("books", "books")] == (1, 2) # pair (4,5)
+
+
+def test_bm25_rank_orders_rare_terms_above_common(spark):
+    from delta_go_spark.functions.textops import bm25_rank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "rare common filler filler filler"),
+            (2, "common filler filler filler filler"),
+            (3, "common common filler filler filler"),
+            (4, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(corpus, ["rare", "common"], k=3).collect()
+    assert len(rows) == 3  # k respected; doc 4 matches nothing
+    assert rows[0]["doc_id"] == 1  # the only doc holding the rare term
+    assert rows[0]["n_terms"] == 2
