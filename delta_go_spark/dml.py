@@ -257,6 +257,7 @@ class DeltaDml:
         txn_app_id: str | None = None,
         txn_version: int | None = None,
         delete_condition: str | None = None,
+        insert_set: dict[str, object] | None = None,
     ) -> int | None:
         """MERGE INTO target USING source ON target.<on> = source.<on>.
 
@@ -265,6 +266,15 @@ class DeltaDml:
         key present in both sides — the standard upsert shape; the source
         is joined once (broadcast when small, shuffle hash otherwise, by
         Catalyst's choice).
+
+        insert_set (Delta's whenNotMatchedInsert(values=...) shape):
+        overrides the VALUES written for not-matched rows — each entry maps
+        a target column to an expression over the source columns, applied
+        after the not-matched filter, so the stored value can differ from
+        the join key that proved the row absent.  That decoupling is what
+        makes the SCD2 merge-key union trick repeatable: the insert row
+        joins on a key guaranteed to miss while persisting the natural key.
+        Generated columns stay engine-computed and cannot be overridden.
 
         delete_condition names a BOOLEAN source column (Delta's
         whenMatchedDelete(condition=...) shape): matched target rows whose
@@ -288,6 +298,8 @@ class DeltaDml:
             raise ValueError(
                 f"delete_condition column '{delete_condition}' not in source"
             )
+        if insert_set and not insert_not_matched:
+            raise ValueError("insert_set requires insert_not_matched=True")
         log, txn, snap = self._begin()
         if (
             txn_app_id is not None
@@ -478,6 +490,25 @@ class DeltaDml:
                 for f in schema.fields
                 if f.metadata and GENERATION_EXPRESSION_KEY in f.metadata
             }
+            if insert_set:
+                bad = sorted(set(insert_set) - set(fields))
+                if bad:
+                    raise ValueError(f"insert_set targets unknown columns: {bad}")
+                bad = sorted(set(insert_set) & gen_cols)
+                if bad:
+                    raise ValueError(
+                        f"insert_set cannot override generated columns: {bad}"
+                    )
+                # after the not-matched filter (the join key already proved
+                # absence), before schema alignment — so the stored value
+                # may differ from the join key
+                for col, expr in insert_set.items():
+                    value = (
+                        expr
+                        if hasattr(expr, "_jc") or hasattr(expr, "_expr")
+                        else F.lit(expr)
+                    )
+                    new_rows = new_rows.withColumn(col, value)
             # Missing NON-generated columns become typed NULLs; missing
             # generated columns are computed from their expressions (a NULL
             # fill would violate the stored-value contract on insert).

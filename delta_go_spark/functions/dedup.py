@@ -1227,10 +1227,12 @@ def cross_source_matrix(
     cross-source contamination.
 
     Scale shape: two joins of the PAIR GRAPH (bounded by near-dup volume,
-    not corpus size) against a narrow (id, source) projection, then two
-    tiny aggregates on the sources² key — n_docs dedups via one explode
-    so no per-group collect ever materializes.  The pair source is
-    pluggable: the registry row feeds the exact Jaccard graph (the
+    not corpus size) against a narrow (id, source) projection, then ONE
+    aggregate on the sources² key — each pair explodes into exactly two
+    (pair, endpoint) rows, so n_pairs = count/2 and n_docs dedups the
+    endpoints in the same groupBy; the pair source is evaluated once
+    (no second aggregate branch to re-run a pluggable 100 TB pair
+    computation).  The registry row feeds the exact Jaccard graph (the
     oracle's requirement); at 100 TB feed minhash_lsh_pairs unchanged."""
     ma = meta.select(
         F.col(id_col).alias("_ida"), F.col(source_col).alias("_sa")
@@ -1238,29 +1240,20 @@ def cross_source_matrix(
     mb = meta.select(
         F.col(id_col).alias("_idb"), F.col(source_col).alias("_sb")
     )
-    lab = (
+    return (
         pairs.join(ma, F.col("doc_id_a") == F.col("_ida"))
         .join(mb, F.col("doc_id_b") == F.col("_idb"))
         .select(
             F.least("_sa", "_sb").alias("source_lo"),
             F.greatest("_sa", "_sb").alias("source_hi"),
-            "doc_id_a",
-            "doc_id_b",
-        )
-    )
-    n_pairs = lab.groupBy("source_lo", "source_hi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    n_docs = (
-        lab.select(
-            "source_lo",
-            "source_hi",
             F.explode(F.array("doc_id_a", "doc_id_b")).alias("_d"),
         )
         .groupBy("source_lo", "source_hi")
-        .agg(F.count_distinct("_d").cast("long").alias("n_docs"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.count_distinct("_d").cast("long").alias("n_docs"),
+        )
     )
-    return n_pairs.join(n_docs, ["source_lo", "source_hi"])
 
 
 def cross_source_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -941,11 +941,16 @@ def bm25_rank(
     """Top-k (id, score_micro, n_terms) for a bag-of-words query, BM25
     k1=1.2 b=0.75.
 
-    Scale shape: the corpus is read ONCE — explode + isin filter keeps
-    only query-term tokens (narrow, codegen), so the single (doc, term)
-    shuffle is bounded by match volume, not corpus size; df-per-term and
-    the (N, avgdl) corpus stats are tiny aggregates broadcast back; the
-    final top-k is TakeOrderedAndProject, never a global sort."""
+    Scale shape: TWO corpus scans — a stats pass reducing straight to the
+    2-value (N, sum dl) aggregate, and the tf pass whose explode + isin
+    filter keeps only query-term tokens (narrow, codegen), so the single
+    (doc, term) shuffle is bounded by match volume, not corpus size;
+    df-per-term and the corpus stats are tiny aggregates broadcast back;
+    the final top-k is TakeOrderedAndProject, never a global sort.  At
+    100 TB the stats pass is the one to amortize: maintain (N, sum dl) as
+    a pre-aggregated corpus-stats table refreshed with ingestion (the
+    standard search-index arrangement) and pass it in place of `stats` —
+    per-query cost then drops to the match-bounded tf scan alone."""
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col), toks.alias("_t"), F.size(toks).alias("_dl")

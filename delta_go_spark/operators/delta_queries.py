@@ -518,6 +518,58 @@ QUERIES["delta_generated_agg"] = (delta_generated_agg, DELTA_GENERATED_SQL)
 # change batch enters twice, once keyed to match (-> whenMatched UPDATE
 # closes the old version) and once keyed to miss (-> whenNotMatched
 # INSERT adds the new version).  One source scan, one join, one commit.
+# The recipe is STATELESS-REPEATABLE: closing a row also retires its mk
+# to NULL (an equi-join key that can never match again), and the insert
+# side joins on a guaranteed-miss surrogate while insert_set persists
+# mk = natural key — so after every batch the invariant "current row
+# carries mk = natural key, closed rows carry mk = NULL" holds and the
+# identical recipe applies batch after batch.
+def scd2_merge_batch(table, changes: DataFrame, key_col: str, epoch: int) -> None:
+    """Apply ONE SCD2 change batch to `table` as a single atomic MERGE.
+
+    `changes` carries one row per natural key with the NEW attribute
+    values (columns: key_col + the dimension's attribute columns; the
+    key must be a non-negative integer so `-key-1` is a guaranteed-miss
+    surrogate).  The dimension schema is (mk, key_col, attrs...,
+    valid_from, valid_to, is_current) with the invariant "current row
+    has mk = natural key, closed rows have mk = NULL" — which this
+    function re-establishes, so it can be called batch after batch.
+    Keys new to the dimension skip the close side (semi-join against the
+    current generation) and insert exactly one current row."""
+    attrs = [c for c in changes.columns if c != key_col]
+    common = [
+        F.col(key_col),
+        *[F.col(c) for c in attrs],
+        F.lit(epoch).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ]
+    cur_keys = table.to_df().filter(F.col("is_current")).select(key_col)
+    # keyed to MATCH: closes the current row via whenMatched UPDATE;
+    # restricted to keys that HAVE a current row, else the miss would
+    # fall through to the insert path and duplicate a brand-new key
+    close = changes.join(cur_keys, key_col, "left_semi").select(
+        F.col(key_col).cast("long").alias("mk"), *common
+    )
+    # keyed to MISS (negative surrogate): inserts the new version; the
+    # PERSISTED mk is the natural key (insert_set), not the surrogate
+    insert = changes.select(
+        (-F.col(key_col) - 1).cast("long").alias("mk"), *common
+    )
+    table.merge(
+        close.unionByName(insert),
+        on="mk",
+        update_set={
+            "valid_to": F.lit(epoch).cast("long"),
+            "is_current": F.lit(False),
+            # retire the closed generation's merge key: NULL never
+            # equi-joins, so later batches can only match the current row
+            "mk": F.lit(None).cast("long"),
+        },
+        insert_set={"mk": F.col(key_col)},
+    )
+
+
 def delta_scd2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer -> SCD2 dimension; one MERGE applies a balance change to
     every 5th key; aggregate (is_current, segment).  The oracle rebuilds
@@ -544,33 +596,13 @@ def delta_scd2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("is_current"),
         )
         write_dataframe(dim0, path)
-        changes = cust.filter(F.col("c_custkey") % 5 == 0)
-        # keyed to MATCH: closes the current row via whenMatched UPDATE
-        close = changes.select(
-            F.col("c_custkey").alias("mk"),
-            "c_custkey",
-            "c_mktsegment",
-            "c_acctbal",
-            F.lit(0).cast("long").alias("valid_from"),
-            F.lit(None).cast("long").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-        # keyed to MISS (negative surrogate): inserts the new version via
-        # whenNotMatched INSERT, new balance, valid_from = batch epoch
-        insert = changes.select(
-            (-F.col("c_custkey") - 1).alias("mk"),
+        changes = cust.filter(F.col("c_custkey") % 5 == 0).select(
             "c_custkey",
             "c_mktsegment",
             (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
-            F.lit(1).cast("long").alias("valid_from"),
-            F.lit(None).cast("long").alias("valid_to"),
-            F.lit(True).alias("is_current"),
         )
-        t = DeltaTable.for_path(spark, path)
-        t.merge(
-            close.unionByName(insert),
-            on="mk",
-            update_set={"valid_to": F.lit(1), "is_current": F.lit(False)},
+        scd2_merge_batch(
+            DeltaTable.for_path(spark, path), changes, "c_custkey", epoch=1
         )
 
     _ensure_built(path, 1, build)

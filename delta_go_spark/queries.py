@@ -203,7 +203,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # to its module later — fail loudly instead.
     for mod in (
         coverage, dedup, similarity, subqueries, curation, sampling, textops,
-        delta_queries, streaming_windows, relational,
+        delta_queries, streaming_windows, relational, safety,
     ):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:

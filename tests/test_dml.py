@@ -285,3 +285,95 @@ def test_scd2_merge_exactly_one_current_row_per_key(spark):
         .count()
     )
     assert delta_bal == 0
+
+
+def test_scd2_merge_batch_repeatable_across_batches(spark, tmp_path):
+    """The reusable SCD2 recipe (scd2_merge_batch) must be STATELESS
+    repeatable: batch 2 with the identical recipe closes batch 1's current
+    generations (not the already-closed ones), a key changed twice carries
+    two closed generations with the right epochs, a brand-new key inserts
+    exactly one current row, and the mk invariant (current mk = natural
+    key, closed mk = NULL) holds after every batch."""
+    from delta_go_spark.operators.delta_queries import scd2_merge_batch
+
+    path = str(tmp_path / "scd2")
+    dim0 = spark.range(0, 10).select(
+        F.col("id").alias("mk"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0).alias("bal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    DeltaTable.create(spark, path, dim0)
+    t = DeltaTable.for_path(spark, path)
+
+    # batch 1: +100 on keys % 5 == 0 (keys 0, 5)
+    b1 = spark.range(0, 10).filter(F.col("id") % 5 == 0).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0 + 100.0).alias("bal")
+    )
+    scd2_merge_batch(t, b1, "k", epoch=1)
+    # batch 2, identical recipe: +50 on keys % 2 == 0 (0,2,4,6,8 — key 0
+    # changes a SECOND time) plus brand-new key 100
+    b2 = (
+        spark.range(0, 10)
+        .filter(F.col("id") % 2 == 0)
+        .select(F.col("id").alias("k"), (F.col("id") * 10.0 + 50.0).alias("bal"))
+        .unionByName(
+            spark.range(100, 101).select(
+                F.col("id").alias("k"), F.lit(999.0).alias("bal")
+            )
+        )
+    )
+    scd2_merge_batch(DeltaTable.for_path(spark, path), b2, "k", epoch=2)
+
+    dim = DeltaTable.for_path(spark, path).to_df()
+    cur = dim.filter(F.col("is_current"))
+    # exactly one current row per key, including the new key 100
+    assert cur.count() == 11
+    assert cur.groupBy("k").count().filter(F.col("count") != 1).count() == 0
+    # mk invariant: current mk = natural key, closed mk = NULL
+    assert cur.filter(F.col("mk") != F.col("k")).count() == 0
+    closed = dim.filter(~F.col("is_current"))
+    assert closed.filter(F.col("mk").isNotNull()).count() == 0
+    # key 0 changed twice: generations closed at epochs 1 and 2
+    k0 = {r["valid_to"] for r in closed.filter(F.col("k") == 0).collect()}
+    assert k0 == {1, 2}
+    # current balances: batch 2 wins where it applies, batch 1 where not
+    bal = {r["k"]: r["bal"] for r in cur.collect()}
+    assert bal[0] == 50.0 and bal[2] == 70.0 and bal[5] == 150.0
+    assert bal[1] == 10.0 and bal[100] == 999.0
+    # closed-generation count: key 0 twice, 2/4/6/8 and 5 once, others zero
+    n_closed = {r["k"]: r["count"] for r in closed.groupBy("k").count().collect()}
+    assert n_closed == {0: 2, 2: 1, 4: 1, 5: 1, 6: 1, 8: 1}
+
+
+def test_merge_insert_set_validation(spark, tmp_path):
+    """insert_set rejects unknown and generated target columns, and
+    requires the insert clause to be enabled."""
+    import pytest
+
+    path = str(tmp_path / "ins")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("long").alias("v")
+    )
+    DeltaTable.create(spark, path, df, generated={"g": "k + v"})
+    t = DeltaTable.for_path(spark, path)
+    src = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(src, on="k", insert_set={"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="generated columns"):
+        t.merge(src, on="k", insert_set={"g": F.lit(1)})
+    with pytest.raises(ValueError, match="insert_not_matched"):
+        t.merge(
+            src, on="k", insert_not_matched=False, insert_set={"v": F.lit(1)}
+        )
+    # the happy path: inserted rows take the override, generated col follows
+    t.merge(src, on="k", insert_set={"v": F.col("k") * 10})
+    got = {
+        r["k"]: (r["v"], r["g"])
+        for r in t.to_df().filter(F.col("k") >= 100).collect()
+    }
+    assert got == {100: (1000, 1100), 101: (1010, 1111), 102: (1020, 1122)}
