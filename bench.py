@@ -66,6 +66,10 @@ HEADLINE = [
     "span_decontaminate_docs",  # r6: exact-substring contamination spans
     "cross_source_matrix_docs",  # r6: near-dup source-pair matrix
     "bm25_search_docs",  # r6: BM25 ranked search (rational idf)
+    "winnow_fingerprint_docs",  # r6: MOSS winnowing fingerprints
+    "pmi_bigrams_docs",  # r6: PMI collocation mining
+    "temperature_resample_docs",  # r6: alpha=0.5 mixture resampling
+    "hard_negatives_embeddings",  # r6: contrastive hard-negative mining
 ]
 
 

@@ -674,3 +674,124 @@ QUERIES["split_cluster_safe_docs"] = (
     split_cluster_safe_docs,
     _split_cluster_safe_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture resampling (the multilingual-pretraining
+# alpha-sampling rule, alpha = 0.5: target share of source s ∝ n_s^alpha) —
+# flattens the source distribution so head sources stop drowning the tail
+# without hand-written weights.  All arithmetic is exactly replayable:
+# sqrt(n_s) is ONE correctly-rounded IEEE op, floor(sqrt * 1e6) makes the
+# weight an integer, the normalizer is an integer sum, and the per-source
+# target is an integer division — no float accumulation anywhere (contrast
+# mixture_sample's float budget formula, which pins ONE parenthesization
+# instead; here the weights must be summed, and float sums are
+# order-dependent).
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    budget: Column,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Keep, per source, the `floor(budget * w_s / W)` rows with the
+    smallest content hash (capped at the source's own size — this is a
+    sampler, not an upsampler), where w_s = floor(sqrt(n_s) * 1e6).
+    `budget` is an aggregate-expression over the counts frame (e.g.
+    `F.expr("sum(n) div 2")` for half the corpus).
+
+    Scale shape: per-source counts reduce to a handful of rows; targets
+    broadcast back; membership is one rank window on the source key —
+    the one shuffle (sample_k_per_group's giant-group hash_sample
+    pre-filter applies unchanged if a source outgrows a partition)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(source_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_micro = F.floor(F.sqrt(F.col("n").cast("double")) * 1e6).cast("long")
+    tot = counts.agg(
+        F.sum(w_micro).alias("_w_all"), budget.cast("long").alias("_budget")
+    )
+    # integer target: least(n_s, budget * w_s div W)
+    targets = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_s").alias(source_col),
+            F.col("n").alias("_n_source"),
+            F.least(
+                F.col("n"), F.expr("_budget * floor(sqrt(cast(n as double)) * 1e6) div _w_all").cast("long")
+            ).alias("_target"),
+        )
+    )
+    rk = Window.partitionBy(source_col).orderBy(
+        _bucket(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.join(F.broadcast(targets), source_col)
+        .withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= F.col("_target"))
+        .drop("_rk")
+    )
+
+
+_TEMP_SALT = "dgs-r6t"
+
+
+def temperature_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: resample documents to a half-corpus budget at
+    temperature 0.5; per-source counts, targets and a membership
+    checksum pin every selected row."""
+    docs = load_table(spark, sf_dir, "documents")
+    sel = temperature_resample(
+        docs, "source", F.expr("sum(n) div 2"), ["doc_id"], _TEMP_SALT
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.max("_n_source").alias("n_source"),
+            F.max("_target").alias("target_n"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_RESAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS w_all,
+         CAST(sum(n) AS BIGINT) // 2 AS budget
+  FROM counts
+), targets AS (
+  SELECT source, n, least(n, (budget * w) // w_all) AS target
+  FROM counts, tot
+), ranked AS (
+  SELECT d.doc_id, d.source, t.n, t.target,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY {_sql_bucket("CAST(d.doc_id AS VARCHAR)", _TEMP_SALT)},
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN targets t USING (source)
+)
+SELECT source,
+       max(n) AS n_source,
+       max(target) AS target_n,
+       count(*) AS n_selected,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked
+WHERE rk <= target
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["temperature_resample_docs"] = (
+    temperature_resample_docs,
+    TEMPERATURE_RESAMPLE_SQL,
+)

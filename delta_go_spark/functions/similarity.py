@@ -1743,3 +1743,120 @@ QUERIES["random_projection_embeddings"] = (
     random_projection_embeddings,
     RANDOM_PROJECTION_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data generator: for each
+# probe in a panel, the k corpus vectors MOST similar to the probe whose
+# label differs (similar embedding, different class = the negatives that
+# actually move a contrastive loss; random negatives are too easy).  Runs
+# entirely on int8 codes with the proven integer-cosine formula (int64
+# dot / (IEEE sqrt * IEEE sqrt), floored to micro-units), so every emitted
+# pair is value-hashed by the oracle — the same exactness contract as
+# ann_signlsh / quantization_recall.
+def hard_negative_mining(
+    corpus: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(qid, q_label, rank, cid, neg_label, cos_micro) — k rows per probe
+    (probe ids < n_queries with nonzero code norm).
+
+    Scale shape: codes + norms are computed once per row and
+    localCheckpointed; the probe panel (a small constant, never the
+    corpus) broadcasts into a corpus x n_queries cross join; the
+    different-label filter runs before the rank window, and the window
+    partitions on the tiny qid key.  At 10^9 vectors, pre-filter the
+    corpus side with an ANN bucket probe (ann_signlsh's signature) to cut
+    the cross join to candidate buckets — the exact top-k here is the
+    audit/baseline contract."""
+    from pyspark.sql import Window
+
+    sig = (
+        quantize_int8(corpus, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(label_col).alias("neg_label"),
+            "q",
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("na2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probes = sig.filter((F.col("cid") < n_queries) & (F.col("na2") > 0)).select(
+        F.col("cid").alias("qid"),
+        F.col("neg_label").alias("q_label"),
+        F.col("q").alias("pq"),
+        F.col("na2").alias("pn2"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("pq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cos_micro = F.floor(
+        idot
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("cid"))
+    return (
+        sig.filter(F.col("na2") > 0)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "qid", "q_label", "cid", "neg_label", cos_micro.alias("cos_micro")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "q_label", "rank", "cid", "neg_label", "cos_micro")
+        .orderBy("qid", "rank")
+    )
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2
+  FROM q
+), probes AS (
+  SELECT vec_id AS qid, label AS q_label, qv AS pqv, na2 AS pn2
+  FROM qn WHERE vec_id < 5 AND na2 > 0
+), scored AS (
+  SELECT p.qid, p.q_label, c.vec_id AS cid, c.label AS neg_label,
+         CAST(floor(CAST(list_sum(list_transform(list_zip(c.qv, p.pqv), z -> z[1] * z[2])) AS BIGINT)
+                    / (sqrt(CAST(c.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+  FROM qn c CROSS JOIN probes p
+  WHERE c.na2 > 0 AND c.label != p.q_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_micro DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid, q_label, rank, cid, neg_label, cos_micro
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+QUERIES["hard_negatives_embeddings"] = (
+    hard_negatives_embeddings,
+    HARD_NEGATIVES_SQL,
+)

@@ -1028,3 +1028,253 @@ LIMIT 20
 """
 
 QUERIES["bm25_search_docs"] = (bm25_search_docs, BM25_SEARCH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
+# MOSS algorithm): per document, hash every k-char gram, slide a window of
+# w consecutive gram hashes, and keep the minimum of each window (rightmost
+# position on ties — "simple winnowing", deterministic).  Guarantees every
+# shared substring of length >= k + w - 1 contributes a shared fingerprint
+# while storing only ~2/(w+1) of the grams — the index-size win that makes
+# corpus-wide plagiarism/overlap detection feasible where a full gram
+# index is not.
+#
+# Determinism contract: gram hash = first 9 hex chars of md5 (36 bits),
+# packed with the position as h36 * 2^24 + (2^24 - 1 - pos) so a single
+# integer MIN yields "smallest hash, rightmost position" — both engines
+# replay the identical selection (positions are capped at 2^24-1 chars;
+# longer docs raise rather than silently mis-pack).
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+) -> DataFrame:
+    """(id, pos, h) per selected fingerprint — pos is the 1-based gram
+    start, h the 36-bit gram hash.  Docs with fewer than w grams (or NULL
+    text) yield no rows.
+
+    Scale shape: the O(len) per-row hash + sliding-min loop runs in ONE
+    Arrow-batched pandas UDF (the cdc_chunks lesson: interpreted
+    higher-order lambdas pay ~0.3 ms per element-eval; a per-position md5
+    expression after an explode would also shuffle every gram) — here
+    nothing shuffles at all: one narrow map over the scan, then an
+    explode that emits only the ~2/(w+1) surviving fingerprints.
+    Downstream joins (overlap detection) shuffle (id, 36-bit h) pairs
+    bounded by the fingerprint index size, not the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos:int,h:long>>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import hashlib
+        from collections import deque
+
+        def one(t: str | None) -> list[tuple[int, int]]:
+            if t is None:
+                return []
+            n_grams = len(t) - k + 1
+            if n_grams < w:
+                return []
+            if len(t) >= (1 << 24):
+                raise ValueError(
+                    "winnow_fingerprints: document exceeds 2^24-1 chars; "
+                    "chunk it first (cdc_chunks) or raise the pack width"
+                )
+            packed = [
+                (int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:9], 16)
+                 << 24) | (0xFFFFFF - (i + 1))
+                for i in range(n_grams)
+            ]
+            sel: set[int] = set()
+            dq: deque[int] = deque()  # indices, packed increasing
+            for i, p in enumerate(packed):
+                while dq and packed[dq[-1]] >= p:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - w:
+                    dq.popleft()
+                if i >= w - 1:
+                    sel.add(packed[dq[0]])
+            return sorted(
+                ((0xFFFFFF - (p & 0xFFFFFF), p >> 24) for p in sel)
+            )
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("_fp")
+    ).select(id_col, F.col("_fp.pos").alias("pos"), F.col("_fp.h").alias("h"))
+
+
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-doc fingerprint count, gram count, and an
+    order-free pairing checksum (sum of h XOR pos — xor keeps every term
+    under 2^36 so the per-doc sum can never overflow, unlike h * pos).
+    One narrow shuffle of (doc_id, pos, h) triples — already reduced to
+    the ~2/(w+1) fingerprint fraction — feeds the per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    grams = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= _WINNOW_K + _WINNOW_W - 1)
+    ).select(
+        "doc_id", (F.length("text") - (_WINNOW_K - 1)).cast("long").alias("n_grams")
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(
+                F.expr("h ^ CAST(pos AS BIGINT)")
+            ).cast("long").alias("fp_checksum"),
+        )
+        .join(grams, "doc_id")
+        .select("doc_id", "n_grams", "n_fp", "fp_checksum")
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_FINGERPRINT_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {_WINNOW_K - 1})) AS pos,
+         length(text) - {_WINNOW_K - 1} AS n_grams,
+         text
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+), hashed AS (
+  SELECT doc_id, pos, n_grams,
+         CAST(concat('0x', substr(md5(substr(text, CAST(pos AS INT), {_WINNOW_K})), 1, 9)) AS BIGINT)
+           * 16777216 + (16777215 - pos) AS packed
+  FROM grams
+), winmin AS (
+  SELECT doc_id, n_grams, pos,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS sel
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, n_grams, sel FROM winmin
+  WHERE pos <= n_grams - {_WINNOW_W - 1}
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       count(*) AS n_fp,
+       CAST(sum(xor(sel // 16777216, 16777215 - (sel % 16777216))) AS BIGINT)
+         AS fp_checksum
+FROM fps
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["winnow_fingerprint_docs"] = (winnow_fingerprint_docs, WINNOW_FINGERPRINT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations (Church & Hanks 1990): rank adjacent word pairs
+# by pointwise mutual information — the phrase-mining pass that feeds
+# tokenizer merge rules and stop-phrase lists.  PMI = log2(N*c12/(c1*c2))
+# is monotone in its argument, so ranking uses the log-free integer LIFT
+# N*c12*1e6 div (c1*c2) — exactly replayable on any engine (libm log last-
+# ulp divergence never enters; same trick as bm25's rational idf).  The
+# min-support gate (c12 >= 3) is applied BEFORE the vocab joins, partial-
+# aggregable, so rare-pair noise never shuffles twice.
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """(t1, t2, c12, c1, c2, lift_micro) for the top_k collocations.
+
+    Scale shape: tokenization + bigram zip are per-row array ops (no
+    shuffle); counts are two partial-aggregable groupBys — (t1,t2) on
+    supported bigrams and tok on the vocab — the vocab table is
+    localCheckpointed so its two join probes and the N total reuse one
+    computation; final top-k is TakeOrderedAndProject, never a global
+    sort.  Integer headroom: N * c12 * 1e6 must stay under 2^63 — holds
+    to ~3e6 total tokens per corpus slice with c12 up to N; shard the
+    corpus (or drop the 1e6 scale) beyond that."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(toks.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n"))
+    bigc = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("t1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("t2"),
+                )
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.t1").alias("t1"), F.col("_bg.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    return (
+        bigc.join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr("n * c12 * 1000000 div (c1 * c2)").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "t1", "t2")
+        .limit(top_k)
+    )
+
+
+def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+PMI_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+), unic AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+), total AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM unic
+), bigc AS (
+  SELECT bg[1] AS t1, bg[2] AS t2, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY bg[1], bg[2]
+  HAVING count(*) >= 3
+)
+SELECT b.t1, b.t2, b.c12, u1.c AS c1, u2.c AS c2,
+       (n.n * b.c12 * 1000000) // (u1.c * u2.c) AS lift_micro
+FROM bigc b
+JOIN unic u1 ON b.t1 = u1.tok
+JOIN unic u2 ON b.t2 = u2.tok
+CROSS JOIN total n
+ORDER BY lift_micro DESC, t1, t2
+LIMIT 20
+"""
+
+
+QUERIES["pmi_bigrams_docs"] = (pmi_bigrams_docs, PMI_BIGRAMS_SQL)

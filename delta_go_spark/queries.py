@@ -90,12 +90,28 @@ _MODULES = [
             "semdedup_embeddings",            # (b) dim guard
             "ann_ivf_int8_docs",              # (b) NEW exact IVF-SQ8
             "random_projection_embeddings",   # NEW r6: SRP dim reduction
+            "hard_negatives_embeddings",      # NEW r6: contrastive negatives
         ],
-    ),  # 3-7
-    _Pick(textops, ["lang_confusion_docs", "bm25_search_docs"]),  # 8 (a + NEW r6)
+    ),  # 3-8
+    _Pick(
+        textops,
+        [
+            "lang_confusion_docs",
+            "bm25_search_docs",
+            "winnow_fingerprint_docs",
+            "pmi_bigrams_docs",
+        ],
+    ),  # 8 (a + NEW r6 x3)
     _Pick(safety, ["span_decontaminate_docs"]),  # NEW r6
     _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
-    _Pick(sampling, ["split_leakage_docs", "split_cluster_safe_docs"]),  # 7-8 (a+b)
+    _Pick(
+        sampling,
+        [
+            "split_leakage_docs",
+            "split_cluster_safe_docs",
+            "temperature_resample_docs",
+        ],
+    ),  # 7-8 (a+b + NEW r6)
     _Pick(streaming_windows, ["streaming_static_enrich_events"]),  # 9 (a)
     _Pick(subqueries, ["q22_global_sales"]),  # 10 (c)
     _Pick(
@@ -110,17 +126,8 @@ _MODULES = [
     _Pick(
         delta_queries, [n for n in delta_queries.QUERIES if n != "delta_dml_agg"]
     ),  # 32-38 (e)
-    _Pick(
-        dedup,
-        [
-            "ngram_jaccard_pairs_docs",
-            "minhash_near_dup_docs",
-            "dedup_keep_longest_docs",
-            "dedup_clusters_docs",
-        ],
-    ),  # (e)
-    _Pick(similarity, ["knn_cosine_docs"]),  # 50 (e)
-    # ---- window boundary (knn_cosine_docs is position 50) ----
+    _Pick(dedup, ["minhash_near_dup_docs"]),  # 50 (e)
+    # ---- window boundary (minhash_near_dup_docs is position 50) ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
@@ -128,6 +135,9 @@ _MODULES = [
     _Pick(
         dedup,
         [
+            "ngram_jaccard_pairs_docs",
+            "dedup_keep_longest_docs",
+            "dedup_clusters_docs",
             "exact_dedup_docs",
             "simhash_docs",
             "simhash_near_dup_docs",
@@ -139,6 +149,7 @@ _MODULES = [
     _Pick(
         similarity,
         [
+            "knn_cosine_docs",
             "embedding_norms",
             "quantize_embeddings_int8",
             "mislabel_confusion_embeddings",
@@ -151,7 +162,12 @@ _MODULES = [
         textops,
         [
             n for n in textops.QUERIES
-            if n not in ("lang_confusion_docs", "bm25_search_docs")
+            if n not in (
+                "lang_confusion_docs",
+                "bm25_search_docs",
+                "winnow_fingerprint_docs",
+                "pmi_bigrams_docs",
+            )
         ],
     ),
     _Pick(

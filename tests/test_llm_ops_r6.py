@@ -1,0 +1,186 @@
+"""Functional contracts for the round-6 late-batch LLM-pipeline operators:
+winnowing fingerprints, PMI collocations, temperature resampling, and
+hard-negative mining.  (Their registry rows are hash-gated by the DuckDB
+oracles; these tests pin the algorithmic guarantees the oracles can't
+express — the winnowing match guarantee, the flattening property, the
+label contract.)"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_winnowing_match_guarantee(spark):
+    """Schleimer et al. theorem 1: any shared substring of length >=
+    k + w - 1 (= 11 here) must contribute at least one SHARED fingerprint
+    — detection via a fingerprint equi-join can never miss such overlap."""
+    from delta_go_spark.functions.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the bank"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB unrelated tail text here"),
+            (2, "completely different head material " + shared),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df)
+    a = fps.filter(F.col("doc_id") == 1).select("h")
+    b = fps.filter(F.col("doc_id") == 2).select("h")
+    assert a.intersect(b).count() >= 1
+    c = fps.filter(F.col("doc_id") == 3).select("h")
+    assert a.intersect(c).count() == 0
+
+
+def test_winnowing_matches_bruteforce_replay(spark):
+    """The UDF's deque sliding-min must equal the O(n*w) definition:
+    rightmost-minimal gram hash of every length-w window."""
+    import hashlib
+
+    from delta_go_spark.functions.textops import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    text = "abracadabra " * 6  # periodic: exercises repeated gram hashes
+    k, w = _WINNOW_K, _WINNOW_W
+    packed = [
+        (int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:9], 16) << 24)
+        | (0xFFFFFF - (i + 1))
+        for i in range(len(text) - k + 1)
+    ]
+    want = sorted(
+        {
+            min(packed[s : s + w])
+            for s in range(len(packed) - w + 1)
+        }
+    )
+    want = sorted((0xFFFFFF - (p & 0xFFFFFF), p >> 24) for p in want)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["pos"], r["h"])
+        for r in winnow_fingerprints(df).collect()
+    )
+    assert got == want
+
+
+def test_winnowing_short_and_null_docs_yield_nothing(spark):
+    from delta_go_spark.functions.textops import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "tiny"), (3, "exactly10c")],  # < k + w - 1 grams
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(df).count() == 0
+
+
+def test_pmi_bigrams_ranks_exclusive_pair_first(spark):
+    """A pair that ONLY ever occurs together must out-lift pairs of
+    frequent independent words, and the lift integer must match the
+    by-hand formula."""
+    from delta_go_spark.functions.textops import pmi_bigrams
+
+    rows = [(i, "zyx wvu common filler") for i in range(5)]
+    rows += [(100 + i, "common filler other words") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_bigrams(df, min_count=3, top_k=5).collect()
+    top = got[0]
+    assert (top["t1"], top["t2"]) == ("zyx", "wvu")
+    n = 5 * 4 + 20 * 4
+    assert top["lift_micro"] == n * 5 * 1_000_000 // (5 * 5)
+    # exclusive pair beats the high-frequency background pair
+    cf = {(r["t1"], r["t2"]): r["lift_micro"] for r in got}
+    assert cf[("zyx", "wvu")] > cf[("common", "filler")]
+
+
+def test_temperature_resample_flattens_and_caps(spark):
+    """alpha=0.5 sampling: a 9:1 skewed corpus must come out flatter
+    (tail share strictly up, head share strictly down), per-source
+    target = budget * w_s div W exactly, and no source exceeds its own
+    size."""
+    from delta_go_spark.functions.sampling import temperature_resample
+
+    rows = [(i, "head") for i in range(900)] + [
+        (1000 + i, "tail") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sel = temperature_resample(df, "source", F.expr("sum(n) div 2"), ["doc_id"])
+    got = {
+        r["source"]: r["n"]
+        for r in sel.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    w_head = math.floor(math.sqrt(900.0) * 1e6)
+    w_tail = math.floor(math.sqrt(100.0) * 1e6)
+    budget = 1000 // 2
+    assert got["head"] == min(900, budget * w_head // (w_head + w_tail))
+    assert got["tail"] == min(100, budget * w_tail // (w_head + w_tail))
+    total = got["head"] + got["tail"]
+    assert got["tail"] / total > 0.1  # tail share strictly up from 10%
+    assert got["head"] / total < 0.9
+
+
+def test_temperature_resample_is_deterministic_membership(spark):
+    from delta_go_spark.functions.sampling import temperature_resample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df, "source", F.expr("sum(n) div 2"), ["doc_id"], salt="x"
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df.repartition(7), "source", F.expr("sum(n) div 2"), ["doc_id"], salt="x"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hard_negatives_label_contract_and_numpy_replay(spark):
+    """No mined negative may share its probe's label, and the top-k must
+    equal a numpy brute-force over the identical int8/integer-cosine
+    arithmetic."""
+    from delta_go_spark.functions.similarity import (
+        hard_negative_mining,
+        np_int8_codes,
+    )
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = hard_negative_mining(emb, n_queries=3, k=4).collect()
+    assert all(r["q_label"] != r["neg_label"] for r in got)
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    qm = np_int8_codes(m)
+    na2 = (qm * qm).sum(axis=1)
+    for qid in range(3):
+        qi = int(np.where(ids == qid)[0][0])
+        if na2[qi] == 0:
+            continue
+        dots = qm @ qm[qi]
+        cos = np.floor(
+            dots / (np.sqrt(na2.astype(np.float64)) * math.sqrt(na2[qi])) * 1e6
+            + 0.5
+        )
+        mask = (labels != labels[qi]) & (na2 > 0)
+        order = sorted(
+            ((int(-cos[i]), int(ids[i])) for i in np.where(mask)[0]),
+        )[:4]
+        want = [(ids_, -negcos) for negcos, ids_ in order]
+        mine = [
+            (r["cid"], r["cos_micro"])
+            for r in sorted(
+                (x for x in got if x["qid"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == want, (qid, mine, want)

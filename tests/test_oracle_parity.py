@@ -73,6 +73,14 @@ SAMPLE = [
     "cross_source_matrix_docs",  # new in round 6: contamination matrix
     "bm25_search_docs",  # new in round 6: BM25 rational-idf ranked search
     "delta_scd2_agg",  # new in round 6: SCD2 single-MERGE dimension
+    "winnow_fingerprint_docs",  # new in round 6: MOSS winnowing
+    "pmi_bigrams_docs",  # new in round 6: PMI collocation lift
+    "temperature_resample_docs",  # new in round 6: alpha-resampling
+    "hard_negatives_embeddings",  # new in round 6: hard-negative mining
+    # displaced below the window in round 6 — pytest is their gate now
+    "ngram_jaccard_pairs_docs",
+    "dedup_keep_longest_docs",
+    "knn_cosine_docs",
 ]
 
 
@@ -153,6 +161,10 @@ def test_round6_queries_in_window():
         "cross_source_matrix_docs",  # NEW r6 (late)
         "bm25_search_docs",  # NEW r6 (late)
         "delta_scd2_agg",  # NEW r6 (late)
+        "winnow_fingerprint_docs",  # NEW r6 (late): MOSS fingerprints
+        "pmi_bigrams_docs",  # NEW r6 (late): collocation lift
+        "temperature_resample_docs",  # NEW r6 (late): alpha-sampling
+        "hard_negatives_embeddings",  # NEW r6 (late): contrastive negatives
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

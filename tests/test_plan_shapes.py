@@ -543,3 +543,55 @@ def test_bm25_is_filtered_explode_plus_takeordered(spark):
     assert "BroadcastExchange" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_winnow_fingerprints_no_shuffle_before_explode(spark):
+    """Winnowing is ONE Arrow-batched pass over the scan + an explode of
+    the surviving ~2/(w+1) fingerprints — no exchange, vectorized Python
+    only; the registry query's sole data shuffle is the per-doc
+    aggregate over the already-reduced fingerprint stream."""
+    from delta_go_spark.functions.textops import winnow_fingerprints
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(winnow_fingerprints(docs))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    qplan = _plan(queries()["winnow_fingerprint_docs"](spark, SF_DIR))
+    assert "BatchEvalPython" not in qplan, qplan
+
+
+def test_pmi_bigrams_takeordered_with_partial_aggs(spark):
+    """Collocation mining must end in TakeOrderedAndProject (never a
+    global sort) with map-side partial aggregation on both count
+    shuffles, and the corpus-total N broadcast onto the scored pairs."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["pmi_bigrams_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_temperature_resample_single_rank_window(spark):
+    """Membership is ONE rank window on the source key; the per-source
+    targets (a handful of rows) must broadcast onto the corpus, never
+    shuffle it a second time."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["temperature_resample_docs"](spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_hard_negatives_broadcast_probe_panel(spark):
+    """The probe panel broadcasts into the corpus cross join (corpus x 5
+    rows, never corpus^2); the top-k window partitions on the tiny qid
+    key; signatures stay Arrow/codegen (no row-at-a-time Python)."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["hard_negatives_embeddings"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
