@@ -694,11 +694,26 @@ def temperature_resample(
     key_cols: list[str],
     salt: str = "",
 ) -> DataFrame:
-    """Keep, per source, the `floor(budget * w_s / W)` rows with the
+    """Keep, per source, the `floor(budget * (w_s / W))` rows with the
     smallest content hash (capped at the source's own size — this is a
     sampler, not an upsampler), where w_s = floor(sqrt(n_s) * 1e6).
     `budget` is an aggregate-expression over the counts frame (e.g.
     `F.expr("sum(n) div 2")` for half the corpus).
+
+    The result carries two documented extra columns per row — `_n_source`
+    (the source's original row count) and `_target` (its computed quota)
+    — so callers can report coverage without a second counts pass; input
+    columns named `_n_source`/`_target`/`_rk` would collide with the
+    internals, so they are rejected loudly.
+
+    The target is evaluated as floor(double(budget) * (w_s / W)): one
+    exactly-rounded IEEE divide (w_s/W <= 1) and one multiply, identical
+    on any engine, with NO int64 overflow ceiling — the integer form
+    `budget * w_s div W` would overflow at ~1e9 rows per source (w_s ~
+    3e10 times a 5e8 budget exceeds 2^63; ANSI mode would raise, non-ANSI
+    would wrap negative and silently drop the source).  Exact-integer
+    inputs up to 2^53 (corpus rows through ~1e15) round-trip the double
+    path losslessly.
 
     Scale shape: per-source counts reduce to a handful of rows; targets
     broadcast back; membership is one rank window on the source key —
@@ -706,6 +721,14 @@ def temperature_resample(
     pre-filter applies unchanged if a source outgrows a partition)."""
     from pyspark.sql.window import Window
 
+    clash = sorted(
+        {"_n_source", "_target", "_rk"} & {c.lower() for c in df.columns}
+    )
+    if clash:
+        raise ValueError(
+            f"temperature_resample: input columns {clash} collide with "
+            "the operator's internal/output columns"
+        )
     counts = df.groupBy(F.col(source_col).alias("_s")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -713,14 +736,19 @@ def temperature_resample(
     tot = counts.agg(
         F.sum(w_micro).alias("_w_all"), budget.cast("long").alias("_budget")
     )
-    # integer target: least(n_s, budget * w_s div W)
+    # target: least(n_s, floor(budget * (w_s / W))) — overflow-free, see
+    # docstring
     targets = (
         counts.crossJoin(F.broadcast(tot))
         .select(
             F.col("_s").alias(source_col),
             F.col("n").alias("_n_source"),
             F.least(
-                F.col("n"), F.expr("_budget * floor(sqrt(cast(n as double)) * 1e6) div _w_all").cast("long")
+                F.col("n"),
+                F.floor(
+                    F.col("_budget").cast("double")
+                    * (w_micro.cast("double") / F.col("_w_all").cast("double"))
+                ).cast("long"),
             ).alias("_target"),
         )
     )
@@ -768,7 +796,10 @@ WITH counts AS (
          CAST(sum(n) AS BIGINT) // 2 AS budget
   FROM counts
 ), targets AS (
-  SELECT source, n, least(n, (budget * w) // w_all) AS target
+  SELECT source, n,
+         least(n, CAST(floor(CAST(budget AS DOUBLE)
+                             * (CAST(w AS DOUBLE) / CAST(w_all AS DOUBLE)))
+                       AS BIGINT)) AS target
   FROM counts, tot
 ), ranked AS (
   SELECT d.doc_id, d.source, t.n, t.target,

@@ -45,6 +45,37 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def int8_sq_norm(q: Column) -> Column:
+    """Integer squared L2 norm of an int8 code array (exact int64 sum)."""
+    return F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two int8 code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_cosine_micro(idot: Column, na2_a: Column, na2_b: Column) -> Column:
+    """floor(dot / (sqrt(na2_a) * sqrt(na2_b)) * 1e6 + 0.5) as long — the
+    integer-cosine score in micro-units.  Every op is exactly defined
+    (int64 dot, two correctly-rounded IEEE sqrts, one divide/multiply/
+    floor), so any engine evaluating this shape produces the identical
+    value — THE cross-engine ranking contract shared by ann_signlsh,
+    quantization_recall_audit, ivf_sq8 and hard_negative_mining; their
+    DuckDB oracles all replay this exact formula, so never fork a private
+    variant (same rule as np_int8_codes above)."""
+    return F.floor(
+        idot
+        / (F.sqrt(na2_a.cast("double")) * F.sqrt(na2_b.cast("double")))
+        * 1e6
+        + 0.5
+    ).cast("long")
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -1509,9 +1540,7 @@ def quantization_recall_audit(
             v.alias("v"),
             "q",
             l2_norm(v).alias("fn"),
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
-            ).alias("na2"),
+            int8_sq_norm(F.col("q")).alias("na2"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1539,17 +1568,9 @@ def quantization_recall_audit(
     fcos = F.floor(
         dot(F.col("v"), F.col("pv")) / (F.col("fn") * F.col("pfn")) * 1e4 + 0.5
     ).cast("long")
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("pq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    icos = int_cosine_micro(
+        int8_dot(F.col("q"), F.col("pq")), F.col("na2"), F.col("pn2")
     )
-    icos = F.floor(
-        idot
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
-        * 1e6
-        + 0.5
-    ).cast("long")
     from pyspark.sql import Window
 
     scored = pairs.select(
@@ -1781,9 +1802,7 @@ def hard_negative_mining(
             F.col(id_col).alias("cid"),
             F.col(label_col).alias("neg_label"),
             "q",
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
-            ).alias("na2"),
+            int8_sq_norm(F.col("q")).alias("na2"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1793,17 +1812,9 @@ def hard_negative_mining(
         F.col("q").alias("pq"),
         F.col("na2").alias("pn2"),
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("pq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    cos_micro = int_cosine_micro(
+        int8_dot(F.col("q"), F.col("pq")), F.col("na2"), F.col("pn2")
     )
-    cos_micro = F.floor(
-        idot
-        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("pn2").cast("double")))
-        * 1e6
-        + 0.5
-    ).cast("long")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_micro"), F.asc("cid"))
     return (
         sig.filter(F.col("na2") > 0)

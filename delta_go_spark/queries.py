@@ -62,10 +62,10 @@ class _Pick:
 #       relational module (17 — approx_distinct_events stays below, the
 #       window carries only hash-checkable rows) plus
 #       unpivot/null_semantics/json_functions from coverage;
-#   (e) 20 round-4 rows to keep their evidence fresh: the 8 delta-protocol
-#       rows (CDF, roundtrip, time travel x2, DataSource, incremental,
-#       schema evolution, generated cols), 7 dedup rows, embedding_norms,
-#       knn_cosine, and 3 textops rows.
+#   (e) freshness rows: the 8 delta-protocol rows (CDF, roundtrip, time
+#       travel x2, DataSource, incremental, schema evolution, generated
+#       cols) + minhash_near_dup_docs (after the late-batch displacements
+#       below, the only remaining non-protocol (e) slot).
 # Everything displaced below the boundary was hash-green in r4/r5 and
 # remains pinned by the pytest oracle sample + scripts/check_parity.py.
 # Position comments are tier labels, not exact slots — the authoritative
@@ -76,7 +76,11 @@ class _Pick:
 #   window picks dynamically).  Four (e)-tier freshness rows — all
 #   driver-green in r4 with zero failures ever — moved below the boundary
 #   to make room: exact_dedup_docs, simhash_docs, simhash_near_dup_docs,
-#   embedding_norms.
+#   embedding_norms.  A SECOND late batch (winnow_fingerprint_docs,
+#   pmi_bigrams_docs (textops), temperature_resample_docs (sampling),
+#   hard_negatives_embeddings (similarity)) displaced four more multi-
+#   round-green (e) rows the same way: ngram_jaccard_pairs_docs,
+#   dedup_keep_longest_docs, dedup_clusters_docs, knn_cosine_docs.
 _MODULES = [
     _Pick(
         dedup,

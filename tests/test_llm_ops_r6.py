@@ -116,8 +116,8 @@ def test_temperature_resample_flattens_and_caps(spark):
     w_head = math.floor(math.sqrt(900.0) * 1e6)
     w_tail = math.floor(math.sqrt(100.0) * 1e6)
     budget = 1000 // 2
-    assert got["head"] == min(900, budget * w_head // (w_head + w_tail))
-    assert got["tail"] == min(100, budget * w_tail // (w_head + w_tail))
+    assert got["head"] == min(900, math.floor(budget * (w_head / (w_head + w_tail))))
+    assert got["tail"] == min(100, math.floor(budget * (w_tail / (w_head + w_tail))))
     total = got["head"] + got["tail"]
     assert got["tail"] / total > 0.1  # tail share strictly up from 10%
     assert got["head"] / total < 0.9
