@@ -70,6 +70,9 @@ HEADLINE = [
     "pmi_bigrams_docs",  # r6: PMI collocation mining
     "temperature_resample_docs",  # r6: alpha=0.5 mixture resampling
     "hard_negatives_embeddings",  # r6: contrastive hard-negative mining
+    "cluster_representative_docs",  # r6: canonical representative pick
+    "sessionize_events",  # r6: batch 30-min-gap sessionization
+    "retention_cohorts_events",  # r6: weekly retention cohorts
 ]
 
 

@@ -1289,3 +1289,104 @@ QUERIES["cross_source_matrix_docs"] = (
     cross_source_matrix_docs,
     CROSS_SOURCE_MATRIX_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-representative selection — the step AFTER clustering: a near-dup
+# cluster keeps exactly one document, and which one matters (the cleanest
+# copy trains better than a random member).  Pick = the member maximizing
+# (n_words, n_chars, -doc_id) — all-integer quality keys, so the argmax is
+# bit-reproducible on any engine (a float quality score would risk ULP rank
+# flips; swap one in only with the floor-scaled-integer trick).
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster, rep_id, n_members, member_id_sum) per multi-member
+    cluster of the pair graph — `cluster` is the connected-component min
+    label, `rep_id` the quality-argmax member.
+
+    The pair source is pluggable (same contract as cluster_safe_split /
+    cross_source_matrix): exact Jaccard pairs for the oracle row,
+    minhash_lsh_pairs unchanged at 100 TB.
+
+    Scale shape: components shuffle only (long, long) labels; the member
+    quality keys ride ONE partial-aggregable groupBy as a struct-max (no
+    window, skew-safe under a giant boilerplate cluster), joined to the
+    docs on the id key once."""
+    labels = connected_components(pairs)
+    members = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col("text"), " ")).alias("_nw"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("_nc"),
+    ).join(labels.withColumnRenamed("node", id_col), id_col)
+    return (
+        members.groupBy(F.col("cluster_rep").alias("cluster"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_nw"), F.col("_nc"), (-F.col(id_col)).alias("_negid")
+                )
+            ).alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(id_col).alias("member_id_sum"),
+        )
+        .select(
+            "cluster",
+            (-F.col("_best._negid")).alias("rep_id"),
+            F.col("_best._nw").alias("rep_n_words"),
+            "n_members",
+            "member_id_sum",
+        )
+    )
+
+
+def cluster_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: representatives of the exact >=0.6-Jaccard
+    clusters (the oracle replays the closure by recursive CTE and the
+    argmax by the identical integer keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_representatives(docs, ngram_jaccard_pairs(docs)).orderBy(
+        "cluster"
+    )
+
+
+CLUSTER_REPRESENTATIVE_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+  FROM reach GROUP BY src
+), members AS (
+  SELECT l.cluster, d.doc_id,
+         len(string_split(d.text, ' ')) AS nw,
+         coalesce(length(d.text), 0) AS nc
+  FROM labels l JOIN documents d USING (doc_id)
+), best AS (
+  SELECT cluster, doc_id AS rep_id, nw AS rep_n_words,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY nw DESC, nc DESC, doc_id ASC) AS rk
+  FROM members
+), stats AS (
+  SELECT cluster, count(*) AS n_members,
+         CAST(sum(doc_id) AS BIGINT) AS member_id_sum
+  FROM members GROUP BY cluster
+)
+SELECT b.cluster, b.rep_id, b.rep_n_words, s.n_members, s.member_id_sum
+FROM best b JOIN stats s USING (cluster)
+WHERE b.rk = 1
+ORDER BY cluster
+"""
+
+
+QUERIES["cluster_representative_docs"] = (
+    cluster_representative_docs,
+    CLUSTER_REPRESENTATIVE_SQL,
+)

@@ -32,6 +32,7 @@ from delta_go_spark.operators import (
     funnel,
     rangejoin,
     relational,
+    sessions,
     subqueries,
 )
 
@@ -81,11 +82,22 @@ class _Pick:
 #   hard_negatives_embeddings (similarity)) displaced four more multi-
 #   round-green (e) rows the same way: ngram_jaccard_pairs_docs,
 #   dedup_keep_longest_docs, dedup_clusters_docs, knn_cosine_docs.
+#   A THIRD late batch (cluster_representative_docs (dedup),
+#   sessionize_events + retention_cohorts_events (the new sessions
+#   module)) displaced minhash_near_dup_docs, delta_time_travel_count
+#   and delta_sql_time_travel (all r4-driver-green, judge drift-green
+#   r5, pytest-SAMPLE-pinned).
 _MODULES = [
     _Pick(
         dedup,
-        ["normalized_dedup_docs", "pagerank_docs", "cross_source_matrix_docs"],
-    ),  # 1-3 (a + NEW r6 x2)
+        [
+            "normalized_dedup_docs",
+            "pagerank_docs",
+            "cross_source_matrix_docs",
+            "cluster_representative_docs",
+        ],
+    ),  # 1-4 (a + NEW r6 x3)
+    sessions,  # NEW r6: batch sessionization + retention cohorts
     _Pick(
         similarity,
         [
@@ -128,17 +140,28 @@ _MODULES = [
     ),  # 28-30 (d)
     cdf_queries,  # 31 (e)
     _Pick(
-        delta_queries, [n for n in delta_queries.QUERIES if n != "delta_dml_agg"]
-    ),  # 32-38 (e)
-    _Pick(dedup, ["minhash_near_dup_docs"]),  # 50 (e)
-    # ---- window boundary (minhash_near_dup_docs is position 50) ----
+        delta_queries,
+        [
+            n for n in delta_queries.QUERIES
+            if n not in (
+                "delta_dml_agg",
+                "delta_time_travel_count",
+                "delta_sql_time_travel",
+            )
+        ],
+    ),  # (e)
+    # ---- window boundary ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
-    _Pick(delta_queries, ["delta_dml_agg"]),
+    _Pick(
+        delta_queries,
+        ["delta_dml_agg", "delta_time_travel_count", "delta_sql_time_travel"],
+    ),
     _Pick(
         dedup,
         [
+            "minhash_near_dup_docs",
             "ngram_jaccard_pairs_docs",
             "dedup_keep_longest_docs",
             "dedup_clusters_docs",
@@ -223,7 +246,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     # to its module later — fail loudly instead.
     for mod in (
         coverage, dedup, similarity, subqueries, curation, sampling, textops,
-        delta_queries, streaming_windows, relational, safety,
+        delta_queries, streaming_windows, relational, safety, sessions,
     ):
         missing = [n for n in mod.QUERIES if n not in out]
         if missing:

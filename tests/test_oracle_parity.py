@@ -77,10 +77,16 @@ SAMPLE = [
     "pmi_bigrams_docs",  # new in round 6: PMI collocation lift
     "temperature_resample_docs",  # new in round 6: alpha-resampling
     "hard_negatives_embeddings",  # new in round 6: hard-negative mining
+    "cluster_representative_docs",  # new in round 6: canonical rep pick
+    "sessionize_events",  # new in round 6: 30-min-gap sessionization
+    "retention_cohorts_events",  # new in round 6: weekly cohorts
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
     "knn_cosine_docs",
+    "minhash_near_dup_docs",
+    "delta_time_travel_count",
+    "delta_sql_time_travel",
 ]
 
 
@@ -165,6 +171,9 @@ def test_round6_queries_in_window():
         "pmi_bigrams_docs",  # NEW r6 (late): collocation lift
         "temperature_resample_docs",  # NEW r6 (late): alpha-sampling
         "hard_negatives_embeddings",  # NEW r6 (late): contrastive negatives
+        "cluster_representative_docs",  # NEW r6 (late): canonical pick
+        "sessionize_events",  # NEW r6 (late): batch sessionization
+        "retention_cohorts_events",  # NEW r6 (late): cohort triangle
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

@@ -595,3 +595,40 @@ def test_hard_negatives_broadcast_probe_panel(spark):
     plan = _plan(queries()["hard_negatives_embeddings"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Both window passes (lag + running session count) and the
+    per-session aggregate ride ONE hash exchange on the user key —
+    hashpartitioning(user_id) satisfies the (user_id, session_id)
+    clustering, so Spark must not add a second shuffle."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["sessionize_events"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_retention_cohorts_reduces_before_joining(spark):
+    """The cohort join runs over distinct (user, week) pairs, never raw
+    events: the plan must show partial aggregation before the exchange
+    and no cartesian product."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["retention_cohorts_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan, plan
+
+
+def test_cluster_representatives_groupby_not_window(spark):
+    """The quality argmax rides the members groupBy as a struct-max —
+    partial-aggregable, skew-safe under a giant boilerplate cluster —
+    never a per-cluster Window sort."""
+    from delta_go_spark.functions.dedup import cluster_representatives
+    from delta_go_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = spark.createDataFrame([(0, 1)], "doc_id_a long, doc_id_b long")
+    plan = _plan(cluster_representatives(docs, pairs))
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan or "partial" in plan, plan
