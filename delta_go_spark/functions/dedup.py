@@ -204,6 +204,26 @@ SELECT doc_id_a, doc_id_b, jaccard FROM jpairs
 ORDER BY doc_id_a, doc_id_b
 """
 
+# Recursive transitive closure over jpairs -> labels(doc_id, cluster_rep).
+# THE single definition of the oracle-side connected-components semantics
+# (min reachable id labeling) — interpolated by every clustering oracle
+# (dedup_clusters, cluster_representative here; split_cluster_safe in
+# sampling.py), so a change to the closure or labeling rule lands in all
+# of them at once.  The WITH must be spelled `WITH RECURSIVE` by the
+# caller (DuckDB requires the keyword on the FIRST cte of the chain).
+_CLOSURE_CTES = """edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
+  UNION
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+  FROM reach GROUP BY src
+)"""
+
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the at-scale near-dup path)
@@ -743,18 +763,7 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB: same clusters via recursive transitive closure (fine at oracle
 # scale; the Spark path above is the one that scales).
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
-  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
-  UNION
-  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
-), reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-), labels AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-  FROM reach GROUP BY src
-)
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}
 SELECT l.doc_id, l.cluster_rep, s.cluster_size
 FROM labels l
 JOIN (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1) s
@@ -1353,19 +1362,8 @@ def cluster_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLUSTER_REPRESENTATIVE_SQL = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
-  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
-  UNION
-  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
-), reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-), labels AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS cluster
-  FROM reach GROUP BY src
-), members AS (
-  SELECT l.cluster, d.doc_id,
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, members AS (
+  SELECT l.cluster_rep AS cluster, d.doc_id,
          len(string_split(d.text, ' ')) AS nw,
          coalesce(length(d.text), 0) AS nc
   FROM labels l JOIN documents d USING (doc_id)

@@ -633,21 +633,10 @@ def split_cluster_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_cluster_safe_sql() -> str:
-    from delta_go_spark.functions.dedup import _JACCARD_PAIRS_CTES
+    from delta_go_spark.functions.dedup import _CLOSURE_CTES, _JACCARD_PAIRS_CTES
 
     return f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTES}, edges AS (
-  SELECT doc_id_a AS src, doc_id_b AS dst FROM jpairs
-  UNION
-  SELECT doc_id_b AS src, doc_id_a AS dst FROM jpairs
-), reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-), labels AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-  FROM reach GROUP BY src
-), rep AS (
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, rep AS (
   SELECT d.doc_id, d.source, coalesce(l.cluster_rep, d.doc_id) AS rep,
          CAST(concat('0x', substr(md5(concat(CAST(coalesce(l.cluster_rep,
                 d.doc_id) AS VARCHAR), 'cluster-split-v1')), 1, 8))

@@ -45,17 +45,21 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(
         ts_col, *[F.col(c) for c in order_cols]
     )
-    gap_us = F.expr(
-        f"timestampdiff(MICROSECOND, lag({ts_col}) OVER "
-        f"(PARTITION BY {user_col} ORDER BY {ts_col}, "
-        f"{', '.join(order_cols)}), {ts_col})"
-    )
+    # ONE window definition serves both passes; the lag lands in a temp
+    # column so the gap expression never re-spells the window as a string
+    # (ts_col must be a plain identifier — it is interpolated into the
+    # timestampdiff call, the one function with no Column API).
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
     is_new = F.when(
         gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
     ).otherwise(0)
-    return df.withColumn(
-        "session_id",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    return (
+        df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("_prev_ts")
     )
 
 
@@ -85,7 +89,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = f"""
 WITH tagged AS (
-  SELECT user_id, ts, event_type, value,
+  SELECT user_id, event_id, ts, event_type, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR date_diff('microsecond', lag(ts) OVER w, ts)
                    > {_GAP_MINUTES} * 60000000
@@ -93,8 +97,10 @@ WITH tagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
+  -- the cumsum MUST order by the same (ts, event_id) key as the tagging
+  -- window: ts alone leaves tied rows in engine-chosen order
   SELECT user_id, ts, event_type, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM tagged
 )

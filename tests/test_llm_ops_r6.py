@@ -221,8 +221,6 @@ def test_retention_cohorts_matrix(spark):
     first seen in week 1 — the classic cohort triangle."""
     from delta_go_spark.operators.sessions import retention_cohorts_events
     import duckdb
-    import os
-    import tempfile
 
     # exercise the registry query end-to-end at the smallest SF instead of
     # synthesizing a second fixture: cross-check a marginal against DuckDB
