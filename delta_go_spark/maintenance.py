@@ -663,3 +663,129 @@ def clone_deep(
                 except Exception:
                     pass
         raise
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    directory: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT an existing parquet directory into a Delta table IN PLACE
+    (reference: op/names.go CONVERT; delta.io `CONVERT TO DELTA`
+    semantics): no data file is rewritten or moved — ONE commit records
+    Protocol + Metadata + an AddFile per existing file, with footer-only
+    stats, after which the directory is a live Delta table (DML, time
+    travel, OPTIMIZE all work; version 0 is the pre-Delta state).
+
+    Hive-partitioned layouts are recognized from `key=value` path
+    segments; `partition_by` pins the expected partition columns (and
+    their order) — inferred from the first file's path when omitted.
+    Column TYPES (including partition columns) come from Spark's parquet
+    schema inference over the directory, exactly what a reader of the
+    un-converted directory would see.
+
+    Scale shape: the directory listing is one filesystem walk and each
+    AddFile's stats read only that file's FOOTER (the compute_stats
+    machinery) — cost is O(#files) metadata operations, zero data bytes;
+    the same shape the reference's conversion-equivalent (a fresh commit
+    of existing objects) would have.  Local paths only: a cloud prefix
+    would instead register existing objects through the LogStore listing
+    (store-side walk), which native cloud tables get by writing through
+    the engine in the first place."""
+    import json
+
+    from delta_go_spark.actions import Metadata, encode_path
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.store import is_cloud_uri
+    from delta_go_spark.types import schema_to_json
+    from delta_go_spark.writer import (
+        _partition_values_from_rel,
+        _stats_from_footer,
+    )
+
+    directory = normalize_table_uri(directory)
+    if is_cloud_uri(directory):
+        raise DeltaError(
+            "convert_to_delta supports local directories; cloud prefixes "
+            "should be written through the engine (or registered via a "
+            "store-side listing job)"
+        )
+    local = directory.removeprefix("file://")
+    log = DeltaLog.for_table(directory)
+    if log.table_exists():
+        raise DeltaError(f"{directory} is already a Delta table")
+
+    rels: list[str] = []
+    for root, dirs, files in os.walk(local):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                rel = os.path.relpath(os.path.join(root, name), local)
+                rels.append(rel.replace(os.sep, "/"))
+    if not rels:
+        raise DeltaError(f"no parquet files under {local}")
+    rels.sort()
+
+    def parts_of(rel: str) -> list[str]:
+        return [
+            seg.split("=", 1)[0]
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        ]
+
+    inferred = parts_of(rels[0])
+    if partition_by is None:
+        partition_by = inferred
+    for rel in rels:
+        if parts_of(rel) != partition_by:
+            raise DeltaError(
+                f"inconsistent hive layout: {rel} does not carry partition "
+                f"columns {partition_by}"
+            )
+
+    # Types (incl. partition columns) = Spark's own inference over the
+    # un-converted directory; basePath keeps hive columns in the schema.
+    schema = (
+        spark.read.option("basePath", local).parquet(local).schema
+    )
+    missing = [
+        p for p in partition_by
+        if p.lower() not in {f.name.lower() for f in schema.fields}
+    ]
+    if missing:
+        raise DeltaError(f"partition columns {missing} not in inferred schema")
+
+    clock_ms = log.clock.now_millis()
+    adds = []
+    for rel in rels:
+        abs_path = os.path.join(local, rel.replace("/", os.sep))
+        rel_dir = os.path.dirname(rel)
+        adds.append(
+            AddFile(
+                path=encode_path(rel),
+                partition_values=_partition_values_from_rel(
+                    rel_dir, partition_by
+                ),
+                size=os.path.getsize(abs_path),
+                modification_time=int(os.path.getmtime(abs_path) * 1000),
+                data_change=True,
+                stats=_stats_from_footer(abs_path),
+            )
+        )
+
+    txn = log.start_transaction()
+    txn.update_metadata(
+        Metadata(
+            schema_string=schema_to_json(schema),
+            partition_columns=list(partition_by),
+            created_time=clock_ms,
+        )
+    )
+    return txn.commit(
+        adds,
+        ops.CONVERT,
+        operation_parameters={
+            "numFiles": str(len(adds)),
+            "partitionBy": json.dumps(list(partition_by)),
+        },
+    )

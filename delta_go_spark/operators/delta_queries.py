@@ -642,3 +642,60 @@ ORDER BY is_current, c_mktsegment
 
 
 QUERIES["delta_scd2_agg"] = (delta_scd2_agg, DELTA_SCD2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CONVERT TO DELTA: an existing hive-partitioned parquet directory becomes a
+# Delta table in place — zero data rewrite, one commit of Protocol +
+# Metadata + per-file AddFiles with footer stats (op/names.go CONVERT).
+# The query reads the CONVERTED table through the Delta snapshot with a
+# partition predicate (so pruning runs off the conversion-built log) while
+# the oracle aggregates the raw parquet — a hash match proves conversion
+# loses nothing and the injected partition values are exact.
+def delta_convert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.expressions import Column, EqualTo, Literal
+    from delta_go_spark.table import DeltaTable
+    from pyspark.sql.types import StringType
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "converted_orders")
+
+    def build() -> None:
+        from delta_go_spark.maintenance import convert_to_delta
+
+        load_table(spark, sf_dir, "orders").write.partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+        convert_to_delta(spark, path)
+
+    _ensure_built(path, 0, build)
+    t = DeltaTable.for_path(spark, path)
+    df = t.to_df(
+        EqualTo(
+            Column("o_orderpriority", StringType()), Literal("1-URGENT")
+        )
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_custkey").alias("cust_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_CONVERT_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(o_custkey) AS BIGINT) AS cust_checksum
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["delta_convert_agg"] = (delta_convert_agg, DELTA_CONVERT_SQL)

@@ -86,7 +86,9 @@ class _Pick:
 #   sessionize_events + retention_cohorts_events (the new sessions
 #   module)) displaced minhash_near_dup_docs, delta_time_travel_count
 #   and delta_sql_time_travel (all r4-driver-green, judge drift-green
-#   r5, pytest-SAMPLE-pinned).
+#   r5, pytest-SAMPLE-pinned).  delta_convert_agg (CONVERT TO DELTA, new
+#   r6) enters via the dynamic delta_queries pick, displacing
+#   delta_roundtrip_agg the same way.
 _MODULES = [
     _Pick(
         dedup,
@@ -147,6 +149,7 @@ _MODULES = [
                 "delta_dml_agg",
                 "delta_time_travel_count",
                 "delta_sql_time_travel",
+                "delta_roundtrip_agg",
             )
         ],
     ),  # (e)
@@ -156,7 +159,12 @@ _MODULES = [
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
     _Pick(
         delta_queries,
-        ["delta_dml_agg", "delta_time_travel_count", "delta_sql_time_travel"],
+        [
+            "delta_dml_agg",
+            "delta_time_travel_count",
+            "delta_sql_time_travel",
+            "delta_roundtrip_agg",
+        ],
     ),
     _Pick(
         dedup,

@@ -193,6 +193,26 @@ class DeltaSqlContext:
         if m:
             return result(resolve(m.group(1)).truncate())
 
+        # CONVERT TO DELTA '<path>' [PARTITIONED BY (a, b)] — in-place
+        # conversion of an existing parquet directory (op/names.go CONVERT)
+        m = re.fullmatch(
+            r"\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'"
+            r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*",
+            stripped,
+            flags=re.IGNORECASE,
+        )
+        if m:
+            from delta_go_spark.maintenance import convert_to_delta
+
+            parts = (
+                [c.strip() for c in m.group(2).split(",") if c.strip()]
+                if m.group(2) is not None
+                else None
+            )
+            return result(
+                convert_to_delta(self.spark, m.group(1), partition_by=parts)
+            )
+
         m = re.fullmatch(
             rf"\s*MERGE\s+INTO\s+({names})(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
             rf"\s+USING\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"

@@ -142,6 +142,21 @@ class DeltaTable:
 
         return compute_stats(self.spark, self.log.table_path)
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        directory: str,
+        partition_by: list[str] | None = None,
+    ) -> "DeltaTable":
+        """Convert an existing parquet directory into a Delta table in
+        place (no data rewrite) and return it — op/names.go CONVERT; see
+        maintenance.convert_to_delta."""
+        from delta_go_spark.maintenance import convert_to_delta
+
+        convert_to_delta(spark, directory, partition_by=partition_by)
+        return cls.for_path(spark, directory)
+
     def restore(self, version: int) -> int:
         from delta_go_spark.maintenance import restore
 

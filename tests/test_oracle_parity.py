@@ -80,6 +80,7 @@ SAMPLE = [
     "cluster_representative_docs",  # new in round 6: canonical rep pick
     "sessionize_events",  # new in round 6: 30-min-gap sessionization
     "retention_cohorts_events",  # new in round 6: weekly cohorts
+    "delta_convert_agg",  # new in round 6: CONVERT TO DELTA in place
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -174,6 +175,7 @@ def test_round6_queries_in_window():
         "cluster_representative_docs",  # NEW r6 (late): canonical pick
         "sessionize_events",  # NEW r6 (late): batch sessionization
         "retention_cohorts_events",  # NEW r6 (late): cohort triangle
+        "delta_convert_agg",  # NEW r6 (late): CONVERT TO DELTA
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)
