@@ -130,7 +130,10 @@ _MODULES = [
             "temperature_resample_docs",
         ],
     ),  # 7-8 (a+b + NEW r6)
-    _Pick(streaming_windows, ["streaming_static_enrich_events"]),  # 9 (a)
+    _Pick(
+        streaming_windows,
+        ["streaming_static_enrich_events", "streaming_leftouter_join_events"],
+    ),  # (a + NEW r6)
     _Pick(subqueries, ["q22_global_sales"]),  # 10 (c)
     _Pick(
         relational,
@@ -150,6 +153,7 @@ _MODULES = [
                 "delta_time_travel_count",
                 "delta_sql_time_travel",
                 "delta_roundtrip_agg",
+                "delta_generated_agg",
             )
         ],
     ),  # (e)
@@ -164,6 +168,7 @@ _MODULES = [
             "delta_time_travel_count",
             "delta_sql_time_travel",
             "delta_roundtrip_agg",
+            "delta_generated_agg",
         ],
     ),
     _Pick(
@@ -220,7 +225,10 @@ _MODULES = [
         streaming_windows,
         [
             n for n in streaming_windows.QUERIES
-            if n != "streaming_static_enrich_events"
+            if n not in (
+                "streaming_static_enrich_events",
+                "streaming_leftouter_join_events",
+            )
         ],
     ),
     streaming_stateful,

@@ -500,3 +500,144 @@ QUERIES["streaming_static_enrich_events"] = (
     streaming_static_enrich_events,
     STREAMING_STATIC_ENRICH_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — the "did the signup convert?"
+# pattern where the ABSENCE of a match is the signal: signups with no
+# purchase inside the 2-hour window emit with NULLs once the watermark
+# proves no match can still arrive (Spark's no-data cleanup batch flushes
+# the outer state after the last file).  Deterministic-by-construction:
+# the result keeps only signups whose join window PROVABLY closed before
+# end-of-stream (signup < max_ts - 3h - 1min: 2h window + 1h watermark
+# delay + a one-minute margin off the eviction boundary), a pure batch
+# predicate the oracle replays — so emission timing can never make the
+# answer depend on micro-batch layout.
+def streaming_leftouter_join_events(spark, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same UTC pin + restore as streaming_interval_join_events: the
+    # interval arithmetic runs on NTZ->LTZ casts, which only shift
+    # uniformly under a fixed-offset zone.
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts_ntz",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        else:
+            s = s.withColumn("ts_ntz", F.col("ts"))
+        return s.withColumn("ts_wm", F.col("ts_ntz").cast("timestamp"))
+
+    signups = (
+        _stream()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts_ntz").alias("signup_ts"),
+            F.col("ts_wm").alias("s_wm"),
+        )
+        .withWatermark("s_wm", "1 hour")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("purchase_value"),
+            F.col("ts_wm").alias("p_wm"),
+        )
+        .withWatermark("p_wm", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_wm") >= F.col("s_wm"))
+        & (F.col("p_wm") <= F.col("s_wm") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    sink = "streaming_leftouter_join_sink"
+    try:
+        q = (
+            joined.select("s_user", "signup_ts", "purchase_value")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
+    # closed-window cutoff from the BATCH view of the same file — O(1)
+    # driver state, exactly replayable in the oracle
+    from delta_go_spark.session import load_table
+
+    # The query's global watermark is the MIN across both inputs (each =
+    # max event time - 1h), so the provably-closed bound keys on the
+    # EARLIER of the two sides' last events.
+    cutoff = (
+        load_table(spark, sf_dir, "events")  # ts already TIMESTAMP_NTZ here
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.expr("timestampadd(MINUTE, -181, min(m))").alias("c"))
+        .first()["c"]
+    )
+    return (
+        spark.table(sink)
+        .filter(F.col("signup_ts") < F.lit(cutoff))
+        .groupBy(F.date_trunc("hour", "signup_ts").alias("signup_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_value").alias("n_matched"),
+            F.count(F.when(F.col("purchase_value").isNull(), 1)).alias(
+                "n_unconverted"
+            ),
+            _cents(
+                F.sum(F.col("purchase_value").cast("decimal(18,6)"))
+            ).alias("purchase_cents"),
+        )
+        .orderBy("signup_hour")
+    )
+
+
+STREAMING_LEFTOUTER_JOIN_SQL = """
+WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     cut AS (SELECT min(m) - INTERVAL 181 MINUTE AS c FROM (
+               SELECT event_type, max(ts) AS m FROM events
+               WHERE event_type IN ('signup', 'purchase')
+               GROUP BY event_type))
+SELECT date_trunc('hour', s.ts) AS signup_hour,
+       count(*)                 AS n_rows,
+       count(p.value)           AS n_matched,
+       count(*) FILTER (WHERE p.value IS NULL) AS n_unconverted,
+       CAST(floor(sum(CAST(p.value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+         AS purchase_cents
+FROM s LEFT JOIN p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 2 HOUR
+WHERE s.ts < (SELECT c FROM cut)
+GROUP BY 1
+ORDER BY signup_hour
+"""
+
+
+QUERIES["streaming_leftouter_join_events"] = (
+    streaming_leftouter_join_events,
+    STREAMING_LEFTOUTER_JOIN_SQL,
+)

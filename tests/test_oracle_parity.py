@@ -81,6 +81,7 @@ SAMPLE = [
     "sessionize_events",  # new in round 6: 30-min-gap sessionization
     "retention_cohorts_events",  # new in round 6: weekly cohorts
     "delta_convert_agg",  # new in round 6: CONVERT TO DELTA in place
+    "streaming_leftouter_join_events",  # new in round 6: outer interval join
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -176,6 +177,7 @@ def test_round6_queries_in_window():
         "sessionize_events",  # NEW r6 (late): batch sessionization
         "retention_cohorts_events",  # NEW r6 (late): cohort triangle
         "delta_convert_agg",  # NEW r6 (late): CONVERT TO DELTA
+        "streaming_leftouter_join_events",  # NEW r6 (late): outer interval join
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

@@ -423,3 +423,75 @@ def test_streaming_static_enrich_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(got) >= 4
+
+
+def test_stream_stream_leftouter_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER interval join: signups with no purchase in-window must
+    emit exactly once with NULLs — but only after the global watermark
+    (the MIN across both inputs) proves no partner can still arrive; a
+    late sentinel batch on BOTH sides advances it past every real
+    signup's window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    far = t0 + dt.timedelta(days=2)  # sentinel advancing both watermarks
+    src = tmp_path / "lo_src"
+    src.mkdir()
+    schema = "user_id long, event_type string, ets timestamp, value double"
+    spark.createDataFrame(
+        [
+            (0, "signup", t0, 0.0),
+            (1, "signup", t0 + dt.timedelta(minutes=10), 0.0),
+            (0, "purchase", t0 + dt.timedelta(minutes=30), 10.0),
+            # u1 never purchases in-window
+            (1, "purchase", t0 + dt.timedelta(hours=5), 99.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(999, "signup", far, 0.0), (999, "purchase", far, 0.0)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    read_schema = spark.read.parquet(str(src / "f0")).schema
+
+    def side(kind, cols):
+        return (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .filter(F.col("event_type") == kind)
+            .select(*cols)
+        )
+
+    s = side("signup", [F.col("user_id").alias("s_user"),
+                        F.col("ets").alias("s_ts")]).withWatermark("s_ts", "1 hour")
+    p = side("purchase", [F.col("user_id").alias("p_user"),
+                          F.col("ets").alias("p_ts"),
+                          F.col("value")]).withWatermark("p_ts", "1 hour")
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    q = (
+        joined.select("s_user", "s_ts", "value")
+        .writeStream.format("memory")
+        .queryName("lo_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r["s_user"], r["value"])
+        for r in spark.table("lo_sink").collect()
+        if r["s_user"] != 999
+    ]
+    # u0 matched once; u1 emitted exactly once as unconverted (its only
+    # purchase is outside the window); no duplicates
+    assert sorted(rows, key=lambda x: x[0]) == [(0, 10.0), (1, None)]
