@@ -710,7 +710,7 @@ def convert_to_delta(
             "should be written through the engine (or registered via a "
             "store-side listing job)"
         )
-    local = directory.removeprefix("file://")
+    local = directory  # normalize_table_uri returns a plain abspath here
     log = DeltaLog.for_table(directory)
     if log.table_exists():
         raise DeltaError(f"{directory} is already a Delta table")
@@ -763,8 +763,10 @@ def convert_to_delta(
         adds.append(
             AddFile(
                 path=encode_path(rel),
+                # the helper splits on os.sep — hand it native separators
+                # or multi-level hive layouts mis-parse on Windows
                 partition_values=_partition_values_from_rel(
-                    rel_dir, partition_by
+                    rel_dir.replace("/", os.sep), partition_by
                 ),
                 size=os.path.getsize(abs_path),
                 modification_time=int(os.path.getmtime(abs_path) * 1000),

@@ -661,8 +661,15 @@ def delta_convert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_CACHE_ROOT, key, "converted_orders")
 
     def build() -> None:
+        import shutil
+
         from delta_go_spark.maintenance import convert_to_delta
 
+        # crash-safety: a prior run killed between the parquet write and
+        # the conversion leaves data files with no _delta_log, which
+        # _ensure_built cannot detect (it keys on the log version) and a
+        # plain errorIfExists rewrite would refuse — start clean
+        shutil.rmtree(path, ignore_errors=True)
         load_table(spark, sf_dir, "orders").write.partitionBy(
             "o_orderpriority"
         ).parquet(path)

@@ -397,7 +397,14 @@ def streaming_interval_join_events(spark, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", _prev_tz)
     return (
         spark.table(sink)
-        .groupBy(F.date_trunc("hour", "signup_ts").alias("signup_hour"))
+        .groupBy(
+            # date_trunc returns LTZ; cast straight back to NTZ so the hour
+            # label is identical under ANY session/driver time zone (the
+            # events_hourly_rollup pattern)
+            F.date_trunc("hour", "signup_ts")
+            .cast("timestamp_ntz")
+            .alias("signup_hour")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.count_distinct("s_user").alias("n_users"),
@@ -521,55 +528,58 @@ def streaming_leftouter_join_events(spark, sf_dir: str) -> DataFrame:
     # uniformly under a fixed-offset zone.
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(path).schema
-
-    def _stream():
-        s = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn(
-                "ts_ntz",
-                F.expr(
-                    "timestampadd(MICROSECOND, ts div 1000,"
-                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-                ),
-            )
-        else:
-            s = s.withColumn("ts_ntz", F.col("ts"))
-        return s.withColumn("ts_wm", F.col("ts_ntz").cast("timestamp"))
-
-    signups = (
-        _stream()
-        .filter(F.col("event_type") == "signup")
-        .select(
-            F.col("user_id").alias("s_user"),
-            F.col("ts_ntz").alias("signup_ts"),
-            F.col("ts_wm").alias("s_wm"),
-        )
-        .withWatermark("s_wm", "1 hour")
-    )
-    purchases = (
-        _stream()
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("value").alias("purchase_value"),
-            F.col("ts_wm").alias("p_wm"),
-        )
-        .withWatermark("p_wm", "1 hour")
-    )
-    joined = signups.join(
-        purchases,
-        (F.col("s_user") == F.col("p_user"))
-        & (F.col("p_wm") >= F.col("s_wm"))
-        & (F.col("p_wm") <= F.col("s_wm") + F.expr("INTERVAL 2 HOURS")),
-        "leftOuter",
-    )
-    sink = "streaming_leftouter_join_sink"
     try:
+        # everything from the batch schema read to stream termination runs
+        # under the UTC pin; a failure anywhere must not leak UTC into the
+        # shared session (it would shift every later LTZ-rendering query)
+        schema = spark.read.parquet(path).schema
+
+        def _stream():
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            if dict(s.dtypes).get("ts") == "bigint":
+                s = s.withColumn(
+                    "ts_ntz",
+                    F.expr(
+                        "timestampadd(MICROSECOND, ts div 1000,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+            else:
+                s = s.withColumn("ts_ntz", F.col("ts"))
+            return s.withColumn("ts_wm", F.col("ts_ntz").cast("timestamp"))
+
+        signups = (
+            _stream()
+            .filter(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"),
+                F.col("ts_ntz").alias("signup_ts"),
+                F.col("ts_wm").alias("s_wm"),
+            )
+            .withWatermark("s_wm", "1 hour")
+        )
+        purchases = (
+            _stream()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("value").alias("purchase_value"),
+                F.col("ts_wm").alias("p_wm"),
+            )
+            .withWatermark("p_wm", "1 hour")
+        )
+        joined = signups.join(
+            purchases,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_wm") >= F.col("s_wm"))
+            & (F.col("p_wm") <= F.col("s_wm") + F.expr("INTERVAL 2 HOURS")),
+            "leftOuter",
+        )
+        sink = "streaming_leftouter_join_sink"
         q = (
             joined.select("s_user", "signup_ts", "purchase_value")
             .writeStream.format("memory")
@@ -598,8 +608,20 @@ def streaming_leftouter_join_events(spark, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table(sink)
-        .filter(F.col("signup_ts") < F.lit(cutoff))
-        .groupBy(F.date_trunc("hour", "signup_ts").alias("signup_hour"))
+        .filter(
+            F.col("signup_ts")
+            # NTZ literal: F.lit(naive datetime) would build an LTZ literal
+            # through the OS timezone and the comparison would coerce the
+            # NTZ sink column through the (restored) session zone — the
+            # exact trap the UTC pin exists to avoid
+            < F.expr(f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ')}'")
+        )
+        .groupBy(
+            # LTZ->NTZ cast-back, same reason as above
+            F.date_trunc("hour", "signup_ts")
+            .cast("timestamp_ntz")
+            .alias("signup_hour")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("purchase_value").alias("n_matched"),
