@@ -143,6 +143,59 @@ class DeltaTable:
         return compute_stats(self.spark, self.log.table_path)
 
     @classmethod
+    def replace(
+        cls,
+        spark: SparkSession,
+        table_path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        configuration: dict[str, str] | None = None,
+    ) -> "DeltaTable":
+        """CREATE OR REPLACE TABLE — one atomic commit swaps data, schema,
+        partitioning and configuration (op/names.go REPLACE_TABLE); see
+        writer.replace_table."""
+        from delta_go_spark.writer import replace_table
+
+        replace_table(
+            df, table_path, partition_by=partition_by, configuration=configuration
+        )
+        return cls.for_path(spark, table_path)
+
+    def upgrade_protocol(
+        self, min_reader_version: int = 1, min_writer_version: int = 2
+    ) -> int:
+        """UPGRADE PROTOCOL (op/names.go UPGRADE_PROTOCOL): commit a
+        Protocol action raising the table's reader/writer requirements.
+        Downgrades are rejected (a lowered floor would un-protect readers
+        that relied on it), and this writer refuses to raise the floor
+        past its own pinned (1, 2) support — committing a requirement the
+        engine itself cannot honor would brick the table for its own
+        writes (prepareCommit enforces the same pin as a backstop)."""
+        from delta_go_spark import ops
+        from delta_go_spark.actions import Protocol
+        from delta_go_spark.snapshot import DeltaError
+
+        cur = self.log.snapshot().protocol()
+        if (min_reader_version, min_writer_version) < (
+            cur.min_reader_version,
+            cur.min_writer_version,
+        ):
+            raise DeltaError(
+                f"cannot downgrade protocol ({cur.min_reader_version},"
+                f"{cur.min_writer_version}) -> ({min_reader_version},"
+                f"{min_writer_version})"
+            )
+        txn = self.log.start_transaction()
+        return txn.commit(
+            [Protocol(min_reader_version, min_writer_version)],
+            ops.UPGRADE_PROTOCOL,
+            operation_parameters={
+                "minReaderVersion": str(min_reader_version),
+                "minWriterVersion": str(min_writer_version),
+            },
+        )
+
+    @classmethod
     def convert(
         cls,
         spark: SparkSession,

@@ -880,3 +880,51 @@ def write_dataframe(
             "partitionBy": json.dumps(partition_by),
         },
     )
+
+
+def replace_table(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> int:
+    """CREATE OR REPLACE TABLE (op/names.go REPLACE_TABLE): ONE atomic
+    commit swaps the data, the SCHEMA, the partitioning and the
+    configuration — unlike overwrite, which keeps the table's identity
+    and only replaces rows.  Allowed to change the schema arbitrarily
+    because the commit removes every active file (the reference's
+    whole-table-rewrite escape, trnx.go:417-419 — enforced by
+    _verify_schema_compat, not trusted here).  History survives: readers
+    can still time-travel to pre-replace versions.  Creates the table
+    when absent (CREATE OR REPLACE semantics)."""
+    from delta_go_spark.store import normalize_table_uri
+
+    table_path = normalize_table_uri(table_path)
+    log = DeltaLog.for_table(table_path)
+    txn = log.start_transaction()
+    if txn.snapshot is None or txn.read_version < 0:
+        return write_dataframe(
+            df,
+            table_path,
+            partition_by=partition_by,
+            configuration=configuration,
+            operation=ops.REPLACE_TABLE,
+        )
+    partition_by = list(partition_by or [])
+    check_constraints(df, configuration or {})
+    clock_ms = log.clock.now_millis()
+    new_files = stage_files(df, table_path, partition_by)
+    txn.update_metadata(
+        Metadata(
+            schema_string=schema_to_json(df.schema),
+            partition_columns=partition_by,
+            configuration=configuration or {},
+            created_time=clock_ms,
+        )
+    )
+    removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
+    return txn.commit(
+        [*new_files, *removed],
+        ops.REPLACE_TABLE,
+        operation_parameters={"partitionBy": json.dumps(partition_by)},
+    )

@@ -292,3 +292,55 @@ def test_not_null_case_spelling_and_absent_column(spark, tmp_path):
     with pytest.raises(DeltaError, match="missing from the written"):
         commit_staged_adds(path, adds2, only_note.schema)
     assert DeltaLog.for_table(path).update().version == 0
+
+
+def test_replace_table_swaps_schema_and_partitioning(spark, tmp_path):
+    """CREATE OR REPLACE: one commit changes data, schema AND partitioning;
+    history keeps the pre-replace generation readable."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "rep")
+    v0 = spark.range(0, 10).select("id", (F.col("id") * 2).alias("a"))
+    DeltaTable.create(spark, path, v0)
+    new = spark.range(0, 6).select(
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 100).alias("metric"),
+    )
+    t = DeltaTable.replace(spark, path, new, partition_by=["p"])
+    meta = t.log.snapshot().metadata()
+    assert meta.partition_columns == ["p"]
+    assert {f.name for f in meta.schema().fields} == {"p", "metric"}
+    assert t.to_df().count() == 6
+    # time travel to the pre-replace schema still works
+    old = t.version_as_of(0)
+    assert {c for c in old.columns} == {"id", "a"} and old.count() == 10
+    hist = [h.operation for h in t.history()]
+    assert hist[-1] == "REPLACE TABLE"
+    # replace on a missing path CREATES (CREATE OR REPLACE semantics)
+    path2 = str(tmp_path / "rep2")
+    t2 = DeltaTable.replace(spark, path2, new, partition_by=["p"])
+    assert t2.to_df().count() == 6
+
+
+def test_upgrade_protocol_guards_and_commits(spark, tmp_path):
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "proto")
+    DeltaTable.create(spark, path, spark.range(0, 3))
+    t = DeltaTable.for_path(spark, path)
+    cur = t.log.snapshot().protocol()
+    assert (cur.min_reader_version, cur.min_writer_version) == (1, 2)
+    # no-op re-assert of the same floor commits cleanly
+    v = t.upgrade_protocol(1, 2)
+    assert v == t.log.update().version
+    assert t.log.snapshot().protocol().min_writer_version == 2
+    with pytest.raises(DeltaError, match="downgrade"):
+        t.upgrade_protocol(1, 1)
+    # raising past the engine's own support is refused (backstop pin)
+    with pytest.raises(DeltaError, match="pinned|unsupported"):
+        t.upgrade_protocol(3, 7)
+    # table remains fully usable after the protocol commit
+    assert DeltaTable.for_path(spark, path).to_df().count() == 3
