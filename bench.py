@@ -73,6 +73,7 @@ HEADLINE = [
     "cluster_representative_docs",  # r6: canonical representative pick
     "sessionize_events",  # r6: batch 30-min-gap sessionization
     "retention_cohorts_events",  # r6: weekly retention cohorts
+    "fim_transform_docs",  # r6: fill-in-the-middle PSM rewrite
 ]
 
 

@@ -1278,3 +1278,112 @@ LIMIT 20
 
 
 QUERIES["pmi_bigrams_docs"] = (pmi_bigrams_docs, PMI_BIGRAMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform (Bavarian et al. 2022,
+# arXiv:2207.14255): rewrite a deterministic ~half of the corpus into PSM
+# form — <PRE>prefix<SUF>suffix<MID>middle — so the trained model learns
+# infilling alongside left-to-right generation.  Everything is a pure
+# function of (doc_id, salt): the apply decision and both split points
+# come from md5 hashes, so the transform is bit-reproducible on any
+# engine and any partitioning — a rerun or a backfill produces the
+# byte-identical training corpus (the property that makes FIM-ed corpora
+# cacheable and diffable).  Pure codegen projection: substrings + concat
+# + md5, zero shuffle, no Python.
+_FIM_SALT = "dgs-fim-r6"
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = _FIM_SALT,
+) -> DataFrame:
+    """Adds `fim_applied` (boolean) and `fim_text` (PSM-rewritten text for
+    the selected half, the original text otherwise).  NULL texts pass
+    through untouched (fim_applied false)."""
+    sid = F.col(id_col).cast("string")
+    # 32-bit integers from md5 — conv(hex, 16, 10) on the Spark side,
+    # CAST(concat('0x', ...) AS BIGINT) in the oracle: identical values
+    def h32(tag: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(tag), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    n = F.length(F.col(text_col))
+    apply_fim = F.col(text_col).isNotNull() & (h32("-apply") % 2 == 0)
+    p1 = h32("-cut1") % (n + 1)
+    p2 = h32("-cut2") % (n + 1)
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+    psm = F.concat(
+        F.lit(_FIM_PRE),
+        F.col(text_col).substr(F.lit(1), lo),
+        F.lit(_FIM_SUF),
+        F.col(text_col).substr(hi + 1, n),
+        F.lit(_FIM_MID),
+        F.col(text_col).substr(lo + 1, hi - lo),
+    )
+    return df.withColumn("fim_applied", apply_fim).withColumn(
+        "fim_text", F.when(apply_fim, psm).otherwise(F.col(text_col))
+    )
+
+
+def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source FIM coverage + an order-free md5-prefix
+    checksum over every transformed text — a single changed byte in any
+    doc's prefix/suffix/middle split moves the sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = fim_transform(docs).filter(F.col("text").isNotNull())
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("fim_applied"), 1)).alias("n_fim"),
+            F.sum(F.length("fim_text")).alias("total_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("fim_text"), 1, 8), 16, 10).cast("long")
+            ).alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+FIM_TRANSFORM_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, text, length(text) AS n,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '-apply' || '{_FIM_SALT}'), 1, 8)) AS BIGINT) % 2 = 0 AS apply_fim,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '-cut1' || '{_FIM_SALT}'), 1, 8)) AS BIGINT) % (length(text) + 1) AS p1,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '-cut2' || '{_FIM_SALT}'), 1, 8)) AS BIGINT) % (length(text) + 1) AS p2
+  FROM documents
+  WHERE text IS NOT NULL
+), cut AS (
+  SELECT doc_id, source, text, n, apply_fim,
+         least(p1, p2) AS lo, greatest(p1, p2) AS hi
+  FROM h
+), xf AS (
+  SELECT source,
+         CASE WHEN apply_fim
+              THEN concat('{_FIM_PRE}', substr(text, 1, CAST(lo AS INT)),
+                          '{_FIM_SUF}', substr(text, CAST(hi + 1 AS INT), CAST(n AS INT)),
+                          '{_FIM_MID}', substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)))
+              ELSE text END AS fim_text,
+         apply_fim
+  FROM cut
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE apply_fim) AS n_fim,
+       CAST(sum(length(fim_text)) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(concat('0x', substr(md5(fim_text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS text_checksum
+FROM xf
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["fim_transform_docs"] = (fim_transform_docs, FIM_TRANSFORM_SQL)

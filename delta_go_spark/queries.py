@@ -118,8 +118,9 @@ _MODULES = [
             "bm25_search_docs",
             "winnow_fingerprint_docs",
             "pmi_bigrams_docs",
+            "fim_transform_docs",
         ],
-    ),  # 8 (a + NEW r6 x3)
+    ),  # 8 (a + NEW r6 x4)
     _Pick(safety, ["span_decontaminate_docs"]),  # NEW r6
     _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
     _Pick(
@@ -154,6 +155,7 @@ _MODULES = [
                 "delta_sql_time_travel",
                 "delta_roundtrip_agg",
                 "delta_generated_agg",
+                "delta_schema_evolution_agg",
             )
         ],
     ),  # (e)
@@ -169,6 +171,7 @@ _MODULES = [
             "delta_sql_time_travel",
             "delta_roundtrip_agg",
             "delta_generated_agg",
+            "delta_schema_evolution_agg",
         ],
     ),
     _Pick(
@@ -207,6 +210,7 @@ _MODULES = [
                 "bm25_search_docs",
                 "winnow_fingerprint_docs",
                 "pmi_bigrams_docs",
+                "fim_transform_docs",
             )
         ],
     ),

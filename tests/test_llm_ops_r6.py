@@ -268,3 +268,39 @@ def test_cluster_representatives_pick_and_pluggable_pairs(spark):
     r = got[1]
     # docs 2 and 3 tie on (5 words, 9 chars); smaller id (2) wins
     assert r["rep_id"] == 2 and r["n_members"] == 3 and r["member_id_sum"] == 6
+
+
+def test_fim_transform_invertible_and_deterministic(spark):
+    """PSM re-assembly (prefix + middle + suffix) must reproduce the
+    original text exactly for every FIM-ed doc, the apply rate is ~half,
+    and the transform is independent of partitioning."""
+    from delta_go_spark.functions.textops import (
+        _FIM_MID,
+        _FIM_PRE,
+        _FIM_SUF,
+        fim_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text body {'x' * (i % 7)}")
+         for i in range(200)] + [(999, None)],
+        "doc_id long, text string",
+    )
+    out = fim_transform(docs).collect()
+    applied = [r for r in out if r["fim_applied"]]
+    assert 60 <= len(applied) <= 140  # ~half of 200
+    for r in applied:
+        t = r["fim_text"]
+        assert t.startswith(_FIM_PRE)
+        pre, rest = t[len(_FIM_PRE):].split(_FIM_SUF, 1)
+        suf, mid = rest.split(_FIM_MID, 1)
+        assert pre + mid + suf == r["text"], r["doc_id"]
+    # non-applied (and NULL) docs pass through untouched
+    for r in out:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == r["text"]
+    got2 = {
+        r["doc_id"]: r["fim_text"]
+        for r in fim_transform(docs.repartition(7)).collect()
+    }
+    assert got2 == {r["doc_id"]: r["fim_text"] for r in out}

@@ -82,6 +82,7 @@ SAMPLE = [
     "retention_cohorts_events",  # new in round 6: weekly cohorts
     "delta_convert_agg",  # new in round 6: CONVERT TO DELTA in place
     "streaming_leftouter_join_events",  # new in round 6: outer interval join
+    "fim_transform_docs",  # new in round 6: FIM PSM rewrite
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -178,6 +179,7 @@ def test_round6_queries_in_window():
         "retention_cohorts_events",  # NEW r6 (late): cohort triangle
         "delta_convert_agg",  # NEW r6 (late): CONVERT TO DELTA
         "streaming_leftouter_join_events",  # NEW r6 (late): outer interval join
+        "fim_transform_docs",  # NEW r6 (late): fill-in-the-middle rewrite
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

@@ -632,3 +632,19 @@ def test_cluster_representatives_groupby_not_window(spark):
     plan = _plan(cluster_representatives(docs, pairs))
     assert "Window" not in plan, plan
     assert "partial_max" in plan or "partial" in plan, plan
+
+
+def test_fim_transform_pure_codegen_zero_shuffle(spark):
+    """The FIM rewrite is a pure projection (md5 + substr + concat) —
+    NO exchange before the registry query's per-source aggregate and no
+    Python evaluation of any kind."""
+    from delta_go_spark.functions.textops import fim_transform
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(fim_transform(docs))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    qplan = _plan(queries()["fim_transform_docs"](spark, SF_DIR))
+    assert qplan.count("Exchange hashpartitioning") == 1, qplan
