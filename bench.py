@@ -74,6 +74,8 @@ HEADLINE = [
     "sessionize_events",  # r6: batch 30-min-gap sessionization
     "retention_cohorts_events",  # r6: weekly retention cohorts
     "fim_transform_docs",  # r6: fill-in-the-middle PSM rewrite
+    "bpe_merge_pairs_docs",  # r6: BPE merge-pair induction round
+    "matryoshka_recall_embeddings",  # r6: truncation-recall audit
 ]
 
 

@@ -1871,3 +1871,126 @@ QUERIES["hard_negatives_embeddings"] = (
     hard_negatives_embeddings,
     HARD_NEGATIVES_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-recall audit (Kusupati et al. 2022,
+# arXiv:2205.13147): MRL-trained embeddings promise that the FIRST d'
+# coordinates alone remain a usable representation.  Before shipping a
+# truncated index (4x memory / bandwidth at d'=16 of 64), measure what
+# truncation does to retrieval: per probe, top-k by full-dim cosine vs
+# top-k by prefix-dim cosine, and the overlap between the two lists.
+# Same audit shape as quantization_recall_audit above: signatures
+# (prefix slice + both norms) computed once and localCheckpointed, probe
+# panel broadcast (corpus x n_queries rows, never corpus^2), per-query
+# ranking windows over the tiny qid key.  Both rankings use the
+# floor(q * 1e4 + 0.5) integer contract — both engines compute the same
+# IEEE quotient, so the DuckDB oracle replays ranks exactly.
+
+
+def matryoshka_recall_audit(
+    corpus: DataFrame,
+    trunc_dim: int = 16,
+    n_queries: int = 5,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, n_overlap, full_id_sum, trunc_id_sum) per probe (ids <
+    n_queries): overlap of the full-dim and prefix-dim top-k neighbour
+    lists plus an order-free id checksum of each list.  Rows whose full
+    or truncated norm is zero are excluded on both engines (divide-by-
+    zero diverges: Spark Inf/NaN vs DuckDB NULL)."""
+    v = _as_double(vec_col)
+    sig = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            v.alias("v"),
+            F.slice(v, 1, trunc_dim).alias("t"),
+        )
+        .withColumn("fn", l2_norm(F.col("v")))
+        .withColumn("tn", l2_norm(F.col("t")))
+        .localCheckpoint(eager=False)
+    )
+    probes = sig.filter(
+        (F.col("cid") < n_queries) & (F.col("fn") > 0) & (F.col("tn") > 0)
+    ).select(
+        F.col("cid").alias("qid"),
+        F.col("v").alias("pv"),
+        F.col("t").alias("pt"),
+        F.col("fn").alias("pfn"),
+        F.col("tn").alias("ptn"),
+    )
+    pairs = (
+        sig.filter((F.col("fn") > 0) & (F.col("tn") > 0))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cid") != F.col("qid"))
+    )
+    fcos = F.floor(
+        dot(F.col("v"), F.col("pv")) / (F.col("fn") * F.col("pfn")) * 1e4 + 0.5
+    ).cast("long")
+    tcos = F.floor(
+        dot(F.col("t"), F.col("pt")) / (F.col("tn") * F.col("ptn")) * 1e4 + 0.5
+    ).cast("long")
+    from pyspark.sql import Window
+
+    scored = pairs.select("qid", "cid", fcos.alias("fcos"), tcos.alias("tcos"))
+    wf = Window.partitionBy("qid").orderBy(F.desc("fcos"), F.asc("cid"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("tcos"), F.asc("cid"))
+    ranked = scored.withColumn("fr", F.row_number().over(wf)).withColumn(
+        "tr", F.row_number().over(wt)
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(F.when((F.col("fr") <= k) & (F.col("tr") <= k), 1)).alias(
+                "n_overlap"
+            ),
+            F.sum(F.when(F.col("fr") <= k, F.col("cid"))).alias("full_id_sum"),
+            F.sum(F.when(F.col("tr") <= k, F.col("cid"))).alias("trunc_id_sum"),
+        )
+        .orderBy("qid")
+    )
+
+
+def matryoshka_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_recall_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+MATRYOSHKA_RECALL_SQL = """
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding AS DOUBLE[])[1:16] AS t
+  FROM embeddings
+), sn AS (
+  SELECT vec_id, v, t,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS fn,
+         sqrt(list_sum(list_transform(t, x -> x * x))) AS tn
+  FROM sig
+), probes AS (
+  SELECT vec_id AS qid, v AS pv, t AS pt, fn AS pfn, tn AS ptn
+  FROM sn WHERE vec_id < 5 AND fn > 0 AND tn > 0
+), scored AS (
+  SELECT p.qid, c.vec_id,
+         CAST(floor(list_dot_product(c.v, p.pv) / (c.fn * p.pfn) * 1e4 + 0.5) AS BIGINT) AS fcos,
+         CAST(floor(list_dot_product(c.t, p.pt) / (c.tn * p.ptn) * 1e4 + 0.5) AS BIGINT) AS tcos
+  FROM sn c CROSS JOIN probes p
+  WHERE c.vec_id != p.qid AND c.fn > 0 AND c.tn > 0
+), ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY fcos DESC, vec_id) AS fr,
+         row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, vec_id) AS tr
+  FROM scored
+)
+SELECT qid,
+       count(*) FILTER (WHERE fr <= 10 AND tr <= 10) AS n_overlap,
+       CAST(sum(vec_id) FILTER (WHERE fr <= 10) AS BIGINT) AS full_id_sum,
+       CAST(sum(vec_id) FILTER (WHERE tr <= 10) AS BIGINT) AS trunc_id_sum
+FROM ranked GROUP BY qid ORDER BY qid
+"""
+
+
+QUERIES["matryoshka_recall_embeddings"] = (
+    matryoshka_recall_embeddings,
+    MATRYOSHKA_RECALL_SQL,
+)

@@ -1387,3 +1387,90 @@ ORDER BY source
 
 
 QUERIES["fim_transform_docs"] = (fim_transform_docs, FIM_TRANSFORM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair induction (Sennrich et al. 2016, arXiv:1508.07909): one
+# training round of byte-pair encoding — count adjacent-symbol pairs over
+# the corpus and surface the top merge candidates.  The classic trick that
+# makes BPE training tractable at corpus scale is aggregating the corpus
+# to the DISTINCT-WORD table first (vocab-bounded, ~100k rows no matter
+# how many TB of text), then exploding character pairs only over that
+# table weighted by word frequency.  Two partial-aggregable groupBys
+# (corpus -> word counts, vocab -> pair counts) and a TakeOrdered top-k —
+# no window, no join, nothing proportional to corpus size after the first
+# aggregate.  A full trainer iterates this round re-segmenting the vocab
+# with the winning merge (a driver loop over a vocab-sized table, the
+# same shape as dedup's connected-components fixed point).
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """(pair, freq, n_words) for the top_k adjacent-character pairs:
+    freq = occurrences weighted by word frequency (a word containing the
+    pair at two positions contributes twice its count), n_words = how
+    many distinct vocabulary words contain the pair.  Ties break on the
+    pair string ascending — fully deterministic."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "w", "c")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").alias("freq"),
+            F.count_distinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("freq"), "pair")
+        .limit(top_k)
+    )
+
+
+def bpe_merge_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_pairs(load_table(spark, sf_dir, "documents"))
+
+
+BPE_MERGE_PAIRS_SQL = """
+WITH words AS (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+  GROUP BY tok
+), pr AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, w, c
+  FROM (
+    SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+    FROM words WHERE length(w) >= 2
+  )
+)
+SELECT pair,
+       CAST(sum(c) AS BIGINT) AS freq,
+       count(DISTINCT w) AS n_words
+FROM pr
+GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT 20
+"""
+
+
+QUERIES["bpe_merge_pairs_docs"] = (bpe_merge_pairs_docs, BPE_MERGE_PAIRS_SQL)

@@ -109,6 +109,7 @@ _MODULES = [
             "ann_ivf_int8_docs",              # (b) NEW exact IVF-SQ8
             "random_projection_embeddings",   # NEW r6: SRP dim reduction
             "hard_negatives_embeddings",      # NEW r6: contrastive negatives
+            "matryoshka_recall_embeddings",   # NEW r6: truncation recall
         ],
     ),  # 3-8
     _Pick(
@@ -119,8 +120,9 @@ _MODULES = [
             "winnow_fingerprint_docs",
             "pmi_bigrams_docs",
             "fim_transform_docs",
+            "bpe_merge_pairs_docs",
         ],
-    ),  # 8 (a + NEW r6 x4)
+    ),  # 8 (a + NEW r6 x5)
     _Pick(safety, ["span_decontaminate_docs"]),  # NEW r6
     _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
     _Pick(
@@ -156,6 +158,8 @@ _MODULES = [
                 "delta_roundtrip_agg",
                 "delta_generated_agg",
                 "delta_schema_evolution_agg",
+                "delta_datasource_agg",
+                "delta_incremental_agg",
             )
         ],
     ),  # (e)
@@ -172,6 +176,8 @@ _MODULES = [
             "delta_roundtrip_agg",
             "delta_generated_agg",
             "delta_schema_evolution_agg",
+            "delta_datasource_agg",
+            "delta_incremental_agg",
         ],
     ),
     _Pick(
@@ -211,6 +217,7 @@ _MODULES = [
                 "winnow_fingerprint_docs",
                 "pmi_bigrams_docs",
                 "fim_transform_docs",
+                "bpe_merge_pairs_docs",
             )
         ],
     ),

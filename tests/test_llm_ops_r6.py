@@ -304,3 +304,40 @@ def test_fim_transform_invertible_and_deterministic(spark):
         for r in fim_transform(docs.repartition(7)).collect()
     }
     assert got2 == {r["doc_id"]: r["fim_text"] for r in out}
+
+
+def test_bpe_merge_pairs_counts_and_ties(spark):
+    """Weighted pair frequencies over the distinct-word table: repeated
+    pairs inside one word count per position, n_words counts distinct
+    vocabulary words, ties break on the pair string."""
+    from delta_go_spark.functions.textops import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the hat"), (3, "aaa"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: (r["freq"], r["n_words"]) for r in bpe_merge_pairs(docs).collect()}
+    # "the" x2 -> th,he each freq 2; at appears in cat+hat; aaa -> aa twice
+    assert got["th"] == (2, 1) and got["he"] == (2, 1)
+    assert got["at"] == (2, 2)
+    assert got["aa"] == (2, 1)
+    assert got["ca"] == (1, 1) and got["ha"] == (1, 1)
+    order = [r["pair"] for r in bpe_merge_pairs(docs).collect()]
+    assert order[:4] == ["aa", "at", "he", "th"]  # freq desc, pair asc
+
+
+def test_matryoshka_full_dim_truncation_is_identity(spark):
+    """With trunc_dim == the full dimension the two rankings coincide:
+    overlap == k and both id checksums agree, for every probe."""
+    from delta_go_spark.functions.similarity import matryoshka_recall_audit
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = matryoshka_recall_audit(emb, trunc_dim=8, n_queries=3, k=10).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_overlap"] == 10
+        assert r["full_id_sum"] == r["trunc_id_sum"]

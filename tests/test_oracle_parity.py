@@ -180,6 +180,8 @@ def test_round6_queries_in_window():
         "delta_convert_agg",  # NEW r6 (late): CONVERT TO DELTA
         "streaming_leftouter_join_events",  # NEW r6 (late): outer interval join
         "fim_transform_docs",  # NEW r6 (late): fill-in-the-middle rewrite
+        "bpe_merge_pairs_docs",  # NEW r6 (late): BPE merge-pair induction
+        "matryoshka_recall_embeddings",  # NEW r6 (late): truncation recall
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)

@@ -648,3 +648,29 @@ def test_fim_transform_pure_codegen_zero_shuffle(spark):
     assert "EvalPython" not in plan, plan
     qplan = _plan(queries()["fim_transform_docs"](spark, SF_DIR))
     assert qplan.count("Exchange hashpartitioning") == 1, qplan
+
+
+def test_bpe_merge_pairs_vocab_bounded_plan(spark):
+    """Pair explosion happens on the distinct-word table (vocab-bounded),
+    the top-k is TakeOrdered (never a global sort), and nothing evaluates
+    in Python."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["bpe_merge_pairs_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # corpus -> word counts is the ONLY exchange fed by corpus-sized data;
+    # the (w,pair) and pair aggregates ride vocab-sized exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_matryoshka_recall_broadcast_probe_plan(spark):
+    """Like quantization_recall: a broadcast 5-row probe panel, windows
+    on qid only, no CartesianProduct, no Python eval."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["matryoshka_recall_embeddings"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
