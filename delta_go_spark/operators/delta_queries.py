@@ -706,3 +706,70 @@ ORDER BY o_orderstatus
 
 
 QUERIES["delta_convert_agg"] = (delta_convert_agg, DELTA_CONVERT_SQL)
+
+
+def delta_replace_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE in the correctness gate (writer.py
+    replace_table, reference op/names.go REPLACE_TABLE): part lands
+    unpartitioned with its full schema (v0), then ONE atomic commit swaps
+    data, schema AND partitioning to a p_size-partitioned 3-column integer
+    projection (v1).  The query reads BOTH versions — v0 by time travel
+    (old schema must survive the replace) and the live snapshot through a
+    partition-pruned filter on the NEW partitioning — so a hash match
+    proves the replace rewrote the live state without destroying
+    history."""
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import replace_table, write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "part_replaced")
+
+    def build() -> None:
+        part = load_table(spark, sf_dir, "part")
+        write_dataframe(part, path)
+        replaced = part.filter(F.col("p_size") <= 25).select(
+            "p_partkey",
+            "p_size",
+            F.floor(F.col("p_retailprice") * 100 + 0.5)
+            .cast("long")
+            .alias("retail_cents"),
+        )
+        replace_table(replaced, path, partition_by=["p_size"])
+
+    _ensure_built(path, 1, build)
+    t = DeltaTable.for_path(spark, path)
+    v0 = (
+        t.version_as_of(0)
+        .groupBy(F.col("p_brand").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_partkey").alias("checksum"),
+        )
+        .select(F.lit("v0").alias("phase"), "grp", "n", "checksum")
+    )
+    v1 = (
+        t.to_df()
+        .filter(F.col("p_size") <= 10)
+        .groupBy(F.col("p_size").cast("string").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("retail_cents").alias("checksum"),
+        )
+        .select(F.lit("v1").alias("phase"), "grp", "n", "checksum")
+    )
+    return v0.unionByName(v1).orderBy("phase", "grp")
+
+
+DELTA_REPLACE_SQL = """
+SELECT 'v0' AS phase, p_brand AS grp,
+       count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS checksum
+FROM part GROUP BY p_brand
+UNION ALL
+SELECT 'v1', CAST(p_size AS VARCHAR),
+       count(*), CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM part WHERE p_size <= 25 AND p_size <= 10 GROUP BY p_size
+ORDER BY phase, grp
+"""
+
+
+QUERIES["delta_replace_agg"] = (delta_replace_agg, DELTA_REPLACE_SQL)

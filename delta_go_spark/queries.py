@@ -146,7 +146,6 @@ _MODULES = [
         coverage,
         ["unpivot_order_flags", "null_semantics_orders", "json_functions_events"],
     ),  # 28-30 (d)
-    cdf_queries,  # 31 (e)
     _Pick(
         delta_queries,
         [
@@ -166,6 +165,7 @@ _MODULES = [
     # ---- window boundary ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
+    cdf_queries,  # delta_cdf_agg: r4-green, judge drift-green r5
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
     _Pick(
         delta_queries,

@@ -83,6 +83,9 @@ SAMPLE = [
     "delta_convert_agg",  # new in round 6: CONVERT TO DELTA in place
     "streaming_leftouter_join_events",  # new in round 6: outer interval join
     "fim_transform_docs",  # new in round 6: FIM PSM rewrite
+    "bpe_merge_pairs_docs",  # new in round 6: BPE merge-pair induction
+    "matryoshka_recall_embeddings",  # new in round 6: truncation recall
+    "delta_replace_agg",  # new in round 6: CREATE OR REPLACE TABLE
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -182,6 +185,7 @@ def test_round6_queries_in_window():
         "fim_transform_docs",  # NEW r6 (late): fill-in-the-middle rewrite
         "bpe_merge_pairs_docs",  # NEW r6 (late): BPE merge-pair induction
         "matryoshka_recall_embeddings",  # NEW r6 (late): truncation recall
+        "delta_replace_agg",  # NEW r6 (late): CREATE OR REPLACE TABLE
         # (c) displaced in r5, last driver row r3
         "q22_global_sales",
         # (d) last driver-checked in round 3 (the stalest rows)
