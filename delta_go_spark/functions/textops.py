@@ -1474,3 +1474,123 @@ LIMIT 20
 
 
 QUERIES["bpe_merge_pairs_docs"] = (bpe_merge_pairs_docs, BPE_MERGE_PAIRS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Full BPE trainer + tokenizer application on top of bpe_merge_pairs.
+# Spark-first split of labor, the same shape production BPE trainers use
+# (corpus -> word-count table -> in-memory merge loop -> distributed
+# apply): the ONLY corpus-sized pass is the distributed word-count
+# aggregate; training then iterates over the vocabulary — capped at
+# top_v words by (count desc, word asc), the standard trainer budget —
+# on the driver, which is exact because BPE statistics are a pure
+# function of the word-count table, not of the corpus layout.
+# Application broadcasts the merge ranks and runs one Arrow-batched
+# pandas UDF with a per-batch word memo (vocab-bounded), so tokenizing
+# 100 TB shuffles nothing and evaluates each distinct word once per
+# batch.
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, c) distinct-word counts — the one corpus-sized aggregate."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    top_v: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges (Sennrich et al. 2016).  Returns the
+    ordered merge list; ties break on the pair (ascending) so training is
+    fully deterministic.  The driver holds only the top_v word-count
+    rows (the trainer budget every production BPE implementation caps
+    at), never anything corpus-sized."""
+    rows = (
+        bpe_word_counts(df, text_col)
+        .orderBy(F.desc("c"), "w")
+        .limit(top_v)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [(list(r["w"]), r["c"]) for r in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Adds `out_col`: the BPE token sequence of the document under the
+    trained merges, applied greedily by merge rank (the standard
+    algorithm — always the lowest-rank adjacent pair merges first).
+    NULL text yields NULL.  One Arrow-batched pandas UDF, zero shuffle;
+    each distinct word is segmented once per batch via a memo dict."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = _re.compile(r"[a-z]+")
+
+    @pandas_udf("array<string>")
+    def _apply(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def segment(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank, best_i = None, None
+                for i, pair in enumerate(zip(syms, syms[1:])):
+                    r = ranks.get(pair)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            memo[w] = syms
+            return syms
+
+        def one(t: str | None) -> list[str] | None:
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in word_re.findall(t.lower()):
+                out.extend(segment(w))
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, _apply(F.col(text_col)))

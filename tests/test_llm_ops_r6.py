@@ -341,3 +341,68 @@ def test_matryoshka_full_dim_truncation_is_identity(spark):
     for r in out:
         assert r["n_overlap"] == 10
         assert r["full_id_sum"] == r["trunc_id_sum"]
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """Driver-side merge loop must equal an independently-written naive
+    trainer on the classic Sennrich corpus, and the first merges are the
+    hand-computed ones."""
+    from delta_go_spark.functions.textops import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=5)
+    assert merges[:2] == [("e", "s"), ("es", "t")]
+
+    # naive reference: recount pairs from scratch each round
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    vocab = {w: list(w) for w in words}
+    expect = []
+    for _ in range(5):
+        counts = {}
+        for w, syms in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + words[w]
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(best)
+        for syms in vocab.values():
+            i = 0
+            while i < len(syms) - 1:
+                if (syms[i], syms[i + 1]) == best:
+                    syms[i : i + 2] = [syms[i] + syms[i + 1]]
+                else:
+                    i += 1
+    assert merges == expect
+
+
+def test_bpe_apply_greedy_rank_and_lossless(spark):
+    """Greedy lowest-rank application reproduces the training-time
+    segmentation, token concatenation rebuilds every word, and the result
+    is independent of partitioning."""
+    from delta_go_spark.functions.textops import bpe_apply, bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame(
+        [(1, corpus), (2, "the newest low widest thing"), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs.filter("doc_id = 1"), n_merges=5)
+    out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_apply(docs, merges).collect()}
+    assert out[3] is None
+    # lossless: concatenating tokens rebuilds the lowercase word stream
+    import re
+
+    for did in (1, 2):
+        text = {1: corpus, 2: "the newest low widest thing"}[did]
+        assert "".join(out[did]) == "".join(re.findall(r"[a-z]+", text.lower()))
+    # training-time segmentation: newest -> n, ew, est after 5 merges
+    assert out[2][3:6] == ["n", "ew", "est"]
+    got2 = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply(docs.repartition(5), merges).collect()
+    }
+    assert got2 == out
