@@ -1055,6 +1055,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = _WINNOW_K,
     w: int = _WINNOW_W,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """(id, pos, h) per selected fingerprint — pos is the 1-based gram
     start, h the 36-bit gram hash.  Docs with fewer than w grams (or NULL
@@ -1067,25 +1068,66 @@ def winnow_fingerprints(
     nothing shuffles at all: one narrow map over the scan, then an
     explode that emits only the ~2/(w+1) surviving fingerprints.
     Downstream joins (overlap detection) shuffle (id, 36-bit h) pairs
-    bounded by the fingerprint index size, not the corpus."""
+    bounded by the fingerprint index size, not the corpus.
+
+    min_parallelism: the CPU-bound Arrow pass inherits the scan's split
+    count, and a small single-row-group parquet file cannot be split —
+    it serializes the whole pass on one core.  When set, a scan with
+    fewer partitions is round-robin fanned out first (the shuffled
+    payload is the text column the UDF must read anyway).  At 100 TB the
+    scan arrives pre-split far beyond any sane value and this is a
+    no-op; callers that pin a zero-exchange plan leave it None."""
     from pyspark.sql.functions import pandas_udf
+
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
 
     @pandas_udf("array<struct<pos:int,h:long>>")
     def _winnow(texts: pd.Series) -> pd.Series:
         import hashlib
         from collections import deque
 
-        def one(t: str | None) -> list[tuple[int, int]]:
-            if t is None:
-                return []
-            n_grams = len(t) - k + 1
-            if n_grams < w:
-                return []
-            if len(t) >= (1 << 24):
-                raise ValueError(
-                    "winnow_fingerprints: document exceeds 2^24-1 chars; "
-                    "chunk it first (cdc_chunks) or raise the pack width"
-                )
+        import numpy as np
+
+        # 36-bit gram hash: first 9 hex chars of md5 == first 36 bits of
+        # the digest (asserted equal in tests) — the byte path skips the
+        # hex round-trip.  The memo is batch-scoped and keyed on the u64
+        # gram packing; corpus grams repeat heavily (99% at sf0.1), so
+        # md5 runs once per distinct gram per batch, not per position.
+        memo: dict[int, int] = {}
+
+        def fast(t: str, enc: bytes, n_grams: int) -> list[tuple[int, int]]:
+            b = np.frombuffer(enc, dtype=np.uint8).astype(np.uint64)
+            u = np.zeros(n_grams, dtype=np.uint64)
+            for j in range(k):
+                u = (u << np.uint64(8)) | b[j : j + n_grams]
+            uniq, first_idx, inv = np.unique(
+                u, return_index=True, return_inverse=True
+            )
+            h36 = np.empty(len(uniq), dtype=np.int64)
+            for m in range(len(uniq)):
+                key = int(uniq[m])
+                got = memo.get(key)
+                if got is None:
+                    fi = int(first_idx[m])
+                    got = (
+                        int.from_bytes(
+                            hashlib.md5(enc[fi : fi + k]).digest()[:5], "big"
+                        )
+                        >> 4
+                    )
+                    memo[key] = got
+                h36[m] = got
+            packed = (h36[inv] << 24) | (
+                0xFFFFFF - (np.arange(n_grams, dtype=np.int64) + 1)
+            )
+            wmin = np.lib.stride_tricks.sliding_window_view(packed, w).min(axis=1)
+            sel = np.unique(wmin)
+            pos = (0xFFFFFF - (sel & 0xFFFFFF)).tolist()
+            hs = (sel >> 24).tolist()
+            return sorted(zip(pos, hs))
+
+        def slow(t: str, n_grams: int) -> list[tuple[int, int]]:
             packed = [
                 (int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:9], 16)
                  << 24) | (0xFFFFFF - (i + 1))
@@ -1105,6 +1147,23 @@ def winnow_fingerprints(
                 ((0xFFFFFF - (p & 0xFFFFFF), p >> 24) for p in sel)
             )
 
+        def one(t: str | None) -> list[tuple[int, int]]:
+            if t is None:
+                return []
+            n_grams = len(t) - k + 1
+            if n_grams < w:
+                return []
+            if len(t) >= (1 << 24):
+                raise ValueError(
+                    "winnow_fingerprints: document exceeds 2^24-1 chars; "
+                    "chunk it first (cdc_chunks) or raise the pack width"
+                )
+            # the u64 packing holds exactly k<=8 single-byte chars; any
+            # other shape takes the definitional per-gram path
+            if k <= 8 and t.isascii():
+                return fast(t, t.encode("utf-8"), n_grams)
+            return slow(t, n_grams)
+
         return texts.map(one)
 
     return df.select(
@@ -1119,7 +1178,9 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow shuffle of (doc_id, pos, h) triples — already reduced to
     the ~2/(w+1) fingerprint fraction — feeds the per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs)
+    fps = winnow_fingerprints(
+        docs, min_parallelism=spark.sparkContext.defaultParallelism
+    )
     grams = docs.filter(
         F.col("text").isNotNull() & (F.length("text") >= _WINNOW_K + _WINNOW_W - 1)
     ).select(

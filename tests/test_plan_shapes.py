@@ -561,6 +561,11 @@ def test_winnow_fingerprints_no_shuffle_before_explode(spark):
     assert "BatchEvalPython" not in plan, plan
     qplan = _plan(queries()["winnow_fingerprint_docs"](spark, SF_DIR))
     assert "BatchEvalPython" not in qplan, qplan
+    # the registry query opts into the small-scan fan-out: on a
+    # sub-parallelism scan exactly one round-robin exchange precedes the
+    # Arrow pass (a no-op at scale where the scan arrives pre-split);
+    # the only HASH exchange remains the per-doc aggregate
+    assert qplan.count("Exchange roundrobin") <= 1, qplan
 
 
 def test_pmi_bigrams_takeordered_with_partial_aggs(spark):
