@@ -880,7 +880,12 @@ def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen scoring (the same marker expressions as lang_id_docs) + ONE
     partial-aggregable groupBy on two tiny string keys — zero extra cost
     over the prediction itself at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
     return (
         with_lang_id(docs)
         .groupBy("lang", "lang_guess")

@@ -67,3 +67,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             )
         return df
     return spark.read.parquet(path)
+
+
+def fan_out_small_scan(df, min_parallelism: int | None):
+    """Round-robin repartition a DataFrame whose scan produced fewer
+    splits than `min_parallelism` — the small-file case: a single-row-
+    group parquet file cannot be split, so a CPU-heavy stage inheriting
+    that scan (regex scoring, Arrow UDF hashing) serializes on one core.
+    At production scale the scan arrives pre-split far beyond any sane
+    value and this is a no-op; callers that pin zero-exchange plans
+    simply don't opt in.  The shuffled payload is the scan's own columns
+    — bytes the downstream stage must read anyway."""
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        return df.repartition(min_parallelism)
+    return df
