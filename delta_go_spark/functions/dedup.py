@@ -33,16 +33,11 @@ def _spread(df: DataFrame) -> DataFrame:
     has many splits and this is a no-op.  The shuffle moves only the raw
     rows once, before any expansion.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # inputFiles() is a listing-only probe; df.rdd.getNumPartitions() would
-    # force an RDD conversion of the plan on every query build.
-    try:
-        n_inputs = len(df.inputFiles())
-    except Exception:
-        n_inputs = 0
-    if n_inputs >= target:
-        return df
-    return df.repartition(target)
+    from delta_go_spark.session import fan_out_small_scan
+
+    return fan_out_small_scan(
+        df, df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1084,8 +1084,9 @@ def winnow_fingerprints(
     no-op; callers that pin a zero-exchange plan leave it None."""
     from pyspark.sql.functions import pandas_udf
 
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism)
+    from delta_go_spark.session import fan_out_small_scan
+
+    df = fan_out_small_scan(df, min_parallelism)
 
     @pandas_udf("array<struct<pos:int,h:long>>")
     def _winnow(texts: pd.Series) -> pd.Series:

@@ -77,7 +77,16 @@ def fan_out_small_scan(df, min_parallelism: int | None):
     At production scale the scan arrives pre-split far beyond any sane
     value and this is a no-op; callers that pin zero-exchange plans
     simply don't opt in.  The shuffled payload is the scan's own columns
-    — bytes the downstream stage must read anyway."""
-    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
-        return df.repartition(min_parallelism)
-    return df
+    — bytes the downstream stage must read anyway.
+
+    The probe is inputFiles() — a listing-only call; rdd.getNumPartitions()
+    would force an RDD conversion of the plan on every query build."""
+    if not min_parallelism:
+        return df
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs >= min_parallelism:
+        return df
+    return df.repartition(min_parallelism)
