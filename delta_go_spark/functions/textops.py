@@ -1480,16 +1480,10 @@ def bpe_merge_pairs(
     freq = occurrences weighted by word frequency (a word containing the
     pair at two positions contributes twice its count), n_words = how
     many distinct vocabulary words contain the pair.  Ties break on the
-    pair string ascending — fully deterministic."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
-    )
-    words = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    pair string ascending — fully deterministic.  Shares bpe_word_counts
+    (defined below, resolved at call time) so this statistic can never
+    drift from the tokenization contract bpe_train/bpe_apply use."""
+    words = bpe_word_counts(df, text_col)
     pairs = (
         words.filter(F.length("w") >= 2)
         .select(

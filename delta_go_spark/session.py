@@ -80,13 +80,18 @@ def fan_out_small_scan(df, min_parallelism: int | None):
     — bytes the downstream stage must read anyway.
 
     The probe is inputFiles() — a listing-only call; rdd.getNumPartitions()
-    would force an RDD conversion of the plan on every query build."""
+    would force an RDD conversion of the plan on every query build.  A
+    probe that fails or returns NO files means the DataFrame is not a
+    plain file scan (a DSv2 relation, an in-memory frame, a post-shuffle
+    plan): its parallelism is unknown, so leave it alone — unconditionally
+    repartitioning there would bolt a full round-robin shuffle onto an
+    arbitrarily large, already-well-partitioned input."""
     if not min_parallelism:
         return df
     try:
         n_inputs = len(df.inputFiles())
     except Exception:
-        n_inputs = 0
-    if n_inputs >= min_parallelism:
+        return df
+    if n_inputs == 0 or n_inputs >= min_parallelism:
         return df
     return df.repartition(min_parallelism)

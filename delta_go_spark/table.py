@@ -176,9 +176,12 @@ class DeltaTable:
         from delta_go_spark.snapshot import DeltaError
 
         cur = self.log.snapshot().protocol()
-        if (min_reader_version, min_writer_version) < (
-            cur.min_reader_version,
-            cur.min_writer_version,
+        # Component-wise, not lexicographic: (2, 1) against a (1, 2) table
+        # raises the reader floor while LOWERING the writer floor — still a
+        # downgrade for writers even though the tuple compares greater.
+        if (
+            min_reader_version < cur.min_reader_version
+            or min_writer_version < cur.min_writer_version
         ):
             raise DeltaError(
                 f"cannot downgrade protocol ({cur.min_reader_version},"

@@ -181,7 +181,11 @@ class OptimisticTransaction:
             canonicalize_path(a.path, self.log.table_path)
             for a in self.snapshot.all_files()
         }
-        if all_files and removes == all_files:
+        # Equality alone (no non-empty guard): a table whose rows were all
+        # deleted has zero active files, so ANY schema swap is trivially a
+        # whole-table rewrite — no existing data file can disagree with the
+        # new schema.  removes ⊄ all_files still fails the equality.
+        if removes == all_files:
             return  # rewriting the whole table: arbitrary schema change OK
         raise DeltaError("schema change is not write-compatible and the transaction "
                          "does not replace all files")

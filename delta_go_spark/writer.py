@@ -902,14 +902,13 @@ def replace_table(
     table_path = normalize_table_uri(table_path)
     log = DeltaLog.for_table(table_path)
     txn = log.start_transaction()
-    if txn.snapshot is None or txn.read_version < 0:
-        return write_dataframe(
-            df,
-            table_path,
-            partition_by=partition_by,
-            configuration=configuration,
-            operation=ops.REPLACE_TABLE,
-        )
+    # One transaction for BOTH branches: delegating the create path to a
+    # second write_dataframe transaction would re-probe existence there, so
+    # a table created concurrently in the gap would be silently APPENDED to
+    # (keeping the other writer's schema) instead of replaced.  Staying on
+    # this txn makes the race a put-if-absent loss -> conflict-checker
+    # ConcurrentMetadataUpdate, never a semantic downgrade.
+    exists = txn.snapshot is not None and txn.read_version >= 0
     partition_by = list(partition_by or [])
     check_constraints(df, configuration or {})
     clock_ms = log.clock.now_millis()
@@ -922,7 +921,9 @@ def replace_table(
             created_time=clock_ms,
         )
     )
-    removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
+    removed = (
+        [a.remove(clock_ms) for a in txn.snapshot.all_files()] if exists else []
+    )
     return txn.commit(
         [*new_files, *removed],
         ops.REPLACE_TABLE,

@@ -679,3 +679,26 @@ def test_matryoshka_recall_broadcast_probe_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_fan_out_small_scan_leaves_non_file_frames_alone(spark):
+    """A failed or empty inputFiles() probe means 'parallelism unknown'
+    (DSv2 relation, in-memory frame) — the helper must NOT bolt a full
+    round-robin shuffle onto it (regression: it used to treat 0 files as
+    0 splits and always repartition)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import fan_out_small_scan
+
+    mem = spark.range(0, 100).select(F.col("id"))
+    assert mem.inputFiles() == []
+    out = fan_out_small_scan(mem, 32)
+    assert "RoundRobinPartitioning" not in _plan(out), _plan(out)
+    # a genuine small file scan still fans out ...
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = len(docs.inputFiles())
+    if n < 32:
+        spread = fan_out_small_scan(docs, 32)
+        assert "RoundRobinPartitioning" in _plan(spread)
+    # ... and a scan already at/above the floor is untouched
+    assert fan_out_small_scan(docs, 1) is docs

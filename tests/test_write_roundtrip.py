@@ -318,10 +318,32 @@ def test_replace_table_swaps_schema_and_partitioning(spark, tmp_path):
     assert {c for c in old.columns} == {"id", "a"} and old.count() == 10
     hist = [h.operation for h in t.history()]
     assert hist[-1] == "REPLACE TABLE"
-    # replace on a missing path CREATES (CREATE OR REPLACE semantics)
+    # replace on a missing path CREATES (CREATE OR REPLACE semantics),
+    # in ONE transaction (no second existence probe a racer could exploit)
     path2 = str(tmp_path / "rep2")
     t2 = DeltaTable.replace(spark, path2, new, partition_by=["p"])
     assert t2.to_df().count() == 6
+    assert [h.operation for h in t2.history()] == ["REPLACE TABLE"]
+
+
+def test_replace_table_on_emptied_table(spark, tmp_path):
+    """A table whose rows were ALL deleted has zero active files; replacing
+    it with an incompatible schema is trivially a whole-table rewrite and
+    must succeed (regression: the removes == all_files escape used to
+    require a non-empty remove set)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "rep_empty")
+    v0 = spark.range(0, 4).select("id", (F.col("id") * 2).alias("a"))
+    DeltaTable.create(spark, path, v0)
+    t = DeltaTable.for_path(spark, path)
+    t.delete_where("id >= 0")
+    assert t.to_df().count() == 0
+    new = spark.range(0, 3).select(F.col("id").cast("string").alias("label"))
+    t2 = DeltaTable.replace(spark, path, new)
+    assert t2.to_df().columns == ["label"] and t2.to_df().count() == 3
 
 
 def test_upgrade_protocol_guards_and_commits(spark, tmp_path):
@@ -339,6 +361,11 @@ def test_upgrade_protocol_guards_and_commits(spark, tmp_path):
     assert t.log.snapshot().protocol().min_writer_version == 2
     with pytest.raises(DeltaError, match="downgrade"):
         t.upgrade_protocol(1, 1)
+    # mixed raise/lower is STILL a downgrade for the lowered component
+    # (regression: lexicographic tuple compare let (2, 1) past a (1, 2)
+    # table because (2, 1) > (1, 2))
+    with pytest.raises(DeltaError, match="downgrade"):
+        t.upgrade_protocol(2, 1)
     # raising past the engine's own support is refused (backstop pin)
     with pytest.raises(DeltaError, match="pinned|unsupported"):
         t.upgrade_protocol(3, 7)
