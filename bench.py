@@ -76,6 +76,7 @@ HEADLINE = [
     "fim_transform_docs",  # r6: fill-in-the-middle PSM rewrite
     "bpe_merge_pairs_docs",  # r6: BPE merge-pair induction round
     "matryoshka_recall_embeddings",  # r6: truncation-recall audit
+    "kcenter_coreset_embeddings",  # r6: farthest-point coreset selection
 ]
 
 

@@ -1994,3 +1994,157 @@ QUERIES["matryoshka_recall_embeddings"] = (
     matryoshka_recall_embeddings,
     MATRYOSHKA_RECALL_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection (farthest-point sampling; Sener &
+# Savarese 2018, arXiv:1708.00489 — the classic data-pruning /
+# active-learning selector): pick k vectors such that every point is
+# close to some chosen center, by iteratively taking the point FARTHEST
+# from the current chosen set (a 2-approximation of the optimal cover).
+# Exactness contract: distances are integer squared L2 over the proven
+# int8 codes (int64, bounded 64*254^2 — nothing near overflow), the seed
+# is the minimum id, ties break on id ascending, so the entire greedy
+# walk is bit-reproducible and the DuckDB oracle replays it step by step
+# (the walk is unrolled into k chained MATERIALIZED CTEs — a recursive
+# CTE would re-inline each step's two self-references exponentially).
+#
+# Scale shape: quantized codes are localCheckpointed ONCE, then each of
+# the k-1 rounds is a single Arrow-batched mapInPandas projection
+# (per-batch numpy min-distance against the <=k chosen centers — a
+# (batch, k, dim) int64 broadcast, ~4 KB/row at k=8/dim=64) followed by
+# a TakeOrderedAndProject(1): no shuffle, no join, nothing quadratic.
+# FPS is inherently k sequential passes; at 100 TB you keep this exact
+# loop (recomputing against all chosen centers costs O(N*k^2*dim) total,
+# which for the small k of coreset seeding beats carrying a running-min
+# column through k lineage-chained projections — the per-build Catalyst
+# inlining trap).  For large k, run it hierarchically: FPS within
+# clusters in applyInPandas, then FPS over the per-cluster picks.
+
+
+def _fps_scored(coded: DataFrame, centers, exclude_ids: list[int]) -> DataFrame:
+    """One FPS round: per Arrow batch, the single best (vid, mind, q)
+    candidate — max exact integer min-squared-L2 distance to the chosen
+    centers, ties on vid ascending.  Pre-reducing inside the worker is the
+    map-side-combine of this loop: the JVM's TakeOrdered sees one row per
+    batch instead of the whole corpus, so each round ships O(partitions)
+    rows no matter the corpus size.  The global argmax equals the argmax
+    over per-batch argmaxes because both use the same total order."""
+    import numpy as np
+
+    cent = np.asarray(centers, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            vids = pdf["vid"].to_numpy().astype(np.int64)
+            best = int(np.lexsort((vids, -d))[0])
+            yield pd.DataFrame(
+                {
+                    "vid": [int(vids[best])],
+                    "mind": [int(d[best])],
+                    "q": [list(m[best])],
+                }
+            )
+
+    rem = coded.filter(~F.col("vid").isin([int(x) for x in exclude_ids]))
+    return rem.mapInPandas(gen, "vid long, mind long, q array<long>")
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center selection over int8-quantized embeddings.
+
+    Returns exactly min(k, n) rows (rnk, vec_id, maxmin_d): the selection
+    order, the chosen vector, and the exact integer squared-L2 distance
+    from the chosen point to the previously-selected set at the moment of
+    selection (NULL for the rank-1 seed).  maxmin_d is the classic
+    coreset radius curve — monotonically non-increasing, the standard
+    diagnostic for how much coverage each additional center buys."""
+    import numpy as np
+
+    spark = df.sparkSession
+    schema = "rnk int, vec_id long, maxmin_d long"
+    coded = (
+        quantize_int8(df, vec_col=vec_col)
+        .select(F.col(id_col).alias("vid"), "q")
+        .localCheckpoint()
+    )
+    seed = coded.orderBy("vid").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], schema)
+    centers = [list(seed[0].q)]
+    sel: list[tuple] = [(1, int(seed[0].vid), None)]
+    for step in range(2, k + 1):
+        win = (
+            _fps_scored(coded, centers, [s[1] for s in sel])
+            .orderBy(F.desc("mind"), F.asc("vid"))
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            break  # corpus exhausted before k centers
+        centers.append(list(win[0].q))
+        sel.append((step, int(win[0].vid), int(win[0].mind)))
+    return spark.createDataFrame(sel, schema)
+
+
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 8-center greedy coreset over the embeddings table,
+    every selection decision hash-pinned by the unrolled DuckDB walk."""
+    return kcenter_coreset(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy-walk oracle: sel1 = min-id seed; step i = argmax
+    over non-chosen rows of min integer distance to sel(i-1), ties on id.
+    MATERIALIZED is load-bearing: each step references its predecessor
+    twice, so DuckDB's default CTE inlining would grow the plan 3^k."""
+    quant = """q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
+                                 THEN 1
+                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+)"""
+    parts = [
+        "WITH " + quant,
+        "sel1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id,"
+        " CAST(NULL AS BIGINT) AS maxmin_d FROM q ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"""step{i} AS MATERIALIZED (
+  SELECT a.vec_id,
+         min(CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)) AS maxmin_d
+  FROM q a JOIN q b ON b.vec_id IN (SELECT vec_id FROM sel{p})
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY a.vec_id
+  ORDER BY maxmin_d DESC, a.vec_id ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{p} UNION ALL"
+            f" SELECT {i} AS rnk, vec_id, maxmin_d FROM step{i})"
+        )
+    return ",\n".join(parts) + f"\nSELECT rnk, vec_id, maxmin_d FROM sel{k} ORDER BY rnk"
+
+
+KCENTER_CORESET_SQL = _kcenter_sql(8)
+
+
+QUERIES["kcenter_coreset_embeddings"] = (
+    kcenter_coreset_embeddings,
+    KCENTER_CORESET_SQL,
+)

@@ -406,3 +406,63 @@ def test_bpe_apply_greedy_rank_and_lossless(spark):
         for r in bpe_apply(docs.repartition(5), merges).collect()
     }
     assert got2 == out
+
+
+def test_kcenter_coreset_matches_numpy_fps(spark):
+    """The distributed greedy walk must equal the brute-force
+    farthest-point-sampling definition (max-min integer distance, min-id
+    seed, id-ascending ties) on a corpus small enough to replay fully."""
+    from delta_go_spark.functions.similarity import kcenter_coreset, np_int8_codes
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float64)
+    ids = np.arange(100, 140, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 6
+    got = [
+        (r.rnk, r.vec_id, r.maxmin_d)
+        for r in kcenter_coreset(df, k=k).orderBy("rnk").collect()
+    ]
+
+    q = np_int8_codes(vecs)
+    chosen = [0]
+    want = [(1, int(ids[0]), None)]
+    for step in range(2, k + 1):
+        d = ((q[:, None, :] - q[chosen][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        d[chosen] = -1
+        best = int(np.lexsort((ids, -d))[0])
+        want.append((step, int(ids[best]), int(d[best])))
+        chosen.append(best)
+    assert got == want
+    # radius curve is monotonically non-increasing (the k-center invariant)
+    radii = [r[2] for r in want[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_coreset_small_corpus_and_plan(spark):
+    """k > n stops at n rows; each FPS round is shuffle-free (one Arrow
+    projection + TakeOrdered) so nothing in the loop scales worse than a
+    corpus scan."""
+    from delta_go_spark.functions.similarity import _fps_scored, kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_coreset(df, k=10).collect()
+    assert [r.rnk for r in out] == [1, 2, 3]
+    assert {r.vec_id for r in out} == {1, 2, 3}
+
+    from delta_go_spark.functions.similarity import quantize_int8
+
+    coded = quantize_int8(df).select(F.col("vec_id").alias("vid"), "q")
+    plan = (
+        _fps_scored(coded, [[127, 0]], [1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
