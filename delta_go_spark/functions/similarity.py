@@ -896,14 +896,23 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_int8(emb).orderBy("vec_id")
 
 
-SEMDEDUP_INT8_SQL = """
-WITH RECURSIVE q AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
+# The int8-quantization SQL shared by every embedding oracle — the SQL
+# twin of np_int8_codes / quantize_int8.  ONE definition: this formula is
+# a cross-engine exactness contract pinned by several value hashes, and a
+# tweak applied to a private copy would silently break parity for the
+# oracles still on the old text (np_int8_codes' docstring carries the
+# same warning for the numpy side).
+_QUANT_QV_SQL = """list_transform(CAST(embedding AS DOUBLE[]),
            x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
                                  THEN 1
                                  ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+                           + 0.5) AS BIGINT)) AS qv"""
+
+
+SEMDEDUP_INT8_SQL = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         {_QUANT_QV_SQL}
   FROM embeddings
 ), qc AS (
   SELECT vec_id, qv,
@@ -1150,14 +1159,10 @@ def ann_ivf_int8_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # NOTE: block slices qv[1:16] .. qv[49:64] are fixed to the 64-dim
 # embeddings fixture (the Spark side derives width from the vector).
-ANN_IVF_SQ8_SQL = """
+ANN_IVF_SQ8_SQL = f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+         {_QUANT_QV_SQL}
   FROM embeddings
 ), qc AS (
   SELECT vec_id, label, qv,
@@ -1463,14 +1468,10 @@ def ann_signlsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOTE: the block slices below (qv[1:16] .. qv[49:64]) are fixed to the
 # 64-dim embeddings fixture — a different dimension needs regenerated
 # slices to stay in lockstep with _np_sig's dim//4 split.
-ANN_SIGNLSH_SQL = """
+ANN_SIGNLSH_SQL = f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv,
+         {_QUANT_QV_SQL},
          label
   FROM embeddings
 ), qc AS (
@@ -1598,14 +1599,10 @@ def quantization_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return quantization_recall_audit(load_table(spark, sf_dir, "embeddings"))
 
 
-QUANTIZATION_RECALL_SQL = """
+QUANTIZATION_RECALL_SQL = f"""
 WITH q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+         {_QUANT_QV_SQL}
   FROM embeddings
 ), qn AS (
   SELECT vec_id, v, qv,
@@ -1729,14 +1726,10 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-RANDOM_PROJECTION_SQL = """
+RANDOM_PROJECTION_SQL = f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+         {_QUANT_QV_SQL}
   FROM embeddings
 ), rmat AS (
   SELECT j, list_transform(generate_series(1, 64),
@@ -1834,14 +1827,10 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
 
 
-HARD_NEGATIVES_SQL = """
+HARD_NEGATIVES_SQL = f"""
 WITH q AS (
   SELECT vec_id, label,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+         {_QUANT_QV_SQL}
   FROM embeddings
 ), qn AS (
   SELECT vec_id, label, qv,
@@ -2062,7 +2051,7 @@ def kcenter_coreset(
 ) -> DataFrame:
     """Greedy k-center selection over int8-quantized embeddings.
 
-    Returns exactly min(k, n) rows (rnk, vec_id, maxmin_d): the selection
+    Returns exactly min(k, n) rows (rnk, <id_col>, maxmin_d): the selection
     order, the chosen vector, and the exact integer squared-L2 distance
     from the chosen point to the previously-selected set at the moment of
     selection (NULL for the rank-1 seed).  maxmin_d is the classic
@@ -2071,7 +2060,7 @@ def kcenter_coreset(
     import numpy as np
 
     spark = df.sparkSession
-    schema = "rnk int, vec_id long, maxmin_d long"
+    schema = f"rnk int, {id_col} long, maxmin_d long"
     coded = (
         quantize_int8(df, vec_col=vec_col)
         .select(F.col(id_col).alias("vid"), "q")
@@ -2107,13 +2096,9 @@ def _kcenter_sql(k: int) -> str:
     over non-chosen rows of min integer distance to sel(i-1), ties on id.
     MATERIALIZED is load-bearing: each step references its predecessor
     twice, so DuckDB's default CTE inlining would grow the plan 3^k."""
-    quant = """q AS MATERIALIZED (
+    quant = f"""q AS MATERIALIZED (
   SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-           x -> CAST(floor(x / (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 = 0
-                                 THEN 1
-                                 ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127 END)
-                           + 0.5) AS BIGINT)) AS qv
+         {_QUANT_QV_SQL}
   FROM embeddings
 )"""
     parts = [

@@ -186,6 +186,13 @@ class OptimisticTransaction:
         # whole-table rewrite — no existing data file can disagree with the
         # new schema.  removes ⊄ all_files still fails the equality.
         if removes == all_files:
+            # Taking the escape IS a whole-table read: the swap's validity
+            # rests on "the active set is exactly what I removed", so a
+            # winner's concurrent AddFile must fail this txn (conflict rule
+            # 3) rather than survive as an old-schema file under the new
+            # metadata.  Without this, a txn holding an emptied-table
+            # snapshot could swap schemas right over a concurrent append.
+            self.read_whole_table()
             return  # rewriting the whole table: arbitrary schema change OK
         raise DeltaError("schema change is not write-compatible and the transaction "
                          "does not replace all files")

@@ -686,6 +686,10 @@ def commit_staged_adds(
 
     actions.extend(adds)
     if mode == "overwrite" and exists:
+        # The remove set is "everything active in MY snapshot" — declare
+        # the whole-table read so a file appended by a concurrent winner
+        # conflicts (rule 3) instead of silently surviving the overwrite.
+        txn.read_whole_table()
         actions.extend(a.remove(clock_ms) for a in txn.snapshot.all_files())
     if txn_app_id is not None and txn_version is not None:
         from delta_go_spark.actions import SetTransaction
@@ -860,6 +864,9 @@ def write_dataframe(
         txn.update_metadata(schema_evolution)
     removed = []
     if mode == "overwrite" and exists:
+        # See the DataSource writer above: a whole-table overwrite must
+        # read the whole table so concurrent appends conflict.
+        txn.read_whole_table()
         removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
     actions.extend(new_files)
     actions.extend(removed)
@@ -921,6 +928,14 @@ def replace_table(
             created_time=clock_ms,
         )
     )
+    if exists:
+        # REPLACE promises "the table is now exactly df": that promise
+        # reads the whole active set, so a concurrent append must surface
+        # as ConcurrentAppend on retry, never survive under the swapped
+        # schema.  (_verify_schema_compat's rewrite escape also sets this
+        # flag, but only when the schema is incompatible — a same-schema
+        # replace needs the declaration here.)
+        txn.read_whole_table()
     removed = (
         [a.remove(clock_ms) for a in txn.snapshot.all_files()] if exists else []
     )

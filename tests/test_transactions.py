@@ -294,3 +294,46 @@ def test_concurrent_appenders_serialize(tmp_path):
     # every version has exactly one CommitInfo and versions are contiguous
     versions = [vl.version for vl in log.changes(0)]
     assert versions == list(range(snap.version + 1))
+
+
+INCOMPATIBLE_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "z", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def test_schema_swap_on_emptied_table_conflicts_with_concurrent_append(tmp_path):
+    """The whole-table-rewrite escape must DECLARE a whole-table read: a
+    txn that snapshotted an emptied table and swaps to an incompatible
+    schema cannot let a concurrently-appended old-schema file survive
+    under the new metadata (regression: the escape set no read flags, so
+    conflict rule 3 never fired)."""
+    log = new_table(tmp_path)
+    log.start_transaction().commit([add("a")], ops.WRITE)
+    log.start_transaction().commit(
+        [RemoveFile(path="a", deletion_timestamp=1, data_change=True)], ops.DELETE
+    )
+    loser = log.start_transaction()  # snapshot: zero active files
+    winner = log.start_transaction()
+    winner.commit([add("w")], ops.WRITE)  # old-schema append wins first
+    loser.update_metadata(Metadata(schema_string=INCOMPATIBLE_SCHEMA))
+    with pytest.raises(ConcurrentAppendError):
+        loser.commit([add("n")], ops.WRITE)
+
+
+def test_empty_table_schema_swap_without_race_commits(tmp_path):
+    """Same escape, no concurrent writer: swapping the schema of an
+    emptied table is a legitimate whole-table rewrite and must commit."""
+    log = new_table(tmp_path)
+    log.start_transaction().commit([add("a")], ops.WRITE)
+    log.start_transaction().commit(
+        [RemoveFile(path="a", deletion_timestamp=1, data_change=True)], ops.DELETE
+    )
+    t = log.start_transaction()
+    t.update_metadata(Metadata(schema_string=INCOMPATIBLE_SCHEMA))
+    v = t.commit([add("n")], ops.WRITE)
+    assert v == 3

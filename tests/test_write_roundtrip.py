@@ -371,3 +371,43 @@ def test_upgrade_protocol_guards_and_commits(spark, tmp_path):
         t.upgrade_protocol(3, 7)
     # table remains fully usable after the protocol commit
     assert DeltaTable.for_path(spark, path).to_df().count() == 3
+
+
+def test_replace_and_overwrite_conflict_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """REPLACE and whole-table OVERWRITE promise 'the table is now exactly
+    df'; both must declare a whole-table read so a file appended by a
+    concurrent winner raises ConcurrentAppend on retry instead of
+    silently surviving the rewrite (regression: neither set read flags,
+    so conflict rule 3 never fired)."""
+    import delta_go_spark.writer as W
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.transaction import ConcurrentAppendError
+
+    path = str(tmp_path / "race")
+    DeltaTable.create(spark, path, spark.range(0, 4).select("id"))
+
+    real = W.stage_files
+    state = {"armed": True}
+
+    def sneaky(df, table_path, partition_by):
+        # fire once: a concurrent append lands between the rewriting txn's
+        # snapshot and its commit
+        if state["armed"]:
+            state["armed"] = False
+            W.write_dataframe(spark.range(100, 102).select("id"), path)
+        return real(df, table_path, partition_by)
+
+    monkeypatch.setattr(W, "stage_files", sneaky)
+    with pytest.raises(ConcurrentAppendError):
+        W.replace_table(spark.range(0, 2).select("id"), path)
+
+    state["armed"] = True
+    with pytest.raises(ConcurrentAppendError):
+        W.write_dataframe(spark.range(0, 2).select("id"), path, mode="overwrite")
+
+    # only the winners' appends are visible (4 seed + 2 + 2); the losers'
+    # staged-but-uncommitted rewrites must not be
+    monkeypatch.setattr(W, "stage_files", real)
+    assert DeltaTable.for_path(spark, path).to_df().count() == 8
