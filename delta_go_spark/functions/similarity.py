@@ -2060,7 +2060,9 @@ def kcenter_coreset(
     import numpy as np
 
     spark = df.sparkSession
-    schema = f"rnk int, {id_col} long, maxmin_d long"
+    # backticks: id_col is interpolated into DDL, so a non-identifier name
+    # (space, reserved word) must not break schema parsing
+    schema = f"rnk int, `{id_col}` long, maxmin_d long"
     coded = (
         quantize_int8(df, vec_col=vec_col)
         .select(F.col(id_col).alias("vid"), "q")

@@ -85,6 +85,7 @@ class OptimisticTransaction:
         self.new_metadata: Metadata | None = None
         self.committed = False
         self._pending_removes: list[RemoveFile] = []
+        self._require_serializable = False
 
     @property
     def read_version(self) -> int:
@@ -192,7 +193,14 @@ class OptimisticTransaction:
             # 3) rather than survive as an old-schema file under the new
             # metadata.  Without this, a txn holding an emptied-table
             # snapshot could swap schemas right over a concurrent append.
+            # The read alone is not enough when the commit carries no
+            # data-change actions (an emptied table being swapped): the
+            # isolation auto-pick would choose SnapshotIsolation and rule 3
+            # only runs under Serializable — so the escape also demands
+            # Serializable, the same escalation ADD CONSTRAINT uses for a
+            # metadata commit whose validity depends on data it read.
             self.read_whole_table()
+            self._require_serializable = True
             return  # rewriting the whole table: arbitrary schema change OK
         raise DeltaError("schema change is not write-compatible and the transaction "
                          "does not replace all files")
@@ -231,7 +239,9 @@ class OptimisticTransaction:
             (isinstance(a, (AddFile, RemoveFile)) and a.data_change) for a in prepared
         )
         isolation = isolation_override or (
-            SERIALIZABLE if data_changed else SNAPSHOT_ISOLATION
+            SERIALIZABLE
+            if data_changed or self._require_serializable
+            else SNAPSHOT_ISOLATION
         )
 
         only_adds = all(isinstance(a, AddFile) for a in prepared if isinstance(a, (AddFile, RemoveFile)))

@@ -696,6 +696,8 @@ def commit_staged_adds(
 
         actions.append(SetTransaction(txn_app_id, txn_version, clock_ms))
     op = ops.CREATE_TABLE if not exists else ops.WRITE
+    from delta_go_spark.transaction import SERIALIZABLE
+
     return txn.commit(
         actions,
         op,
@@ -703,6 +705,12 @@ def commit_staged_adds(
             "mode": "Append" if mode == "append" else "Overwrite",
             "partitionBy": json.dumps(partition_by),
         },
+        # An overwrite that stages zero files and tombstones zero files (an
+        # empty frame over an emptied table) has no data-change action; the
+        # auto-pick would take SnapshotIsolation and skip conflict rule 3.
+        isolation_override=(
+            SERIALIZABLE if mode == "overwrite" and exists else None
+        ),
     )
 
 
@@ -879,6 +887,8 @@ def write_dataframe(
         )
 
     op = operation or (ops.CREATE_TABLE if not exists else ops.WRITE)
+    from delta_go_spark.transaction import SERIALIZABLE
+
     return txn.commit(
         actions,
         op,
@@ -886,6 +896,11 @@ def write_dataframe(
             "mode": "Append" if mode == "append" else "Overwrite",
             "partitionBy": json.dumps(partition_by),
         },
+        # See the DataSource writer: an empty-over-emptied overwrite is a
+        # no-data-change commit and must still run conflict rule 3.
+        isolation_override=(
+            SERIALIZABLE if mode == "overwrite" and exists else None
+        ),
     )
 
 
@@ -939,8 +954,14 @@ def replace_table(
     removed = (
         [a.remove(clock_ms) for a in txn.snapshot.all_files()] if exists else []
     )
+    from delta_go_spark.transaction import SERIALIZABLE
+
     return txn.commit(
         [*new_files, *removed],
         ops.REPLACE_TABLE,
         operation_parameters={"partitionBy": json.dumps(partition_by)},
+        # Explicit: replacing an EMPTIED table with an EMPTY frame commits
+        # no data-change action, and the auto-pick's SnapshotIsolation
+        # would let a concurrent append slide under the replace.
+        isolation_override=SERIALIZABLE if exists else None,
     )

@@ -337,3 +337,21 @@ def test_empty_table_schema_swap_without_race_commits(tmp_path):
     t.update_metadata(Metadata(schema_string=INCOMPATIBLE_SCHEMA))
     v = t.commit([add("n")], ops.WRITE)
     assert v == 3
+
+
+def test_metadata_only_schema_swap_conflicts_with_concurrent_append(tmp_path):
+    """A commit with NO data-change actions that takes the rewrite escape
+    must still run conflict rule 3: the escape escalates the isolation to
+    Serializable (regression: the auto-pick chose SnapshotIsolation for
+    no-data commits, making the whole-table read inert)."""
+    log = new_table(tmp_path)
+    log.start_transaction().commit([add("a")], ops.WRITE)
+    log.start_transaction().commit(
+        [RemoveFile(path="a", deletion_timestamp=1, data_change=True)], ops.DELETE
+    )
+    loser = log.start_transaction()  # snapshot: zero active files
+    winner = log.start_transaction()
+    winner.commit([add("w")], ops.WRITE)  # old-schema append wins first
+    loser.update_metadata(Metadata(schema_string=INCOMPATIBLE_SCHEMA))
+    with pytest.raises(ConcurrentAppendError):
+        loser.commit([], ops.MANUAL_UPDATE)  # metadata-only commit

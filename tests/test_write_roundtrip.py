@@ -411,3 +411,21 @@ def test_replace_and_overwrite_conflict_with_concurrent_append(
     # staged-but-uncommitted rewrites must not be
     monkeypatch.setattr(W, "stage_files", real)
     assert DeltaTable.for_path(spark, path).to_df().count() == 8
+
+    # hardest variant: replace an EMPTIED table with an EMPTY frame — the
+    # commit carries no data-change action, so only the Serializable
+    # escalation makes the concurrent append conflict
+    path2 = str(tmp_path / "race2")
+    t2 = DeltaTable.create(spark, path2, spark.range(0, 3).select("id"))
+    t2.delete_where("id >= 0")
+    state["armed"] = True
+
+    def sneaky2(df, table_path, partition_by):
+        if state["armed"]:
+            state["armed"] = False
+            W.write_dataframe(spark.range(50, 52).select("id"), path2)
+        return real(df, table_path, partition_by)
+
+    monkeypatch.setattr(W, "stage_files", sneaky2)
+    with pytest.raises(ConcurrentAppendError):
+        W.replace_table(spark.range(0, 0).select("id"), path2)
