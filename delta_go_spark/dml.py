@@ -548,7 +548,11 @@ class DeltaDml:
     def truncate(self) -> int:
         """Remove every active file; schema survives (op/names.go TRUNCATE)."""
         log, txn, snap = self._begin()
-        txn.read_whole_table()
+        # "the table is now empty" is a fully-specified post-state:
+        # truncating an ALREADY-empty table commits no data-change action,
+        # and only Serializable lets a concurrent append conflict (rule 3)
+        # instead of surviving a TRUNCATE that claims a later version.
+        txn.read_whole_table(require_serializable=True)
         clock_ms = log.clock.now_millis()
         removes = [a.remove(clock_ms) for a in snap.all_files()]
         return txn.commit(removes, ops.TRUNCATE, operation_parameters={})

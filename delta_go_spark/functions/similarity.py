@@ -2060,12 +2060,15 @@ def kcenter_coreset(
     import numpy as np
 
     spark = df.sparkSession
-    # backticks: id_col is interpolated into DDL, so a non-identifier name
-    # (space, reserved word) must not break schema parsing
-    schema = f"rnk int, `{id_col}` long, maxmin_d long"
+    # backtick-quote (doubling embedded backticks): id_col is interpolated
+    # into DDL and into column resolution, so a non-identifier name (space,
+    # dot, reserved word) must neither break schema parsing nor resolve as
+    # a struct-field path
+    bt = "`" + id_col.replace("`", "``") + "`"
+    schema = f"rnk int, {bt} long, maxmin_d long"
     coded = (
         quantize_int8(df, vec_col=vec_col)
-        .select(F.col(id_col).alias("vid"), "q")
+        .select(F.col(bt).alias("vid"), "q")
         .localCheckpoint()
     )
     seed = coded.orderBy("vid").limit(1).collect()

@@ -352,7 +352,11 @@ def restore(spark: SparkSession, table_path: str, version: int) -> int:
     if snap is None or txn.read_version < 0:
         raise ValueError(f"not a Delta table: {table_path}")
     target = log.snapshot_for_version_as_of(version)
-    txn.read_whole_table()
+    # "the table is now exactly version N" is a fully-specified post-state:
+    # a restore whose diff is empty commits no data-change action, and only
+    # Serializable makes a concurrent append conflict (rule 3) instead of
+    # sliding under the RESTORE's claimed version.
+    txn.read_whole_table(require_serializable=True)
 
     current = {a.path: a for a in snap.all_files()}
     wanted = {a.path: a for a in target.all_files()}

@@ -136,9 +136,22 @@ class OptimisticTransaction:
             self.read_files.add(canonicalize_path(a.path, self.log.table_path))
         return matched
 
-    def read_whole_table(self) -> None:
-        """reference: trnx.go:323-327."""
+    def read_whole_table(self, require_serializable: bool = False) -> None:
+        """reference: trnx.go:323-327.
+
+        require_serializable=True is for operations whose POST-state is
+        fully specified ("the table is now exactly X": REPLACE, whole-table
+        overwrite, TRUNCATE, RESTORE): their commit can carry zero
+        data-change actions (empty frame over an emptied table, no-op
+        restore diff), in which case the isolation auto-pick would choose
+        SnapshotIsolation and conflict rule 3 — the only rule that catches
+        a concurrent append sliding under the rewrite — never runs.
+        Operations whose post-state is a DELTA on what they read (merge,
+        stats backfill) keep the default: a winner's append serializes
+        after them harmlessly."""
         self.read_whole_table_flag = True
+        if require_serializable:
+            self._require_serializable = True
 
     # -- metadata ----------------------------------------------------------
     def update_metadata(self, metadata: Metadata) -> None:
@@ -193,14 +206,10 @@ class OptimisticTransaction:
             # 3) rather than survive as an old-schema file under the new
             # metadata.  Without this, a txn holding an emptied-table
             # snapshot could swap schemas right over a concurrent append.
-            # The read alone is not enough when the commit carries no
-            # data-change actions (an emptied table being swapped): the
-            # isolation auto-pick would choose SnapshotIsolation and rule 3
-            # only runs under Serializable — so the escape also demands
-            # Serializable, the same escalation ADD CONSTRAINT uses for a
-            # metadata commit whose validity depends on data it read.
-            self.read_whole_table()
-            self._require_serializable = True
+            # require_serializable: the commit may carry no data-change
+            # action at all (an emptied table being swapped), and only
+            # Serializable runs rule 3 — see read_whole_table's docstring.
+            self.read_whole_table(require_serializable=True)
             return  # rewriting the whole table: arbitrary schema change OK
         raise DeltaError("schema change is not write-compatible and the transaction "
                          "does not replace all files")

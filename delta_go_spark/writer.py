@@ -688,16 +688,16 @@ def commit_staged_adds(
     if mode == "overwrite" and exists:
         # The remove set is "everything active in MY snapshot" — declare
         # the whole-table read so a file appended by a concurrent winner
-        # conflicts (rule 3) instead of silently surviving the overwrite.
-        txn.read_whole_table()
+        # conflicts (rule 3) instead of silently surviving the overwrite;
+        # require_serializable because an empty-over-emptied overwrite
+        # commits no data-change action (see read_whole_table).
+        txn.read_whole_table(require_serializable=True)
         actions.extend(a.remove(clock_ms) for a in txn.snapshot.all_files())
     if txn_app_id is not None and txn_version is not None:
         from delta_go_spark.actions import SetTransaction
 
         actions.append(SetTransaction(txn_app_id, txn_version, clock_ms))
     op = ops.CREATE_TABLE if not exists else ops.WRITE
-    from delta_go_spark.transaction import SERIALIZABLE
-
     return txn.commit(
         actions,
         op,
@@ -705,12 +705,6 @@ def commit_staged_adds(
             "mode": "Append" if mode == "append" else "Overwrite",
             "partitionBy": json.dumps(partition_by),
         },
-        # An overwrite that stages zero files and tombstones zero files (an
-        # empty frame over an emptied table) has no data-change action; the
-        # auto-pick would take SnapshotIsolation and skip conflict rule 3.
-        isolation_override=(
-            SERIALIZABLE if mode == "overwrite" and exists else None
-        ),
     )
 
 
@@ -873,8 +867,9 @@ def write_dataframe(
     removed = []
     if mode == "overwrite" and exists:
         # See the DataSource writer above: a whole-table overwrite must
-        # read the whole table so concurrent appends conflict.
-        txn.read_whole_table()
+        # read the whole table so concurrent appends conflict, under
+        # Serializable even when the commit carries no data change.
+        txn.read_whole_table(require_serializable=True)
         removed = [a.remove(clock_ms) for a in txn.snapshot.all_files()]
     actions.extend(new_files)
     actions.extend(removed)
@@ -887,8 +882,6 @@ def write_dataframe(
         )
 
     op = operation or (ops.CREATE_TABLE if not exists else ops.WRITE)
-    from delta_go_spark.transaction import SERIALIZABLE
-
     return txn.commit(
         actions,
         op,
@@ -896,11 +889,6 @@ def write_dataframe(
             "mode": "Append" if mode == "append" else "Overwrite",
             "partitionBy": json.dumps(partition_by),
         },
-        # See the DataSource writer: an empty-over-emptied overwrite is a
-        # no-data-change commit and must still run conflict rule 3.
-        isolation_override=(
-            SERIALIZABLE if mode == "overwrite" and exists else None
-        ),
     )
 
 
@@ -947,21 +935,17 @@ def replace_table(
         # REPLACE promises "the table is now exactly df": that promise
         # reads the whole active set, so a concurrent append must surface
         # as ConcurrentAppend on retry, never survive under the swapped
-        # schema.  (_verify_schema_compat's rewrite escape also sets this
-        # flag, but only when the schema is incompatible — a same-schema
-        # replace needs the declaration here.)
-        txn.read_whole_table()
+        # schema — under Serializable even when the commit carries no data
+        # change (empty frame over an emptied table).
+        # (_verify_schema_compat's rewrite escape also escalates, but only
+        # when the schema is incompatible — a same-schema replace needs
+        # the declaration here.)
+        txn.read_whole_table(require_serializable=True)
     removed = (
         [a.remove(clock_ms) for a in txn.snapshot.all_files()] if exists else []
     )
-    from delta_go_spark.transaction import SERIALIZABLE
-
     return txn.commit(
         [*new_files, *removed],
         ops.REPLACE_TABLE,
         operation_parameters={"partitionBy": json.dumps(partition_by)},
-        # Explicit: replacing an EMPTIED table with an EMPTY frame commits
-        # no data-change action, and the auto-pick's SnapshotIsolation
-        # would let a concurrent append slide under the replace.
-        isolation_override=SERIALIZABLE if exists else None,
     )

@@ -456,6 +456,12 @@ def test_kcenter_coreset_small_corpus_and_plan(spark):
     assert [r.rnk for r in out] == [1, 2, 3]
     assert {r.vec_id for r in out} == {1, 2, 3}
 
+    # non-identifier id column names survive DDL and column resolution
+    odd = kcenter_coreset(
+        df.withColumnRenamed("vec_id", "doc id"), k=2, id_col="doc id"
+    )
+    assert odd.columns == ["rnk", "doc id", "maxmin_d"] and odd.count() == 2
+
     from delta_go_spark.functions.similarity import quantize_int8
 
     coded = quantize_int8(df).select(F.col("vec_id").alias("vid"), "q")
