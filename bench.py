@@ -77,6 +77,7 @@ HEADLINE = [
     "bpe_merge_pairs_docs",  # r6: BPE merge-pair induction round
     "matryoshka_recall_embeddings",  # r6: truncation-recall audit
     "kcenter_coreset_embeddings",  # r6: farthest-point coreset selection
+    "dsir_affinity_docs",  # r6: DSIR importance-weighted selection
 ]
 
 

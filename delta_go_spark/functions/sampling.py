@@ -815,3 +815,133 @@ QUERIES["temperature_resample_docs"] = (
     temperature_resample_docs,
     TEMPERATURE_RESAMPLE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (Xie et al. 2023,
+# arXiv:2302.03169 "Data Selection for Language Models via Importance
+# Resampling"): score raw-corpus documents by how target-like their
+# hashed-unigram profile is, then keep the top of the ranking.  DSIR's
+# weight is the log-likelihood ratio of two hashed bag-of-ngrams models;
+# log cannot be value-hashed across engines (libm last-ulp divergence —
+# the bm25/pmi finding), so the score here is the exact integer posterior
+# surrogate per bucket:
+#
+#     s[b] = (1e6 * (ct[b]+1)) div (ct[b]+cr[b]+2)
+#
+# — add-one-smoothed P(target | token in bucket b) in micro-units, the
+# same monotone-in-the-ratio surrogate family (it orders buckets exactly
+# by ct/cr).  A document's affinity is the plain integer sum of its
+# tokens' bucket scores (order-free, overflow-safe: 1e6 * tokens), and
+# the mean normalizes away length.  Everything is exactly replayable:
+# the md5 bucket is hash_features' proven formula, counts are integers,
+# div is floor division on positives in both engines.
+#
+# Scale shape: two passes over the corpus scan, each ending in a
+# partial-aggregable groupBy — (bucket, is_target) stats (n_buckets-
+# bounded output, broadcast back) and the per-doc sum.  No window, no
+# corpus-sized join side, nothing quadratic; the bucket-stats broadcast
+# is n_buckets rows regardless of corpus size.
+
+
+def dsir_affinity(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document target-affinity scores: (id, n_toks, affinity_sum,
+    affinity_mean_micro).  `target` is a boolean Column marking the
+    target-domain rows INSIDE df (DSIR scores raw docs against a target
+    sample; keeping both in one frame lets the bucket stats come from a
+    single aggregate).  Zero-token docs are excluded (no profile to
+    score).  Selection is the caller's `orderBy(desc).limit(budget)`."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    bkt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    exploded = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            target.alias("_tgt"),
+            F.explode(toks).alias("_t"),
+        )
+        .select("_id", "_tgt", bkt.alias("_b"))
+    )
+    stats = (
+        exploded.groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).cast("long").alias("cr"),
+        )
+        .select(
+            "_b",
+            F.expr("(1000000 * (ct + 1)) div (ct + cr + 2)").alias("s"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(stats), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("s").cast("long").alias("affinity_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_toks",
+            "affinity_sum",
+            F.expr("affinity_sum div n_toks").alias("affinity_mean_micro"),
+        )
+    )
+
+
+def dsir_affinity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: DSIR affinity of every document against the
+    src0/src1 target slice (the 10% 'high-quality domain'), every score
+    value-hashed.  The scan fans out first: the token explosion is the
+    CPU-heavy stage, and a single-row-group test file would serialize it
+    on one core (no-op on a pre-split production scan)."""
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return dsir_affinity(
+        docs, F.col("source").isin("src0", "src1")
+    ).orderBy("doc_id")
+
+
+DSIR_AFFINITY_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         source IN ('src0', 'src1') AS tgt,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+), stats AS (
+  SELECT b,
+         (1000000 * (CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) + 1))
+           // (count(*) + 2) AS s
+  FROM ex GROUP BY b
+)
+SELECT e.doc_id,
+       count(*) AS n_toks,
+       CAST(sum(st.s) AS BIGINT) AS affinity_sum,
+       CAST(sum(st.s) AS BIGINT) // count(*) AS affinity_mean_micro
+FROM ex e JOIN stats st ON e.b = st.b
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+QUERIES["dsir_affinity_docs"] = (dsir_affinity_docs, DSIR_AFFINITY_SQL)

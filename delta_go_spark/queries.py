@@ -165,11 +165,12 @@ _MODULES = [
     # ---- window boundary ----
     # Everything below was hash-green in r4/r5; the pytest oracle sample
     # and check_parity pin the whole registry locally.
-    # kcenter_coreset landed after the 50-slot window was already full of
-    # this round's VERDICT-mandated rotation — it sits FIRST below the
-    # boundary (oracle-backed, pinned in the pytest parity SAMPLE) and is
-    # the head of the round-7 rotation.
+    # kcenter_coreset and dsir_affinity landed after the 50-slot window was
+    # already full of this round's VERDICT-mandated rotation — they sit
+    # FIRST below the boundary (oracle-backed, pinned in the pytest parity
+    # SAMPLE) and are the head of the round-7 rotation.
     _Pick(similarity, ["kcenter_coreset_embeddings"]),
+    _Pick(sampling, ["dsir_affinity_docs"]),
     cdf_queries,  # delta_cdf_agg: r4-green, judge drift-green r5
     _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
     _Pick(

@@ -472,3 +472,36 @@ def test_kcenter_coreset_small_corpus_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_dsir_affinity_discriminates_target_vocabulary(spark):
+    """Documents sharing the target slice's vocabulary must outscore
+    documents that don't — the property that makes DSIR selection work —
+    and the integer posterior must be exact."""
+    from delta_go_spark.functions.sampling import dsir_affinity
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "tgt"),
+        (2, "alpha gamma beta beta alpha", "tgt"),
+        (3, "alpha beta gamma", "raw"),      # pure target vocabulary
+        (4, "zulu yankee xray whiskey", "raw"),  # disjoint vocabulary
+        (5, "alpha zulu", "raw"),            # mixed
+        (6, "", "raw"),                      # zero tokens -> excluded
+        (7, None, "raw"),                    # NULL text -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in dsir_affinity(df, F.col("source") == "tgt").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (
+        out[3].affinity_mean_micro
+        > out[5].affinity_mean_micro
+        > out[4].affinity_mean_micro
+    )
+    # exact integer contract: every target-vocab token scores
+    # (1e6*(ct+1)) div (ct+cr+2); 'zulu' appears twice, both raw
+    # -> s = 1000000 // 4 = 250000; doc 4 = 3 singletons + zulu
+    assert out[4].n_toks == 4
+    assert out[4].affinity_sum == 3 * (1000000 // 3) + 250000

@@ -87,6 +87,7 @@ SAMPLE = [
     "matryoshka_recall_embeddings",  # new in round 6: truncation recall
     "delta_replace_agg",  # new in round 6: CREATE OR REPLACE TABLE
     "kcenter_coreset_embeddings",  # new in round 6 (below-window): FPS coreset
+    "dsir_affinity_docs",  # new in round 6 (below-window): DSIR selection
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",

@@ -702,3 +702,18 @@ def test_fan_out_small_scan_leaves_non_file_frames_alone(spark):
         assert "RoundRobinPartitioning" in _plan(spread)
     # ... and a scan already at/above the floor is untouched
     assert fan_out_small_scan(docs, 1) is docs
+
+
+def test_dsir_affinity_broadcast_stats_partial_aggs(spark):
+    """Bucket stats (n_buckets-bounded) broadcast back to the token
+    stream; both aggregates partial (map-side combine); no window, no
+    Python, only the two groupBy exchanges."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["dsir_affinity_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
