@@ -844,10 +844,16 @@ QUERIES["temperature_resample_docs"] = (
 # is n_buckets rows regardless of corpus size.
 
 
+# Bucket modulus shared by dsir_affinity's Python default AND its oracle
+# SQL (the hash_features `_FEATURE_DIM` convention) — one value, no way
+# for the two sides to desynchronize.
+_DSIR_BUCKETS = 256
+
+
 def dsir_affinity(
     df: DataFrame,
     target: Column,
-    n_buckets: int = 256,
+    n_buckets: int = _DSIR_BUCKETS,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -857,9 +863,9 @@ def dsir_affinity(
     sample; keeping both in one frame lets the bucket stats come from a
     single aggregate).  Zero-token docs are excluded (no profile to
     score).  Selection is the caller's `orderBy(desc).limit(budget)`."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
-    )
+    from delta_go_spark.functions.textops import az_tokens
+
+    toks = az_tokens(text_col)
     bkt = F.pmod(
         F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("long"),
         F.lit(n_buckets),
@@ -917,11 +923,11 @@ def dsir_affinity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DSIR_AFFINITY_SQL = """
+DSIR_AFFINITY_SQL = f"""
 WITH ex AS (
   SELECT doc_id,
          source IN ('src0', 'src1') AS tgt,
-         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS b
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS} AS BIGINT) AS b
   FROM (
     SELECT doc_id, source,
            unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -115,6 +115,20 @@ _LANG_MARKERS = {
 }
 
 
+def az_tokens(text_col: str = "text"):
+    """Non-empty lowercase [a-z]+ tokens — THE tokenization contract
+    shared by pmi_bigrams, bpe_word_counts (and through it the whole BPE
+    trainer/tokenizer + bpe_merge_pairs) and sampling.dsir_affinity.
+    Its SQL twin, embedded verbatim in each consumer's DuckDB oracle, is
+        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')
+    so every consumer must call this one definition: a tweak applied to a
+    private expression copy (e.g. admitting digits) would silently break
+    cross-engine parity for the queries still on the old contract."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+
+
 def _marker_hits(text_col, words: list[str]):
     """Total occurrences of marker words, counted as token matches."""
     padded = F.concat(F.lit(" "), text_col, F.lit(" "))
@@ -1267,10 +1281,9 @@ def pmi_bigrams(
     sort.  Integer headroom: N * c12 * 1e6 must stay under 2^63 — holds
     to ~3e6 total tokens per corpus slice with c12 up to N; shard the
     corpus (or drop the 1e6 scale) beyond that."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        az_tokens(text_col).alias("_t")
     )
-    base = df.filter(F.col(text_col).isNotNull()).select(toks.alias("_t"))
     uni = (
         base.select(F.explode("_t").alias("tok"))
         .groupBy("tok")
@@ -1554,12 +1567,9 @@ QUERIES["bpe_merge_pairs_docs"] = (bpe_merge_pairs_docs, BPE_MERGE_PAIRS_SQL)
 
 def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, c) distinct-word counts — the one corpus-sized aggregate."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != F.lit("")
-    )
     return (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(toks).alias("w"))
+        .select(F.explode(az_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

@@ -285,21 +285,20 @@ class DeltaTable:
         meta = txn.snapshot.metadata()
         if key in (meta.configuration or {}):
             raise ValueError(f"constraint {name} already exists")
-        # Validate against THIS transaction's snapshot and record the read:
-        # a concurrent append of violating rows then conflicts on commit
-        # instead of slipping under a constraint validated on other data.
-        txn.read_whole_table()
+        # Validate against THIS transaction's snapshot and record the read;
+        # require_serializable because this metadata-only commit's validity
+        # depends on the data it read — a concurrent append of violating
+        # rows must conflict instead of slipping under a constraint
+        # validated on other data (see read_whole_table).
+        txn.read_whole_table(require_serializable=True)
         check_constraints(txn.snapshot.scan().to_df(self.spark), {key: expr_sql})
         cfg = dict(meta.configuration or {})
         cfg[key] = expr_sql
         txn.update_metadata(dataclasses.replace(meta, configuration=cfg))
-        from delta_go_spark.transaction import SERIALIZABLE
-
         return txn.commit(
             [],
             ops.SET_TABLE_PROPERTIES,
             operation_parameters={"constraint": name},
-            isolation_override=SERIALIZABLE,
         )
 
     def drop_check_constraint(self, name: str) -> int:

@@ -429,3 +429,40 @@ def test_replace_and_overwrite_conflict_with_concurrent_append(
     monkeypatch.setattr(W, "stage_files", sneaky2)
     with pytest.raises(ConcurrentAppendError):
         W.replace_table(spark.range(0, 0).select("id"), path2)
+
+
+def test_truncate_and_restore_conflict_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """TRUNCATE of an already-empty table and a no-op-diff RESTORE commit
+    zero data-change actions; only the require_serializable escalation in
+    read_whole_table makes a concurrent append conflict (regression guard
+    for the isolation auto-pick gap)."""
+    from delta_go_spark.transaction import (
+        ConcurrentAppendError,
+        OptimisticTransaction,
+    )
+
+    path = str(tmp_path / "trc")
+    t = DeltaTable.create(spark, path, spark.range(0, 4).select("id"))
+    t.delete_where("id >= 0")  # table now empty: truncate stages no removes
+
+    real = OptimisticTransaction.read_whole_table
+    state = {"armed": False}
+
+    def sneaky(self, require_serializable=False):
+        real(self, require_serializable=require_serializable)
+        if state["armed"]:
+            state["armed"] = False
+            write_dataframe(spark.range(50, 52).select("id"), path)
+
+    monkeypatch.setattr(OptimisticTransaction, "read_whole_table", sneaky)
+    state["armed"] = True
+    with pytest.raises(ConcurrentAppendError):
+        DeltaTable.for_path(spark, path).truncate()
+
+    # RESTORE to the current version: empty diff, no data-change action
+    cur = DeltaLog.for_table(path).update().version
+    state["armed"] = True
+    with pytest.raises(ConcurrentAppendError):
+        DeltaTable.for_path(spark, path).restore(cur)
