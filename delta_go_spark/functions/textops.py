@@ -117,8 +117,9 @@ _LANG_MARKERS = {
 
 def az_tokens(text_col: str = "text"):
     """Non-empty lowercase [a-z]+ tokens — THE tokenization contract
-    shared by pmi_bigrams, bpe_word_counts (and through it the whole BPE
-    trainer/tokenizer + bpe_merge_pairs) and sampling.dsir_affinity.
+    shared by tfidf_top_terms, pmi_bigrams, bpe_word_counts (and through
+    it the whole BPE trainer/tokenizer + bpe_merge_pairs) and
+    sampling.dsir_affinity.
     Its SQL twin, embedded verbatim in each consumer's DuckDB oracle, is
         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')
     so every consumer must call this one definition: a tweak applied to a
@@ -335,13 +336,10 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(az_tokens("text")).alias("term"),
     )
     stats = tok.groupBy("lang", "term").agg(
         F.count(F.lit(1)).alias("n_occurrences"),

@@ -221,7 +221,6 @@ class OptimisticTransaction:
         operation: str = ops.MANUAL_UPDATE,
         engine_info: str | None = "delta-go-spark",
         operation_parameters: dict | None = None,
-        isolation_override: str | None = None,
     ) -> int:
         """reference: trnx.go:144-224."""
         if self.committed:
@@ -240,14 +239,17 @@ class OptimisticTransaction:
 
         prepared = self._prepare_commit(actions)
 
-        # isolation auto-pick (reference: trnx.go:166-179); the override
-        # lets a metadata-only commit whose VALIDITY depends on the data it
-        # read (e.g. ADD CONSTRAINT) demand Serializable so concurrent
-        # appends of now-violating rows conflict instead of slipping under.
+        # isolation auto-pick (reference: trnx.go:166-179), escalated to
+        # Serializable when a commit's VALIDITY depends on data it read
+        # even though it changes none itself — set by
+        # read_whole_table(require_serializable=True) at the declaration
+        # site (ADD CONSTRAINT, REPLACE/overwrite/TRUNCATE/RESTORE and the
+        # schema-swap escape) so concurrent appends conflict instead of
+        # slipping under.
         data_changed = any(
             (isinstance(a, (AddFile, RemoveFile)) and a.data_change) for a in prepared
         )
-        isolation = isolation_override or (
+        isolation = (
             SERIALIZABLE
             if data_changed or self._require_serializable
             else SNAPSHOT_ISOLATION
