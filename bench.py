@@ -2,6 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The driver records only the LAST ~2000 characters of stdout and parses the
+final line as JSON (BENCH_r06.json came back `parsed: null` because the
+63-query line ran 2186 bytes).  So the printed line strips the redundant
+table suffix from each query name (`exact_dedup_docs` -> `exact_dedup`) and
+uses compact separators, with a hard assert that it fits the capture
+window.  The full-fidelity result (untruncated names, 3-decimal timings)
+is written to BENCH_FULL.json at the repo root and committed each round.
 """
 
 from __future__ import annotations
@@ -115,17 +123,33 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+
+    short = {}
+    for name, secs in timings.items():
+        s = name
+        for suffix in ("_docs", "_events", "_embeddings"):
+            if s.endswith(suffix):
+                s = s[: -len(suffix)]
+                break
+        if s in short:
+            raise AssertionError(f"suffix-stripped bench name collides: {s}")
+        short[s] = secs
+    line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
+    # Driver capture window is 2000 chars of stdout tail; keep slack for the
+    # trailing newline and any stray stderr interleaving.
+    assert len(line) <= 1900, f"bench JSON line too long ({len(line)} > 1900)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -341,22 +341,13 @@ def iter_checkpoint_actions_pruned(
     column: str,
     batch_size: int = 10_000,
 ):
-    """Actions of ONE top-level kind (e.g. 'txn', 'remove'), with both
-    parquet column pruning and Arrow-side null filtering — Python-object
-    cost is O(non-null rows of that kind), so scanning the txn state of a
-    million-add checkpoint touches a handful of rows."""
-    import pyarrow.compute as pc
-
-    for path in paths:
-        pf = _open_checkpoint_parquet(path, store)
-        if column not in pf.schema_arrow.names:
-            continue
-        for batch in pf.iter_batches(batch_size, columns=[column]):
-            col = batch.column(0)
-            for d in col.filter(pc.is_valid(col)).to_pylist():
-                a = _row_to_action({column: d})
-                if a is not None:
-                    yield a
+    """Actions of ONE top-level kind (e.g. 'txn', 'remove'): a readability
+    alias for the single-column projected read — parquet column pruning +
+    Arrow-side null drop both live in iter_checkpoint_actions, so there is
+    exactly one implementation of 'pruned checkpoint action read'."""
+    yield from iter_checkpoint_actions(
+        paths, store, batch_size=batch_size, columns=[column]
+    )
 
 
 def read_checkpoint_actions(

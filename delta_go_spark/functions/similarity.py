@@ -1011,6 +1011,7 @@ def ivf_sq8_exact(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    label_col: str = "label",
 ) -> DataFrame:
     """IVF-SQ8 with an EXACT oracle: the full IVF lifecycle — train a
     coarse quantizer, assign vectors to posting lists, probe the nprobe
@@ -1124,7 +1125,9 @@ def ivf_sq8_exact(
         )
 
     sig = corpus.select(
-        id_col, "label", _assign_dot(_as_double(vec_col)).alias("_s")
+        id_col,
+        F.col(label_col).alias("label"),
+        _assign_dot(_as_double(vec_col)).alias("_s"),
     ).select(id_col, "label", "_s.lst", "_s.na2", "_s.dot")
     score = F.floor(
         F.col("dot")
@@ -1374,6 +1377,7 @@ def ann_signlsh(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    label_col: str = "label",
 ) -> DataFrame:
     """Top-k by cosine over int8 codes, restricted to the query's
     block-sign bucket and its Hamming-1 neighbors (5 of 16 buckets \u2248 31%
@@ -1434,7 +1438,9 @@ def ann_signlsh(
         )
 
     sig = corpus.select(
-        id_col, "label", _sig_dot(_as_double(vec_col)).alias("_s")
+        id_col,
+        F.col(label_col).alias("label"),
+        _sig_dot(_as_double(vec_col)).alias("_s"),
     ).select(id_col, "label", "_s.bucket", "_s.na2", "_s.dot")
     # floor of (int / (IEEE sqrt * IEEE sqrt)) \u2014 every op exactly defined,
     # so the score is bit-identical on any engine evaluating this shape.
@@ -1666,6 +1672,7 @@ def random_projection_int8(
     k: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    label_col: str = "label",
 ) -> DataFrame:
     """(id, label, rp_l1, rp_l2sq, rp_cks, rp_sig): integer invariants of
     the k-dim sign-random-projection of each int8-quantized embedding.
@@ -1708,7 +1715,7 @@ def random_projection_int8(
 
     return df.select(
         id_col,
-        "label",
+        F.col(label_col).alias("label"),
         _proj(_as_double(vec_col)).alias("_p"),
     ).select(
         id_col,

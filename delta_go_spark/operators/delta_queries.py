@@ -536,6 +536,16 @@ def scd2_merge_batch(table, changes: DataFrame, key_col: str, epoch: int) -> Non
     function re-establishes, so it can be called batch after batch.
     Keys new to the dimension skip the close side (semi-join against the
     current generation) and insert exactly one current row."""
+    # The -key-1 surrogate is only a guaranteed miss for keys >= 0; a
+    # negative key would collide with an unrelated natural key's mk and
+    # the MERGE would silently close the wrong row.  Refuse loudly.
+    bad = changes.filter(F.col(key_col).isNull() | (F.col(key_col) < 0)).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"scd2_merge_batch requires non-negative, non-null {key_col!r} "
+            "values: the insert-side surrogate -key-1 must be a guaranteed "
+            "merge miss"
+        )
     attrs = [c for c in changes.columns if c != key_col]
     common = [
         F.col(key_col),

@@ -36,257 +36,150 @@ from delta_go_spark.operators import (
     subqueries,
 )
 
-class _Pick:
-    """Module-shaped view over a subset of another module's QUERIES, so one
-    module's queries can straddle the driver's 50-entry window boundary
-    without duplicating their definitions."""
+# ---------------------------------------------------------------------------
+# Driver correctness window (round 7)
+#
+# The driver hash-checks only the FIRST 50 registry entries at sf0.01, so
+# ordering is the evidence-rotation mechanism.  `_WINDOW` lists exactly the
+# 50 in-window queries, top = highest priority; everything else enters the
+# registry afterwards via the `_ALL_MODULES` sweep (order below the boundary
+# is irrelevant — those rows are pinned locally by the pytest oracle SAMPLE
+# and scripts/check_parity.py).
+#
+# Round-7 rotation (the entire r6 window went 50/50 hash-green, so all of it
+# moves below the boundary):
+#   (a) never driver-checked: kcenter_coreset_embeddings, dsir_affinity_docs
+#       (landed late in r6, below the then-full window);
+#   (b) the 45 rows whose last driver evidence is ROUND 4 (three rounds
+#       stale) — 42 fit; delta_sql_time_travel, simhash_near_dup_docs and
+#       like_regexp_docs et al. sit in the sacrificial tail below and drop
+#       out first as new round-7 queries are inserted at the top (each
+#       shares its code path with an in-window relative, and all are
+#       judge-drift-sampled + pytest-SAMPLE-pinned);
+#   (c) three round-5 fill rows at the very bottom.
+# New round-7 queries MUST be inserted at the TOP of _WINDOW (displacing the
+# tail), keeping every query whose code changed this round inside the
+# driver's evidence window.
+# ---------------------------------------------------------------------------
 
-    def __init__(self, mod, names: list[str]):
-        self.QUERIES = {n: mod.QUERIES[n] for n in names}
+_WINDOW: list = [
+    # --- new-in-round-7 / never driver-checked ---
+    (similarity, ["kcenter_coreset_embeddings"]),
+    (sampling, ["dsir_affinity_docs"]),
+    # --- code changed in round 7 (label_col parameterization; SCD2
+    # negative-key guard) — changed code stays in the evidence window ---
+    (similarity, [
+        "ann_signlsh_docs",
+        "ann_ivf_int8_docs",
+        "random_projection_embeddings",
+    ]),
+    (delta_queries, ["delta_scd2_agg"]),
+    # --- last driver evidence: round 4 ---
+    (dedup, [
+        "exact_dedup_docs",
+        "simhash_docs",
+        "minhash_near_dup_docs",
+        "ngram_jaccard_pairs_docs",
+        "dedup_keep_longest_docs",
+        "dedup_clusters_docs",
+    ]),
+    (similarity, ["knn_cosine_docs", "embedding_norms"]),
+    (textops, [
+        "token_stats_docs",
+        "complex_types_docs",
+        "pandas_udf_score_docs",
+        "text_quality_docs",
+        "lang_id_docs",
+        "fingerprint_docs",
+        "tfidf_top_terms_docs",
+        "quality_quartile_docs",
+        "pack_sequences_docs",
+        "chunk_documents_docs",
+        "bpe_token_count_docs",
+    ]),
+    (curation, ["corpus_curation_pipeline"]),
+    (sampling, ["hash_sample_docs"]),
+    (multimodal, ["binary_stats_docs"]),
+    (streaming_windows, [
+        "streaming_hourly_rollup",
+        "session_windows_events",
+        "streaming_dedup_events",
+    ]),
+    (streaming_stateful, ["stateful_running_totals"]),
+    (safety, [
+        "decontaminate_docs",
+        "redact_pii_docs",
+        "duplicated_gram_fraction_docs",
+    ]),
+    (funnel, ["funnel_conversion_events"]),
+    (subqueries, ["lateral_topk_suppliers"]),
+    (delta_queries, [
+        "delta_time_travel_count",
+        "delta_roundtrip_agg",
+        "delta_generated_agg",
+        "delta_schema_evolution_agg",
+        "delta_datasource_agg",
+        "delta_incremental_agg",
+    ]),
+    (cdf_queries, ["delta_cdf_agg"]),
+    # --- sacrificial tail: drops below the boundary first as new round-7
+    # queries land (each shares a code path with an in-window relative, or
+    # carries fresher r5 evidence) ---
+    (delta_queries, ["delta_sql_time_travel"]),
+    (dedup, ["simhash_near_dup_docs"]),
+    (textops, ["like_regexp_docs"]),
+    (multimodal, ["media_pipeline_summary"]),
+    (streaming_windows, ["sliding_avg_events"]),
+    (sampling, ["stratified_sample_docs"]),
+]
 
-
-# Order matters: the driver's CORRECTNESS oracle checks the FIRST 50 entries
-# in iteration order.  Round-6 window (positions 1-50), in priority order:
-#   (a) the 7 queries that have NEVER had a driver row (judge-verified via
-#       check_parity in r5): normalized_dedup_docs, ann_signlsh_docs,
-#       quantization_recall_embeddings, lang_confusion_docs,
-#       split_leakage_docs, split_cluster_safe_docs,
-#       streaming_static_enrich_events;
-#   (b) queries whose code changed this round: quantization_recall
-#       (integer float-side ranking), semdedup_embeddings (dim guard +
-#       dynamic block width), split_cluster_safe_docs (pluggable pair
-#       graph), ann_ivf_int8_docs (NEW oracle-backed deterministic
-#       IVF-SQ8 — upgraded from rows-only);
-#   (c) q22_global_sales, displaced below the window in r5 (last driver
-#       row r3, judge-green since);
-#   (d) the 20 oracle-backed rows last driver-checked in ROUND 3: the
-#       relational module (17 — approx_distinct_events stays below, the
-#       window carries only hash-checkable rows) plus
-#       unpivot/null_semantics/json_functions from coverage;
-#   (e) freshness rows: the 8 delta-protocol rows (CDF, roundtrip, time
-#       travel x2, DataSource, incremental, schema evolution, generated
-#       cols) + minhash_near_dup_docs (after the late-batch displacements
-#       below, the only remaining non-protocol (e) slot).
-# Everything displaced below the boundary was hash-green in r4/r5 and
-# remains pinned by the pytest oracle sample + scripts/check_parity.py.
-# Position comments are tier labels, not exact slots — the authoritative
-# placement check is tests/test_oracle_parity.py::test_round6_queries_in_window.
-# Late-round-6 additions (all code NEW this round, so all in-window):
-#   span_decontaminate_docs (safety), cross_source_matrix_docs (dedup),
-#   bm25_search_docs (textops), delta_scd2_agg (delta_queries, which the
-#   window picks dynamically).  Four (e)-tier freshness rows — all
-#   driver-green in r4 with zero failures ever — moved below the boundary
-#   to make room: exact_dedup_docs, simhash_docs, simhash_near_dup_docs,
-#   embedding_norms.  A SECOND late batch (winnow_fingerprint_docs,
-#   pmi_bigrams_docs (textops), temperature_resample_docs (sampling),
-#   hard_negatives_embeddings (similarity)) displaced four more multi-
-#   round-green (e) rows the same way: ngram_jaccard_pairs_docs,
-#   dedup_keep_longest_docs, dedup_clusters_docs, knn_cosine_docs.
-#   A THIRD late batch (cluster_representative_docs (dedup),
-#   sessionize_events + retention_cohorts_events (the new sessions
-#   module)) displaced minhash_near_dup_docs, delta_time_travel_count
-#   and delta_sql_time_travel (all r4-driver-green, judge drift-green
-#   r5, pytest-SAMPLE-pinned).  delta_convert_agg (CONVERT TO DELTA, new
-#   r6) enters via the dynamic delta_queries pick, displacing
-#   delta_roundtrip_agg the same way.
-_MODULES = [
-    _Pick(
-        dedup,
-        [
-            "normalized_dedup_docs",
-            "pagerank_docs",
-            "cross_source_matrix_docs",
-            "cluster_representative_docs",
-        ],
-    ),  # 1-4 (a + NEW r6 x3)
-    sessions,  # NEW r6: batch sessionization + retention cohorts
-    _Pick(
-        similarity,
-        [
-            "ann_signlsh_docs",               # (a)
-            "quantization_recall_embeddings", # (a+b)
-            "semdedup_embeddings",            # (b) dim guard
-            "ann_ivf_int8_docs",              # (b) NEW exact IVF-SQ8
-            "random_projection_embeddings",   # NEW r6: SRP dim reduction
-            "hard_negatives_embeddings",      # NEW r6: contrastive negatives
-            "matryoshka_recall_embeddings",   # NEW r6: truncation recall
-        ],
-    ),  # 3-8
-    _Pick(
-        textops,
-        [
-            "lang_confusion_docs",
-            "bm25_search_docs",
-            "winnow_fingerprint_docs",
-            "pmi_bigrams_docs",
-            "fim_transform_docs",
-            "bpe_merge_pairs_docs",
-        ],
-    ),  # 8 (a + NEW r6 x5)
-    _Pick(safety, ["span_decontaminate_docs"]),  # NEW r6
-    _Pick(curation, ["source_drift_chisq_docs"]),  # 9: NEW r6 drift stat
-    _Pick(
-        sampling,
-        [
-            "split_leakage_docs",
-            "split_cluster_safe_docs",
-            "temperature_resample_docs",
-        ],
-    ),  # 7-8 (a+b + NEW r6)
-    _Pick(
-        streaming_windows,
-        ["streaming_static_enrich_events", "streaming_leftouter_join_events"],
-    ),  # (a + NEW r6)
-    _Pick(subqueries, ["q22_global_sales"]),  # 10 (c)
-    _Pick(
-        relational,
-        [n for n in relational.QUERIES if n != "approx_distinct_events"],
-    ),  # 11-27 (d)
-    _Pick(
-        coverage,
-        ["unpivot_order_flags", "null_semantics_orders", "json_functions_events"],
-    ),  # 28-30 (d)
-    _Pick(
-        delta_queries,
-        [
-            n for n in delta_queries.QUERIES
-            if n not in (
-                "delta_dml_agg",
-                "delta_time_travel_count",
-                "delta_sql_time_travel",
-                "delta_roundtrip_agg",
-                "delta_generated_agg",
-                "delta_schema_evolution_agg",
-                "delta_datasource_agg",
-                "delta_incremental_agg",
-            )
-        ],
-    ),  # (e)
-    # ---- window boundary ----
-    # Everything below was hash-green in r4/r5; the pytest oracle sample
-    # and check_parity pin the whole registry locally.
-    # kcenter_coreset and dsir_affinity landed after the 50-slot window was
-    # already full of this round's VERDICT-mandated rotation — they sit
-    # FIRST below the boundary (oracle-backed, pinned in the pytest parity
-    # SAMPLE) and are the head of the round-7 rotation.
-    _Pick(similarity, ["kcenter_coreset_embeddings"]),
-    _Pick(sampling, ["dsir_affinity_docs"]),
-    cdf_queries,  # delta_cdf_agg: r4-green, judge drift-green r5
-    _Pick(relational, ["approx_distinct_events"]),  # rows-only by design
-    _Pick(
-        delta_queries,
-        [
-            "delta_dml_agg",
-            "delta_time_travel_count",
-            "delta_sql_time_travel",
-            "delta_roundtrip_agg",
-            "delta_generated_agg",
-            "delta_schema_evolution_agg",
-            "delta_datasource_agg",
-            "delta_incremental_agg",
-        ],
-    ),
-    _Pick(
-        dedup,
-        [
-            "minhash_near_dup_docs",
-            "ngram_jaccard_pairs_docs",
-            "dedup_keep_longest_docs",
-            "dedup_clusters_docs",
-            "exact_dedup_docs",
-            "simhash_docs",
-            "simhash_near_dup_docs",
-            "segment_dedup_docs",
-            "minhash_incremental_docs",
-        ],
-    ),
-    _Pick(curation, [n for n in curation.QUERIES if n != "source_drift_chisq_docs"]),
-    _Pick(
-        similarity,
-        [
-            "knn_cosine_docs",
-            "embedding_norms",
-            "quantize_embeddings_int8",
-            "mislabel_confusion_embeddings",
-            "cosine_near_dup_docs",
-            "ann_lsh_docs",
-            "ann_ivf_docs",
-        ],
-    ),
-    _Pick(
-        textops,
-        [
-            n for n in textops.QUERIES
-            if n not in (
-                "lang_confusion_docs",
-                "bm25_search_docs",
-                "winnow_fingerprint_docs",
-                "pmi_bigrams_docs",
-                "fim_transform_docs",
-                "bpe_merge_pairs_docs",
-            )
-        ],
-    ),
-    _Pick(
-        sampling,
-        [
-            "hash_sample_docs",
-            "stratified_sample_docs",
-            "mixture_sample_docs",
-            "shuffle_shard_docs",
-            "sample_k_per_source_docs",
-        ],
-    ),
-    multimodal,
-    _Pick(
-        streaming_windows,
-        [
-            n for n in streaming_windows.QUERIES
-            if n not in (
-                "streaming_static_enrich_events",
-                "streaming_leftouter_join_events",
-            )
-        ],
-    ),
-    streaming_stateful,
-    _Pick(safety, [n for n in safety.QUERIES if n != "span_decontaminate_docs"]),
-    funnel,
-    _Pick(subqueries, [n for n in subqueries.QUERIES if n != "q22_global_sales"]),
+# Every module with a QUERIES dict; the post-window sweep adds anything not
+# already placed by _WINDOW, so nothing can silently fall out of the
+# registry when a module grows.
+_ALL_MODULES = [
+    relational,
+    coverage,
+    subqueries,
     asof,
     rangejoin,
-    _Pick(
-        coverage,
-        [
-            n for n in coverage.QUERIES
-            if n not in (
-                "unpivot_order_flags",
-                "null_semantics_orders",
-                "json_functions_events",
-            )
-        ],
-    ),
+    funnel,
+    sessions,
+    dedup,
+    similarity,
+    textops,
+    curation,
+    sampling,
+    safety,
+    multimodal,
+    streaming_windows,
+    streaming_stateful,
+    delta_queries,
+    cdf_queries,
 ]
+
+WINDOW_SIZE = 50
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     out: dict = {}
-    for mod in _MODULES:
-        for name, entry in mod.QUERIES.items():
+    for mod, names in _WINDOW:
+        for name in names:
             if name in out:
-                raise ValueError(f"duplicate query name: {name}")
-            out[name] = entry
-    # A _Pick that names a stale subset would silently drop queries added
-    # to its module later — fail loudly instead.
-    for mod in (
-        coverage, dedup, similarity, subqueries, curation, sampling, textops,
-        delta_queries, streaming_windows, relational, safety, sessions,
-    ):
-        missing = [n for n in mod.QUERIES if n not in out]
-        if missing:
-            raise ValueError(
-                f"queries defined in {mod.__name__} but absent from the "
-                f"registry picks: {missing}"
-            )
+                raise ValueError(f"duplicate query name in _WINDOW: {name}")
+            if name not in mod.QUERIES:
+                raise ValueError(
+                    f"_WINDOW names {name} but {mod.__name__} does not define it"
+                )
+            out[name] = mod.QUERIES[name]
+    if len(out) != WINDOW_SIZE:
+        raise ValueError(
+            f"_WINDOW must hold exactly {WINDOW_SIZE} queries (the driver's "
+            f"correctness window), got {len(out)} — displace or add rows "
+            f"explicitly"
+        )
+    for mod in _ALL_MODULES:
+        for name, entry in mod.QUERIES.items():
+            out.setdefault(name, entry)
     return out
 
 

@@ -414,6 +414,29 @@ def encode_rel_path(path: str) -> str:
     return quote(path, safe="/")
 
 
+def _canonical_key_udf(table_root: str):
+    """Spark-side canonical replay key: the SAME :func:`canonicalize_path`
+    the driver fold keys on (replay_action.go:80-116 / resolver.go:87-126),
+    run as an Arrow-batched pandas UDF so the distributed state tier can
+    never disagree with the driver tier on file identity (an AddFile
+    logged relative+percent-encoded and its RemoveFile logged absolute
+    must collapse to one replay key in BOTH tiers).  Path columns are
+    metadata-sized (one row per log action), so the Python batch cost is
+    noise next to the log read itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `pd` is imported function-locally here, so string
+    # annotations (PEP 563 is on module-wide) would not resolve and Spark's
+    # hint inference raises UNSUPPORTED_SIGNATURE — the explicit returnType
+    # legacy form sidesteps it.
+    def _canon(paths):
+        return paths.map(
+            lambda p: None if p is None else canonicalize_path(p, table_root)
+        )
+
+    return pandas_udf(_canon, "string")
+
+
 def active_files_df(spark, snapshot: "Snapshot"):
     """Scale-path state reconstruction: the active-file set computed AS A
     SPARK JOB instead of a driver-side Python fold.
@@ -464,6 +487,7 @@ def active_files_df(spark, snapshot: "Snapshot"):
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
+    canon = _canonical_key_udf(snapshot.table_root)
     events = union.select(
         F.coalesce("path", "rm_path").alias("path"),
         "size",
@@ -471,8 +495,12 @@ def active_files_df(spark, snapshot: "Snapshot"):
         F.col("path").isNotNull().alias("is_add"),
     ).filter(F.col("path").isNotNull())
     # newest version wins; within one version an add beats a remove
-    # (re-add-in-same-commit), matching the InMemoryLogReplay fold.
-    w = Window.partitionBy("path").orderBy(
+    # (re-add-in-same-commit), matching the InMemoryLogReplay fold.  The
+    # window keys on the CANONICAL path so mixed spellings (relative
+    # percent-encoded add vs absolute remove) dedup exactly like the
+    # driver fold.
+    events = events.withColumn("_ckey", canon(F.col("path")))
+    w = Window.partitionBy("_ckey").orderBy(
         F.desc("version"), F.desc("is_add")
     )
     return (
@@ -580,13 +608,16 @@ def checkpoint_adds_df(spark, snapshot: "Snapshot"):
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
+    canon = _canonical_key_udf(snapshot.table_root)
     events = union.select(
         "add",
         F.coalesce(F.col("add.path"), F.col("rm_path")).alias("path"),
         "version",
         F.col("add.path").isNotNull().alias("is_add"),
     ).filter(F.col("path").isNotNull())
-    w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+    # Canonical replay key, matching the driver fold (see active_files_df).
+    events = events.withColumn("_ckey", canon(F.col("path")))
+    w = Window.partitionBy("_ckey").orderBy(F.desc("version"), F.desc("is_add"))
     return (
         events.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & F.col("is_add"))

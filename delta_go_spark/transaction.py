@@ -453,8 +453,7 @@ class OptimisticTransaction:
         register_store-bound fake)."""
         from pyspark.sql import SparkSession
 
-        from delta_go_spark.datacloud import use_native_cloud
-        from delta_go_spark.store import has_registered_binding
+        from delta_go_spark.snapshot import spark_can_read_log
 
         spark = SparkSession.getActiveSession()
         if spark is None:
@@ -470,10 +469,9 @@ class OptimisticTransaction:
             threshold = 200_000
         if n_files < max(1, threshold):
             return False
-        log_path = self.log.log_path
-        if has_registered_binding(log_path):
-            return False
-        return "://" not in log_path or use_native_cloud(spark, log_path)
+        # Single source of truth for "may Spark executors read this log?"
+        # — shared with the distributed state tier (snapshot.py).
+        return spark_can_read_log(spark, self.log.log_path)
 
     def _post_commit(self, version: int) -> None:
         """Checkpoint every checkpointInterval commits

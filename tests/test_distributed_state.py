@@ -175,3 +175,84 @@ def test_pm_resolution_reads_only_pm_columns(spark, tmp_path, monkeypatch):
     # tail is empty right after the checkpoint commit, so it must
     snap.metadata()
     assert seen and all(c == ["protocol", "metaData"] for c in seen)
+
+
+def test_distributed_fold_dedups_on_canonical_path(spark, tmp_path):
+    """An AddFile logged relative + percent-encoded and its RemoveFile
+    logged as an absolute file: URI are the SAME file (resolver.go:87-126
+    semantics, '-escaped-chars' golden fixtures); the Spark-job state
+    reconstruction must key its newest-wins window on the canonical path
+    exactly like the driver fold, or deleted files resurrect only in the
+    distributed tier."""
+    import json as _json
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.snapshot import active_files_df, checkpoint_adds_df
+
+    root = str(tmp_path / "mixed")
+    log_dir = tmp_path / "mixed" / "_delta_log"
+    log_dir.mkdir(parents=True)
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "m-1",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "a%20b.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": "keep.parquet",
+                "partitionValues": {},
+                "size": 2,
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+    ]
+    v1 = [
+        {
+            "remove": {
+                "path": f"file://{root}/a b.parquet",
+                "deletionTimestamp": 2,
+                "dataChange": True,
+            }
+        }
+    ]
+    (log_dir / "00000000000000000000.json").write_text(
+        "\n".join(_json.dumps(a) for a in v0) + "\n"
+    )
+    (log_dir / "00000000000000000001.json").write_text(
+        "\n".join(_json.dumps(a) for a in v1) + "\n"
+    )
+
+    snap = DeltaLog.for_table(root).snapshot()
+    # driver fold: one survivor
+    assert sorted(a.path for a in snap.all_files()) == ["keep.parquet"]
+    # distributed folds must agree
+    df_paths = sorted(r["path"] for r in active_files_df(spark, snap).collect())
+    assert df_paths == ["keep.parquet"]
+    ck_paths = sorted(
+        r["path"] for r in checkpoint_adds_df(spark, snap).select("add.path").collect()
+    )
+    assert ck_paths == ["keep.parquet"]

@@ -1,6 +1,7 @@
 """Copy-on-write DML: DELETE / UPDATE / MERGE / TRUNCATE semantics +
 file-level efficiency (untouched files must survive, not be rewritten)."""
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -377,3 +378,32 @@ def test_merge_insert_set_validation(spark, tmp_path):
         for r in t.to_df().filter(F.col("k") >= 100).collect()
     }
     assert got == {100: (1000, 1100), 101: (1010, 1111), 102: (1020, 1122)}
+
+
+def test_scd2_merge_batch_rejects_negative_or_null_keys(spark, tmp_path):
+    """-key-1 is only a guaranteed merge miss for keys >= 0: a negative
+    natural key's surrogate collides with an unrelated key's mk and the
+    MERGE would silently close the wrong row — the recipe must refuse
+    loudly instead."""
+    from delta_go_spark.operators.delta_queries import scd2_merge_batch
+
+    path = str(tmp_path / "scd2neg")
+    dim0 = spark.range(0, 4).select(
+        F.col("id").alias("mk"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0).alias("bal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    DeltaTable.create(spark, path, dim0)
+    t = DeltaTable.for_path(spark, path)
+
+    bad = spark.createDataFrame([(-3, 1.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="non-negative"):
+        scd2_merge_batch(t, bad, "k", epoch=1)
+    null_key = spark.createDataFrame([(None, 1.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="non-negative"):
+        scd2_merge_batch(t, null_key, "k", epoch=1)
+    # dimension untouched by the refused batches
+    assert DeltaTable.for_path(spark, path).to_df().count() == 4

@@ -505,3 +505,24 @@ def test_dsir_affinity_discriminates_target_vocabulary(spark):
     # -> s = 1000000 // 4 = 250000; doc 4 = 3 singletons + zulu
     assert out[4].n_toks == 4
     assert out[4].affinity_sum == 3 * (1000000 // 3) + 250000
+
+
+def test_label_col_is_parameterized_everywhere(spark):
+    """Round-7 review fix: ivf_sq8_exact, ann_signlsh and
+    random_projection_int8 take label_col like hard_negative_mining does —
+    an embedding table whose label column has another name must work."""
+    from delta_go_spark.functions.similarity import (
+        ann_signlsh,
+        ivf_sq8_exact,
+        random_projection_int8,
+    )
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    renamed = emb.withColumnRenamed("label", "category")
+    for fn in (ivf_sq8_exact, ann_signlsh):
+        out = fn(renamed, label_col="category")
+        assert "label" in out.columns  # output contract unchanged
+        assert out.count() > 0
+    rp = random_projection_int8(renamed, label_col="category")
+    assert rp.filter(F.col("label").isNotNull()).count() > 0
