@@ -86,6 +86,14 @@ HEADLINE = [
     "matryoshka_recall_embeddings",  # r6: truncation-recall audit
     "kcenter_coreset_embeddings",  # r6: farthest-point coreset selection
     "dsir_affinity_docs",  # r6: DSIR importance-weighted selection
+    "kmeans_embeddings",  # r7: exact-replay Lloyd k-means
+    "mmr_diverse_embeddings",  # r7: MMR diverse top-k
+    "delta_optimize_agg",  # r7: OPTIMIZE + ZORDER roundtrip
+    "bucketed_join_lineitem",  # r7: shuffle-free co-located join
+    "salted_skew_join_events",  # r7: salted hot-key join
+    "gopher_rules_docs",  # r7: quality-rule cascade
+    "streaming_delta_aggsink_events",  # r7: foreachBatch merge sink
+    "token_budget_select_docs",  # r7: greedy token-budget fill
 ]
 
 
@@ -138,7 +146,7 @@ def main() -> None:
     short = {}
     for name, secs in timings.items():
         s = name
-        for suffix in ("_docs", "_events", "_embeddings"):
+        for suffix in ("_docs", "_events", "_embeddings", "_lineitem", "_agg"):
             if s.endswith(suffix):
                 s = s[: -len(suffix)]
                 break

@@ -746,3 +746,144 @@ QUERIES["source_drift_chisq_docs"] = (
     source_drift_chisq_docs,
     SOURCE_DRIFT_CHISQ_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule cascade (Rae et al. 2021, "Scaling Language
+# Models" C4/Gopher filters): a conjunction of cheap per-document heuristics
+# with PER-RULE rejection accounting, so a pipeline owner sees which rule is
+# doing the filtering before committing to a corpus-wide drop.  Every rule is
+# an INTEGER comparison (ratios are cross-multiplied, never divided) so the
+# DuckDB oracle replays each decision bit-exactly.
+_GOPHER_MARKERS = ["join", "hash", "row", "batch", "scan", "filter"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the five rule booleans + pass_all.  Rules (all pure codegen —
+    split/filter/length/array ops, no UDF, zero shuffle):
+
+      r_wordcount   25 <= n_words <= 80
+      r_wordlen     4 * n_words <= n_letter_chars <= 6 * n_words
+                    (avg word length in [4, 6], cross-multiplied)
+      r_marker      document mentions >= 2 distinct corpus-marker words
+                    (the Gopher stop-word rule, re-targeted at this
+                    corpus's vocabulary)
+      r_symbol      20 * n_symbol_chars <= n_chars (<= 5 % symbols)
+      r_ttr         4 * n_distinct >= 3 * n_words (type-token ratio >= .75)
+
+    Tokenization is the shared az_tokens contract (textops.py)."""
+    from delta_go_spark.functions.textops import az_tokens
+
+    toks = az_tokens(text_col)
+    t = F.col(text_col)
+    out = (
+        df.filter(t.isNotNull())
+        .withColumn("_toks", toks)
+        .withColumn("_nw", F.size("_toks"))
+        .withColumn("_nc", F.length(F.array_join("_toks", "")))
+        .withColumn("_nd", F.size(F.array_distinct("_toks")))
+        .withColumn(
+            "_nmk",
+            sum(
+                F.array_contains("_toks", w).cast("int")
+                for w in _GOPHER_MARKERS
+            ),
+        )
+        .withColumn(
+            "_nsym",
+            F.length(F.regexp_replace(F.lower(t), "[a-z ]", "")),
+        )
+    )
+    return (
+        out.withColumn(
+            "r_wordcount", (F.col("_nw") >= 25) & (F.col("_nw") <= 80)
+        )
+        .withColumn(
+            "r_wordlen",
+            (4 * F.col("_nw") <= F.col("_nc"))
+            & (F.col("_nc") <= 6 * F.col("_nw")),
+        )
+        .withColumn("r_marker", F.col("_nmk") >= 2)
+        .withColumn("r_symbol", 20 * F.col("_nsym") <= F.length(t))
+        .withColumn("r_ttr", 4 * F.col("_nd") >= 3 * F.col("_nw"))
+        .withColumn(
+            "pass_all",
+            F.col("r_wordcount")
+            & F.col("r_wordlen")
+            & F.col("r_marker")
+            & F.col("r_symbol")
+            & F.col("r_ttr"),
+        )
+        .drop("_toks", "_nw", "_nc", "_nd", "_nmk", "_nsym")
+    )
+
+
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source rule-failure accounting — ONE partial-
+    aggregable groupBy over a tiny source key; the rule evaluation itself
+    never shuffles."""
+    scored = gopher_rules(load_table(spark, sf_dir, "documents"))
+
+    def fails(rule: str):
+        return F.sum((~F.col(rule)).cast("long"))
+
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fails("r_wordcount").alias("fail_wordcount"),
+            fails("r_wordlen").alias("fail_wordlen"),
+            fails("r_marker").alias("fail_marker"),
+            fails("r_symbol").alias("fail_symbol"),
+            fails("r_ttr").alias("fail_ttr"),
+            F.sum(F.col("pass_all").cast("long")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_MARKER_SQL = " + ".join(
+    f"list_contains(toks, '{w}')::INT" for w in _GOPHER_MARKERS
+)
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT source, text,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+), f AS (
+  SELECT source,
+         len(toks) AS nw,
+         length(coalesce(array_to_string(toks, ''), '')) AS nc,
+         len(list_distinct(toks)) AS nd,
+         ({_GOPHER_MARKER_SQL}) AS nmk,
+         length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS nsym,
+         length(text) AS lt
+  FROM t
+), r AS (
+  SELECT source,
+         (nw BETWEEN 25 AND 80) AS r_wordcount,
+         (4 * nw <= nc AND nc <= 6 * nw) AS r_wordlen,
+         (nmk >= 2) AS r_marker,
+         (20 * nsym <= lt) AS r_symbol,
+         (4 * nd >= 3 * nw) AS r_ttr
+  FROM f
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum((NOT r_wordcount)::INT) AS BIGINT) AS fail_wordcount,
+       CAST(sum((NOT r_wordlen)::INT) AS BIGINT)   AS fail_wordlen,
+       CAST(sum((NOT r_marker)::INT) AS BIGINT)    AS fail_marker,
+       CAST(sum((NOT r_symbol)::INT) AS BIGINT)    AS fail_symbol,
+       CAST(sum((NOT r_ttr)::INT) AS BIGINT)       AS fail_ttr,
+       CAST(sum((r_wordcount AND r_wordlen AND r_marker AND r_symbol
+                 AND r_ttr)::INT) AS BIGINT)        AS n_pass
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["gopher_rules_docs"] = (gopher_rules_docs, GOPHER_RULES_SQL)

@@ -951,3 +951,105 @@ ORDER BY e.doc_id
 
 
 QUERIES["dsir_affinity_docs"] = (dsir_affinity_docs, DSIR_AFFINITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection: fill a fixed training-token budget with the
+# highest-quality documents first — the final packing decision of every
+# curation pipeline ("we can afford N tokens; which docs make the cut?").
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adds (n_tokens, quality, cum_tokens, selected): documents ranked by
+    quality = distinct-token count (ties on id), selected while the
+    INCLUSIVE running token total stays within the budget.
+
+    Scale note: the running total is a global-ordered window — inherent to
+    greedy prefix selection.  Spark executes an un-partitioned window on a
+    single task, which is the honest cost of an exact global prefix at any
+    scale; for a 100 TB corpus the same selection runs as two passes
+    (range-repartition by (quality, id), per-range totals to the driver —
+    O(partitions) — then per-range offsets), producing the identical set.
+    The tokenizer is the shared az_tokens contract."""
+    from pyspark.sql import Window
+
+    from delta_go_spark.functions.textops import az_tokens
+
+    t = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", az_tokens(text_col))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "quality", F.size(F.array_distinct("_toks")).cast("long")
+        )
+        .drop("_toks")
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "selected", F.col("cum_tokens") <= F.lit(int(budget_tokens))
+    )
+
+
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: budget = half the corpus's tokens; per-source
+    accounting of who made the cut (the mixture a pure quality-rank
+    selection actually buys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from delta_go_spark.functions.textops import az_tokens
+
+    total = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.sum(F.size(az_tokens("text")).cast("long")).alias("t"))
+        .first()["t"]
+    )
+    budget = int(total) // 2  # exact integer halving on both engines
+    sel = token_budget_select(docs, budget)
+    return (
+        sel.filter(F.col("selected"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+            F.sum("quality").alias("quality_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_SELECT_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'),
+              x -> x <> ''))) AS BIGINT) AS quality
+  FROM documents
+  WHERE text IS NOT NULL
+), o AS (
+  SELECT *,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT source,
+       count(*) AS n_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+       CAST(sum(quality) AS BIGINT) AS quality_sum
+FROM o
+WHERE cum_tokens <= (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 FROM t)
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["token_budget_select_docs"] = (
+    token_budget_select_docs,
+    TOKEN_BUDGET_SELECT_SQL,
+)

@@ -2145,3 +2145,352 @@ QUERIES["kcenter_coreset_embeddings"] = (
     kcenter_coreset_embeddings,
     KCENTER_CORESET_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means over int8 codes, every step in exactly-defined integer /
+# IEEE arithmetic so a DuckDB oracle replays the full training run:
+# initialization, every assignment, every centroid update.  The canonical
+# embedding-clustering operator a curation pipeline runs before per-cluster
+# sampling / SemDeDup / mixture design.
+def kmeans_int8(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-replay k-means: quantize to int8 codes, seed the k centroids
+    from the k lowest-id vectors, then run `iters` assignment rounds with
+    `iters - 1` centroid updates in between.  Returns one row per
+    non-empty cluster: (cluster, n_points, inertia, cent_cks) where
+    inertia is the exact integer sum of squared L2 distances to the final
+    centroid and cent_cks = sum(centroid[i] * (i+1)) pins the centroid
+    vector itself.
+
+    Determinism contract: assignment ties break to the lowest cluster
+    index (np.argmin first-min), centroid means are floor(sum/n) with the
+    sum exactly representable as an IEEE double, and an empty cluster
+    keeps its previous centroid — each rule is replayed verbatim by the
+    unrolled-CTE oracle (_kmeans_sql).
+
+    Scale shape: codes are computed once and persisted (localCheckpoint);
+    each iteration is ONE Arrow-batched pass computing argmin against the
+    broadcast (k x dim) centroid matrix — the points never shuffle — plus
+    one partial-aggregable (cluster, pos) groupBy whose result is k*dim
+    rows; driver state is O(k * dim).  `iters` passes over the data is
+    the honest cost of Lloyd's at any scale."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    coded = (
+        quantize_int8(df, vec_col=vec_col)
+        .select(F.col(id_col).alias("vid"), "q")
+        .localCheckpoint()
+    )
+    init = coded.orderBy("vid").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_int8: empty corpus")
+    C = np.asarray([list(r.q) for r in init], dtype=np.int64)
+
+    def _assigned(Cm):
+        Cl = Cm.copy()
+        cn2 = (Cl * Cl).sum(axis=1)
+
+        @pandas_udf("struct<cluster:int,dist:bigint>")
+        def _assign(qs: pd.Series) -> pd.DataFrame:
+            m = np.vstack(qs.to_numpy()).astype(np.int64)
+            d = (
+                (m * m).sum(axis=1)[:, None]
+                - 2 * (m @ Cl.T)
+                + cn2[None, :]
+            )
+            cl = d.argmin(axis=1)  # first min = lowest cluster index
+            return pd.DataFrame(
+                {
+                    "cluster": cl.astype("int32"),
+                    "dist": d[np.arange(len(m)), cl],
+                }
+            )
+
+        return coded.select("vid", "q", _assign("q").alias("_a")).select(
+            "vid", "q", "_a.cluster", "_a.dist"
+        )
+
+    for _ in range(max(0, iters - 1)):
+        stats = (
+            _assigned(C)
+            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # <= k * dim rows — the centroid update itself, O(small)
+        newC = C.copy()  # empty cluster keeps its previous centroid
+        for r in stats:
+            newC[r["cluster"]][r["pos"]] = r["s"] // r["n"]  # exact floor
+        C = newC
+    dim = C.shape[1]
+    cks = [
+        (int(j), int((C[j] * np.arange(1, dim + 1, dtype=np.int64)).sum()))
+        for j in range(C.shape[0])
+    ]
+    cks_df = spark.createDataFrame(cks, "cluster int, cent_cks long")
+    return (
+        _assigned(C)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dist").alias("inertia"),
+        )
+        .join(F.broadcast(cks_df), "cluster", "left")
+        .orderBy("cluster")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 4-cluster / 3-round exact-replay k-means over the
+    embeddings table; the oracle unrolls the entire training run."""
+    return kmeans_int8(load_table(spark, sf_dir, "embeddings"), k=4, iters=3)
+
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(list_zip(a.qv, c.qv),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's-run oracle: c0 = codes of the k lowest ids;
+    a{t} = argmin assignment against c{t-1} (ties to the lowest cluster);
+    c{t} = per-dimension floor(sum/n) rebuild, empty clusters inheriting
+    c{t-1}.  MATERIALIZED is load-bearing: each CTE references its
+    predecessor more than once, so DuckDB's default inlining would grow
+    the plan exponentially in `iters`."""
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         {_QUANT_QV_SQL}
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cluster, qv
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, qv FROM q)
+  WHERE rn <= {k}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn
+    FROM (SELECT a.vec_id, a.qv, c.cluster, {_KM_DIST} AS dist
+          FROM q a CROSS JOIN c{t - 1} c))
+  WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""s{t} AS MATERIALIZED (
+  SELECT cluster, pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM (SELECT cluster, unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS pos
+        FROM a{t})
+  GROUP BY cluster, pos
+)"""
+            )
+            parts.append(
+                f"""c{t} AS MATERIALIZED (
+  SELECT p.cluster, COALESCE(n.qv, p.qv) AS qv
+  FROM c{t - 1} p
+  LEFT JOIN (SELECT cluster, list(cv ORDER BY pos) AS qv
+             FROM s{t} GROUP BY cluster) n USING (cluster)
+)"""
+            )
+    last = iters - 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cks AS (
+  SELECT cluster, CAST(sum(v * pos) AS BIGINT) AS cent_cks
+  FROM (SELECT cluster, unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS pos
+        FROM c{last})
+  GROUP BY cluster
+)
+SELECT a.cluster,
+       count(*) AS n_points,
+       CAST(sum(a.dist) AS BIGINT) AS inertia,
+       any_value(k.cent_cks) AS cent_cks
+FROM a{iters} a JOIN cks k ON a.cluster = k.cluster
+GROUP BY a.cluster
+ORDER BY a.cluster"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql(4, 3)
+
+
+QUERIES["kmeans_embeddings"] = (kmeans_embeddings, KMEANS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedy top-k that
+# trades relevance against redundancy — the standard diverse-subset selector
+# for eval panels, few-shot exemplars and dedup-aware retrieval reranking.
+def mmr_select(
+    df: DataFrame,
+    k: int = 10,
+    query_vec_id: int = 0,
+    rel_w: int = 7,
+    div_w: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy MMR over int8 codes, every step integer-exact.
+
+    relevance(x) = <q_x, q_query>; redundancy(x | S) = max_{s in S}
+    <q_x, q_s>; step score = rel_w * relevance - div_w * redundancy
+    (integer weights in place of the usual lambda in [0,1] so the
+    arithmetic replays exactly).  Seed = argmax relevance; every step
+    breaks ties on the lowest id.  Returns (rnk, <id_col>, relevance,
+    mmr_score) — mmr_score is NULL for the seed (no selected set yet).
+
+    Scale shape: identical to kcenter_coreset — per step ONE Arrow pass
+    reduces each batch to its best candidate (map-side combine), the JVM
+    TakeOrdered sees O(partitions) rows, driver state is the k selected
+    code vectors."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bt = "`" + id_col.replace("`", "``") + "`"
+    schema = f"rnk int, {bt} long, relevance long, mmr_score long"
+    coded = (
+        quantize_int8(df, vec_col=vec_col)
+        .select(F.col(bt).alias("vid"), "q")
+        .localCheckpoint()
+    )
+    qrow = coded.filter(F.col("vid") == query_vec_id).select("q").first()
+    if qrow is None:
+        raise ValueError(f"mmr_select: query {id_col}={query_vec_id} not found")
+    qv = np.asarray(list(qrow.q), dtype=np.int64)
+
+    def _best(selected_codes, exclude):
+        sel = (
+            np.asarray(selected_codes, dtype=np.int64)
+            if selected_codes
+            else None
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+                rel = m @ qv
+                if sel is None:
+                    score = rel_w * rel
+                else:
+                    score = rel_w * rel - div_w * (m @ sel.T).max(axis=1)
+                vids = pdf["vid"].to_numpy().astype(np.int64)
+                b = int(np.lexsort((vids, -score))[0])
+                yield pd.DataFrame(
+                    {
+                        "vid": [int(vids[b])],
+                        "rel": [int(rel[b])],
+                        "score": [int(score[b])],
+                        "q": [list(m[b])],
+                    }
+                )
+
+        rem = coded.filter(~F.col("vid").isin([int(x) for x in exclude]))
+        return (
+            rem.mapInPandas(gen, "vid long, rel long, score long, q array<long>")
+            .orderBy(F.desc("score"), F.asc("vid"))
+            .limit(1)
+            .collect()
+        )
+
+    chosen: list[tuple] = []
+    codes: list[list[int]] = []
+    exclude = [int(query_vec_id)]
+    for step in range(1, k + 1):
+        win = _best(codes, exclude)
+        if not win:
+            break
+        r = win[0]
+        chosen.append(
+            (
+                step,
+                int(r.vid),
+                int(r.rel),
+                None if step == 1 else int(r.score),
+            )
+        )
+        codes.append(list(r.q))
+        exclude.append(int(r.vid))
+    return spark.createDataFrame(chosen, schema)
+
+
+def mmr_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: 8-step MMR against query vec_id 0; the oracle
+    unrolls the greedy walk (relevance argmax seed, then 7 rounds of
+    7*rel - 3*maxsim)."""
+    return mmr_select(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+def _mmr_sql(k: int, rel_w: int = 7, div_w: int = 3, query_vec_id: int = 0) -> str:
+    """Unrolled MMR oracle; MATERIALIZED for the same 3^k reason as
+    _kcenter_sql."""
+    dot = (
+        "CAST(list_sum(list_transform(list_zip(a.qv, {o}.qv),"
+        " p -> p[1] * p[2])) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         {_QUANT_QV_SQL}
+  FROM embeddings
+)""",
+        f"""qq AS MATERIALIZED (SELECT qv FROM q WHERE vec_id = {query_vec_id})""",
+        f"""rel AS MATERIALIZED (
+  SELECT a.vec_id, a.qv, {dot.format(o='b')} AS relevance
+  FROM q a CROSS JOIN qq b
+  WHERE a.vec_id <> {query_vec_id}
+)""",
+        """sel1 AS MATERIALIZED (
+  SELECT 1 AS rnk, vec_id, qv, relevance, CAST(NULL AS BIGINT) AS mmr_score
+  FROM rel ORDER BY relevance DESC, vec_id LIMIT 1
+)""",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"""step{i} AS MATERIALIZED (
+  SELECT a.vec_id, any_value(a.qv) AS qv, any_value(a.relevance) AS relevance,
+         {rel_w} * any_value(a.relevance)
+           - {div_w} * max({dot.format(o='s')}) AS mmr_score
+  FROM rel a JOIN sel{p} s ON a.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY a.vec_id
+  ORDER BY mmr_score DESC, a.vec_id LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT * FROM sel{p} UNION ALL"
+            f" SELECT {i} AS rnk, vec_id, qv, relevance, mmr_score FROM step{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT rnk, vec_id, relevance, mmr_score FROM sel{k} ORDER BY rnk"
+    )
+
+
+MMR_DIVERSE_SQL = _mmr_sql(8)
+
+
+QUERIES["mmr_diverse_embeddings"] = (mmr_diverse_embeddings, MMR_DIVERSE_SQL)

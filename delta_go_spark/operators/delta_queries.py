@@ -783,3 +783,60 @@ ORDER BY phase, grp
 
 
 QUERIES["delta_replace_agg"] = (delta_replace_agg, DELTA_REPLACE_SQL)
+
+
+# OPTIMIZE + ZORDER in the correctness gate (maintenance.py optimize /
+# zorder; reference op/names.go OPTIMIZE).  The fixture lands orders as
+# four small-file appends, compacts them (OPTIMIZE), then rewrites the
+# active set clustered by Z-value of (o_custkey, o_totalprice) with
+# dataChange=False (ZORDER).  The query reads the maintained table through
+# a range filter the Z-clustering makes skippable while the oracle
+# aggregates the raw parquet — a hash match proves two full maintenance
+# rewrites lost/duplicated/mutated nothing.
+def delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "orders_optimized")
+
+    def build() -> None:
+        from delta_go_spark.maintenance import optimize, zorder
+
+        orders = load_table(spark, sf_dir, "orders")
+        write_dataframe(orders.filter(F.col("o_orderkey") % 4 == 0), path)
+        t = DeltaTable.for_path(spark, path)
+        for rem in (1, 2, 3):
+            t.append(orders.filter(F.col("o_orderkey") % 4 == rem))
+        # v4: bin-pack the four appends' files; v5: Z-cluster the result
+        assert optimize(spark, path, min_files=2) == 4
+        assert zorder(spark, path, ["o_custkey", "o_totalprice"]) == 5
+
+    _ensure_built(path, 5, build)
+    t = DeltaTable.for_path(spark, path)
+    return (
+        t.to_df()
+        .filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 500))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELTA_OPTIMIZE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey < 500
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["delta_optimize_agg"] = (delta_optimize_agg, DELTA_OPTIMIZE_SQL)

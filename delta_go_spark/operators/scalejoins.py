@@ -1,0 +1,156 @@
+"""Scale-join patterns as first-class, oracle-backed operators.
+
+Two of the load-bearing techniques for 100 TB joins are demonstrated (and
+hash-verified) here rather than only described in docstrings:
+
+- **Bucketed co-located join**: both sides written `bucketBy` on the join
+  key, so the sort-merge join runs with ZERO shuffle of either side — at
+  scale this is the difference between re-shuffling 100 TB per join and
+  reading pre-shuffled data in place.  (Spark bucketing; the plan pin in
+  tests/test_plan_shapes.py asserts no Exchange under the SortMergeJoin.)
+
+- **Salted skew join**: a 70 %-hot key is spread over SALT_N sub-keys on
+  the fact side while the dimension side is replicated SALT_N ways, so no
+  single task owns the hot key.  AQE's skew-join split handles moderate
+  skew automatically; explicit salting is the deterministic tool for the
+  pathological case and is what this operator pins.
+
+Both queries return plain aggregates whose DuckDB oracles are the
+unsalted / unbucketed joins — a hash match proves the physical rewrite
+changed nothing semantic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_go_spark.session import load_table
+
+_BUCKET_CACHE = os.path.join(tempfile.gettempdir(), "dgs-bucket-cache")
+
+SALT_N = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, table: str, key_col: str, n_buckets: int = 8
+) -> str:
+    """Write `table` bucketed+sorted by `key_col` once per (sf, table);
+    returns the catalog name.  External table (explicit path) so the
+    vanilla driver session needs no writable warehouse dir."""
+    sf_key = sf_dir.strip("/").replace("/", "_")
+    # catalog identifiers cannot carry dots (sf0.001) — sanitize the name,
+    # keep the raw key for the path
+    name = f"dgs_bkt_{table}_{sf_key}".replace(".", "_").replace("-", "_")
+    path = os.path.join(_BUCKET_CACHE, sf_key, table)
+    if spark.catalog.tableExists(name) and os.path.isdir(path):
+        return name
+    (
+        load_table(spark, sf_dir, table)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
+def bucketed_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on the order key with BOTH sides bucketed by it:
+    the merge-hinted sort-merge join consumes bucket-local data — no
+    Exchange on either side (plan-pinned).  At 100 TB this is the
+    pre-shuffled fact/fact join layout."""
+    li = spark.table(_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    od = spark.table(_bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    j = li.hint("merge").join(
+        od.hint("merge"), li["l_orderkey"] == od["o_orderkey"]
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum("l_linenumber").alias("line_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(sum(l_linenumber) AS BIGINT) AS line_checksum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def skew_key() -> F.Column:
+    """The deliberately-skewed join key: ~70 % of events collapse onto
+    customer key 1, the rest spread over the customer key range."""
+    return F.when(F.col("event_id") % 10 < 7, F.lit(1)).otherwise(
+        F.pmod(F.col("user_id"), F.lit(1000)) + 1
+    )
+
+
+def salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer on a 70 %-hot key, SALTED: the fact side gets a
+    deterministic salt in [0, SALT_N) and the dimension side is exploded
+    SALT_N ways, so the hot key's rows land on SALT_N tasks instead of
+    one.  The oracle is the UNSALTED join — the hash match proves salting
+    is a pure physical rewrite."""
+    ev = load_table(spark, sf_dir, "events").select(
+        skew_key().alias("ck"),
+        F.pmod(F.col("event_id"), F.lit(SALT_N)).alias("salt"),
+        # per-row integer cents BEFORE the sum: float SUM order differs
+        # across engines, integer sums do not
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))))
+    )
+    # merge hint: salting is a SHUFFLE-join technique — if the dimension
+    # were broadcastable you would broadcast instead of salt, so the
+    # operator pins the shuffle form rather than letting the tiny test
+    # fixture flip it to a broadcast join
+    j = ev.join(
+        cust.hint("merge"),
+        (ev["ck"] == cust["c_custkey"]) & (ev["salt"] == cust["salt"]),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_SKEW_JOIN_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT CASE WHEN event_id % 10 < 7 THEN 1
+                  ELSE (user_id % 1000) + 1 END AS ck,
+             value
+      FROM events) e
+JOIN customer ON e.ck = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES: dict = {
+    "bucketed_join_lineitem": (bucketed_join_lineitem, BUCKETED_JOIN_SQL),
+    "salted_skew_join_events": (salted_skew_join_events, SALTED_SKEW_JOIN_SQL),
+}

@@ -26,6 +26,7 @@ from delta_go_spark.streaming import stateful as streaming_stateful
 from delta_go_spark.streaming import windows as streaming_windows
 from delta_go_spark.operators import (
     asof,
+    scalejoins,
     cdf_queries,
     coverage,
     delta_queries,
@@ -50,16 +51,19 @@ from delta_go_spark.operators import (
 # moves below the boundary):
 #   (a) never driver-checked: kcenter_coreset_embeddings, dsir_affinity_docs
 #       (landed late in r6, below the then-full window);
-#   (b) the 45 rows whose last driver evidence is ROUND 4 (three rounds
-#       stale) — 42 fit; delta_sql_time_travel, simhash_near_dup_docs and
-#       like_regexp_docs et al. sit in the sacrificial tail below and drop
-#       out first as new round-7 queries are inserted at the top (each
-#       shares its code path with an in-window relative, and all are
-#       judge-drift-sampled + pytest-SAMPLE-pinned);
-#   (c) three round-5 fill rows at the very bottom.
-# New round-7 queries MUST be inserted at the TOP of _WINDOW (displacing the
-# tail), keeping every query whose code changed this round inside the
-# driver's evidence window.
+#   (b) queries whose code is NEW or CHANGED in round 7 (kmeans, MMR,
+#       OPTIMIZE roundtrip, bucketed/salted joins, gopher rules, streaming
+#       delta sink, token-budget select; label_col + SCD2-guard changes);
+#   (c) as many of the 45 rows whose last driver evidence is ROUND 4 as
+#       fit — 37 of them.  The 8 that wait for round 8 (simhash_docs,
+#       simhash_near_dup_docs, like_regexp_docs, media_pipeline_summary,
+#       sliding_avg_events, streaming_dedup_events, stratified_sample_docs,
+#       mixture_sample_docs, delta_sql_time_travel) each share a code path
+#       with an in-window relative and are pytest-SAMPLE-pinned.
+# New round-7 queries MUST be inserted at the TOP of _WINDOW (displacing a
+# listed row explicitly — the size check refuses silent growth), keeping
+# every query whose code changed this round inside the driver's evidence
+# window.
 # ---------------------------------------------------------------------------
 
 _WINDOW: list = [
@@ -74,10 +78,16 @@ _WINDOW: list = [
         "random_projection_embeddings",
     ]),
     (delta_queries, ["delta_scd2_agg"]),
+    # --- NEW round 7 ---
+    (similarity, ["kmeans_embeddings", "mmr_diverse_embeddings"]),
+    (delta_queries, ["delta_optimize_agg"]),
+    (scalejoins, ["bucketed_join_lineitem", "salted_skew_join_events"]),
+    (curation, ["gopher_rules_docs"]),
+    (streaming_windows, ["streaming_delta_aggsink_events"]),
+    (sampling, ["token_budget_select_docs"]),
     # --- last driver evidence: round 4 ---
     (dedup, [
         "exact_dedup_docs",
-        "simhash_docs",
         "minhash_near_dup_docs",
         "ngram_jaccard_pairs_docs",
         "dedup_keep_longest_docs",
@@ -103,7 +113,6 @@ _WINDOW: list = [
     (streaming_windows, [
         "streaming_hourly_rollup",
         "session_windows_events",
-        "streaming_dedup_events",
     ]),
     (streaming_stateful, ["stateful_running_totals"]),
     (safety, [
@@ -125,12 +134,6 @@ _WINDOW: list = [
     # --- sacrificial tail: drops below the boundary first as new round-7
     # queries land (each shares a code path with an in-window relative, or
     # carries fresher r5 evidence) ---
-    (delta_queries, ["delta_sql_time_travel"]),
-    (dedup, ["simhash_near_dup_docs"]),
-    (textops, ["like_regexp_docs"]),
-    (multimodal, ["media_pipeline_summary"]),
-    (streaming_windows, ["sliding_avg_events"]),
-    (sampling, ["stratified_sample_docs"]),
 ]
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
@@ -138,6 +141,7 @@ _WINDOW: list = [
 # registry when a module grows.
 _ALL_MODULES = [
     relational,
+    scalejoins,
     coverage,
     subqueries,
     asof,

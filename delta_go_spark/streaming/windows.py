@@ -663,3 +663,109 @@ QUERIES["streaming_leftouter_join_events"] = (
     streaming_leftouter_join_events,
     STREAMING_LEFTOUTER_JOIN_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ETL into the Delta table itself: a multi-micro-batch stream
+# folded into a per-key aggregate table via one additive MERGE per batch —
+# the lakehouse ingestion shape (foreachBatch + MERGE) with the engine's own
+# transaction log as the sink.  Exactly-once per batch comes from the
+# SetTransaction token committed atomically with each merge
+# (reference: action/trx.go, op/names.go STREAMING_UPDATE).
+def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
+    """events split into 4 source files -> readStream with
+    maxFilesPerTrigger=1 (4 micro-batches) -> per-batch groupBy(event_type)
+    -> additive MERGE into a Delta aggregate table -> read the final table.
+
+    The per-key update is ADDITIVE (n += n_batch, cents += cents_batch),
+    so the final state is independent of micro-batch order — which is what
+    makes the DuckDB oracle (the global aggregate) exact.  Work per batch
+    is proportional to the BATCH, never the table: the 100 TB ingestion
+    property."""
+    import os
+    import shutil
+    import tempfile
+
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.writer import write_dataframe
+    from delta_go_spark.session import load_table
+
+    key = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
+    src = os.path.join(cache, "ev4")
+    if not os.path.isdir(src) or len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    ) < 4:
+        shutil.rmtree(src, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    # fresh target + checkpoint per call: the query is a correctness probe,
+    # so it rebuilds rather than resuming (the replay/exactly-once path is
+    # pinned by tests/test_streaming.py on the committers themselves)
+    run_dir = tempfile.mkdtemp(prefix="dgs-aggsink-")
+    target = os.path.join(run_dir, "agg")
+    seed = spark.createDataFrame(
+        [], "event_type string, n_events long, value_cents long"
+    )
+    write_dataframe(seed, target)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        deltas = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + 0.5).cast("long")
+                ).alias("value_cents"),
+            )
+        )
+        DeltaDml(spark, target).merge(
+            deltas,
+            on="event_type",
+            update_set={
+                "n_events": F.col("n_events") + F.col("_s_n_events"),
+                "value_cents": F.col("value_cents") + F.col("_s_value_cents"),
+            },
+            txn_app_id="aggsink",
+            txn_version=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from delta_go_spark.table import DeltaTable
+
+    return DeltaTable.for_path(spark, target).to_df().orderBy("event_type")
+
+
+STREAMING_DELTA_AGGSINK_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["streaming_delta_aggsink_events"] = (
+    streaming_delta_aggsink_events,
+    STREAMING_DELTA_AGGSINK_SQL,
+)

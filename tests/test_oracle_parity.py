@@ -88,6 +88,21 @@ SAMPLE = [
     "delta_replace_agg",  # new in round 6: CREATE OR REPLACE TABLE
     "kcenter_coreset_embeddings",  # new in round 6 (below-window): FPS coreset
     "dsir_affinity_docs",  # new in round 6 (below-window): DSIR selection
+    # new in round 7 — driver window rows, belt-and-braces here too
+    "kmeans_embeddings",
+    "mmr_diverse_embeddings",
+    "delta_optimize_agg",
+    "bucketed_join_lineitem",
+    "salted_skew_join_events",
+    "gopher_rules_docs",
+    "streaming_delta_aggsink_events",
+    "token_budget_select_docs",
+    # displaced below the window in round 7 — pytest is their gate now
+    "simhash_docs",
+    "like_regexp_docs",
+    "sliding_avg_events",
+    "streaming_dedup_events",
+    "stratified_sample_docs",
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -166,11 +181,19 @@ def test_round7_queries_in_window():
         "ann_ivf_int8_docs",
         "random_projection_embeddings",
         "delta_scd2_agg",
+        # NEW in round 7
+        "kmeans_embeddings",
+        "mmr_diverse_embeddings",
+        "delta_optimize_agg",
+        "bucketed_join_lineitem",
+        "salted_skew_join_events",
+        "gopher_rules_docs",
+        "streaming_delta_aggsink_events",
+        "token_budget_select_docs",
         # the stalest driver evidence (last green round 4) — the 38
         # highest-priority of the 45; the rest sit in the window's
         # sacrificial tail and may drop out as round-7 queries land
         "exact_dedup_docs",
-        "simhash_docs",
         "minhash_near_dup_docs",
         "ngram_jaccard_pairs_docs",
         "dedup_keep_longest_docs",
@@ -193,7 +216,6 @@ def test_round7_queries_in_window():
         "binary_stats_docs",
         "streaming_hourly_rollup",
         "session_windows_events",
-        "streaming_dedup_events",
         "stateful_running_totals",
         "decontaminate_docs",
         "redact_pii_docs",

@@ -717,3 +717,37 @@ def test_dsir_affinity_broadcast_stats_partial_aggs(spark):
     assert "EvalPython" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bucketed_join_no_shuffle_either_side(spark):
+    """The bucketed co-located join's whole point: the sort-merge join
+    consumes bucket-local data, so NO ShuffleExchange may appear below the
+    join (the post-join aggregation is allowed its own exchange)."""
+    from delta_go_spark.queries import queries
+
+    df = queries()["bucketed_join_lineitem"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    join_part = plan[plan.index("SortMergeJoin"):]
+    # everything BELOW the join (its inputs) must be exchange-free
+    assert "Exchange" not in join_part, join_part[:2000]
+    # bucket pruning metadata proves the scan is bucket-aware
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    """The salted join must (a) keep the fact side explode-free, (b)
+    replicate the dimension via explode, and (c) shuffle on BOTH the key
+    and the salt so the hot key's rows split across SALT_N partitions."""
+    from delta_go_spark.queries import queries
+
+    df = queries()["salted_skew_join_events"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Generate explode" in plan  # dimension replication
+    assert plan.count("Generate explode") == 1  # ...and ONLY the dimension
+    # the equi-join keys include the salt column
+    import re
+
+    m = re.search(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
+    assert m, plan[:1500]
+    assert "salt" in m.group(2), m.group(0)
