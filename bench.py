@@ -94,6 +94,9 @@ HEADLINE = [
     "gopher_rules_docs",  # r7: quality-rule cascade
     "streaming_delta_aggsink_events",  # r7: foreachBatch merge sink
     "token_budget_select_docs",  # r7: greedy token-budget fill
+    "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
+    "curriculum_interleave_docs",  # r7: round-robin training order
+    "pq_codebook_embeddings",  # r7: product quantization + error audit
 ]
 
 
@@ -152,7 +155,7 @@ def main() -> None:
                 break
         if s in short:
             raise AssertionError(f"suffix-stripped bench name collides: {s}")
-        short[s] = secs
+        short[s] = round(secs, 2)  # 2 decimals on the wire; 3 in BENCH_FULL
     line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
     # Driver capture window is 2000 chars of stdout tail; keep slack for the
     # trailing newline and any stray stderr interleaving.

@@ -1053,3 +1053,100 @@ QUERIES["token_budget_select_docs"] = (
     token_budget_select_docs,
     TOKEN_BUDGET_SELECT_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum interleave: build the TRAINING ORDER — rank documents within
+# each source by a quality score, then round-robin across sources so every
+# training-prefix sees the best of each source in balanced proportion (the
+# standard anti-"source block" shuffle for curriculum schedules).
+def curriculum_interleave(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Adds (quality, src_rank, train_pos): quality = distinct-token count
+    (shared az_tokens contract), src_rank = rank within the source by
+    (quality desc, id), train_pos = global round-robin position ordered by
+    (src_rank, source) — position 1..S are every source's best doc,
+    positions S+1..2S their second-best, and so on.
+
+    Scale note: the per-source rank is an ordinary partitioned window; the
+    global position is a total-order materialization — inherent to
+    emitting a training order.  At 100 TB the same order is written as
+    range-bucketed shards ((src_rank, source) ranges), each shard sorted
+    locally — identical sequence, no single-task window."""
+    from pyspark.sql import Window
+
+    from delta_go_spark.functions.textops import az_tokens
+
+    t = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn(
+            "quality",
+            F.size(F.array_distinct(az_tokens(text_col))).cast("long"),
+        )
+    )
+    ws = Window.partitionBy(source_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    wg = Window.orderBy("src_rank", source_col, F.asc(id_col))
+    return (
+        t.withColumn("src_rank", F.row_number().over(ws).cast("long"))
+        .withColumn("train_pos", F.row_number().over(wg).cast("long"))
+    )
+
+
+def curriculum_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the first 120 training positions' per-source
+    accounting — counts, quality mass and a position checksum pin the
+    whole interleaved prefix."""
+    out = curriculum_interleave(load_table(spark, sf_dir, "documents"))
+    return (
+        out.filter(F.col("train_pos") <= 120)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_prefix"),
+            F.sum("quality").alias("quality_sum"),
+            F.sum("train_pos").alias("pos_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+CURRICULUM_INTERLEAVE_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(list_filter(
+              string_split_regex(lower(text), '[^a-z]+'),
+              x -> x <> ''))) AS BIGINT) AS quality
+  FROM documents
+  WHERE text IS NOT NULL
+), r AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id) AS BIGINT)
+           AS src_rank
+  FROM t
+), o AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY src_rank, source, doc_id)
+              AS BIGINT) AS train_pos
+  FROM r
+)
+SELECT source,
+       count(*) AS n_in_prefix,
+       CAST(sum(quality) AS BIGINT) AS quality_sum,
+       CAST(sum(train_pos) AS BIGINT) AS pos_checksum
+FROM o
+WHERE train_pos <= 120
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["curriculum_interleave_docs"] = (
+    curriculum_interleave_docs,
+    CURRICULUM_INTERLEAVE_SQL,
+)

@@ -2153,6 +2153,45 @@ QUERIES["kcenter_coreset_embeddings"] = (
 # initialization, every assignment, every centroid update.  The canonical
 # embedding-clustering operator a curation pipeline runs before per-cluster
 # sampling / SemDeDup / mixture design.
+def _lloyd_centroids(coded: DataFrame, k: int, iters: int):
+    """The exact-replay Lloyd training loop shared by kmeans_int8 and
+    pq_train_encode: seed = codes of the k lowest ids, then `iters - 1`
+    rounds of (argmin assignment, floor(sum/n) update, empty clusters
+    inherit).  `coded` is (vid, q array<long>).  Returns the (k x dim)
+    int64 centroid matrix; per round ONE Arrow argmin pass + one
+    k*dim-row aggregate — driver state O(k * dim)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    init = coded.orderBy("vid").limit(k).collect()
+    if not init:
+        raise ValueError("lloyd: empty corpus")
+    C = np.asarray([list(r.q) for r in init], dtype=np.int64)
+    for _ in range(max(0, iters - 1)):
+        Cl = C.copy()
+        cn2 = (Cl * Cl).sum(axis=1)
+
+        @pandas_udf("int")
+        def _assign(qs: pd.Series) -> pd.Series:
+            m = np.vstack(qs.to_numpy()).astype(np.int64)
+            d = (m * m).sum(axis=1)[:, None] - 2 * (m @ Cl.T) + cn2[None, :]
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        stats = (
+            coded.select(_assign("q").alias("cluster"), "q")
+            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # <= k * dim rows — the centroid update itself, O(small)
+        newC = C.copy()  # empty cluster keeps its previous centroid
+        for r in stats:
+            newC[r["cluster"]][r["pos"]] = r["s"] // r["n"]  # exact floor
+        C = newC
+    return C
+
+
 def kmeans_int8(
     df: DataFrame,
     k: int = 4,
@@ -2190,10 +2229,7 @@ def kmeans_int8(
         .select(F.col(id_col).alias("vid"), "q")
         .localCheckpoint()
     )
-    init = coded.orderBy("vid").limit(k).collect()
-    if not init:
-        raise ValueError("kmeans_int8: empty corpus")
-    C = np.asarray([list(r.q) for r in init], dtype=np.int64)
+    C = _lloyd_centroids(coded, k, iters)
 
     def _assigned(Cm):
         Cl = Cm.copy()
@@ -2219,18 +2255,6 @@ def kmeans_int8(
             "vid", "q", "_a.cluster", "_a.dist"
         )
 
-    for _ in range(max(0, iters - 1)):
-        stats = (
-            _assigned(C)
-            .select("cluster", F.posexplode("q").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )  # <= k * dim rows — the centroid update itself, O(small)
-        newC = C.copy()  # empty cluster keeps its previous centroid
-        for r in stats:
-            newC[r["cluster"]][r["pos"]] = r["s"] // r["n"]  # exact floor
-        C = newC
     dim = C.shape[1]
     cks = [
         (int(j), int((C[j] * np.arange(1, dim + 1, dtype=np.int64)).sum()))
@@ -2494,3 +2518,333 @@ MMR_DIVERSE_SQL = _mmr_sql(8)
 
 
 QUERIES["mmr_diverse_embeddings"] = (mmr_diverse_embeddings, MMR_DIVERSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009): fuse a
+# lexical (BM25) ranking and a dense (integer-cosine) ranking of the same
+# corpus by summing 1/(K + rank) over the lists that contain each document —
+# the standard RAG retrieval stack, with the fusion made integer-exact by
+# scoring floor(1e12 / (K + rank)) so the oracle replays every fused rank.
+def rrf_hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    pool: int = 50,
+    rrf_k: int = 60,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(doc_id, lex_rank, dense_rank, rrf_score) — top-k by fused score.
+
+    Scale shape: the lexical arm is bm25_rank's match-bounded plan; the
+    dense arm is a pure-codegen integer-cosine projection + ONE
+    TakeOrderedAndProject (pool rows, no global sort); fusion joins two
+    pool-sized (tiny) rank lists full-outer and takes the final top-k the
+    same way.  Nothing corpus-sized shuffles."""
+    from pyspark.sql import Window
+
+    from delta_go_spark.functions.textops import bm25_rank
+
+    lex = bm25_rank(docs, terms, k=pool)
+    wl = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+
+    q = quantize_int8(emb).select(
+        F.col("vec_id"), "q", int8_sq_norm(F.col("q")).alias("na2")
+    )
+    qrow = q.filter(F.col("vec_id") == query_vec_id).first()
+    if qrow is None:
+        raise ValueError(f"rrf_hybrid_search: query vec_id={query_vec_id} missing")
+    qv, qn2 = list(qrow.q), int(qrow.na2)
+    if qn2 == 0:
+        raise ValueError("rrf_hybrid_search: zero-norm query vector")
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.array(*[F.lit(int(x)) for x in qv]), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos_micro = F.floor(
+        dot / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.lit(float(qn2))))
+        * 1e6
+        + 0.5
+    ).cast("long")
+    dense = (
+        q.filter((F.col("vec_id") != query_vec_id) & (F.col("na2") > 0))
+        .select(F.col("vec_id").alias("doc_id"), cos_micro.alias("cosm"))
+        .orderBy(F.desc("cosm"), F.asc("doc_id"))
+        .limit(pool)
+    )
+    wd = Window.orderBy(F.desc("cosm"), F.asc("doc_id"))
+    dense_r = dense.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("dense_rank")
+    )
+
+    big = 10**12
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(big) / (F.lit(rrf_k) + F.col(r))).cast("long"), F.lit(0)
+    )
+    return (
+        lex_r.join(dense_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (contrib("lex_rank") + contrib("dense_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: BM25 over the 3-term probe fused with the integer
+    cosine ranking against vec_id 0 (doc ids and vec ids are the same key
+    space in the fixtures)."""
+    return rrf_hybrid_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["dup", "vector", "key"],
+    )
+
+
+def _rrf_sql(
+    terms: list[str],
+    k: int = 15,
+    pool: int = 50,
+    rrf_k: int = 60,
+    query_vec_id: int = 0,
+) -> str:
+    from delta_go_spark.functions.textops import bm25_scored_cte
+
+    return f"""
+WITH {bm25_scored_cte(terms)},
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rank
+  FROM (SELECT * FROM lex ORDER BY score_micro DESC, doc_id LIMIT {pool})
+),
+qv AS (
+  SELECT vec_id,
+         {_QUANT_QV_SQL},
+         CAST(list_sum(list_transform({_QUANT_QV_SQL.rsplit(" AS qv", 1)[0]},
+              x -> x * x)) AS BIGINT) AS na2
+  FROM embeddings
+),
+probe AS (SELECT qv AS pq, na2 AS pn2 FROM qv WHERE vec_id = {query_vec_id}),
+dense AS (
+  SELECT a.vec_id AS doc_id,
+         CAST(floor(
+           CAST(list_sum(list_transform(list_zip(a.qv, p.pq),
+                z -> z[1] * z[2])) AS BIGINT)
+           / (sqrt(CAST(a.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS cosm
+  FROM qv a CROSS JOIN probe p
+  WHERE a.vec_id <> {query_vec_id} AND a.na2 > 0
+),
+denser AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosm DESC, doc_id) AS dense_rank
+  FROM (SELECT * FROM dense ORDER BY cosm DESC, doc_id LIMIT {pool})
+)
+SELECT doc_id,
+       l.lex_rank AS lex_rank,
+       d.dense_rank AS dense_rank,
+       (COALESCE(CAST(floor(1000000000000 / ({rrf_k} + l.lex_rank))
+                 AS BIGINT), 0)
+        + COALESCE(CAST(floor(1000000000000 / ({rrf_k} + d.dense_rank))
+                   AS BIGINT), 0)) AS rrf_score
+FROM lexr l FULL OUTER JOIN denser d USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""
+
+
+RRF_HYBRID_SQL = _rrf_sql(["dup", "vector", "key"])
+
+
+QUERIES["rrf_hybrid_search_docs"] = (rrf_hybrid_search_docs, RRF_HYBRID_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split each vector into m
+# sub-blocks, train an independent ksub-centroid codebook per block (the
+# same exact-replay Lloyd loop as kmeans_int8), and encode every vector as
+# its m sub-centroid ids — the standard ANN memory compression
+# (m * log2(ksub) bits per vector).  Everything integer-exact, so the
+# DuckDB oracle replays all m training runs AND the final encoding.
+def pq_train_encode(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, pq_code, recon_err): pq_code packs the m sub-centroid ids
+    base-ksub; recon_err is the exact integer squared L2 distance between
+    the int8 codes and their reconstruction (the sum of per-block argmin
+    distances) — the compression-loss audit.
+
+    Scale shape: training is m small Lloyd runs (each: one Arrow argmin
+    pass + a ksub*sub-row aggregate per round, driver state
+    O(m * ksub * sub)); encoding is ONE Arrow pass against the stacked
+    codebooks; zero shuffle anywhere in the encode."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    coded = (
+        quantize_int8(df, vec_col=vec_col)
+        .select(F.col(id_col).alias("vid"), "q")
+        .localCheckpoint()
+    )
+    first = coded.select(F.size("q").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train_encode: empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"pq_train_encode: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for b in range(m):
+        block = coded.select(
+            "vid", F.slice("q", b * sub + 1, sub).alias("q")
+        )
+        books.append(_lloyd_centroids(block, ksub, iters))
+    Cs = [c.copy() for c in books]
+    cn2s = [(c * c).sum(axis=1) for c in Cs]
+    weights = [ksub**b for b in range(m)]
+
+    @pandas_udf("struct<code:int,err:bigint>")
+    def _enc(qs: pd.Series) -> pd.DataFrame:
+        mtx = np.vstack(qs.to_numpy()).astype(np.int64)
+        code = np.zeros(len(mtx), dtype=np.int64)
+        err = np.zeros(len(mtx), dtype=np.int64)
+        for b in range(m):
+            blk = mtx[:, b * sub : (b + 1) * sub]
+            d = (
+                (blk * blk).sum(axis=1)[:, None]
+                - 2 * (blk @ Cs[b].T)
+                + cn2s[b][None, :]
+            )
+            a = d.argmin(axis=1)
+            code += a * weights[b]
+            err += d[np.arange(len(mtx)), a]
+        return pd.DataFrame({"code": code.astype("int32"), "err": err})
+
+    return coded.select("vid", _enc("q").alias("_e")).select(
+        F.col("vid").alias(id_col),
+        F.col("_e.code").alias("pq_code"),
+        F.col("_e.err").alias("recon_err"),
+    )
+
+
+def pq_codebook_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: PQ(m=4, ksub=4, 2 Lloyd rounds) over the embeddings
+    table; the per-code histogram + reconstruction-error mass pins every
+    codebook entry and every vector's encoding."""
+    enc = pq_train_encode(load_table(spark, sf_dir, "embeddings"))
+    return (
+        enc.groupBy("pq_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("recon_err").alias("recon_err_sum"),
+        )
+        .orderBy("pq_code")
+    )
+
+
+def _pq_sql(m: int = 4, ksub: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled PQ oracle: per block, the same Lloyd-run CTE chain as
+    _kmeans_sql over the block slice; the final select joins the m last
+    assignments and packs the code.  MATERIALIZED throughout (each CTE is
+    referenced more than once — DuckDB would otherwise inline the chain
+    exponentially)."""
+    sub = dim // m
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(a.qv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""q0 AS MATERIALIZED (
+  SELECT vec_id,
+         {_QUANT_QV_SQL}
+  FROM embeddings
+)"""
+    ]
+    finals = []
+    for b in range(m):
+        lo, hi = b * sub + 1, (b + 1) * sub
+        parts.append(
+            f"qb{b} AS MATERIALIZED (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q0)"
+        )
+        parts.append(
+            f"""cb{b}_0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cluster, qv
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, qv FROM qb{b})
+  WHERE rn <= {ksub}
+)"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""ab{b}_{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn
+    FROM (SELECT a.vec_id, a.qv, c.cluster, {dist} AS dist
+          FROM qb{b} a CROSS JOIN cb{b}_{t - 1} c))
+  WHERE rn = 1
+)"""
+            )
+            if t < iters:
+                parts.append(
+                    f"""sb{b}_{t} AS MATERIALIZED (
+  SELECT cluster, pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM (SELECT cluster, unnest(qv) AS v,
+               unnest(range(1, len(qv) + 1)) AS pos
+        FROM ab{b}_{t})
+  GROUP BY cluster, pos
+)"""
+                )
+                parts.append(
+                    f"""cb{b}_{t} AS MATERIALIZED (
+  SELECT p.cluster, COALESCE(n.qv, p.qv) AS qv
+  FROM cb{b}_{t - 1} p
+  LEFT JOIN (SELECT cluster, list(cv ORDER BY pos) AS qv
+             FROM sb{b}_{t} GROUP BY cluster) n USING (cluster)
+)"""
+                )
+        finals.append(f"ab{b}_{iters}")
+    code_expr = " + ".join(
+        f"b{b}.cluster * {ksub**b}" for b in range(m)
+    )
+    err_expr = " + ".join(f"b{b}.dist" for b in range(m))
+    joins = f"{finals[0]} b0" + "".join(
+        f" JOIN {finals[b]} b{b} ON b0.vec_id = b{b}.vec_id"
+        for b in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+enc AS (
+  SELECT b0.vec_id, CAST({code_expr} AS INT) AS pq_code,
+         CAST({err_expr} AS BIGINT) AS recon_err
+  FROM {joins}
+)
+SELECT pq_code, count(*) AS n_vectors,
+       CAST(sum(recon_err) AS BIGINT) AS recon_err_sum
+FROM enc
+GROUP BY pq_code
+ORDER BY pq_code"""
+    )
+
+
+PQ_CODEBOOK_SQL = _pq_sql()
+
+
+QUERIES["pq_codebook_embeddings"] = (pq_codebook_embeddings, PQ_CODEBOOK_SQL)

@@ -1014,8 +1014,13 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["dup", "vector", "key"], k=20)
 
 
-BM25_SEARCH_SQL = """
-WITH base AS (
+def bm25_scored_cte(terms: list[str]) -> str:
+    """The BM25 scoring pipeline as a reusable CTE chain ending in
+    `lex(doc_id, score_micro, n_terms)` — embedded by the BM25 oracle
+    itself and by the RRF hybrid-retrieval oracle (similarity.py), so
+    there is exactly ONE SQL replay of the BM25 formula."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""base AS (
   SELECT doc_id, string_split(text, ' ') AS t,
          len(string_split(text, ' ')) AS dl
   FROM documents
@@ -1024,7 +1029,7 @@ WITH base AS (
 ), tf AS (
   SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
   FROM (SELECT doc_id, dl, unnest(t) AS tok FROM base)
-  WHERE tok IN ('dup', 'vector', 'key')
+  WHERE tok IN ({in_list})
   GROUP BY doc_id, tok
 ), dft AS (
   SELECT tok, count(*) AS df FROM tf GROUP BY tok
@@ -1036,10 +1041,17 @@ WITH base AS (
                (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
            * 1e6 + 0.5) AS BIGINT) AS s
   FROM tf JOIN dft d USING (tok) CROSS JOIN stats s
-)
-SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
-       CAST(count(*) AS BIGINT) AS n_terms
-FROM scored GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+)"""
+
+
+BM25_SEARCH_SQL = f"""
+WITH {bm25_scored_cte(["dup", "vector", "key"])}
+SELECT doc_id, score_micro, n_terms
+FROM lex
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT 20
 """

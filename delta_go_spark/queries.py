@@ -55,11 +55,12 @@ from delta_go_spark.operators import (
 #       OPTIMIZE roundtrip, bucketed/salted joins, gopher rules, streaming
 #       delta sink, token-budget select; label_col + SCD2-guard changes);
 #   (c) as many of the 45 rows whose last driver evidence is ROUND 4 as
-#       fit — 37 of them.  The 8 that wait for round 8 (simhash_docs,
+#       fit — 35 of them.  The 10 that wait for round 8 (simhash_docs,
 #       simhash_near_dup_docs, like_regexp_docs, media_pipeline_summary,
-#       sliding_avg_events, streaming_dedup_events, stratified_sample_docs,
-#       mixture_sample_docs, delta_sql_time_travel) each share a code path
-#       with an in-window relative and are pytest-SAMPLE-pinned.
+#       sliding_avg_events, streaming_dedup_events, session_windows_events,
+#       stratified_sample_docs, mixture_sample_docs, delta_sql_time_travel)
+#       each share a code path with an in-window relative and are
+#       pytest-SAMPLE-pinned.
 # New round-7 queries MUST be inserted at the TOP of _WINDOW (displacing a
 # listed row explicitly — the size check refuses silent growth), keeping
 # every query whose code changed this round inside the driver's evidence
@@ -85,6 +86,9 @@ _WINDOW: list = [
     (curation, ["gopher_rules_docs"]),
     (streaming_windows, ["streaming_delta_aggsink_events"]),
     (sampling, ["token_budget_select_docs"]),
+    (similarity, ["rrf_hybrid_search_docs"]),
+    (sampling, ["curriculum_interleave_docs"]),
+    (similarity, ["pq_codebook_embeddings"]),
     # --- last driver evidence: round 4 ---
     (dedup, [
         "exact_dedup_docs",
@@ -96,8 +100,6 @@ _WINDOW: list = [
     (similarity, ["knn_cosine_docs", "embedding_norms"]),
     (textops, [
         "token_stats_docs",
-        "complex_types_docs",
-        "pandas_udf_score_docs",
         "text_quality_docs",
         "lang_id_docs",
         "fingerprint_docs",
@@ -110,10 +112,7 @@ _WINDOW: list = [
     (curation, ["corpus_curation_pipeline"]),
     (sampling, ["hash_sample_docs"]),
     (multimodal, ["binary_stats_docs"]),
-    (streaming_windows, [
-        "streaming_hourly_rollup",
-        "session_windows_events",
-    ]),
+    (streaming_windows, ["streaming_hourly_rollup"]),
     (streaming_stateful, ["stateful_running_totals"]),
     (safety, [
         "decontaminate_docs",

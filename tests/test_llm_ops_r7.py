@@ -196,3 +196,99 @@ def test_bucketed_table_reused_across_calls(spark):
     b = _bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
     assert a == b
     assert spark.catalog.tableExists(a)
+
+
+def test_pq_matches_numpy_replay(spark):
+    """Per-block Lloyd training + encoding replayed in numpy must match
+    the Spark (pq_code, recon_err) exactly for every vector."""
+    from delta_go_spark.functions.similarity import pq_train_encode
+    from delta_go_spark.session import load_table
+
+    m, ksub, iters = 4, 4, 2
+    by_id = _codes(spark)
+    ids = sorted(by_id)
+    X = np.stack([by_id[i] for i in ids])
+    sub = X.shape[1] // m
+    books = []
+    for b in range(m):
+        B = X[:, b * sub : (b + 1) * sub]
+        C = B[:ksub].copy()
+        for _ in range(iters - 1):
+            d = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(ksub):
+                pts = B[a == j]
+                if len(pts):
+                    newC[j] = np.floor_divide(pts.sum(axis=0), len(pts))
+            C = newC
+        books.append(C)
+    expected = {}
+    for row, i in enumerate(ids):
+        code, err = 0, 0
+        for b in range(m):
+            blk = X[row, b * sub : (b + 1) * sub]
+            d = ((blk[None, :] - books[b]) ** 2).sum(axis=1)
+            a = int(d.argmin())
+            code += a * ksub**b
+            err += int(d[a])
+        expected[i] = (code, err)
+
+    got = {
+        int(r["vec_id"]): (int(r["pq_code"]), int(r["recon_err"]))
+        for r in pq_train_encode(
+            load_table(spark, SF_DIR, "embeddings"), m=m, ksub=ksub, iters=iters
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from delta_go_spark.functions.similarity import pq_train_encode
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 63).alias("embedding"), "label"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_encode(emb, m=4).collect()
+
+
+def test_rrf_fusion_contract(spark):
+    """Every fused score must equal the sum of floor(1e12/(60+rank))
+    contributions of the lists that contain the doc, and a doc present in
+    both lists must outrank a same-rank doc present in one."""
+    from delta_go_spark.queries import queries
+
+    rows = queries()["rrf_hybrid_search_docs"](spark, SF_DIR).collect()
+    assert rows
+    big = 10**12
+    for r in rows:
+        want = 0
+        if r["lex_rank"] is not None:
+            want += big // (60 + int(r["lex_rank"]))
+        if r["dense_rank"] is not None:
+            want += big // (60 + int(r["dense_rank"]))
+        assert int(r["rrf_score"]) == want
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None
+    scores = [int(r["rrf_score"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_curriculum_interleave_round_robin(spark):
+    """Positions 1..S must be S distinct sources' rank-1 docs; within a
+    source the positions must be strictly increasing in src_rank."""
+    from delta_go_spark.functions.sampling import curriculum_interleave
+    from delta_go_spark.session import load_table
+
+    out = curriculum_interleave(load_table(spark, SF_DIR, "documents"))
+    rows = out.select("source", "src_rank", "train_pos").collect()
+    n_sources = len({r["source"] for r in rows})
+    first_block = sorted(rows, key=lambda r: r["train_pos"])[:n_sources]
+    assert {r["source"] for r in first_block} == {r["source"] for r in rows}
+    assert all(r["src_rank"] == 1 for r in first_block)
+    by_src = {}
+    for r in sorted(rows, key=lambda r: r["train_pos"]):
+        by_src.setdefault(r["source"], []).append(r["src_rank"])
+    for ranks in by_src.values():
+        assert ranks == sorted(ranks)

@@ -97,12 +97,18 @@ SAMPLE = [
     "gopher_rules_docs",
     "streaming_delta_aggsink_events",
     "token_budget_select_docs",
+    "rrf_hybrid_search_docs",
+    "curriculum_interleave_docs",
+    "pq_codebook_embeddings",
     # displaced below the window in round 7 — pytest is their gate now
     "simhash_docs",
     "like_regexp_docs",
     "sliding_avg_events",
     "streaming_dedup_events",
+    "session_windows_events",
     "stratified_sample_docs",
+    "pandas_udf_score_docs",
+    "complex_types_docs",
     # displaced below the window in round 6 — pytest is their gate now
     "ngram_jaccard_pairs_docs",
     "dedup_keep_longest_docs",
@@ -190,6 +196,9 @@ def test_round7_queries_in_window():
         "gopher_rules_docs",
         "streaming_delta_aggsink_events",
         "token_budget_select_docs",
+        "rrf_hybrid_search_docs",
+        "curriculum_interleave_docs",
+        "pq_codebook_embeddings",
         # the stalest driver evidence (last green round 4) — the 38
         # highest-priority of the 45; the rest sit in the window's
         # sacrificial tail and may drop out as round-7 queries land
@@ -201,8 +210,6 @@ def test_round7_queries_in_window():
         "knn_cosine_docs",
         "embedding_norms",
         "token_stats_docs",
-        "complex_types_docs",
-        "pandas_udf_score_docs",
         "text_quality_docs",
         "lang_id_docs",
         "fingerprint_docs",
@@ -215,7 +222,6 @@ def test_round7_queries_in_window():
         "hash_sample_docs",
         "binary_stats_docs",
         "streaming_hourly_rollup",
-        "session_windows_events",
         "stateful_running_totals",
         "decontaminate_docs",
         "redact_pii_docs",
