@@ -967,15 +967,11 @@ def token_budget_select(
     quality = distinct-token count (ties on id), selected while the
     INCLUSIVE running token total stays within the budget.
 
-    Scale note: the running total is a global-ordered window — inherent to
-    greedy prefix selection.  Spark executes an un-partitioned window on a
-    single task, which is the honest cost of an exact global prefix at any
-    scale; for a 100 TB corpus the same selection runs as two passes
-    (range-repartition by (quality, id), per-range totals to the driver —
-    O(partitions) — then per-range offsets), producing the identical set.
-    The tokenizer is the shared az_tokens contract."""
-    from pyspark.sql import Window
-
+    Scale note: the running total is computed with the two-pass
+    range-partitioned prefix (_global_prefix) — per-range local sums in
+    parallel, O(partitions) subtotals to the driver, offsets broadcast
+    back — never an un-partitioned single-task window.  The tokenizer is
+    the shared az_tokens contract."""
     from delta_go_spark.functions.textops import az_tokens
 
     t = (
@@ -987,11 +983,13 @@ def token_budget_select(
         )
         .drop("_toks")
     )
-    w = (
-        Window.orderBy(F.desc("quality"), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+    out = _global_prefix(
+        t,
+        [F.desc("quality"), F.asc(id_col)],
+        sum_col="n_tokens",
+        cum_col="cum_tokens",
+    ).drop("_grn")
+    return out.withColumn(
         "selected", F.col("cum_tokens") <= F.lit(int(budget_tokens))
     )
 
@@ -1072,11 +1070,11 @@ def curriculum_interleave(
     (src_rank, source) — position 1..S are every source's best doc,
     positions S+1..2S their second-best, and so on.
 
-    Scale note: the per-source rank is an ordinary partitioned window; the
-    global position is a total-order materialization — inherent to
-    emitting a training order.  At 100 TB the same order is written as
-    range-bucketed shards ((src_rank, source) ranges), each shard sorted
-    locally — identical sequence, no single-task window."""
+    Scale note: the per-source rank is an ordinary partitioned window;
+    the global position comes from the two-pass range-partitioned prefix
+    (_global_prefix) — per-range local ranks in parallel, O(partitions)
+    counts to the driver, offsets broadcast back — never a single-task
+    global window."""
     from pyspark.sql import Window
 
     from delta_go_spark.functions.textops import az_tokens
@@ -1091,10 +1089,11 @@ def curriculum_interleave(
     ws = Window.partitionBy(source_col).orderBy(
         F.desc("quality"), F.asc(id_col)
     )
-    wg = Window.orderBy("src_rank", source_col, F.asc(id_col))
-    return (
-        t.withColumn("src_rank", F.row_number().over(ws).cast("long"))
-        .withColumn("train_pos", F.row_number().over(wg).cast("long"))
+    ranked = t.withColumn("src_rank", F.row_number().over(ws).cast("long"))
+    return _global_prefix(
+        ranked,
+        [F.asc("src_rank"), F.asc(source_col), F.asc(id_col)],
+        rn_col="train_pos",
     )
 
 
@@ -1150,3 +1149,60 @@ QUERIES["curriculum_interleave_docs"] = (
     curriculum_interleave_docs,
     CURRICULUM_INTERLEAVE_SQL,
 )
+
+
+def _global_prefix(
+    df: DataFrame,
+    order_cols: list,
+    sum_col: str | None = None,
+    rn_col: str = "_grn",
+    cum_col: str = "_gcum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global row_number (and optional running sum) over a TOTAL
+    order, computed WITHOUT an un-partitioned window.
+
+    The naive `Window.orderBy(...)` funnels every row through ONE task —
+    the classic 100 TB scale-killer for order statistics.  This is the
+    standard two-pass form instead: range-repartition on the order (range
+    k of the sort order lands in partition k), compute per-partition local
+    ranks/prefix-sums in parallel, collect only the O(partitions)
+    subtotals to the driver, and broadcast the per-partition offsets back.
+    The order columns must form a total order (include a unique id);
+    results are then independent of the sampled range boundaries."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = part.withColumn(rn_col, F.row_number().over(wloc).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sum_col is not None:
+        local = local.withColumn(
+            cum_col,
+            F.sum(sum_col).over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs.append(F.sum(sum_col).alias("_s"))
+    totals = sorted(
+        local.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r["_pid"]
+    )  # O(partitions) driver rows — the whole point
+    offsets, run_n, run_s = [], 0, 0
+    for r in totals:
+        offsets.append((int(r["_pid"]), run_n, run_s))
+        run_n += int(r["_n"])
+        if sum_col is not None:
+            run_s += int(r["_s"])
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, _off_n long, _off_s long"
+    )
+    out = (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rn_col, F.col(rn_col) + F.col("_off_n"))
+    )
+    if sum_col is not None:
+        out = out.withColumn(cum_col, F.col(cum_col) + F.col("_off_s"))
+    return out.drop("_pid", "_off_n", "_off_s")

@@ -751,3 +751,25 @@ def test_salted_skew_join_spreads_hot_key(spark):
     m = re.search(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
     assert m, plan[:1500]
     assert "salt" in m.group(2), m.group(0)
+
+
+@pytest.mark.parametrize(
+    "qname", ["token_budget_select_docs", "curriculum_interleave_docs"]
+)
+def test_global_prefix_never_single_task_window(spark, qname):
+    """Exact global order statistics must use the two-pass range-
+    partitioned prefix: the plan carries a RangePartitioning exchange and
+    NO un-partitioned window (windowspecdefinition with an empty
+    partition list = every row through one task)."""
+    import re
+
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()[qname](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        # partition columns precede the order columns; an EMPTY partition
+        # list means the spec's very first entry already carries an
+        # ASC/DESC direction — that is the single-task shape we forbid
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec
