@@ -957,6 +957,25 @@ QUERIES["dsir_affinity_docs"] = (dsir_affinity_docs, DSIR_AFFINITY_SQL)
 # Token-budget greedy selection: fill a fixed training-token budget with the
 # highest-quality documents first — the final packing decision of every
 # curation pipeline ("we can afford N tokens; which docs make the cut?").
+def with_token_quality(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(original cols) + n_tokens + quality (distinct-token count), the
+    shared az_tokens contract — the ONE tokenize pass token_budget_select
+    and its callers reuse."""
+    from delta_go_spark.functions.textops import az_tokens
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_toks", az_tokens(text_col))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "quality", F.size(F.array_distinct("_toks")).cast("long")
+        )
+        .drop("_toks")
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget_tokens: int,
@@ -971,17 +990,13 @@ def token_budget_select(
     range-partitioned prefix (_global_prefix) — per-range local sums in
     parallel, O(partitions) subtotals to the driver, offsets broadcast
     back — never an un-partitioned single-task window.  The tokenizer is
-    the shared az_tokens contract."""
-    from delta_go_spark.functions.textops import az_tokens
-
+    the shared az_tokens contract.  A frame that already carries
+    n_tokens/quality (from with_token_quality) is used as-is, so callers
+    that also need the corpus total tokenize ONCE."""
     t = (
-        df.filter(F.col(text_col).isNotNull())
-        .withColumn("_toks", az_tokens(text_col))
-        .withColumn("n_tokens", F.size("_toks").cast("long"))
-        .withColumn(
-            "quality", F.size(F.array_distinct("_toks")).cast("long")
-        )
-        .drop("_toks")
+        df
+        if "n_tokens" in df.columns and "quality" in df.columns
+        else with_token_quality(df, text_col)
     )
     out = _global_prefix(
         t,
@@ -999,15 +1014,11 @@ def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting of who made the cut (the mixture a pure quality-rank
     selection actually buys)."""
     docs = load_table(spark, sf_dir, "documents")
-    from delta_go_spark.functions.textops import az_tokens
-
-    total = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.sum(F.size(az_tokens("text")).cast("long")).alias("t"))
-        .first()["t"]
-    )
+    # tokenize ONCE: the budget total and the selection share this frame
+    tq = with_token_quality(docs).localCheckpoint(eager=False)
+    total = tq.select(F.sum("n_tokens").alias("t")).first()["t"]
     budget = int(total) // 2  # exact integer halving on both engines
-    sel = token_budget_select(docs, budget)
+    sel = token_budget_select(tq, budget)
     return (
         sel.filter(F.col("selected"))
         .groupBy("source")
@@ -1077,15 +1088,7 @@ def curriculum_interleave(
     global window."""
     from pyspark.sql import Window
 
-    from delta_go_spark.functions.textops import az_tokens
-
-    t = (
-        df.filter(F.col(text_col).isNotNull())
-        .withColumn(
-            "quality",
-            F.size(F.array_distinct(az_tokens(text_col))).cast("long"),
-        )
-    )
+    t = with_token_quality(df, text_col).drop("n_tokens")
     ws = Window.partitionBy(source_col).orderBy(
         F.desc("quality"), F.asc(id_col)
     )
@@ -1187,6 +1190,13 @@ def _global_prefix(
             ),
         )
         aggs.append(F.sum(sum_col).alias("_s"))
+    # PIN the partitioning: repartitionByRange samples its boundaries with
+    # an RDD-id-derived seed, so re-executing the plan for the totals job
+    # and again for the consuming join could land rows in DIFFERENT ranges
+    # — local ranks from one partitioning plus offsets from another are
+    # silently wrong.  localCheckpoint materializes one partitioning that
+    # both jobs reuse.
+    local = local.localCheckpoint(eager=False)
     totals = sorted(
         local.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r["_pid"]
     )  # O(partitions) driver rows — the whole point

@@ -2746,7 +2746,16 @@ def pq_codebook_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: PQ(m=4, ksub=4, 2 Lloyd rounds) over the embeddings
     table; the per-code histogram + reconstruction-error mass pins every
     codebook entry and every vector's encoding."""
-    enc = pq_train_encode(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    if dim != 64:
+        # PQ_CODEBOOK_SQL slices qv[1:16]..[49:64]; a regenerated fixture
+        # with another dimension must fail HERE with a clear message, not
+        # as an opaque oracle hash mismatch
+        raise ValueError(
+            f"pq_codebook_embeddings oracle is pinned to dim 64, got {dim}"
+        )
+    enc = pq_train_encode(emb)
     return (
         enc.groupBy("pq_code")
         .agg(

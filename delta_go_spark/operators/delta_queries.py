@@ -809,8 +809,15 @@ def delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rem in (1, 2, 3):
             t.append(orders.filter(F.col("o_orderkey") % 4 == rem))
         # v4: bin-pack the four appends' files; v5: Z-cluster the result
-        assert optimize(spark, path, min_files=2) == 4
-        assert zorder(spark, path, ["o_custkey", "o_totalprice"]) == 5
+        # (calls OUTSIDE the asserts: python -O strips assert statements,
+        # and the maintenance rewrites are the whole point of the fixture)
+        v_opt = optimize(spark, path, min_files=2)
+        v_z = zorder(spark, path, ["o_custkey", "o_totalprice"])
+        if (v_opt, v_z) != (4, 5):
+            raise RuntimeError(
+                f"orders_optimized fixture built unexpected versions "
+                f"(optimize={v_opt}, zorder={v_z})"
+            )
 
     _ensure_built(path, 5, build)
     t = DeltaTable.for_path(spark, path)

@@ -95,6 +95,8 @@ ORDER BY o_orderpriority
 def skew_key() -> F.Column:
     """The deliberately-skewed join key: ~70 % of events collapse onto
     customer key 1, the rest spread over the customer key range."""
+    # pmod (never negative) — the oracle mirrors it as ((x%1000)+1000)%1000
+    # because SQL % keeps the dividend's sign
     return F.when(F.col("event_id") % 10 < 7, F.lit(1)).otherwise(
         F.pmod(F.col("user_id"), F.lit(1000)) + 1
     )
@@ -141,7 +143,7 @@ SELECT c_mktsegment,
        count(*) AS n_events,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM (SELECT CASE WHEN event_id % 10 < 7 THEN 1
-                  ELSE (user_id % 1000) + 1 END AS ck,
+                  ELSE (((user_id % 1000) + 1000) % 1000) + 1 END AS ck,
              value
       FROM events) e
 JOIN customer ON e.ck = c_custkey

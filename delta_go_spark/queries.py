@@ -55,9 +55,10 @@ from delta_go_spark.operators import (
 #       OPTIMIZE roundtrip, bucketed/salted joins, gopher rules, streaming
 #       delta sink, token-budget select; label_col + SCD2-guard changes);
 #   (c) as many of the 45 rows whose last driver evidence is ROUND 4 as
-#       fit — 35 of them.  The 10 that wait for round 8 (simhash_docs,
-#       simhash_near_dup_docs, like_regexp_docs, media_pipeline_summary,
-#       sliding_avg_events, streaming_dedup_events, session_windows_events,
+#       fit — 33 of them.  The 12 that wait for round 8 (simhash_docs,
+#       simhash_near_dup_docs, like_regexp_docs, complex_types_docs,
+#       pandas_udf_score_docs, media_pipeline_summary, sliding_avg_events,
+#       streaming_dedup_events, session_windows_events,
 #       stratified_sample_docs, mixture_sample_docs, delta_sql_time_travel)
 #       each share a code path with an in-window relative and are
 #       pytest-SAMPLE-pinned.
@@ -180,8 +181,18 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             f"correctness window), got {len(out)} — displace or add rows "
             f"explicitly"
         )
+    owners: dict[str, str] = {}
     for mod in _ALL_MODULES:
         for name, entry in mod.QUERIES.items():
+            if name in owners:
+                # a name defined in TWO modules would silently resolve to
+                # whichever sweeps first — the driver would hash-check the
+                # wrong implementation with no error anywhere
+                raise ValueError(
+                    f"query {name!r} defined in both {owners[name]} and "
+                    f"{mod.__name__}"
+                )
+            owners[name] = mod.__name__
             out.setdefault(name, entry)
     return out
 

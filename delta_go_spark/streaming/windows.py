@@ -703,10 +703,15 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(src)
 
-    # fresh target + checkpoint per call: the query is a correctness probe,
-    # so it rebuilds rather than resuming (the replay/exactly-once path is
-    # pinned by tests/test_streaming.py on the committers themselves)
-    run_dir = tempfile.mkdtemp(prefix="dgs-aggsink-")
+    # fresh target + checkpoint per call — but at a FIXED path wiped on
+    # entry, so repeated runs (driver window + parity tests + bench
+    # best-of-3) reuse one directory instead of leaking a mkdtemp tree per
+    # call.  The query rebuilds rather than resuming (the
+    # replay/exactly-once path is pinned by tests/test_streaming.py on the
+    # committers themselves).
+    run_dir = os.path.join(cache, "aggsink_run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
     target = os.path.join(run_dir, "agg")
     seed = spark.createDataFrame(
         [], "event_type string, n_events long, value_cents long"

@@ -199,9 +199,9 @@ def test_round7_queries_in_window():
         "rrf_hybrid_search_docs",
         "curriculum_interleave_docs",
         "pq_codebook_embeddings",
-        # the stalest driver evidence (last green round 4) — the 38
-        # highest-priority of the 45; the rest sit in the window's
-        # sacrificial tail and may drop out as round-7 queries land
+        # the stalest driver evidence (last green round 4) — the 33 that
+        # fit alongside the round-7 additions; the other 12 wait for the
+        # round-8 rotation (pytest-SAMPLE-pinned meanwhile)
         "exact_dedup_docs",
         "minhash_near_dup_docs",
         "ngram_jaccard_pairs_docs",
