@@ -97,6 +97,9 @@ HEADLINE = [
     "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
     "curriculum_interleave_docs",  # r7: round-robin training order
     "pq_codebook_embeddings",  # r7: product quantization + error audit
+    "delta_vacuum_agg",  # r7 (late): VACUUM end-to-end
+    "delta_restore_agg",  # r7 (late): RESTORE TO VERSION end-to-end
+    "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
 ]
 
 
@@ -157,9 +160,11 @@ def main() -> None:
             raise AssertionError(f"suffix-stripped bench name collides: {s}")
         short[s] = round(secs, 2)  # 2 decimals on the wire; 3 in BENCH_FULL
     line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
-    # Driver capture window is 2000 chars of stdout tail; keep slack for the
-    # trailing newline and any stray stderr interleaving.
-    assert len(line) <= 1900, f"bench JSON line too long ({len(line)} > 1900)"
+    # Driver capture window is 2000 chars of stdout tail; keep slack for
+    # the trailing newline.  If this trips, TRIM the headline set or move
+    # to integer-millisecond values — do not let the line overflow (round
+    # 6's did, and the driver recorded parsed:null).
+    assert len(line) <= 1950, f"bench JSON line too long ({len(line)} > 1950)"
     print(line)
 
 

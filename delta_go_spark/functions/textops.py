@@ -1675,3 +1675,113 @@ def bpe_apply(
         return texts.map(one)
 
     return df.withColumn(out_col, _apply(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-coverage fluency proxy: the integer-exact stand-in for an n-gram-LM
+# perplexity filter (true log-prob scoring diverges across engines in the
+# last ulp; occurrence counting does not).  A document whose adjacent token
+# pairs are rarely seen anywhere else in the corpus is boilerplate, noise,
+# or another language — the same signal an LM filter thresholds on.
+BIGRAM_COVERAGE_MIN_COUNT = 20
+
+
+def bigram_coverage(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bigrams, n_covered): per document, how many of its adjacent
+    token pairs occur >= BIGRAM_COVERAGE_MIN_COUNT times corpus-wide.
+
+    Scale shape: bigrams are built with a zero-shuffle zip of two array
+    slices; the corpus counts are ONE partial-aggregable groupBy on the
+    bigram key; the coverage join is key-bounded by corpus token volume.
+    At 100 TB the count table is the thing to persist and reuse across
+    runs (it is the corpus LM)."""
+    toks = az_tokens(text_col)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    n = F.size("_t")
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = (
+        pairs.join(counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                (F.col("_c") >= BIGRAM_COVERAGE_MIN_COUNT).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return per_doc
+
+
+def bigram_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source fluency accounting — bigram totals,
+    covered totals, and the count of 'fluent' docs (>= 90 % coverage,
+    cross-multiplied)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cov = bigram_coverage(docs)
+    joined = docs.select("doc_id", "source").join(cov, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("bigrams_total"),
+            F.sum("n_covered").alias("covered_total"),
+            F.sum(
+                (10 * F.col("n_covered") >= 9 * F.col("n_bigrams")).cast(
+                    "long"
+                )
+            ).alias("n_fluent"),
+        )
+        .orderBy("source")
+    )
+
+
+BIGRAM_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+), bg AS (
+  SELECT doc_id, w1 || ' ' || w2 AS bg FROM (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM t)
+), cc AS (
+  SELECT bg, count(*) AS c FROM bg GROUP BY bg
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum((c >= {BIGRAM_COVERAGE_MIN_COUNT})::INT) AS BIGINT)
+           AS n_covered
+  FROM bg JOIN cc USING (bg)
+  GROUP BY doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS bigrams_total,
+       CAST(sum(n_covered) AS BIGINT) AS covered_total,
+       CAST(sum((10 * n_covered >= 9 * n_bigrams)::INT) AS BIGINT)
+         AS n_fluent
+FROM t JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["bigram_coverage_docs"] = (bigram_coverage_docs, BIGRAM_COVERAGE_SQL)

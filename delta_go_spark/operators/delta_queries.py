@@ -847,3 +847,116 @@ ORDER BY o_orderstatus
 
 
 QUERIES["delta_optimize_agg"] = (delta_optimize_agg, DELTA_OPTIMIZE_SQL)
+
+
+# VACUUM in the correctness gate (vacuum.py; reference op/names.go VACUUM /
+# the '-vacuumed' golden table).  The fixture overwrites part so v0's files
+# become unreferenced, vacuums them with retention 0, then reads the LIVE
+# snapshot — a hash match proves vacuum deleted only dead files; a physical
+# file-count check in build() proves it actually deleted something.
+def delta_vacuum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "part_vacuumed")
+
+    def build() -> None:
+        import glob
+
+        from delta_go_spark.vacuum import vacuum
+
+        part = load_table(spark, sf_dir, "part")
+        write_dataframe(part.filter(F.col("p_size") > 25), path)  # v0: dead-to-be
+        write_dataframe(
+            part.filter(F.col("p_size") <= 25), path, mode="overwrite"
+        )  # v1: live
+        before = len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+        removed = vacuum(path, retention_millis=0)
+        after = len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+        if not removed or after >= before:
+            raise RuntimeError(
+                f"vacuum fixture deleted nothing ({before} -> {after})"
+            )
+
+    _ensure_built(path, 1, build)
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").alias("size_sum"),
+            F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+DELTA_VACUUM_SQL = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       CAST(sum(p_size) AS BIGINT) AS size_sum,
+       round(sum(p_retailprice), 2) AS price_sum
+FROM part
+WHERE p_size <= 25
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+QUERIES["delta_vacuum_agg"] = (delta_vacuum_agg, DELTA_VACUUM_SQL)
+
+
+# RESTORE in the correctness gate (maintenance.py restore; reference
+# op/names.go RESTORE).  supplier lands as v0, an overwrite replaces it
+# with a disjoint slice (v1), RESTORE TO VERSION 0 re-adds v0's files as a
+# THIRD commit (history preserved).  The query reads the live post-restore
+# snapshot; the oracle rebuilds v0 from raw parquet — a hash match proves
+# the restore re-activated exactly the v0 file set.
+def delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "supplier_restored")
+
+    def build() -> None:
+        from delta_go_spark.maintenance import restore
+
+        sup = load_table(spark, sf_dir, "supplier")
+        write_dataframe(sup.filter(F.col("s_suppkey") % 2 == 0), path)
+        write_dataframe(
+            sup.filter(F.col("s_suppkey") % 2 == 1), path, mode="overwrite"
+        )
+        v = restore(spark, path, 0)
+        if v != 2:
+            raise RuntimeError(f"restore committed unexpected version {v}")
+
+    _ensure_built(path, 2, build)
+    df = DeltaTable.for_path(spark, path).to_df()
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+            F.sum("s_suppkey").alias("key_checksum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+DELTA_RESTORE_SQL = """
+SELECT s_nationkey,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS bal_sum,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_checksum
+FROM supplier
+WHERE s_suppkey % 2 = 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+QUERIES["delta_restore_agg"] = (delta_restore_agg, DELTA_RESTORE_SQL)

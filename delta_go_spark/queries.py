@@ -131,10 +131,13 @@ _WINDOW: list = [
         "delta_incremental_agg",
     ]),
     (cdf_queries, ["delta_cdf_agg"]),
-    # --- sacrificial tail: drops below the boundary first as new round-7
-    # queries land (each shares a code path with an in-window relative, or
-    # carries fresher r5 evidence) ---
 ]
+# Late-round-7 additions live BELOW the boundary (the window was already
+# full of this round's new code + the stalest r4 rows): delta_vacuum_agg,
+# delta_restore_agg, bigram_coverage_docs enter via the module sweep,
+# are pinned in the pytest parity SAMPLE, and sit at the HEAD of the
+# round-8 rotation together with the 12 waiting r4 rows (same precedent
+# as kcenter/dsir in round 6).
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the
