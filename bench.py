@@ -157,14 +157,15 @@ def main() -> None:
                 s = s[: -len(suffix)]
                 break
         if s in short:
-            raise AssertionError(f"suffix-stripped bench name collides: {s}")
+            raise RuntimeError(f"suffix-stripped bench name collides: {s}")
         short[s] = round(secs, 2)  # 2 decimals on the wire; 3 in BENCH_FULL
     line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
     # Driver capture window is 2000 chars of stdout tail; keep slack for
     # the trailing newline.  If this trips, TRIM the headline set or move
     # to integer-millisecond values — do not let the line overflow (round
     # 6's did, and the driver recorded parsed:null).
-    assert len(line) <= 1950, f"bench JSON line too long ({len(line)} > 1950)"
+    if len(line) > 1950:  # if/raise: python -O would strip an assert
+        raise RuntimeError(f"bench JSON line too long ({len(line)} > 1950)")
     print(line)
 
 

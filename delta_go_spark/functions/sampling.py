@@ -981,6 +981,7 @@ def token_budget_select(
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    precomputed: bool = False,
 ) -> DataFrame:
     """Adds (n_tokens, quality, cum_tokens, selected): documents ranked by
     quality = distinct-token count (ties on id), selected while the
@@ -990,14 +991,18 @@ def token_budget_select(
     range-partitioned prefix (_global_prefix) — per-range local sums in
     parallel, O(partitions) subtotals to the driver, offsets broadcast
     back — never an un-partitioned single-task window.  The tokenizer is
-    the shared az_tokens contract.  A frame that already carries
-    n_tokens/quality (from with_token_quality) is used as-is, so callers
-    that also need the corpus total tokenize ONCE."""
-    t = (
-        df
-        if "n_tokens" in df.columns and "quality" in df.columns
-        else with_token_quality(df, text_col)
-    )
+    the shared az_tokens contract.  precomputed=True declares the frame
+    already carries with_token_quality's n_tokens/quality columns (the
+    caller tokenized once for its own budget total) — an EXPLICIT opt-in,
+    because silently trusting any columns that happen to share those
+    names would compute the fill from foreign numbers."""
+    if precomputed:
+        missing = {"n_tokens", "quality"} - set(df.columns)
+        if missing:
+            raise ValueError(f"precomputed frame lacks {sorted(missing)}")
+        t = df
+    else:
+        t = with_token_quality(df, text_col)
     out = _global_prefix(
         t,
         [F.desc("quality"), F.asc(id_col)],
@@ -1018,7 +1023,7 @@ def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = with_token_quality(docs).localCheckpoint(eager=False)
     total = tq.select(F.sum("n_tokens").alias("t")).first()["t"]
     budget = int(total) // 2  # exact integer halving on both engines
-    sel = token_budget_select(tq, budget)
+    sel = token_budget_select(tq, budget, precomputed=True)
     return (
         sel.filter(F.col("selected"))
         .groupBy("source")

@@ -130,6 +130,20 @@ def az_tokens(text_col: str = "text"):
     )
 
 
+def adjacent_pairs(toks_col):
+    """array<struct<t1,t2>> of ADJACENT token pairs — the one bigram
+    constructor shared by pmi_bigrams and bigram_coverage (zip of the two
+    off-by-one slices; arrays shorter than 2 yield an empty array).  Like
+    az_tokens, its DuckDB twin is embedded verbatim in each consumer's
+    oracle: parallel unnest of toks[1:len-1] and toks[2:len]."""
+    n = F.size(toks_col)
+    guard = F.greatest(n - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks_col, 1, guard).alias("t1"),
+        F.slice(toks_col, 2, guard).alias("t2"),
+    )
+
+
 def _marker_hits(text_col, words: list[str]):
     """Total occurrences of marker words, counted as token matches."""
     padded = F.concat(F.lit(" "), text_col, F.lit(" "))
@@ -1302,15 +1316,7 @@ def pmi_bigrams(
     )
     total = uni.agg(F.sum("c").cast("long").alias("n"))
     bigc = (
-        base.filter(F.size("_t") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("_t", 1, F.size("_t") - 1).alias("t1"),
-                    F.slice("_t", 2, F.size("_t") - 1).alias("t2"),
-                )
-            ).alias("_bg")
-        )
+        base.select(F.explode(adjacent_pairs(F.col("_t"))).alias("_bg"))
         .select(F.col("_bg.t1").alias("t1"), F.col("_bg.t2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
@@ -1701,16 +1707,11 @@ def bigram_coverage(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("_t")
     )
-    n = F.size("_t")
     pairs = base.select(
+        id_col, F.explode(adjacent_pairs(F.col("_t"))).alias("_bg")
+    ).select(
         id_col,
-        F.explode(
-            F.zip_with(
-                F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
-                F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bg"),
+        F.concat(F.col("_bg.t1"), F.lit(" "), F.col("_bg.t2")).alias("bg"),
     )
     counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
     per_doc = (

@@ -860,6 +860,13 @@ def delta_vacuum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(_CACHE_ROOT, key, "part_vacuumed")
+    # VACUUM makes no commit, so the log version CANNOT encode "vacuum
+    # ran" — a run killed between the v1 overwrite and the vacuum would
+    # leave a table _ensure_built happily serves forever, silently
+    # downgrading this gate to a plain overwrite test.  A marker written
+    # strictly AFTER a verified vacuum is the sentinel; no marker ->
+    # rebuild from scratch.
+    marker = os.path.join(path, "_dgs_vacuum_done")
 
     def build() -> None:
         import glob
@@ -880,7 +887,13 @@ def delta_vacuum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"vacuum fixture deleted nothing ({before} -> {after})"
             )
+        with open(marker, "w") as f:
+            f.write("ok\n")
 
+    if os.path.isdir(path) and not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     _ensure_built(path, 1, build)
     df = DeltaTable.for_path(spark, path).to_df()
     return (

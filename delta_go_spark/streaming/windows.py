@@ -703,13 +703,27 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(src)
 
-    # fresh target + checkpoint per call — but at a FIXED path wiped on
-    # entry, so repeated runs (driver window + parity tests + bench
-    # best-of-3) reuse one directory instead of leaking a mkdtemp tree per
-    # call.  The query rebuilds rather than resuming (the
-    # replay/exactly-once path is pinned by tests/test_streaming.py on the
-    # committers themselves).
-    run_dir = os.path.join(cache, "aggsink_run")
+    # fresh target + checkpoint per call, collision-free ACROSS processes
+    # (a fixed shared path rmtree'd on entry would clobber a concurrent
+    # run's live checkpoint): each call gets run-<pid>, wiped on entry —
+    # so one process reuses one directory across its repeated runs
+    # (driver window + parity tests + bench best-of-3) — and stale dirs
+    # of DEAD pids are swept, bounding the leak to live processes.  The
+    # query rebuilds rather than resuming (the replay/exactly-once path
+    # is pinned by tests/test_streaming.py on the committers themselves).
+    runs_root = os.path.join(cache, "aggsink_runs")
+    os.makedirs(runs_root, exist_ok=True)
+    for d in os.listdir(runs_root):
+        if not d.startswith("run-"):
+            continue
+        try:
+            pid = int(d.split("-", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(os.path.join(runs_root, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+    run_dir = os.path.join(runs_root, f"run-{os.getpid()}")
     shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(run_dir, exist_ok=True)
     target = os.path.join(run_dir, "agg")

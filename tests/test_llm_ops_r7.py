@@ -292,3 +292,28 @@ def test_curriculum_interleave_round_robin(spark):
         by_src.setdefault(r["source"], []).append(r["src_rank"])
     for ranks in by_src.values():
         assert ranks == sorted(ranks)
+
+
+def test_vacuum_fixture_rebuilds_without_marker(spark):
+    """VACUUM makes no commit, so the log version cannot prove the vacuum
+    ran: a cache dir missing the post-vacuum marker (a run killed between
+    the overwrite and the vacuum) must be rebuilt, not served."""
+    import os
+    import shutil
+
+    from delta_go_spark.operators.delta_queries import (
+        _CACHE_ROOT,
+        delta_vacuum_agg,
+    )
+
+    delta_vacuum_agg(spark, SF_DIR)  # build (or reuse) the cache
+    key = SF_DIR.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "part_vacuumed")
+    marker = os.path.join(path, "_dgs_vacuum_done")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(os.path.join(path, "_delta_log"))
+    os.remove(marker)  # simulate dying before the vacuum
+    delta_vacuum_agg(spark, SF_DIR).collect()
+    assert os.path.exists(marker)  # rebuilt through the vacuum step
+    assert os.path.getmtime(os.path.join(path, "_delta_log")) >= mtime
+    shutil.rmtree(path, ignore_errors=True)  # leave a clean cache behind
