@@ -225,7 +225,7 @@ class DeltaSqlContext:
 
         # -- utility statements (Delta SQL surface) -------------------------
         m = re.fullmatch(
-            rf"\s*DESCRIBE\s+HISTORY\s+({names})\s*",
+            rf"\s*DESCRIBE\s+HISTORY\s+({names})(?:\s+LIMIT\s+(\d+))?\s*",
             stripped,
             flags=re.IGNORECASE,
         )
@@ -233,6 +233,9 @@ class DeltaSqlContext:
             t = resolve(m.group(1))
             import json as _json
 
+            infos = list(reversed(t.history()))
+            if m.group(2) is not None:  # LIMIT n, newest first
+                infos = infos[: int(m.group(2))]
             rows = [
                 (
                     ci.version,
@@ -242,7 +245,7 @@ class DeltaSqlContext:
                     ci.read_version,
                     ci.is_blind_append,
                 )
-                for ci in reversed(t.history())
+                for ci in infos
             ]
             return self.spark.createDataFrame(
                 rows,

@@ -887,3 +887,67 @@ def test_distributed_checkpoint_cloud_branch_rename_contract(spark, tmp_path):
         r.path for r in st.tombstones.values()
     }
     assert snap2.to_df(spark).count() == snap.to_df(spark).count()
+
+
+def test_zorder_improves_stats_skipping(spark, tmp_path):
+    """The point of ZORDER at 100 TB: after clustering, a narrow range
+    filter on a clustered column must skip MORE files via min/max stats
+    than the unclustered layout did — pinned here with the scan's own
+    skip counter, not just row correctness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from delta_go_spark.expressions import (
+        And,
+        Column,
+        GreaterThanOrEq,
+        LessThan,
+        Literal,
+    )
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.maintenance import zorder
+    from delta_go_spark.session import load_table
+    from delta_go_spark.writer import write_dataframe
+
+    path = str(tmp_path / "orders_z")
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # 8 hash-spread files: every file spans nearly the whole custkey range
+    write_dataframe(orders.repartition(8, "o_orderkey"), path)
+
+    pred = And(
+        GreaterThanOrEq(Column("o_custkey", LongType()), Literal(100)),
+        LessThan(Column("o_custkey", LongType()), Literal(200)),
+    )
+
+    def skipped() -> tuple[int, int]:
+        scan = DeltaLog.for_table(path).snapshot().scan(pred)
+        n = sum(1 for _ in scan.files())
+        return scan.files_skipped_by_stats, n
+
+    before_skipped, before_hit = skipped()
+    assert before_skipped == 0  # every file spans the range: none skip
+
+    assert zorder(spark, path, ["o_custkey"], n_files=8) == 1
+    after_skipped, after_hit = skipped()
+    assert after_skipped > 0
+    assert after_hit < before_hit
+    # the rewrite changed layout only: same rows behind the same filter
+    rows = (
+        DeltaLog.for_table(path)
+        .snapshot()
+        .scan(pred)
+        .to_df(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("cks"),
+        )
+        .first()
+    )
+    expected = (
+        orders.filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 200))
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .first()
+    )
+    assert (rows["n"], rows["cks"]) == (expected[0], expected[1])

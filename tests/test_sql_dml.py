@@ -413,3 +413,29 @@ def test_api_add_columns_rejects_not_null(spark, tmp_path):
     _, t = _ctx(spark, tmp_path, "tapinn")
     with pytest.raises(ValueError, match="nullable"):
         t.add_columns(StructType.fromDDL("c long NOT NULL").fields)
+
+
+def test_describe_history_sql(spark, tmp_path):
+    """DESCRIBE HISTORY t [LIMIT n]: newest first, one row per commit,
+    operation + parameters from the CommitInfo the engine itself wrote."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.sql import DeltaSqlContext
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "hist")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    DeltaTable.create(spark, path, df)
+    t = DeltaTable.for_path(spark, path)
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")))
+    t.delete_where("k >= 15")
+
+    ctx = DeltaSqlContext(spark)
+    ctx.register("hist_t", path)
+    rows = ctx.sql("DESCRIBE HISTORY hist_t").collect()
+    assert [r["version"] for r in rows] == [2, 1, 0]
+    assert rows[0]["operation"] == "DELETE"
+    assert all(r["timestamp_ms"] is not None for r in rows)
+
+    limited = ctx.sql("DESCRIBE HISTORY hist_t LIMIT 2").collect()
+    assert [r["version"] for r in limited] == [2, 1]
