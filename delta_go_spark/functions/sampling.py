@@ -1221,3 +1221,102 @@ def _global_prefix(
     if sum_col is not None:
         out = out.withColumn(cum_col, F.col(cum_col) + F.col("_off_s"))
     return out.drop("_pid", "_off_n", "_off_s")
+
+
+# ---------------------------------------------------------------------------
+# Proportional quota allocation (largest-remainder / Hamilton method): build
+# an exactly-n-row eval set whose per-source counts are the fair integer
+# rounding of the sources' corpus shares — the standard way to freeze an
+# eval mixture (hash/stratified sampling gives FRACTIONS; an eval set wants
+# exact counts that sum to n).
+def proportional_quota(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(strata, n_total, quota): integer quotas summing to exactly
+    min(n, corpus) — floor(n * share) per stratum plus one extra for the
+    largest fractional remainders (ties broken on the stratum key; a
+    stratum never receives more than it has).
+
+    All arithmetic is integer (remainders compared as n_i * n mod total),
+    so the DuckDB oracle replays every rounding decision.  Scale shape:
+    ONE tiny groupBy(strata) aggregate; the allocation itself runs over
+    #strata rows on small frames — no corpus-sized shuffle."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    total = counts.agg(F.sum("n_total").alias("t")).first()["t"]
+    if not total:
+        return counts.withColumn("quota", F.lit(0).cast("long"))
+    n = min(int(n), int(total))
+    base = F.least(
+        F.floor(F.col("n_total") * n / F.lit(int(total))).cast("long"),
+        F.col("n_total"),
+    )
+    # remainder of n_i * n / total, exact in integers
+    rem = (F.col("n_total") * n) % F.lit(int(total))
+    with_base = counts.withColumn("_base", base).withColumn("_rem", rem)
+    short = n - (
+        with_base.agg(F.sum("_base").alias("s")).first()["s"] or 0
+    )
+    w = Window.orderBy(
+        F.desc("_rem"), F.asc(strata_col)
+    )  # #strata rows: a tiny frame, the window is fine here
+    return (
+        with_base.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.when(
+                (F.col("_rk") <= F.lit(int(short)))
+                & (F.col("_base") < F.col("n_total")),
+                F.col("_base") + 1,
+            ).otherwise(F.col("_base")),
+        )
+        .select(strata_col, "n_total", "quota")
+        .orderBy(strata_col)
+    )
+
+
+def proportional_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: a 97-row eval-set allocation across sources (97 is
+    coprime with the fixture shares, so floors, remainders and the +1
+    top-up all engage)."""
+    return proportional_quota(load_table(spark, sf_dir, "documents"), 97)
+
+
+PROPORTIONAL_QUOTA_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_total
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_total) AS BIGINT) AS t, count(*) AS ns FROM counts
+), based AS (
+  SELECT source, n_total,
+         least(CAST(floor(CAST(n_total * 97 AS DOUBLE) / t) AS BIGINT),
+               n_total) AS base,
+         (n_total * 97) % t AS rem
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         (SELECT 97 - sum(base) FROM based) AS short
+  FROM based
+)
+SELECT source,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(CASE WHEN rk <= short AND base < n_total
+                 THEN base + 1 ELSE base END AS BIGINT) AS quota
+FROM ranked
+ORDER BY source
+"""
+
+
+QUERIES["proportional_quota_docs"] = (
+    proportional_quota_docs,
+    PROPORTIONAL_QUOTA_SQL,
+)

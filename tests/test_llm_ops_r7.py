@@ -317,3 +317,25 @@ def test_vacuum_fixture_rebuilds_without_marker(spark):
     assert os.path.exists(marker)  # rebuilt through the vacuum step
     assert os.path.getmtime(os.path.join(path, "_delta_log")) >= mtime
     shutil.rmtree(path, ignore_errors=True)  # leave a clean cache behind
+
+
+def test_proportional_quota_invariants(spark):
+    """Quotas must sum to exactly n, stay within each stratum's size, and
+    differ from the exact proportional share by less than one (the
+    largest-remainder fairness guarantee)."""
+    from delta_go_spark.functions.sampling import proportional_quota
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = 97
+    rows = proportional_quota(docs, n).collect()
+    total = sum(r["n_total"] for r in rows)
+    assert sum(r["quota"] for r in rows) == min(n, total)
+    for r in rows:
+        assert 0 <= r["quota"] <= r["n_total"]
+        share = r["n_total"] * n / total
+        assert abs(r["quota"] - share) < 1
+
+    # n larger than the corpus: everything allocated, capped per stratum
+    rows = proportional_quota(docs, 10**9).collect()
+    assert all(r["quota"] == r["n_total"] for r in rows)
