@@ -254,3 +254,102 @@ def test_startswith_stats_pruning_is_sound(values, prefix):
     pred = StartsWith(Column("s", StringType()), prefix)
     if any(v.startswith(prefix) for v in values):
         assert stats_may_match(pred, stats)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 integer machinery: quota allocation and the two-pass global prefix.
+# Spark-backed, so examples are few but each is checked exactly against a
+# pure-Python replay.
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        s = (
+            SparkSession.builder.master("local[4]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    st.integers(1, 200),
+)
+@settings(max_examples=12, deadline=None)
+def test_proportional_quota_matches_hamilton_replay(counts, n):
+    from delta_go_spark.functions.sampling import proportional_quota
+
+    spark = _session()
+    rows = [
+        (f"s{i:02d}", j) for i, c in enumerate(counts) for j in range(c)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        r["source"]: (r["n_total"], r["quota"])
+        for r in proportional_quota(df, n).collect()
+    }
+
+    # pure-Python largest-remainder replay
+    per = {f"s{i:02d}": c for i, c in enumerate(counts) if c > 0}
+    total = sum(per.values())
+    eff = min(n, total)
+    base = {s: min((c * eff) // total, c) for s, c in per.items()}
+    rem = {s: (c * eff) % total for s, c in per.items()}
+    short = eff - sum(base.values())
+    order = sorted(per, key=lambda s: (-rem[s], s))
+    quota = dict(base)
+    for s in order:
+        if short <= 0:
+            break
+        if quota[s] < per[s]:
+            quota[s] += 1
+            short -= 1
+    assert got == {s: (per[s], quota[s]) for s in per}
+    assert sum(q for _, q in got.values()) == eff
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 20)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_global_prefix_matches_sorted_replay(items, nparts):
+    """row_number and running sum from the range-partitioned two-pass form
+    must equal the single-ordered-scan truth for any data and any
+    partition count."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.sampling import _global_prefix
+
+    spark = _session()
+    rows = [(i, k, v) for i, (k, v) in enumerate(items)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    out = _global_prefix(
+        df,
+        [F.desc("k"), F.asc("id")],
+        sum_col="v",
+        num_partitions=nparts,
+    )
+    got = {
+        r["id"]: (r["_grn"], r["_gcum"])
+        for r in out.collect()
+    }
+    expected = {}
+    run = 0
+    for pos, (i, k, v) in enumerate(
+        sorted(rows, key=lambda r: (-r[1], r[0])), start=1
+    ):
+        run += v
+        expected[i] = (pos, run)
+    assert got == expected
