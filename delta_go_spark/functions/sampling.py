@@ -1233,86 +1233,80 @@ def proportional_quota(
     df: DataFrame,
     n: int,
     strata_col: str = "source",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """(strata, n_total, quota): integer quotas summing to exactly
     min(n, corpus) — floor(n * share) per stratum plus one extra for the
     largest fractional remainders (ties broken on the stratum key; a
     stratum never receives more than it has).
 
-    All arithmetic is integer (remainders compared as n_i * n mod total),
-    so the DuckDB oracle replays every rounding decision.  Scale shape:
-    ONE tiny groupBy(strata) aggregate; the allocation itself runs over
-    #strata rows on small frames — no corpus-sized shuffle."""
-    from pyspark.sql import Window
-
-    counts = df.groupBy(strata_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
-    )
-    total = counts.agg(F.sum("n_total").alias("t")).first()["t"]
-    if not total:
-        return counts.withColumn("quota", F.lit(0).cast("long"))
-    n = min(int(n), int(total))
-    base = F.least(
-        F.floor(F.col("n_total") * n / F.lit(int(total))).cast("long"),
-        F.col("n_total"),
-    )
-    # remainder of n_i * n / total, exact in integers
-    rem = (F.col("n_total") * n) % F.lit(int(total))
-    with_base = counts.withColumn("_base", base).withColumn("_rem", rem)
-    short = n - (
-        with_base.agg(F.sum("_base").alias("s")).first()["s"] or 0
-    )
-    w = Window.orderBy(
-        F.desc("_rem"), F.asc(strata_col)
-    )  # #strata rows: a tiny frame, the window is fine here
-    return (
-        with_base.withColumn("_rk", F.row_number().over(w))
-        .withColumn(
-            "quota",
-            F.when(
-                (F.col("_rk") <= F.lit(int(short)))
-                & (F.col("_base") < F.col("n_total")),
-                F.col("_base") + 1,
-            ).otherwise(F.col("_base")),
-        )
-        .select(strata_col, "n_total", "quota")
-        .orderBy(strata_col)
-    )
+    Scale shape: ONE corpus aggregate reduces to #strata rows; the
+    Hamilton arithmetic then runs on the DRIVER in arbitrary-precision
+    Python integers (n_total * n overflows int64 at real corpus sizes —
+    doubles round the floor, int64 would raise under ANSI) — O(#strata)
+    driver state, the same tiny-aggregate class as the mixture/label
+    collects.  Every rounding decision is exact, so the DuckDB oracle
+    (HUGEINT `//`) replays it bit-for-bit."""
+    if int(n) <= 0:
+        raise ValueError(f"proportional_quota needs n > 0, got {n}")
+    spark = df.sparkSession
+    rows = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .collect()
+    )  # #strata rows — the whole point
+    schema = f"`{strata_col}` string, n_total long, quota long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    per = {r[strata_col]: int(r["n_total"]) for r in rows}
+    total = sum(per.values())
+    eff = min(int(n), total)
+    base = {s: min((c * eff) // total, c) for s, c in per.items()}
+    rem = {s: (c * eff) % total for s, c in per.items()}
+    quota = dict(base)
+    short = eff - sum(base.values())
+    for st in sorted(per, key=lambda s: (-rem[s], s)):
+        if short <= 0:
+            break
+        if quota[st] < per[st]:
+            quota[st] += 1
+            short -= 1
+    out = [(s, per[s], quota[s]) for s in sorted(per)]
+    return spark.createDataFrame(out, schema)
 
 
 def proportional_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: a 97-row eval-set allocation across sources (97 is
-    coprime with the fixture shares, so floors, remainders and the +1
-    top-up all engage)."""
-    return proportional_quota(load_table(spark, sf_dir, "documents"), 97)
+    """Registry query: a 97-row eval-set allocation across LANGUAGES —
+    the lang counts are uneven, so the remainders genuinely discriminate
+    and the +1 ordering (not just the tie-break) is hash-pinned."""
+    return proportional_quota(
+        load_table(spark, sf_dir, "documents"), 97, strata_col="lang"
+    )
 
 
 PROPORTIONAL_QUOTA_SQL = """
 WITH counts AS (
-  SELECT source, count(*) AS n_total
+  SELECT lang, count(*) AS n_total
   FROM documents
-  GROUP BY source
+  GROUP BY lang
 ), tot AS (
-  SELECT CAST(sum(n_total) AS BIGINT) AS t, count(*) AS ns FROM counts
+  SELECT CAST(sum(n_total) AS BIGINT) AS t FROM counts
 ), based AS (
-  SELECT source, n_total,
-         least(CAST(floor(CAST(n_total * 97 AS DOUBLE) / t) AS BIGINT),
-               n_total) AS base,
+  SELECT lang, n_total,
+         least((n_total * 97) // t, n_total) AS base,
          (n_total * 97) % t AS rem
   FROM counts CROSS JOIN tot
 ), ranked AS (
   SELECT *,
-         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk,
          (SELECT 97 - sum(base) FROM based) AS short
   FROM based
 )
-SELECT source,
+SELECT lang,
        CAST(n_total AS BIGINT) AS n_total,
        CAST(CASE WHEN rk <= short AND base < n_total
                  THEN base + 1 ELSE base END AS BIGINT) AS quota
 FROM ranked
-ORDER BY source
+ORDER BY lang
 """
 
 

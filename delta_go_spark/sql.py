@@ -233,9 +233,14 @@ class DeltaSqlContext:
             t = resolve(m.group(1))
             import json as _json
 
-            infos = list(reversed(t.history()))
-            if m.group(2) is not None:  # LIMIT n, newest first
-                infos = infos[: int(m.group(2))]
+            # newest first, fetching ONLY the requested commits: LIMIT on
+            # a long-history table must not read every version's log JSON
+            latest = t.log.update().version
+            lim = int(m.group(2)) if m.group(2) is not None else latest + 1
+            infos = [
+                t.log.commit_info_at(v)
+                for v in range(latest, max(-1, latest - lim), -1)
+            ]
             rows = [
                 (
                     ci.version,
