@@ -1248,13 +1248,23 @@ def proportional_quota(
     (HUGEINT `//`) replays it bit-for-bit."""
     if int(n) <= 0:
         raise ValueError(f"proportional_quota needs n > 0, got {n}")
+    from pyspark.sql.types import LongType, StructField, StructType
+
     spark = df.sparkSession
-    rows = (
-        df.groupBy(strata_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-        .collect()
-    )  # #strata rows — the whole point
-    schema = f"`{strata_col}` string, n_total long, quota long"
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    # preserve the strata column's TYPE (an integer bucket key must stay
+    # integer downstream) and tolerate a NULL stratum (real crawl data)
+    strata_field = counts.schema[strata_col]
+    schema = StructType(
+        [
+            StructField(strata_field.name, strata_field.dataType, True),
+            StructField("n_total", LongType(), False),
+            StructField("quota", LongType(), False),
+        ]
+    )
+    rows = counts.collect()  # #strata rows — the whole point
     if not rows:
         return spark.createDataFrame([], schema)
     per = {r[strata_col]: int(r["n_total"]) for r in rows}
@@ -1264,13 +1274,17 @@ def proportional_quota(
     rem = {s: (c * eff) % total for s, c in per.items()}
     quota = dict(base)
     short = eff - sum(base.values())
-    for st in sorted(per, key=lambda s: (-rem[s], s)):
+
+    def _key(st):  # None sorts LAST among equals, never compares to str
+        return (st is None, st)
+
+    for st in sorted(per, key=lambda s: (-rem[s],) + _key(s)):
         if short <= 0:
             break
         if quota[st] < per[st]:
             quota[st] += 1
             short -= 1
-    out = [(s, per[s], quota[s]) for s in sorted(per)]
+    out = [(s, per[s], quota[s]) for s in sorted(per, key=_key)]
     return spark.createDataFrame(out, schema)
 
 
@@ -1289,11 +1303,11 @@ WITH counts AS (
   FROM documents
   GROUP BY lang
 ), tot AS (
-  SELECT CAST(sum(n_total) AS BIGINT) AS t FROM counts
+  SELECT CAST(sum(n_total) AS HUGEINT) AS t FROM counts
 ), based AS (
   SELECT lang, n_total,
-         least((n_total * 97) // t, n_total) AS base,
-         (n_total * 97) % t AS rem
+         least((CAST(n_total AS HUGEINT) * 97) // t, n_total) AS base,
+         (CAST(n_total AS HUGEINT) * 97) % t AS rem
   FROM counts CROSS JOIN tot
 ), ranked AS (
   SELECT *,

@@ -339,3 +339,26 @@ def test_proportional_quota_invariants(spark):
     # n larger than the corpus: everything allocated, capped per stratum
     rows = proportional_quota(docs, 10**9).collect()
     assert all(r["quota"] == r["n_total"] for r in rows)
+
+
+def test_proportional_quota_null_stratum_and_typed_key(spark):
+    """A NULL stratum must allocate like any other group (real crawl data
+    has NULL langs), and a non-string strata column must keep its type in
+    the output schema."""
+    from pyspark.sql.types import LongType
+
+    from delta_go_spark.functions.sampling import proportional_quota
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"s{i % 2}") for i in range(30)],
+        "doc_id long, source string",
+    )
+    rows = {r["source"]: r["quota"] for r in proportional_quota(df, 9).collect()}
+    assert None in rows and sum(rows.values()) == 9
+
+    ints = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "doc_id long, bucket long"
+    )
+    out = proportional_quota(ints, 10, strata_col="bucket")
+    assert isinstance(out.schema["bucket"].dataType, LongType)
+    assert sum(r["quota"] for r in out.collect()) == 10

@@ -263,17 +263,9 @@ def test_startswith_stats_pruning_is_sound(values, prefix):
 
 
 def _session():
-    from pyspark.sql import SparkSession
+    from delta_go_spark.session import get_spark
 
-    s = SparkSession.getActiveSession()
-    if s is None:
-        s = (
-            SparkSession.builder.master("local[4]")
-            .config("spark.sql.shuffle.partitions", "8")
-            .getOrCreate()
-        )
-        s.sparkContext.setLogLevel("ERROR")
-    return s
+    return get_spark()  # the repo's one session recipe — no config drift
 
 
 @given(
@@ -296,23 +288,24 @@ def test_proportional_quota_matches_hamilton_replay(counts, n):
         for r in proportional_quota(df, n).collect()
     }
 
-    # pure-Python largest-remainder replay
+    # INDEPENDENT Hamilton invariants (not a copy of the implementation):
     per = {f"s{i:02d}": c for i, c in enumerate(counts) if c > 0}
     total = sum(per.values())
     eff = min(n, total)
-    base = {s: min((c * eff) // total, c) for s, c in per.items()}
-    rem = {s: (c * eff) % total for s, c in per.items()}
-    short = eff - sum(base.values())
-    order = sorted(per, key=lambda s: (-rem[s], s))
-    quota = dict(base)
-    for s in order:
-        if short <= 0:
-            break
-        if quota[s] < per[s]:
-            quota[s] += 1
-            short -= 1
-    assert got == {s: (per[s], quota[s]) for s in per}
-    assert sum(q for _, q in got.values()) == eff
+    assert set(got) == set(per)
+    assert sum(q for _, q in got.values()) == eff  # exact-sum contract
+    floors = {s: (c * eff) // total for s, c in per.items()}
+    for s, c in per.items():
+        nt, q = got[s]
+        assert nt == c
+        assert 0 <= q <= c  # never more than the stratum holds
+        # fair rounding: each quota is the floor or ceil of its exact share
+        assert q in (floors[s], floors[s] + 1) or q == c
+    # the number of +1 top-ups equals exactly what the floors left short
+    # (when no stratum is saturated, the usual case under these bounds)
+    if all(got[s][1] < c or floors[s] >= c for s, c in per.items()):
+        ups = sum(1 for s in per if got[s][1] == floors[s] + 1)
+        assert ups == eff - sum(min(floors[s], per[s]) for s in per)
 
 
 @given(
