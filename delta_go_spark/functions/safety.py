@@ -405,3 +405,98 @@ QUERIES: dict = {
         DUP_GRAM_FRACTION_SQL,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Gram novelty: each source's MARGINAL contribution of new content — for
+# every distinct corpus 8-gram, attribute it to the document that
+# introduces it (min doc_id), then ask per source: of the grams you carry,
+# how many did YOU introduce?  The add-or-drop signal for a crawl source:
+# a source whose grams are all introduced elsewhere adds bytes, not data.
+def gram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(source, n_grams_distinct, n_introduced, novelty_micro): distinct
+    grams appearing in the source, grams whose corpus-wide first document
+    (min id) lies in the source, and their floor(1e6 * ratio).
+
+    Plan: the (id, 8-byte gram hash) stream shuffles twice on the gram
+    key (distinct + first-doc aggregate — both partial-aggregable) and
+    once on the id key for the source attach; nothing wider than
+    (id, hash) moves.  First-doc attribution is min(doc_id) — total
+    order, deterministic on any engine."""
+    src = df.select(F.col(id_col), F.col(source_col))
+    grams = _gram_hashes(df, id_col, text_col, n).dropDuplicates(
+        [id_col, "_g"]
+    )
+    with_src = grams.join(src, id_col)
+    per_source = with_src.groupBy(source_col).agg(
+        F.countDistinct("_g").alias("n_grams_distinct")
+    )
+    first_doc = grams.groupBy("_g").agg(F.min(id_col).alias(id_col))
+    introduced = (
+        first_doc.join(src, id_col)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_introduced"))
+    )
+    return (
+        per_source.join(introduced, source_col, "left")
+        .select(
+            source_col,
+            F.col("n_grams_distinct").cast("long").alias("n_grams_distinct"),
+            F.coalesce(F.col("n_introduced"), F.lit(0))
+            .cast("long")
+            .alias("n_introduced"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.floor(
+                F.col("n_introduced") * 1000000 / F.col("n_grams_distinct")
+            ).cast("long"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def gram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+GRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, source, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
+  FROM exploded
+), per_source AS (
+  SELECT source, count(DISTINCT gram) AS n_grams_distinct
+  FROM grams GROUP BY source
+), first_doc AS (
+  SELECT gram, min(doc_id) AS doc_id FROM grams GROUP BY gram
+), introduced AS (
+  SELECT g.source, count(*) AS n_introduced
+  FROM first_doc f JOIN (SELECT DISTINCT doc_id, source FROM grams) g
+    USING (doc_id)
+  GROUP BY g.source
+)
+SELECT p.source,
+       CAST(p.n_grams_distinct AS BIGINT) AS n_grams_distinct,
+       CAST(COALESCE(i.n_introduced, 0) AS BIGINT) AS n_introduced,
+       CAST(floor(COALESCE(i.n_introduced, 0) * 1000000
+                  / p.n_grams_distinct) AS BIGINT) AS novelty_micro
+FROM per_source p LEFT JOIN introduced i USING (source)
+ORDER BY p.source
+"""
+
+
+QUERIES["gram_novelty_docs"] = (gram_novelty_docs, GRAM_NOVELTY_SQL)

@@ -134,8 +134,8 @@ _WINDOW: list = [
 ]
 # Late-round-7 additions live BELOW the boundary (the window was already
 # full of this round's new code + the stalest r4 rows): delta_vacuum_agg,
-# delta_restore_agg, bigram_coverage_docs, proportional_quota_docs enter
-# via the module sweep,
+# delta_restore_agg, bigram_coverage_docs, proportional_quota_docs and
+# gram_novelty_docs enter via the module sweep,
 # are pinned in the pytest parity SAMPLE, and sit at the HEAD of the
 # round-8 rotation together with the 12 waiting r4 rows (same precedent
 # as kcenter/dsir in round 6).

@@ -104,6 +104,7 @@ SAMPLE = [
     "delta_restore_agg",  # late r7, below-window: head of the r8 rotation
     "bigram_coverage_docs",  # late r7, below-window: head of the r8 rotation
     "proportional_quota_docs",  # late r7, below-window: head of the r8 rotation
+    "gram_novelty_docs",  # late r7, below-window: head of the r8 rotation
     # displaced below the window in round 7 — pytest is their gate now
     "simhash_docs",
     "like_regexp_docs",
