@@ -100,19 +100,32 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECONTAMINATE_SQL = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+
+def _gram_cte_sql(extra_cols: str = "") -> str:
+    """The toks/exploded/grams oracle CTE chain — THE one SQL replay of
+    _gram_hashes' 8-gram contract (split on single space,
+    greatest(len-7,1) positions, 8-slot concat_ws), shared by the
+    gram-consuming oracles in this module so the gram rule cannot
+    diverge between them.  `extra_cols` threads extra projection columns
+    (e.g. ", source") through the chain.  SPAN_DECONTAMINATE_SQL keeps a
+    positional variant (it needs dl and the gram position i) — any
+    change to the gram rule must land there too."""
+    return f"""toks AS (
+  SELECT doc_id{extra_cols}, string_split(text, ' ') AS t FROM documents
 ), exploded AS (
-  SELECT doc_id, t,
+  SELECT doc_id{extra_cols}, t,
          unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
   FROM toks
 ), grams AS (
-  SELECT DISTINCT doc_id,
+  SELECT DISTINCT doc_id{extra_cols},
          concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
                         t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
   FROM exploded
-), probe AS (
+)"""
+
+
+DECONTAMINATE_SQL = f"""
+WITH {_gram_cte_sql()}, probe AS (
   SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
 )
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
@@ -368,19 +381,8 @@ def duplicated_gram_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     return duplicated_gram_fraction(docs).orderBy("doc_id")
 
 
-DUP_GRAM_FRACTION_SQL = """
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), exploded AS (
-  SELECT doc_id, t,
-         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
-  FROM toks
-), grams AS (
-  SELECT DISTINCT doc_id,
-         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
-  FROM exploded
-), df AS (
+DUP_GRAM_FRACTION_SQL = f"""
+WITH {_gram_cte_sql()}, df AS (
   SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
 )
 SELECT g.doc_id,
@@ -429,7 +431,11 @@ def gram_novelty(
     once on the id key for the source attach; nothing wider than
     (id, hash) moves.  First-doc attribution is min(doc_id) — total
     order, deterministic on any engine."""
-    src = df.select(F.col(id_col), F.col(source_col))
+    # distinct (id, source) pairs, matching the oracle's DISTINCT — a
+    # duplicated id row must not double-count introductions
+    src = df.select(F.col(id_col), F.col(source_col)).dropDuplicates(
+        [id_col, source_col]
+    )
     grams = _gram_hashes(df, id_col, text_col, n).dropDuplicates(
         [id_col, "_g"]
     )
@@ -442,10 +448,17 @@ def gram_novelty(
         first_doc.join(src, id_col)
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_introduced"))
+        .withColumnRenamed(source_col, "_isrc")
+    )
+    # NULL-safe source join: a NULL source (real crawl data) must keep
+    # its introduced count instead of silently reporting 0
+    joined = per_source.join(
+        introduced,
+        per_source[source_col].eqNullSafe(introduced["_isrc"]),
+        "left",
     )
     return (
-        per_source.join(introduced, source_col, "left")
-        .select(
+        joined.select(
             source_col,
             F.col("n_grams_distinct").cast("long").alias("n_grams_distinct"),
             F.coalesce(F.col("n_introduced"), F.lit(0))
@@ -454,11 +467,12 @@ def gram_novelty(
         )
         .withColumn(
             "novelty_micro",
-            F.floor(
-                F.col("n_introduced") * 1000000 / F.col("n_grams_distinct")
-            ).cast("long"),
+            # exact integer division; under ANSI the (astronomical)
+            # product overflow raises loudly on both engines instead of
+            # silently wrapping
+            F.expr("n_introduced * 1000000 div n_grams_distinct"),
         )
-        .orderBy(source_col)
+        .orderBy(F.col(source_col).asc_nulls_last())
     )
 
 
@@ -466,19 +480,8 @@ def gram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_novelty(load_table(spark, sf_dir, "documents"))
 
 
-GRAM_NOVELTY_SQL = """
-WITH toks AS (
-  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
-), exploded AS (
-  SELECT doc_id, source, t,
-         unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
-  FROM toks
-), grams AS (
-  SELECT DISTINCT doc_id, source,
-         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-                        t[i+4], t[i+5], t[i+6], t[i+7]) AS gram
-  FROM exploded
-), per_source AS (
+GRAM_NOVELTY_SQL = f"""
+WITH {_gram_cte_sql(", source")}, per_source AS (
   SELECT source, count(DISTINCT gram) AS n_grams_distinct
   FROM grams GROUP BY source
 ), first_doc AS (
@@ -492,10 +495,11 @@ WITH toks AS (
 SELECT p.source,
        CAST(p.n_grams_distinct AS BIGINT) AS n_grams_distinct,
        CAST(COALESCE(i.n_introduced, 0) AS BIGINT) AS n_introduced,
-       CAST(floor(COALESCE(i.n_introduced, 0) * 1000000
-                  / p.n_grams_distinct) AS BIGINT) AS novelty_micro
-FROM per_source p LEFT JOIN introduced i USING (source)
-ORDER BY p.source
+       CAST(COALESCE(i.n_introduced, 0) * 1000000
+            // p.n_grams_distinct AS BIGINT) AS novelty_micro
+FROM per_source p LEFT JOIN introduced i
+  ON p.source IS NOT DISTINCT FROM i.source
+ORDER BY p.source NULLS LAST
 """
 
 

@@ -306,6 +306,17 @@ def test_proportional_quota_matches_hamilton_replay(counts, n):
     if all(got[s][1] < c or floors[s] >= c for s, c in per.items()):
         ups = sum(1 for s in per if got[s][1] == floors[s] + 1)
         assert ups == eff - sum(min(floors[s], per[s]) for s in per)
+    # LARGEST-remainder: every topped-up stratum's remainder must be >=
+    # every skipped (non-saturated) stratum's remainder — the property a
+    # smallest-remainder or key-order top-up would violate
+    rems = {s: (c * eff) % total for s, c in per.items()}
+    upped = [s for s in per if got[s][1] == floors[s] + 1]
+    skipped = [
+        s for s, c in per.items()
+        if got[s][1] == floors[s] and floors[s] < c
+    ]
+    if upped and skipped:
+        assert min(rems[s] for s in upped) >= max(rems[s] for s in skipped)
 
 
 @given(

@@ -155,3 +155,21 @@ def test_bm25_rank_orders_rare_terms_above_common(spark):
     assert len(rows) == 3  # k respected; doc 4 matches nothing
     assert rows[0]["doc_id"] == 1  # the only doc holding the rare term
     assert rows[0]["n_terms"] == 2
+
+
+def test_gram_novelty_null_source_keeps_its_count(spark):
+    """A NULL source's introduced grams must be attributed to the NULL
+    group (null-safe join), not silently zeroed."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.functions.safety import gram_novelty
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, None, text), (2, "a", text)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in gram_novelty(df).collect()}
+    assert rows[None]["n_introduced"] == rows[None]["n_grams_distinct"] > 0
+    assert rows[None]["novelty_micro"] == 1000000
+    assert rows["a"]["n_introduced"] == 0  # doc 2 only copies
