@@ -22,83 +22,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # Round 8 trimmed the wire set 78 -> 52 (VERDICT r7 item 2: the
+    # 78-query JSON line was ~30 chars from the driver's 2000-char capture
+    # window).  Dropped keys are all sub-0.5 s fixed-overhead or
+    # family-redundant queries (full list in BENCH_NOTES.md); their
+    # correctness evidence lives in the driver window / parity gate, and
+    # any of them can be re-benched ad hoc with
+    # `python scripts/bench_one.py <name>`-style runs.  Everything kept is
+    # either a TPC-H headline, the expensive representative of its family,
+    # or a 100 TB layout proof (bucketed/salted joins, streaming sink).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q10_returned_items",
-    "window_topk_orders",
-    "rollup_order_totals",
-    "agg_event_users",
     "exact_dedup_docs",
     "ngram_jaccard_pairs_docs",
     "minhash_near_dup_docs",
-    "knn_cosine_docs",
     "asof_attribution_events",
     "range_join_purchase_errors",
     "tfidf_top_terms_docs",
-    "quality_quartile_docs",
     "ann_lsh_docs",
     "cosine_near_dup_docs",
     "repetition_topword_docs",
-    "word_entropy_docs",
     "dedup_clusters_docs",  # r3: iterative connected components
-    "pack_sequences_docs",  # r3: context-window packing
     "simhash_docs",  # r3: engine-portable 60-bit signatures
     "decontaminate_docs",  # r4: benchmark n-gram decontamination
-    "redact_pii_docs",  # r4: regexp PII redaction (codegen, no shuffle)
     "duplicated_gram_fraction_docs",  # r4: inter-doc duplication gate
-    "quantize_embeddings_int8",  # r4: int8 codes, codegen-only projection
     "semdedup_embeddings",  # r4: SemDeDup k-means + per-cluster matmul
-    "chunk_documents_docs",  # r4: sliding-window chunking (shuffle-free)
     "funnel_conversion_events",  # r4: multi-step conversion funnel
     "corpus_curation_pipeline",  # r4: dedup+gate+pack end-to-end
     "mixture_sample_docs",  # r4: token-budget corpus mixing
-    "shuffle_shard_docs",  # r4: training-shard permutation export
     "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
     "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
     "minhash_incremental_docs",  # r4: CDF-incremental near-dup upkeep
-    "hash_features_docs",  # r4: hashing-trick featurization
-    "split_leakage_docs",  # r5: leakage-safe train/val/test split
     "cdc_chunk_docs",  # r5: content-defined chunking
-    "normalized_dedup_docs",  # r5: normalized-prefix fuzzy-exact dedup
     "ann_signlsh_docs",  # r5: sign-LSH ANN (exact-oracle bucketed search)
     "split_cluster_safe_docs",  # r5: near-dup-cluster-safe split
     "streaming_static_enrich_events",  # r5: stream-static dimension join
     "lang_confusion_docs",  # r5: declared-vs-predicted language audit
     "quantization_recall_embeddings",  # r5: float-vs-int8 top-k audit
     "ann_ivf_int8_docs",  # r6: deterministic IVF-SQ8 (oracle-backed)
-    "random_projection_embeddings",  # r6: SRP dim reduction (Arrow matmul)
     "pagerank_docs",  # r6: integer PageRank over the near-dup graph
-    "source_drift_chisq_docs",  # r6: chi-square source mixture drift
     "span_decontaminate_docs",  # r6: exact-substring contamination spans
     "cross_source_matrix_docs",  # r6: near-dup source-pair matrix
     "bm25_search_docs",  # r6: BM25 ranked search (rational idf)
     "winnow_fingerprint_docs",  # r6: MOSS winnowing fingerprints
     "pmi_bigrams_docs",  # r6: PMI collocation mining
-    "temperature_resample_docs",  # r6: alpha=0.5 mixture resampling
     "hard_negatives_embeddings",  # r6: contrastive hard-negative mining
     "cluster_representative_docs",  # r6: canonical representative pick
-    "sessionize_events",  # r6: batch 30-min-gap sessionization
-    "retention_cohorts_events",  # r6: weekly retention cohorts
-    "fim_transform_docs",  # r6: fill-in-the-middle PSM rewrite
     "bpe_merge_pairs_docs",  # r6: BPE merge-pair induction round
-    "matryoshka_recall_embeddings",  # r6: truncation-recall audit
     "kcenter_coreset_embeddings",  # r6: farthest-point coreset selection
     "dsir_affinity_docs",  # r6: DSIR importance-weighted selection
     "kmeans_embeddings",  # r7: exact-replay Lloyd k-means
     "mmr_diverse_embeddings",  # r7: MMR diverse top-k
-    "delta_optimize_agg",  # r7: OPTIMIZE + ZORDER roundtrip
     "bucketed_join_lineitem",  # r7: shuffle-free co-located join
     "salted_skew_join_events",  # r7: salted hot-key join
     "gopher_rules_docs",  # r7: quality-rule cascade
     "streaming_delta_aggsink_events",  # r7: foreachBatch merge sink
     "token_budget_select_docs",  # r7: greedy token-budget fill
     "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
-    "curriculum_interleave_docs",  # r7: round-robin training order
     "pq_codebook_embeddings",  # r7: product quantization + error audit
-    "delta_vacuum_agg",  # r7 (late): VACUUM end-to-end
-    "delta_restore_agg",  # r7 (late): RESTORE TO VERSION end-to-end
     "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
 ]
 
@@ -144,8 +127,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # The committed BENCH_FULL.json is the idle-box baseline anchor; the
+    # driver's per-round bench run must not clobber it (VERDICT r7 "What's
+    # wrong" #1 — commit 8d84213's idle numbers were overwritten by the
+    # loaded-box driver run).  Default to an untracked BENCH_FULL_LAST.json;
+    # refresh the committed anchor only on an explicit idle run with
+    # SPARK_GRAFT_BENCH_BASELINE=1.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    full_name = (
+        "BENCH_FULL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_BASELINE") == "1"
+        else "BENCH_FULL_LAST.json"
+    )
+    with open(os.path.join(here, full_name), "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
 
@@ -160,12 +154,12 @@ def main() -> None:
             raise RuntimeError(f"suffix-stripped bench name collides: {s}")
         short[s] = round(secs, 2)  # 2 decimals on the wire; 3 in BENCH_FULL
     line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
-    # Driver capture window is 2000 chars of stdout tail; keep slack for
-    # the trailing newline.  If this trips, TRIM the headline set or move
-    # to integer-millisecond values — do not let the line overflow (round
-    # 6's did, and the driver recorded parsed:null).
-    if len(line) > 1950:  # if/raise: python -O would strip an assert
-        raise RuntimeError(f"bench JSON line too long ({len(line)} > 1950)")
+    # Driver capture window is 2000 chars of stdout tail; the r8 budget
+    # keeps >=20% headroom below the old 1950 cap so future rounds can add
+    # a handful of queries without another emergency trim (round 6's line
+    # overflowed and the driver recorded parsed:null).
+    if len(line) > 1560:  # if/raise: python -O would strip an assert
+        raise RuntimeError(f"bench JSON line too long ({len(line)} > 1560)")
     print(line)
 
 
