@@ -198,6 +198,36 @@ def test_bucketed_table_reused_across_calls(spark):
     assert spark.catalog.tableExists(a)
 
 
+def test_bucketed_table_invalidated_when_fixture_changes(spark, tmp_path):
+    """A regenerated fixture under the SAME sf path must not be served the
+    stale bucketed copy (r8: content-signature cache key)."""
+    import shutil
+
+    from delta_go_spark.operators.scalejoins import _bucketed_table
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    shutil.copy(f"{SF_DIR}/orders.parquet", sf / "orders.parquet")
+    a = _bucketed_table(spark, str(sf), "orders", "o_orderkey")
+    n_a = spark.table(a).count()
+
+    # regenerate the fixture in place: fewer rows, same path
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(10).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "small"))
+    import glob
+    import os
+
+    part = glob.glob(str(tmp_path / "small" / "part-*.parquet"))[0]
+    os.chmod(sf / "orders.parquet", 0o644)
+    shutil.copy(part, sf / "orders.parquet")
+
+    b = _bucketed_table(spark, str(sf), "orders", "o_orderkey")
+    assert b != a  # new signature -> new catalog name, not the stale copy
+    assert spark.table(b).count() == 10
+    assert spark.table(a).count() == n_a  # old copy untouched, just unused
+
+
 def test_pq_matches_numpy_replay(spark):
     """Per-block Lloyd training + encoding replayed in numpy must match
     the Spark (pq_code, recon_err) exactly for every vector."""
