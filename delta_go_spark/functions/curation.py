@@ -12,6 +12,10 @@ value-hash compare is deterministic.
 
 from __future__ import annotations
 
+# module-level: pandas_udf resolves string annotations (pd.Series) against
+# THIS module's globals under `from __future__ import annotations`
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -887,3 +891,135 @@ ORDER BY source
 
 
 QUERIES["gopher_rules_docs"] = (gopher_rules_docs, GOPHER_RULES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText-style): score each document with a
+# fixed integer weight vector over hashed token buckets — the standard
+# learned-filter gate of LLM curation pipelines (a linear model over
+# hashing-trick features; CCNet/fastText quality filters are exactly this
+# shape at inference time).  gopher_rules covers the heuristic gate and
+# bigram_coverage the LM proxy; this is the classifier gate.
+#
+# The weight vector here is a deterministic fixture (w[b] derived from
+# md5(b), integers in [-1000, 1000]) so the oracle is exact; swapping in
+# trained weights changes nothing structural.  Scale: the weights are a
+# tiny constant closed over by the UDF (Spark pickles it to every task —
+# the broadcast of a 256-int vector), scoring is ONE Arrow projection pass
+# with ZERO shuffle before the score — per-doc work only, no explode, no
+# groupBy.  Python-side md5 is memoized per distinct token within a batch,
+# so the per-token cost is a dict hit for the heavy tail of repeated words.
+_QC_DIM = 256
+_QC_THRESHOLD = 50  # label = mean token weight > threshold (milliweight)
+
+
+def _qc_weights(dim: int = _QC_DIM) -> list[int]:
+    """Deterministic integer weights, reproducible on any engine:
+    w[b] = md5('w' || b) first-8-hex-digits % 2001 - 1000."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for b in range(dim)
+    ]
+
+
+def quality_classifier(
+    df: DataFrame,
+    dim: int = _QC_DIM,
+    threshold: int = _QC_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, w_total, quality_label): integer dot product of the
+    doc's hashed-token counts with the weight vector; label via the
+    cross-multiplied mean test (w_total > threshold * n_tokens — no
+    division, exact on both engines).  Token/bucket contract is
+    hash_features' (space split, md5 first 8 hex % dim)."""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = _qc_weights(dim)
+
+    @pandas_udf("struct<n_tokens: long, w_total: long>")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        wcache: dict[str, int] = {}
+
+        def tok_weight(t: str) -> int:
+            w = wcache.get(t)
+            if w is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+                w = weights[b]
+                wcache[t] = w
+            return w
+
+        ns, totals = [], []
+        for text in texts:
+            toks = text.split(" ")
+            ns.append(len(toks))
+            totals.append(sum(tok_weight(t) for t in toks))
+        return pd.DataFrame({"n_tokens": ns, "w_total": totals})
+
+    scored = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _score(F.col(text_col)).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.col("_s.w_total").alias("w_total"),
+        )
+    )
+    return scored.withColumn(
+        "quality_label",
+        (F.col("w_total") > threshold * F.col("n_tokens")).cast("int"),
+    )
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: every document's classifier score + label, value-
+    hashed.  fan_out first: the single-row-group test file would otherwise
+    serialize the Arrow scoring pass on one core."""
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return quality_classifier(docs).orderBy("doc_id")
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+              % {_QC_DIM} AS INT) AS bkt
+  FROM tok
+), w AS (
+  SELECT range AS bkt,
+         CAST(CAST(concat('0x', substr(md5(concat('w', CAST(range AS VARCHAR))),
+                                       1, 8)) AS BIGINT)
+              % 2001 AS BIGINT) - 1000 AS wt
+  FROM range({_QC_DIM})
+), scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w.wt) AS BIGINT) AS w_total
+  FROM b JOIN w ON b.bkt = w.bkt
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_tokens, w_total,
+       CASE WHEN w_total > {_QC_THRESHOLD} * n_tokens THEN 1 ELSE 0 END
+         AS quality_label
+FROM scored
+ORDER BY doc_id
+"""
+
+
+QUERIES["quality_classifier_docs"] = (
+    quality_classifier_docs,
+    QUALITY_CLASSIFIER_SQL,
+)

@@ -1,0 +1,63 @@
+"""Round-8 operator tests: quality classifier, best-fit packing,
+streaming sessionization."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_quality_classifier_discriminates(spark):
+    """The fixture weights must actually separate the corpus — a gate
+    that labels everything one way is worthless evidence."""
+    from delta_go_spark.queries import queries
+
+    out = queries()["quality_classifier_docs"](spark, SF_DIR)
+    dist = {
+        r["quality_label"]: r["n"]
+        for r in out.groupBy("quality_label").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(dist) == {0, 1}
+    total = sum(dist.values())
+    # neither class degenerate (>5% each side)
+    assert min(dist.values()) > total * 0.05
+
+
+def test_quality_classifier_order_free(spark):
+    """Score is a pure per-row function: shuffling input order or
+    repartitioning must not change a single (doc_id, w_total) pair."""
+    from delta_go_spark.functions.curation import quality_classifier
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["w_total"], r["quality_label"])
+        for r in quality_classifier(docs).collect()
+    }
+    shuffled = docs.orderBy(F.reverse(F.col("text"))).repartition(7)
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["w_total"], r["quality_label"])
+        for r in quality_classifier(shuffled).collect()
+    }
+    assert a == b
+
+
+def test_quality_classifier_known_value(spark):
+    """Independent hand-check: a two-token doc scores w[bucket(tok)] summed
+    over tokens, with bucket/weight recomputed here from the md5 contract
+    (not by calling the implementation's scorer)."""
+    import hashlib
+
+    from delta_go_spark.functions.curation import quality_classifier
+
+    df = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    row = quality_classifier(df).collect()[0]
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+        return int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    assert row["n_tokens"] == 2
+    assert row["w_total"] == w("alpha") + w("beta")

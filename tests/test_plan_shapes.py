@@ -773,3 +773,16 @@ def test_global_prefix_never_single_task_window(spark, qname):
         # ASC/DESC direction — that is the single-task shape we forbid
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+def test_quality_classifier_no_shuffle_before_score(spark):
+    """The classifier is ONE Arrow projection pass: no hash exchange, no
+    explode, no window anywhere — the only exchanges allowed are the
+    small-scan fan-out (round robin) and the output sort (range)."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["quality_classifier_docs"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
