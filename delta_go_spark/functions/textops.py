@@ -549,6 +549,150 @@ QUERIES["pack_sequences_docs"] = (pack_sequences_docs, PACK_SEQUENCES_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Best-fit-decreasing sequence packing: the bin-packing variant a pipeline
+# owner actually tunes context windows with.  pack_sequences above is the
+# contiguous streaming layout (docs may cross window boundaries); this one
+# treats each context window as a BIN no document may cross — docs sorted
+# by token count descending, each placed into the fullest bin that still
+# fits (classic BFD, within 11/9·OPT+1 of optimal), oversized docs opening
+# their own overflow bin.
+#
+# Scale: packing runs INSIDE each stream (the shard key), embarrassingly
+# parallel across streams — one shuffle of (stream, id, n_tokens) triples,
+# then a per-group Arrow pass whose state is the bin capacity list
+# (O(bins), never the docs).  A stream at 100 TB is a shard sized for one
+# worker batch, the same per-stream contract pack_sequences pins.
+# Integer token counts make the whole layout exactly replayable, so the
+# DuckDB oracle (a recursive CTE replaying the same placement rule)
+# hash-checks every bin assignment via the checksum.
+_BESTFIT_BUDGET = 256
+
+
+def pack_bestfit(
+    df: DataFrame,
+    budget_tokens: int = _BESTFIT_BUDGET,
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stream, id, n_tokens, bin_id): best-fit-decreasing placement.
+
+    Deterministic contract: docs ordered by (n_tokens DESC, id ASC); the
+    chosen bin is the minimum (remaining, bin_id) among bins with
+    remaining >= n_tokens; a doc that fits nowhere opens bin len(bins)
+    (so an oversized doc owns a singleton overflow bin)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(stream_col),
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+    def place(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[int] = []  # remaining capacity per bin, index = bin_id
+        bins: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            best = None  # (remaining, bid)
+            for bid, r in enumerate(rem):
+                if r >= t and (best is None or (r, bid) < best):
+                    best = (r, bid)
+            if best is None:
+                bins.append(len(rem))
+                rem.append(budget_tokens - t)
+            else:
+                bins.append(best[1])
+                rem[best[1]] -= t
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    out_schema = f"{stream_col} string, {id_col} long, n_tokens long, bin_id long"
+    return toks.groupBy(stream_col).applyInPandas(place, schema=out_schema)
+
+
+def pack_bestfit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source packing-efficiency report — bins used,
+    tokens packed, integer permille efficiency (tokens / (bins × budget)),
+    and a checksum pinning every doc's bin assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_bestfit(docs)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+            F.sum(F.col("doc_id") * (F.col("bin_id") + 1)).alias(
+                "assign_checksum"
+            ),
+        )
+        .select(
+            "source",
+            "n_bins",
+            "n_docs",
+            "tokens_packed",
+            F.expr(
+                f"(tokens_packed * 1000) div (n_bins * {_BESTFIT_BUDGET})"
+            ).alias("eff_permille"),
+            "assign_checksum",
+        )
+        .orderBy("source")
+    )
+
+
+PACK_BESTFIT_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rn
+  FROM documents WHERE text IS NOT NULL
+), steps AS (
+  SELECT source, rn, doc_id, t,
+         CAST(0 AS BIGINT) AS bin_id,
+         [{{'rem': {_BESTFIT_BUDGET} - t, 'bid': CAST(0 AS BIGINT)}}] AS bins
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.t,
+         CAST(coalesce(
+           list_sort(list_filter(s.bins, b -> b.rem >= d.t))[1].bid,
+           len(s.bins)) AS BIGINT) AS bin_id,
+         CASE WHEN len(list_filter(s.bins, b -> b.rem >= d.t)) = 0
+              THEN list_append(s.bins,
+                     {{'rem': {_BESTFIT_BUDGET} - d.t,
+                       'bid': CAST(len(s.bins) AS BIGINT)}})
+              ELSE list_transform(s.bins,
+                     b -> CASE WHEN b.bid =
+                            list_sort(list_filter(s.bins,
+                                                  x -> x.rem >= d.t))[1].bid
+                          THEN {{'rem': b.rem - d.t, 'bid': b.bid}} ELSE b END)
+         END AS bins
+  FROM steps s
+  JOIN docs d ON d.source = s.source AND d.rn = s.rn + 1
+)
+SELECT source,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS tokens_packed,
+       CAST(sum(t) * 1000 // (count(DISTINCT bin_id) * {_BESTFIT_BUDGET})
+            AS BIGINT) AS eff_permille,
+       CAST(sum(doc_id * (bin_id + 1)) AS BIGINT) AS assign_checksum
+FROM steps
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["pack_bestfit_docs"] = (pack_bestfit_docs, PACK_BESTFIT_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window document chunking — the context-window preparation step for
 # RAG/embedding/training pipelines: split each document into ~chunk_tokens
 # windows with `overlap` tokens of context carried between neighbors.

@@ -61,3 +61,61 @@ def test_quality_classifier_known_value(spark):
 
     assert row["n_tokens"] == 2
     assert row["w_total"] == w("alpha") + w("beta")
+
+
+def _ff_bins(tokens: list, budget: int) -> int:
+    """Independent first-fit (arrival order, no splitting) reference."""
+    rem = []
+    for t in tokens:
+        for i, r in enumerate(rem):
+            if r >= t:
+                rem[i] = r - t
+                break
+        else:
+            rem.append(budget - t)
+    return len(rem)
+
+
+def test_pack_bestfit_capacity_and_efficiency(spark):
+    """Invariants asserted independently of the implementation: every
+    non-singleton bin within budget, every doc placed exactly once, and
+    BFD uses no more bins than arrival-order first-fit on any stream."""
+    from delta_go_spark.functions.textops import pack_bestfit
+    from delta_go_spark.session import load_table
+
+    budget = 256
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = pack_bestfit(docs, budget_tokens=budget).collect()
+
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["source"], []).append(r)
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert sum(len(v) for v in by_stream.values()) == n_docs
+
+    for src, rs in by_stream.items():
+        bins = {}
+        for r in rs:
+            bins.setdefault(r["bin_id"], []).append(r["n_tokens"])
+        # contiguous bin ids from 0
+        assert sorted(bins) == list(range(len(bins)))
+        for members in bins.values():
+            if len(members) > 1:
+                assert sum(members) <= budget
+        # BFD never worse than first-fit in arrival (doc_id) order
+        arrival = [r["n_tokens"] for r in sorted(rs, key=lambda r: r["doc_id"])]
+        assert len(bins) <= _ff_bins(arrival, budget)
+
+
+def test_pack_bestfit_partitioning_invariant(spark):
+    """The placement must depend only on (stream, sorted sizes), not on
+    how the input frame happens to be partitioned."""
+    from delta_go_spark.functions.textops import pack_bestfit
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {(r["source"], r["doc_id"]): r["bin_id"]
+         for r in pack_bestfit(docs).collect()}
+    b = {(r["source"], r["doc_id"]): r["bin_id"]
+         for r in pack_bestfit(docs.repartition(13)).collect()}
+    assert a == b
