@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -125,3 +126,268 @@ ORDER BY user_id
 QUERIES: dict = {
     "stateful_running_totals": (stateful_running_totals, STATEFUL_TOTALS_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Watermarked streaming sessionization: the applyInPandasWithState state
+# machine that turns an event stream into CLOSED 30-min-gap sessions —
+# the episode-construction step of a behavioural / agent-trajectory
+# training pipeline, and the arbitrary-state generalization of Spark's
+# built-in session_window (windows.py session_windows pins that one).
+#
+# Contract (what makes the DuckDB oracle exact):
+#   * state per user = OPEN session fragments (start, end, n, cents),
+#     merged order-free — any two fragments closer than the gap collapse —
+#     so the result is independent of how events split across batches;
+#   * a fragment is emitted exactly once, when the event-time watermark
+#     passes fragment_end + gap (provably closed: any event that could
+#     still extend it would be later than the fragment's reach, or late
+#     beyond the watermark);
+#   * the registry query filters to sessions whose closure is provable
+#     from the BATCH view (end <= floor_sec(max_ts) - gap - delay - 1s),
+#     the same closed-window determinism contract the streaming joins pin.
+#
+# Scale: state is bounded by ACTIVE sessions (watermark evicts closed
+# ones), per-batch work is one shuffle of the batch on user_id + an Arrow
+# pass per key group; integer micros + cents keep both engines exact.
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 minutes
+_SESSION_DELAY_US = 1800 * 1_000_000  # watermark delay
+
+SESSIONIZE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("value_cents", LongType(), False),
+    ]
+)
+
+SESSIONIZE_STATE = StructType(
+    [
+        StructField("starts", ArrayType(LongType()), False),
+        StructField("ends", ArrayType(LongType()), False),
+        StructField("ns", ArrayType(LongType()), False),
+        StructField("cents", ArrayType(LongType()), False),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = _SESSION_GAP_US,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """events(user_id, ts_us, cents, ts_wm watermarked) -> closed sessions.
+
+    Emits (user_id, session_start_us, session_end_us, n_events,
+    value_cents) in append mode; open fragments stay in state until the
+    watermark closes them (EventTimeTimeout drives emission for keys with
+    no new data)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        frags: list[list[int]] = []
+        if state.exists:
+            s_, e_, n_, c_ = state.get
+            frags = [list(x) for x in zip(s_, e_, n_, c_)]
+        new = []
+        for pdf in pdfs:
+            for t, c in zip(pdf["ts_us"], pdf["cents"]):
+                new.append([int(t), int(t), 1, int(c)])
+        if new:
+            merged: list[list[int]] = []
+            for f in sorted(frags + new):
+                if merged and f[0] - merged[-1][1] < gap_us:
+                    m = merged[-1]
+                    m[1] = max(m[1], f[1])
+                    m[2] += f[2]
+                    m[3] += f[3]
+                else:
+                    merged.append(list(f))
+            frags = merged
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        closed = [f for f in frags if f[1] + gap_us <= wm_us]
+        open_ = [f for f in frags if f[1] + gap_us > wm_us]
+        if open_:
+            state.update(
+                (
+                    [f[0] for f in open_],
+                    [f[1] for f in open_],
+                    [f[2] for f in open_],
+                    [f[3] for f in open_],
+                )
+            )
+            # earliest instant any open fragment becomes provably closed;
+            # must be strictly ahead of the current watermark
+            due_ms = (min(f[1] for f in open_) + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(due_ms, wm_ms + 1))
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start_us": [f[0] for f in closed],
+                    "session_end_us": [f[1] for f in closed],
+                    "n_events": [f[2] for f in closed],
+                    "value_cents": [f[3] for f in closed],
+                }
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSIONIZE_OUTPUT,
+        stateStructType=SESSIONIZE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
+    """Registry query: events split into 4 TIME-ORDERED source files (ts
+    quartiles, staggered mtimes so the file source replays them in event
+    order) -> 4 watermarked micro-batches through the sessionizer ->
+    closed sessions, filtered to the batch-provable cutoff so the result
+    is deterministic and hash-checkable against the islands-and-gaps SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import load_table
+
+    key = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
+    src = os.path.join(cache, "ev4t")
+    if not os.path.isdir(src) or len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    ) != 4:
+        shutil.rmtree(src, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        from pyspark.sql import Window
+
+        # fixture build only: the single-task ntile window runs once per
+        # (sf, content) cache fill, never in the measured query
+        q = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        evq = ev.withColumn("_q", q)
+        for i in range(1, 5):
+            before = set(os.listdir(src)) if os.path.isdir(src) else set()
+            evq.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            new = [
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and f not in before
+            ]
+            # staggered mtimes pin the file source's replay order to event
+            # order (oldest-first is the source's default)
+            for f in new:
+                os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+
+    _prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the state store materializes one provider per shuffle partition per
+    # micro-batch; a vanilla 200-partition session pays 1000 empty state
+    # files for a 150-key stream — pin a core-count-scale width (restored
+    # below; at real scale this is sized to the key cardinality)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(
+                "user_id",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("ts_us"),
+                F.floor(F.col("value") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+                # NTZ -> LTZ cast is uniform under the UTC pin, so the
+                # watermark clock and ts_us share one frame
+                F.col("ts").cast("timestamp").alias("ts_wm"),
+            )
+            .withWatermark("ts_wm", "30 minutes")
+        )
+        out = sessionize_stream(stream)
+        sink = "streaming_sessionize_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", _prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
+
+    max_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
+            ).alias("m")
+        )
+        .first()["m"]
+    )
+    cutoff_us = (max_us // 1_000_000) * 1_000_000 - (
+        _SESSION_GAP_US + _SESSION_DELAY_US + 1_000_000
+    )
+    return (
+        spark.table(sink)
+        .filter(F.col("session_end_us") <= cutoff_us)
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id,
+         min(ts_us) AS session_start_us,
+         max(ts_us) AS session_end_us,
+         count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM numbered GROUP BY user_id, sid
+), cut AS (
+  SELECT (max(epoch_us(ts)) // 1000000) * 1000000 - 3601000000 AS c
+  FROM events
+)
+SELECT user_id, session_start_us, session_end_us, n_events, value_cents
+FROM sess WHERE session_end_us <= (SELECT c FROM cut)
+ORDER BY user_id, session_start_us
+"""
+
+
+QUERIES["streaming_sessionize_events"] = (
+    streaming_sessionize_events,
+    STREAMING_SESSIONIZE_SQL,
+)

@@ -119,3 +119,65 @@ def test_pack_bestfit_partitioning_invariant(spark):
     b = {(r["source"], r["doc_id"]): r["bin_id"]
          for r in pack_bestfit(docs.repartition(13)).collect()}
     assert a == b
+
+
+def test_streaming_sessionize_gap_invariant(spark):
+    """Independent invariants on the emitted sessions: per user, sessions
+    are disjoint and separated by at least the gap; every session respects
+    the batch-provable cutoff; n_events >= 1 and start <= end."""
+    from delta_go_spark.queries import queries
+
+    gap_us = 1800 * 1_000_000
+    rows = queries()["streaming_sessionize_events"](spark, SF_DIR).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert r["session_start_us"] <= r["session_end_us"]
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start_us"], r["session_end_us"])
+        )
+    for sessions in by_user.values():
+        sessions.sort()
+        for (s1, e1), (s2, e2) in zip(sessions, sessions[1:]):
+            assert s2 - e1 >= gap_us  # a smaller gap would have merged
+
+
+def test_streaming_sessionize_matches_batch_twin(spark):
+    """The streaming sessionizer must agree with the BATCH session_window
+    operator (an independent engine path) on every closed session."""
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    stream_rows = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in queries()["streaming_sessionize_events"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    batch = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, first_ts)").alias("s"),
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, last_ts)").alias("e"),
+            "n_events",
+        )
+    )
+    max_us = ev.agg(
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, max(ts))").alias("m")
+    ).first()["m"]
+    cutoff = (max_us // 1_000_000) * 1_000_000 - (1800 + 1800 + 1) * 1_000_000
+    batch_rows = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in batch.filter(F.col("e") <= cutoff).collect()
+    }
+    assert stream_rows == batch_rows
