@@ -83,6 +83,11 @@ HEADLINE = [
     "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
     "pq_codebook_embeddings",  # r7: product quantization + error audit
     "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
+    "quality_classifier_docs",  # r8: linear quality gate, one Arrow pass
+    "pack_bestfit_docs",  # r8: best-fit-decreasing context packing
+    # streaming_sessionize_events intentionally unbenched: its cost is
+    # micro-batch-count x Structured Streaming fixed overhead (the shape
+    # streaming_delta_aggsink already carries in the wire), not data.
 ]
 
 

@@ -1281,6 +1281,11 @@ def proportional_quota(
     for st in sorted(per, key=lambda s: (-rem[s],) + _key(s)):
         if short <= 0:
             break
+        # Capped-stratum guard.  The oracle spells this `base < n_total`;
+        # the two are provably the same branch because base == n_total is
+        # unreachable when eff < total (base = c*eff//total < c) and when
+        # eff == total every remainder is 0, so short == 0 and the loop
+        # never reaches a full stratum.  Do not "fix" one side alone.
         if quota[st] < per[st]:
             quota[st] += 1
             short -= 1

@@ -121,6 +121,10 @@ SAMPLE = [
     "minhash_near_dup_docs",
     "delta_time_travel_count",
     "delta_sql_time_travel",
+    # new in round 8 — driver window rows, belt-and-braces here too
+    "quality_classifier_docs",
+    "pack_bestfit_docs",
+    "streaming_sessionize_events",
 ]
 
 
@@ -174,74 +178,43 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round7_queries_in_window():
+def test_round8_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
-    contract).  Extend R7_MUST with every query added or changed in
-    round 7."""
+    contract).  Extend R8_MUST with every query added or changed in
+    round 8."""
     from delta_go_spark.queries import oracle_sql, queries
 
     order = list(queries())
-    R7_MUST = [
-        # never driver-checked (landed late in r6, below the full window)
-        "kcenter_coreset_embeddings",
-        "dsir_affinity_docs",
-        # code changed in round 7 (label_col params; SCD2 key guard)
-        "ann_signlsh_docs",
-        "ann_ivf_int8_docs",
-        "random_projection_embeddings",
-        "delta_scd2_agg",
-        # NEW in round 7
-        "kmeans_embeddings",
-        "mmr_diverse_embeddings",
-        "delta_optimize_agg",
+    R8_MUST = [
+        # NEW in round 8
+        "quality_classifier_docs",
+        "pack_bestfit_docs",
+        "streaming_sessionize_events",
+        # code changed in round 8 (bucketed-cache fixture signature)
         "bucketed_join_lineitem",
-        "salted_skew_join_events",
-        "gopher_rules_docs",
-        "streaming_delta_aggsink_events",
-        "token_budget_select_docs",
-        "rrf_hybrid_search_docs",
-        "curriculum_interleave_docs",
-        "pq_codebook_embeddings",
-        # the stalest driver evidence (last green round 4) — the 33 that
-        # fit alongside the round-7 additions; the other 12 wait for the
-        # round-8 rotation (pytest-SAMPLE-pinned meanwhile)
-        "exact_dedup_docs",
-        "minhash_near_dup_docs",
-        "ngram_jaccard_pairs_docs",
-        "dedup_keep_longest_docs",
-        "dedup_clusters_docs",
-        "knn_cosine_docs",
-        "embedding_norms",
-        "token_stats_docs",
-        "text_quality_docs",
-        "lang_id_docs",
-        "fingerprint_docs",
-        "tfidf_top_terms_docs",
-        "quality_quartile_docs",
-        "pack_sequences_docs",
-        "chunk_documents_docs",
-        "bpe_token_count_docs",
-        "corpus_curation_pipeline",
-        "hash_sample_docs",
-        "binary_stats_docs",
-        "streaming_hourly_rollup",
-        "stateful_running_totals",
-        "decontaminate_docs",
-        "redact_pii_docs",
-        "duplicated_gram_fraction_docs",
-        "funnel_conversion_events",
-        "lateral_topk_suppliers",
-        "delta_time_travel_count",
-        "delta_roundtrip_agg",
-        "delta_generated_agg",
-        "delta_schema_evolution_agg",
-        "delta_datasource_agg",
-        "delta_incremental_agg",
-        "delta_cdf_agg",
+        # never driver-checked (landed late in r7, below the full window)
+        "delta_vacuum_agg",
+        "delta_restore_agg",
+        "bigram_coverage_docs",
+        "proportional_quota_docs",
+        "gram_novelty_docs",
+        # the stalest driver evidence (last green round 4)
+        "simhash_docs",
+        "simhash_near_dup_docs",
+        "like_regexp_docs",
+        "complex_types_docs",
+        "pandas_udf_score_docs",
+        "media_pipeline_summary",
+        "sliding_avg_events",
+        "streaming_dedup_events",
+        "session_windows_events",
+        "stratified_sample_docs",
+        "mixture_sample_docs",
+        "delta_sql_time_travel",
     ]
-    positions = {n: order.index(n) + 1 for n in R7_MUST}
+    positions = {n: order.index(n) + 1 for n in R8_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
     # every window slot must carry an oracle (no rows-only filler inside
