@@ -9,7 +9,9 @@ final line as JSON (BENCH_r06.json came back `parsed: null` because the
 table suffix from each query name (`exact_dedup_docs` -> `exact_dedup`) and
 uses compact separators, with a hard assert that it fits the capture
 window.  The full-fidelity result (untruncated names, 3-decimal timings)
-is written to BENCH_FULL.json at the repo root and committed each round.
+goes to untracked BENCH_FULL_LAST.json by default; the committed
+BENCH_FULL.json idle-box baseline anchor is refreshed only by an explicit
+SPARK_GRAFT_BENCH_BASELINE=1 run on a quiet box.
 """
 
 from __future__ import annotations
@@ -27,8 +29,8 @@ HEADLINE = [
     # window).  Dropped keys are all sub-0.5 s fixed-overhead or
     # family-redundant queries (full list in BENCH_NOTES.md); their
     # correctness evidence lives in the driver window / parity gate, and
-    # any of them can be re-benched ad hoc with
-    # `python scripts/bench_one.py <name>`-style runs.  Everything kept is
+    # any of them can be timed ad hoc by adding its name back to this
+    # list for a local run.  Everything kept is
     # either a TPC-H headline, the expensive representative of its family,
     # or a 100 TB layout proof (bucketed/salted joins, streaming sink).
     "q1_pricing_summary",

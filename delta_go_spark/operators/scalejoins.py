@@ -22,7 +22,6 @@ changed nothing semantic.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -36,24 +35,6 @@ _BUCKET_CACHE = os.path.join(tempfile.gettempdir(), "dgs-bucket-cache")
 SALT_N = 8
 
 
-def _fixture_sig(sf_dir: str, table: str) -> str:
-    """Content signature of a source fixture (size + mtime of the parquet,
-    recursive if it is a directory).  Cheap — no data read — and changes
-    whenever the fixture is regenerated, which is exactly when a cached
-    bucketed copy must be invalidated."""
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    parts: list[str] = []
-    if os.path.isdir(p):
-        for root, _dirs, files in os.walk(p):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    else:
-        st = os.stat(p)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5(";".join(parts).encode()).hexdigest()[:10]
-
-
 def _bucketed_table(
     spark: SparkSession, sf_dir: str, table: str, key_col: str, n_buckets: int = 8
 ) -> str:
@@ -65,8 +46,10 @@ def _bucketed_table(
     under the same sf path can never be served a stale bucketed copy
     (r7 verdict finding): a new signature lands in a new path + catalog
     name, and the (tableExists AND isdir) check fails for the old one."""
+    from delta_go_spark.session import fixture_sig
+
     sf_key = sf_dir.strip("/").replace("/", "_")
-    sig = _fixture_sig(sf_dir, table)
+    sig = fixture_sig(sf_dir, table)
     # catalog identifiers cannot carry dots (sf0.001) — sanitize the name,
     # keep the raw key for the path
     name = f"dgs_bkt_{table}_{sf_key}_{sig}".replace(".", "_").replace("-", "_")

@@ -128,13 +128,12 @@ _WINDOW: list = [
     (sampling, ["sample_k_per_source_docs", "shuffle_shard_docs"]),
     (streaming_windows, ["streaming_interval_join_events"]),
 ]
-# Late-round-7 additions live BELOW the boundary (the window was already
-# full of this round's new code + the stalest r4 rows): delta_vacuum_agg,
-# delta_restore_agg, bigram_coverage_docs, proportional_quota_docs and
-# gram_novelty_docs enter via the module sweep,
-# are pinned in the pytest parity SAMPLE, and sit at the HEAD of the
-# round-8 rotation together with the 12 waiting r4 rows (same precedent
-# as kcenter/dsir in round 6).
+# All former late-r7 below-boundary rows (delta_vacuum_agg,
+# delta_restore_agg, bigram_coverage_docs, proportional_quota_docs,
+# gram_novelty_docs) were rotated INTO _WINDOW above in round 8; a
+# round-8 late addition that misses this window should follow the same
+# precedent — enter via the module sweep, get pinned in the pytest parity
+# SAMPLE, and head the round-9 rotation.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

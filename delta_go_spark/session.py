@@ -95,3 +95,26 @@ def fan_out_small_scan(df, min_parallelism: int | None):
     if n_inputs == 0 or n_inputs >= min_parallelism:
         return df
     return df.repartition(min_parallelism)
+
+
+def fixture_sig(sf_dir: str, table: str) -> str:
+    """Content signature of a source fixture (relative path + size + mtime
+    of every file, directories walked in sorted order).  Cheap — no data
+    read — and changes whenever the fixture is regenerated, which is
+    exactly when any derived cache (bucketed copies, stream replay splits)
+    must be invalidated rather than silently served stale."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(p):
+        for root, dirs, files in os.walk(p):
+            dirs.sort()  # canonical walk order
+            rel = os.path.relpath(root, p)
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{rel}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(parts).encode()).hexdigest()[:10]

@@ -258,11 +258,15 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from delta_go_spark.session import load_table
+    from delta_go_spark.session import fixture_sig, load_table
 
     key = sf_dir.strip("/").replace("/", "_")
     cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
-    src = os.path.join(cache, "ev4t")
+    # content signature in the cache name: a regenerated events fixture
+    # under the same sf path must rebuild the replay split, never serve
+    # stale quartiles against a fresh oracle (same contract as the
+    # bucketed-table cache)
+    src = os.path.join(cache, f"ev4t_{fixture_sig(sf_dir, 'events')}")
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) != 4:
@@ -357,7 +361,7 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
 
 STREAMING_SESSIONIZE_SQL = """
 WITH o AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
@@ -367,7 +371,9 @@ WITH o AS (
                  THEN 1 ELSE 0 END AS new_s
   FROM o
 ), numbered AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+  -- the cumsum MUST order by the same (ts, event_id) key as the tagging
+  -- window: ts alone leaves tied rows in engine-chosen order
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 ), sess AS (

@@ -690,9 +690,14 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
     from delta_go_spark.writer import write_dataframe
     from delta_go_spark.session import load_table
 
+    from delta_go_spark.session import fixture_sig
+
     key = sf_dir.strip("/").replace("/", "_")
     cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
-    src = os.path.join(cache, "ev4")
+    # content signature in the cache name: a regenerated events fixture
+    # under the same sf path rebuilds the split instead of serving stale
+    # batches against a fresh oracle
+    src = os.path.join(cache, f"ev4_{fixture_sig(sf_dir, 'events')}")
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) < 4:
