@@ -930,6 +930,7 @@ def quality_classifier(
     threshold: int = _QC_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, n_tokens, w_total, quality_label): integer dot product of the
     doc's hashed-token counts with the weight vector; label via the
@@ -961,11 +962,13 @@ def quality_classifier(
             totals.append(sum(tok_weight(t) for t in toks))
         return pd.DataFrame({"n_tokens": ns, "w_total": totals})
 
+    keep = [F.col(c) for c in keep_cols]
     scored = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), _score(F.col(text_col)).alias("_s"))
+        .select(F.col(id_col), *keep, _score(F.col(text_col)).alias("_s"))
         .select(
             id_col,
+            *keep_cols,
             F.col("_s.n_tokens").alias("n_tokens"),
             F.col("_s.w_total").alias("w_total"),
         )
@@ -989,12 +992,14 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs).orderBy("doc_id")
 
 
-QUALITY_CLASSIFIER_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+# Shared oracle prefix: hashed-token buckets joined to the deterministic
+# weight vector — single-sourced so the classifier and DoReMi oracles can
+# never drift apart on the feature/weight contract.
+_QC_BUCKET_CTE = f"""tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
   FROM documents WHERE text IS NOT NULL
 ), b AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
               % {_QC_DIM} AS INT) AS bkt
   FROM tok
@@ -1004,7 +1009,11 @@ WITH tok AS (
                                        1, 8)) AS BIGINT)
               % 2001 AS BIGINT) - 1000 AS wt
   FROM range({_QC_DIM})
-), scored AS (
+)"""
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH {_QC_BUCKET_CTE}, scored AS (
   SELECT b.doc_id,
          CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(sum(w.wt) AS BIGINT) AS w_total
@@ -1023,3 +1032,147 @@ QUERIES["quality_classifier_docs"] = (
     quality_classifier_docs,
     QUALITY_CLASSIFIER_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429): the
+# mixture-weight OPTIMIZER that sits on top of the quality signal — domains
+# whose quality falls below the corpus mean ("excess loss" in DoReMi terms,
+# here the integer classifier-score deficit) get multiplicatively
+# upweighted, so the training mixture spends more budget where the model
+# is weakest.  The full method trains proxy models for the loss signal;
+# the engine-side contract is identical with any per-domain loss — this
+# query plugs in the linear classifier's integer score as the exact,
+# replayable stand-in (trained losses drop in unchanged).
+#
+# Exactness: the T multiplicative-weight rounds collapse to factor =
+# (SCALE + excess)^T because per-round normalization is a scalar that
+# cancels in the final normalization; the final weights are integer
+# permille via largest-remainder (proportional_quota's proven scheme).
+# Scale: ONE corpus scoring pass (the classifier's zero-shuffle Arrow
+# projection) + one partial-aggregable groupBy(domain); the driver-side
+# arithmetic touches O(domains) rows in arbitrary-precision Python ints.
+_DOREMI_SCALE = 10000  # learning-rate denominator of the update
+_DOREMI_CLAMP = 100000  # excess clamp: bounds factor, the standard trick
+_DOREMI_ROUNDS = 3
+
+
+def doremi_weights(
+    spark: SparkSession,
+    df: DataFrame,
+    domain_col: str = "source",
+) -> DataFrame:
+    """(domain, n_docs, sum_tokens, excess_milli, weight_permille):
+    permille training-mixture weights after _DOREMI_ROUNDS multiplicative
+    updates on the clamped quality deficit; weights sum to exactly 1000."""
+    scored = quality_classifier(df, keep_cols=(domain_col,))
+    rows = (
+        scored.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("w_total").alias("sum_w"),
+        )
+        .collect()
+    )  # O(domains) driver rows — bounded by the domain key, never docs
+    # adj shifts every token weight by +1000 so all sums are non-negative
+    # and both engines' integer division is the same floor
+    per = {
+        r[domain_col]: (
+            int(r["n_docs"]),
+            int(r["sum_tokens"]),
+            int(r["sum_w"]) + 1000 * int(r["sum_tokens"]),
+        )
+        for r in rows
+    }
+    corpus_mean = (1000 * sum(a for _, _, a in per.values())) // sum(
+        t for _, t, _ in per.values()
+    )
+    excess = {
+        d: min(
+            _DOREMI_CLAMP, max(0, corpus_mean - (1000 * a) // t)
+        )
+        for d, (_, t, a) in per.items()
+    }
+    factor = {d: (_DOREMI_SCALE + e) ** _DOREMI_ROUNDS for d, e in excess.items()}
+    ftot = sum(factor.values())
+    base = {d: (1000 * f) // ftot for d, f in factor.items()}
+    rem = {d: (1000 * f) % ftot for d, f in factor.items()}
+    short = 1000 - sum(base.values())
+
+    def _key(d):  # None sorts LAST among equals, never compares to str
+        return (d is None, d)
+
+    weight = dict(base)
+    for d in sorted(per, key=lambda d: (-rem[d],) + _key(d)):
+        if short <= 0:
+            break
+        weight[d] += 1
+        short -= 1
+    out = [
+        (d, per[d][0], per[d][1], excess[d], weight[d])
+        for d in sorted(per, key=_key)
+    ]
+    schema = (
+        f"{domain_col} string, n_docs long, sum_tokens long, "
+        "excess_milli long, weight_permille long"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def doremi_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return doremi_weights(spark, docs)
+
+
+# the T-fold product spelled out so the SQL tracks _DOREMI_ROUNDS exactly
+# (integer ^ is not exponentiation in either engine's BIGINT domain)
+_DOREMI_FACTOR_SQL = " * ".join(
+    [f"({_DOREMI_SCALE} + excess_milli)"] * _DOREMI_ROUNDS
+)
+
+DOREMI_WEIGHTS_SQL = f"""
+WITH {{_QC_BUCKET_CTE}}, dom AS (
+  SELECT source,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS sum_tokens,
+         CAST(sum(w.wt) AS BIGINT) + 1000 * CAST(count(*) AS BIGINT) AS adj
+  FROM b JOIN w ON b.bkt = w.bkt
+  GROUP BY source
+), c AS (
+  SELECT (1000 * sum(adj)) // sum(sum_tokens) AS corpus_mean FROM dom
+), ex AS (
+  SELECT source, n_docs, sum_tokens,
+         least(CAST({_DOREMI_CLAMP} AS BIGINT),
+               greatest(CAST(0 AS BIGINT),
+                 (SELECT corpus_mean FROM c) - (1000 * adj) // sum_tokens))
+           AS excess_milli
+  FROM dom
+), f AS (
+  SELECT source, n_docs, sum_tokens, excess_milli,
+         {_DOREMI_FACTOR_SQL} AS factor
+  FROM ex
+), tot AS (SELECT sum(factor) AS ft FROM f),
+base AS (
+  SELECT *, (1000 * factor) // (SELECT ft FROM tot) AS base_pm,
+            (1000 * factor) % (SELECT ft FROM tot) AS rem
+  FROM f
+), short AS (SELECT 1000 - sum(base_pm) AS s FROM base),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM base
+)
+SELECT source, n_docs, sum_tokens, excess_milli,
+       CAST(base_pm + CASE WHEN rk <= (SELECT s FROM short) THEN 1 ELSE 0 END
+            AS BIGINT) AS weight_permille
+FROM ranked
+ORDER BY source
+"""
+DOREMI_WEIGHTS_SQL = DOREMI_WEIGHTS_SQL.format(_QC_BUCKET_CTE=_QC_BUCKET_CTE)
+
+
+QUERIES["doremi_weights_docs"] = (doremi_weights_docs, DOREMI_WEIGHTS_SQL)

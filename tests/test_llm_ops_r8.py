@@ -181,3 +181,35 @@ def test_streaming_sessionize_matches_batch_twin(spark):
         for r in batch.filter(F.col("e") <= cutoff).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_doremi_weights_invariants(spark):
+    """Independent invariants: weights are a permille distribution summing
+    to exactly 1000; domains with equal excess differ by at most the
+    largest-remainder +1; a strictly harder domain never gets less than
+    an easier one minus that +1 quantum."""
+    from delta_go_spark.queries import queries
+
+    rows = queries()["doremi_weights_docs"](spark, SF_DIR).collect()
+    assert sum(r["weight_permille"] for r in rows) == 1000
+    assert all(r["weight_permille"] >= 0 for r in rows)
+    by_excess = {}
+    for r in rows:
+        by_excess.setdefault(r["excess_milli"], []).append(r["weight_permille"])
+    for ws in by_excess.values():
+        assert max(ws) - min(ws) <= 1
+    ordered = sorted(rows, key=lambda r: r["excess_milli"])
+    for a, b in zip(ordered, ordered[1:]):
+        # b has the >= excess: multiplicative updates are monotone up to
+        # the +-1 remainder quantum
+        assert b["weight_permille"] >= a["weight_permille"] - 1
+
+
+def test_doremi_weights_deterministic(spark):
+    from delta_go_spark.functions.curation import doremi_weights
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = [tuple(r) for r in doremi_weights(spark, docs).collect()]
+    b = [tuple(r) for r in doremi_weights(spark, docs.repartition(11)).collect()]
+    assert a == b
