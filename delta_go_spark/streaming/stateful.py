@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    StringType,
     DoubleType,
     LongType,
     StructField,
@@ -246,12 +247,12 @@ def sessionize_stream(
     )
 
 
-def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
-    """Registry query: events split into 4 TIME-ORDERED source files (ts
-    quartiles, staggered mtimes so the file source replays them in event
-    order) -> 4 watermarked micro-batches through the sessionizer ->
-    closed sessions, filtered to the batch-provable cutoff so the result
-    is deterministic and hash-checkable against the islands-and-gaps SQL."""
+def _time_ordered_event_split(spark, sf_dir: str) -> str:
+    """Build (once per fixture content) a 4-file TIME-ORDERED split of the
+    events table — ts quartiles with staggered mtimes, so the file stream
+    source (oldest-first by default) replays the table as 4 micro-batches
+    in event order.  The ordered split is what makes cross-batch lateness
+    structurally impossible for the stateful streaming queries."""
     import os
     import shutil
     import tempfile
@@ -292,6 +293,20 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
             # order (oldest-first is the source's default)
             for f in new:
                 os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+    return src
+
+
+def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
+    """Registry query: events split into 4 TIME-ORDERED source files (ts
+    quartiles, staggered mtimes so the file source replays them in event
+    order) -> 4 watermarked micro-batches through the sessionizer ->
+    closed sessions, filtered to the batch-provable cutoff so the result
+    is deterministic and hash-checkable against the islands-and-gaps SQL."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import load_table
+
+    src = _time_ordered_event_split(spark, sf_dir)
 
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -396,4 +411,158 @@ ORDER BY user_id, session_start_us
 QUERIES["streaming_sessionize_events"] = (
     streaming_sessionize_events,
     STREAMING_SESSIONIZE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-key quota gate: accept the FIRST `quota` events of each key
+# in event order, reject the rest — the in-flight ingestion-budget
+# enforcer (per-source token/byte quotas, per-tenant rate caps) and the
+# running-quota state machine this module's docstring promises.  Contrast
+# with sessionize_stream: no watermark at all — acceptance depends only on
+# the processed PREFIX in (ts, event_id) order, which the time-ordered
+# replay split makes identical to the global event order, so the oracle
+# is a plain row_number() <= quota.
+#
+# Scale: state per key is ONE integer (accepted-so-far); per-batch work is
+# one shuffle of the batch on the key + an Arrow pass that sorts only the
+# key's batch slice.  Keys at quota keep a closed counter and emit
+# nothing — the gate's output volume is bounded by quota x keys.
+_QUOTA_PER_KEY = 500
+
+QUOTA_GATE_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("ts_us", LongType(), False),
+        StructField("cents", LongType(), False),
+        StructField("accept_rank", LongType(), False),
+    ]
+)
+
+QUOTA_GATE_STATE = StructType([StructField("n", LongType(), False)])
+
+
+def quota_gate_stream(
+    events: DataFrame,
+    quota: int = _QUOTA_PER_KEY,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """events(key, event_id, ts_us, cents) -> accepted events with their
+    acceptance rank.  Deterministic given in-order batch replay: within a
+    batch the key's rows are sorted by (ts_us, event_id) before the
+    running counter applies."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if n >= quota or batch.empty:
+            state.update((n + len(batch),))
+            return
+        batch = batch.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        take = min(quota - n, len(batch))
+        acc = batch.iloc[:take]
+        state.update((n + len(batch),))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * take,
+                "event_id": acc["event_id"].astype("int64"),
+                "ts_us": acc["ts_us"].astype("int64"),
+                "cents": acc["cents"].astype("int64"),
+                "accept_rank": range(n + 1, n + take + 1),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=QUOTA_GATE_OUTPUT,
+        stateStructType=QUOTA_GATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_quota_gate_events(spark, sf_dir: str) -> DataFrame:
+    """Registry query: the 4-batch time-ordered replay through the quota
+    gate, then a per-key aggregate of the ACCEPTED set — count, integer
+    cents, and an id checksum pinning exactly WHICH events made the cut."""
+    from pyspark.sql import functions as F
+
+    src = _time_ordered_event_split(spark, sf_dir)
+
+    _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(
+                "event_type",
+                "event_id",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("ts_us"),
+                F.floor(F.col("value") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        out = quota_gate_stream(stream)
+        sink = "streaming_quota_gate_sink"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
+
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_accepted"),
+            F.sum("cents").alias("cents_accepted"),
+            F.sum("event_id").alias("id_checksum"),
+            F.max("ts_us").alias("last_accepted_us"),
+            F.max("accept_rank").alias("max_rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_QUOTA_GATE_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS rk
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_accepted,
+       CAST(sum(cents) AS BIGINT) AS cents_accepted,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       max(ts_us) AS last_accepted_us,
+       CAST(max(rk) AS BIGINT) AS max_rank
+FROM r WHERE rk <= {_QUOTA_PER_KEY}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES["streaming_quota_gate_events"] = (
+    streaming_quota_gate_events,
+    STREAMING_QUOTA_GATE_SQL,
 )

@@ -213,3 +213,35 @@ def test_doremi_weights_deterministic(spark):
     a = [tuple(r) for r in doremi_weights(spark, docs).collect()]
     b = [tuple(r) for r in doremi_weights(spark, docs.repartition(11)).collect()]
     assert a == b
+
+
+def test_streaming_quota_gate_matches_batch_prefix(spark):
+    """The gate's accepted set must be exactly the (ts, event_id)-ordered
+    prefix of each key — checked against a batch window computation, an
+    independent engine path."""
+    from pyspark.sql import Window
+
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    out = {r["event_type"]: r for r in
+           queries()["streaming_quota_gate_events"](spark, SF_DIR).collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 500)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("chk"),
+        )
+        .collect()
+    )
+    assert out
+    for r in batch:
+        o = out[r["event_type"]]
+        assert o["n_accepted"] == r["n"]
+        assert o["id_checksum"] == r["chk"]
+        assert o["max_rank"] == o["n_accepted"]
