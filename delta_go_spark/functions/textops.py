@@ -1930,3 +1930,148 @@ ORDER BY source
 
 
 QUERIES["bigram_coverage_docs"] = (bigram_coverage_docs, BIGRAM_COVERAGE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed inference batching: group documents into batches under a
+# padded-token budget (batch_size × batch_max_len <= budget) — how an eval
+# harness or serving stack actually batches variable-length sequences, and
+# the operator that quantifies PADDING WASTE (the silent GPU-hour tax of
+# naive batching).  Sorting by length first is the standard waste
+# minimizer: each batch's max is its first element, so the greedy walk is
+# a closed-form step (capacity = budget // first_len) per batch.
+#
+# Scale: same per-stream contract as pack_bestfit — one shuffle of
+# (stream, id, n_tokens) triples, then an Arrow pass per stream whose
+# loop advances BATCH by batch (O(batches), not O(docs²)); oversized docs
+# own singleton batches.  Integer token counts make the layout exactly
+# replayable; the DuckDB oracle replays the walk with a batch-stepping
+# recursive CTE (depth = #batches) and checksums every assignment.
+_BATCHING_BUDGET = 512  # padded tokens per batch
+
+
+def length_batching(
+    df: DataFrame,
+    budget_tokens: int = _BATCHING_BUDGET,
+    stream_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stream, id, n_tokens, batch_id): sorted-greedy batch assignment.
+
+    Contract: docs ordered by (n_tokens DESC, id ASC); a batch starting
+    with length L holds max(1, budget // L) docs; the next batch starts at
+    the following doc."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(stream_col),
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        lens = pdf["n_tokens"].tolist()
+        batch_ids = [0] * len(lens)
+        bid, i = 0, 0
+        while i < len(lens):
+            cap = max(1, budget_tokens // int(lens[i]))
+            for j in range(i, min(i + cap, len(lens))):
+                batch_ids[j] = bid
+            i += cap
+            bid += 1
+        pdf["batch_id"] = pd.Series(batch_ids, dtype="int64")
+        return pdf
+
+    out_schema = f"{stream_col} string, {id_col} long, n_tokens long, batch_id long"
+    return toks.groupBy(stream_col).applyInPandas(assign, schema=out_schema)
+
+
+def length_batching_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: per-source batching report — batches, padded vs
+    actual tokens, padding waste, integer-permille utilization, and a
+    checksum pinning every doc's batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = length_batching(docs)
+    per_batch = assigned.groupBy("source", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum(F.col("doc_id") * (F.col("batch_id") + 1)).alias("chk"),
+    )
+    return (
+        per_batch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_tokens").alias("sum_tokens"),
+            F.sum(F.col("n_docs") * F.col("max_len")).alias("padded_tokens"),
+            F.sum("chk").alias("assign_checksum"),
+        )
+        .select(
+            "source",
+            "n_batches",
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            (F.col("padded_tokens") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+            F.expr("(1000 * sum_tokens) div padded_tokens").alias(
+                "util_permille"
+            ),
+            "assign_checksum",
+        )
+        .orderBy("source")
+    )
+
+
+LENGTH_BATCHING_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rn
+  FROM documents WHERE text IS NOT NULL
+), nmax AS (
+  SELECT source, max(rn) AS n FROM docs GROUP BY source
+), batches AS (
+  SELECT d.source, CAST(0 AS BIGINT) AS batch_id,
+         CAST(1 AS BIGINT) AS start_rn,
+         least(greatest({_BATCHING_BUDGET} // d.t, 1), m.n) AS end_rn
+  FROM docs d JOIN nmax m ON d.source = m.source AND d.rn = 1
+  UNION ALL
+  SELECT b.source, b.batch_id + 1,
+         b.end_rn + 1,
+         least(b.end_rn + greatest({_BATCHING_BUDGET} // d.t, 1), m.n)
+  FROM batches b
+  JOIN docs d ON d.source = b.source AND d.rn = b.end_rn + 1
+  JOIN nmax m ON m.source = b.source
+  WHERE b.end_rn < m.n
+), assigned AS (
+  SELECT d.source, d.doc_id, d.t, b.batch_id
+  FROM docs d JOIN batches b
+    ON d.source = b.source AND d.rn BETWEEN b.start_rn AND b.end_rn
+), per_batch AS (
+  SELECT source, batch_id, count(*) AS n_docs, max(t) AS max_len,
+         sum(t) AS sum_tokens, sum(doc_id * (batch_id + 1)) AS chk
+  FROM assigned GROUP BY source, batch_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_docs * max_len) AS BIGINT) AS padded_tokens,
+       CAST(sum(n_docs * max_len) - sum(sum_tokens) AS BIGINT)
+         AS padding_waste,
+       CAST((1000 * sum(sum_tokens)) // sum(n_docs * max_len) AS BIGINT)
+         AS util_permille,
+       CAST(sum(chk) AS BIGINT) AS assign_checksum
+FROM per_batch
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["length_batching_docs"] = (length_batching_docs, LENGTH_BATCHING_SQL)

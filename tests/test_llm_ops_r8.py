@@ -245,3 +245,47 @@ def test_streaming_quota_gate_matches_batch_prefix(spark):
         assert o["n_accepted"] == r["n"]
         assert o["id_checksum"] == r["chk"]
         assert o["max_rank"] == o["n_accepted"]
+
+
+def test_length_batching_invariants(spark):
+    """Independent invariants: every batch respects the padded budget
+    (n_docs * max_len <= budget) unless it is a singleton oversized doc;
+    batch ids are contiguous per stream; sorted batching never wastes more
+    than arrival-order batching."""
+    from delta_go_spark.functions.textops import length_batching
+    from delta_go_spark.session import load_table
+
+    def arrival_waste(lens, budget):
+        """Independent greedy reference: batch in given order, close when
+        the padded size would exceed the budget."""
+        waste = cur_n = cur_max = cur_sum = 0
+        for t in lens:
+            if cur_n and (cur_n + 1) * max(cur_max, t) > budget:
+                waste += cur_n * cur_max - cur_sum
+                cur_n = cur_max = cur_sum = 0
+            cur_n += 1
+            cur_max = max(cur_max, t)
+            cur_sum += t
+        if cur_n:
+            waste += cur_n * cur_max - cur_sum
+        return waste
+
+    budget = 512
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = length_batching(docs, budget_tokens=budget).collect()
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r["source"], []).append(r)
+    for src_rows in by_stream.values():
+        batches = {}
+        for r in src_rows:
+            batches.setdefault(r["batch_id"], []).append(r["n_tokens"])
+        assert sorted(batches) == list(range(len(batches)))
+        waste_sorted = 0
+        for members in batches.values():
+            if len(members) > 1:
+                assert len(members) * max(members) <= budget
+            waste_sorted += len(members) * max(members) - sum(members)
+        arrival = [r["n_tokens"]
+                   for r in sorted(src_rows, key=lambda r: r["doc_id"])]
+        assert waste_sorted <= arrival_waste(arrival, budget)
