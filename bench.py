@@ -87,6 +87,8 @@ HEADLINE = [
     "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
     "quality_classifier_docs",  # r8: linear quality gate, one Arrow pass
     "pack_bestfit_docs",  # r8: best-fit-decreasing context packing
+    "doremi_weights_docs",  # r8: multiplicative-weights domain mixture
+    "length_batching_docs",  # r8: padded-batch planner + waste report
     # streaming_sessionize_events intentionally unbenched: its cost is
     # micro-batch-count x Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.

@@ -123,8 +123,11 @@ SAMPLE = [
     "delta_sql_time_travel",
     # new in round 8 — driver window rows, belt-and-braces here too
     "quality_classifier_docs",
+    "doremi_weights_docs",
     "pack_bestfit_docs",
+    "length_batching_docs",
     "streaming_sessionize_events",
+    "streaming_quota_gate_events",
 ]
 
 
@@ -190,8 +193,11 @@ def test_round8_queries_in_window():
     R8_MUST = [
         # NEW in round 8
         "quality_classifier_docs",
+        "doremi_weights_docs",
         "pack_bestfit_docs",
+        "length_batching_docs",
         "streaming_sessionize_events",
+        "streaming_quota_gate_events",
         # code changed in round 8 (bucketed-cache fixture signature)
         "bucketed_join_lineitem",
         # never driver-checked (landed late in r7, below the full window)
