@@ -624,7 +624,9 @@ def pack_bestfit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.groupBy("source")
         .agg(
-            F.countDistinct("bin_id").alias("n_bins"),
+            # bin ids are contiguous from 0 by construction, so max+1 ==
+            # countDistinct without the distinct-expand aggregate level
+            (F.max("bin_id") + 1).alias("n_bins"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("tokens_packed"),
             F.sum(F.col("doc_id") * (F.col("bin_id") + 1)).alias(
@@ -1974,17 +1976,26 @@ def length_batching(
         ).reset_index(drop=True)
         lens = pdf["n_tokens"].tolist()
         batch_ids = [0] * len(lens)
+        batch_max = [0] * len(lens)
         bid, i = 0, 0
         while i < len(lens):
             cap = max(1, budget_tokens // int(lens[i]))
             for j in range(i, min(i + cap, len(lens))):
                 batch_ids[j] = bid
+                batch_max[j] = int(lens[i])  # desc order: first = batch max
             i += cap
             bid += 1
         pdf["batch_id"] = pd.Series(batch_ids, dtype="int64")
+        # carrying the batch max per doc lets every downstream padded-size
+        # aggregate run as ONE groupBy(stream): sum_docs(batch_max) ==
+        # sum_batches(n_docs * max_len) — no (stream, batch) re-shuffle
+        pdf["batch_max_len"] = pd.Series(batch_max, dtype="int64")
         return pdf
 
-    out_schema = f"{stream_col} string, {id_col} long, n_tokens long, batch_id long"
+    out_schema = (
+        f"{stream_col} string, {id_col} long, n_tokens long, "
+        "batch_id long, batch_max_len long"
+    )
     return toks.groupBy(stream_col).applyInPandas(assign, schema=out_schema)
 
 
@@ -1994,20 +2005,17 @@ def length_batching_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum pinning every doc's batch."""
     docs = load_table(spark, sf_dir, "documents")
     assigned = length_batching(docs)
-    per_batch = assigned.groupBy("source", "batch_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tokens").alias("max_len"),
-        F.sum("n_tokens").alias("sum_tokens"),
-        F.sum(F.col("doc_id") * (F.col("batch_id") + 1)).alias("chk"),
-    )
     return (
-        per_batch.groupBy("source")
+        assigned.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_batches"),
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_tokens").alias("sum_tokens"),
-            F.sum(F.col("n_docs") * F.col("max_len")).alias("padded_tokens"),
-            F.sum("chk").alias("assign_checksum"),
+            # batch ids contiguous from 0: max+1 == batch count
+            (F.max("batch_id") + 1).alias("n_batches"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("batch_max_len").alias("padded_tokens"),
+            F.sum(F.col("doc_id") * (F.col("batch_id") + 1)).alias(
+                "assign_checksum"
+            ),
         )
         .select(
             "source",

@@ -786,3 +786,18 @@ def test_quality_classifier_no_shuffle_before_score(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Generate" not in plan, plan
     assert "Window" not in plan, plan
+
+
+@pytest.mark.parametrize("qname", ["pack_bestfit_docs", "length_batching_docs"])
+def test_per_stream_packing_plans(spark, qname):
+    """Per-stream packers: one Arrow group pass on the stream key, partial
+    map-side aggregation, no window, no explode, and at most the stream
+    shuffle + aggregate exchanges (plus the output sort's range exchange)."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()[qname](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before any exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
