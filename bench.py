@@ -89,6 +89,8 @@ HEADLINE = [
     "pack_bestfit_docs",  # r8: best-fit-decreasing context packing
     "doremi_weights_docs",  # r8: multiplicative-weights domain mixture
     "length_batching_docs",  # r8: padded-batch planner + waste report
+    "systematic_weighted_sample_docs",  # r8: PPS systematic draw
+    "block_dedup_docs",  # r8: CAS block-level storage dedup
     # streaming_sessionize_events intentionally unbenched: its cost is
     # micro-batch-count x Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.

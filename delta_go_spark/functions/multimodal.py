@@ -288,3 +288,89 @@ QUERIES: dict = {
     "binary_stats_docs": (binary_stats_docs, BINARY_STATS_SQL),
     "media_pipeline_summary": (media_pipeline_summary, MEDIA_PIPELINE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Block-level content-addressable dedup: split each payload into fixed
+# blocks, hash each block, and report how much of the corpus is duplicate
+# blocks — the rsync/CAS storage trick every large media store runs before
+# writing bytes (near-identical images/videos share most of their blocks
+# even when whole-file hashes differ).  The payload here is the documents
+# text (the same binary-contract anchor binary_stats_docs uses); block
+# boundaries are CHARACTER offsets so Spark's and DuckDB's md5 hash the
+# identical UTF-8 byte runs with no ASCII assumption — a true binary
+# column swaps in byte-offset substring with the same plan shape.
+#
+# Scale: one scan -> codegen block explosion (explode(sequence) + md5 as
+# plain row expressions, no interpreted lambda) -> two partial-aggregable
+# groupBys + one join that only ever moves (source, 32-hex hash) pairs —
+# duplicated_gram_fraction's proven shape, pointed at storage blocks.
+_BLOCK_CHARS = 32
+
+
+def block_dedup_docs(spark, sf_dir: str) -> DataFrame:
+    """Per-source block-dedup report: total block instances, distinct
+    blocks, blocks shared corpus-wide (count > 1 anywhere), and this
+    source's instances that a CAS store would not re-write."""
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    nblk = F.ceil(F.length("text") / _BLOCK_CHARS).cast("int")
+    blocks = docs.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), nblk - 1)).alias("_i"),
+        F.col("text"),
+    ).select(
+        "source",
+        F.md5(
+            F.expr(
+                f"substring(text, 1 + _i * {_BLOCK_CHARS}, {_BLOCK_CHARS})"
+            )
+        ).alias("blk"),
+    )
+    gc = blocks.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    sc = blocks.groupBy("source", "blk").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sc.join(gc, "blk")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_blocks"),
+            F.count(F.lit(1)).alias("distinct_blocks"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("shared_blocks"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("n")).otherwise(0)).alias(
+                "dup_instances"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+BLOCK_DEDUP_SQL = f"""
+WITH blocks AS (
+  SELECT source,
+         md5(unnest(list_transform(
+           range(1, CAST(ceil(length(text) / {_BLOCK_CHARS}.0) AS INT) + 1),
+           i -> substring(text, 1 + (i - 1) * {_BLOCK_CHARS},
+                          {_BLOCK_CHARS})))) AS blk
+  FROM documents WHERE text IS NOT NULL
+), gc AS (
+  SELECT blk, count(*) AS cnt FROM blocks GROUP BY blk
+), sc AS (
+  SELECT source, blk, count(*) AS n FROM blocks GROUP BY source, blk
+)
+SELECT sc.source,
+       CAST(sum(sc.n) AS BIGINT) AS total_blocks,
+       count(*) AS distinct_blocks,
+       CAST(count(CASE WHEN gc.cnt > 1 THEN 1 END) AS BIGINT)
+         AS shared_blocks,
+       CAST(sum(CASE WHEN gc.cnt > 1 THEN sc.n ELSE 0 END) AS BIGINT)
+         AS dup_instances
+FROM sc JOIN gc ON sc.blk = gc.blk
+GROUP BY sc.source
+ORDER BY sc.source
+"""
+
+
+QUERIES["block_dedup_docs"] = (block_dedup_docs, BLOCK_DEDUP_SQL)

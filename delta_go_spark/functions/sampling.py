@@ -1333,3 +1333,99 @@ QUERIES["proportional_quota_docs"] = (
     proportional_quota_docs,
     PROPORTIONAL_QUOTA_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Systematic weighted sampling: draw ~k documents with probability
+# proportional to size (token count) by walking equally-spaced sample
+# points through the weighted cumulative order — the deterministic,
+# exactly-replayable alternative to weighted reservoir sampling (whose
+# u^(1/w) keys cannot be value-hashed across engines), and the standard
+# way to draw a token-proportional inspection/eval slice.  A document
+# containing m sample points is drawn with multiplicity m, the correct
+# PPS behaviour for documents heavier than the step.
+#
+# Scale: the cumulative weights come from _global_prefix (two-pass
+# range-partitioned prefix — never a single-task window); the walk order
+# is the md5 pseudorandom permutation (shuffle_shard's proven trick), so
+# selection is independent of ingestion order; everything downstream is a
+# pure per-row integer formula.  The +step shift keeps every division
+# non-negative — Spark `div` truncates while DuckDB `//` floors, and they
+# only agree above zero.
+_SYSTEMATIC_K = 100
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    k: int = _SYSTEMATIC_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, cum_before, multiplicity) for drawn docs only:
+    sample points sit at offset + i*step (step = floor(W/k), offset =
+    step//2) along the md5-ordered cumulative token axis."""
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
+    )
+    prefixed = _global_prefix(
+        t, ["_ord", id_col], sum_col="n_tokens", cum_col="_gcum"
+    )
+    total = int(prefixed.agg(F.max("_gcum")).first()[0])
+    step = max(1, total // k)
+    offset = step // 2
+    cum_before = F.col("_gcum") - F.col("n_tokens")
+    # multiplicity = #points in [cum_before, _gcum): both terms shifted by
+    # step-1-offset >= 0 so the integer division never sees a negative
+    lo = F.expr(f"((_gcum - n_tokens) + {step - 1 - offset}) div {step}")
+    hi = F.expr(f"(_gcum + {step - 1 - offset}) div {step}")
+    return (
+        prefixed.withColumn("multiplicity", (hi - lo).cast("long"))
+        .filter(F.col("multiplicity") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            cum_before.cast("long").alias("cum_before"),
+            "multiplicity",
+        )
+    )
+
+
+def systematic_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_weighted_sample(docs).orderBy("doc_id")
+
+
+SYSTEMATIC_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), p AS (
+  SELECT greatest(sum(n_tokens) // {_SYSTEMATIC_K}, 1) AS step FROM t
+), m AS (
+  SELECT doc_id, n_tokens, cum - n_tokens AS cum_before,
+         (cum + (SELECT step - 1 - step // 2 FROM p))
+           // (SELECT step FROM p)
+         - ((cum - n_tokens) + (SELECT step - 1 - step // 2 FROM p))
+           // (SELECT step FROM p) AS multiplicity
+  FROM c
+)
+SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(multiplicity AS BIGINT) AS multiplicity
+FROM m WHERE multiplicity > 0
+ORDER BY doc_id
+"""
+
+
+QUERIES["systematic_weighted_sample_docs"] = (
+    systematic_weighted_sample_docs,
+    SYSTEMATIC_SAMPLE_SQL,
+)

@@ -289,3 +289,62 @@ def test_length_batching_invariants(spark):
         arrival = [r["n_tokens"]
                    for r in sorted(src_rows, key=lambda r: r["doc_id"])]
         assert waste_sorted <= arrival_waste(arrival, budget)
+
+
+def test_systematic_sample_pps_invariants(spark):
+    """Independent invariants: total multiplicity equals the exact number
+    of grid points in [0, W); every doc at least step tokens long is
+    drawn (an interval of length >= step always contains a grid point);
+    selection is independent of input partitioning."""
+    from delta_go_spark.functions.sampling import systematic_weighted_sample
+    from delta_go_spark.session import load_table
+
+    k = 100
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = systematic_weighted_sample(docs, k=k).collect()
+
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.size(F.split("text", " ")).cast("long").alias("t")
+    )
+    W = toks.agg(F.sum("t")).first()[0]
+    step = max(1, W // k)
+    offset = step // 2
+    n_points = (W - offset + step - 1) // step  # points offset+i*step < W
+    assert sum(r["multiplicity"] for r in rows) == n_points
+
+    drawn = {r["doc_id"] for r in rows}
+    heavy = {
+        r["doc_id"]
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") >= step)
+        .collect()
+    }
+    assert heavy <= drawn
+
+    again = {
+        (r["doc_id"], r["multiplicity"])
+        for r in systematic_weighted_sample(docs.repartition(9), k=k).collect()
+    }
+    assert again == {(r["doc_id"], r["multiplicity"]) for r in rows}
+
+
+def test_block_dedup_accounting(spark):
+    """Independent invariants: per source shared <= distinct <= total,
+    dup_instances >= shared (every shared block has >= 1 instance here),
+    and the corpus-wide totals reconcile with a direct block count."""
+    from delta_go_spark.queries import queries
+    from delta_go_spark.session import load_table
+
+    rows = queries()["block_dedup_docs"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["shared_blocks"] <= r["distinct_blocks"] <= r["total_blocks"]
+        assert r["dup_instances"] >= r["shared_blocks"]
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_blocks = docs.select(
+        F.ceil(F.length("text") / 32).cast("long").alias("b")
+    ).agg(F.sum("b")).first()[0]
+    assert sum(r["total_blocks"] for r in rows) == n_blocks

@@ -128,6 +128,8 @@ SAMPLE = [
     "length_batching_docs",
     "streaming_sessionize_events",
     "streaming_quota_gate_events",
+    "systematic_weighted_sample_docs",
+    "block_dedup_docs",
 ]
 
 
@@ -198,6 +200,8 @@ def test_round8_queries_in_window():
         "length_batching_docs",
         "streaming_sessionize_events",
         "streaming_quota_gate_events",
+        "systematic_weighted_sample_docs",
+        "block_dedup_docs",
         # code changed in round 8 (bucketed-cache fixture signature)
         "bucketed_join_lineitem",
         # never driver-checked (landed late in r7, below the full window)

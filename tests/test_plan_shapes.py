@@ -754,7 +754,12 @@ def test_salted_skew_join_spreads_hot_key(spark):
 
 
 @pytest.mark.parametrize(
-    "qname", ["token_budget_select_docs", "curriculum_interleave_docs"]
+    "qname",
+    [
+        "token_budget_select_docs",
+        "curriculum_interleave_docs",
+        "systematic_weighted_sample_docs",
+    ],
 )
 def test_global_prefix_never_single_task_window(spark, qname):
     """Exact global order statistics must use the two-pass range-
