@@ -1069,7 +1069,9 @@ def doremi_weights(
     rows = (
         scored.groupBy(domain_col)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            # countDistinct matches the oracle's count(DISTINCT doc_id);
+            # a re-ingested duplicate id row would otherwise diverge
+            F.countDistinct("doc_id").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.sum("w_total").alias("sum_w"),
         )

@@ -314,8 +314,11 @@ def block_dedup_docs(spark, sf_dir: str) -> DataFrame:
     source's instances that a CAS store would not re-write."""
     from delta_go_spark.session import load_table
 
+    # length > 0, not just NOT NULL: an empty payload has ZERO blocks,
+    # but Spark's sequence(0, -1) would yield [0, -1] (step defaults to -1
+    # when start > stop) and explode two phantom blocks
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.length("text") > 0
     )
     nblk = F.ceil(F.length("text") / _BLOCK_CHARS).cast("int")
     blocks = docs.select(

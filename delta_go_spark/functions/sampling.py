@@ -1166,6 +1166,7 @@ def _global_prefix(
     rn_col: str = "_grn",
     cum_col: str = "_gcum",
     num_partitions: int = 32,
+    return_totals: bool = False,
 ) -> DataFrame:
     """Exact global row_number (and optional running sum) over a TOTAL
     order, computed WITHOUT an un-partitioned window.
@@ -1220,7 +1221,12 @@ def _global_prefix(
     )
     if sum_col is not None:
         out = out.withColumn(cum_col, F.col(cum_col) + F.col("_off_s"))
-    return out.drop("_pid", "_off_n", "_off_s")
+    out = out.drop("_pid", "_off_n", "_off_s")
+    if return_totals:
+        # the grand totals fell out of the offsets pass for free — callers
+        # needing W (e.g. the systematic sampler's step) must not re-scan
+        return out, run_n, run_s
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1369,10 +1375,10 @@ def systematic_weighted_sample(
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_ord"),
     )
-    prefixed = _global_prefix(
-        t, ["_ord", id_col], sum_col="n_tokens", cum_col="_gcum"
+    prefixed, _n, total = _global_prefix(
+        t, ["_ord", id_col], sum_col="n_tokens", cum_col="_gcum",
+        return_totals=True,
     )
-    total = int(prefixed.agg(F.max("_gcum")).first()[0])
     step = max(1, total // k)
     offset = step // 2
     cum_before = F.col("_gcum") - F.col("n_tokens")

@@ -424,10 +424,12 @@ QUERIES["streaming_sessionize_events"] = (
 # replay split makes identical to the global event order, so the oracle
 # is a plain row_number() <= quota.
 #
-# Scale: state per key is ONE integer (accepted-so-far); per-batch work is
-# one shuffle of the batch on the key + an Arrow pass that sorts only the
-# key's batch slice.  Keys at quota keep a closed counter and emit
-# nothing — the gate's output volume is bounded by quota x keys.
+# Scale: state per key is ONE integer — the count of events SEEN so far
+# (with in-order replay, seen-prefix == accept-prefix, which is the
+# invariant the correctness proof rests on; it is NOT an accepted-only
+# counter).  Per-batch work is one shuffle of the batch on the key + an
+# Arrow pass that sorts only the key's batch slice; keys past quota emit
+# nothing, so output volume is bounded by quota x keys.
 _QUOTA_PER_KEY = 500
 
 QUOTA_GATE_OUTPUT = StructType(
@@ -440,6 +442,8 @@ QUOTA_GATE_OUTPUT = StructType(
     ]
 )
 
+# n = events SEEN for the key so far (not accepted): the accept decision
+# is n < quota only because replay is in order, see module comment above
 QUOTA_GATE_STATE = StructType([StructField("n", LongType(), False)])
 
 

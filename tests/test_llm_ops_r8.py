@@ -288,7 +288,15 @@ def test_length_batching_invariants(spark):
             waste_sorted += len(members) * max(members) - sum(members)
         arrival = [r["n_tokens"]
                    for r in sorted(src_rows, key=lambda r: r["doc_id"])]
-        assert waste_sorted <= arrival_waste(arrival, budget)
+        # FIXTURE PIN, not a theorem: sorted batching beats arrival-order
+        # on real length distributions but adversarial inputs exist
+        # (e.g. budget 4, lengths [1,1,2] arrival-packs waste-free).  If a
+        # regenerated fixture trips this, re-evaluate rather than assume
+        # a code bug.
+        assert waste_sorted <= arrival_waste(arrival, budget), (
+            "sorted batching wasted more than arrival order on this "
+            "fixture slice - distributional pin violated, see comment"
+        )
 
 
 def test_systematic_sample_pps_invariants(spark):
@@ -342,7 +350,7 @@ def test_block_dedup_accounting(spark):
         assert r["shared_blocks"] <= r["distinct_blocks"] <= r["total_blocks"]
         assert r["dup_instances"] >= r["shared_blocks"]
     docs = load_table(spark, SF_DIR, "documents").filter(
-        F.col("text").isNotNull()
+        F.length("text") > 0
     )
     n_blocks = docs.select(
         F.ceil(F.length("text") / 32).cast("long").alias("b")
