@@ -568,6 +568,28 @@ QUERIES["pack_sequences_docs"] = (pack_sequences_docs, PACK_SEQUENCES_SQL)
 _BESTFIT_BUDGET = 256
 
 
+def bfd_assign(tokens: list, budget: int) -> list:
+    """Pure best-fit placement over an ALREADY-ORDERED size list: returns
+    one bin id per input (the chosen bin = min (remaining, bin_id) among
+    bins that fit; no fit opens bin len(bins)).  Module-level so the
+    hypothesis property suite can drive the exact algorithm the Spark
+    group pass runs, without a cluster in the loop."""
+    rem: list = []  # remaining capacity per bin, index = bin_id
+    out: list = []
+    for t in tokens:
+        best = None  # (remaining, bid)
+        for bid, r in enumerate(rem):
+            if r >= t and (best is None or (r, bid) < best):
+                best = (r, bid)
+        if best is None:
+            out.append(len(rem))
+            rem.append(budget - t)
+        else:
+            out.append(best[1])
+            rem[best[1]] -= t
+    return out
+
+
 def pack_bestfit(
     df: DataFrame,
     budget_tokens: int = _BESTFIT_BUDGET,
@@ -594,21 +616,10 @@ def pack_bestfit(
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        rem: list[int] = []  # remaining capacity per bin, index = bin_id
-        bins: list[int] = []
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            best = None  # (remaining, bid)
-            for bid, r in enumerate(rem):
-                if r >= t and (best is None or (r, bid) < best):
-                    best = (r, bid)
-            if best is None:
-                bins.append(len(rem))
-                rem.append(budget_tokens - t)
-            else:
-                bins.append(best[1])
-                rem[best[1]] -= t
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_id"] = pd.Series(
+            bfd_assign([int(t) for t in pdf["n_tokens"]], budget_tokens),
+            dtype="int64",
+        )
         return pdf
 
     out_schema = f"{stream_col} string, {id_col} long, n_tokens long, bin_id long"

@@ -174,6 +174,24 @@ SESSIONIZE_STATE = StructType(
 )
 
 
+def merge_fragments(frags: list, gap_us: int) -> list:
+    """Collapse session fragments [start, end, n, cents] whose gap is
+    below `gap_us` — the pure, ORDER-FREE core of the sessionizer (any
+    batch split of the same events folds to the same fragments, which is
+    what makes multi-batch replay deterministic).  Module-level so the
+    hypothesis split-invariance property can drive it directly."""
+    merged: list = []
+    for f in sorted(frags):
+        if merged and f[0] - merged[-1][1] < gap_us:
+            m = merged[-1]
+            m[1] = max(m[1], f[1])
+            m[2] += f[2]
+            m[3] += f[3]
+        else:
+            merged.append(list(f))
+    return merged
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_us: int = _SESSION_GAP_US,
@@ -198,16 +216,7 @@ def sessionize_stream(
             for t, c in zip(pdf["ts_us"], pdf["cents"]):
                 new.append([int(t), int(t), 1, int(c)])
         if new:
-            merged: list[list[int]] = []
-            for f in sorted(frags + new):
-                if merged and f[0] - merged[-1][1] < gap_us:
-                    m = merged[-1]
-                    m[1] = max(m[1], f[1])
-                    m[2] += f[2]
-                    m[3] += f[3]
-                else:
-                    merged.append(list(f))
-            frags = merged
+            frags = merge_fragments(frags + new, gap_us)
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
         closed = [f for f in frags if f[1] + gap_us <= wm_us]

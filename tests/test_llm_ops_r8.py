@@ -356,3 +356,100 @@ def test_block_dedup_accounting(spark):
         F.ceil(F.length("text") / 32).cast("long").alias("b")
     ).agg(F.sum("b")).first()[0]
     assert sum(r["total_blocks"] for r in rows) == n_blocks
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties over the extracted pure cores — independent
+# invariants (capacity, the published approximation theorem, algebraic
+# split-invariance), never a replay of the implementation.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _optimal_bins(tokens, budget):
+    """Exact bin-packing optimum by branch and bound (tiny n only)."""
+    tokens = sorted((t for t in tokens if t <= budget), reverse=True)
+    if not tokens:
+        return 0
+    best = [len(tokens)]
+
+    def rec(i, bins):
+        if len(bins) >= best[0]:
+            return
+        if i == len(tokens):
+            best[0] = len(bins)
+            return
+        t = tokens[i]
+        seen = set()
+        for b in range(len(bins)):
+            if bins[b] >= t and bins[b] not in seen:
+                seen.add(bins[b])
+                bins[b] -= t
+                rec(i + 1, bins)
+                bins[b] += t
+        bins.append(budget - t)
+        rec(i + 1, bins)
+        bins.pop()
+
+    rec(0, [])
+    return best[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8),
+    st.integers(min_value=50, max_value=300),
+)
+def test_bfd_assign_capacity_and_theorem(tokens, budget):
+    from delta_go_spark.functions.textops import bfd_assign
+
+    ordered = sorted(tokens, reverse=True)
+    bins = bfd_assign(ordered, budget)
+    # every doc placed, bin ids contiguous from 0
+    assert len(bins) == len(ordered)
+    used = sorted(set(bins))
+    assert used == list(range(len(used)))
+    # capacity: no multi-doc bin over budget
+    fill = {}
+    for t, b in zip(ordered, bins):
+        fill.setdefault(b, []).append(t)
+    for members in fill.values():
+        if len(members) > 1:
+            assert sum(members) <= budget
+    # the BFD approximation theorem on the fitting items:
+    # BFD(L) <= 11/9 OPT(L) + 6/9  (Dosa 2007 tight bound)
+    oversized = sum(1 for t in ordered if t > budget)
+    fitting_bins = len(used) - oversized
+    opt = _optimal_bins(ordered, budget)
+    assert opt <= fitting_bins <= (11 * opt + 6) // 9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=2_000),
+    st.data(),
+)
+def test_merge_fragments_split_invariant(events, gap, data):
+    """Algebraic property the multi-batch determinism rests on: folding
+    any 2-way split of the events through merge_fragments equals merging
+    them all at once."""
+    from delta_go_spark.streaming.stateful import merge_fragments
+
+    frags = [[t, t, 1, c] for t, c in events]
+    whole = merge_fragments([list(f) for f in frags], gap)
+
+    mask = [data.draw(st.booleans()) for _ in frags]
+    part_a = [list(f) for f, m in zip(frags, mask) if m]
+    part_b = [list(f) for f, m in zip(frags, mask) if not m]
+    staged = merge_fragments(
+        merge_fragments(part_a, gap) + part_b, gap
+    )
+    assert staged == whole
