@@ -1167,7 +1167,7 @@ def _global_prefix(
     cum_col: str = "_gcum",
     num_partitions: int = 32,
     return_totals: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, int, int]":
     """Exact global row_number (and optional running sum) over a TOTAL
     order, computed WITHOUT an un-partitioned window.
 
@@ -1178,7 +1178,12 @@ def _global_prefix(
     ranks/prefix-sums in parallel, collect only the O(partitions)
     subtotals to the driver, and broadcast the per-partition offsets back.
     The order columns must form a total order (include a unique id);
-    results are then independent of the sampled range boundaries."""
+    results are then independent of the sampled range boundaries.
+
+    With return_totals=True the return shape changes to
+    (df, total_rows, total_sum) — the grand totals fall out of the
+    offsets pass for free, so callers needing them (the systematic
+    sampler's step) must not re-scan the frame."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
