@@ -91,6 +91,7 @@ HEADLINE = [
     "length_batching_docs",  # r8: padded-batch planner + waste report
     "systematic_weighted_sample_docs",  # r8: PPS systematic draw
     "block_dedup_docs",  # r8: CAS block-level storage dedup
+    "dpp_join_orders",  # r8: dynamic-partition-pruned fact scan
     # streaming_sessionize_events intentionally unbenched: its cost is
     # micro-batch-count x Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.

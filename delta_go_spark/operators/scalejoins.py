@@ -1,7 +1,7 @@
 """Scale-join patterns as first-class, oracle-backed operators.
 
-Two of the load-bearing techniques for 100 TB joins are demonstrated (and
-hash-verified) here rather than only described in docstrings:
+Three of the load-bearing techniques for 100 TB joins are demonstrated
+(and hash-verified) here rather than only described in docstrings:
 
 - **Bucketed co-located join**: both sides written `bucketBy` on the join
   key, so the sort-merge join runs with ZERO shuffle of either side — at
@@ -15,9 +15,13 @@ hash-verified) here rather than only described in docstrings:
   skew automatically; explicit salting is the deterministic tool for the
   pathological case and is what this operator pins.
 
-Both queries return plain aggregates whose DuckDB oracles are the
-unsalted / unbucketed joins — a hash match proves the physical rewrite
-changed nothing semantic.
+- **Dynamic partition pruning**: the fact table written partitioned on
+  the join key, pruned at run time by a subquery filter built from the
+  filtered dimension side (dpp_join_orders below).
+
+All queries return plain aggregates whose DuckDB oracles are the
+unsalted / unbucketed / unpartitioned joins — a hash match proves the
+physical rewrite changed nothing semantic.
 """
 
 from __future__ import annotations
@@ -164,3 +168,84 @@ QUERIES: dict = {
     "bucketed_join_lineitem": (bucketed_join_lineitem, BUCKETED_JOIN_SQL),
     "salted_skew_join_events": (salted_skew_join_events, SALTED_SKEW_JOIN_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (DPP): the third load-bearing 100 TB join
+# layout.  The fact table is WRITTEN partitioned on the join key (here
+# order month); at run time Catalyst turns the filtered dimension side
+# into a subquery filter on the fact scan's PartitionFilters, so a
+# quarter's query reads 3 of ~80 month partitions — the fact scan is
+# pruned by a predicate that only exists after the dim filter runs,
+# which no static pushdown can do.  The oracle is the plain filtered
+# aggregate over raw orders: the hash match proves pruning changed
+# nothing semantic, and the plan pin (dynamicpruningexpression in the
+# scan) proves the pruning actually happened rather than a full scan.
+_DPP_QUARTER = "1995-Q1"
+
+
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders partitioned by o_month (yyyy-MM) once per fixture
+    content; returns the parquet path (partition discovery re-derives the
+    o_month column on read)."""
+    from delta_go_spark.session import fixture_sig, load_table
+
+    sf_key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        _BUCKET_CACHE, sf_key, f"orders_pmonth_{fixture_sig(sf_dir, 'orders')}"
+    )
+    if not os.path.isdir(path):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+    return path
+
+
+def dpp_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (partitioned by month) ⋈ a filtered month dimension: the
+    quarter filter lives ONLY on the dim side, so the months reaching the
+    fact scan arrive via DPP's dynamic subquery filter."""
+    fact = spark.read.parquet(_month_partitioned_orders(spark, sf_dir))
+    months = spark.sql(
+        """
+        SELECT date_format(m, 'yyyy-MM') AS o_month,
+               concat(year(m), '-Q', quarter(m)) AS o_quarter
+        FROM (SELECT explode(sequence(DATE '1992-01-01', DATE '1998-12-01',
+                                      INTERVAL 1 MONTH)) AS m)
+        """
+    )
+    dim = months.filter(F.col("o_quarter") == _DPP_QUARTER)
+    j = fact.join(F.broadcast(dim), "o_month")
+    return (
+        j.groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_month")
+    )
+
+
+DPP_JOIN_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["dpp_join_orders"] = (dpp_join_orders, DPP_JOIN_SQL)

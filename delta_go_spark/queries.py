@@ -48,16 +48,17 @@ from delta_go_spark.operators import (
 # and scripts/check_parity.py).
 #
 # Round-8 rotation (the entire r7 window went 50/50 hash-green, so all of
-# it moves below the boundary): (a) the eight NEW r8 operators + the one
+# it moves below the boundary): (a) the nine NEW r8 operators + the one
 # whose code changed (bucketed-join cache key); (b) the 17-row queue the
 # r7 verdict fixed (5 late-r7 never-driver-checked + the 12 r4-stale
-# rows); (c) 24 of the 33 non-TPC-H rows whose last driver evidence is round
+# rows); (c) 23 of the 33 non-TPC-H rows whose last driver evidence is round
 # 5 (rows-only queries stay out of the window by policy).  After this
 # round every non-TPC-H row's driver evidence is <= 3 rounds old; round 9
-# rotates the r5 TPC-H block + the 9 remaining r5 rows (argmax_orders_per_status,
-# doc_length_buckets, join_cross_regions, lang_source_matrix,
-# source_rank_by_lang, stats_agg_lineitem, vocab_by_source,
-# window_lag_lead_orders, word_entropy_docs) + whatever r9 changes.
+# rotates the r5 TPC-H block + the 10 remaining r5 rows (argmax_orders_per_status,
+# doc_length_buckets, join_cross_regions, join_right_outer_parts,
+# lang_source_matrix, source_rank_by_lang, stats_agg_lineitem,
+# vocab_by_source, window_lag_lead_orders, word_entropy_docs) + whatever
+# r9 changes.
 # New queries MUST be inserted at the TOP of _WINDOW (displacing a listed
 # row explicitly — the size check refuses silent growth), keeping every
 # query whose code changed this round inside the driver's evidence window.
@@ -73,8 +74,9 @@ _WINDOW: list = [
     ]),
     (sampling, ["systematic_weighted_sample_docs"]),
     (multimodal, ["block_dedup_docs"]),
-    # --- code changed in round 8 (bucketed-cache fixture signature) ---
-    (scalejoins, ["bucketed_join_lineitem"]),
+    # --- code changed in round 8 (bucketed-cache fixture signature) +
+    # NEW third scale-join layout ---
+    (scalejoins, ["bucketed_join_lineitem", "dpp_join_orders"]),
     # --- never driver-checked (landed late in r7, below the then-full
     # window; queued as the r8 rotation head by the r7 verdict) ---
     (delta_queries, ["delta_vacuum_agg", "delta_restore_agg"]),
@@ -96,8 +98,8 @@ _WINDOW: list = [
     ]),
     (sampling, ["stratified_sample_docs", "mixture_sample_docs"]),
     (delta_queries, ["delta_sql_time_travel"]),
-    # --- last driver evidence: round 5 (24 of the 33 non-TPC-H r5 rows;
-    # the remaining 9 + the 21 TPC-H r5 rows rotate in round 9; the 3
+    # --- last driver evidence: round 5 (23 of the 33 non-TPC-H r5 rows;
+    # the remaining 10 + the 21 TPC-H r5 rows rotate in round 9; the 3
     # rows-only queries — ann_lsh/ann_ivf/approx_distinct — stay OUT by
     # policy: no rows-only filler inside the hard-evidence window, their
     # gate is the recall/approx pytest suite) ---
@@ -105,7 +107,6 @@ _WINDOW: list = [
         "agg_percentiles_lineitem",
         "grouping_sets_orders",
         "join_full_outer_nation",
-        "join_right_outer_parts",
         "pivot_lineitem_status",
     ]),
     (asof, ["asof_attribution_events"]),

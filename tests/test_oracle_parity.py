@@ -130,6 +130,7 @@ SAMPLE = [
     "streaming_quota_gate_events",
     "systematic_weighted_sample_docs",
     "block_dedup_docs",
+    "dpp_join_orders",
 ]
 
 
@@ -202,6 +203,7 @@ def test_round8_queries_in_window():
         "streaming_quota_gate_events",
         "systematic_weighted_sample_docs",
         "block_dedup_docs",
+        "dpp_join_orders",
         # code changed in round 8 (bucketed-cache fixture signature)
         "bucketed_join_lineitem",
         # never driver-checked (landed late in r7, below the full window)

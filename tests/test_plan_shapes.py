@@ -806,3 +806,66 @@ def test_per_stream_packing_plans(spark, qname):
     assert "Generate" not in plan, plan
     assert "partial_" in plan, plan  # map-side combine before any exchange
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """Dynamic partition pruning must actually fire: the month-partitioned
+    fact scan's PartitionFilters carry a dynamicpruningexpression fed by
+    the filtered dimension — not a full scan with a post-join filter."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["dpp_join_orders"](spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join split — the automatic counterpart of the
+    explicit salted join — must engage on a pathologically skewed key
+    when thresholds are tuned to the fixture scale: the executed join
+    carries the isSkew marker after adaptive replanning."""
+    from delta_go_spark.operators.scalejoins import skew_key
+    from delta_go_spark.session import load_table
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        # the downstream groupBy makes the skew split introduce an extra
+        # shuffle; AQE declines that trade unless forced — which is the
+        # right call for this pathological-skew scenario
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # BOTH broadcast thresholds: AQE has its own runtime one that
+        # would otherwise convert the tiny fixture join to broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # skew splits are MAPPER-granular: a single-task scan offers AQE
+        # nothing to split, so fan the input out first (a no-op at real
+        # scale where the fact side always has many map tasks)
+        ev = (
+            load_table(spark, SF_DIR, "events")
+            .select(skew_key().alias("ck"), "value")
+            .repartition(16)
+        )
+        cust = load_table(spark, SF_DIR, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        j = ev.join(cust, ev["ck"] == cust["c_custkey"]).groupBy(
+            "c_mktsegment"
+        ).count()
+        j.collect()  # AQE marks skew only in the EXECUTED adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
