@@ -92,6 +92,7 @@ HEADLINE = [
     "systematic_weighted_sample_docs",  # r8: PPS systematic draw
     "block_dedup_docs",  # r8: CAS block-level storage dedup
     "dpp_join_orders",  # r8: dynamic-partition-pruned fact scan
+    "curation_pipeline_v2_docs",  # r8: gate -> reweight -> fill chain
     # streaming_sessionize_events intentionally unbenched: its cost is
     # micro-batch-count x Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.

@@ -1066,6 +1066,17 @@ def doremi_weights(
     permille training-mixture weights after _DOREMI_ROUNDS multiplicative
     updates on the clamped quality deficit; weights sum to exactly 1000."""
     scored = quality_classifier(df, keep_cols=(domain_col,))
+    return doremi_weights_from_scored(spark, scored, domain_col)
+
+
+def doremi_weights_from_scored(
+    spark: SparkSession,
+    scored: DataFrame,
+    domain_col: str = "source",
+) -> DataFrame:
+    """DoReMi arithmetic over an ALREADY-SCORED frame (quality_classifier
+    output + the domain column) — callers that also need the per-doc
+    scores (the v2 pipeline) score once and feed both consumers."""
     rows = (
         scored.groupBy(domain_col)
         .agg(
@@ -1138,8 +1149,10 @@ _DOREMI_FACTOR_SQL = " * ".join(
     [f"({_DOREMI_SCALE} + excess_milli)"] * _DOREMI_ROUNDS
 )
 
-DOREMI_WEIGHTS_SQL = f"""
-WITH {{_QC_BUCKET_CTE}}, dom AS (
+# The DoReMi replay as a reusable CTE chain (ends in `doremi_w`), so the
+# standalone query and the v2 pipeline share ONE SQL rendering of the
+# weight arithmetic — they can never drift apart.
+_DOREMI_CTE_CHAIN = f"""dom AS (
   SELECT source,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS sum_tokens,
@@ -1167,14 +1180,121 @@ base AS (
 ), short AS (SELECT 1000 - sum(base_pm) AS s FROM base),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM base
-)
-SELECT source, n_docs, sum_tokens, excess_milli,
-       CAST(base_pm + CASE WHEN rk <= (SELECT s FROM short) THEN 1 ELSE 0 END
-            AS BIGINT) AS weight_permille
-FROM ranked
+), doremi_w AS (
+  SELECT source, n_docs, sum_tokens, excess_milli,
+         CAST(base_pm + CASE WHEN rk <= (SELECT s FROM short) THEN 1 ELSE 0 END
+              AS BIGINT) AS weight_permille
+  FROM ranked
+)"""
+
+DOREMI_WEIGHTS_SQL = f"""
+WITH {_QC_BUCKET_CTE}, {_DOREMI_CTE_CHAIN}
+SELECT source, n_docs, sum_tokens, excess_milli, weight_permille
+FROM doremi_w
 ORDER BY source
 """
-DOREMI_WEIGHTS_SQL = DOREMI_WEIGHTS_SQL.format(_QC_BUCKET_CTE=_QC_BUCKET_CTE)
 
 
 QUERIES["doremi_weights_docs"] = (doremi_weights_docs, DOREMI_WEIGHTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2: the round-8 operators composed end-to-end — score
+# every document ONCE with the linear classifier, let DoReMi turn the
+# per-domain quality deficits into mixture weights, convert the weights
+# into per-source token budgets, then fill each budget highest-score
+# first.  This is the actual decision chain of a curation run (gate ->
+# reweight -> select), hash-verified as ONE query; the oracle composes
+# the same shared CTE chains the standalone queries use, so the composed
+# semantics can never drift from the pieces.
+#
+# Scale: one Arrow scoring pass (localCheckpointed so both consumers read
+# it once), O(domains) driver arithmetic, a broadcast of the 1-row-per-
+# source budgets, and ONE source-partitioned window for the budget fill —
+# no global window, nothing corpus-sized on the driver.
+_PIPELINE_BUDGET_DIV = 3  # total budget = corpus tokens // 3
+
+
+def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import fan_out_small_scan
+    from pyspark.sql import Window
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    scored = quality_classifier(docs, keep_cols=("source",)).localCheckpoint(
+        eager=False
+    )
+    weights = doremi_weights_from_scored(spark, scored)
+    w_rows = weights.collect()  # O(domains)
+    total_budget = sum(int(r["sum_tokens"]) for r in w_rows) // _PIPELINE_BUDGET_DIV
+    budgets = spark.createDataFrame(
+        [
+            (r["source"], (int(r["weight_permille"]) * total_budget) // 1000)
+            for r in w_rows
+        ],
+        "source string, budget_s long",
+    )
+    gated = scored.filter(F.col("quality_label") == 1)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("w_total"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        gated.withColumn("_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("_cum") <= F.col("budget_s"))
+    )
+    return (
+        filled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.max("budget_s").alias("budget_s"),
+            F.sum("w_total").alias("score_sum"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_PIPELINE_V2_SQL = f"""
+WITH {_QC_BUCKET_CTE}, {_DOREMI_CTE_CHAIN}, scored AS (
+  SELECT b.doc_id, b.source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w.wt) AS BIGINT) AS w_total
+  FROM b JOIN w ON b.bkt = w.bkt
+  GROUP BY b.doc_id, b.source
+), budgets AS (
+  SELECT source,
+         (weight_permille *
+          ((SELECT sum(sum_tokens) FROM doremi_w) // {_PIPELINE_BUDGET_DIV}))
+           // 1000 AS budget_s
+  FROM doremi_w
+), gated AS (
+  SELECT * FROM scored WHERE w_total > {_QC_THRESHOLD} * n_tokens
+), cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                ORDER BY w_total DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+  FROM gated
+)
+SELECT cum.source,
+       count(*) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(max(budget_s) AS BIGINT) AS budget_s,
+       CAST(sum(w_total) AS BIGINT) AS score_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM cum JOIN budgets ON cum.source = budgets.source
+WHERE c <= budget_s
+GROUP BY cum.source
+ORDER BY cum.source
+"""
+
+
+QUERIES["curation_pipeline_v2_docs"] = (
+    curation_pipeline_v2_docs,
+    CURATION_PIPELINE_V2_SQL,
+)

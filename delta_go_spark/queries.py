@@ -48,17 +48,17 @@ from delta_go_spark.operators import (
 # and scripts/check_parity.py).
 #
 # Round-8 rotation (the entire r7 window went 50/50 hash-green, so all of
-# it moves below the boundary): (a) the nine NEW r8 operators + the one
+# it moves below the boundary): (a) the ten NEW r8 operators + the one
 # whose code changed (bucketed-join cache key); (b) the 17-row queue the
 # r7 verdict fixed (5 late-r7 never-driver-checked + the 12 r4-stale
-# rows); (c) 23 of the 33 non-TPC-H rows whose last driver evidence is round
+# rows); (c) 22 of the 33 non-TPC-H rows whose last driver evidence is round
 # 5 (rows-only queries stay out of the window by policy).  After this
 # round every non-TPC-H row's driver evidence is <= 3 rounds old; round 9
-# rotates the r5 TPC-H block + the 10 remaining r5 rows (argmax_orders_per_status,
+# rotates the r5 TPC-H block + the 11 remaining r5 rows (argmax_orders_per_status,
 # doc_length_buckets, join_cross_regions, join_right_outer_parts,
-# lang_source_matrix, source_rank_by_lang, stats_agg_lineitem,
-# vocab_by_source, window_lag_lead_orders, word_entropy_docs) + whatever
-# r9 changes.
+# lang_source_matrix, pivot_lineitem_status, source_rank_by_lang,
+# stats_agg_lineitem, vocab_by_source, window_lag_lead_orders,
+# word_entropy_docs) + whatever r9 changes.
 # New queries MUST be inserted at the TOP of _WINDOW (displacing a listed
 # row explicitly — the size check refuses silent growth), keeping every
 # query whose code changed this round inside the driver's evidence window.
@@ -66,7 +66,11 @@ from delta_go_spark.operators import (
 
 _WINDOW: list = [
     # --- NEW in round 8 ---
-    (curation, ["quality_classifier_docs", "doremi_weights_docs"]),
+    (curation, [
+        "quality_classifier_docs",
+        "doremi_weights_docs",
+        "curation_pipeline_v2_docs",
+    ]),
     (textops, ["pack_bestfit_docs", "length_batching_docs"]),
     (streaming_stateful, [
         "streaming_sessionize_events",
@@ -98,8 +102,8 @@ _WINDOW: list = [
     ]),
     (sampling, ["stratified_sample_docs", "mixture_sample_docs"]),
     (delta_queries, ["delta_sql_time_travel"]),
-    # --- last driver evidence: round 5 (23 of the 33 non-TPC-H r5 rows;
-    # the remaining 10 + the 21 TPC-H r5 rows rotate in round 9; the 3
+    # --- last driver evidence: round 5 (22 of the 33 non-TPC-H r5 rows;
+    # the remaining 11 + the 21 TPC-H r5 rows rotate in round 9; the 3
     # rows-only queries — ann_lsh/ann_ivf/approx_distinct — stay OUT by
     # policy: no rows-only filler inside the hard-evidence window, their
     # gate is the recall/approx pytest suite) ---
@@ -107,7 +111,6 @@ _WINDOW: list = [
         "agg_percentiles_lineitem",
         "grouping_sets_orders",
         "join_full_outer_nation",
-        "pivot_lineitem_status",
     ]),
     (asof, ["asof_attribution_events"]),
     (curation, [

@@ -453,3 +453,23 @@ def test_merge_fragments_split_invariant(events, gap, data):
         merge_fragments(part_a, gap) + part_b, gap
     )
     assert staged == whole
+
+
+def test_curation_pipeline_v2_budget_respected(spark):
+    """Independent invariants: every source's kept tokens fit its DoReMi
+    budget; budgets derive from the published weights (weight*total//3
+    //1000); kept score_sum is positive (only gated docs enter)."""
+    from delta_go_spark.queries import queries
+
+    out = {r["source"]: r for r in
+           queries()["curation_pipeline_v2_docs"](spark, SF_DIR).collect()}
+    assert out
+    weights = {r["source"]: r for r in
+               queries()["doremi_weights_docs"](spark, SF_DIR).collect()}
+    total_budget = sum(r["sum_tokens"] for r in weights.values()) // 3
+    for src_name, r in out.items():
+        assert r["tokens_kept"] <= r["budget_s"]
+        expected = (weights[src_name]["weight_permille"] * total_budget) // 1000
+        assert r["budget_s"] == expected
+        assert r["score_sum"] > 50 * 0  # gated docs have positive means
+        assert r["n_kept"] >= 1

@@ -131,6 +131,7 @@ SAMPLE = [
     "systematic_weighted_sample_docs",
     "block_dedup_docs",
     "dpp_join_orders",
+    "curation_pipeline_v2_docs",
 ]
 
 
@@ -204,6 +205,7 @@ def test_round8_queries_in_window():
         "systematic_weighted_sample_docs",
         "block_dedup_docs",
         "dpp_join_orders",
+        "curation_pipeline_v2_docs",
         # code changed in round 8 (bucketed-cache fixture signature)
         "bucketed_join_lineitem",
         # never driver-checked (landed late in r7, below the full window)
