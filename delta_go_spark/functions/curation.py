@@ -1012,14 +1012,18 @@ _QC_BUCKET_CTE = f"""tok AS (
 )"""
 
 
-QUALITY_CLASSIFIER_SQL = f"""
-WITH {_QC_BUCKET_CTE}, scored AS (
-  SELECT b.doc_id,
+# per-doc scores over the bucket/weight join — ONE rendering shared by
+# the classifier oracle and the v2 pipeline oracle (anti-drift)
+_QC_SCORED_CTE = """scored AS (
+  SELECT b.doc_id, b.source,
          CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(sum(w.wt) AS BIGINT) AS w_total
   FROM b JOIN w ON b.bkt = w.bkt
-  GROUP BY b.doc_id
-)
+  GROUP BY b.doc_id, b.source
+)"""
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH {_QC_BUCKET_CTE}, {_QC_SCORED_CTE}
 SELECT doc_id, n_tokens, w_total,
        CASE WHEN w_total > {_QC_THRESHOLD} * n_tokens THEN 1 ELSE 0 END
          AS quality_label
@@ -1077,6 +1081,19 @@ def doremi_weights_from_scored(
     """DoReMi arithmetic over an ALREADY-SCORED frame (quality_classifier
     output + the domain column) — callers that also need the per-doc
     scores (the v2 pipeline) score once and feed both consumers."""
+    out = _doremi_rows(scored, domain_col)
+    schema = (
+        f"{domain_col} string, n_docs long, sum_tokens long, "
+        "excess_milli long, weight_permille long"
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _doremi_rows(scored: DataFrame, domain_col: str = "source") -> list:
+    """The driver-side weight rows [(domain, n_docs, sum_tokens,
+    excess_milli, weight_permille)] — callers already on the driver (the
+    v2 pipeline's budget builder) use these directly instead of round-
+    tripping O(domains) rows through a DataFrame and a re-collect."""
     rows = (
         scored.groupBy(domain_col)
         .agg(
@@ -1122,15 +1139,10 @@ def doremi_weights_from_scored(
             break
         weight[d] += 1
         short -= 1
-    out = [
+    return [
         (d, per[d][0], per[d][1], excess[d], weight[d])
         for d in sorted(per, key=_key)
     ]
-    schema = (
-        f"{domain_col} string, n_docs long, sum_tokens long, "
-        "excess_milli long, weight_permille long"
-    )
-    return spark.createDataFrame(out, schema)
 
 
 def doremi_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,14 +1238,10 @@ def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_classifier(docs, keep_cols=("source",)).localCheckpoint(
         eager=False
     )
-    weights = doremi_weights_from_scored(spark, scored)
-    w_rows = weights.collect()  # O(domains)
-    total_budget = sum(int(r["sum_tokens"]) for r in w_rows) // _PIPELINE_BUDGET_DIV
+    w_rows = _doremi_rows(scored)  # already driver-side, no round-trip
+    total_budget = sum(r[2] for r in w_rows) // _PIPELINE_BUDGET_DIV
     budgets = spark.createDataFrame(
-        [
-            (r["source"], (int(r["weight_permille"]) * total_budget) // 1000)
-            for r in w_rows
-        ],
+        [(r[0], (r[4] * total_budget) // 1000) for r in w_rows],
         "source string, budget_s long",
     )
     gated = scored.filter(F.col("quality_label") == 1)
@@ -1261,13 +1269,7 @@ def curation_pipeline_v2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_PIPELINE_V2_SQL = f"""
-WITH {_QC_BUCKET_CTE}, {_DOREMI_CTE_CHAIN}, scored AS (
-  SELECT b.doc_id, b.source,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum(w.wt) AS BIGINT) AS w_total
-  FROM b JOIN w ON b.bkt = w.bkt
-  GROUP BY b.doc_id, b.source
-), budgets AS (
+WITH {_QC_BUCKET_CTE}, {_DOREMI_CTE_CHAIN}, {_QC_SCORED_CTE}, budgets AS (
   SELECT source,
          (weight_permille *
           ((SELECT sum(sum_tokens) FROM doremi_w) // {_PIPELINE_BUDGET_DIV}))

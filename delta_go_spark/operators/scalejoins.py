@@ -39,6 +39,17 @@ _BUCKET_CACHE = os.path.join(tempfile.gettempdir(), "dgs-bucket-cache")
 SALT_N = 8
 
 
+def _cache_path(sf_dir: str, table: str, variant: str) -> str:
+    """One rendering of the derived-table cache path scheme (sf key +
+    fixture content signature) shared by every writer in this module —
+    the r7 stale-cache fix must not need re-applying per copy."""
+    from delta_go_spark.session import fixture_sig
+
+    sf_key = sf_dir.strip("/").replace("/", "_")
+    sig = fixture_sig(sf_dir, table)
+    return os.path.join(_BUCKET_CACHE, sf_key, f"{table}_{variant}_{sig}")
+
+
 def _bucketed_table(
     spark: SparkSession, sf_dir: str, table: str, key_col: str, n_buckets: int = 8
 ) -> str:
@@ -50,14 +61,9 @@ def _bucketed_table(
     under the same sf path can never be served a stale bucketed copy
     (r7 verdict finding): a new signature lands in a new path + catalog
     name, and the (tableExists AND isdir) check fails for the old one."""
-    from delta_go_spark.session import fixture_sig
-
-    sf_key = sf_dir.strip("/").replace("/", "_")
-    sig = fixture_sig(sf_dir, table)
-    # catalog identifiers cannot carry dots (sf0.001) — sanitize the name,
-    # keep the raw key for the path
-    name = f"dgs_bkt_{table}_{sf_key}_{sig}".replace(".", "_").replace("-", "_")
-    path = os.path.join(_BUCKET_CACHE, sf_key, f"{table}_{sig}")
+    path = _cache_path(sf_dir, table, "bkt")
+    # catalog identifiers cannot carry dots (sf0.001) — sanitize the name
+    name = f"dgs_{os.path.basename(path)}".replace(".", "_").replace("-", "_")
     if spark.catalog.tableExists(name) and os.path.isdir(path):
         return name
     (
@@ -188,13 +194,15 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Write orders partitioned by o_month (yyyy-MM) once per fixture
     content; returns the parquet path (partition discovery re-derives the
     o_month column on read)."""
-    from delta_go_spark.session import fixture_sig, load_table
+    import shutil
 
-    sf_key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(
-        _BUCKET_CACHE, sf_key, f"orders_pmonth_{fixture_sig(sf_dir, 'orders')}"
-    )
-    if not os.path.isdir(path):
+    from delta_go_spark.session import load_table
+
+    path = _cache_path(sf_dir, "orders", "pmonth")
+    # _SUCCESS is Spark's completed-write marker: a crashed partial write
+    # leaves a directory WITHOUT it, which must be rebuilt, never served
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
         (
             load_table(spark, sf_dir, "orders")
             .withColumn(

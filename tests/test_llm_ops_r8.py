@@ -471,5 +471,6 @@ def test_curation_pipeline_v2_budget_respected(spark):
         assert r["tokens_kept"] <= r["budget_s"]
         expected = (weights[src_name]["weight_permille"] * total_budget) // 1000
         assert r["budget_s"] == expected
-        assert r["score_sum"] > 50 * 0  # gated docs have positive means
+        # every gated doc satisfies w_total > 50*n_tokens, so the sums do too
+        assert r["score_sum"] > 50 * r["tokens_kept"]
         assert r["n_kept"] >= 1
