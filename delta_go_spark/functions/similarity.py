@@ -2857,3 +2857,100 @@ PQ_CODEBOOK_SQL = _pq_sql()
 
 
 QUERIES["pq_codebook_embeddings"] = (pq_codebook_embeddings, PQ_CODEBOOK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding-centroid drift: how far each class's centroid sits
+# from the corpus centroid — the embedding-space twin of the count-based
+# source_drift_chisq mixture monitor (a label whose centroid wanders is a
+# labeling or distribution-shift alarm before any model retrains).  Runs
+# on the proven int8 codes with every reduction in exact integers: codes
+# shifted +127 so all per-dim sums are non-negative (Spark `div`
+# truncates, DuckDB `//` floors — they agree only above zero; the shift
+# cancels exactly in the centroid DIFFERENCE), per-dim milli-means
+# floored, drift = Σ_dims Δ².
+#
+# Scale: one codegen quantize pass, a posexplode bounded by dims (never a
+# corpus² anything), ONE (label, dim)-key partial-aggregable groupBy, and
+# a broadcast of the 64-row corpus centroid.
+_DRIFT_DIM = 64  # fixture embedding dim; the Spark side raises if it drifts
+
+
+def label_centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_vecs, drift_l2sq_milli2): squared L2 between the label
+    centroid and the corpus centroid, both in floored milli-units of the
+    shifted int8 code space."""
+    sig = quantize_int8(df, vec_col=vec_col)
+    ndim = len(sig.select("q").first()["q"])
+    if ndim != _DRIFT_DIM:
+        raise ValueError(
+            f"fixture dim {ndim} != {_DRIFT_DIM}: update _DRIFT_DIM and the "
+            "oracle's generate_series bound together"
+        )
+    dims = sig.select(
+        F.col(label_col).alias("label"),
+        F.posexplode("q").alias("dim", "x"),
+    ).select("label", "dim", (F.col("x") + 127).alias("xs"))
+    per_label = dims.groupBy("label", "dim").agg(
+        F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    corpus = (
+        per_label.groupBy("dim")
+        .agg(F.sum("s").alias("cs"), F.sum("n").alias("cn"))
+        .withColumn("cmean", F.expr("(1000 * cs) div cn"))
+    )
+    return (
+        per_label.withColumn("lmean", F.expr("(1000 * s) div n"))
+        .join(F.broadcast(corpus.select("dim", "cmean")), "dim")
+        .withColumn("d", F.col("lmean") - F.col("cmean"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),  # same n for every dim of a label
+            F.sum(F.col("d") * F.col("d")).alias("drift_l2sq_milli2"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_centroid_drift_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return label_centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+LABEL_CENTROID_DRIFT_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         {_QUANT_QV_SQL}
+  FROM embeddings
+), dims AS (
+  -- fixed-dim cross join (the random_projection oracle's pattern):
+  -- DuckDB's range() cannot take a lateral column parameter
+  SELECT label, r.d - 1 AS dim, qv[r.d] + 127 AS xs
+  FROM q, (SELECT unnest(generate_series(1, {_DRIFT_DIM})) AS d) r
+), per_label AS (
+  SELECT label, dim, CAST(sum(xs) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY label, dim
+), corpus AS (
+  SELECT dim, (1000 * sum(s)) // sum(n) AS cmean
+  FROM per_label GROUP BY dim
+)
+SELECT label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(sum(((1000 * s) // n - cmean) * ((1000 * s) // n - cmean))
+            AS BIGINT) AS drift_l2sq_milli2
+FROM per_label JOIN corpus USING (dim)
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES["label_centroid_drift_embeddings"] = (
+    label_centroid_drift_embeddings,
+    LABEL_CENTROID_DRIFT_SQL,
+)

@@ -135,10 +135,10 @@ _WINDOW: list = [
 ]
 # All former late-r7 below-boundary rows (delta_vacuum_agg,
 # delta_restore_agg, bigram_coverage_docs, proportional_quota_docs,
-# gram_novelty_docs) were rotated INTO _WINDOW above in round 8; a
-# round-8 late addition that misses this window should follow the same
-# precedent — enter via the module sweep, get pinned in the pytest parity
-# SAMPLE, and head the round-9 rotation.
+# gram_novelty_docs) were rotated INTO _WINDOW above in round 8.
+# Late-round-8 additions below the boundary (the window was full):
+# label_centroid_drift_embeddings enters via the module sweep, is pinned
+# in the pytest parity SAMPLE, and heads the round-9 rotation.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

@@ -474,3 +474,33 @@ def test_curation_pipeline_v2_budget_respected(spark):
         # every gated doc satisfies w_total > 50*n_tokens, so the sums do too
         assert r["score_sum"] > 50 * r["tokens_kept"]
         assert r["n_kept"] >= 1
+
+
+def test_label_centroid_drift_numpy_replay(spark):
+    """Independent numpy check: drift values match an integer replay of
+    the shifted milli-mean arithmetic over the same int8 codes."""
+    import numpy as np
+
+    from delta_go_spark.functions.similarity import (
+        label_centroid_drift,
+        quantize_int8,
+    )
+    from delta_go_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {r["label"]: (r["n_vecs"], r["drift_l2sq_milli2"])
+           for r in label_centroid_drift(emb).collect()}
+    codes = quantize_int8(emb).select("label", "q").collect()
+    by_label = {}
+    for r in codes:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["q"], dtype=np.int64) + 127
+        )
+    all_sum = sum(np.sum(v, axis=0) for v in by_label.values())
+    all_n = sum(len(v) for v in by_label.values())
+    cmean = (1000 * all_sum) // all_n
+    for lbl, vecs in by_label.items():
+        s = np.sum(vecs, axis=0)
+        lmean = (1000 * s) // len(vecs)
+        d = lmean - cmean
+        assert out[lbl] == (len(vecs), int((d * d).sum()))

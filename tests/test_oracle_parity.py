@@ -132,6 +132,7 @@ SAMPLE = [
     "block_dedup_docs",
     "dpp_join_orders",
     "curation_pipeline_v2_docs",
+    "label_centroid_drift_embeddings",  # late r8, below-window: r9 head
 ]
 
 
