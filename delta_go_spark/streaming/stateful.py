@@ -153,6 +153,12 @@ QUERIES: dict = {
 # pass per key group; integer micros + cents keep both engines exact.
 _SESSION_GAP_US = 1800 * 1_000_000  # 30 minutes
 _SESSION_DELAY_US = 1800 * 1_000_000  # watermark delay
+# the withWatermark duration string, the closed-session cutoff and the
+# oracle's cutoff constant all derive from the two constants above — editing
+# any one alone can no longer silently break the provably-closed contract
+assert _SESSION_DELAY_US % 60_000_000 == 0
+_SESSION_DELAY_STR = f"{_SESSION_DELAY_US // 60_000_000} minutes"
+_SESSION_CUTOFF_US = _SESSION_GAP_US + _SESSION_DELAY_US + 1_000_000
 
 SESSIONIZE_OUTPUT = StructType(
     [
@@ -347,7 +353,7 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
                 # watermark clock and ts_us share one frame
                 F.col("ts").cast("timestamp").alias("ts_wm"),
             )
-            .withWatermark("ts_wm", "30 minutes")
+            .withWatermark("ts_wm", _SESSION_DELAY_STR)
         )
         out = sessionize_stream(stream)
         sink = "streaming_sessionize_sink"
@@ -373,9 +379,7 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
         )
         .first()["m"]
     )
-    cutoff_us = (max_us // 1_000_000) * 1_000_000 - (
-        _SESSION_GAP_US + _SESSION_DELAY_US + 1_000_000
-    )
+    cutoff_us = (max_us // 1_000_000) * 1_000_000 - _SESSION_CUTOFF_US
     return (
         spark.table(sink)
         .filter(F.col("session_end_us") <= cutoff_us)
@@ -383,7 +387,7 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
     )
 
 
-STREAMING_SESSIONIZE_SQL = """
+STREAMING_SESSIONIZE_SQL = f"""
 WITH o AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -391,7 +395,7 @@ WITH o AS (
            AS prev
   FROM events
 ), marked AS (
-  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= {_SESSION_GAP_US}
                  THEN 1 ELSE 0 END AS new_s
   FROM o
 ), numbered AS (
@@ -408,7 +412,7 @@ WITH o AS (
          CAST(sum(cents) AS BIGINT) AS value_cents
   FROM numbered GROUP BY user_id, sid
 ), cut AS (
-  SELECT (max(epoch_us(ts)) // 1000000) * 1000000 - 3601000000 AS c
+  SELECT (max(epoch_us(ts)) // 1000000) * 1000000 - {_SESSION_CUTOFF_US} AS c
   FROM events
 )
 SELECT user_id, session_start_us, session_end_us, n_events, value_cents
