@@ -1307,3 +1307,133 @@ QUERIES["curation_pipeline_v2_docs"] = (
     curation_pipeline_v2_docs,
     CURATION_PIPELINE_V2_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repeated-span scrubber — the WITHIN-document dedup rule of
+# Rae et al. 2021 (Gopher, repetition removal) / Penedo et al. 2023
+# (RefinedWeb): an n-gram whose exact token sequence already occurred
+# EARLIER IN THE SAME DOCUMENT marks its whole span for removal, and the
+# document text is rebuilt from the surviving token positions.  This is
+# the in-doc complement of segment_dedup (dedup.py), which drops segments
+# repeated ACROSS the corpus; bigram_repetition above only SCORES
+# repetitiveness without rewriting.
+#
+# Contract (deterministic, engine-free): tokens = split(text, ' '); for
+# every start position i, the n-gram tokens[i:i+n] is a repeat iff the
+# same token sequence also starts at some i' < i in the ORIGINAL stream;
+# every position covered by a repeat's [i, i+n) span is dropped.  A
+# position can be covered by several repeats — dropped once.  First
+# occurrences always survive, so position 0 is never dropped.
+#
+# Scale: the decision needs only the document's OWN tokens, so the whole
+# operator is ONE Arrow map pass — zero shuffle, no explode (a
+# posexplode + per-doc-window formulation would multiply every row by its
+# token count before aggregating it back down; per the repo's UDF rule,
+# an O(len) data-dependent loop belongs in a pandas UDF).  Output carries
+# md5(rebuilt text), never the text.
+_SPAN_N = 3  # in-doc repeat unit: 3 consecutive tokens
+
+
+def span_scrub(
+    df: DataFrame,
+    n: int = _SPAN_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_dropped, rebuilt_md5): per-document repeated-span
+    removal; rebuilt_md5 fingerprints the scrubbed text (kept tokens
+    re-joined with single spaces)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_tokens: long, n_dropped: long, rebuilt_md5: string>")
+    def _scrub(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        nt, nd, hs = [], [], []
+        for text in texts:
+            toks = text.split(" ")
+            m = len(toks)
+            drop = bytearray(m)
+            seen: set = set()
+            for i in range(m - n + 1):
+                g = tuple(toks[i : i + n])  # tokens are space-free: tuple
+                # identity == joined-string identity (the oracle's key)
+                if g in seen:
+                    drop[i : i + n] = b"\x01" * n
+                else:
+                    seen.add(g)
+            kept = [t for t, d in zip(toks, drop) if not d]
+            nt.append(m)
+            nd.append(m - len(kept))
+            hs.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pd.DataFrame({"n_tokens": nt, "n_dropped": nd, "rebuilt_md5": hs})
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _scrub(F.col(text_col)).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_tokens").alias("n_tokens"),
+            F.col("_s.n_dropped").alias("n_dropped"),
+            F.col("_s.rebuilt_md5").alias("rebuilt_md5"),
+        )
+    )
+
+
+def span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return span_scrub(docs).orderBy("doc_id")
+
+
+# Oracle: the same contract in set form — a position j is dropped iff some
+# repeat start i (i strictly after its gram's first occurrence) covers it.
+SPAN_SCRUB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS m
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i,
+         array_to_string(tk[i+1 : i+{_SPAN_N}], ' ') AS g
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(0, m - {_SPAN_N})) AS i
+        FROM toks WHERE m >= {_SPAN_N})
+), firsts AS (
+  SELECT doc_id, g, min(i) AS fi FROM grams GROUP BY doc_id, g
+), droppos AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT r.doc_id, unnest(generate_series(r.i, r.i + {_SPAN_N} - 1)) AS j
+    FROM (SELECT gr.doc_id, gr.i
+          FROM grams gr JOIN firsts f
+            ON gr.doc_id = f.doc_id AND gr.g = f.g
+          WHERE gr.i > f.fi) r
+  )
+), pos AS (
+  SELECT doc_id, unnest(generate_series(0, m - 1)) AS j FROM toks
+), kept AS (
+  SELECT p.doc_id, p.j
+  FROM pos p LEFT JOIN droppos d ON p.doc_id = d.doc_id AND p.j = d.j
+  WHERE d.j IS NULL
+), perdoc AS (
+  SELECT k.doc_id,
+         count(*) AS n_keptpos,
+         list(t.tk[k.j + 1] ORDER BY k.j) AS kept_toks
+  FROM kept k JOIN toks t USING (doc_id)
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.m AS BIGINT) AS n_tokens,
+       CAST(t.m - coalesce(p.n_keptpos, 0) AS BIGINT) AS n_dropped,
+       md5(coalesce(array_to_string(p.kept_toks, ' '), '')) AS rebuilt_md5
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["span_scrub_docs"] = (span_scrub_docs, SPAN_SCRUB_SQL)

@@ -58,6 +58,66 @@ def test_doremi_per_column_parity_with_diff(spark, duck):
     assert not diff, "doremi Spark-vs-DuckDB per-column diff:\n" + "\n".join(diff)
 
 
+def test_span_scrub_hand_built_repeats(spark):
+    """The in-doc repeated-span contract on documents with KNOWN repeats:
+    'a b c a b c d' repeats trigram (a,b,c) at position 3 -> positions
+    3..5 dropped, rebuilt 'a b c d'; 'x x x x' repeats (x,x,x) at 1 ->
+    positions 1..3 dropped; a doc shorter than the gram is untouched."""
+    import hashlib
+
+    from delta_go_spark.functions.curation import span_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c d"),
+            (2, "x x x x"),
+            (3, "a b"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_scrub(df).collect()}
+    assert set(got) == {1, 2, 3}  # NULL text filtered
+    assert (got[1]["n_tokens"], got[1]["n_dropped"]) == (7, 3)
+    assert got[1]["rebuilt_md5"] == hashlib.md5(b"a b c d").hexdigest()
+    assert (got[2]["n_tokens"], got[2]["n_dropped"]) == (4, 3)
+    assert got[2]["rebuilt_md5"] == hashlib.md5(b"x").hexdigest()
+    assert (got[3]["n_tokens"], got[3]["n_dropped"]) == (2, 0)
+    assert got[3]["rebuilt_md5"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_span_scrub_parity_and_nonvacuous(spark, duck):
+    """Oracle parity at sf0.001 via the per-column diff (attributable on
+    mismatch), plus non-vacuity: the fixture actually contains in-doc
+    repeated trigrams, so a broken scrubber cannot pass by never
+    scrubbing."""
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["span_scrub_docs"]
+    sdf = fn(spark, SF_DIR)
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "span_scrub Spark-vs-DuckDB diff:\n" + "\n".join(diff)
+    assert sdf.filter("n_dropped > 0").count() > 0
+
+
+def test_span_scrub_zero_shuffle_plan(spark):
+    """The scrubber is ONE Arrow map pass: no hash exchange, no explode,
+    no window — only the small-scan fan-out (round robin) and the output
+    sort's range exchange may appear."""
+    from delta_go_spark.queries import queries
+
+    plan = (
+        queries()["span_scrub_docs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_doremi_output_order_pinned(spark):
     """The returned frame itself is ordered by source NULLS LAST — row
     order is explicitly out of the suspect set for any future hash red."""
