@@ -311,17 +311,11 @@ def _time_ordered_event_split(spark, sf_dir: str) -> str:
     return src
 
 
-def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
-    """Registry query: events split into 4 TIME-ORDERED source files (ts
-    quartiles, staggered mtimes so the file source replays them in event
-    order) -> 4 watermarked micro-batches through the sessionizer ->
-    closed sessions, filtered to the batch-provable cutoff so the result
-    is deterministic and hash-checkable against the islands-and-gaps SQL."""
+def _replay_sessionize(spark, src: str, sink: str) -> None:
+    """Run the watermarked sessionizer over a staggered-mtime replay split
+    (one micro-batch per file, oldest first) into a memory sink — the
+    shared engine body of the in-order and late-data registry queries."""
     from pyspark.sql import functions as F
-
-    from delta_go_spark.session import load_table
-
-    src = _time_ordered_event_split(spark, sf_dir)
 
     _prev_tz = spark.conf.get("spark.sql.session.timeZone")
     _prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -356,7 +350,6 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
             .withWatermark("ts_wm", _SESSION_DELAY_STR)
         )
         out = sessionize_stream(stream)
-        sink = "streaming_sessionize_sink"
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -369,16 +362,13 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", _prev_tz)
         spark.conf.set("spark.sql.shuffle.partitions", _prev_sp)
 
-    max_us = (
-        load_table(spark, sf_dir, "events")
-        .agg(
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
-            ).alias("m")
-        )
-        .first()["m"]
-    )
+
+def _closed_sessions(spark, sink: str, max_us: int) -> DataFrame:
+    """Filter a sessionize sink to the batch-provable cutoff below the
+    final watermark, making the streaming result deterministic and
+    hash-checkable (max_us = max on-time event time in micros)."""
+    from pyspark.sql import functions as F
+
     cutoff_us = (max_us // 1_000_000) * 1_000_000 - _SESSION_CUTOFF_US
     return (
         spark.table(sink)
@@ -387,13 +377,44 @@ def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
     )
 
 
-STREAMING_SESSIONIZE_SQL = f"""
-WITH o AS (
+def _max_event_us(df) -> int:
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
+        ).alias("m")
+    ).first()["m"]
+
+
+def streaming_sessionize_events(spark, sf_dir: str) -> DataFrame:
+    """Registry query: events split into 4 TIME-ORDERED source files (ts
+    quartiles, staggered mtimes so the file source replays them in event
+    order) -> 4 watermarked micro-batches through the sessionizer ->
+    closed sessions, filtered to the batch-provable cutoff so the result
+    is deterministic and hash-checkable against the islands-and-gaps SQL."""
+    from delta_go_spark.session import load_table
+
+    src = _time_ordered_event_split(spark, sf_dir)
+    sink = "streaming_sessionize_sink"
+    _replay_sessionize(spark, src, sink)
+    return _closed_sessions(
+        spark, sink, _max_event_us(load_table(spark, sf_dir, "events"))
+    )
+
+
+def _sessionize_oracle_sql(source: str, prefix_ctes: str = "") -> str:
+    """ONE rendering of the islands-and-gaps session oracle, parameterized
+    by the event source relation — the in-order and late-data queries can
+    never drift apart on session semantics or the cutoff constant."""
+    return f"""
+WITH {prefix_ctes}o AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
-  FROM events
+  FROM {source}
 ), marked AS (
   SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= {_SESSION_GAP_US}
                  THEN 1 ELSE 0 END AS new_s
@@ -413,7 +434,7 @@ WITH o AS (
   FROM numbered GROUP BY user_id, sid
 ), cut AS (
   SELECT (max(epoch_us(ts)) // 1000000) * 1000000 - {_SESSION_CUTOFF_US} AS c
-  FROM events
+  FROM {source}
 )
 SELECT user_id, session_start_us, session_end_us, n_events, value_cents
 FROM sess WHERE session_end_us <= (SELECT c FROM cut)
@@ -421,9 +442,159 @@ ORDER BY user_id, session_start_us
 """
 
 
+STREAMING_SESSIONIZE_SQL = _sessionize_oracle_sql("events")
+
+
 QUERIES["streaming_sessionize_events"] = (
     streaming_sessionize_events,
     STREAMING_SESSIONIZE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Late-data watermark contract, hash-verified.  Every other streaming row
+# replays in event order, which makes lateness structurally impossible —
+# so the DROP side of the watermark semantics was never value-checked.
+# This query replays a 5th, OUT-OF-ORDER file after the 4 in-order
+# quartiles: a deterministic "late set" L of early events (first decile
+# by time, event_id % 7 == 3) is withheld from the quartile files and
+# delivered last, when the watermark has advanced weeks past them.
+#
+# Engine contract (probed, Spark 4): applyInPandasWithState with
+# EventTimeTimeout drops input rows at ts <= the LATE-EVENTS watermark,
+# which lags eviction by one batch — during batch 5 that is
+# max(ts through batch 3) - delay.  L sits in the first decile of a
+# 30-day span, weeks below that line, so every L row is provably dropped
+# (the build asserts the margin).  The oracle is therefore the SAME
+# islands chain over events-minus-L — rendered by the shared
+# _sessionize_oracle_sql so the two queries cannot drift.
+_LATE_DECILE_DIV = 10  # L's time slice: first (range // 10) of the span
+_LATE_MOD = 7
+_LATE_RESIDUE = 3
+
+
+def _late_pred_bounds(spark, sf_dir: str) -> tuple[int, int]:
+    """(mn_us, cut_us): the late-set predicate is
+    epoch_us(ts) <= cut_us AND event_id % MOD == RESIDUE, with
+    cut_us = mn + (mx - mn) // DIV — integer-exact on both engines."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', min(ts))"
+        ).alias("mn"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
+        ).alias("mx"),
+    ).first()
+    mn, mx = int(row["mn"]), int(row["mx"])
+    return mn, mn + (mx - mn) // _LATE_DECILE_DIV
+
+
+def _late_replay_event_split(spark, sf_dir: str) -> str:
+    """Build (once per fixture content) the 5-file OUT-OF-ORDER replay
+    split: files 1-4 = ts quartiles of the on-time events (staggered
+    mtimes, in order), file 5 (newest mtime) = the late set L — replayed
+    after the watermark has passed it."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.session import fixture_sig, load_table
+
+    key = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
+    src = os.path.join(cache, f"ev5late_{fixture_sig(sf_dir, 'events')}")
+    if not os.path.isdir(src) or len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    ) != 5:
+        shutil.rmtree(src, ignore_errors=True)
+        _, cut_us = _late_pred_bounds(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
+        late_pred = (F.col("_us") <= cut_us) & (
+            F.col("event_id") % _LATE_MOD == _LATE_RESIDUE
+        )
+        ontime = ev.filter(~late_pred)
+        late = ev.filter(late_pred)
+        # the drop proof needs every late row at or below the late-events
+        # watermark of batch 5 = max(ts through batch 3) - delay; quartile
+        # 3's max bounds that from below
+        from pyspark.sql import Window
+
+        q = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        otq = ontime.withColumn("_q", q)
+        q3_max = otq.filter(F.col("_q") <= 3).agg(F.max("_us")).first()[0]
+        late_max = late.agg(F.max("_us")).first()[0]
+        if late_max is None:
+            raise ValueError("late set is empty — tune the predicate")
+        if late_max > q3_max - _SESSION_DELAY_US - 2_000_000:
+            raise ValueError(
+                f"late set not provably late: max(L)={late_max} vs "
+                f"batch-5 late watermark floor {q3_max - _SESSION_DELAY_US}"
+            )
+        for i in range(1, 6):
+            before = set(os.listdir(src)) if os.path.isdir(src) else set()
+            part = (
+                otq.filter(F.col("_q") == i).drop("_q", "_us")
+                if i <= 4
+                else late.drop("_us")
+            )
+            part.coalesce(1).write.mode("append").parquet(src)
+            new = [
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and f not in before
+            ]
+            for f in new:
+                os.utime(os.path.join(src, f), (1_000_000 + i, 1_000_000 + i))
+    return src
+
+
+def streaming_late_data_events(spark, sf_dir: str) -> DataFrame:
+    """Registry query: the 4 in-order quartiles plus the out-of-order late
+    file through the watermarked sessionizer; the engine drops the late
+    rows (ts weeks below the watermark), so closed sessions equal the
+    islands oracle over events-minus-L — the hash check IS the watermark
+    drop contract."""
+    from delta_go_spark.session import load_table
+
+    src = _late_replay_event_split(spark, sf_dir)
+    sink = "streaming_late_data_sink"
+    _replay_sessionize(spark, src, sink)
+    # cutoff from the on-time max == global max: the late predicate only
+    # selects first-decile timestamps, never the span's maximum
+    return _closed_sessions(
+        spark, sink, _max_event_us(load_table(spark, sf_dir, "events"))
+    )
+
+
+_LATE_PREFIX_CTES = f"""b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), ontime AS (
+  SELECT e.* FROM events e, b
+  WHERE NOT (epoch_us(e.ts) <= b.mn + (b.mx - b.mn) // {_LATE_DECILE_DIV}
+             AND e.event_id % {_LATE_MOD} = {_LATE_RESIDUE})
+), """
+
+STREAMING_LATE_DATA_SQL = _sessionize_oracle_sql("ontime", _LATE_PREFIX_CTES)
+
+
+QUERIES["streaming_late_data_events"] = (
+    streaming_late_data_events,
+    STREAMING_LATE_DATA_SQL,
 )
 
 

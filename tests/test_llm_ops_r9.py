@@ -118,6 +118,67 @@ def test_span_scrub_zero_shuffle_plan(spark):
     assert "Window" not in plan, plan
 
 
+def test_streaming_late_data_dropped_per_watermark(spark, duck):
+    """The out-of-order replay's late events must be DROPPED by the
+    watermark, not attributed: the streaming result equals the islands
+    oracle over events-minus-late (parity, attributable diff) and
+    DIFFERS from the full-corpus islands result (non-vacuity: the late
+    set genuinely intersects the closed-session window, so a sessionizer
+    that wrongly attributed late rows could not pass)."""
+    from delta_go_spark.queries import registry
+    from delta_go_spark.streaming.stateful import _sessionize_oracle_sql
+
+    fn, sql = registry()["streaming_late_data_events"]
+    sdf = fn(spark, SF_DIR)
+    rows = [tuple(r) for r in sdf.collect()]
+    diff_keyed = sorted(rows)
+    duck_late = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert diff_keyed == duck_late
+    full = sorted(
+        tuple(r)
+        for r in duck.execute(_sessionize_oracle_sql("events")).fetchall()
+    )
+    assert diff_keyed != full, (
+        "late events did not change any closed session — the drop "
+        "contract is unverified (vacuous fixture)"
+    )
+
+
+def test_streaming_late_split_is_provably_late(spark):
+    """The 5th replay file's events all sit at or below the batch-5
+    late-events watermark (max ts of the first three quartiles minus the
+    delay) — the margin the drop proof rests on."""
+    import os
+
+    from delta_go_spark.streaming.stateful import (
+        _SESSION_DELAY_US,
+        _late_replay_event_split,
+    )
+
+    src = _late_replay_event_split(spark, SF_DIR)
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    assert len(files) == 5
+    import pyspark.sql.functions as F
+
+    def us(path):
+        return (
+            spark.read.parquet(os.path.join(src, path))
+            .select(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("u")
+            )
+        )
+
+    late_max = us(files[4]).agg(F.max("u")).first()[0]
+    q3_max = max(us(f).agg(F.max("u")).first()[0] for f in files[:3])
+    assert late_max <= q3_max - _SESSION_DELAY_US - 2_000_000
+
+
 def test_doremi_output_order_pinned(spark):
     """The returned frame itself is ordered by source NULLS LAST — row
     order is explicitly out of the suspect set for any future hash red."""
