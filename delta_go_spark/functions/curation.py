@@ -994,10 +994,13 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle prefix: hashed-token buckets joined to the deterministic
 # weight vector — single-sourced so the classifier and DoReMi oracles can
-# never drift apart on the feature/weight contract.
-_QC_BUCKET_CTE = f"""tok AS (
+# never drift apart on the feature/weight contract.  The rendering is a
+# function so corpus-subset consumers (the CDF-incremental query scores a
+# MUTATED corpus) inject their row filter into the same contract.
+def _qc_bucket_cte(extra_where: str = "") -> str:
+    return f"""tok AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL{extra_where}
 ), b AS (
   SELECT doc_id, source,
          CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
@@ -1010,6 +1013,9 @@ _QC_BUCKET_CTE = f"""tok AS (
               % 2001 AS BIGINT) - 1000 AS wt
   FROM range({_QC_DIM})
 )"""
+
+
+_QC_BUCKET_CTE = _qc_bucket_cte()
 
 
 # per-doc scores over the bucket/weight join — ONE rendering shared by
@@ -1122,6 +1128,13 @@ def _doremi_rows(scored: DataFrame, domain_col: str = "source") -> list:
         )
         for r in rows
     }
+    return _doremi_weight_rows(per)
+
+
+def _doremi_weight_rows(per: dict) -> list:
+    """The pure DoReMi arithmetic over per-domain aggregates
+    {domain: (n_docs, sum_tokens, adj)} — shared by the from-scratch path
+    and the CDF-incremental path, which maintains the aggregates itself."""
     corpus_mean = (1000 * sum(a for _, _, a in per.values())) // sum(
         t for _, t, _ in per.values()
     )
@@ -1215,6 +1228,149 @@ ORDER BY source
 
 
 QUERIES["doremi_weights_docs"] = (doremi_weights_docs, DOREMI_WEIGHTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CDF-incremental DoReMi maintenance — the production shape for a weekly
+# crawl refresh: the per-domain (n_docs, sum_tokens, sum_w) table is
+# maintained from the Delta change feed at O(change volume) — ONLY the
+# changed rows are ever re-scored — and the mixture weights recompute
+# from the maintained aggregates at O(domains).  A from-scratch rescore
+# of the corpus per refresh is the scale-killer this avoids (the v2
+# pipeline recomputes scores; this is its incremental committer, the
+# delta_incremental_agg sign-summing pattern applied to the classifier).
+#
+# Correctness: the oracle is the BATCH recomputation over the mutated
+# corpus (minhash_incremental_docs precedent) — a hash match proves the
+# incremental path converges to exactly the from-scratch answer, through
+# an append AND a delete (the delete rows re-score the preimage text the
+# change feed carries, entering with sign -1).
+#
+# Contract note: the maintained n_docs is a sign-count, exact while live
+# (doc_id, version) rows are unique — the from-scratch path's
+# countDistinct additionally tolerates duplicate-id scans; an ingest that
+# could re-insert a live id must dedup upstream.
+#
+# v2's retention pass deletes a fixed doc_id slice (dense 0-based ids at
+# every sf, so the constants hold fixture-wide); the slice straddles the
+# v0/v1 split, exercising BOTH the base-aggregate subtraction and the
+# insert-then-delete cancellation.
+_INC_DELETE_LO = 100
+_INC_DELETE_HI = 160  # exclusive
+
+
+def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from delta_go_spark import cdf
+    from delta_go_spark.operators.delta_queries import (
+        _CACHE_ROOT,
+        _ensure_built,
+    )
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_quality")
+    tbl = os.path.join(root, "docs")
+    agg_path = os.path.join(root, "domagg_v0")
+
+    def build():
+        # artifact first, the Delta table's final version last: the table
+        # version is _ensure_built's completion marker, so a crash
+        # mid-build can never serve the table without its aggregates
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        (
+            quality_classifier(v0, keep_cols=("source",))
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                F.sum("w_total").alias("sum_w"),
+            )
+            .write.mode("overwrite")
+            .parquet(agg_path)
+        )
+        t = DeltaTable.create(
+            spark,
+            tbl,
+            v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+        t.delete_where(
+            f"doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI}"
+        )
+
+    _ensure_built(tbl, 2, build)
+    changes = cdf.table_changes(spark, tbl, start_version=1).select(
+        "doc_id",
+        "source",
+        "text",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("_sign"),
+    )
+    scored = quality_classifier(changes, keep_cols=("source", "_sign"))
+    delta_aggs = scored.groupBy("source").agg(
+        F.sum("_sign").alias("d_docs"),
+        F.sum(F.col("_sign") * F.col("n_tokens")).alias("d_tokens"),
+        F.sum(F.col("_sign") * F.col("w_total")).alias("d_w"),
+    )
+    z = F.lit(0)
+    merged = (
+        spark.read.parquet(agg_path)
+        .join(delta_aggs, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n_docs", z) + F.coalesce("d_docs", z)).alias(
+                "n_docs"
+            ),
+            (F.coalesce("sum_tokens", z) + F.coalesce("d_tokens", z)).alias(
+                "sum_tokens"
+            ),
+            (F.coalesce("sum_w", z) + F.coalesce("d_w", z)).alias("sum_w"),
+        )
+        .filter(F.col("n_docs") > 0)  # a fully-deleted domain leaves the mix
+    )
+    rows = merged.collect()  # O(domains), the doremi driver contract
+    per = {
+        r["source"]: (
+            int(r["n_docs"]),
+            int(r["sum_tokens"]),
+            int(r["sum_w"]) + 1000 * int(r["sum_tokens"]),
+        )
+        for r in rows
+    }
+    out = _doremi_weight_rows(per)
+    return spark.createDataFrame(
+        out,
+        "source string, n_docs long, sum_tokens long, "
+        "excess_milli long, weight_permille long",
+    ).orderBy(F.asc_nulls_last("source"))
+
+
+# Batch recompute over the mutated corpus (post-append, post-delete):
+# incremental maintenance must converge to exactly this.
+DOREMI_INCREMENTAL_SQL = f"""
+WITH {_qc_bucket_cte(
+    f" AND NOT (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI})"
+)},
+{_DOREMI_CTE_CHAIN}
+SELECT source, n_docs, sum_tokens, excess_milli, weight_permille
+FROM doremi_w
+ORDER BY source
+"""
+
+
+QUERIES["doremi_incremental_docs"] = (
+    doremi_incremental_docs,
+    DOREMI_INCREMENTAL_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

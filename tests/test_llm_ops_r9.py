@@ -118,6 +118,42 @@ def test_span_scrub_zero_shuffle_plan(spark):
     assert "Window" not in plan, plan
 
 
+def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
+    """CDF-incremental DoReMi: (a) per-column parity with the batch
+    recompute over the mutated corpus (attributable diff on mismatch);
+    (b) the maintained state reflects the append AND the delete — total
+    live docs = 500 - 60 deleted; (c) the change feed the query re-scores
+    is change-volume-sized (v1's 100 inserts + 60 delete rows), never the
+    corpus."""
+    from delta_go_spark import cdf
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["doremi_incremental_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "doremi_incremental diff:\n" + "\n".join(diff)
+    assert sum(r["n_docs"] for r in rows) == 500 - 60
+    assert sum(r["weight_permille"] for r in rows) == 1000
+
+    import os
+
+    tbl = os.path.join(
+        _CACHE_ROOT, SF_DIR.strip("/").replace("/", "_"), "inc_quality", "docs"
+    )
+    import pyspark.sql.functions as F
+
+    changes = cdf.table_changes(spark, tbl, start_version=1)
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in changes.groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kinds == {"insert": 100, "delete": 60}
+
+
 def test_streaming_late_data_dropped_per_watermark(spark, duck):
     """The out-of-order replay's late events must be DROPPED by the
     watermark, not attributed: the streaming result equals the islands
