@@ -45,7 +45,6 @@ HEADLINE = [
     "tfidf_top_terms_docs",
     "ann_lsh_docs",
     "cosine_near_dup_docs",
-    "repetition_topword_docs",
     "dedup_clusters_docs",  # r3: iterative connected components
     "simhash_docs",  # r3: engine-portable 60-bit signatures
     "decontaminate_docs",  # r4: benchmark n-gram decontamination
@@ -61,11 +60,9 @@ HEADLINE = [
     "ann_signlsh_docs",  # r5: sign-LSH ANN (exact-oracle bucketed search)
     "split_cluster_safe_docs",  # r5: near-dup-cluster-safe split
     "streaming_static_enrich_events",  # r5: stream-static dimension join
-    "lang_confusion_docs",  # r5: declared-vs-predicted language audit
     "quantization_recall_embeddings",  # r5: float-vs-int8 top-k audit
     "ann_ivf_int8_docs",  # r6: deterministic IVF-SQ8 (oracle-backed)
     "pagerank_docs",  # r6: integer PageRank over the near-dup graph
-    "span_decontaminate_docs",  # r6: exact-substring contamination spans
     "cross_source_matrix_docs",  # r6: near-dup source-pair matrix
     "bm25_search_docs",  # r6: BM25 ranked search (rational idf)
     "winnow_fingerprint_docs",  # r6: MOSS winnowing fingerprints
@@ -93,9 +90,14 @@ HEADLINE = [
     "block_dedup_docs",  # r8: CAS block-level storage dedup
     "dpp_join_orders",  # r8: dynamic-partition-pruned fact scan
     "curation_pipeline_v2_docs",  # r8: gate -> reweight -> fill chain
-    # streaming_sessionize_events intentionally unbenched: its cost is
-    # micro-batch-count x Structured Streaming fixed overhead (the shape
+    "span_scrub_docs",  # r9: in-doc repeated-span scrubber (one Arrow pass)
+    "doremi_incremental_docs",  # r9: CDF-incremental mixture maintenance
+    # streaming_sessionize_events / streaming_late_data_events
+    # intentionally unbenched: their cost is micro-batch-count x
+    # Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.
+    # r9 wire trims (family-redundant, correctness evidence unaffected):
+    # repetition_topword_docs, lang_confusion_docs, span_decontaminate_docs.
 ]
 
 
@@ -165,8 +167,13 @@ def main() -> None:
                 break
         if s in short:
             raise RuntimeError(f"suffix-stripped bench name collides: {s}")
-        short[s] = round(secs, 2)  # 2 decimals on the wire; 3 in BENCH_FULL
-    line = json.dumps({**payload, "queries": short}, separators=(",", ":"))
+        # integer milliseconds on the wire (r8 verdict item 3): full
+        # fidelity at fewer bytes than 2-decimal seconds; BENCH_FULL keeps
+        # 3-decimal seconds under the untruncated names
+        short[s] = int(round(secs * 1000))
+    line = json.dumps(
+        {**payload, "queries": short, "qunit": "ms"}, separators=(",", ":")
+    )
     # Driver capture window is 2000 chars of stdout tail; the r8 budget
     # keeps >=20% headroom below the old 1950 cap so future rounds can add
     # a handful of queries without another emergency trim (round 6's line

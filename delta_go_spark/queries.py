@@ -38,7 +38,7 @@ from delta_go_spark.operators import (
 )
 
 # ---------------------------------------------------------------------------
-# Driver correctness window (round 8)
+# Driver correctness window (round 9)
 #
 # The driver hash-checks only the FIRST 50 registry entries at sf0.01, so
 # ordering is the evidence-rotation mechanism.  `_WINDOW` lists exactly the
@@ -47,98 +47,99 @@ from delta_go_spark.operators import (
 # is irrelevant — those rows are pinned locally by the pytest oracle SAMPLE
 # and scripts/check_parity.py).
 #
-# Round-8 rotation (the entire r7 window went 50/50 hash-green, so all of
-# it moves below the boundary): (a) the ten NEW r8 operators + the one
-# whose code changed (bucketed-join cache key); (b) the 17-row queue the
-# r7 verdict fixed (5 late-r7 never-driver-checked + the 12 r4-stale
-# rows); (c) 22 of the 33 non-TPC-H rows whose last driver evidence is round
-# 5 (rows-only queries stay out of the window by policy).  After this
-# round every non-TPC-H row's driver evidence is <= 3 rounds old; round 9
-# rotates the r5 TPC-H block + the 11 remaining r5 rows (argmax_orders_per_status,
-# doc_length_buckets, join_cross_regions, join_right_outer_parts,
-# lang_source_matrix, pivot_lineitem_status, source_rank_by_lang,
-# stats_agg_lineitem, vocab_by_source, window_lag_lead_orders,
-# word_entropy_docs) + whatever r9 changes.
+# Round-9 rotation (the r8 window went 49/50; its one red row stays at the
+# TOP): (a) doremi_weights_docs — the r8 driver hash mismatch, judge-
+# unreproducible; its output order is now pinned and a per-column-diff
+# pytest stands by (test_llm_ops_r9.py); (b) the three NEW r9 operators
+# (span_scrub, doremi_incremental, streaming_late_data) plus
+# streaming_sessionize (refactored into the shared replay body) and
+# label_centroid_drift (late-r8, never driver-checked; dim guard moved
+# in-pass); (c) the entire r5-stale block — 16 TPC-H shapes + 11
+# non-TPC-H rows; (d) 17 of the 46 r6-stale rows (TPC-H headliners,
+# delta convert/replace, streaming joins, sessions, scalar-function
+# rows).  After this round no row's driver evidence predates round 6; the
+# remaining 29 r6 rows head the round-10 rotation.  The 3 rows-only
+# queries (ann_lsh/ann_ivf/approx_distinct) stay OUT by policy: no
+# rows-only filler inside the hard-evidence window — their gate is the
+# recall/approx pytest suite.
 # New queries MUST be inserted at the TOP of _WINDOW (displacing a listed
 # row explicitly — the size check refuses silent growth), keeping every
 # query whose code changed this round inside the driver's evidence window.
 # ---------------------------------------------------------------------------
 
 _WINDOW: list = [
-    # --- NEW in round 8 ---
-    (curation, [
-        "quality_classifier_docs",
-        "doremi_weights_docs",
-        "curation_pipeline_v2_docs",
-    ]),
-    (textops, ["pack_bestfit_docs", "length_batching_docs"]),
+    # --- r9 head: the r8 red row, re-verified first (output order pinned) ---
+    (curation, ["doremi_weights_docs"]),
+    # --- NEW in round 9 ---
+    (curation, ["span_scrub_docs", "doremi_incremental_docs"]),
     (streaming_stateful, [
+        "streaming_late_data_events",
+        # code changed in r9: replay body + oracle rendering shared with
+        # the late-data query (rendered SQL byte-identical)
         "streaming_sessionize_events",
-        "streaming_quota_gate_events",
     ]),
-    (sampling, ["systematic_weighted_sample_docs"]),
-    (multimodal, ["block_dedup_docs"]),
-    # --- code changed in round 8 (bucketed-cache fixture signature) +
-    # NEW third scale-join layout ---
-    (scalejoins, ["bucketed_join_lineitem", "dpp_join_orders"]),
-    # --- never driver-checked (landed late in r7, below the then-full
-    # window; queued as the r8 rotation head by the r7 verdict) ---
-    (delta_queries, ["delta_vacuum_agg", "delta_restore_agg"]),
-    (textops, ["bigram_coverage_docs"]),
-    (sampling, ["proportional_quota_docs"]),
-    (safety, ["gram_novelty_docs"]),
-    # --- last driver evidence: round 4 (the 12 that waited out round 7) ---
-    (dedup, ["simhash_docs", "simhash_near_dup_docs"]),
-    (textops, [
-        "like_regexp_docs",
-        "complex_types_docs",
-        "pandas_udf_score_docs",
-    ]),
-    (multimodal, ["media_pipeline_summary"]),
-    (streaming_windows, [
-        "sliding_avg_events",
-        "streaming_dedup_events",
-        "session_windows_events",
-    ]),
-    (sampling, ["stratified_sample_docs", "mixture_sample_docs"]),
-    (delta_queries, ["delta_sql_time_travel"]),
-    # --- last driver evidence: round 5 (22 of the 33 non-TPC-H r5 rows;
-    # the remaining 11 + the 21 TPC-H r5 rows rotate in round 9; the 3
-    # rows-only queries — ann_lsh/ann_ivf/approx_distinct — stay OUT by
-    # policy: no rows-only filler inside the hard-evidence window, their
-    # gate is the recall/approx pytest suite) ---
+    # --- never driver-checked (late r8) + r9 code change (in-pass dim guard) ---
+    (similarity, ["label_centroid_drift_embeddings"]),
+    # --- last driver evidence: round 5 — the TPC-H block ---
     (coverage, [
-        "agg_percentiles_lineitem",
-        "grouping_sets_orders",
-        "join_full_outer_nation",
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_order_distribution",
+        "q20_excess_quantity",
+        "q21_waiting_suppliers",
     ]),
-    (asof, ["asof_attribution_events"]),
+    (subqueries, [
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q19_discounted_revenue",
+    ]),
+    # --- last driver evidence: round 5 — the 11 remaining non-TPC-H rows ---
+    (coverage, [
+        "argmax_orders_per_status",
+        "join_cross_regions",
+        "join_right_outer_parts",
+        "pivot_lineitem_status",
+        "stats_agg_lineitem",
+        "window_lag_lead_orders",
+    ]),
     (curation, [
-        "bigram_repetition_docs",
-        "char_trigram_profile",
-        "length_outlier_docs",
-        "repetition_topword_docs",
-        "source_similarity_docs",
-        "word_rarity_docs",
+        "doc_length_buckets",
+        "lang_source_matrix",
+        "source_rank_by_lang",
+        "vocab_by_source",
+        "word_entropy_docs",
     ]),
-    (textops, ["cdc_chunk_docs", "hash_features_docs"]),
-    (similarity, [
-        "cosine_near_dup_docs",
-        "mislabel_confusion_embeddings",
-        "quantize_embeddings_int8",
+    # --- last driver evidence: round 6 (17 of 46; the rest rotate in r10) ---
+    (relational, [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "events_hourly_rollup",
+        "agg_event_users",
+        "date_functions_orders",
     ]),
-    (delta_queries, ["delta_dml_agg"]),
-    (dedup, ["minhash_incremental_docs", "segment_dedup_docs"]),
-    (rangejoin, ["range_join_purchase_errors"]),
-    (sampling, ["sample_k_per_source_docs", "shuffle_shard_docs"]),
-    (streaming_windows, ["streaming_interval_join_events"]),
+    (subqueries, ["q22_global_sales"]),
+    (delta_queries, ["delta_convert_agg", "delta_replace_agg"]),
+    (streaming_windows, [
+        "streaming_leftouter_join_events",
+        "streaming_static_enrich_events",
+    ]),
+    (sessions, ["sessionize_events", "retention_cohorts_events"]),
+    (coverage, ["json_functions_events", "null_semantics_orders"]),
 ]
-# All former late-r7 below-boundary rows (delta_vacuum_agg,
-# delta_restore_agg, bigram_coverage_docs, proportional_quota_docs,
-# gram_novelty_docs) were rotated INTO _WINDOW above in round 8.
-# Late-round-8 additions below the boundary (the window was full):
-# label_centroid_drift_embeddings enters via the module sweep, is pinned
-# in the pytest parity SAMPLE, and heads the round-9 rotation.
+# The full r8 window went green (sole exception doremi, kept at the top);
+# everything displaced above moved below the boundary where the pytest
+# SAMPLE and scripts/check_parity.py remain its gate.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

@@ -133,6 +133,10 @@ SAMPLE = [
     "dpp_join_orders",
     "curation_pipeline_v2_docs",
     "label_centroid_drift_embeddings",  # late r8, below-window: r9 head
+    # new in round 9 — driver window rows, belt-and-braces here too
+    "span_scrub_docs",
+    "doremi_incremental_docs",
+    "streaming_late_data_events",
 ]
 
 
@@ -186,50 +190,56 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round8_queries_in_window():
+def test_round9_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
-    contract).  Extend R8_MUST with every query added or changed in
-    round 8."""
+    contract).  Extend R9_MUST with every query added or changed in
+    round 9."""
     from delta_go_spark.queries import oracle_sql, queries
 
     order = list(queries())
-    R8_MUST = [
-        # NEW in round 8
-        "quality_classifier_docs",
+    R9_MUST = [
+        # the r8 red row — re-verified at the very top
         "doremi_weights_docs",
-        "pack_bestfit_docs",
-        "length_batching_docs",
+        # NEW in round 9
+        "span_scrub_docs",
+        "doremi_incremental_docs",
+        "streaming_late_data_events",
+        # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
-        "streaming_quota_gate_events",
-        "systematic_weighted_sample_docs",
-        "block_dedup_docs",
-        "dpp_join_orders",
-        "curation_pipeline_v2_docs",
-        # code changed in round 8 (bucketed-cache fixture signature)
-        "bucketed_join_lineitem",
-        # never driver-checked (landed late in r7, below the full window)
-        "delta_vacuum_agg",
-        "delta_restore_agg",
-        "bigram_coverage_docs",
-        "proportional_quota_docs",
-        "gram_novelty_docs",
-        # the stalest driver evidence (last green round 4)
-        "simhash_docs",
-        "simhash_near_dup_docs",
-        "like_regexp_docs",
-        "complex_types_docs",
-        "pandas_udf_score_docs",
-        "media_pipeline_summary",
-        "sliding_avg_events",
-        "streaming_dedup_events",
-        "session_windows_events",
-        "stratified_sample_docs",
-        "mixture_sample_docs",
-        "delta_sql_time_travel",
+        "label_centroid_drift_embeddings",
+        # the stalest driver evidence (last green round 5)
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q19_discounted_revenue",
+        "q20_excess_quantity",
+        "q21_waiting_suppliers",
+        "argmax_orders_per_status",
+        "doc_length_buckets",
+        "join_cross_regions",
+        "join_right_outer_parts",
+        "lang_source_matrix",
+        "pivot_lineitem_status",
+        "source_rank_by_lang",
+        "stats_agg_lineitem",
+        "vocab_by_source",
+        "window_lag_lead_orders",
+        "word_entropy_docs",
     ]
-    positions = {n: order.index(n) + 1 for n in R8_MUST}
+    assert order[0] == "doremi_weights_docs"  # window TOP, per the r8 verdict
+    positions = {n: order.index(n) + 1 for n in R9_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
     # every window slot must carry an oracle (no rows-only filler inside
