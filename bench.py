@@ -92,6 +92,7 @@ HEADLINE = [
     "curation_pipeline_v2_docs",  # r8: gate -> reweight -> fill chain
     "span_scrub_docs",  # r9: in-doc repeated-span scrubber (one Arrow pass)
     "doremi_incremental_docs",  # r9: CDF-incremental mixture maintenance
+    "unique_gram_redact_docs",  # r9: k-anonymity unique-gram masking
     # streaming_sessionize_events / streaming_late_data_events
     # intentionally unbenched: their cost is micro-batch-count x
     # Structured Streaming fixed overhead (the shape

@@ -504,3 +504,139 @@ ORDER BY p.source NULLS LAST
 
 
 QUERIES["gram_novelty_docs"] = (gram_novelty_docs, GRAM_NOVELTY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Unique-gram redaction — the k-anonymity-style privacy scrub: a token
+# n-gram that appears in EXACTLY ONE document corpus-wide is
+# identifier-shaped (names, account strings, one-off addresses survive
+# regex PII filters), so every position it covers is masked and the text
+# rebuilt with a redaction token.  Complements redact_pii (pattern-known
+# PII) and span_scrub (in-doc repeats): the decision here needs CORPUS
+# frequency, not patterns.  k=2 anonymity (survive iff seen in >= 2 docs)
+# is the standard floor; a real deployment raises the threshold.
+#
+# Scale: one explode pass hashes each gram to 8 bytes (xxhash64) before
+# anything moves; doc-frequency is a distinct + partial-aggregable count
+# on the hash; only the unique-gram hits flow back through one join; the
+# rebuild works from each doc's OWN token array (segment_dedup's shape).
+# The mask substitution itself stays in the final projection.
+_UGR_N = 3  # gram width; the fixture's 31-word vocab makes 3 the floor
+_UGR_MASK = "<RED>"
+
+
+def unique_gram_redact(
+    df: DataFrame,
+    n: int = _UGR_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_redacted, redacted_md5): every position covered by
+    a corpus-unique n-gram is replaced with the mask token;
+    redacted_md5 fingerprints the rebuilt text.  A gram occurring twice
+    WITHIN its single document is still unique to that document — both
+    occurrences are masked."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    starts = (
+        base.filter(F.size("_t") >= n)  # sequence(0, m-n) descends if m<n
+        .select(
+            id_col,
+            "_t",
+            F.explode(F.sequence(F.lit(0), F.size("_t") - n)).alias("_i"),
+        )
+        .select(
+            id_col,
+            "_i",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, n))
+            ).alias("_g"),
+        )
+    )
+    uniq = (
+        starts.select("_g", id_col)
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") == 1)
+        .select("_g")
+    )
+    red = (
+        starts.join(uniq, "_g")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+            ).alias("_j"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_j").alias("_red"))  # set: overlaps dedup here
+    )
+    empty = F.array().cast("array<int>")
+    mask_positions = F.coalesce(F.col("_red"), empty)
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            "_t",
+            lambda t, j: F.when(
+                F.array_contains(mask_positions, j), F.lit(_UGR_MASK)
+            ).otherwise(t),
+        ),
+    )
+    return base.join(red, id_col, "left").select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.coalesce(F.size("_red"), F.lit(0)).alias("n_redacted"),
+        F.md5(rebuilt.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def unique_gram_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return unique_gram_redact(docs).orderBy("doc_id")
+
+
+UNIQUE_GRAM_REDACT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS m
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i, array_to_string(tk[i+1 : i+{_UGR_N}], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(0, m - {_UGR_N})) AS i
+        FROM toks WHERE m >= {_UGR_N})
+), uniq AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY g)
+  WHERE c = 1
+), redpos AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT gr.doc_id,
+           unnest(generate_series(gr.i, gr.i + {_UGR_N} - 1)) AS j
+    FROM grams gr JOIN uniq USING (g)
+  )
+), pos AS (
+  SELECT doc_id, unnest(generate_series(0, m - 1)) AS j FROM toks
+), perdoc AS (
+  SELECT p.doc_id,
+         count(r.j) AS n_red,
+         list(CASE WHEN r.j IS NOT NULL THEN '{_UGR_MASK}'
+                   ELSE t.tk[p.j + 1] END ORDER BY p.j) AS rb
+  FROM pos p
+  LEFT JOIN redpos r ON p.doc_id = r.doc_id AND p.j = r.j
+  JOIN toks t ON p.doc_id = t.doc_id
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.m AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_red, 0) AS BIGINT) AS n_redacted,
+       md5(coalesce(array_to_string(p.rb, ' '), '')) AS redacted_md5
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["unique_gram_redact_docs"] = (
+    unique_gram_redact_docs,
+    UNIQUE_GRAM_REDACT_SQL,
+)

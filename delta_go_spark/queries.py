@@ -72,6 +72,7 @@ _WINDOW: list = [
     (curation, ["doremi_weights_docs"]),
     # --- NEW in round 9 ---
     (curation, ["span_scrub_docs", "doremi_incremental_docs"]),
+    (safety, ["unique_gram_redact_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -135,7 +136,10 @@ _WINDOW: list = [
         "streaming_static_enrich_events",
     ]),
     (sessions, ["sessionize_events", "retention_cohorts_events"]),
-    (coverage, ["json_functions_events", "null_semantics_orders"]),
+    # null_semantics_orders was displaced by unique_gram_redact_docs (new
+    # queries enter at the top; it rejoins the r10 rotation with the
+    # other r6 rows)
+    (coverage, ["json_functions_events"]),
 ]
 # The full r8 window went green (sole exception doremi, kept at the top);
 # everything displaced above moved below the boundary where the pytest

@@ -118,6 +118,54 @@ def test_span_scrub_zero_shuffle_plan(spark):
     assert "Window" not in plan, plan
 
 
+def test_unique_gram_redact_hand_built(spark):
+    """k-anonymity masking on documents with KNOWN frequencies: the
+    trigram 'a b c' appears in two docs (survives everywhere); 'p q r'
+    only in doc 1 (masked there, covering positions 3..5); doc 3 is all
+    shared text (untouched); a short doc has no grams (untouched)."""
+    import hashlib
+
+    from delta_go_spark.functions.safety import unique_gram_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c p q r"),
+            (2, "a b c x y a b c"),  # 'x y a' / 'y a b' unique -> masked
+            (3, "a b c"),
+            (4, "z w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unique_gram_redact(df).collect()}
+    m = "<RED>"
+    # doc 1: 'b c p'@1, 'c p q'@2, 'p q r'@3 are all corpus-unique —
+    # their spans cover positions 1..5; only position 0 survives
+    assert (got[1]["n_tokens"], got[1]["n_redacted"]) == (6, 5)
+    assert got[1]["redacted_md5"] == hashlib.md5(
+        f"a {m} {m} {m} {m} {m}".encode()
+    ).hexdigest()
+    # doc 2: grams at 0 ('a b c', df=3 docs... appears in 1,2,3 -> kept),
+    # 1 'b c x', 2 'c x y', 3 'x y a', 4 'y a b', 5 'a b c'(shared) —
+    # unique grams 1..4 cover positions 1..6; positions 0 and 7 survive
+    assert (got[2]["n_tokens"], got[2]["n_redacted"]) == (8, 6)
+    assert got[2]["redacted_md5"] == hashlib.md5(
+        f"a {m} {m} {m} {m} {m} {m} c".encode()
+    ).hexdigest()
+    assert got[3]["n_redacted"] == 0
+    assert got[3]["redacted_md5"] == hashlib.md5(b"a b c").hexdigest()
+    assert got[4]["n_redacted"] == 0
+
+
+def test_unique_gram_redact_parity_and_nonvacuous(spark, duck):
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["unique_gram_redact_docs"]
+    sdf = fn(spark, SF_DIR)
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "unique_gram_redact diff:\n" + "\n".join(diff)
+    assert sdf.filter("n_redacted > 0").count() > 0
+
+
 def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
     """CDF-incremental DoReMi: (a) per-column parity with the batch
     recompute over the mutated corpus (attributable diff on mismatch);

@@ -137,6 +137,7 @@ SAMPLE = [
     "span_scrub_docs",
     "doremi_incremental_docs",
     "streaming_late_data_events",
+    "unique_gram_redact_docs",
 ]
 
 
@@ -206,6 +207,7 @@ def test_round9_queries_in_window():
         "span_scrub_docs",
         "doremi_incremental_docs",
         "streaming_late_data_events",
+        "unique_gram_redact_docs",
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
         "label_centroid_drift_embeddings",
