@@ -10,6 +10,8 @@ hash mismatch was judge-unreproducible and left no trail).
 import sys
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
@@ -261,6 +263,67 @@ def test_streaming_late_split_is_provably_late(spark):
     late_max = us(files[4]).agg(F.max("u")).first()[0]
     q3_max = max(us(f).agg(F.max("u")).first()[0] for f in files[:3])
     assert late_max <= q3_max - _SESSION_DELAY_US - 2_000_000
+
+
+def _rebuild_op_vs_duckdb(spark, corpus, spark_fn, oracle_sql):
+    """Run a rebuild operator on a RANDOM corpus through both engines:
+    the DuckDB oracle is a fully independent implementation of the same
+    contract, so agreement on arbitrary token streams (not just the
+    fixture's) is the strongest cheap property available."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    sdf = spark_fn(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    diff = _keyed_diff(sdf, con.execute(oracle_sql))
+    assert not diff, "\n".join(diff)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "x", ""]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_scrub_matches_duckdb_on_random_corpora(spark, corpus):
+    from delta_go_spark.functions.curation import SPAN_SCRUB_SQL, span_scrub
+
+    _rebuild_op_vs_duckdb(spark, corpus, span_scrub, SPAN_SCRUB_SQL)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "x", ""]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_unique_gram_redact_matches_duckdb_on_random_corpora(spark, corpus):
+    from delta_go_spark.functions.safety import (
+        UNIQUE_GRAM_REDACT_SQL,
+        unique_gram_redact,
+    )
+
+    _rebuild_op_vs_duckdb(
+        spark, corpus, unique_gram_redact, UNIQUE_GRAM_REDACT_SQL
+    )
 
 
 def test_doremi_output_order_pinned(spark):
