@@ -997,9 +997,13 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never drift apart on the feature/weight contract.  The rendering is a
 # function so corpus-subset consumers (the CDF-incremental query scores a
 # MUTATED corpus) inject their row filter into the same contract.
-def _qc_bucket_cte(extra_where: str = "") -> str:
+def _qc_bucket_cte(extra_where: str = "", source_expr: str | None = None) -> str:
+    # source_expr overrides the domain column (the CDF-incremental oracle
+    # replays an UPDATE as a CASE override); None renders the default
+    # byte-identically to the shared rendering the sibling oracles hash
+    src = "source" if source_expr is None else f"{source_expr} AS source"
     return f"""tok AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  SELECT doc_id, {src}, unnest(string_split(text, ' ')) AS t
   FROM documents WHERE text IS NOT NULL{extra_where}
 ), b AS (
   SELECT doc_id, source,
@@ -1254,9 +1258,15 @@ QUERIES["doremi_weights_docs"] = (doremi_weights_docs, DOREMI_WEIGHTS_SQL)
 # v2's retention pass deletes a fixed doc_id slice (dense 0-based ids at
 # every sf, so the constants hold fixture-wide); the slice straddles the
 # v0/v1 split, exercising BOTH the base-aggregate subtraction and the
-# insert-then-delete cancellation.
+# insert-then-delete cancellation.  v3 then UPDATES a second slice's
+# source (a relabeling/domain move): the feed's update_preimage rows
+# leave the old domain at sign -1 and the postimage rows enter the new
+# one at +1 — the third change kind the sign-summing must survive.
 _INC_DELETE_LO = 100
 _INC_DELETE_HI = 160  # exclusive
+_INC_UPDATE_LO = 300
+_INC_UPDATE_HI = 312  # exclusive
+_INC_UPDATE_SRC = "src0"  # present at every sf
 
 
 def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,8 +1313,12 @@ def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where(
             f"doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI}"
         )
+        t.update_where(
+            f"doc_id >= {_INC_UPDATE_LO} AND doc_id < {_INC_UPDATE_HI}",
+            {"source": F.lit(_INC_UPDATE_SRC)},
+        )
 
-    _ensure_built(tbl, 2, build)
+    _ensure_built(tbl, 3, build)
     changes = cdf.table_changes(spark, tbl, start_version=1).select(
         "doc_id",
         "source",
@@ -1358,7 +1372,11 @@ def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental maintenance must converge to exactly this.
 DOREMI_INCREMENTAL_SQL = f"""
 WITH {_qc_bucket_cte(
-    f" AND NOT (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI})"
+    f" AND NOT (doc_id >= {_INC_DELETE_LO} AND doc_id < {_INC_DELETE_HI})",
+    source_expr=(
+        f"CASE WHEN doc_id >= {_INC_UPDATE_LO} AND doc_id < {_INC_UPDATE_HI}"
+        f" THEN '{_INC_UPDATE_SRC}' ELSE source END"
+    ),
 )},
 {_DOREMI_CTE_CHAIN}
 SELECT source, n_docs, sum_tokens, excess_milli, weight_permille

@@ -173,8 +173,8 @@ def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
     recompute over the mutated corpus (attributable diff on mismatch);
     (b) the maintained state reflects the append AND the delete — total
     live docs = 500 - 60 deleted; (c) the change feed the query re-scores
-    is change-volume-sized (v1's 100 inserts + 60 delete rows), never the
-    corpus."""
+    is change-volume-sized (v1's 100 inserts + 60 delete rows + 12
+    update pre/post pairs from the v3 domain move), never the corpus."""
     from delta_go_spark import cdf
     from delta_go_spark.operators.delta_queries import _CACHE_ROOT
     from delta_go_spark.queries import registry
@@ -201,7 +201,12 @@ def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    assert kinds == {"insert": 100, "delete": 60}
+    assert kinds == {
+        "insert": 100,
+        "delete": 60,
+        "update_preimage": 12,
+        "update_postimage": 12,
+    }
 
 
 def test_streaming_late_data_dropped_per_watermark(spark, duck):
