@@ -1565,49 +1565,69 @@ def span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_scrub(docs).orderBy("doc_id")
 
 
-# Oracle: the same contract in set form — a position j is dropped iff some
-# repeat start i (i strictly after its gram's first occurrence) covers it.
-SPAN_SCRUB_SQL = f"""
+# ONE rendering of the "mark gram spans, rebuild the text" oracle
+# skeleton — shared with safety.unique_gram_redact so the token/gram/
+# rebuild contract (split rule, slice arithmetic, empty-rebuild coalesce)
+# cannot drift between the two (the repo's anti-drift convention).
+def gram_span_oracle_sql(
+    n: int,
+    start_ctes: str,
+    rebuild_list: str,
+    n_hit_alias: str,
+    md5_alias: str,
+) -> str:
+    """`start_ctes` must end with a CTE hitstart(doc_id, i) — the gram
+    starts whose [i, i+n) spans are marked; `rebuild_list` is the perdoc
+    list aggregate over position rows p (with the hit row r and token
+    array t.tk in scope)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk,
          len(string_split(text, ' ')) AS m
   FROM documents WHERE text IS NOT NULL
 ), grams AS (
-  SELECT doc_id, i,
-         array_to_string(tk[i+1 : i+{_SPAN_N}], ' ') AS g
-  FROM (SELECT doc_id, tk,
-               unnest(generate_series(0, m - {_SPAN_N})) AS i
-        FROM toks WHERE m >= {_SPAN_N})
-), firsts AS (
-  SELECT doc_id, g, min(i) AS fi FROM grams GROUP BY doc_id, g
-), droppos AS (
+  SELECT doc_id, i, array_to_string(tk[i+1 : i+{n}], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(0, m - {n})) AS i
+        FROM toks WHERE m >= {n})
+), {start_ctes}, hitpos AS (
   SELECT DISTINCT doc_id, j FROM (
-    SELECT r.doc_id, unnest(generate_series(r.i, r.i + {_SPAN_N} - 1)) AS j
-    FROM (SELECT gr.doc_id, gr.i
-          FROM grams gr JOIN firsts f
-            ON gr.doc_id = f.doc_id AND gr.g = f.g
-          WHERE gr.i > f.fi) r
-  )
+    SELECT doc_id, unnest(generate_series(i, i + {n} - 1)) AS j
+    FROM hitstart)
 ), pos AS (
   SELECT doc_id, unnest(generate_series(0, m - 1)) AS j FROM toks
-), kept AS (
-  SELECT p.doc_id, p.j
-  FROM pos p LEFT JOIN droppos d ON p.doc_id = d.doc_id AND p.j = d.j
-  WHERE d.j IS NULL
 ), perdoc AS (
-  SELECT k.doc_id,
-         count(*) AS n_keptpos,
-         list(t.tk[k.j + 1] ORDER BY k.j) AS kept_toks
-  FROM kept k JOIN toks t USING (doc_id)
-  GROUP BY k.doc_id
+  SELECT p.doc_id,
+         count(r.j) AS n_hit,
+         {rebuild_list} AS rb
+  FROM pos p
+  LEFT JOIN hitpos r ON p.doc_id = r.doc_id AND p.j = r.j
+  JOIN toks t ON p.doc_id = t.doc_id
+  GROUP BY p.doc_id
 )
 SELECT t.doc_id,
        CAST(t.m AS BIGINT) AS n_tokens,
-       CAST(t.m - coalesce(p.n_keptpos, 0) AS BIGINT) AS n_dropped,
-       md5(coalesce(array_to_string(p.kept_toks, ' '), '')) AS rebuilt_md5
+       CAST(coalesce(p.n_hit, 0) AS BIGINT) AS {n_hit_alias},
+       md5(coalesce(array_to_string(p.rb, ' '), '')) AS {md5_alias}
 FROM toks t LEFT JOIN perdoc p USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# span scrub: hit starts = repeat occurrences (strictly after their
+# gram's first in-doc occurrence); rebuild DROPS hit positions.
+SPAN_SCRUB_SQL = gram_span_oracle_sql(
+    _SPAN_N,
+    """firsts AS (
+  SELECT doc_id, g, min(i) AS fi FROM grams GROUP BY doc_id, g
+), hitstart AS (
+  SELECT gr.doc_id, gr.i
+  FROM grams gr JOIN firsts f ON gr.doc_id = f.doc_id AND gr.g = f.g
+  WHERE gr.i > f.fi
+)""",
+    "list(t.tk[p.j + 1] ORDER BY p.j) FILTER (WHERE r.j IS NULL)",
+    "n_dropped",
+    "rebuilt_md5",
+)
 
 
 QUERIES["span_scrub_docs"] = (span_scrub_docs, SPAN_SCRUB_SQL)

@@ -597,43 +597,24 @@ def unique_gram_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique_gram_redact(docs).orderBy("doc_id")
 
 
-UNIQUE_GRAM_REDACT_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS tk,
-         len(string_split(text, ' ')) AS m
-  FROM documents WHERE text IS NOT NULL
-), grams AS (
-  SELECT doc_id, i, array_to_string(tk[i+1 : i+{_UGR_N}], ' ') AS g
-  FROM (SELECT doc_id, tk, unnest(generate_series(0, m - {_UGR_N})) AS i
-        FROM toks WHERE m >= {_UGR_N})
-), uniq AS (
+# The gram/position/rebuild skeleton is single-sourced with span_scrub's
+# oracle (curation.gram_span_oracle_sql): only the hit criterion (corpus-
+# unique grams) and the rebuild rule (MASK, not drop) differ.
+from delta_go_spark.functions.curation import gram_span_oracle_sql  # noqa: E402
+
+UNIQUE_GRAM_REDACT_SQL = gram_span_oracle_sql(
+    _UGR_N,
+    """uniq AS (
   SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY g)
   WHERE c = 1
-), redpos AS (
-  SELECT DISTINCT doc_id, j FROM (
-    SELECT gr.doc_id,
-           unnest(generate_series(gr.i, gr.i + {_UGR_N} - 1)) AS j
-    FROM grams gr JOIN uniq USING (g)
-  )
-), pos AS (
-  SELECT doc_id, unnest(generate_series(0, m - 1)) AS j FROM toks
-), perdoc AS (
-  SELECT p.doc_id,
-         count(r.j) AS n_red,
-         list(CASE WHEN r.j IS NOT NULL THEN '{_UGR_MASK}'
-                   ELSE t.tk[p.j + 1] END ORDER BY p.j) AS rb
-  FROM pos p
-  LEFT JOIN redpos r ON p.doc_id = r.doc_id AND p.j = r.j
-  JOIN toks t ON p.doc_id = t.doc_id
-  GROUP BY p.doc_id
+), hitstart AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN uniq USING (g)
+)""",
+    f"""list(CASE WHEN r.j IS NOT NULL THEN '{_UGR_MASK}'
+                   ELSE t.tk[p.j + 1] END ORDER BY p.j)""",
+    "n_redacted",
+    "redacted_md5",
 )
-SELECT t.doc_id,
-       CAST(t.m AS BIGINT) AS n_tokens,
-       CAST(coalesce(p.n_red, 0) AS BIGINT) AS n_redacted,
-       md5(coalesce(array_to_string(p.rb, ' '), '')) AS redacted_md5
-FROM toks t LEFT JOIN perdoc p USING (doc_id)
-ORDER BY t.doc_id
-"""
 
 
 QUERIES["unique_gram_redact_docs"] = (

@@ -2886,16 +2886,21 @@ def label_centroid_drift(
     shifted int8 code space."""
     sig = quantize_int8(df, vec_col=vec_col)
     # dim guard rides INSIDE the quantize pass (no extra driver job — the
-    # r8 verdict flagged the former `first()` probe): every row checks its
-    # own array length in the same codegen stage that explodes it
+    # r8 verdict flagged the former `first()` probe).  The guard wraps the
+    # array the generator CONSUMES: an assert_true in a dropped side
+    # column would be column-pruned into a no-op (a review probe confirmed
+    # Catalyst eliminates it), so the check must be on the value path.
+    guarded = F.when(F.size("q") == _DRIFT_DIM, F.col("q")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"fixture dim != {_DRIFT_DIM}: update _DRIFT_DIM and the "
+                "oracle's generate_series bound together"
+            )
+        )
+    )
     dims = sig.select(
         F.col(label_col).alias("label"),
-        F.posexplode("q").alias("dim", "x"),
-        F.assert_true(
-            F.size("q") == _DRIFT_DIM,
-            f"fixture dim != {_DRIFT_DIM}: update _DRIFT_DIM and the "
-            "oracle's generate_series bound together",
-        ).alias("_dimchk"),
+        F.posexplode(guarded).alias("dim", "x"),
     ).select("label", "dim", (F.col("x") + 127).alias("xs"))
     per_label = dims.groupBy("label", "dim").agg(
         F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n")

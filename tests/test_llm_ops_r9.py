@@ -290,18 +290,19 @@ def _rebuild_op_vs_duckdb(spark, corpus, spark_fn, oracle_sql):
     assert not diff, "\n".join(diff)
 
 
-@settings(max_examples=8, deadline=None)
-@given(
-    corpus=st.lists(
-        st.lists(
-            st.sampled_from(["a", "b", "c", "x", ""]),
-            min_size=0,
-            max_size=12,
-        ),
-        min_size=1,
-        max_size=6,
-    )
+_CORPORA = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "x", ""]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
 )
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_CORPORA)
 def test_span_scrub_matches_duckdb_on_random_corpora(spark, corpus):
     from delta_go_spark.functions.curation import SPAN_SCRUB_SQL, span_scrub
 
@@ -309,17 +310,7 @@ def test_span_scrub_matches_duckdb_on_random_corpora(spark, corpus):
 
 
 @settings(max_examples=8, deadline=None)
-@given(
-    corpus=st.lists(
-        st.lists(
-            st.sampled_from(["a", "b", "c", "x", ""]),
-            min_size=0,
-            max_size=12,
-        ),
-        min_size=1,
-        max_size=6,
-    )
-)
+@given(corpus=_CORPORA)
 def test_unique_gram_redact_matches_duckdb_on_random_corpora(spark, corpus):
     from delta_go_spark.functions.safety import (
         UNIQUE_GRAM_REDACT_SQL,
@@ -329,6 +320,21 @@ def test_unique_gram_redact_matches_duckdb_on_random_corpora(spark, corpus):
     _rebuild_op_vs_duckdb(
         spark, corpus, unique_gram_redact, UNIQUE_GRAM_REDACT_SQL
     )
+
+
+def test_label_centroid_drift_dim_guard_fires(spark):
+    """The in-pass dim guard must actually FIRE on a wrong-width vector —
+    a guard in a pruned side column would be silently eliminated by
+    Catalyst (the round-9 review caught exactly that), leaving a fixture
+    drift to surface as an unattributable oracle mismatch."""
+    from delta_go_spark.functions.similarity import label_centroid_drift
+
+    bad = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2, 0.3])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="fixture dim"):
+        label_centroid_drift(bad).collect()
 
 
 def test_doremi_output_order_pinned(spark):
