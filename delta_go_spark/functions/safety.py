@@ -554,12 +554,19 @@ def unique_gram_redact(
             ).alias("_g"),
         )
     )
+    # "exactly one distinct document" ⟺ min(doc) == max(doc): min/max are
+    # partial-aggregable, so no (gram, doc) distinct shuffle ever runs —
+    # hot boilerplate grams combine map-side.  The doc-frequency branch
+    # and the hits join each re-run the cheap codegen explode (column-
+    # pruned to what they need; exchange reuse does NOT apply because the
+    # pruned schemas differ), and the join side adapts by size: a small
+    # uniq set broadcasts (corpus side never shuffles), a huge one —
+    # the realistic 100 TB case, where most long grams ARE unique —
+    # falls back to sort-merge under autoBroadcastJoinThreshold.
     uniq = (
-        starts.select("_g", id_col)
-        .distinct()
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") == 1)
+        starts.groupBy("_g")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") == F.col("_hi"))
         .select("_g")
     )
     red = (

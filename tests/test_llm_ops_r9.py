@@ -158,6 +158,24 @@ def test_unique_gram_redact_hand_built(spark):
     assert got[4]["n_redacted"] == 0
 
 
+def test_unique_gram_redact_plan_shape(spark):
+    """No distinct shuffle (min==max replaces countDistinct), no window,
+    and a bounded exchange count: the doc-frequency aggregate must be
+    partial-aggregable (map-side combine absorbs hot boilerplate grams)."""
+    from delta_go_spark.queries import queries
+
+    plan = (
+        queries()["unique_gram_redact_docs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert "partial_min" in plan or "partial_" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_unique_gram_redact_parity_and_nonvacuous(spark, duck):
     from delta_go_spark.queries import registry
 
