@@ -60,6 +60,33 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
+def hash_diff_lines(spark_rows, spark_cols, duck_rows, duck_cols, k=5):
+    """First k differing normalized result lines (column-sorted, like the
+    hash itself) with a header naming the column order — so any future
+    value-hash red is attributable to cells, not a mystery (the r8
+    doremi driver mismatch left no trail; this is the generalized fix)."""
+    order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    ls = sorted(
+        "|".join(normalize_cell(r[i]) for i in order_s) for r in spark_rows
+    )
+    ld = sorted(
+        "|".join(normalize_cell(r[i]) for i in order_d) for r in duck_rows
+    )
+    out = ["cols: " + "|".join(sorted(spark_cols))]
+    shown = 0
+    for a, b in zip(ls, ld):
+        if a != b:
+            out.append(f"spark: {a}")
+            out.append(f"duck : {b}")
+            shown += 1
+            if shown >= k:
+                break
+    if len(ls) != len(ld):
+        out.append(f"(row counts differ: {len(ls)} vs {len(ld)})")
+    return out
+
+
 def duckdb_for(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
@@ -88,6 +115,9 @@ def compare_one(spark, con, fn, sql, sf_dir: str) -> list[str]:
         duck_rows, duck_cols
     ):
         problems.append("value-hash mismatch")
+        problems.extend(
+            hash_diff_lines(spark_rows, spark_cols, duck_rows, duck_cols)
+        )
     return problems
 
 
@@ -158,16 +188,15 @@ def main() -> int:
             hd = value_hash(duck_rows, duck_cols)
             if hs != hd:
                 problems.append("value-hash mismatch")
-                # show first differing normalized line for debugging
-                order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-                order_d = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-                ls = sorted("|".join(normalize_cell(r[i]) for i in order_s) for r in [tuple(x) for x in spark_rows])
-                ld = sorted("|".join(normalize_cell(r[i]) for i in order_d) for r in duck_rows)
-                for a, b in zip(ls, ld):
-                    if a != b:
-                        problems.append(f"  spark: {a}")
-                        problems.append(f"  duck : {b}")
-                        break
+                problems.extend(
+                    "  " + line
+                    for line in hash_diff_lines(
+                        [tuple(x) for x in spark_rows],
+                        spark_cols,
+                        duck_rows,
+                        duck_cols,
+                    )
+                )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems[:3]))
