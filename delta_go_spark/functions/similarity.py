@@ -1870,6 +1870,114 @@ QUERIES["hard_negatives_embeddings"] = (
 
 
 # ---------------------------------------------------------------------------
+# SEMANTIC decontamination — the embedding-space complement of the n-gram
+# rules in safety.py (decontaminate/span_decontaminate catch verbatim
+# overlap; a paraphrased eval item shares no 8-gram but sits next to its
+# source in embedding space).  Every corpus vector is scored against the
+# held-out eval slice; anything above the cosine threshold is flagged
+# for removal before training.
+#
+# Exactness: the proven int8-code contract (int64 dot / IEEE sqrt·sqrt,
+# floored micro-units) — every (nearest probe, similarity, flag) is
+# value-hashed.  The fixture's vectors are label mixtures with no
+# planted duplicates, so the registry row pins the threshold at the
+# distribution's tail (0.40) to exercise BOTH flag branches at every sf;
+# a production run sets ~0.95.  Scale shape = hard_negatives': codes
+# computed once, probe panel broadcast (corpus x n_probes, never
+# corpus^2), best-probe via ONE partial-aggregable struct-max groupBy
+# (no window); at 10^9 vectors pre-filter with ann_signlsh's buckets.
+_SEMDECON_PROBE_MOD = 25  # eval slice: vec_id % 25 == 0
+_SEMDECON_TAU_MICRO = 400_000
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    probe_mod: int = _SEMDECON_PROBE_MOD,
+    tau_micro: int = _SEMDECON_TAU_MICRO,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, nearest_probe, max_cos_micro, contaminated) for every
+    non-probe vector with a nonzero code norm: the most-similar eval
+    probe (ties -> smaller probe id) and the threshold flag."""
+    sig = (
+        quantize_int8(corpus, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("cid"),
+            "q",
+            int8_sq_norm(F.col("q")).alias("na2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probes = sig.filter(
+        (F.col("cid") % probe_mod == 0) & (F.col("na2") > 0)
+    ).select(
+        F.col("cid").alias("pid"), F.col("q").alias("pq"), F.col("na2").alias("pn2")
+    )
+    cos_micro = int_cosine_micro(
+        int8_dot(F.col("q"), F.col("pq")), F.col("na2"), F.col("pn2")
+    )
+    best = F.max(
+        F.struct(F.col("cos_micro").alias("c"), (-F.col("pid")).alias("np"))
+    )
+    return (
+        sig.filter((F.col("cid") % probe_mod != 0) & (F.col("na2") > 0))
+        .crossJoin(F.broadcast(probes))
+        .select("cid", "pid", cos_micro.alias("cos_micro"))
+        .groupBy("cid")
+        .agg(best.alias("_b"))
+        .select(
+            F.col("cid").alias("vec_id"),
+            (-F.col("_b.np")).alias("nearest_probe"),
+            F.col("_b.c").alias("max_cos_micro"),
+            (F.col("_b.c") >= tau_micro).cast("int").alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return semantic_decontaminate(load_table(spark, sf_dir, "embeddings"))
+
+
+SEMANTIC_DECONTAMINATE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT_QV_SQL}
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS na2
+  FROM q
+), probes AS (
+  SELECT vec_id AS pid, qv AS pqv, na2 AS pn2
+  FROM qn WHERE vec_id % {_SEMDECON_PROBE_MOD} = 0 AND na2 > 0
+), scored AS (
+  SELECT c.vec_id, p.pid,
+         CAST(floor(CAST(list_sum(list_transform(list_zip(c.qv, p.pqv), z -> z[1] * z[2])) AS BIGINT)
+                    / (sqrt(CAST(c.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+  FROM qn c CROSS JOIN probes p
+  WHERE c.vec_id % {_SEMDECON_PROBE_MOD} != 0 AND c.na2 > 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_micro DESC, pid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, pid AS nearest_probe, cos_micro AS max_cos_micro,
+       CAST(cos_micro >= {_SEMDECON_TAU_MICRO} AS INT) AS contaminated
+FROM ranked WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+QUERIES["semantic_decontaminate_embeddings"] = (
+    semantic_decontaminate_embeddings,
+    SEMANTIC_DECONTAMINATE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation-recall audit (Kusupati et al. 2022,
 # arXiv:2205.13147): MRL-trained embeddings promise that the FIRST d'
 # coordinates alone remain a usable representation.  Before shipping a

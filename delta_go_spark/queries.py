@@ -73,6 +73,7 @@ _WINDOW: list = [
     # --- NEW in round 9 ---
     (curation, ["span_scrub_docs", "doremi_incremental_docs"]),
     (safety, ["unique_gram_redact_docs"]),
+    (similarity, ["semantic_decontaminate_embeddings"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -136,10 +137,10 @@ _WINDOW: list = [
         "streaming_static_enrich_events",
     ]),
     (sessions, ["sessionize_events", "retention_cohorts_events"]),
-    # null_semantics_orders was displaced by unique_gram_redact_docs (new
-    # queries enter at the top; it rejoins the r10 rotation with the
+    # null_semantics_orders and json_functions_events were displaced by
+    # unique_gram_redact_docs and semantic_decontaminate_embeddings (new
+    # queries enter at the top; both rejoin the r10 rotation with the
     # other r6 rows)
-    (coverage, ["json_functions_events"]),
 ]
 # The full r8 window went green (sole exception doremi, kept at the top);
 # everything displaced above moved below the boundary where the pytest

@@ -186,6 +186,37 @@ def test_unique_gram_redact_parity_and_nonvacuous(spark, duck):
     assert sdf.filter("n_redacted > 0").count() > 0
 
 
+def test_semantic_decontaminate_parity_and_both_branches(spark, duck):
+    """Embedding-space decontamination: per-column oracle parity, plus
+    non-vacuity on BOTH flag branches (the fixture-tail threshold must
+    flag some vectors and clear others, or the gate is untested)."""
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["semantic_decontaminate_embeddings"]
+    sdf = fn(spark, SF_DIR)
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "semantic_decontaminate diff:\n" + "\n".join(diff)
+    flags = {r["contaminated"] for r in sdf.select("contaminated").distinct().collect()}
+    assert flags == {0, 1}
+
+
+def test_semantic_decontaminate_no_window_one_aggregate(spark):
+    """Best-probe selection must ride a partial-aggregable struct-max
+    groupBy, not a per-vector rank window; the probe panel must
+    broadcast (the corpus side never shuffles for the join)."""
+    from delta_go_spark.queries import queries
+
+    plan = (
+        queries()["semantic_decontaminate_embeddings"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_max" in plan, plan
+
+
 def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
     """CDF-incremental DoReMi: (a) per-column parity with the batch
     recompute over the mutated corpus (attributable diff on mismatch);

@@ -138,6 +138,7 @@ SAMPLE = [
     "doremi_incremental_docs",
     "streaming_late_data_events",
     "unique_gram_redact_docs",
+    "semantic_decontaminate_embeddings",
 ]
 
 
@@ -208,6 +209,7 @@ def test_round9_queries_in_window():
         "doremi_incremental_docs",
         "streaming_late_data_events",
         "unique_gram_redact_docs",
+        "semantic_decontaminate_embeddings",
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
         "label_centroid_drift_embeddings",
