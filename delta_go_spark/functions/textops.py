@@ -1643,6 +1643,169 @@ QUERIES["fim_transform_docs"] = (fim_transform_docs, FIM_TRANSFORM_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Span-corruption training transform (T5, Raffel et al. 2020; UL2's R/X
+# denoisers, Tay et al. 2022 arXiv:2205.05131): mask token spans with
+# numbered sentinels, emitting the corrupted input and the target that
+# restores it — the denoising-objective twin of fim_transform's PSM
+# rewrite.  The classic sampler draws random span starts; this variant is
+# GRID-ALIGNED (the token stream partitions into width-W cells; a cell's
+# leading L tokens mask iff md5(doc_id:cell) selects it), which keeps the
+# standard ~L/(W·R) corruption rate while making spans non-overlapping BY
+# CONSTRUCTION — no sequential greedy pass, so the transform is a pure
+# per-row function: embarrassingly parallel, byte-reproducible on any
+# engine/partitioning (fim_transform's determinism contract).
+#
+# Scale: ONE Arrow map pass, zero shuffle, no explode; outputs carry
+# md5(corrupted)/md5(target), never the text.
+_SC_W = 4  # grid cell width in tokens
+_SC_L = 3  # masked span length (cell's leading L tokens)
+_SC_MOD = 5  # cell selected iff md5(doc:cell) % 5 == 0 -> ~15% of tokens
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_spans, n_masked, corrupted_md5, target_md5): sentinel-masked
+    input and restoration target.  Span k (grid order) replaces tokens
+    [W·g, W·g+L) with the single token <extra_id_k>; the target is
+    '<extra_id_k> tok tok tok' per span, space-joined."""
+    from pyspark.sql.functions import pandas_udf
+
+    W, L, MOD = _SC_W, _SC_L, _SC_MOD
+
+    @pandas_udf(
+        "struct<n_spans: long, n_masked: long, "
+        "corrupted_md5: string, target_md5: string>"
+    )
+    def _corrupt(ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        ns, nm, ch, th = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            toks = text.split(" ")
+            m = len(toks)
+            cells = (
+                [
+                    g
+                    for g in range((m - L) // W + 1)
+                    if int(
+                        hashlib.md5(f"{doc_id}:{g}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % MOD
+                    == 0
+                ]
+                if m >= L
+                else []
+            )
+            sel = {g: k for k, g in enumerate(cells)}
+            out = []
+            j = 0
+            while j < m:
+                g, off = divmod(j, W)
+                if off == 0 and g in sel:
+                    out.append(f"<extra_id_{sel[g]}>")
+                    j += L
+                else:
+                    out.append(toks[j])
+                    j += 1
+            target = " ".join(
+                f"<extra_id_{k}> " + " ".join(toks[g * W : g * W + L])
+                for g, k in sel.items()
+            )
+            ns.append(len(cells))
+            nm.append(L * len(cells))
+            ch.append(hashlib.md5(" ".join(out).encode()).hexdigest())
+            th.append(hashlib.md5(target.encode()).hexdigest())
+        return pd.DataFrame(
+            {"n_spans": ns, "n_masked": nm, "corrupted_md5": ch, "target_md5": th}
+        )
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            _corrupt(F.col(id_col), F.col(text_col)).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_s.n_spans").alias("n_spans"),
+            F.col("_s.n_masked").alias("n_masked"),
+            F.col("_s.corrupted_md5").alias("corrupted_md5"),
+            F.col("_s.target_md5").alias("target_md5"),
+        )
+    )
+
+
+def span_corrupt_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.session import fan_out_small_scan
+
+    docs = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark.sparkContext.defaultParallelism,
+    )
+    return span_corrupt(docs).orderBy("doc_id")
+
+
+SPAN_CORRUPT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS m
+  FROM documents WHERE text IS NOT NULL
+), cells AS (
+  SELECT doc_id, g,
+         row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS k
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, (m - {_SC_L}) // {_SC_W})) AS g
+        FROM toks WHERE m >= {_SC_L})
+  WHERE CAST(concat('0x', substr(md5(concat(doc_id, ':', g)), 1, 8))
+             AS BIGINT) % {_SC_MOD} = 0
+), pos AS (
+  SELECT doc_id, unnest(generate_series(0, m - 1)) AS j FROM toks
+), marked AS (
+  SELECT p.doc_id, p.j, c.g, c.k,
+         (c.g IS NOT NULL AND p.j = c.g * {_SC_W}) AS anchor,
+         (c.g IS NOT NULL) AS masked
+  FROM pos p
+  LEFT JOIN cells c
+    ON p.doc_id = c.doc_id
+   AND p.j >= c.g * {_SC_W} AND p.j < c.g * {_SC_W} + {_SC_L}
+), corrupted AS (
+  SELECT mk.doc_id,
+         list(CASE WHEN mk.anchor
+                   THEN concat('<extra_id_', mk.k, '>')
+                   ELSE t.tk[mk.j + 1] END ORDER BY mk.j)
+           FILTER (WHERE mk.anchor OR NOT mk.masked) AS toks_out
+  FROM marked mk JOIN toks t USING (doc_id)
+  GROUP BY mk.doc_id
+), targets AS (
+  SELECT c.doc_id,
+         count(*) AS n_spans,
+         string_agg(concat('<extra_id_', c.k, '> ',
+                           array_to_string(t.tk[c.g * {_SC_W} + 1 :
+                                                c.g * {_SC_W} + {_SC_L}], ' ')),
+                    ' ' ORDER BY c.g) AS target
+  FROM cells c JOIN toks t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(tg.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST({_SC_L} * coalesce(tg.n_spans, 0) AS BIGINT) AS n_masked,
+       md5(coalesce(array_to_string(co.toks_out, ' '), '')) AS corrupted_md5,
+       md5(coalesce(tg.target, '')) AS target_md5
+FROM toks t
+LEFT JOIN corrupted co USING (doc_id)
+LEFT JOIN targets tg USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["span_corrupt_docs"] = (span_corrupt_docs, SPAN_CORRUPT_SQL)
+
+
+# ---------------------------------------------------------------------------
 # BPE merge-pair induction (Sennrich et al. 2016, arXiv:1508.07909): one
 # training round of byte-pair encoding — count adjacent-symbol pairs over
 # the corpus and surface the top merge candidates.  The classic trick that

@@ -74,6 +74,7 @@ _WINDOW: list = [
     (curation, ["span_scrub_docs", "doremi_incremental_docs"]),
     (safety, ["unique_gram_redact_docs"]),
     (similarity, ["semantic_decontaminate_embeddings"]),
+    (textops, ["span_corrupt_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -128,7 +129,7 @@ _WINDOW: list = [
         "q10_returned_items",
         "events_hourly_rollup",
         "agg_event_users",
-        "date_functions_orders",
+        # date_functions_orders displaced by span_corrupt_docs -> r10
     ]),
     (subqueries, ["q22_global_sales"]),
     (delta_queries, ["delta_convert_agg", "delta_replace_agg"]),

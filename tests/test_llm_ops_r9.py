@@ -360,6 +360,43 @@ def test_span_scrub_matches_duckdb_on_random_corpora(spark, corpus):
 
 @settings(max_examples=8, deadline=None)
 @given(corpus=_CORPORA)
+def test_span_corrupt_matches_duckdb_on_random_corpora(spark, corpus):
+    from delta_go_spark.functions.textops import SPAN_CORRUPT_SQL, span_corrupt
+
+    _rebuild_op_vs_duckdb(spark, corpus, span_corrupt, SPAN_CORRUPT_SQL)
+
+
+def test_span_corrupt_structure(spark, duck):
+    """Span corruption invariants independent of the selection hash:
+    n_masked = L * n_spans everywhere; sub-gram docs are untouched
+    (corrupted == original text's md5, empty target); the fixture
+    actually corrupts some docs (non-vacuity); oracle parity with the
+    attributable diff."""
+    import hashlib
+
+    from delta_go_spark.functions.textops import span_corrupt
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["span_corrupt_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    assert all(r["n_masked"] == 3 * r["n_spans"] for r in rows)
+    assert sum(r["n_spans"] for r in rows) > 0
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "span_corrupt diff:\n" + "\n".join(diff)
+
+    tiny = spark.createDataFrame(
+        [(7, "a b"), (8, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in span_corrupt(tiny).collect()}
+    assert set(got) == {7}
+    assert got[7]["n_spans"] == 0
+    assert got[7]["corrupted_md5"] == hashlib.md5(b"a b").hexdigest()
+    assert got[7]["target_md5"] == hashlib.md5(b"").hexdigest()
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_CORPORA)
 def test_unique_gram_redact_matches_duckdb_on_random_corpora(spark, corpus):
     from delta_go_spark.functions.safety import (
         UNIQUE_GRAM_REDACT_SQL,

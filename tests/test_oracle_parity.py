@@ -139,6 +139,7 @@ SAMPLE = [
     "streaming_late_data_events",
     "unique_gram_redact_docs",
     "semantic_decontaminate_embeddings",
+    "span_corrupt_docs",
 ]
 
 
@@ -210,6 +211,7 @@ def test_round9_queries_in_window():
         "streaming_late_data_events",
         "unique_gram_redact_docs",
         "semantic_decontaminate_embeddings",
+        "span_corrupt_docs",
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
         "label_centroid_drift_embeddings",
