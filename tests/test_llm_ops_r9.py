@@ -172,7 +172,7 @@ def test_unique_gram_redact_plan_shape(spark):
     )
     assert "Window" not in plan, plan
     assert "Expand" not in plan, plan
-    assert "partial_min" in plan or "partial_" in plan, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
