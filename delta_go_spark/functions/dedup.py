@@ -771,6 +771,77 @@ QUERIES["dedup_clusters_docs"] = (dedup_clusters_docs, DEDUP_CLUSTERS_SQL)
 
 
 # ---------------------------------------------------------------------------
+# Soft dedup — REWEIGHT duplicates instead of dropping them (the
+# SoftDeDup idea, Xue et al. 2024 arXiv:2401.04578, and the "commonness"
+# downweighting in several pretraining recipes): each near-dup cluster's
+# members share one document's worth of sampling mass (weight =
+# 1/cluster_size), so repeated content stops dominating the loss while
+# its best phrasings still contribute.  The drop-based pipeline
+# (cluster_representative) and this weight-based one are alternative
+# consumers of the SAME pair graph.
+#
+# Scale: the pair source is pluggable — exact n-gram Jaccard is the
+# oracle contract, minhash_lsh_pairs the banded 100 TB path; the weight
+# attach is one cluster-size aggregate over CC's O(clustered docs)
+# labels + one id-key left join back to the corpus.  Exact integer
+# micro-weights (1e6 DIV size: Spark DIV == DuckDB // on positives).
+def softdedup_weights(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, cluster_size, weight_micro) for EVERY document: singletons
+    carry weight 1.0 (1e6); a k-member near-dup cluster's members carry
+    floor(1e6 / k) each, so each cluster sums to ~one document."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    clustered = cc.join(sizes, "cluster_rep").select(
+        F.col("node").alias(id_col), "cluster_size"
+    )
+    return (
+        df.select(id_col)
+        .join(clustered, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            F.expr("CAST(1000000 DIV coalesce(cluster_size, 1) AS BIGINT)")
+            .alias("weight_micro"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def softdedup_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return softdedup_weights(load_table(spark, sf_dir, "documents"))
+
+
+SOFTDEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, csize AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_micro
+FROM documents d
+LEFT JOIN labels l ON d.doc_id = l.doc_id
+LEFT JOIN csize s ON l.cluster_rep = s.cluster_rep
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["softdedup_weights_docs"] = (
+    softdedup_weights_docs,
+    SOFTDEDUP_WEIGHTS_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Cross-document SEGMENT dedup (the C4 / RefinedWeb "repeated paragraph"
 # rule): split every document into units, keep only the FIRST occurrence
 # (ordered by doc_id, then position) of each distinct unit corpus-wide,

@@ -75,6 +75,7 @@ _WINDOW: list = [
     (safety, ["unique_gram_redact_docs"]),
     (similarity, ["semantic_decontaminate_embeddings"]),
     (textops, ["span_corrupt_docs"]),
+    (dedup, ["softdedup_weights_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -128,7 +129,7 @@ _WINDOW: list = [
         "q6_forecast_revenue",
         "q10_returned_items",
         "events_hourly_rollup",
-        "agg_event_users",
+        # agg_event_users displaced by softdedup_weights_docs -> r10;
         # date_functions_orders displaced by span_corrupt_docs -> r10
     ]),
     (subqueries, ["q22_global_sales"]),

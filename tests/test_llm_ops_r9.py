@@ -217,6 +217,37 @@ def test_semantic_decontaminate_no_window_one_aggregate(spark):
     assert "partial_max" in plan, plan
 
 
+def test_softdedup_weights_mass_conservation(spark, duck):
+    """Soft dedup invariants: every document gets a weight; singletons
+    carry exactly 1e6; each near-dup cluster's members share one
+    document's worth of mass (sum within floor-rounding of 1e6); oracle
+    parity with the attributable diff; fixture non-vacuity (some
+    cluster_size > 1)."""
+    import collections
+
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["softdedup_weights_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    assert len(rows) == 500  # every doc weighted
+    assert all(
+        r["weight_micro"] == 1_000_000
+        for r in rows
+        if r["cluster_size"] == 1
+    )
+    assert any(r["cluster_size"] > 1 for r in rows)
+    by_size = collections.Counter(
+        r["cluster_size"] for r in rows if r["cluster_size"] > 1
+    )
+    for size, n_members in by_size.items():
+        assert n_members % size == 0  # whole clusters present
+        member_w = 1_000_000 // size
+        assert 1_000_000 - size < member_w * size <= 1_000_000
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "softdedup diff:\n" + "\n".join(diff)
+
+
 def test_doremi_incremental_converges_and_is_bounded_by_changes(spark, duck):
     """CDF-incremental DoReMi: (a) per-column parity with the batch
     recompute over the mutated corpus (attributable diff on mismatch);

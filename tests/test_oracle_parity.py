@@ -140,6 +140,7 @@ SAMPLE = [
     "unique_gram_redact_docs",
     "semantic_decontaminate_embeddings",
     "span_corrupt_docs",
+    "softdedup_weights_docs",
 ]
 
 
@@ -212,6 +213,7 @@ def test_round9_queries_in_window():
         "unique_gram_redact_docs",
         "semantic_decontaminate_embeddings",
         "span_corrupt_docs",
+        "softdedup_weights_docs",
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
         "label_centroid_drift_embeddings",
