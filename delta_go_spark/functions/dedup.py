@@ -740,6 +740,16 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
 
 
+def _cluster_sizes(cc: DataFrame) -> DataFrame:
+    """(cluster_rep, cluster_size) over connected_components labels — THE
+    single definition of the cluster-size attach, shared by the cluster
+    report and the soft-dedup weights (Spark side; _CSIZE_CTE is its
+    oracle twin)."""
+    return cc.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
 def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the exact >=0.6-Jaccard pairs:
     every clustered doc with its representative (min reachable doc_id) and
@@ -747,22 +757,25 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs)
     cc = connected_components(pairs)
-    sizes = cc.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        cc.join(sizes, "cluster_rep")
+        cc.join(_cluster_sizes(cc), "cluster_rep")
         .select(F.col("node").alias("doc_id"), "cluster_rep", "cluster_size")
         .orderBy("doc_id")
     )
 
 
+# oracle twin of _cluster_sizes — composed into both consumers below
+_CSIZE_CTE = """csize AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1
+)"""
+
 # DuckDB: same clusters via recursive transitive closure (fine at oracle
 # scale; the Spark path above is the one that scales).
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, {_CSIZE_CTE}
 SELECT l.doc_id, l.cluster_rep, s.cluster_size
 FROM labels l
-JOIN (SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1) s
-  USING (cluster_rep)
+JOIN csize s USING (cluster_rep)
 ORDER BY l.doc_id
 """
 
@@ -794,12 +807,9 @@ def softdedup_weights(
     carry weight 1.0 (1e6); a k-member near-dup cluster's members carry
     floor(1e6 / k) each, so each cluster sums to ~one document."""
     if pairs is None:
-        pairs = ngram_jaccard_pairs(df)
+        pairs = ngram_jaccard_pairs(df, id_col=id_col)
     cc = connected_components(pairs)
-    sizes = cc.groupBy("cluster_rep").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    clustered = cc.join(sizes, "cluster_rep").select(
+    clustered = cc.join(_cluster_sizes(cc), "cluster_rep").select(
         F.col("node").alias(id_col), "cluster_size"
     )
     return (
@@ -822,9 +832,7 @@ def softdedup_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOFTDEDUP_WEIGHTS_SQL = f"""
-WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, csize AS (
-  SELECT cluster_rep, count(*) AS cluster_size FROM labels GROUP BY 1
-)
+WITH RECURSIVE {_JACCARD_PAIRS_CTES}, {_CLOSURE_CTES}, {_CSIZE_CTE}
 SELECT d.doc_id,
        CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
        CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_micro

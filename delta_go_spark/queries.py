@@ -75,7 +75,9 @@ _WINDOW: list = [
     (safety, ["unique_gram_redact_docs"]),
     (similarity, ["semantic_decontaminate_embeddings"]),
     (textops, ["span_corrupt_docs"]),
-    (dedup, ["softdedup_weights_docs"]),
+    # softdedup NEW; dedup_clusters' code + oracle re-rendered through the
+    # shared _cluster_sizes/_CSIZE_CTE in the same change -> both in-window
+    (dedup, ["softdedup_weights_docs", "dedup_clusters_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -128,7 +130,7 @@ _WINDOW: list = [
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
         "q10_returned_items",
-        "events_hourly_rollup",
+        # events_hourly_rollup displaced by dedup_clusters_docs (changed);
         # agg_event_users displaced by softdedup_weights_docs -> r10;
         # date_functions_orders displaced by span_corrupt_docs -> r10
     ]),

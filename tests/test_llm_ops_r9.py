@@ -237,13 +237,16 @@ def test_softdedup_weights_mass_conservation(spark, duck):
         if r["cluster_size"] == 1
     )
     assert any(r["cluster_size"] > 1 for r in rows)
+    # every row's weight is the cluster-mass share — asserted against the
+    # spec formula from the DATA, not recomputed from the implementation
+    assert all(
+        r["weight_micro"] == 1_000_000 // r["cluster_size"] for r in rows
+    )
     by_size = collections.Counter(
         r["cluster_size"] for r in rows if r["cluster_size"] > 1
     )
     for size, n_members in by_size.items():
         assert n_members % size == 0  # whole clusters present
-        member_w = 1_000_000 // size
-        assert 1_000_000 - size < member_w * size <= 1_000_000
     diff = _keyed_diff(sdf, duck.execute(sql))
     assert not diff, "softdedup diff:\n" + "\n".join(diff)
 

@@ -214,6 +214,7 @@ def test_round9_queries_in_window():
         "semantic_decontaminate_embeddings",
         "span_corrupt_docs",
         "softdedup_weights_docs",
+        "dedup_clusters_docs",  # cluster-size attach single-sourced in r9
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
         "label_centroid_drift_embeddings",
