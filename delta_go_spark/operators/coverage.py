@@ -742,3 +742,107 @@ ORDER BY event_type
 
 
 QUERIES["json_functions_events"] = (json_functions_events, JSON_FUNCS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format ingestion round-trip: the corpus exported to JSONL and CSV
+# (the two interchange formats a pipeline actually receives crawl /
+# vendor drops in) and read back through Spark's native sources with an
+# EXPLICIT schema — no schema inference job at 100 TB.  The query
+# value-hashes a per-source (count, content checksum) from EACH format
+# against the parquet ground truth, so a quoting/escaping/null-handling
+# defect in either path cannot round-trip silently.
+#
+# Scale: the exports are a per-fixture cached build artifact; the
+# measured query is two format scans + two partial-aggregable groupBys
+# + one tiny source-key join.  Checksum = sum of the md5-prefix integer
+# of (doc_id ':' text) — order-free, integer-exact on both engines.
+def _format_copies(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from delta_go_spark.session import fixture_sig
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "dgs-format-cache",
+        key,
+        f"docs_{fixture_sig(sf_dir, 'documents')}",
+    )
+    done = os.path.join(root, "_BUILT")
+    if not os.path.exists(done):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        docs.write.mode("overwrite").json(os.path.join(root, "jsonl"))
+        docs.write.mode("overwrite").option("header", "true").csv(
+            os.path.join(root, "csv")
+        )
+        with open(done, "w") as f:
+            f.write("ok\n")  # exports complete; a crash mid-build rebuilds
+    return root
+
+
+_FMT_SCHEMA = "doc_id long, source string, text string"
+
+
+def _fmt_checksum():
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def multiformat_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _format_copies(spark, sf_dir)
+    j = spark.read.schema(_FMT_SCHEMA).json(f"{root}/jsonl")
+    c = (
+        spark.read.schema(_FMT_SCHEMA)
+        .option("header", "true")
+        .csv(f"{root}/csv")
+    )
+
+    def agg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias(f"n_docs_{suffix}"),
+            F.sum(_fmt_checksum()).alias(f"chk_{suffix}"),
+        )
+
+    return (
+        agg(j, "json")
+        .join(agg(c, "csv"), "source")
+        .orderBy("source")
+    )
+
+
+# Ground truth straight from the parquet table: both formats must carry
+# exactly this content, so the json and csv columns render from ONE
+# aggregate.
+MULTIFORMAT_INGEST_SQL = """
+WITH g AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CAST(concat('0x',
+                substr(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 8))
+              AS BIGINT)) AS BIGINT) AS chk
+  FROM documents GROUP BY source
+)
+SELECT source,
+       n AS n_docs_json, chk AS chk_json,
+       n AS n_docs_csv, chk AS chk_csv
+FROM g
+ORDER BY source
+"""
+
+
+QUERIES["multiformat_ingest_docs"] = (
+    multiformat_ingest_docs,
+    MULTIFORMAT_INGEST_SQL,
+)

@@ -78,6 +78,7 @@ _WINDOW: list = [
     # softdedup NEW; dedup_clusters' code + oracle re-rendered through the
     # shared _cluster_sizes/_CSIZE_CTE in the same change -> both in-window
     (dedup, ["softdedup_weights_docs", "dedup_clusters_docs"]),
+    (coverage, ["multiformat_ingest_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         # code changed in r9: replay body + oracle rendering shared with
@@ -140,7 +141,8 @@ _WINDOW: list = [
         "streaming_leftouter_join_events",
         "streaming_static_enrich_events",
     ]),
-    (sessions, ["sessionize_events", "retention_cohorts_events"]),
+    # retention_cohorts_events displaced by multiformat_ingest_docs -> r10
+    (sessions, ["sessionize_events"]),
     # null_semantics_orders and json_functions_events were displaced by
     # unique_gram_redact_docs and semantic_decontaminate_embeddings (new
     # queries enter at the top; both rejoin the r10 rotation with the

@@ -217,6 +217,24 @@ def test_semantic_decontaminate_no_window_one_aggregate(spark):
     assert "partial_max" in plan, plan
 
 
+def test_multiformat_ingest_round_trip(spark, duck):
+    """JSONL and CSV exports must carry exactly the parquet contents:
+    per-source counts and content checksums from BOTH format reads match
+    each other and the parquet-ground-truth oracle."""
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["multiformat_ingest_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    assert sum(r["n_docs_json"] for r in rows) == 500
+    assert all(
+        r["n_docs_json"] == r["n_docs_csv"] and r["chk_json"] == r["chk_csv"]
+        for r in rows
+    )
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "multiformat diff:\n" + "\n".join(diff)
+
+
 def test_softdedup_weights_mass_conservation(spark, duck):
     """Soft dedup invariants: every document gets a weight; singletons
     carry exactly 1e6; each near-dup cluster's members share one

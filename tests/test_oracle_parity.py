@@ -141,6 +141,7 @@ SAMPLE = [
     "semantic_decontaminate_embeddings",
     "span_corrupt_docs",
     "softdedup_weights_docs",
+    "multiformat_ingest_docs",
 ]
 
 
@@ -214,6 +215,7 @@ def test_round9_queries_in_window():
         "semantic_decontaminate_embeddings",
         "span_corrupt_docs",
         "softdedup_weights_docs",
+        "multiformat_ingest_docs",
         "dedup_clusters_docs",  # cluster-size attach single-sourced in r9
         # code changed in round 9 (shared replay body / in-pass dim guard)
         "streaming_sessionize_events",
