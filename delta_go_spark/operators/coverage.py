@@ -757,30 +757,58 @@ QUERIES["json_functions_events"] = (json_functions_events, JSON_FUNCS_SQL)
 # measured query is two format scans + two partial-aggregable groupBys
 # + one tiny source-key join.  Checksum = sum of the md5-prefix integer
 # of (doc_id ':' text) — order-free, integer-exact on both engines.
+def _export_census(root: str) -> str:
+    """Sorted data-file basenames of both export dirs — one line, cheap to
+    recompute from os.listdir."""
+    import os
+
+    names = []
+    for sub in ("jsonl", "csv"):
+        d = os.path.join(root, sub)
+        if os.path.isdir(d):
+            names.extend(
+                f"{sub}/{f}"
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+    return ",".join(sorted(names))
+
+
 def _format_copies(spark: SparkSession, sf_dir: str) -> str:
     import os
-    import tempfile
+    import shutil
 
-    from delta_go_spark.session import fixture_sig
+    from delta_go_spark.session import fixture_cache_path, fixture_sig
 
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "dgs-format-cache",
-        key,
-        f"docs_{fixture_sig(sf_dir, 'documents')}",
+    root = fixture_cache_path(
+        "format", sf_dir, f"docs_{fixture_sig(sf_dir, 'documents')}"
     )
     done = os.path.join(root, "_BUILT")
-    if not os.path.exists(done):
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text"
-        )
-        docs.write.mode("overwrite").json(os.path.join(root, "jsonl"))
-        docs.write.mode("overwrite").option("header", "true").csv(
-            os.path.join(root, "csv")
-        )
-        with open(done, "w") as f:
-            f.write("ok\n")  # exports complete; a crash mid-build rebuilds
+    # the marker stores the export-file census and is re-verified on every
+    # serve: a partially reaped /tmp cache (marker survives, part files
+    # gone) must rebuild, never silently aggregate a subset
+    if os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == _export_census(root):
+                return root
+        shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs.write.mode("overwrite").json(os.path.join(root, "jsonl"))
+    # fidelity options: the CSV writer trims edge whitespace by DEFAULT —
+    # disable, or the harness itself corrupts content and reports a false
+    # round-trip defect
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(os.path.join(root, "csv"))
+    )
+    census = _export_census(root)
+    with open(done, "w") as f:
+        f.write(census + "\n")  # written LAST: a crash mid-build rebuilds
     return root
 
 
@@ -802,18 +830,28 @@ def _fmt_checksum():
 
 
 def multiformat_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/empty texts are excluded from the checksum contract on BOTH
+    engines: CSV cannot portably distinguish null from empty (Spark's
+    writer renders both as an empty field and the reader maps empty back
+    to null), so only non-empty text participates in the round-trip
+    guarantee — consistently, never as a silent cross-engine delta."""
     root = _format_copies(spark, sf_dir)
     j = spark.read.schema(_FMT_SCHEMA).json(f"{root}/jsonl")
     c = (
         spark.read.schema(_FMT_SCHEMA)
         .option("header", "true")
+        .option("multiLine", "true")  # embedded newlines stay one record
         .csv(f"{root}/csv")
     )
 
     def agg(df: DataFrame, suffix: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).alias(f"n_docs_{suffix}"),
-            F.sum(_fmt_checksum()).alias(f"chk_{suffix}"),
+        return (
+            df.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_docs_{suffix}"),
+                F.sum(_fmt_checksum()).alias(f"chk_{suffix}"),
+            )
         )
 
     return (
@@ -832,7 +870,9 @@ WITH g AS (
          CAST(sum(CAST(concat('0x',
                 substr(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 8))
               AS BIGINT)) AS BIGINT) AS chk
-  FROM documents GROUP BY source
+  FROM documents
+  WHERE text IS NOT NULL AND text != ''
+  GROUP BY source
 )
 SELECT source,
        n AS n_docs_json, chk AS chk_json,

@@ -131,7 +131,7 @@ _WINDOW: list = [
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
         "q10_returned_items",
-        # events_hourly_rollup displaced by dedup_clusters_docs (changed);
+        # events_hourly_rollup displaced by dedup_clusters_docs -> r10;
         # agg_event_users displaced by softdedup_weights_docs -> r10;
         # date_functions_orders displaced by span_corrupt_docs -> r10
     ]),

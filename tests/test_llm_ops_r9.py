@@ -235,6 +235,29 @@ def test_multiformat_ingest_round_trip(spark, duck):
     assert not diff, "multiformat diff:\n" + "\n".join(diff)
 
 
+def test_multiformat_cache_rebuilds_after_partial_reap(spark, duck):
+    """A /tmp reaper that deletes export part-files while the _BUILT
+    marker survives must trigger a rebuild (census re-verified on every
+    serve), never a silent subset aggregation."""
+    import glob
+    import os
+
+    from delta_go_spark.operators.coverage import _format_copies
+    from delta_go_spark.queries import registry
+
+    root = _format_copies(spark, SF_DIR)
+    victims = [
+        f
+        for f in glob.glob(os.path.join(root, "jsonl", "part-*"))
+        if not f.endswith(".crc")
+    ]
+    os.remove(victims[0])
+    from check_parity import compare_one
+
+    fn, sql = registry()["multiformat_ingest_docs"]
+    assert not compare_one(spark, duck, fn, sql, SF_DIR)
+
+
 def test_softdedup_weights_mass_conservation(spark, duck):
     """Soft dedup invariants: every document gets a weight; singletons
     carry exactly 1e6; each near-dup cluster's members share one
