@@ -628,3 +628,93 @@ QUERIES["unique_gram_redact_docs"] = (
     unique_gram_redact_docs,
     UNIQUE_GRAM_REDACT_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Unified contamination REPORT — the three decontamination signals the
+# module provides (verbatim 8-gram overlap, span depth, embedding-space
+# similarity) joined into the one per-document audit a release review
+# actually reads, over a SINGLE eval slice (id % 7 == 0) so the signals
+# describe the same held-out set.  A doc is flagged when it shares any
+# verbatim gram with the eval set OR sits above the cosine threshold
+# next to it (the span depth grades severity of the former).
+#
+# Anti-drift: the Spark side CALLS the three registered operators; the
+# oracle embeds their registered SQL (verbatim subqueries for the gram
+# rows; the semantic side re-renders its shared template at probe_mod=7)
+# — the report cannot disagree with the standalone rows.  Scale: three
+# audit passes over the corpus + three id-key left joins; a production
+# run persists each signal's output and joins the artifacts.
+def contamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.functions.similarity import (
+        _SEMDECON_TAU_MICRO,
+        semantic_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 7 == 0)
+    rest = docs.filter(F.col("doc_id") % 7 != 0)
+    g = decontaminate(rest, probes).select("doc_id", "n_hits")
+    s = span_decontaminate(rest, probes).select("doc_id", "max_span_tokens")
+    m = semantic_decontaminate(
+        load_table(spark, sf_dir, "embeddings"), probe_mod=7
+    ).select(F.col("vec_id").alias("doc_id"), "max_cos_micro")
+    return (
+        rest.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        # docs without an embedding row (or zero-norm) carry the sentinel
+        # below any real cosine — identically on both engines
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_gram_hits"),
+            F.coalesce("max_span_tokens", F.lit(0)).alias("max_span_tokens"),
+            F.coalesce("max_cos_micro", F.lit(-2_000_000)).alias(
+                "max_cos_micro"
+            ),
+        )
+        .withColumn(
+            "contaminated",
+            (
+                (F.col("n_gram_hits") > 0)
+                | (F.col("max_cos_micro") >= _SEMDECON_TAU_MICRO)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_report_sql() -> str:
+    from delta_go_spark.functions.similarity import (
+        _SEMDECON_TAU_MICRO,
+        _semantic_decon_sql,
+    )
+
+    return f"""
+WITH gramq AS (SELECT * FROM ({DECONTAMINATE_SQL})),
+spanq AS (SELECT * FROM ({SPAN_DECONTAMINATE_SQL})),
+semq AS (SELECT * FROM ({_semantic_decon_sql(7, _SEMDECON_TAU_MICRO)})),
+base AS (SELECT doc_id FROM documents WHERE doc_id % 7 != 0)
+SELECT b.doc_id,
+       CAST(coalesce(g.n_hits, 0) AS BIGINT) AS n_gram_hits,
+       CAST(coalesce(s.max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+       CAST(coalesce(m.max_cos_micro, -2000000) AS BIGINT) AS max_cos_micro,
+       CAST(coalesce(g.n_hits, 0) > 0
+            OR coalesce(m.max_cos_micro, -2000000) >= {_SEMDECON_TAU_MICRO}
+            AS INT) AS contaminated
+FROM base b
+LEFT JOIN gramq g USING (doc_id)
+LEFT JOIN spanq s USING (doc_id)
+LEFT JOIN semq m ON b.doc_id = m.vec_id
+ORDER BY b.doc_id
+"""
+
+
+CONTAMINATION_REPORT_SQL = _contamination_report_sql()
+
+
+QUERIES["contamination_report_docs"] = (
+    contamination_report_docs,
+    CONTAMINATION_REPORT_SQL,
+)

@@ -1942,7 +1942,11 @@ def semantic_decontaminate_embeddings(
     return semantic_decontaminate(load_table(spark, sf_dir, "embeddings"))
 
 
-SEMANTIC_DECONTAMINATE_SQL = f"""
+def _semantic_decon_sql(probe_mod: int, tau_micro: int) -> str:
+    """ONE rendering of the semantic-decontamination oracle,
+    parameterized on the probe slice and threshold — the standalone row
+    and the composed contamination report can never drift apart."""
+    return f"""
 WITH q AS (
   SELECT vec_id, {_QUANT_QV_SQL}
   FROM embeddings
@@ -1952,23 +1956,28 @@ WITH q AS (
   FROM q
 ), probes AS (
   SELECT vec_id AS pid, qv AS pqv, na2 AS pn2
-  FROM qn WHERE vec_id % {_SEMDECON_PROBE_MOD} = 0 AND na2 > 0
+  FROM qn WHERE vec_id % {probe_mod} = 0 AND na2 > 0
 ), scored AS (
   SELECT c.vec_id, p.pid,
          CAST(floor(CAST(list_sum(list_transform(list_zip(c.qv, p.pqv), z -> z[1] * z[2])) AS BIGINT)
                     / (sqrt(CAST(c.na2 AS DOUBLE)) * sqrt(CAST(p.pn2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS cos_micro
   FROM qn c CROSS JOIN probes p
-  WHERE c.vec_id % {_SEMDECON_PROBE_MOD} != 0 AND c.na2 > 0
+  WHERE c.vec_id % {probe_mod} != 0 AND c.na2 > 0
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY cos_micro DESC, pid ASC) AS rn
   FROM scored
 )
 SELECT vec_id, pid AS nearest_probe, cos_micro AS max_cos_micro,
-       CAST(cos_micro >= {_SEMDECON_TAU_MICRO} AS INT) AS contaminated
+       CAST(cos_micro >= {tau_micro} AS INT) AS contaminated
 FROM ranked WHERE rn = 1
 ORDER BY vec_id
 """
+
+
+SEMANTIC_DECONTAMINATE_SQL = _semantic_decon_sql(
+    _SEMDECON_PROBE_MOD, _SEMDECON_TAU_MICRO
+)
 
 
 QUERIES["semantic_decontaminate_embeddings"] = (

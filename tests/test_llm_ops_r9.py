@@ -235,6 +235,42 @@ def test_multiformat_ingest_round_trip(spark, duck):
     assert not diff, "multiformat diff:\n" + "\n".join(diff)
 
 
+def test_contamination_report_composes_its_pieces(spark, duck):
+    """The unified report must agree with its three standalone signals
+    (anti-drift: Spark calls them, the oracle embeds their SQL), exercise
+    BOTH flag branches, and flag exactly (gram-hit OR semantic-hit)."""
+    from delta_go_spark.functions.similarity import (
+        _SEMDECON_PROBE_MOD,
+        _SEMDECON_TAU_MICRO,
+        _semantic_decon_sql,
+    )
+    from delta_go_spark.functions.similarity import (
+        SEMANTIC_DECONTAMINATE_SQL,
+    )
+    from delta_go_spark.queries import registry
+
+    # the shared renderer must reproduce the registered row byte-for-byte
+    assert SEMANTIC_DECONTAMINATE_SQL == _semantic_decon_sql(
+        _SEMDECON_PROBE_MOD, _SEMDECON_TAU_MICRO
+    )
+    fn, sql = registry()["contamination_report_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    flags = {r["contaminated"] for r in rows}
+    assert flags == {0, 1}
+    assert all(
+        r["contaminated"]
+        == int(
+            r["n_gram_hits"] > 0 or r["max_cos_micro"] >= _SEMDECON_TAU_MICRO
+        )
+        for r in rows
+    )
+    # span depth only grades verbatim hits: no span without a gram hit
+    assert all(r["n_gram_hits"] > 0 for r in rows if r["max_span_tokens"] > 0)
+    diff = _keyed_diff(sdf, duck.execute(sql))
+    assert not diff, "contamination_report diff:\n" + "\n".join(diff)
+
+
 def test_multiformat_cache_rebuilds_after_partial_reap(spark, duck):
     """A /tmp reaper that deletes export part-files while the _BUILT
     marker survives must trigger a rebuild (census re-verified on every

@@ -142,6 +142,7 @@ SAMPLE = [
     "span_corrupt_docs",
     "softdedup_weights_docs",
     "multiformat_ingest_docs",
+    "contamination_report_docs",  # late r9, below-window: r10 head
 ]
 
 
