@@ -758,8 +758,9 @@ QUERIES["json_functions_events"] = (json_functions_events, JSON_FUNCS_SQL)
 # + one tiny source-key join.  Checksum = sum of the md5-prefix integer
 # of (doc_id ':' text) — order-free, integer-exact on both engines.
 def _export_census(root: str) -> str:
-    """Sorted data-file basenames of both export dirs — one line, cheap to
-    recompute from os.listdir."""
+    """Sorted data-file (basename, size) pairs of both export dirs — one
+    line, cheap to recompute from os.listdir + os.stat; sizes included so
+    a truncated part file (name intact, bytes gone) also invalidates."""
     import os
 
     names = []
@@ -767,7 +768,7 @@ def _export_census(root: str) -> str:
         d = os.path.join(root, sub)
         if os.path.isdir(d):
             names.extend(
-                f"{sub}/{f}"
+                f"{sub}/{f}:{os.stat(os.path.join(d, f)).st_size}"
                 for f in os.listdir(d)
                 if not f.startswith(("_", "."))
             )

@@ -239,21 +239,23 @@ def test_contamination_report_composes_its_pieces(spark, duck):
     """The unified report must agree with its three standalone signals
     (anti-drift: Spark calls them, the oracle embeds their SQL), exercise
     BOTH flag branches, and flag exactly (gram-hit OR semantic-hit)."""
+    from delta_go_spark.functions.safety import (
+        DECONTAMINATE_SQL,
+        SPAN_DECONTAMINATE_SQL,
+    )
     from delta_go_spark.functions.similarity import (
-        _SEMDECON_PROBE_MOD,
         _SEMDECON_TAU_MICRO,
         _semantic_decon_sql,
     )
-    from delta_go_spark.functions.similarity import (
-        SEMANTIC_DECONTAMINATE_SQL,
-    )
     from delta_go_spark.queries import registry
 
-    # the shared renderer must reproduce the registered row byte-for-byte
-    assert SEMANTIC_DECONTAMINATE_SQL == _semantic_decon_sql(
-        _SEMDECON_PROBE_MOD, _SEMDECON_TAU_MICRO
-    )
     fn, sql = registry()["contamination_report_docs"]
+    # the report's oracle must EMBED the registered/shared renderings
+    # verbatim — a hand-edited copy inside the report would pass parity
+    # today and drift tomorrow
+    assert DECONTAMINATE_SQL in sql
+    assert SPAN_DECONTAMINATE_SQL in sql
+    assert _semantic_decon_sql(7, _SEMDECON_TAU_MICRO) in sql
     sdf = fn(spark, SF_DIR)
     rows = sdf.collect()
     flags = {r["contaminated"] for r in rows}
@@ -287,7 +289,9 @@ def test_multiformat_cache_rebuilds_after_partial_reap(spark, duck):
         for f in glob.glob(os.path.join(root, "jsonl", "part-*"))
         if not f.endswith(".crc")
     ]
-    os.remove(victims[0])
+    # the LARGEST part: deleting an empty partition file would change no
+    # aggregate and let a census regression pass vacuously
+    os.remove(max(victims, key=os.path.getsize))
     from check_parity import compare_one
 
     fn, sql = registry()["multiformat_ingest_docs"]
