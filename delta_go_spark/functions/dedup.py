@@ -850,6 +850,84 @@ QUERIES["softdedup_weights_docs"] = (
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates — the character-level
+# second opinion on the token-level Jaccard signal (standard for short
+# documents, where one token swap moves Jaccard a lot but the texts are
+# byte-nearly-identical).  Candidates come from the pluggable pair source
+# (exact Jaccard = the oracle contract; minhash_lsh_pairs = the banded
+# 100 TB path), so the O(len^2) Levenshtein runs on CANDIDATE VOLUME
+# only, never corpus^2; texts join in for just those pairs.
+#
+# Exactness: Spark's levenshtein and DuckDB's implement the same classic
+# edit distance (probed: identical on test pairs incl. empty strings and
+# multi-byte chars — both count CHARACTERS); similarity is the integer
+# permille 1000 - (1000*d) // max(len_a, len_b) — floor-exact on both.
+def editdist_near_dup(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, edit_dist, edit_sim_permille) for every
+    candidate pair — the full verification table, so every distance is
+    value-hashed (thresholding is the consumer's one-line filter)."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, id_col=id_col, text_col=text_col)
+    t = df.select(F.col(id_col), F.col(text_col))
+    a = t.select(
+        F.col(id_col).alias("doc_id_a"), F.col(text_col).alias("_ta")
+    )
+    b = t.select(
+        F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("_tb")
+    )
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    longest = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        pairs.select("doc_id_a", "doc_id_b")
+        .join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            d.cast("long").alias("edit_dist"),
+            longest.cast("long").alias("_len"),
+        )
+        # DIV: integer floor division, == DuckDB // on the non-negative
+        # operands here
+        .withColumn(
+            "edit_sim_permille",
+            F.expr("CAST(1000 - (1000 * edit_dist) DIV _len AS BIGINT)"),
+        )
+        .drop("_len")
+    )
+
+
+def editdist_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist_near_dup(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+EDITDIST_NEAR_DUP_SQL = f"""
+WITH {_JACCARD_PAIRS_CTES}
+SELECT p.doc_id_a, p.doc_id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(1000 - (1000 * levenshtein(da.text, db.text))
+                   // greatest(length(da.text), length(db.text))
+            AS BIGINT) AS edit_sim_permille
+FROM jpairs p
+JOIN documents da ON p.doc_id_a = da.doc_id
+JOIN documents db ON p.doc_id_b = db.doc_id
+ORDER BY p.doc_id_a, p.doc_id_b
+"""
+
+
+QUERIES["editdist_near_dup_docs"] = (
+    editdist_near_dup_docs,
+    EDITDIST_NEAR_DUP_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Cross-document SEGMENT dedup (the C4 / RefinedWeb "repeated paragraph"
 # rule): split every document into units, keep only the FIRST occurrence
 # (ordered by doc_id, then position) of each distinct unit corpus-wide,

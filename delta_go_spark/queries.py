@@ -151,10 +151,10 @@ _WINDOW: list = [
 # The full r8 window went green (sole exception doremi, kept at the top);
 # everything displaced above moved below the boundary where the pytest
 # SAMPLE and scripts/check_parity.py remain its gate.
-# Late-round-9 addition below the boundary (the window was full):
-# contamination_report_docs enters via the module sweep, is pinned in the
-# pytest parity SAMPLE, and heads the round-10 rotation together with the
-# six displaced r6 rows noted above.
+# Late-round-9 additions below the boundary (the window was full):
+# contamination_report_docs and editdist_near_dup_docs enter via the
+# module sweep, are pinned in the pytest parity SAMPLE, and head the
+# round-10 rotation together with the six displaced r6 rows noted above.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

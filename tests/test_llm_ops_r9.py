@@ -235,6 +235,34 @@ def test_multiformat_ingest_round_trip(spark, duck):
     assert not diff, "multiformat diff:\n" + "\n".join(diff)
 
 
+def test_editdist_near_dup_verifies_candidates(spark, duck):
+    """Edit-distance verification over the candidate pair set: per-column
+    oracle parity; every pair's similarity is consistent with its
+    distance and the longer text; the near-dup fixture pairs are
+    character-near too (non-vacuity: some pair above 700 permille)."""
+    import pyspark.sql.functions as F
+
+    from delta_go_spark.queries import registry
+
+    fn, sql = registry()["editdist_near_dup_docs"]
+    sdf = fn(spark, SF_DIR)
+    rows = sdf.collect()
+    assert len(rows) > 0
+    assert all(0 <= r["edit_sim_permille"] <= 1000 for r in rows)
+    assert any(r["edit_sim_permille"] >= 700 for r in rows)
+    diff = _keyed_diff(
+        sdf.withColumn(
+            "_k",
+            F.concat_ws("|", "doc_id_a", "doc_id_b"),
+        ).select("_k", "edit_dist", "edit_sim_permille"),
+        duck.execute(
+            "SELECT concat_ws('|', doc_id_a, doc_id_b) AS _k, edit_dist,"
+            f" edit_sim_permille FROM ({sql})"
+        ),
+    )
+    assert not diff, "editdist diff:\n" + "\n".join(diff)
+
+
 def test_contamination_report_composes_its_pieces(spark, duck):
     """The unified report must agree with its three standalone signals
     (anti-drift: Spark calls them, the oracle embeds their SQL), exercise

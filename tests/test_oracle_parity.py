@@ -143,6 +143,7 @@ SAMPLE = [
     "softdedup_weights_docs",
     "multiformat_ingest_docs",
     "contamination_report_docs",  # late r9, below-window: r10 head
+    "editdist_near_dup_docs",  # late r9, below-window: r10 head
 ]
 
 
