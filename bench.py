@@ -82,7 +82,6 @@ HEADLINE = [
     "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
     "pq_codebook_embeddings",  # r7: product quantization + error audit
     "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
-    "quality_classifier_docs",  # r8: linear quality gate, one Arrow pass
     "pack_bestfit_docs",  # r8: best-fit-decreasing context packing
     "doremi_weights_docs",  # r8: multiplicative-weights domain mixture
     "length_batching_docs",  # r8: padded-batch planner + waste report
@@ -90,15 +89,21 @@ HEADLINE = [
     "block_dedup_docs",  # r8: CAS block-level storage dedup
     "dpp_join_orders",  # r8: dynamic-partition-pruned fact scan
     "curation_pipeline_v2_docs",  # r8: gate -> reweight -> fill chain
-    "span_scrub_docs",  # r9: in-doc repeated-span scrubber (one Arrow pass)
     "doremi_incremental_docs",  # r9: CDF-incremental mixture maintenance
     "unique_gram_redact_docs",  # r9: k-anonymity unique-gram masking
+    "exactsubstr_dedup_docs",  # r10: cross-doc repeated-span removal
+    "softdedup_incremental_docs",  # r10: CDF-incremental cluster weights
     # streaming_sessionize_events / streaming_late_data_events
     # intentionally unbenched: their cost is micro-batch-count x
     # Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.
     # r9 wire trims (family-redundant, correctness evidence unaffected):
     # repetition_topword_docs, lang_confusion_docs, span_decontaminate_docs.
+    # r10 wire trims making room for the two adds: quality_classifier_docs
+    # (172 ms fixed overhead; the classifier is timed inside
+    # curation_pipeline_v2 anyway) and span_scrub_docs (209 ms one-Arrow-
+    # pass; unique_gram_redact carries the gram-rebuild family's wire
+    # slot, exactsubstr_dedup now times the corpus-join variant).
 ]
 
 

@@ -1199,10 +1199,15 @@ _DOREMI_CTE_CHAIN = f"""dom AS (
   SELECT (1000 * sum(adj)) // sum(sum_tokens) AS corpus_mean FROM dom
 ), ex AS (
   SELECT source, n_docs, sum_tokens,
-         least(CAST({_DOREMI_CLAMP} AS BIGINT),
-               greatest(CAST(0 AS BIGINT),
-                 (SELECT corpus_mean FROM c) - (1000 * adj) // sum_tokens))
-           AS excess_milli
+         -- CAST is load-bearing: corpus_mean descends from sum() which DuckDB
+         -- widens to HUGEINT; an un-CAST HUGEINT output column materializes as
+         -- pandas float64 (vs Spark int64) and breaks the driver's value hash
+         -- with numerically equal cells (r9 verdict root cause). Lossless:
+         -- excess_milli <= _DOREMI_CLAMP.
+         CAST(least(CAST({_DOREMI_CLAMP} AS BIGINT),
+                    greatest(CAST(0 AS BIGINT),
+                      (SELECT corpus_mean FROM c) - (1000 * adj) // sum_tokens))
+              AS BIGINT) AS excess_milli
   FROM dom
 ), f AS (
   SELECT source, n_docs, sum_tokens, excess_milli,
@@ -1318,7 +1323,16 @@ def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"source": F.lit(_INC_UPDATE_SRC)},
         )
 
-    _ensure_built(tbl, 3, build)
+    # the _INC_* constants reach build() via LOAD_GLOBAL (f-strings), so the
+    # closure code-signature cannot see their VALUES — interpolate them into
+    # the recipe string explicitly
+    _ensure_built(
+        tbl, 3, build, sf_dir=sf_dir, tables=("documents",),
+        recipe=(
+            f"del[{_INC_DELETE_LO},{_INC_DELETE_HI}) "
+            f"upd[{_INC_UPDATE_LO},{_INC_UPDATE_HI})->{_INC_UPDATE_SRC}"
+        ),
+    )
     changes = cdf.table_changes(spark, tbl, start_version=1).select(
         "doc_id",
         "source",
@@ -1336,11 +1350,19 @@ def doremi_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_sign") * F.col("w_total")).alias("d_w"),
     )
     z = F.lit(0)
+    base_aggs = spark.read.parquet(agg_path)
     merged = (
-        spark.read.parquet(agg_path)
-        .join(delta_aggs, "source", "full_outer")
+        # eqNullSafe: a NULL-source domain is in-contract (the sibling doremi
+        # code orders asc_nulls_last and _doremi_weight_rows sorts None-aware)
+        # — a plain equi-join would never match NULL keys and split one
+        # domain's base and delta aggregates across two rows
+        base_aggs.join(
+            delta_aggs,
+            base_aggs["source"].eqNullSafe(delta_aggs["source"]),
+            "full_outer",
+        )
         .select(
-            "source",
+            F.coalesce(base_aggs["source"], delta_aggs["source"]).alias("source"),
             (F.coalesce("n_docs", z) + F.coalesce("d_docs", z)).alias(
                 "n_docs"
             ),

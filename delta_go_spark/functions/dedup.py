@@ -881,7 +881,11 @@ def editdist_near_dup(
         F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("_tb")
     )
     d = F.levenshtein(F.col("_ta"), F.col("_tb"))
-    longest = F.greatest(F.length("_ta"), F.length("_tb"))
+    # clamp the divisor: two empty texts (reachable through an injected
+    # `pairs` frame — minhash_lsh_pairs has no empty-text guarantee, unlike
+    # ngram_jaccard_pairs) define sim=1000 (d=0, len 1) instead of a NULL
+    # via Spark's non-ANSI DIV and a division-by-zero ERROR in DuckDB
+    longest = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
     return (
         pairs.select("doc_id_a", "doc_id_b")
         .join(a, "doc_id_a")
@@ -912,7 +916,7 @@ WITH {_JACCARD_PAIRS_CTES}
 SELECT p.doc_id_a, p.doc_id_b,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
        CAST(1000 - (1000 * levenshtein(da.text, db.text))
-                   // greatest(length(da.text), length(db.text))
+                   // greatest(length(da.text), length(db.text), 1)
             AS BIGINT) AS edit_sim_permille
 FROM jpairs p
 JOIN documents da ON p.doc_id_a = da.doc_id
@@ -924,6 +928,128 @@ ORDER BY p.doc_id_a, p.doc_id_b
 QUERIES["editdist_near_dup_docs"] = (
     editdist_near_dup_docs,
     EDITDIST_NEAR_DUP_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-SPAN removal — the ExactSubstr rule of Lee et
+# al. 2022 (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+# Models Better"): drop ANY span of >= L tokens whose token sequence also
+# occurs in ANOTHER document, keeping the rest of the document.  This is
+# the axis segment_dedup misses: segment_dedup drops FIXED-boundary
+# segments, so a repeated passage straddling a segment boundary survives;
+# the published rule drops the repeated span wherever it sits.
+#
+# Equivalence to the suffix-array formulation at threshold L: a token
+# position lies inside a maximal cross-doc-repeated substring of length
+# >= L  iff  it is covered by at least one cross-doc-repeated L-gram
+# window — so marking every start i whose L-gram appears in >= 2 distinct
+# documents and dropping positions [i, i+L) computes exactly the
+# ExactSubstr drop set, with a gram-join instead of a distributed suffix
+# array.  Unlike span_scrub (in-doc repeats, strictly-after-first) this
+# drops ALL copies: the rule de-weights boilerplate entirely rather than
+# electing a canonical occurrence (the paper's choice as well).
+#
+# Scale: grams travel as (doc_id, i, 8-byte xxhash64) — the text never
+# shuffles.  "Appears in >= 2 distinct docs" is min(doc) != max(doc) —
+# partial-aggregable, so a boilerplate gram repeated 10^6 times combines
+# map-side instead of skewing a hot reducer (unique_gram_redact's trick,
+# inverted).  Only hit starts flow back through the gram join; covered
+# positions aggregate per doc; the rebuild works from each doc's OWN
+# token array — one id-key join, no corpus^2 anywhere.  Hash caveat: a
+# 64-bit collision can only OVER-drop (a unique gram masquerading as
+# repeated), never under-drop; the exact-string oracle pins the fixture.
+_XS_N = 6  # span threshold L (the paper uses 50 BPE tokens at web scale;
+# the fixture's short template docs repeat at 6-token granularity)
+
+
+def exactsubstr_dedup(
+    df: DataFrame,
+    n: int = _XS_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_dropped, rebuilt_md5): every token position
+    covered by an L-gram that occurs in >= 2 distinct documents is
+    dropped; rebuilt_md5 fingerprints the surviving text."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
+    )
+    starts = (
+        base.filter(F.size("_t") >= n)  # sequence(0, m-n) descends if m<n
+        .select(
+            id_col,
+            "_t",
+            F.explode(F.sequence(F.lit(0), F.size("_t") - n)).alias("_i"),
+        )
+        .select(
+            id_col,
+            "_i",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, n))
+            ).alias("_g"),
+        )
+    )
+    repeated = (
+        starts.groupBy("_g")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("_g")
+    )
+    drop = (
+        starts.join(repeated, "_g")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+            ).alias("_j"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_j").alias("_drop"))  # set: overlaps dedup here
+    )
+    empty = F.array().cast("array<int>")
+    covered = F.coalesce(F.col("_drop"), empty)
+    rebuilt = F.concat_ws(
+        " ",
+        F.filter("_t", lambda t, j: ~F.array_contains(covered, j)),
+    )
+    return base.join(drop, id_col, "left").select(
+        id_col,
+        F.size("_t").alias("n_tokens"),
+        F.coalesce(F.size("_drop"), F.lit(0)).alias("n_dropped"),
+        F.md5(rebuilt.cast("binary")).alias("rebuilt_md5"),
+    )
+
+
+def exactsubstr_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return exactsubstr_dedup(docs).orderBy("doc_id")
+
+
+# The gram/position/rebuild skeleton is single-sourced with span_scrub and
+# unique_gram_redact (curation.gram_span_oracle_sql): only the hit
+# criterion (cross-doc-repeated grams, on exact strings) differs; the
+# rebuild DROPS hit positions, exactly span_scrub's rule.
+from delta_go_spark.functions.curation import gram_span_oracle_sql  # noqa: E402
+
+EXACTSUBSTR_DEDUP_SQL = gram_span_oracle_sql(
+    _XS_N,
+    """rep AS (
+  SELECT g FROM (SELECT g, min(doc_id) AS lo, max(doc_id) AS hi
+                 FROM grams GROUP BY g)
+  WHERE lo <> hi
+), hitstart AS (
+  SELECT gr.doc_id, gr.i FROM grams gr JOIN rep USING (g)
+)""",
+    "list(t.tk[p.j + 1] ORDER BY p.j) FILTER (WHERE r.j IS NULL)",
+    "n_dropped",
+    "rebuilt_md5",
+)
+
+
+QUERIES["exactsubstr_dedup_docs"] = (
+    exactsubstr_dedup_docs,
+    EXACTSUBSTR_DEDUP_SQL,
 )
 
 
@@ -1163,7 +1289,7 @@ def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append(docs.filter(F.col("doc_id") % 5 == 0))
 
-    _ensure_built(tbl, 1, build)
+    _ensure_built(tbl, 1, build, sf_dir=sf_dir, tables=("documents",))
     new_docs = (
         cdf.table_changes(spark, tbl, start_version=1)
         .filter(F.col("_change_type") == "insert")
@@ -1183,6 +1309,157 @@ MINHASH_INCREMENTAL_SQL = NGRAM_JACCARD_SQL
 QUERIES["minhash_incremental_docs"] = (
     minhash_incremental_docs,
     MINHASH_INCREMENTAL_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# CDF-incremental SOFT-dedup — doremi_incremental's shape on the dedup
+# axis: the per-document (cluster_size, weight_micro) table is maintained
+# from the Delta change feed instead of recomputed corpus-wide per
+# refresh.  Production state = four persisted artifacts (signatures,
+# pair set, CC labels, cluster sizes); an ingest batch then costs
+# O(change volume + affected-cluster mass):
+#   1. incremental band join of the NEW docs against the stored
+#      signatures (minhash_incremental_pairs — collision-bounded, the
+#      corpus side never reshuffles);
+#   2. connected components over ONLY the affected subgraph — the new
+#      pairs plus the stored pairs of clusters an endpoint touches; a new
+#      doc bridging two old clusters merges them here, and every
+#      UNtouched cluster's label/size is served from stored state
+#      untouched (the whole point: no corpus-wide CC per refresh);
+#   3. weights re-derive from sizes exactly as the batch rule.
+#
+# Correctness: the oracle is the BATCH soft-dedup SQL over the grown
+# corpus (exact-Jaccard pair contract) — a hash match proves incremental
+# cluster maintenance converges to the from-scratch clustering, through
+# cluster MERGES (the hard case: affected old-old pairs must re-enter
+# the sub-CC or a merged cluster would report two sizes).
+def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from delta_go_spark import cdf
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_softdedup")
+    tbl = os.path.join(root, "docs")
+    sig_path = os.path.join(root, "sig_v0")
+    pairs_path = os.path.join(root, "pairs_v0")
+    labels_path = os.path.join(root, "labels_v0")
+    csize_path = os.path.join(root, "csize_v0")
+
+    def build():
+        # artifacts first, the Delta table's final version last: the table
+        # version is the completion marker _ensure_built checks, so a
+        # crash mid-build can never serve the table without its artifacts
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        minhash_signatures(v0, num_perm=16).write.mode("overwrite").parquet(
+            sig_path
+        )
+        p0 = minhash_lsh_pairs(v0)
+        p0.write.mode("overwrite").parquet(pairs_path)
+        cc0 = connected_components(spark.read.parquet(pairs_path))
+        cc0.write.mode("overwrite").parquet(labels_path)
+        _cluster_sizes(spark.read.parquet(labels_path)).write.mode(
+            "overwrite"
+        ).parquet(csize_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+    _ensure_built(tbl, 1, build, sf_dir=sf_dir, tables=("documents",))
+    new_docs = (
+        cdf.table_changes(spark, tbl, start_version=1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    sig_base = spark.read.parquet(sig_path)
+    # checkpoint: the incremental pair set feeds three consumers (two
+    # touch-set projections + the sub-CC edge list) and would otherwise
+    # recompute the whole CDF-read + band-join pipeline per consumer
+    # (exchange reuse needs byte-identical subtrees; these differ)
+    inc_pairs = minhash_incremental_pairs(sig_base, new_docs).select(
+        "doc_id_a", "doc_id_b"
+    ).localCheckpoint()
+    return softdedup_incremental_update(
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        inc_pairs,
+        spark.read.parquet(pairs_path),
+        spark.read.parquet(labels_path),
+        spark.read.parquet(csize_path),
+    ).orderBy("doc_id")
+
+
+def softdedup_incremental_update(
+    all_ids: DataFrame,
+    inc_pairs: DataFrame,
+    pairs0: DataFrame,
+    labels0: DataFrame,
+    csize0: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge an ingest batch's incremental pair set into the persisted
+    cluster state and emit the grown corpus's (id, cluster_size,
+    weight_micro) table.
+
+    `all_ids` = every document id after the ingest; `inc_pairs` = pairs
+    with >= 1 new doc (minhash_incremental_pairs); `pairs0`/`labels0`/
+    `csize0` = the persisted pair set, CC labels (node, cluster_rep) and
+    sizes of the PRE-ingest corpus.  Connected components re-runs over
+    ONLY the affected subgraph — inc_pairs plus the stored pairs of any
+    cluster an incremental pair touches (so a new doc bridging two old
+    clusters merges them); untouched clusters are served from stored
+    state without recomputation."""
+    touched = (
+        inc_pairs.select(F.col("doc_id_a").alias("node"))
+        .unionByName(inc_pairs.select(F.col("doc_id_b").alias("node")))
+        .distinct()
+    )
+    affected_reps = (
+        labels0.join(touched, "node").select("cluster_rep").distinct()
+    )
+    affected_old_pairs = (
+        pairs0.select("doc_id_a", "doc_id_b")
+        .join(labels0.withColumnRenamed("node", "doc_id_a"), "doc_id_a")
+        .join(affected_reps, "cluster_rep")
+        .select("doc_id_a", "doc_id_b")
+    )
+    sub_cc = connected_components(
+        inc_pairs.unionByName(affected_old_pairs)
+    )
+    sub_clustered = sub_cc.join(_cluster_sizes(sub_cc), "cluster_rep").select(
+        F.col("node").alias(id_col), "cluster_size"
+    )
+    kept_clustered = (
+        labels0.join(affected_reps, "cluster_rep", "left_anti")
+        .join(csize0, "cluster_rep")
+        .select(F.col("node").alias(id_col), "cluster_size")
+    )
+    clustered = kept_clustered.unionByName(sub_clustered)
+    return all_ids.join(clustered, id_col, "left").select(
+        id_col,
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.expr("CAST(1000000 DIV coalesce(cluster_size, 1) AS BIGINT)").alias(
+            "weight_micro"
+        ),
+    )
+
+
+# Batch recompute over the grown corpus (v0 + the appended batch = the
+# full documents table): incremental cluster maintenance must converge to
+# exactly the from-scratch soft-dedup weights.
+SOFTDEDUP_INCREMENTAL_SQL = SOFTDEDUP_WEIGHTS_SQL
+
+
+QUERIES["softdedup_incremental_docs"] = (
+    softdedup_incremental_docs,
+    SOFTDEDUP_INCREMENTAL_SQL,
 )
 
 

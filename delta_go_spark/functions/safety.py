@@ -535,7 +535,19 @@ def unique_gram_redact(
     a corpus-unique n-gram is replaced with the mask token;
     redacted_md5 fingerprints the rebuilt text.  A gram occurring twice
     WITHIN its single document is still unique to that document — both
-    occurrences are masked."""
+    occurrences are masked.
+
+    Privacy contract caveat: uniqueness is decided on xxhash64(gram), so
+    the guarantee is HASH-APPROXIMATE — a 64-bit collision between a truly
+    unique, identifier-shaped gram and a gram from another document makes
+    min(doc) != max(doc) and the identifier escapes redaction.  Collision
+    odds are ~n_distinct_grams^2 / 2^65 (birthday bound); at 10^10 distinct
+    grams that is ~2.7 expected collisions corpus-wide, each escaping only
+    if one side is an actual identifier.  Deployments needing an exact
+    k-anonymity guarantee must confirm uniqueness on the exact gram string
+    for the candidate hits (one extra narrow join over the unique set);
+    the oracle here compares exact gram strings, which pins the fixture
+    but does not run at production scale."""
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
     )

@@ -46,7 +46,7 @@ def delta_cdf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.delete(EqualTo(Column("o_orderstatus", StringType()), Literal("F")))
 
-    _ensure_built(path, 2, build)
+    _ensure_built(path, 2, build, sf_dir=sf_dir, tables=("orders",))
     changes = table_changes(spark, path, start_version=1)
     return (
         changes.groupBy("_change_type")

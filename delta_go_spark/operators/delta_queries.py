@@ -17,40 +17,113 @@ from delta_go_spark.session import load_table
 
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "dgs-delta-cache")
 
+_SIG_LEAF = "_dgs_recipe_sig"
 
-def _ensure_built(path: str, expected_version: int, build) -> "DeltaLog":
-    """Crash-safe build-once cache: a previous run killed mid-build leaves
-    a table short of `expected_version` — rebuild from scratch rather than
-    serving a half-built history (which would be SILENTLY wrong for the
-    DML/time-travel queries, not an error)."""
+
+def _code_sig(code) -> str:
+    """Deterministic signature of a build closure: bytecode + constants
+    (nested code objects recursively — their repr embeds a memory address
+    and must never reach the hash) + referenced global names.  An inline
+    literal change (`% 5` -> `% 7`, 'AUTOMOBILE' -> 'MACHINERY') lands in
+    co_consts; a structural change lands in co_code.  Module-level
+    constants referenced by name do NOT land here — callers interpolate
+    those into the `recipe` string."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(code.co_code)
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):
+            h.update(_code_sig(c).encode())
+        else:
+            h.update(repr(c).encode())
+    h.update(repr(code.co_names).encode())
+    return h.hexdigest()
+
+
+def _recipe_sig(build, sf_dir: str | None, tables, recipe: str) -> str:
+    """Full cache-validity signature: source fixture content + build
+    recipe.  Changes whenever the fixture is regenerated OR the build
+    recipe (closure literals/structure, or the caller's explicit constants
+    string) changes — exactly the two ways a cached artifact goes stale."""
+    import hashlib
+
+    from delta_go_spark.session import fixture_sig
+
+    parts = [_code_sig(build.__code__), recipe]
+    if sf_dir is not None:
+        parts.extend(fixture_sig(sf_dir, t) for t in tables)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _ensure_built(
+    path: str,
+    expected_version: int,
+    build,
+    sf_dir: str | None = None,
+    tables: tuple = (),
+    recipe: str = "",
+) -> "DeltaLog":
+    """Crash-safe, content-signed build-once cache.
+
+    Rebuilds (rather than serving silently-wrong state) when:
+      * the table is SHORT of `expected_version` — a previous run killed
+        mid-build (the DML/time-travel fixtures would read half-built);
+      * the recipe signature is absent or stale — the build closure's
+        code/constants, the caller's `recipe` constants string, or the
+        content signature of the source fixtures (`tables` under
+        `sf_dir`) changed since the artifact was built.  This retires the
+        manual "wipe the nested cache dir when a build recipe changes"
+        rule: flip a constant and the next run rebuilds.
+
+    The signature file is written INSIDE the artifact strictly AFTER
+    build() returns, so it doubles as a completion marker; rmtree(path)
+    removes artifact and signature together."""
     import shutil
 
     from delta_go_spark.log import DeltaLog
 
+    sig = _recipe_sig(build, sf_dir, tables, recipe)
+    sig_file = os.path.join(path, _SIG_LEAF)
+
+    def _sig_current() -> bool:
+        try:
+            with open(sig_file) as f:
+                return f.read().strip() == sig
+        except OSError:
+            return False
+
     log = DeltaLog.for_table(path)
-    if log.table_exists() and log.update().version < expected_version:
+    if log.table_exists() and (
+        log.update().version < expected_version or not _sig_current()
+    ):
         shutil.rmtree(path, ignore_errors=True)
         log = DeltaLog.for_table(path)
     if not log.table_exists():
         build()
         log = DeltaLog.for_table(path)
+        with open(sig_file, "w") as f:
+            f.write(sig + "\n")
     return log
 
 
 def _delta_copy(spark: SparkSession, sf_dir: str, name: str, partition_by=None):
-    """Ingest a driver table into a Delta table once per (sf_dir, table);
-    reuse across queries in the same run."""
-    from delta_go_spark.log import DeltaLog
-    from delta_go_spark.snapshot import DeltaError
-    from delta_go_spark.writer import write_dataframe
+    """Ingest a driver table into a Delta table once per (sf_dir, table,
+    fixture content, partitioning); reuse across queries in the same run.
+    Content-signed via _ensure_built: a regenerated source fixture or a
+    changed partitioning rebuilds instead of serving stale."""
 
-    key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(_CACHE_ROOT, key, name)
-    log = DeltaLog.for_table(path)
-    if not log.table_exists():
+    def build():
+        from delta_go_spark.writer import write_dataframe
+
         df = load_table(spark, sf_dir, name)
         write_dataframe(df, path, partition_by=partition_by)
-        log = DeltaLog.for_table(path)
+
+    path = os.path.join(_CACHE_ROOT, sf_dir.strip("/").replace("/", "_"), name)
+    log = _ensure_built(
+        path, 0, build, sf_dir=sf_dir, tables=(name,),
+        recipe=f"partition_by={partition_by!r}",
+    )
     return log.snapshot()
 
 
@@ -101,7 +174,7 @@ def delta_time_travel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
 
-    log = _ensure_built(path, 1, build)
+    log = _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("orders",))
     snap_v0 = log.snapshot_for_version_as_of(0)
     df = snap_v0.to_df(spark)
     return (
@@ -152,7 +225,7 @@ def delta_dml_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"c_acctbal": F.lit(0.0)},
         )
 
-    _ensure_built(path, 2, build)
+    _ensure_built(path, 2, build, sf_dir=sf_dir, tables=("customer",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("c_mktsegment")
@@ -198,7 +271,7 @@ def delta_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 0), path)
         write_dataframe(orders.filter(F.col("o_orderkey") % 2 == 1), path)
 
-    _ensure_built(path, 1, build)
+    _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("orders",))
     ctx = DeltaSqlContext(spark)
     ctx.register("orders_tt", path)
     return ctx.sql(
@@ -256,7 +329,7 @@ def delta_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save(out_path)
         )
 
-    _ensure_built(out_path, 0, build)
+    _ensure_built(out_path, 0, build, sf_dir=sf_dir, tables=("lineitem",))
     df = spark.read.format("delta_go").load(out_path)
     return (
         df.groupBy("l_linestatus")
@@ -332,7 +405,7 @@ def delta_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"value_cents": F.lit(0).cast("long")},
         )
 
-    _ensure_built(src_path, 3, build_source)
+    _ensure_built(src_path, 3, build_source, sf_dir=sf_dir, tables=("events",))
     if not os.path.exists(marker):
         # half-built aggregate (crash mid-stream): wipe and re-stream —
         # the batch-id tokens are only valid with their own checkpoint
@@ -418,7 +491,7 @@ def delta_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append(newer, merge_schema=True)
 
-    _ensure_built(path, 1, build)
+    _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("orders",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("o_orderstatus", "channel")
@@ -483,7 +556,7 @@ def delta_generated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # generated column omitted: computed by the engine on write
         t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
 
-    _ensure_built(path, 2, build)
+    _ensure_built(path, 2, build, sf_dir=sf_dir, tables=("orders",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("o_year")
@@ -615,7 +688,7 @@ def delta_scd2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             DeltaTable.for_path(spark, path), changes, "c_custkey", epoch=1
         )
 
-    _ensure_built(path, 1, build)
+    _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("customer",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("is_current", "c_mktsegment")
@@ -685,7 +758,7 @@ def delta_convert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(path)
         convert_to_delta(spark, path)
 
-    _ensure_built(path, 0, build)
+    _ensure_built(path, 0, build, sf_dir=sf_dir, tables=("orders",))
     t = DeltaTable.for_path(spark, path)
     df = t.to_df(
         EqualTo(
@@ -746,7 +819,7 @@ def delta_replace_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         replace_table(replaced, path, partition_by=["p_size"])
 
-    _ensure_built(path, 1, build)
+    _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("part",))
     t = DeltaTable.for_path(spark, path)
     v0 = (
         t.version_as_of(0)
@@ -819,7 +892,7 @@ def delta_optimize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(optimize={v_opt}, zorder={v_z})"
             )
 
-    _ensure_built(path, 5, build)
+    _ensure_built(path, 5, build, sf_dir=sf_dir, tables=("orders",))
     t = DeltaTable.for_path(spark, path)
     return (
         t.to_df()
@@ -894,7 +967,7 @@ def delta_vacuum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-    _ensure_built(path, 1, build)
+    _ensure_built(path, 1, build, sf_dir=sf_dir, tables=("part",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("p_brand")
@@ -947,7 +1020,7 @@ def delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         if v != 2:
             raise RuntimeError(f"restore committed unexpected version {v}")
 
-    _ensure_built(path, 2, build)
+    _ensure_built(path, 2, build, sf_dir=sf_dir, tables=("supplier",))
     df = DeltaTable.for_path(spark, path).to_df()
     return (
         df.groupBy("s_nationkey")

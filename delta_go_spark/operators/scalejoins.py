@@ -42,12 +42,13 @@ SALT_N = 8
 def _cache_path(sf_dir: str, table: str, variant: str) -> str:
     """One rendering of the derived-table cache path scheme (sf key +
     fixture content signature) shared by every writer in this module —
-    the r7 stale-cache fix must not need re-applying per copy."""
-    from delta_go_spark.session import fixture_sig
+    the r7 stale-cache fix must not need re-applying per copy.  Rendered
+    through session.fixture_cache_path (r10): same physical path as the
+    old hand-rendered string, one scheme repo-wide."""
+    from delta_go_spark.session import fixture_cache_path, fixture_sig
 
-    sf_key = sf_dir.strip("/").replace("/", "_")
     sig = fixture_sig(sf_dir, table)
-    return os.path.join(_BUCKET_CACHE, sf_key, f"{table}_{variant}_{sig}")
+    return fixture_cache_path("bucket", sf_dir, f"{table}_{variant}_{sig}")
 
 
 def _bucketed_table(

@@ -100,11 +100,10 @@ def fan_out_small_scan(df, min_parallelism: int | None):
 def fixture_cache_path(family: str, sf_dir: str, leaf: str) -> str:
     """<tempdir>/dgs-<family>-cache/<sf key>/<leaf> — THE rendering of the
     derived-fixture cache path scheme (sf key + caller-chosen leaf, which
-    should embed fixture_sig).  New cache sites use this; the FIVE legacy
-    sites (scalejoins, stateful x2, windows, and delta_queries'
-    dgs-delta-cache root) render the identical string by hand and adopt
-    the helper when their queries next rotate through the driver window
-    (so the refactor and its evidence land together)."""
+    should embed fixture_sig).  All cache sites render through this as of
+    r10 (scalejoins, stateful x2, windows adopted it; delta_queries keeps
+    its _CACHE_ROOT join for the hand-reconstructed test paths but signs
+    content via _ensure_built's recipe-signature file instead)."""
     import tempfile
 
     return os.path.join(

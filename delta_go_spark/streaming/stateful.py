@@ -274,15 +274,16 @@ def _time_ordered_event_split(spark, sf_dir: str) -> str:
 
     from pyspark.sql import functions as F
 
-    from delta_go_spark.session import fixture_sig, load_table
+    from delta_go_spark.session import fixture_cache_path, fixture_sig, load_table
 
-    key = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
     # content signature in the cache name: a regenerated events fixture
     # under the same sf path must rebuild the replay split, never serve
     # stale quartiles against a fresh oracle (same contract as the
-    # bucketed-table cache)
-    src = os.path.join(cache, f"ev4t_{fixture_sig(sf_dir, 'events')}")
+    # bucketed-table cache); rendered via fixture_cache_path (r10) —
+    # same physical path, one scheme repo-wide
+    src = fixture_cache_path(
+        "stream", sf_dir, f"ev4t_{fixture_sig(sf_dir, 'events')}"
+    )
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) != 4:
@@ -507,11 +508,11 @@ def _late_replay_event_split(spark, sf_dir: str) -> str:
 
     from pyspark.sql import functions as F
 
-    from delta_go_spark.session import fixture_sig, load_table
+    from delta_go_spark.session import fixture_cache_path, fixture_sig, load_table
 
-    key = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
-    src = os.path.join(cache, f"ev5late_{fixture_sig(sf_dir, 'events')}")
+    src = fixture_cache_path(
+        "stream", sf_dir, f"ev5late_{fixture_sig(sf_dir, 'events')}"
+    )
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) != 5:

@@ -692,12 +692,16 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
 
     from delta_go_spark.session import fixture_sig
 
-    key = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(tempfile.gettempdir(), "dgs-stream-cache", key)
+    from delta_go_spark.session import fixture_cache_path
+
     # content signature in the cache name: a regenerated events fixture
     # under the same sf path rebuilds the split instead of serving stale
-    # batches against a fresh oracle
-    src = os.path.join(cache, f"ev4_{fixture_sig(sf_dir, 'events')}")
+    # batches against a fresh oracle; rendered via fixture_cache_path
+    # (r10) — same physical path, one scheme repo-wide
+    src = fixture_cache_path(
+        "stream", sf_dir, f"ev4_{fixture_sig(sf_dir, 'events')}"
+    )
+    cache = os.path.dirname(src)
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) < 4:

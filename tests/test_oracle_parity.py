@@ -144,6 +144,13 @@ SAMPLE = [
     "multiformat_ingest_docs",
     "contamination_report_docs",  # late r9, below-window: r10 head
     "editdist_near_dup_docs",  # late r9, below-window: r10 head
+    # new in round 10 — driver window rows, belt-and-braces here too
+    "exactsubstr_dedup_docs",
+    "softdedup_incremental_docs",
+    # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
+    # bucketed_join and dpp_join were displaced below the window in round
+    # 10 while their modules' cache plumbing changed — they are already in
+    # this SAMPLE from earlier rounds, which stays their gate)
 ]
 
 
@@ -197,62 +204,76 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round9_queries_in_window():
+def test_round10_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
-    contract).  Extend R9_MUST with every query added or changed in
-    round 9."""
+    contract).  Extend R10_MUST with every query added or changed in
+    round 10."""
     from delta_go_spark.queries import oracle_sql, queries
 
     order = list(queries())
-    R9_MUST = [
-        # the r8 red row — re-verified at the very top
+    R10_MUST = [
+        # the two r9 red rows — oracle CAST fix must produce green hashes
         "doremi_weights_docs",
-        # NEW in round 9
-        "span_scrub_docs",
         "doremi_incremental_docs",
-        "streaming_late_data_events",
-        "unique_gram_redact_docs",
-        "semantic_decontaminate_embeddings",
-        "span_corrupt_docs",
-        "softdedup_weights_docs",
-        "multiformat_ingest_docs",
-        "dedup_clusters_docs",  # cluster-size attach single-sourced in r9
-        # code changed in round 9 (shared replay body / in-pass dim guard)
-        "streaming_sessionize_events",
-        "label_centroid_drift_embeddings",
-        # the stalest driver evidence (last green round 5)
-        "q2_min_cost_supplier",
-        "q4_order_priority",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q12_priority_shipping",
-        "q13_order_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_part_supplier",
-        "q17_small_quantity",
-        "q18_large_volume",
-        "q19_discounted_revenue",
-        "q20_excess_quantity",
-        "q21_waiting_suppliers",
-        "argmax_orders_per_status",
-        "doc_length_buckets",
-        "join_cross_regions",
-        "join_right_outer_parts",
-        "lang_source_matrix",
-        "pivot_lineitem_status",
-        "source_rank_by_lang",
-        "stats_agg_lineitem",
-        "vocab_by_source",
-        "window_lag_lead_orders",
-        "word_entropy_docs",
+        # NEW in round 10
+        "exactsubstr_dedup_docs",
+        "softdedup_incremental_docs",
+        # late r9, never driver-checked (+ r10 divisor clamp / verbatim-SQL
+        # embed)
+        "editdist_near_dup_docs",
+        "contamination_report_docs",
+        # the stalest driver evidence (last green round 6) — full block
+        "agg_event_users",
+        "cube_lineitem_counts",
+        "date_functions_orders",
+        "events_hourly_rollup",
+        "join_left_outer_orders",
+        "join_semi_anti_suppliers",
+        "rollup_order_totals",
+        "setops_loyal_customers",
+        "setops_segment_intersect",
+        "string_functions_part",
+        "window_running_revenue",
+        "window_topk_orders",
+        "json_functions_events",
+        "null_semantics_orders",
+        "unpivot_order_flags",
+        "retention_cohorts_events",
+        "cluster_representative_docs",
+        "cross_source_matrix_docs",
+        "normalized_dedup_docs",
+        "pagerank_docs",
+        "hard_negatives_embeddings",
+        "matryoshka_recall_embeddings",
+        "quantization_recall_embeddings",
+        "semdedup_embeddings",
+        "bm25_search_docs",
+        "bpe_merge_pairs_docs",
+        "fim_transform_docs",
+        "lang_confusion_docs",
+        "pmi_bigrams_docs",
+        "winnow_fingerprint_docs",
+        "source_drift_chisq_docs",
+        "split_cluster_safe_docs",
+        "split_leakage_docs",
+        "temperature_resample_docs",
+        "span_decontaminate_docs",
+        # representatives of every cache site the r10 content-signing
+        # refactor touched
+        "delta_roundtrip_agg",
+        "delta_time_travel_count",
+        "delta_incremental_agg",
+        "delta_datasource_agg",
+        "delta_scd2_agg",
+        "delta_cdf_agg",
+        "salted_skew_join_events",
+        "streaming_delta_aggsink_events",
+        "minhash_incremental_docs",
     ]
-    assert order[0] == "doremi_weights_docs"  # window TOP, per the r8 verdict
-    positions = {n: order.index(n) + 1 for n in R9_MUST}
+    assert order[0] == "doremi_weights_docs"  # window TOP until hash-green
+    positions = {n: order.index(n) + 1 for n in R10_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
     # every window slot must carry an oracle (no rows-only filler inside
