@@ -49,6 +49,13 @@ def classify_diff(spark_dtype: str, duck_dtype: str) -> str:
       * float64 (or float32) vs any integer dtype — `11721.0` vs `11721`.
       * object vs any numeric dtype — str repr vs numeric repr.
       * bool vs numeric, and anything else unrecognized.
+
+    NOTE dtype strings alone cannot classify object-vs-datetime64: Spark
+    DATE columns reach pandas as object-of-datetime.date while DuckDB DATE
+    becomes datetime64[us] — a class proven driver-benign by
+    date_functions_orders (hash-green r1/r3/r6 while carrying it).  Use
+    classify_pair (content-aware) when the actual Series are available;
+    this string-only path stays conservative and calls it harmful.
     """
     a, b = spark_dtype, duck_dtype
     if a == b:
@@ -57,6 +64,34 @@ def classify_diff(spark_dtype: str, duck_dtype: str) -> str:
         return "benign"
     if a.startswith("datetime64") and b.startswith("datetime64"):
         return "benign"
+    return "harmful"
+
+
+def _all_datelike(series) -> bool:
+    """Every non-null value is a datetime.date/datetime — the content check
+    behind the object-vs-datetime64 benign class."""
+    import datetime as _dt
+
+    vals = series.dropna()
+    if len(vals) == 0:
+        return False
+    return all(isinstance(v, (_dt.date, _dt.datetime)) for v in vals)
+
+
+def classify_pair(a_dtype: str, b_dtype: str, a_series, b_series) -> str:
+    """Content-aware classification: like classify_diff, plus the
+    object(datetime.date) vs datetime64 class, which is driver-benign
+    (date_functions_orders and retention_cohorts_events carry it and were
+    driver hash-green r1/r3/r6 — the driver's value normalizer folds a
+    midnight Timestamp and the matching date to the same repr)."""
+    base = classify_diff(a_dtype, b_dtype)
+    if base == "benign":
+        return "benign"
+    pairs = ((a_dtype, a_series, b_dtype), (b_dtype, b_series, a_dtype))
+    for obj_dtype, obj_series, other_dtype in pairs:
+        if obj_dtype == "object" and other_dtype.startswith("datetime64"):
+            if _all_datelike(obj_series):
+                return "benign"
     return "harmful"
 
 
@@ -72,7 +107,7 @@ def dtype_problems(spark_df_pandas, duck_df_pandas) -> list[str]:
         a, b = sd.get(c), dd.get(c)
         if a is None or b is None:
             out.append(f"{c}: spark={a} duck={b} [missing]")
-        elif a != b and classify_diff(a, b) == "harmful":
+        elif a != b and classify_pair(a, b, spark_df_pandas[c], duck_df_pandas[c]) == "harmful":
             out.append(f"{c}: spark={a} duck={b} [harmful]")
     return out
 
@@ -114,7 +149,7 @@ def main() -> int:
             if a == b:
                 continue
             msg = f"{c}: spark={a} duck={b}"
-            if a is None or b is None or classify_diff(a, b) == "harmful":
+            if a is None or b is None or classify_pair(a, b, sp[c], du[c]) == "harmful":
                 bad.append(msg)
             else:
                 benign.append(msg)

@@ -62,3 +62,23 @@ def test_classifier_contract():
     assert classify_diff("int32", "int64") == "benign"
     assert classify_diff("datetime64[ns]", "datetime64[us]") == "benign"
     assert classify_diff("float64", "float64") == "benign"
+
+
+def test_classifier_date_content():
+    """object(datetime.date) vs datetime64 is DRIVER-BENIGN — proven by
+    date_functions_orders / retention_cohorts_events hash-green r1/r3/r6 while
+    carrying it — but object(str) vs datetime64 stays harmful."""
+    import datetime
+
+    import pandas as pd
+
+    from check_dtypes import classify_pair
+
+    dates = pd.Series([datetime.date(1996, 1, 1), None], dtype="object")
+    stamps = pd.Series(pd.to_datetime(["1996-01-01", None]))
+    strs = pd.Series(["1996-01-01", None], dtype="object")
+    ints = pd.Series([1, 2])
+    assert classify_pair("object", "datetime64[us]", dates, stamps) == "benign"
+    assert classify_pair("datetime64[us]", "object", stamps, dates) == "benign"
+    assert classify_pair("object", "datetime64[us]", strs, stamps) == "harmful"
+    assert classify_pair("object", "int64", dates, ints) == "harmful"
