@@ -93,10 +93,14 @@ HEADLINE = [
     "unique_gram_redact_docs",  # r9: k-anonymity unique-gram masking
     "exactsubstr_dedup_docs",  # r10: cross-doc repeated-span removal
     "softdedup_incremental_docs",  # r10: CDF-incremental cluster weights
-    # streaming_sessionize_events / streaming_late_data_events
-    # intentionally unbenched: their cost is micro-batch-count x
-    # Structured Streaming fixed overhead (the shape
+    "containment_near_dup_docs",  # r10: asymmetric containment pairs
+    "inverted_index_docs",  # r10: salted-two-phase exact top-k postings
+    # streaming_sessionize_events / streaming_late_data_events /
+    # streaming_upsert_events intentionally unbenched: their cost is
+    # micro-batch-count x Structured Streaming fixed overhead (the shape
     # streaming_delta_aggsink already carries in the wire), not data.
+    # profile_table_docs likewise: one partial-aggregable scan, the
+    # stats_agg family's cost shape.
     # r9 wire trims (family-redundant, correctness evidence unaffected):
     # repetition_topword_docs, lang_confusion_docs, span_decontaminate_docs.
     # r10 wire trims making room for the two adds: quality_classifier_docs

@@ -412,15 +412,27 @@ class DeltaDml:
                                 )
                             )
                         rewritten = rewritten.filter(~is_del)
+                    # ANSI MERGE semantics: every SET expression reads the
+                    # PRE-update row.  Sequential withColumn would let a
+                    # later assignment see an earlier one's result — e.g. a
+                    # conditional last-wins upsert whose condition compares
+                    # _s_ts > ts would update ts first and then judge every
+                    # other column against the NEW ts (always false).  Stage
+                    # all values into temp columns first, then assign.
+                    staged: dict[str, str] = {}
                     for col, expr in (update_set or {}).items():
                         value = (
                             expr
                             if hasattr(expr, "_jc") or hasattr(expr, "_expr")
                             else F.lit(expr)
                         )
+                        tmp = f"_u_{col}"
+                        staged[col] = tmp
                         rewritten = rewritten.withColumn(
-                            col, F.when(is_match, value).otherwise(F.col(col))
+                            tmp, F.when(is_match, value).otherwise(F.col(col))
                         )
+                    for col, tmp in staged.items():
+                        rewritten = rewritten.withColumn(col, F.col(tmp)).drop(tmp)
                     rewritten = recompute_generated_columns(
                         rewritten, snap.metadata().schema(), set(update_set or {})
                     )

@@ -1817,3 +1817,124 @@ QUERIES["cluster_representative_docs"] = (
     cluster_representative_docs,
     CLUSTER_REPRESENTATIVE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (Broder 1997, "On the resemblance and containment of
+# documents"): C(A,B) = |S(A) n S(B)| / |S(A)| — the ASYMMETRIC companion to
+# Jaccard resemblance.  A short document quoted wholesale inside a long one
+# has low Jaccard (the union is dominated by the long doc) but containment
+# ~1.0, so a Jaccard-only dedup pass ships the quoted copy straight into the
+# training set.  Candidate generation is the same shingle equi-join as
+# ngram_jaccard_pairs (cost quadratic only inside shared-shingle groups,
+# never corpus-wide); the metric is emitted in round-half-up MILLI units via
+# pure BIGINT arithmetic ((2000*c + n) DIV (2*n)) so both engines produce
+# bit-identical integers (no double rounding on the wire).
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_milli: int = 800,
+) -> DataFrame:
+    """Pairs where either direction's k-shingle containment >= threshold.
+
+    Output: (doc_id_a, doc_id_b, cont_a_milli, cont_b_milli) with
+    cont_a_milli = round_half_up(1000 * |A n B| / |A|) — how much of A's
+    shingle set also appears in B.  Scale: identical shape to the Jaccard
+    pair join (16-byte shingle-hash shuffle, per-doc set via
+    dropDuplicates); at 100 TB the same banded-MinHash pre-filter slots in
+    front (minhash_lsh_pairs), since high containment of the SMALLER set
+    implies a shared band with high probability.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = _spread(df).select(F.col(id_col).alias("doc"), toks.alias("_t"))
+    ex = (
+        base.select(
+            "doc",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_t") - (k - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select(
+            "doc",
+            F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), k))
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc", "h"])
+    )
+    sh = ex.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("da"),
+            F.col("a.n").alias("na"),
+            F.col("b.doc").alias("db"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            F.expr("(2000 * n_common + na) div (2 * na)").alias("cont_a_milli"),
+            F.expr("(2000 * n_common + nb) div (2 * nb)").alias("cont_b_milli"),
+        )
+        .filter(
+            F.greatest("cont_a_milli", "cont_b_milli") >= F.lit(threshold_milli)
+        )
+    )
+
+
+def containment_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+CONTAINMENT_NEAR_DUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), exploded AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+  FROM exploded
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id_a, doc_id_b,
+         (2000 * n_common + sa.n) // (2 * sa.n) AS cont_a_milli,
+         (2000 * n_common + sb.n) // (2 * sb.n) AS cont_b_milli
+  FROM common
+  JOIN sizes sa ON doc_id_a = sa.doc_id
+  JOIN sizes sb ON doc_id_b = sb.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(cont_a_milli AS BIGINT) AS cont_a_milli,
+       CAST(cont_b_milli AS BIGINT) AS cont_b_milli
+FROM scored
+WHERE greatest(cont_a_milli, cont_b_milli) >= 800
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+QUERIES["containment_near_dup_docs"] = (
+    containment_near_dup_docs,
+    CONTAINMENT_NEAR_DUP_SQL,
+)

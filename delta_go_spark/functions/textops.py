@@ -2257,3 +2257,222 @@ GROUP BY source ORDER BY source
 
 
 QUERIES["length_batching_docs"] = (length_batching_docs, LENGTH_BATCHING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (the search-infrastructure primitive under BM25): one
+# posting-list row per token with document frequency, collection frequency,
+# and the EXACT top-5 documents by term frequency.  The top-k is computed
+# salted-two-phase: a window over (token, salt) first reduces every token to
+# at most 8 local candidates per salt bucket, then the global window ranks
+# only those <= 8*k survivors — so the per-token sort group is bounded by
+# salt_buckets*k regardless of how hot the token is.  A naive single window
+# over (token) puts EVERY posting of a stopword-class token into one task;
+# at 100 TB that single task is the job (the same skew class salting fixes
+# for joins, applied to top-k).
+def token_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, doc, tf) postings — partial-aggregable (map-side combine)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def index_from_postings(
+    postings: DataFrame,
+    top_k: int = 5,
+    salt_buckets: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """(token, df, cf, top_docs) from a postings frame — shared by the
+    batch build and the CDF-incremental maintenance (which feeds it only
+    the AFFECTED tokens' postings)."""
+    from pyspark.sql import Window
+
+    # phase 1: local top-k inside (token, salt) — bounded groups
+    salt = F.pmod(F.xxhash64("doc"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("token", "_salt").orderBy(
+        F.desc("tf"), F.asc("doc")
+    )
+    local = (
+        postings.withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+    # phase 2: global top-k over <= salt_buckets*k survivors per token
+    w_global = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc"))
+    top = (
+        local.withColumn("_rk", F.row_number().over(w_global))
+        .filter(F.col("_rk") <= top_k)
+    )
+    stats = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+    top_lists = top.groupBy("token").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_rk"), F.col("doc")))
+        ).alias("_ranked")
+    ).select(
+        "token",
+        F.transform(F.col("_ranked"), lambda s: s["doc"]).alias("top_docs"),
+    )
+    return (
+        stats.join(top_lists, "token")
+        .filter(F.col("df") >= min_df)
+        .select("token", "df", "cf", "top_docs")
+        .orderBy("token")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    salt_buckets: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    return index_from_postings(
+        token_postings(df, id_col, text_col),
+        top_k=top_k,
+        salt_buckets=salt_buckets,
+        min_df=min_df,
+    )
+
+
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+INVERTED_INDEX_SQL = """
+WITH postings AS (
+  SELECT token, doc_id AS doc, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+  GROUP BY token, doc_id
+), ranked AS (
+  SELECT token, doc, tf,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY tf DESC, doc ASC) AS rk
+  FROM postings
+), lists AS (
+  SELECT token,
+         list(doc ORDER BY rk) FILTER (WHERE rk <= 5) AS top_docs
+  FROM ranked GROUP BY token
+), stats AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY token
+)
+SELECT s.token, CAST(s.df AS BIGINT) AS df, s.cf, l.top_docs
+FROM stats s JOIN lists l USING (token)
+WHERE s.df >= 3
+ORDER BY s.token
+"""
+
+
+QUERIES["inverted_index_docs"] = (inverted_index_docs, INVERTED_INDEX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CDF-incremental inverted-index maintenance — the search-axis sibling of
+# doremi_incremental (mixture weights) and softdedup_incremental (cluster
+# weights): the index is a MATERIALIZED VIEW over the corpus, and an ingest
+# batch must refresh it at O(change volume + affected-token postings), never
+# O(corpus).  The persisted state is the postings table itself (token, doc,
+# tf) — df/cf are additive deltas, but exact top-k is NOT maintainable from
+# the top-k alone (a new doc can displace a stored winner), so affected
+# tokens re-rank over their stored + delta postings; untouched tokens are
+# served verbatim from the stored index.
+def inverted_index_incremental(
+    index0: DataFrame,
+    postings0: DataFrame,
+    new_docs: DataFrame,
+    top_k: int = 5,
+    salt_buckets: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """index0 = (token, df, cf, top_docs) of the pre-ingest corpus
+    (min_df=1, i.e. UNFILTERED — a token below min_df may cross it after
+    the ingest); postings0 = its (token, doc, tf) postings; new_docs =
+    the inserted documents.  Returns the post-ingest index, identical to
+    a batch rebuild (the oracle contract)."""
+    delta_postings = token_postings(new_docs)
+    affected = delta_postings.select("token").distinct()
+    # affected tokens: exact recompute over stored+delta postings (disjoint
+    # doc sets — v0 and the ingest batch never share a doc_id)
+    merged = postings0.join(affected, "token").unionByName(delta_postings)
+    refreshed = index_from_postings(
+        merged, top_k=top_k, salt_buckets=salt_buckets, min_df=1
+    )
+    untouched = index0.join(affected, "token", "left_anti")
+    return (
+        untouched.unionByName(refreshed)
+        .filter(F.col("df") >= min_df)
+        .orderBy("token")
+    )
+
+
+def inverted_index_incremental_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixture: v0 = documents with doc_id % 5 != 0 indexed in full; the
+    ingest batch (doc_id % 5 == 0) arrives via the Delta change feed; the
+    maintained index must hash-equal the batch INVERTED_INDEX_SQL over the
+    WHOLE corpus."""
+    import os
+    import shutil
+
+    from delta_go_spark import cdf
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_invindex")
+    tbl = os.path.join(root, "docs")
+    postings_path = os.path.join(root, "postings_v0")
+    index_path = os.path.join(root, "index_v0")
+
+    def build():
+        # artifacts first, the Delta table's final version last (the table
+        # version is _ensure_built's completion marker)
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        p0 = token_postings(v0)
+        p0.write.mode("overwrite").parquet(postings_path)
+        index_from_postings(
+            spark.read.parquet(postings_path), min_df=1
+        ).write.mode("overwrite").parquet(index_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+
+    _ensure_built(tbl, 1, build, sf_dir=sf_dir, tables=("documents",))
+    new_docs = (
+        cdf.table_changes(spark, tbl, start_version=1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    return inverted_index_incremental(
+        spark.read.parquet(index_path),
+        spark.read.parquet(postings_path),
+        new_docs,
+    )
+
+
+QUERIES["inverted_index_incremental_docs"] = (
+    inverted_index_incremental_docs,
+    INVERTED_INDEX_SQL,  # the maintained view must equal the batch rebuild
+)

@@ -887,3 +887,77 @@ QUERIES["multiformat_ingest_docs"] = (
     multiformat_ingest_docs,
     MULTIFORMAT_INGEST_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Table stats profiler (the ANALYZE TABLE / stats-collection shape): one row
+# per column with null count, exact distinct count, and min/max rendered as
+# VARCHAR.  This is the data-plane twin of the metadata plane's per-file
+# stats skipping (delta_go_spark/scan.py): the same (nullCount, min, max)
+# triple the Delta writer embeds per file, computed table-wide.
+#
+# Plan: ONE scan; each per-column aggregate is partial-aggregable
+# (map-side combine) except the exact distinct counts, which Spark executes
+# via a single Expand + two-level aggregate — the standard exact-NDV plan.
+# At 100 TB the drop-in replacement is approx_count_distinct (HLL, one pass,
+# no Expand), which this function exposes via exact=False; the oracle pins
+# the exact path.
+def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
+    ndv = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            ndv(F.col(c)).alias(f"{c}__ndv"),
+            # aggregate on the NATIVE type (numeric min, not lexicographic),
+            # render the result as string afterwards — matching
+            # CAST(min(c) AS VARCHAR) on the oracle side
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column — driver-side
+    # stack over a 1-row frame, no second scan
+    parts = []
+    for c in df.columns:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*parts)).alias("s"))
+        .select("s.*")
+        .orderBy("column_name")
+    )
+
+
+def profile_table_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_table(load_table(spark, sf_dir, "documents"))
+
+
+_PROFILE_COL = """
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CAST({c} IS NULL AS INT)) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents
+"""
+
+PROFILE_TABLE_SQL = (
+    " UNION ALL ".join(
+        _PROFILE_COL.format(c=c)
+        for c in ["doc_id", "lang", "n_chars", "source", "text"]
+    )
+    + " ORDER BY column_name"
+)
+
+
+QUERIES["profile_table_docs"] = (profile_table_docs, PROFILE_TABLE_SQL)

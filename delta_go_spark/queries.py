@@ -77,6 +77,21 @@ from delta_go_spark.operators import (
 _WINDOW: list = [
     # --- r10 head: the two r9 red rows (oracle CAST fix landed) ---
     (curation, ["doremi_weights_docs", "doremi_incremental_docs"]),
+    # --- NEW in round 10, second batch: containment near-dup, streaming
+    # SCD1 upsert (rides the MERGE pre-image-semantics fix in dml.py),
+    # table stats profiler, salted-two-phase inverted index.  These
+    # displace cube_lineitem_counts, join_left_outer_orders,
+    # setops_segment_intersect, string_functions_part from the r6-stale
+    # block (each one's operator CLASS keeps a sibling in-window:
+    # rollup/setops-loyal/semi-anti/like-regexp) -> round-11 head.
+    (dedup, ["containment_near_dup_docs"]),
+    (streaming_windows, ["streaming_upsert_events"]),
+    (coverage, ["profile_table_docs"]),
+    # batch index + its CDF-incremental maintenance (same oracle: the
+    # maintained view must hash-equal the batch rebuild); the incremental
+    # row displaces events_hourly_rollup (rollup_order_totals +
+    # window_running_revenue keep the rollup/window classes in-window)
+    (textops, ["inverted_index_docs", "inverted_index_incremental_docs"]),
     # --- NEW in round 10 ---
     (dedup, [
         "exactsubstr_dedup_docs",
@@ -89,15 +104,10 @@ _WINDOW: list = [
     # --- last driver evidence: round 6 — the full remaining block ---
     (relational, [
         "agg_event_users",
-        "cube_lineitem_counts",
         "date_functions_orders",
-        "events_hourly_rollup",
-        "join_left_outer_orders",
         "join_semi_anti_suppliers",
         "rollup_order_totals",
         "setops_loyal_customers",
-        "setops_segment_intersect",
-        "string_functions_part",
         "window_running_revenue",
         "window_topk_orders",
     ]),

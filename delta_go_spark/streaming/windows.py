@@ -672,36 +672,22 @@ QUERIES["streaming_leftouter_join_events"] = (
 # transaction log as the sink.  Exactly-once per batch comes from the
 # SetTransaction token committed atomically with each merge
 # (reference: action/trx.go, op/names.go STREAMING_UPDATE).
-def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
-    """events split into 4 source files -> readStream with
-    maxFilesPerTrigger=1 (4 micro-batches) -> per-batch groupBy(event_type)
-    -> additive MERGE into a Delta aggregate table -> read the final table.
+def _ev4_split(spark, sf_dir: str) -> str:
+    """events split into 4 parquet files by event_id % 4 (deliberately NOT
+    time-ordered, so multi-batch merge logic sees out-of-order arrival).
 
-    The per-key update is ADDITIVE (n += n_batch, cents += cents_batch),
-    so the final state is independent of micro-batch order — which is what
-    makes the DuckDB oracle (the global aggregate) exact.  Work per batch
-    is proportional to the BATCH, never the table: the 100 TB ingestion
-    property."""
+    Content signature in the cache name: a regenerated events fixture
+    under the same sf path rebuilds the split instead of serving stale
+    batches against a fresh oracle; rendered via fixture_cache_path
+    (r10) — same physical path, one scheme repo-wide."""
     import os
     import shutil
-    import tempfile
 
-    from delta_go_spark.dml import DeltaDml
-    from delta_go_spark.writer import write_dataframe
-    from delta_go_spark.session import load_table
+    from delta_go_spark.session import fixture_cache_path, fixture_sig, load_table
 
-    from delta_go_spark.session import fixture_sig
-
-    from delta_go_spark.session import fixture_cache_path
-
-    # content signature in the cache name: a regenerated events fixture
-    # under the same sf path rebuilds the split instead of serving stale
-    # batches against a fresh oracle; rendered via fixture_cache_path
-    # (r10) — same physical path, one scheme repo-wide
     src = fixture_cache_path(
         "stream", sf_dir, f"ev4_{fixture_sig(sf_dir, 'events')}"
     )
-    cache = os.path.dirname(src)
     if not os.path.isdir(src) or len(
         [f for f in os.listdir(src) if f.endswith(".parquet")]
     ) < 4:
@@ -711,16 +697,23 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
             ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+    return src
 
-    # fresh target + checkpoint per call, collision-free ACROSS processes
-    # (a fixed shared path rmtree'd on entry would clobber a concurrent
-    # run's live checkpoint): each call gets run-<pid>, wiped on entry —
-    # so one process reuses one directory across its repeated runs
-    # (driver window + parity tests + bench best-of-3) — and stale dirs
-    # of DEAD pids are swept, bounding the leak to live processes.  The
-    # query rebuilds rather than resuming (the replay/exactly-once path
-    # is pinned by tests/test_streaming.py on the committers themselves).
-    runs_root = os.path.join(cache, "aggsink_runs")
+
+def _run_scratch(cache: str, name: str) -> str:
+    """Fresh per-process scratch dir for a streaming sink run,
+    collision-free ACROSS processes (a fixed shared path rmtree'd on entry
+    would clobber a concurrent run's live checkpoint): each call gets
+    run-<pid>, wiped on entry — so one process reuses one directory across
+    its repeated runs (driver window + parity tests + bench best-of-3) —
+    and stale dirs of DEAD pids are swept, bounding the leak to live
+    processes.  Queries rebuild rather than resume (the replay/exactly-once
+    path is pinned by tests/test_streaming.py on the committers
+    themselves)."""
+    import os
+    import shutil
+
+    runs_root = os.path.join(cache, name)
     os.makedirs(runs_root, exist_ok=True)
     for d in os.listdir(runs_root):
         if not d.startswith("run-"):
@@ -735,6 +728,26 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
     run_dir = os.path.join(runs_root, f"run-{os.getpid()}")
     shutil.rmtree(run_dir, ignore_errors=True)
     os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
+    """events split into 4 source files -> readStream with
+    maxFilesPerTrigger=1 (4 micro-batches) -> per-batch groupBy(event_type)
+    -> additive MERGE into a Delta aggregate table -> read the final table.
+
+    The per-key update is ADDITIVE (n += n_batch, cents += cents_batch),
+    so the final state is independent of micro-batch order — which is what
+    makes the DuckDB oracle (the global aggregate) exact.  Work per batch
+    is proportional to the BATCH, never the table: the 100 TB ingestion
+    property."""
+    import os
+
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.writer import write_dataframe
+
+    src = _ev4_split(spark, sf_dir)
+    run_dir = _run_scratch(os.path.dirname(src), "aggsink_runs")
     target = os.path.join(run_dir, "agg")
     seed = spark.createDataFrame(
         [], "event_type string, n_events long, value_cents long"
@@ -796,4 +809,132 @@ ORDER BY event_type
 QUERIES["streaming_delta_aggsink_events"] = (
     streaming_delta_aggsink_events,
     STREAMING_DELTA_AGGSINK_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD1 upsert sink (the CDC-apply shape): the stream is keyed
+# (user_id) and each micro-batch MERGEs "newest event wins" into a Delta
+# dimension table.  Unlike the aggsink's order-independent additive fold,
+# LAST-WINS is order-SENSITIVE — and the 4-way event_id%4 split deliberately
+# interleaves time, so a batch can carry events OLDER than the current
+# table row.  The conditional update (apply the source row only when its
+# (ts_us, event_id) exceeds the target's) is exactly the out-of-order
+# guard a production CDC apply needs; idempotency per batch comes from the
+# SetTransaction token (reference: action/trx.go, op/names.go
+# STREAMING_UPDATE).  Work per batch ∝ batch keys + matched target files,
+# never the table: the 100 TB ingestion property.
+def streaming_upsert_events(spark, sf_dir: str) -> DataFrame:
+    """4 out-of-order micro-batches -> per-batch one-row-per-user reduction
+    -> conditional last-wins MERGE into a Delta user-state table -> read the
+    final table.  Oracle: global per-user argmax over (ts, event_id) plus a
+    per-user event count."""
+    import os
+
+    from pyspark.sql import Window
+
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.writer import write_dataframe
+
+    src = _ev4_split(spark, sf_dir)
+    run_dir = _run_scratch(os.path.dirname(src), "upsert_runs")
+    target = os.path.join(run_dir, "users")
+    seed = spark.createDataFrame(
+        [],
+        "user_id long, last_ts_us long, last_event_id long, "
+        "last_type string, last_value_cents long, n_events long",
+    )
+    write_dataframe(seed, target)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        per_user = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .withColumn(
+                "n_events",
+                F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                "user_id",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"),
+                F.floor(F.col("value") * 100 + 0.5)
+                .cast("long")
+                .alias("last_value_cents"),
+                "n_events",
+            )
+        )
+        newer = (F.col("_s_last_ts_us") > F.col("last_ts_us")) | (
+            (F.col("_s_last_ts_us") == F.col("last_ts_us"))
+            & (F.col("_s_last_event_id") > F.col("last_event_id"))
+        )
+
+        def keep(col: str):
+            return F.when(newer, F.col(f"_s_{col}")).otherwise(F.col(col))
+
+        DeltaDml(spark, target).merge(
+            per_user,
+            on="user_id",
+            update_set={
+                "last_ts_us": keep("last_ts_us"),
+                "last_event_id": keep("last_event_id"),
+                "last_type": keep("last_type"),
+                "last_value_cents": keep("last_value_cents"),
+                # the count is additive regardless of arrival order
+                "n_events": F.col("n_events") + F.col("_s_n_events"),
+            },
+            txn_app_id="upsert",
+            txn_version=batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from delta_go_spark.table import DeltaTable
+
+    return DeltaTable.for_path(spark, target).to_df().orderBy("user_id")
+
+
+STREAMING_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       ts_us                                        AS last_ts_us,
+       event_id                                     AS last_event_id,
+       event_type                                   AS last_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT)     AS last_value_cents,
+       CAST(n AS BIGINT)                            AS n_events
+FROM ranked
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+QUERIES["streaming_upsert_events"] = (
+    streaming_upsert_events,
+    STREAMING_UPSERT_SQL,
 )

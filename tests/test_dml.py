@@ -87,6 +87,59 @@ def test_merge_upsert(spark, tmp_path):
     assert t.log.commit_info_at(snap.version).operation == ops.MERGE
 
 
+def test_merge_update_set_reads_preimage(spark, tmp_path):
+    """ANSI MERGE: every SET expression sees the PRE-update row.  A swap
+    (v := w, w := v) only works under pre-image semantics — sequential
+    assignment would yield v == w.  This guards the staged-temp-column
+    evaluation in DeltaDml.merge (a conditional last-wins upsert whose
+    condition compares _s_ts > ts broke exactly here: ts updated first,
+    every later column judged against the NEW ts)."""
+    path = str(tmp_path / "tswap")
+    df = spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "k long, v long, w long")
+    t = DeltaTable.create(spark, path, df)
+    source = spark.createDataFrame([(1,)], "k long")
+    t.merge(
+        source,
+        on="k",
+        update_set={"v": F.col("w"), "w": F.col("v")},
+        insert_not_matched=False,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in t.to_df().collect()}
+    assert got[1] == (20, 10)  # swapped, not clobbered
+    assert got[2] == (30, 40)  # unmatched row untouched
+
+
+def test_merge_conditional_last_wins(spark, tmp_path):
+    """The CDC-apply guard: a source row older than the target row must NOT
+    overwrite it; a newer one must.  Both merges run through the same
+    condition referencing the target's pre-update timestamp."""
+    path = str(tmp_path / "tlww")
+    df = spark.createDataFrame([(1, 100, 7)], "k long, ts long, payload long")
+    t = DeltaTable.create(spark, path, df)
+
+    def apply(ts, payload):
+        src = spark.createDataFrame([(1, ts, payload)], "k long, ts long, payload long")
+        newer = F.col("_s_ts") > F.col("ts")
+        t.merge(
+            src,
+            on="k",
+            update_set={
+                "ts": F.when(newer, F.col("_s_ts")).otherwise(F.col("ts")),
+                "payload": F.when(newer, F.col("_s_payload")).otherwise(
+                    F.col("payload")
+                ),
+            },
+            insert_not_matched=False,
+        )
+
+    apply(50, 999)  # older: no-op
+    got = t.to_df().collect()[0]
+    assert (got["ts"], got["payload"]) == (100, 7)
+    apply(200, 111)  # newer: wins
+    got = t.to_df().collect()[0]
+    assert (got["ts"], got["payload"]) == (200, 111)
+
+
 def test_merge_delete_matched(spark, tmp_path):
     t = _make_table(spark, tmp_path, "tmrg2")
     source = spark.createDataFrame([(0,), (2050,)], "k long")

@@ -147,6 +147,11 @@ SAMPLE = [
     # new in round 10 — driver window rows, belt-and-braces here too
     "exactsubstr_dedup_docs",
     "softdedup_incremental_docs",
+    "containment_near_dup_docs",
+    "streaming_upsert_events",
+    "profile_table_docs",
+    "inverted_index_docs",
+    "inverted_index_incremental_docs",
     # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
     # bucketed_join and dpp_join were displaced below the window in round
     # 10 while their modules' cache plumbing changed — they are already in
@@ -220,21 +225,25 @@ def test_round10_queries_in_window():
         # NEW in round 10
         "exactsubstr_dedup_docs",
         "softdedup_incremental_docs",
+        # NEW in round 10, second batch (displacing cube_lineitem_counts,
+        # join_left_outer_orders, setops_segment_intersect,
+        # string_functions_part, events_hourly_rollup -> r11 head; each
+        # class keeps an in-window sibling)
+        "containment_near_dup_docs",
+        "streaming_upsert_events",
+        "profile_table_docs",
+        "inverted_index_docs",
+        "inverted_index_incremental_docs",
         # late r9, never driver-checked (+ r10 divisor clamp / verbatim-SQL
         # embed)
         "editdist_near_dup_docs",
         "contamination_report_docs",
         # the stalest driver evidence (last green round 6) — full block
         "agg_event_users",
-        "cube_lineitem_counts",
         "date_functions_orders",
-        "events_hourly_rollup",
-        "join_left_outer_orders",
         "join_semi_anti_suppliers",
         "rollup_order_totals",
         "setops_loyal_customers",
-        "setops_segment_intersect",
-        "string_functions_part",
         "window_running_revenue",
         "window_topk_orders",
         "json_functions_events",

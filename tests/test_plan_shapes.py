@@ -869,3 +869,36 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_inverted_index_salted_topk_windows(spark):
+    """The exact top-k must run salted-two-phase: the FIRST window spec
+    partitions by (token, _salt) — bounding every sort group by
+    salt_buckets*k — and postings aggregation combines map-side."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["inverted_index_docs"](spark, SF_DIR))
+    assert "partial_count" in plan  # postings groupBy combines map-side
+    assert "_salt" in plan  # phase-1 window is salt-partitioned
+    assert "BatchEvalPython" not in plan
+
+
+def test_profile_table_single_scan(spark):
+    """The profiler reads the table ONCE: one parquet scan feeding the
+    wide aggregate (the per-column rows come from exploding a 1-row frame,
+    not from per-column scans)."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["profile_table_docs"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the exact multi-NDV plan (documented cost)
+
+
+def test_containment_joins_on_hash_not_string(spark):
+    """Pair candidates join on the 64-bit shingle hash (16-byte shuffle
+    rows), never the shingle string."""
+    from delta_go_spark.queries import queries
+
+    plan = _plan(queries()["containment_near_dup_docs"](spark, SF_DIR))
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan
