@@ -1440,3 +1440,124 @@ QUERIES["systematic_weighted_sample_docs"] = (
     systematic_weighted_sample_docs,
     SYSTEMATIC_SAMPLE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation — the mixture PLANNER that sits in
+# front of per-source sampling: given per-source token counts and a global
+# training budget, cap every source at the water level T = the largest
+# integer with sum(min(c_i, T)) <= budget.  Small sources keep everything,
+# oversized sources are clipped to T — the max-min-fair allocation (the
+# same rule as network water-filling), and the standard way to stop one
+# giant crawl source from drowning the mixture.  All arithmetic is BIGINT
+# (the cap is an integer floor division), so both engines agree bit-for-bit.
+#
+# Scale shape: ONE partial-aggregable corpus pass to the per-source counts,
+# then every window/join below runs on O(sources) rows (a dimension table),
+# never on documents.
+def waterfill_allocation(
+    per_source: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    count_col: str = "c",
+) -> DataFrame:
+    """per_source(key, c) + integer budget -> (key, tokens_have,
+    tokens_alloc, capped).  T derivation over the ASCENDING count order:
+    the first position j (1-based) where cum_{j-1} + (n-j+1)*c_j > budget
+    marks the segment holding the water level; T = (budget - cum_{j-1})
+    DIV (n-j+1).  No such position means the whole corpus fits: T = max c.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(count_col).asc(), F.col(key_col).asc())
+    ranked = per_source.select(
+        F.col(key_col).alias("k"),
+        F.col(count_col).cast("long").alias("c"),
+        F.row_number().over(w).alias("j"),
+        F.coalesce(
+            F.sum(count_col).over(
+                Window.orderBy(F.col(count_col).asc(), F.col(key_col).asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("cum_before"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    # the boundary row (O(sources) rows: the single-partition windows are a
+    # dimension-table cost, not a data cost)
+    boundary = (
+        ranked.filter(
+            F.col("cum_before") + (F.col("n") - F.col("j") + 1) * F.col("c")
+            > F.lit(budget)
+        )
+        .orderBy("j")
+        .limit(1)
+        .select(
+            # pure BIGINT floor division (never a double on the way)
+            F.expr(f"({budget} - cum_before) div (n - j + 1)")
+            .cast("long")
+            .alias("t")
+        )
+    )
+    fallback = ranked.agg(F.max("c").alias("t"))
+    t_row = boundary.unionByName(fallback).limit(1)
+    return (
+        ranked.crossJoin(F.broadcast(t_row))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("c").alias("tokens_have"),
+            F.least(F.col("c"), F.col("t")).alias("tokens_alloc"),
+            (F.col("c") > F.col("t")).cast("int").alias("capped"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def waterfill_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: allocate a 70%-of-corpus token budget across
+    LANGUAGES (the fixture's lang counts are skewed — en is ~3x any other
+    — so both rule branches genuinely fire: small langs keep everything,
+    the head lang(s) clip to the water level; by-source would cap all 20
+    near-uniform sources identically and leave the kept-branch untested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("c")
+    )
+    total = per.agg(F.sum("c")).first()[0]
+    budget = (7 * int(total)) // 10  # exact 70% in integers on both engines
+    return waterfill_allocation(per, budget, key_col="lang")
+
+
+WATERFILL_BUDGET_SQL = """
+WITH per AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT (7 * sum(c)) // 10 AS budget FROM per
+), ranked AS (
+  SELECT lang, c,
+         row_number() OVER (ORDER BY c ASC, lang ASC) AS j,
+         CAST(coalesce(sum(c) OVER (ORDER BY c ASC, lang ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         count(*) OVER () AS n
+  FROM per
+), boundary AS (
+  SELECT (SELECT budget FROM tot) - cum_before AS num, n - j + 1 AS den
+  FROM ranked, tot
+  WHERE cum_before + (n - j + 1) * c > tot.budget
+  ORDER BY j LIMIT 1
+), level AS (
+  SELECT coalesce((SELECT num // den FROM boundary),
+                  (SELECT max(c) FROM ranked)) AS t
+)
+SELECT r.lang,
+       r.c AS tokens_have,
+       CAST(least(r.c, l.t) AS BIGINT) AS tokens_alloc,
+       CAST(r.c > l.t AS INT) AS capped
+FROM ranked r, level l
+ORDER BY r.lang
+"""
+
+
+QUERIES["waterfill_budget_docs"] = (waterfill_budget_docs, WATERFILL_BUDGET_SQL)

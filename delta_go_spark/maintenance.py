@@ -249,16 +249,9 @@ def cleanup_expired_logs(log: DeltaLog, retention_millis: int | None = None) -> 
     return deleted
 
 
-def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
-    """Bit-interleaved Z-value over `cols` as a Spark expression.
-
-    Each column is mapped to a 2^bits equal-width bucket between its
-    min/max (one tiny agg job), then the bucket bits are interleaved with
-    shiftleft/bitwiseOR — pure codegen, ANSI-safe (no arithmetic overflow
-    tricks).  Files written in Z-value order have tight min/max boxes in
-    EVERY clustered dimension, which is what makes multi-column
-    stats-skipping effective at scale.
-    """
+def _bucket_columns(df: DataFrame, cols: list[str], bits: int = 8):
+    """Equal-width 2^bits bucket ids per column between its min/max (one
+    tiny agg job) — shared by the Z-order interleave and the Hilbert walk."""
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
@@ -276,6 +269,20 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
             F.floor(frac * n_buckets).cast("long"),
         )
         bucket_cols.append(F.coalesce(b, F.lit(0).cast("long")))
+    return bucket_cols
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Bit-interleaved Z-value over `cols` as a Spark expression.
+
+    Each column is mapped to a 2^bits equal-width bucket between its
+    min/max (one tiny agg job), then the bucket bits are interleaved with
+    shiftleft/bitwiseOR — pure codegen, ANSI-safe (no arithmetic overflow
+    tricks).  Files written in Z-value order have tight min/max boxes in
+    EVERY clustered dimension, which is what makes multi-column
+    stats-skipping effective at scale.
+    """
+    bucket_cols = _bucket_columns(df, cols, bits)
     z = F.lit(0).cast("long")
     k = len(cols)
     for bit in range(bits):
@@ -283,6 +290,138 @@ def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
             src = F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(src, bit * k + j))
     return z
+
+
+def hilbert_index_expr(x, y, bits: int = 8):
+    """Hilbert-curve index d of a (x, y) grid cell, 2^bits per side, as a
+    pure-codegen Spark expression (the standard xy2d bit walk, unrolled).
+
+    Why offer it next to Z-order: consecutive Hilbert cells are ALWAYS
+    grid-neighbours (every step is Manhattan distance 1), while the Z
+    curve takes long diagonal jumps at quadrant boundaries — so files cut
+    from a Hilbert-sorted layout have strictly tighter min/max boxes on
+    average (the layout modern clustered tables use).  Exact for
+    non-negative integer cell coordinates below 2^bits; ANSI-safe (shift /
+    and / or / xor only, no overflow tricks).
+
+    CAUTION: the inlined tree QUADRUPLES per level — use only for small
+    `bits` (the locality audit's 4).  For real layouts use
+    with_hilbert_index, which stages each level as columns (linear plan).
+    """
+    one = F.lit(1).cast("long")
+    d = F.lit(0).cast("long")
+    x = x.cast("long")
+    y = y.cast("long")
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        sl = F.lit(s).cast("long")
+        rx = F.when(x.bitwiseAND(sl) > 0, one).otherwise(F.lit(0).cast("long"))
+        ry = F.when(y.bitwiseAND(sl) > 0, one).otherwise(F.lit(0).cast("long"))
+        d = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        # rotate the quadrant so the sub-curve enters/exits correctly:
+        # reflections and the swap read the PRE-update x and y
+        refl_x = F.when(rx == 1, F.lit(s - 1).cast("long") - x).otherwise(x)
+        refl_y = F.when(rx == 1, F.lit(s - 1).cast("long") - y).otherwise(y)
+        x, y = (
+            F.when(ry == 0, refl_y).otherwise(x),
+            F.when(ry == 0, refl_x).otherwise(y),
+        )
+    return d
+
+
+def with_hilbert_index(
+    df: DataFrame, x: str, y: str, out: str = "_h", bits: int = 8
+):
+    """df + Hilbert index column `out` over integer cell columns (x, y).
+
+    Stages each xy2d level's (x, y, d) state as REAL columns via one
+    select per level, so the plan grows LINEARLY in `bits`.  The
+    expression-only form (hilbert_index_expr) inlines the rewritten x/y
+    into every use and its tree QUADRUPLES per level — fine at the
+    locality audit's bits=4 (~256 nodes), pathological at bits=8 (~65k
+    nodes: Catalyst analysis alone runs minutes).  This is the form the
+    cluster rewrite uses."""
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    keep = df.columns
+    cur = df.select(
+        *keep,
+        F.col(x).cast("long").alias("_hx"),
+        F.col(y).cast("long").alias("_hy"),
+        zero.alias(out),
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        sl = F.lit(s).cast("long")
+        rx = F.when(F.col("_hx").bitwiseAND(sl) > 0, one).otherwise(zero)
+        ry = F.when(F.col("_hy").bitwiseAND(sl) > 0, one).otherwise(zero)
+        d_new = F.col(out) + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        refl_x = F.when(rx == 1, F.lit(s - 1).cast("long") - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        refl_y = F.when(rx == 1, F.lit(s - 1).cast("long") - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        cur = cur.select(
+            *keep,
+            F.when(ry == 0, refl_y).otherwise(F.col("_hx")).alias("_hx"),
+            F.when(ry == 0, refl_x).otherwise(F.col("_hy")).alias("_hy"),
+            d_new.alias(out),
+        )
+    return cur.drop("_hx", "_hy")
+
+
+def hilbert_index_sql(x: str, y: str, bits: int = 8) -> str:
+    """The SAME xy2d walk rendered as a scalar SQL expression usable by
+    BOTH engines (DuckDB oracle + Spark F.expr): xor spelled as
+    (a|b)-(a&b) because DuckDB's `^` is exponentiation, and every level's
+    x/y rewrite substituted inline so no engine-specific lateral-alias
+    behaviour can bite."""
+    d_terms: list[str] = []
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        a, b = f"(3 * {rx})", ry
+        d_terms.append(f"{s * s} * (({a} | {b}) - ({a} & {b}))")
+        nx = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - ({y}) ELSE ({y}) END) "
+            f"ELSE ({x}) END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s - 1} - ({x}) ELSE ({x}) END) "
+            f"ELSE ({y}) END)"
+        )
+        x, y = nx, ny
+    return "(" + " + ".join(d_terms) + ")"
+
+
+def zorder_index_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleaved Z-index as a shared-engine SQL expression (the
+    oracle-side twin of _zorder_column's interleave for 2 columns)."""
+    terms = []
+    for bit in range(bits):
+        terms.append(f"((({x} >> {bit}) & 1) << {2 * bit})")
+        terms.append(f"((({y} >> {bit}) & 1) << {2 * bit + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def hilbert_cluster(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    n_files: int | None = None,
+) -> int | None:
+    """OPTIMIZE ... CLUSTER BY hilbert(cols): the Hilbert-curve sibling of
+    zorder() — same bucketing, same dataChange=False rewrite, tighter
+    per-file min/max boxes (see hilbert_index_expr).  Exactly 2 columns
+    (the classic curve; higher dimensions need a Gray-code generalization
+    this engine does not claim)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_cluster requires exactly 2 columns")
+    return _cluster_rewrite(spark, table_path, cols, n_files, curve="hilbert")
 
 
 def zorder(
@@ -295,6 +434,16 @@ def zorder(
     (multi-dimensional clustering; single-column degenerates to a plain
     sort).  dataChange=False — readers see identical rows.
     """
+    return _cluster_rewrite(spark, table_path, cols, n_files, curve="z")
+
+
+def _cluster_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    curve: str = "z",
+) -> int | None:
     from delta_go_spark.datareader import files_to_df
     from delta_go_spark.writer import stage_files
 
@@ -311,11 +460,16 @@ def zorder(
     if any(c in pcols for c in cols):
         raise ValueError("zorder columns must be data columns, not partition columns")
     df = files_to_df(spark, snap, victims)
-    zcol = _zorder_column(df, cols)
     bins = n_files or max(1, len(victims) // 2)
+    if curve == "hilbert":
+        bx, by = _bucket_columns(df, cols)
+        keyed = with_hilbert_index(
+            df.withColumn("_bx", bx).withColumn("_by", by), "_bx", "_by", out="_z"
+        ).drop("_bx", "_by")
+    else:
+        keyed = df.withColumn("_z", _zorder_column(df, cols))
     clustered = (
-        df.withColumn("_z", zcol)
-        .repartitionByRange(int(bins), F.col("_z"))
+        keyed.repartitionByRange(int(bins), F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
     )
@@ -335,7 +489,10 @@ def zorder(
     return txn.commit(
         [*adds, *removes],
         ops.MANUAL_UPDATE,
-        operation_parameters={"operation": "ZORDER", "zOrderBy": ",".join(cols)},
+        operation_parameters={
+            "operation": "ZORDER" if curve == "z" else "HILBERT",
+            "zOrderBy": ",".join(cols),
+        },
     )
 
 

@@ -258,3 +258,95 @@ ORDER BY 1
 
 
 QUERIES["dpp_join_orders"] = (dpp_join_orders, DPP_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Space-filling-curve locality audit: the measurable reason this engine
+# offers OPTIMIZE ... CLUSTER BY hilbert(a, b) (maintenance.hilbert_cluster)
+# next to Z-order.  Both curves index the same 16x16 bucket grid over
+# (l_partkey, l_suppkey); cells are walked in curve order and the Manhattan
+# jump between consecutive cells is summed.  Hilbert's defining property is
+# max_jump == 1 (every consecutive pair of cells is a grid neighbour), so
+# files cut from a Hilbert-sorted layout have tighter min/max boxes —
+# Z-order pays long diagonal jumps at quadrant boundaries (max_jump 15+ on
+# this grid).  BOTH engines evaluate the IDENTICAL generated expression
+# string (maintenance.hilbert_index_sql / zorder_index_sql), so the oracle
+# cannot drift from the plan.  The 256-row single-partition window is over
+# CURVE CELLS (a constant of the layout config), never over data rows —
+# scale-independent by construction.
+def hilbert_locality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from delta_go_spark.maintenance import hilbert_index_sql, zorder_index_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(16)).cast("long").alias("cx"),
+        F.pmod(F.col("l_suppkey"), F.lit(16)).cast("long").alias("cy"),
+    ).distinct()
+    out = []
+    for method, sql in (
+        ("hilbert", hilbert_index_sql("cx", "cy", bits=4)),
+        ("zorder", zorder_index_sql("cx", "cy", bits=4)),
+    ):
+        idx = cells.select("cx", "cy", F.expr(sql).alias("idx"))
+        w = Window.orderBy("idx")
+        jumps = idx.select(
+            "idx", "cx", "cy",
+            (
+                F.abs(F.col("cx") - F.lag("cx").over(w))
+                + F.abs(F.col("cy") - F.lag("cy").over(w))
+            ).alias("jump"),
+        )
+        out.append(
+            jumps.agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum("jump").cast("long").alias("total_jump"),
+                F.max("jump").cast("long").alias("max_jump"),
+                F.sum(F.col("idx") * (F.col("cx") * 16 + F.col("cy")))
+                .cast("long")
+                .alias("map_checksum"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("method")
+
+
+def _locality_oracle_sql() -> str:
+    from delta_go_spark.maintenance import hilbert_index_sql, zorder_index_sql
+
+    def arm(method: str, sql: str) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(jump) AS BIGINT) AS total_jump,
+       CAST(max(jump) AS BIGINT) AS max_jump,
+       CAST(sum(idx * (cx * 16 + cy)) AS BIGINT) AS map_checksum
+FROM (
+  SELECT idx, cx, cy,
+         abs(cx - lag(cx) OVER (ORDER BY idx))
+         + abs(cy - lag(cy) OVER (ORDER BY idx)) AS jump
+  FROM (
+    SELECT cx, cy, {sql} AS idx
+    FROM (
+      SELECT DISTINCT l_partkey % 16 AS cx, l_suppkey % 16 AS cy
+      FROM lineitem
+    )
+  )
+)"""
+
+    return (
+        arm("hilbert", hilbert_index_sql("cx", "cy", bits=4))
+        + " UNION ALL "
+        + arm("zorder", zorder_index_sql("cx", "cy", bits=4))
+        + " ORDER BY method"
+    )
+
+
+HILBERT_LOCALITY_SQL = _locality_oracle_sql()
+
+
+QUERIES["hilbert_locality_lineitem"] = (
+    hilbert_locality_lineitem,
+    HILBERT_LOCALITY_SQL,
+)

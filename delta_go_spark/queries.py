@@ -92,6 +92,15 @@ _WINDOW: list = [
     # row displaces events_hourly_rollup (rollup_order_totals +
     # window_running_revenue keep the rollup/window classes in-window)
     (textops, ["inverted_index_docs", "inverted_index_incremental_docs"]),
+    # Hilbert-vs-Z locality audit (both engines evaluate the identical
+    # generated curve expressions); displaces window_topk_orders
+    # (window_running_revenue keeps the window class; lateral_topk +
+    # the pytest SAMPLE keep top-k gated)
+    (scalejoins, ["hilbert_locality_lineitem"]),
+    # water-filling token-budget allocator (max-min-fair mixture planning);
+    # displaces agg_event_users (the aggregate class keeps r9-green
+    # siblings stats_agg_lineitem + argmax_orders in evidence)
+    (sampling, ["waterfill_budget_docs"]),
     # --- NEW in round 10 ---
     (dedup, [
         "exactsubstr_dedup_docs",
@@ -103,13 +112,11 @@ _WINDOW: list = [
     (safety, ["contamination_report_docs"]),
     # --- last driver evidence: round 6 — the full remaining block ---
     (relational, [
-        "agg_event_users",
         "date_functions_orders",
         "join_semi_anti_suppliers",
         "rollup_order_totals",
         "setops_loyal_customers",
         "window_running_revenue",
-        "window_topk_orders",
     ]),
     (coverage, [
         "json_functions_events",

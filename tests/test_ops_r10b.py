@@ -219,3 +219,186 @@ def test_inverted_index_incremental_displaces_and_crosses_threshold(spark):
         assert (got[t]["df"], got[t]["cf"], got[t]["top_docs"]) == (
             batch[t]["df"], batch[t]["cf"], batch[t]["top_docs"]
         )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering — index correctness, the locality property, and the
+# OPTIMIZE CLUSTER BY rewrite
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    """Reference xy2d walk (Hilbert curve, standard formulation)."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference_everywhere(spark):
+    """All 256 cells at bits=4, plus a bits=8 diagonal sample — the Spark
+    Column walk and the shared-engine SQL string must BOTH reproduce the
+    reference transform exactly (the oracle evaluates the same string)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.maintenance import hilbert_index_expr, hilbert_index_sql
+
+    grid = spark.range(16).selectExpr("id AS x").crossJoin(
+        spark.range(16).selectExpr("id AS y")
+    )
+    rows = grid.select(
+        "x", "y",
+        hilbert_index_expr(F.col("x"), F.col("y"), bits=4).alias("d1"),
+        F.expr(hilbert_index_sql("x", "y", bits=4)).alias("d2"),
+    ).collect()
+    for r in rows:
+        want = _xy2d_ref(16, r["x"], r["y"])
+        assert r["d1"] == want and r["d2"] == want, (r["x"], r["y"])
+    # bits=8 along a non-trivial diagonal, via the staged-column form (the
+    # one the cluster rewrite uses; the inlined expr is exponential there)
+    from delta_go_spark.maintenance import with_hilbert_index
+
+    big = spark.range(256).select(
+        F.col("id").alias("x"), (F.lit(255) - F.col("id")).alias("y")
+    )
+    for r in with_hilbert_index(big, "x", "y", out="d", bits=8).collect():
+        assert r["d"] == _xy2d_ref(256, r["x"], r["y"])
+
+
+def test_hilbert_every_step_is_a_grid_neighbour(spark):
+    """The property Z-order lacks: walking a FULL grid in Hilbert order,
+    every consecutive pair is at Manhattan distance exactly 1 (on a SPARSE
+    cell set — sf0.001 — gaps make jumps >1, so the full-grid property is
+    pinned synthetically and the fixture slice comparatively)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.maintenance import hilbert_index_expr
+    from delta_go_spark.queries import queries
+
+    grid = spark.range(16).selectExpr("id AS x").crossJoin(
+        spark.range(16).selectExpr("id AS y")
+    )
+    walk = sorted(
+        (r["d"], r["x"], r["y"])
+        for r in grid.select(
+            "x", "y", hilbert_index_expr(F.col("x"), F.col("y"), bits=4).alias("d")
+        ).collect()
+    )
+    steps = [
+        abs(a[1] - b[1]) + abs(a[2] - b[2]) for a, b in zip(walk, walk[1:])
+    ]
+    assert max(steps) == 1 and sum(steps) == 255
+    # fixture slice: hilbert locality strictly beats zorder whatever cells
+    # the sf carries
+    got = {r["method"]: r for r in queries()["hilbert_locality_lineitem"](
+        spark, SF_DIR
+    ).collect()}
+    assert got["hilbert"]["n_cells"] == got["zorder"]["n_cells"]
+    assert got["zorder"]["total_jump"] > got["hilbert"]["total_jump"]
+
+
+def test_hilbert_cluster_tightens_both_dimensions(spark, tmp_path):
+    """OPTIMIZE CLUSTER BY hilbert(x, y): same contract as the Z-order
+    rewrite (dataChange=False, per-file min/max boxes narrow in BOTH
+    dimensions), and the history records the HILBERT operation."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.maintenance import hilbert_cluster
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "th")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    DeltaTable.create(spark, path, df)
+    t = DeltaTable.for_path(spark, path)
+    v = hilbert_cluster(spark, path, ["x", "y"], n_files=4)
+    assert v is not None
+    snap = t.log.update()
+    stats = [json.loads(a.stats) for a in snap.all_files() if a.stats]
+    assert len(stats) >= 3
+    assert sum(s["numRecords"] for s in stats) == 4096
+    for s in stats:
+        dx = s["maxValues"]["x"] - s["minValues"]["x"]
+        dy = s["maxValues"]["y"] - s["minValues"]["y"]
+        assert dx < 63 or dy < 63
+    narrow_x = sum(1 for s in stats if s["maxValues"]["x"] - s["minValues"]["x"] <= 32)
+    narrow_y = sum(1 for s in stats if s["maxValues"]["y"] - s["minValues"]["y"] <= 32)
+    assert narrow_x >= 1 and narrow_y >= 1
+    assert t.to_df().count() == 4096
+    assert (
+        t.log.commit_info_at(snap.version).operation_parameters["operation"]
+        == "HILBERT"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hilbert_cluster(spark, path, ["x"])  # exactly-2-columns contract
+
+
+# ---------------------------------------------------------------------------
+# waterfill_allocation — max-min-fair budget capping
+
+
+def test_waterfill_caps_at_exact_water_level(spark):
+    """counts (10, 20, 100), budget 60: keep 10 and 20 fully, cap the big
+    source at T = (60-30)//1 = 30."""
+    from delta_go_spark.functions.sampling import waterfill_allocation
+
+    per = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 100)], "source string, c long"
+    )
+    got = {r["source"]: r for r in waterfill_allocation(per, 60).collect()}
+    assert (got["a"]["tokens_alloc"], got["a"]["capped"]) == (10, 0)
+    assert (got["b"]["tokens_alloc"], got["b"]["capped"]) == (20, 0)
+    assert (got["c"]["tokens_alloc"], got["c"]["capped"]) == (30, 1)
+
+
+def test_waterfill_whole_corpus_fits(spark):
+    """budget >= total: nothing capped, T falls back to max(c)."""
+    from delta_go_spark.functions.sampling import waterfill_allocation
+
+    per = spark.createDataFrame([("a", 5), ("b", 7)], "source string, c long")
+    got = {r["source"]: r for r in waterfill_allocation(per, 12).collect()}
+    assert all(r["capped"] == 0 for r in got.values())
+    assert sum(r["tokens_alloc"] for r in got.values()) == 12
+
+
+def test_waterfill_level_splits_between_equal_sources(spark):
+    """Equal oversized sources share the remaining budget equally (the
+    max-min-fair property): counts (4, 50, 50), budget 24 -> T = 10."""
+    from delta_go_spark.functions.sampling import waterfill_allocation
+
+    per = spark.createDataFrame(
+        [("a", 4), ("b", 50), ("c", 50)], "source string, c long"
+    )
+    got = {r["source"]: r for r in waterfill_allocation(per, 24).collect()}
+    assert got["a"]["tokens_alloc"] == 4
+    assert got["b"]["tokens_alloc"] == got["c"]["tokens_alloc"] == 10
+    # allocations never exceed the budget, and fill it up to integer slack
+    assert sum(r["tokens_alloc"] for r in got.values()) == 24
+
+
+def test_waterfill_fixture_exercises_both_branches(spark):
+    """At sf0.01 the lang-stratified allocation must carry BOTH kept and
+    capped rows (en is ~3x any other lang) — at sf0.001 sizes even out and
+    everything caps, which is why the registry query runs on lang, not
+    source."""
+    from delta_go_spark.functions.sampling import waterfill_budget_docs
+
+    rows = waterfill_budget_docs(spark, "/root/testdata/sf0.01").collect()
+    capped = [r for r in rows if r["capped"] == 1]
+    kept = [r for r in rows if r["capped"] == 0]
+    assert capped and kept
+    # every capped row sits exactly at the shared water level
+    assert len({r["tokens_alloc"] for r in capped}) == 1

@@ -152,6 +152,8 @@ SAMPLE = [
     "profile_table_docs",
     "inverted_index_docs",
     "inverted_index_incremental_docs",
+    "hilbert_locality_lineitem",
+    "waterfill_budget_docs",
     # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
     # bucketed_join and dpp_join were displaced below the window in round
     # 10 while their modules' cache plumbing changed — they are already in
@@ -234,18 +236,18 @@ def test_round10_queries_in_window():
         "profile_table_docs",
         "inverted_index_docs",
         "inverted_index_incremental_docs",
+        "hilbert_locality_lineitem",
+        "waterfill_budget_docs",
         # late r9, never driver-checked (+ r10 divisor clamp / verbatim-SQL
         # embed)
         "editdist_near_dup_docs",
         "contamination_report_docs",
         # the stalest driver evidence (last green round 6) — full block
-        "agg_event_users",
         "date_functions_orders",
         "join_semi_anti_suppliers",
         "rollup_order_totals",
         "setops_loyal_customers",
         "window_running_revenue",
-        "window_topk_orders",
         "json_functions_events",
         "null_semantics_orders",
         "unpivot_order_flags",
