@@ -961,3 +961,66 @@ PROFILE_TABLE_SQL = (
 
 
 QUERIES["profile_table_docs"] = (profile_table_docs, PROFILE_TABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the optimizer-stats companion to profile_table):
+# B buckets each holding an equal share of the rows, with per-bucket
+# min/max/count — what a cost-based optimizer stores per column, and what
+# range-partition planners use to pick split points.  The global rank runs
+# through the repo's two-pass range-partitioned prefix (_global_prefix in
+# functions/sampling.py) — never an un-partitioned window — so the plan
+# survives 100 TB; bucket = ((rank-1) * B) DIV N in pure BIGINT on both
+# engines (NOT ntile: its remainder-to-leading-buckets rule is engine-easy
+# but this closed form is the one the allocator math composes with).
+def equidepth_histogram(
+    df: DataFrame, value_col: str, id_col: str, buckets: int = 8
+) -> DataFrame:
+    from delta_go_spark.functions.sampling import _global_prefix
+
+    ranked, total, _ = _global_prefix(
+        df.select(value_col, id_col),
+        [F.col(value_col).asc(), F.col(id_col).asc()],
+        return_totals=True,
+    )
+    b = F.expr(f"((_grn - 1) * {buckets}) div {int(total)}").alias("bucket")
+    return (
+        ranked.select(b, value_col, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+            F.sum(id_col).alias("id_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equidepth_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equidepth_histogram(
+        load_table(spark, sf_dir, "documents"), "n_chars", "doc_id"
+    )
+
+
+EQUIDEPTH_HISTOGRAM_SQL = """
+WITH ranked AS (
+  SELECT n_chars, doc_id,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT ((rn - 1) * 8) // n AS bucket,
+       count(*) AS n_rows,
+       min(n_chars) AS min_val,
+       max(n_chars) AS max_val,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["equidepth_histogram_docs"] = (
+    equidepth_histogram_docs,
+    EQUIDEPTH_HISTOGRAM_SQL,
+)

@@ -1046,3 +1046,70 @@ ORDER BY s_nationkey
 
 
 QUERIES["delta_restore_agg"] = (delta_restore_agg, DELTA_RESTORE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ... CLUSTER BY hilbert under driver evidence: orders ingested in
+# 4 appends, bin-packed, then HILBERT-clustered on (o_custkey,
+# o_totalprice) with dataChange=False.  The query reads the maintained
+# table through a two-sided range box (exactly the shape Hilbert layouts
+# keep skippable in BOTH dimensions) while the oracle aggregates the raw
+# parquet — a hash match proves the curve rewrite lost/duplicated/mutated
+# nothing, the same contract delta_optimize_agg pins for Z-order.
+def delta_hilbert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark.writer import write_dataframe
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_CACHE_ROOT, key, "orders_hilbert")
+
+    def build() -> None:
+        from delta_go_spark.maintenance import hilbert_cluster, optimize
+
+        orders = load_table(spark, sf_dir, "orders")
+        write_dataframe(orders.filter(F.col("o_orderkey") % 4 == 0), path)
+        t = DeltaTable.for_path(spark, path)
+        for rem in (1, 2, 3):
+            t.append(orders.filter(F.col("o_orderkey") % 4 == rem))
+        v_opt = optimize(spark, path, min_files=2)
+        v_h = hilbert_cluster(spark, path, ["o_custkey", "o_totalprice"])
+        if (v_opt, v_h) != (4, 5):
+            raise RuntimeError(
+                f"orders_hilbert fixture built unexpected versions "
+                f"(optimize={v_opt}, hilbert={v_h})"
+            )
+
+    _ensure_built(path, 5, build, sf_dir=sf_dir, tables=("orders",))
+    t = DeltaTable.for_path(spark, path)
+    return (
+        t.to_df()
+        .filter(
+            (F.col("o_custkey") >= 200)
+            & (F.col("o_custkey") < 800)
+            & (F.col("o_totalprice") >= 50000.0)
+            & (F.col("o_totalprice") < 200000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DELTA_HILBERT_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_custkey >= 200 AND o_custkey < 800
+  AND o_totalprice >= 50000.0 AND o_totalprice < 200000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["delta_hilbert_agg"] = (delta_hilbert_agg, DELTA_HILBERT_SQL)

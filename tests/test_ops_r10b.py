@@ -402,3 +402,45 @@ def test_waterfill_fixture_exercises_both_branches(spark):
     assert capped and kept
     # every capped row sits exactly at the shared water level
     assert len({r["tokens_alloc"] for r in capped}) == 1
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram — optimizer-stats buckets via the two-pass global rank
+
+
+def test_equidepth_buckets_are_equal_depth_and_ordered(spark):
+    """1000 rows / 8 buckets -> exactly 125 rows per bucket, and bucket
+    value ranges must tile the domain in order (max of bucket b <= min of
+    bucket b+1 under the total order)."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.operators.coverage import equidepth_histogram
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("v"), F.col("id").alias("k")
+    )
+    rows = equidepth_histogram(df, "v", "k", buckets=8).collect()
+    assert [r["bucket"] for r in rows] == list(range(8))
+    assert all(r["n_rows"] == 125 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_val"] <= b["min_val"]
+    assert sum(r["id_checksum"] for r in rows) == sum(range(1000))
+
+
+def test_equidepth_plan_never_single_task_window(spark):
+    """The global rank must run through the range-partitioned two-pass,
+    not an un-partitioned window (the 100 TB order-statistic rule)."""
+    import re
+
+    from delta_go_spark.queries import queries
+
+    plan = (
+        queries()["equidepth_histogram_docs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec

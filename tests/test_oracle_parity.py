@@ -154,6 +154,8 @@ SAMPLE = [
     "inverted_index_incremental_docs",
     "hilbert_locality_lineitem",
     "waterfill_budget_docs",
+    "delta_hilbert_agg",  # late r10, below-window: r11 head
+    "equidepth_histogram_docs",  # late r10, below-window: r11 head
     # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
     # bucketed_join and dpp_join were displaced below the window in round
     # 10 while their modules' cache plumbing changed — they are already in
