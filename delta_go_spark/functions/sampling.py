@@ -1528,16 +1528,21 @@ def waterfill_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(per, budget, key_col="lang")
 
 
-WATERFILL_BUDGET_SQL = """
+def waterfill_sql(per_cte: str, budget_expr: str, key: str) -> str:
+    """Render the water-filling oracle over any (key, c) CTE — THE single
+    definition of the SQL-side rule, shared by the registry oracle and the
+    hypothesis property tests (so the invariant suite and the driver gate
+    can never drift apart).  `per_cte` must yield columns ({key}, c);
+    `budget_expr` is evaluated over `per`."""
+    return f"""
 WITH per AS (
-  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
-  FROM documents GROUP BY lang
+  {per_cte}
 ), tot AS (
-  SELECT (7 * sum(c)) // 10 AS budget FROM per
+  SELECT {budget_expr} AS budget FROM per
 ), ranked AS (
-  SELECT lang, c,
-         row_number() OVER (ORDER BY c ASC, lang ASC) AS j,
-         CAST(coalesce(sum(c) OVER (ORDER BY c ASC, lang ASC
+  SELECT {key}, c,
+         row_number() OVER (ORDER BY c ASC, {key} ASC) AS j,
+         CAST(coalesce(sum(c) OVER (ORDER BY c ASC, {key} ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS cum_before,
          count(*) OVER () AS n
@@ -1551,13 +1556,21 @@ WITH per AS (
   SELECT coalesce((SELECT num // den FROM boundary),
                   (SELECT max(c) FROM ranked)) AS t
 )
-SELECT r.lang,
+SELECT r.{key},
        r.c AS tokens_have,
        CAST(least(r.c, l.t) AS BIGINT) AS tokens_alloc,
        CAST(r.c > l.t AS INT) AS capped
 FROM ranked r, level l
-ORDER BY r.lang
+ORDER BY r.{key}
 """
+
+
+WATERFILL_BUDGET_SQL = waterfill_sql(
+    "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c"
+    " FROM documents GROUP BY lang",
+    "(7 * sum(c)) // 10",
+    "lang",
+)
 
 
 QUERIES["waterfill_budget_docs"] = (waterfill_budget_docs, WATERFILL_BUDGET_SQL)

@@ -357,3 +357,95 @@ def test_global_prefix_matches_sorted_replay(items, nparts):
         run += v
         expected[i] = (pos, run)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-10 pure-logic properties, evaluated through DuckDB (no Spark job per
+# example): the Hilbert curve SQL rendering and the water-filling rule.
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+@given(
+    bits=st.integers(min_value=1, max_value=6),
+    pts=st.lists(
+        st.tuples(st.integers(0, 63), st.integers(0, 63)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_hilbert_sql_matches_reference(bits, pts):
+    """The shared-engine SQL rendering of the xy2d walk equals the
+    reference transform for arbitrary in-range cells and curve orders —
+    the string both the Spark plan and the DuckDB oracle evaluate."""
+    import duckdb
+
+    from delta_go_spark.maintenance import hilbert_index_sql
+
+    n = 1 << bits
+    pts = [(x % n, y % n) for x, y in pts]
+    con = duckdb.connect()
+    values = ", ".join(f"({x}, {y})" for x, y in pts)
+    sql = hilbert_index_sql("x", "y", bits=bits)
+    rows = con.execute(
+        f"SELECT x, y, {sql} AS d FROM (VALUES {values}) AS t(x, y)"
+    ).fetchall()
+    for x, y, d in rows:
+        assert d == _xy2d_ref(n, x, y)
+    # and d is a bijection onto [0, n^2) — check on the points we have
+    assert len({d for _, _, d in rows}) == len({(x, y) for x, y, _ in rows})
+
+
+@given(
+    counts=st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
+    budget=st.integers(0, 60_000),
+)
+@settings(max_examples=80, deadline=None)
+def test_waterfill_sql_invariants(counts, budget):
+    """For ANY per-key counts and budget, the SQL rule must satisfy the
+    max-min-fair contract: allocations never exceed holdings; capped keys
+    share one water level T; kept keys hold at most T; the total spend is
+    within the budget with integer slack < number of capped keys (floor
+    division leftover), and equals the full corpus when the budget covers
+    it."""
+    import duckdb
+
+    from delta_go_spark.functions.sampling import waterfill_sql
+
+    con = duckdb.connect()
+    values = ", ".join(f"('k{i:02d}', {c})" for i, c in enumerate(counts))
+    sql = waterfill_sql(
+        f"SELECT k, CAST(c AS BIGINT) AS c FROM (VALUES {values}) AS t(k, c)",
+        str(budget),
+        "k",
+    )
+    rows = con.execute(sql).fetchall()
+    total = sum(counts)
+    alloc = {k: a for k, _, a, _ in rows}
+    capped = {k for k, _, _, f in rows if f == 1}
+    have = {k: c for k, c, _, _ in rows}
+    assert all(alloc[k] <= have[k] for k in alloc)
+    if budget >= total:
+        assert not capped and sum(alloc.values()) == total
+    else:
+        levels = {alloc[k] for k in capped}
+        assert len(levels) == 1
+        t = levels.pop()
+        assert all(have[k] <= t for k in alloc if k not in capped)
+        spent = sum(alloc.values())
+        assert spent <= budget
+        assert budget - spent < len(capped)  # floor-division slack bound
