@@ -300,6 +300,17 @@ class DeltaDml:
             )
         if insert_set and not insert_not_matched:
             raise ValueError("insert_set requires insert_not_matched=True")
+        # NULL merge keys never equi-match: a NULL-key source row would
+        # silently skip every matched clause AND pass the insert anti-join
+        # on every retry — re-inserted per batch in a streaming upsert.
+        # Refuse loudly (one limit(1) probe on the small source side).
+        if source.filter(F.col(on).isNull()).limit(1).count():
+            raise DeltaError(
+                f"MERGE: source contains NULL '{on}' keys; NULL never "
+                f"equi-matches, so matched clauses would silently skip and "
+                f"inserts would duplicate on replay — coalesce the key to a "
+                f"sentinel or filter NULLs before merging"
+            )
         log, txn, snap = self._begin()
         if (
             txn_app_id is not None

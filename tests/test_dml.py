@@ -460,3 +460,20 @@ def test_scd2_merge_batch_rejects_negative_or_null_keys(spark, tmp_path):
         scd2_merge_batch(t, null_key, "k", epoch=1)
     # dimension untouched by the refused batches
     assert DeltaTable.for_path(spark, path).to_df().count() == 4
+
+
+def test_merge_refuses_null_source_keys(spark, tmp_path):
+    """NULL keys never equi-match: matched clauses would silently skip and
+    the insert anti-join would re-insert the row on EVERY replay (the
+    streaming-upsert duplicate trap) — the merge must refuse loudly."""
+    from delta_go_spark.snapshot import DeltaError
+
+    path = str(tmp_path / "tnull")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, 10)], "k long, v long")
+    )
+    bad = spark.createDataFrame([(None, 99), (2, 20)], "k long, v long")
+    with pytest.raises(DeltaError, match="NULL"):
+        t.merge(bad, on="k", update_set={"v": F.col("_s_v")})
+    # table unchanged — the refusal happened before any commit
+    assert [(r["k"], r["v"]) for r in t.to_df().collect()] == [(1, 10)]
