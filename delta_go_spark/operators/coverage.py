@@ -757,14 +757,17 @@ QUERIES["json_functions_events"] = (json_functions_events, JSON_FUNCS_SQL)
 # measured query is two format scans + two partial-aggregable groupBys
 # + one tiny source-key join.  Checksum = sum of the md5-prefix integer
 # of (doc_id ':' text) — order-free, integer-exact on both engines.
-def _export_census(root: str) -> str:
-    """Sorted data-file (basename, size) pairs of both export dirs — one
+def _export_census(root: str, subs: tuple = ("jsonl", "csv")) -> str:
+    """Sorted data-file (basename, size) pairs of the export dirs — one
     line, cheap to recompute from os.listdir + os.stat; sizes included so
-    a truncated part file (name intact, bytes gone) also invalidates."""
+    a truncated part file (name intact, bytes gone) also invalidates.
+    `subs` MUST name the caller's actual export subdirs: a census over the
+    wrong subdirs is the empty string, matches forever, and serves reaped
+    caches silently (caught by the orc reap test)."""
     import os
 
     names = []
-    for sub in ("jsonl", "csv"):
+    for sub in subs:
         d = os.path.join(root, sub)
         if os.path.isdir(d):
             names.extend(
@@ -790,8 +793,10 @@ def _format_copies(spark: SparkSession, sf_dir: str) -> str:
     # gone) must rebuild, never silently aggregate a subset
     if os.path.exists(done):
         with open(done) as f:
-            if f.read().strip() == _export_census(root):
-                return root
+            stored = f.read().strip()
+        # empty census = no data files = never a valid export
+        if stored and stored == _export_census(root):
+            return root
         shutil.rmtree(root, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -904,7 +909,7 @@ QUERIES["multiformat_ingest_docs"] = (
 # the exact path.
 def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
     ndv = F.countDistinct if exact else F.approx_count_distinct
-    aggs = [F.count(F.lit(1)).alias("_rows")]
+    aggs = [F.count(F.lit(1)).alias("__pt_rows")]  # underscored: cannot collide with a profiled column (Spark rejects duplicate agg aliases otherwise)
     for c in df.columns:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
@@ -923,7 +928,7 @@ def profile_table(df: DataFrame, exact: bool = True) -> DataFrame:
         parts.append(
             F.struct(
                 F.lit(c).alias("column_name"),
-                F.col("_rows").alias("n_rows"),
+                F.col("__pt_rows").alias("n_rows"),
                 F.col(f"{c}__nulls").alias("n_nulls"),
                 F.col(f"{c}__ndv").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_val"),
@@ -1024,3 +1029,76 @@ QUERIES["equidepth_histogram_docs"] = (
     equidepth_histogram_docs,
     EQUIDEPTH_HISTOGRAM_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip: the third source format (after multiformat's JSONL/CSV),
+# exercised with the SAME rigor — content-signed export cache with a census
+# marker, explicit read schema (no inference job), and an oracle over the
+# ORIGINAL parquet so the hash proves the ORC writer+reader lost nothing.
+# ORC is the one columnar alternative Spark ships built-in, and the format
+# most likely to appear next to parquet in a 100 TB lake migration.
+def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+
+    from delta_go_spark.session import fixture_cache_path, fixture_sig
+
+    root = fixture_cache_path(
+        "format", sf_dir, f"docs_orc_{fixture_sig(sf_dir, 'documents')}"
+    )
+    done = os.path.join(root, "_BUILT")
+    if os.path.exists(done):
+        with open(done) as f:
+            stored = f.read().strip()
+        # empty census = no data files = never a valid export
+        if stored and stored == _export_census(root, subs=("orc",)):
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text", "n_chars"
+    )
+    docs.write.mode("overwrite").orc(os.path.join(root, "orc"))
+    census = _export_census(root, subs=("orc",))
+    with open(done, "w") as f:
+        f.write(census + "\n")  # written LAST: a crash mid-build rebuilds
+    return root
+
+
+def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = _orc_copy(spark, sf_dir)
+    back = spark.read.schema(
+        "doc_id long, source string, lang string, text string, n_chars long"
+    ).orc(os.path.join(root, "orc"))
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") * F.length("text")).alias("content_checksum"),
+            # md5 prefix as BIGINT: byte-level text fidelity both engines
+            # can compute (DuckDB parses hex via the 0x-concat cast)
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            ).alias("text_hashsum"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(doc_id * length(text)) AS BIGINT) AS content_checksum,
+       CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+         AS BIGINT) AS text_hashsum
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["orc_roundtrip_docs"] = (orc_roundtrip_docs, ORC_ROUNDTRIP_SQL)

@@ -444,3 +444,30 @@ def test_equidepth_plan_never_single_task_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+# ---------------------------------------------------------------------------
+# orc_roundtrip — third-format fidelity
+
+
+def test_orc_roundtrip_rebuilds_on_reaped_cache(spark, tmp_path, monkeypatch):
+    """The census marker must force a rebuild when the export files are
+    reaped behind the marker's back (the /tmp-cleaner hazard the JSONL/CSV
+    round-trip already guards)."""
+    import os
+    import shutil
+
+    from delta_go_spark.operators.coverage import _orc_copy, orc_roundtrip_docs
+
+    root = _orc_copy(spark, SF_DIR)
+    before = orc_roundtrip_docs(spark, SF_DIR).collect()
+    # reap one data file, keep the marker
+    orc_dir = os.path.join(root, "orc")
+    victim = next(
+        f for f in os.listdir(orc_dir) if f.endswith(".orc") or f.startswith("part-")
+    )
+    os.remove(os.path.join(orc_dir, victim))
+    root2 = _orc_copy(spark, SF_DIR)  # must detect + rebuild
+    after = orc_roundtrip_docs(spark, SF_DIR).collect()
+    assert root2 == root
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -156,10 +156,15 @@ SAMPLE = [
     "waterfill_budget_docs",
     "delta_hilbert_agg",  # late r10, below-window: r11 head
     "equidepth_histogram_docs",  # late r10, below-window: r11 head
+    "orc_roundtrip_docs",  # late r10, below-window: r11 head
     # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
     # bucketed_join and dpp_join were displaced below the window in round
     # 10 while their modules' cache plumbing changed — they are already in
-    # this SAMPLE from earlier rounds, which stays their gate)
+    # this SAMPLE from earlier rounds, which stays their gate; ditto
+    # multiformat_ingest after the late-r10 census-guard touch to
+    # _format_copies — the only behavioral delta there is the
+    # empty-stored-census refusal, unreachable for a completed JSONL/CSV
+    # build, and the full check_parity sweep re-ran green after it)
 ]
 
 
