@@ -471,3 +471,79 @@ def test_orc_roundtrip_rebuilds_on_reaped_cache(spark, tmp_path, monkeypatch):
     after = orc_roundtrip_docs(spark, SF_DIR).collect()
     assert root2 == root
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_hilbert_cluster_improves_2d_stats_skipping(spark, tmp_path):
+    """The Hilbert layout's 100 TB payoff, pinned with the scan's own skip
+    counter: after CLUSTER BY hilbert(x, y), a BOX predicate on the two
+    clustered columns skips files the hash-spread layout could not — and
+    the skipped+hit row content is unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from delta_go_spark.expressions import (
+        And,
+        Column,
+        GreaterThanOrEq,
+        LessThan,
+        Literal,
+    )
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.maintenance import hilbert_cluster
+    from delta_go_spark.session import load_table
+    from delta_go_spark.writer import write_dataframe
+
+    path = str(tmp_path / "orders_h")
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_dataframe(orders.repartition(8, "o_orderkey"), path)
+
+    pred = And(
+        And(
+            GreaterThanOrEq(Column("o_custkey", LongType()), Literal(100)),
+            LessThan(Column("o_custkey", LongType()), Literal(400)),
+        ),
+        And(
+            GreaterThanOrEq(
+                Column("o_totalprice", LongType()), Literal(50000)
+            ),
+            LessThan(Column("o_totalprice", LongType()), Literal(150000)),
+        ),
+    )
+
+    def skipped():
+        scan = DeltaLog.for_table(path).snapshot().scan(pred)
+        n = sum(1 for _ in scan.files())
+        return scan.files_skipped_by_stats, n
+
+    before_skipped, before_hit = skipped()
+    assert before_skipped == 0  # hash layout: every file spans the box
+
+    assert hilbert_cluster(
+        spark, path, ["o_custkey", "o_totalprice"], n_files=8
+    ) == 1
+    after_skipped, after_hit = skipped()
+    assert after_skipped > 0
+    assert after_hit < before_hit
+    got = (
+        DeltaLog.for_table(path)
+        .snapshot()
+        .scan(pred)
+        .to_df(spark)
+        .filter(
+            (F.col("o_custkey") >= 100) & (F.col("o_custkey") < 400)
+            & (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000)
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("cks"))
+        .first()
+    )
+    want = (
+        orders.filter(
+            (F.col("o_custkey") >= 100) & (F.col("o_custkey") < 400)
+            & (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000)
+        )
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .first()
+    )
+    assert (got["n"], got["cks"]) == tuple(want)
