@@ -1113,3 +1113,45 @@ ORDER BY o_orderpriority
 
 
 QUERIES["delta_hilbert_agg"] = (delta_hilbert_agg, DELTA_HILBERT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregation under driver evidence: COUNT + numeric MIN/MAX
+# answered ENTIRELY from AddFile statistics (O(#files) driver work, zero
+# data scan — the query a lakehouse answers in milliseconds on a 100 TB
+# table).  The oracle aggregates the raw parquet, so a hash match proves
+# the log's stats agree with the data they describe — exercising the
+# writer's stats contract (writer.py), the checkpoint round-trip, and the
+# stats parser in one row.
+def delta_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_go_spark.scan import metadata_only_count, metadata_only_min_max
+
+    snap = _delta_copy(spark, sf_dir, "documents")
+    n = metadata_only_count(snap, spark=spark)
+    mm = metadata_only_min_max(snap, ["doc_id", "n_chars"], spark=spark)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(mm["doc_id"][0]),
+                int(mm["doc_id"][1]),
+                int(mm["n_chars"][0]),
+                int(mm["n_chars"][1]),
+            )
+        ],
+        "n_rows long, min_doc_id long, max_doc_id long, "
+        "min_chars long, max_chars long",
+    )
+
+
+DELTA_METADATA_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+QUERIES["delta_metadata_agg"] = (delta_metadata_agg, DELTA_METADATA_SQL)

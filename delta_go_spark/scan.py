@@ -368,3 +368,78 @@ def metadata_only_count(snapshot, predicate=None, spark=None) -> int:
 
         total += files_to_df(spark, snapshot, statless).count()
     return total
+
+
+def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
+    """Exact per-column (min, max) from log statistics — no data scan.
+
+    The companion to metadata_only_count: the global min of per-file mins
+    (and max of maxes) is exact because every row lives in exactly one
+    active file.  Files where the column is entirely NULL (nullCount ==
+    numRecords) contribute nothing; files MISSING the column's stats while
+    holding non-null rows are scanned individually when a SparkSession is
+    supplied, else the call refuses.
+
+    STRING/BINARY columns are refused outright: parquet writers may
+    truncate long min/max statistics, and a truncated max understates the
+    real one — numeric/date stats are always exact.  reference: the
+    reference carries AddFile.Stats unparsed (parquet_marshaller.go:114);
+    this surface exceeds it.
+    """
+    schema = snapshot.metadata().schema()
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"unknown column {c!r}")
+        if by_name[c] in ("string", "binary"):
+            raise ValueError(
+                f"metadata-only min/max refuses {c!r} ({by_name[c]}): "
+                "parquet string statistics may be truncated; scan instead"
+            )
+    out = {c: [None, None] for c in cols}
+    statless: dict[str, list] = {c: [] for c in cols}
+    for add in snapshot.all_files():
+        stats = {}
+        if add.stats:
+            try:
+                stats = json.loads(add.stats)
+            except (ValueError, TypeError):
+                stats = {}
+        num = stats.get("numRecords")
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        if num == 0:
+            continue  # empty part file (no rows, no per-column stats)
+        for c in cols:
+            if num is not None and nulls.get(c) == num:
+                continue  # all-NULL file: contributes no min/max
+            if c in mins and c in maxs:
+                lo, hi = out[c]
+                out[c][0] = mins[c] if lo is None else min(lo, mins[c])
+                out[c][1] = maxs[c] if hi is None else max(hi, maxs[c])
+            else:
+                statless[c].append(add)
+    missing = {c: fs for c, fs in statless.items() if fs}
+    if missing:
+        if spark is None:
+            raise ValueError(
+                f"files lack min/max stats for {sorted(missing)} and no "
+                "SparkSession was supplied to scan them"
+            )
+        from pyspark.sql import functions as F
+
+        from delta_go_spark.datareader import files_to_df
+
+        for c, fs in missing.items():
+            row = (
+                files_to_df(spark, snapshot, fs)
+                .agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+                .first()
+            )
+            for val, i, pick in ((row["mn"], 0, min), (row["mx"], 1, max)):
+                if val is None:
+                    continue
+                cur = out[c][i]
+                out[c][i] = val if cur is None else pick(cur, val)
+    return {c: tuple(v) for c, v in out.items()}

@@ -547,3 +547,60 @@ def test_hilbert_cluster_improves_2d_stats_skipping(spark, tmp_path):
         .first()
     )
     assert (got["n"], got["cks"]) == tuple(want)
+
+
+# ---------------------------------------------------------------------------
+# metadata_only_min_max — log-stats aggregation edge cases
+
+
+def test_metadata_minmax_allnull_file_and_string_refusal(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.scan import metadata_only_min_max
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tmm")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], "k long, v long, s string"),
+    )
+    t = DeltaTable.for_path(spark, path)
+    # a file where v is entirely NULL must contribute nothing to (min, max)
+    t.append(
+        spark.createDataFrame(
+            [(3, None, "c")], "k long, v long, s string"
+        )
+    )
+    snap = DeltaLog.for_table(path).update()
+    mm = metadata_only_min_max(snap, ["k", "v"])
+    assert mm["k"] == (1, 3)
+    assert mm["v"] == (10, 20)  # the all-NULL file did not poison the range
+    import pytest as _p
+
+    with _p.raises(ValueError, match="truncat"):
+        metadata_only_min_max(snap, ["s"])  # strings refused (truncation)
+    with _p.raises(ValueError, match="unknown"):
+        metadata_only_min_max(snap, ["zzz"])
+
+
+def test_metadata_agg_matches_scan(spark):
+    """The registry row's substance: log-stats answers == data-scan answers
+    on the fixture Delta copy."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.operators.delta_queries import delta_metadata_agg
+    from delta_go_spark.session import load_table
+
+    got = delta_metadata_agg(spark, SF_DIR).first()
+    want = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(
+            F.count(F.lit(1)),
+            F.min("doc_id"), F.max("doc_id"),
+            F.min("n_chars"), F.max("n_chars"),
+        )
+        .first()
+    )
+    assert tuple(got) == tuple(want)

@@ -157,6 +157,7 @@ SAMPLE = [
     "delta_hilbert_agg",  # late r10, below-window: r11 head
     "equidepth_histogram_docs",  # late r10, below-window: r11 head
     "orc_roundtrip_docs",  # late r10, below-window: r11 head
+    "delta_metadata_agg",  # late r10, below-window: r11 head
     # (delta_convert/replace, streaming late_data/sessionize/quota_gate,
     # bucketed_join and dpp_join were displaced below the window in round
     # 10 while their modules' cache plumbing changed — they are already in
