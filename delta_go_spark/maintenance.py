@@ -413,15 +413,38 @@ def hilbert_cluster(
     table_path: str,
     cols: list[str],
     n_files: int | None = None,
+    incremental: bool = False,
 ) -> int | None:
     """OPTIMIZE ... CLUSTER BY hilbert(cols): the Hilbert-curve sibling of
     zorder() — same bucketing, same dataChange=False rewrite, tighter
     per-file min/max boxes (see hilbert_index_expr).  Exactly 2 columns
     (the classic curve; higher dimensions need a Gray-code generalization
-    this engine does not claim)."""
+    this engine does not claim).
+
+    incremental=True rewrites ONLY files added since the last HILBERT
+    commit (found by walking CommitInfo history; the prior layout's files
+    survive byte-identical) — the liquid-clustering maintenance shape: on
+    a 100 TB table a nightly ingest re-clusters the night's files, never
+    the petabyte.  Cost: O(new data) rewrite + O(versions) driver history
+    walk.  Falls back to the full rewrite when no prior HILBERT commit
+    exists."""
     if len(cols) != 2:
         raise ValueError("hilbert_cluster requires exactly 2 columns")
-    return _cluster_rewrite(spark, table_path, cols, n_files, curve="hilbert")
+    since = None
+    if incremental:
+        log = DeltaLog.for_table(normalize_table_uri(table_path))
+        v = log.update().version
+        for ver in range(v, -1, -1):
+            try:
+                ci = log.commit_info_at(ver)
+            except Exception:
+                continue
+            if (ci.operation_parameters or {}).get("operation") == "HILBERT":
+                since = ver
+                break
+    return _cluster_rewrite(
+        spark, table_path, cols, n_files, curve="hilbert", since_version=since
+    )
 
 
 def zorder(
@@ -443,6 +466,7 @@ def _cluster_rewrite(
     cols: list[str],
     n_files: int | None = None,
     curve: str = "z",
+    since_version: int | None = None,
 ) -> int | None:
     from delta_go_spark.datareader import files_to_df
     from delta_go_spark.writer import stage_files
@@ -454,6 +478,15 @@ def _cluster_rewrite(
     if snap is None or txn.read_version < 0:
         raise ValueError(f"not a Delta table: {table_path}")
     victims = snap.all_files()
+    if since_version is not None:
+        # incremental: only files NOT already active at the prior cluster
+        # commit (set difference of two snapshots via time travel — the
+        # already-clustered layout survives byte-identical)
+        prior = {
+            a.path
+            for a in log.snapshot_for_version_as_of(since_version).all_files()
+        }
+        victims = [a for a in victims if a.path not in prior]
     if not victims:
         return None
     pcols = snap.metadata().partition_columns

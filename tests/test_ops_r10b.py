@@ -604,3 +604,40 @@ def test_metadata_agg_matches_scan(spark):
         .first()
     )
     assert tuple(got) == tuple(want)
+
+
+def test_hilbert_cluster_incremental_touches_only_new_files(spark, tmp_path):
+    """Liquid-clustering maintenance: after a full HILBERT rewrite, an
+    append + incremental cluster must rewrite ONLY the appended files —
+    every file of the prior clustered layout survives byte-identical —
+    and the table's rows are unchanged."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.maintenance import hilbert_cluster
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "thinc")
+    base = spark.range(0, 2048).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    DeltaTable.create(spark, path, base)
+    t = DeltaTable.for_path(spark, path)
+    assert hilbert_cluster(spark, path, ["x", "y"], n_files=4) is not None
+    clustered = {a.path for a in DeltaLog.for_table(path).update().all_files()}
+
+    fresh = spark.range(2048, 3072).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    t.append(fresh.repartition(3))
+    before = DeltaLog.for_table(path).update().all_files()
+    appended = {a.path for a in before} - clustered
+
+    v = hilbert_cluster(spark, path, ["x", "y"], n_files=2, incremental=True)
+    assert v is not None
+    after = {a.path for a in DeltaLog.for_table(path).update().all_files()}
+    assert clustered <= after  # prior layout untouched
+    assert not (appended & after)  # every appended file was rewritten
+    assert t.to_df().count() == 3072
+    # a second incremental pass with nothing new is a no-op
+    assert hilbert_cluster(spark, path, ["x", "y"], incremental=True) is None
