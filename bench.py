@@ -81,7 +81,6 @@ HEADLINE = [
     "token_budget_select_docs",  # r7: greedy token-budget fill
     "rrf_hybrid_search_docs",  # r7: BM25 + dense RRF hybrid retrieval
     "pq_codebook_embeddings",  # r7: product quantization + error audit
-    "bigram_coverage_docs",  # r7 (late): LM-proxy fluency gate
     "pack_bestfit_docs",  # r8: best-fit-decreasing context packing
     "doremi_weights_docs",  # r8: multiplicative-weights domain mixture
     "length_batching_docs",  # r8: padded-batch planner + waste report
@@ -95,6 +94,9 @@ HEADLINE = [
     "softdedup_incremental_docs",  # r10: CDF-incremental cluster weights
     "containment_near_dup_docs",  # r10: asymmetric containment pairs
     "inverted_index_docs",  # r10: salted-two-phase exact top-k postings
+    "bm25_incremental_docs",  # r11: BM25 served from CDF-maintained state
+    # (its corpus-scan twin bm25_search stays wired — the pair times the
+    # index-amortization story; maintenance incl. deletes is inside)
     # streaming_sessionize_events / streaming_late_data_events /
     # streaming_upsert_events intentionally unbenched: their cost is
     # micro-batch-count x Structured Streaming fixed overhead (the shape
@@ -108,6 +110,8 @@ HEADLINE = [
     # curation_pipeline_v2 anyway) and span_scrub_docs (209 ms one-Arrow-
     # pass; unique_gram_redact carries the gram-rebuild family's wire
     # slot, exactsubstr_dedup now times the corpus-join variant).
+    # r11 wire trim making room for bm25_incremental: bigram_coverage_docs
+    # (same bigram-aggregate cost shape pmi_bigrams_docs already times).
 ]
 
 

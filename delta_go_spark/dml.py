@@ -258,6 +258,7 @@ class DeltaDml:
         txn_version: int | None = None,
         delete_condition: str | None = None,
         insert_set: dict[str, object] | None = None,
+        allow_null_keys: bool = False,
     ) -> int | None:
         """MERGE INTO target USING source ON target.<on> = source.<on>.
 
@@ -300,17 +301,6 @@ class DeltaDml:
             )
         if insert_set and not insert_not_matched:
             raise ValueError("insert_set requires insert_not_matched=True")
-        # NULL merge keys never equi-match: a NULL-key source row would
-        # silently skip every matched clause AND pass the insert anti-join
-        # on every retry — re-inserted per batch in a streaming upsert.
-        # Refuse loudly (one limit(1) probe on the small source side).
-        if source.filter(F.col(on).isNull()).limit(1).count():
-            raise DeltaError(
-                f"MERGE: source contains NULL '{on}' keys; NULL never "
-                f"equi-matches, so matched clauses would silently skip and "
-                f"inserts would duplicate on replay — coalesce the key to a "
-                f"sentinel or filter NULLs before merging"
-            )
         log, txn, snap = self._begin()
         if (
             txn_app_id is not None
@@ -318,6 +308,28 @@ class DeltaDml:
             and txn.txn_version(txn_app_id) >= txn_version
         ):
             return None  # already applied by a previous attempt
+        # NULL merge keys never equi-match: a NULL-key source row passes
+        # the insert anti-join on EVERY retry — re-inserted per batch in a
+        # non-idempotent streaming upsert.  Refuse loudly (one limit(1)
+        # probe on the small source side), but only where the trap exists:
+        # with insert_not_matched=False a NULL-key row does nothing at all
+        # (ANSI behavior, matched clauses just skip it), and the probe runs
+        # AFTER the SetTransaction replay short-circuit so a replayed merge
+        # never pays the extra source-plan job.  allow_null_keys=True
+        # restores upstream ANSI behavior (NULL-key rows insert) for
+        # single-shot merges that legitimately want it.
+        if (
+            insert_not_matched
+            and not allow_null_keys
+            and source.filter(F.col(on).isNull()).limit(1).count()
+        ):
+            raise DeltaError(
+                f"MERGE: source contains NULL '{on}' keys; NULL never "
+                f"equi-matches, so matched clauses would silently skip and "
+                f"inserts would duplicate on replay — coalesce the key to a "
+                f"sentinel, filter NULLs before merging, or pass "
+                f"allow_null_keys=True for ANSI insert-them-anyway behavior"
+            )
         txn.read_whole_table()
         candidates = snap.all_files()
         # Delta's multiple-match rule: a TARGET row may match at most one

@@ -1329,11 +1329,14 @@ QUERIES["minhash_incremental_docs"] = (
 #      untouched (the whole point: no corpus-wide CC per refresh);
 #   3. weights re-derive from sizes exactly as the batch rule.
 #
-# Correctness: the oracle is the BATCH soft-dedup SQL over the grown
-# corpus (exact-Jaccard pair contract) — a hash match proves incremental
-# cluster maintenance converges to the from-scratch clustering, through
-# cluster MERGES (the hard case: affected old-old pairs must re-enter
-# the sub-CC or a merged cluster would report two sizes).
+# Correctness: the oracle is the BATCH soft-dedup SQL over the
+# POST-CHANGE corpus (exact-Jaccard pair contract) — a hash match proves
+# incremental cluster maintenance converges to the from-scratch
+# clustering, through cluster MERGES (a new doc bridging two old
+# clusters: affected old-old pairs must re-enter the sub-CC or the
+# merged cluster would report two sizes) AND cluster SPLITS (the v2
+# delete removes stored docs; a deleted bridge splits its cluster, and
+# only a re-CC over the surviving pairs finds the split).
 def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -1355,7 +1358,11 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # version is the completion marker _ensure_built checks, so a
         # crash mid-build can never serve the table without its artifacts
         shutil.rmtree(root, ignore_errors=True)
-        docs = load_table(spark, sf_dir, "documents")
+        # mod7 materialized: the engine's predicate grammar is
+        # comparison-only, so the v2 delete key must be a stored column
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
         v0 = docs.filter(F.col("doc_id") % 5 != 0)
         minhash_signatures(v0, num_perm=16).write.mode("overwrite").parquet(
             sig_path
@@ -1372,14 +1379,25 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             configuration={"delta.enableChangeDataFeed": "true"},
         )
         t.append(docs.filter(F.col("doc_id") % 5 == 0))
+        # v2: deletes hit v0 docs (stored clusters shrink or SPLIT) and
+        # v1 docs (insert+delete nets to nothing)
+        t.delete_where("mod7 = 0")
 
-    _ensure_built(tbl, 1, build, sf_dir=sf_dir, tables=("documents",))
-    new_docs = (
+    _ensure_built(tbl, 2, build, sf_dir=sf_dir, tables=("documents",))
+    from delta_go_spark.functions.textops import cdf_net_changes
+
+    new_docs, deleted_docs = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1)
-        .filter(F.col("_change_type") == "insert")
-        .select("doc_id", "text")
     )
-    sig_base = spark.read.parquet(sig_path)
+    # checkpoint both netted sides (O(change) rows): the signature build
+    # and the band join replay the CDF read + netting windows otherwise
+    new_docs = new_docs.localCheckpoint()
+    deleted_ids = deleted_docs.select("doc_id").localCheckpoint()
+    # drop deleted docs from the stored signatures BEFORE the band join:
+    # a phantom pair (new doc x deleted stored doc) must never form
+    sig_base = spark.read.parquet(sig_path).join(
+        deleted_ids.withColumnRenamed("doc_id", "doc"), "doc", "left_anti"
+    )
     # checkpoint: the incremental pair set feeds three consumers (two
     # touch-set projections + the sub-CC edge list) and would otherwise
     # recompute the whole CDF-read + band-join pipeline per consumer
@@ -1388,11 +1406,14 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_a", "doc_id_b"
     ).localCheckpoint()
     return softdedup_incremental_update(
-        load_table(spark, sf_dir, "documents").select("doc_id"),
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id"),
         inc_pairs,
         spark.read.parquet(pairs_path),
         spark.read.parquet(labels_path),
         spark.read.parquet(csize_path),
+        deleted_ids=deleted_ids,
     ).orderBy("doc_id")
 
 
@@ -1403,24 +1424,45 @@ def softdedup_incremental_update(
     labels0: DataFrame,
     csize0: DataFrame,
     id_col: str = "doc_id",
+    deleted_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Merge an ingest batch's incremental pair set into the persisted
-    cluster state and emit the grown corpus's (id, cluster_size,
+    """Merge a change batch's incremental pair set into the persisted
+    cluster state and emit the post-change corpus's (id, cluster_size,
     weight_micro) table.
 
-    `all_ids` = every document id after the ingest; `inc_pairs` = pairs
-    with >= 1 new doc (minhash_incremental_pairs); `pairs0`/`labels0`/
-    `csize0` = the persisted pair set, CC labels (node, cluster_rep) and
-    sizes of the PRE-ingest corpus.  Connected components re-runs over
-    ONLY the affected subgraph — inc_pairs plus the stored pairs of any
-    cluster an incremental pair touches (so a new doc bridging two old
-    clusters merges them); untouched clusters are served from stored
-    state without recomputation."""
+    `all_ids` = every document id after the change batch; `inc_pairs` =
+    pairs with >= 1 new doc (minhash_incremental_pairs); `pairs0`/
+    `labels0`/`csize0` = the persisted pair set, CC labels (node,
+    cluster_rep) and sizes of the PRE-change corpus; `deleted_ids` =
+    ids removed by the batch (one id_col column).  Connected components
+    re-runs over ONLY the affected subgraph — inc_pairs plus the stored
+    pairs of any cluster an incremental pair OR a delete touches, MINUS
+    pairs with a deleted endpoint.  A new doc bridging two old clusters
+    merges them; a deleted BRIDGE doc splits its cluster (the sub-CC
+    over the surviving pairs finds the split — the case no size
+    decrement can express); a member whose every edge died falls out of
+    the sub-CC and lands as a singleton via the final coalesce.  Every
+    untouched cluster is served from stored state without
+    recomputation — work stays O(change + affected-cluster mass)."""
     touched = (
         inc_pairs.select(F.col("doc_id_a").alias("node"))
         .unionByName(inc_pairs.select(F.col("doc_id_b").alias("node")))
-        .distinct()
     )
+    if deleted_ids is not None:
+        dels = deleted_ids.select(F.col(id_col).alias("node")).distinct()
+        touched = touched.unionByName(dels)
+        # pairs with a deleted endpoint vanish from both pair sources
+        inc_pairs = inc_pairs.join(
+            dels.withColumnRenamed("node", "doc_id_a"), "doc_id_a", "left_anti"
+        ).join(
+            dels.withColumnRenamed("node", "doc_id_b"), "doc_id_b", "left_anti"
+        )
+        pairs0 = pairs0.join(
+            dels.withColumnRenamed("node", "doc_id_a"), "doc_id_a", "left_anti"
+        ).join(
+            dels.withColumnRenamed("node", "doc_id_b"), "doc_id_b", "left_anti"
+        )
+    touched = touched.distinct()
     affected_reps = (
         labels0.join(touched, "node").select("cluster_rep").distinct()
     )
@@ -1451,10 +1493,19 @@ def softdedup_incremental_update(
     )
 
 
-# Batch recompute over the grown corpus (v0 + the appended batch = the
-# full documents table): incremental cluster maintenance must converge to
-# exactly the from-scratch soft-dedup weights.
-SOFTDEDUP_INCREMENTAL_SQL = SOFTDEDUP_WEIGHTS_SQL
+# Batch recompute over the POST-CHANGE corpus (v0 + the appended batch -
+# the v2 deletes = documents with doc_id % 7 != 0): incremental cluster
+# maintenance must converge to exactly the from-scratch soft-dedup
+# weights.  Same SQL, live-rows CTE (RECURSIVE heads the WITH list, so
+# live_docs slots in after it).
+SOFTDEDUP_INCREMENTAL_SQL = SOFTDEDUP_WEIGHTS_SQL.replace(
+    "FROM documents", "FROM live_docs"
+).replace(
+    "WITH RECURSIVE ",
+    "WITH RECURSIVE live_docs AS (\n"
+    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
+    "), ",
+)
 
 
 QUERIES["softdedup_incremental_docs"] = (

@@ -530,6 +530,8 @@ def unique_gram_redact(
     n: int = _UGR_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exact: bool = False,
+    _gram_hash=None,
 ) -> DataFrame:
     """(id, n_tokens, n_redacted, redacted_md5): every position covered by
     a corpus-unique n-gram is replaced with the mask token;
@@ -537,20 +539,35 @@ def unique_gram_redact(
     WITHIN its single document is still unique to that document — both
     occurrences are masked.
 
-    Privacy contract caveat: uniqueness is decided on xxhash64(gram), so
-    the guarantee is HASH-APPROXIMATE — a 64-bit collision between a truly
-    unique, identifier-shaped gram and a gram from another document makes
-    min(doc) != max(doc) and the identifier escapes redaction.  Collision
-    odds are ~n_distinct_grams^2 / 2^65 (birthday bound); at 10^10 distinct
-    grams that is ~2.7 expected collisions corpus-wide, each escaping only
-    if one side is an actual identifier.  Deployments needing an exact
-    k-anonymity guarantee must confirm uniqueness on the exact gram string
-    for the candidate hits (one extra narrow join over the unique set);
-    the oracle here compares exact gram strings, which pins the fixture
-    but does not run at production scale."""
+    Privacy contract caveat (exact=False, the 100 TB default): uniqueness
+    is decided on xxhash64(gram), so the guarantee is HASH-APPROXIMATE —
+    a 64-bit collision between a truly unique, identifier-shaped gram and
+    a gram from another document makes min(doc) != max(doc) and the
+    identifier ESCAPES redaction (collisions can only under-redact, never
+    over-redact: a hash unique to one doc proves every string behind it
+    is too).  Collision odds are ~n_distinct_grams^2 / 2^65 (birthday
+    bound); at 10^10 distinct grams that is ~2.7 expected collisions
+    corpus-wide, each escaping only if one side is an actual identifier.
+
+    exact=True restores the exact k-anonymity guarantee at O(collisions)
+    extra cost: the per-hash aggregate ALSO carries min/max of the gram
+    string (partial-aggregable — strings ride the same map-side combine),
+    so a hash hiding >= 2 distinct strings is DETECTED (min != max), and
+    only those collision groups re-group by the exact string to rescue
+    any unique gram hidden under a shared hash.  Collision-free hashes —
+    in practice all of them — are decided by the hash alone, exactly as
+    the default path.
+
+    `_gram_hash` injects the hash column builder (default F.xxhash64) so
+    tests can force collisions; production callers never set it."""
+    hash_fn = _gram_hash or F.xxhash64
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_t")
     )
+    gram_str = F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, n))
+    start_cols = [F.col(id_col), F.col("_i"), hash_fn(gram_str).alias("_g")]
+    if exact:
+        start_cols.append(gram_str.alias("_s"))
     starts = (
         base.filter(F.size("_t") >= n)  # sequence(0, m-n) descends if m<n
         .select(
@@ -558,13 +575,7 @@ def unique_gram_redact(
             "_t",
             F.explode(F.sequence(F.lit(0), F.size("_t") - n)).alias("_i"),
         )
-        .select(
-            id_col,
-            "_i",
-            F.xxhash64(
-                F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, n))
-            ).alias("_g"),
-        )
+        .select(*start_cols)
     )
     # "exactly one distinct document" ⟺ min(doc) == max(doc): min/max are
     # partial-aggregable, so no (gram, doc) distinct shuffle ever runs —
@@ -575,15 +586,43 @@ def unique_gram_redact(
     # uniq set broadcasts (corpus side never shuffles), a huge one —
     # the realistic 100 TB case, where most long grams ARE unique —
     # falls back to sort-merge under autoBroadcastJoinThreshold.
-    uniq = (
-        starts.groupBy("_g")
-        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
-        .filter(F.col("_lo") == F.col("_hi"))
-        .select("_g")
-    )
+    if not exact:
+        uniq = (
+            starts.groupBy("_g")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") == F.col("_hi"))
+            .select("_g")
+        )
+        hits = starts.join(uniq, "_g").select(id_col, "_i")
+    else:
+        agg = starts.groupBy("_g").agg(
+            F.min(id_col).alias("_lo"),
+            F.max(id_col).alias("_hi"),
+            F.min("_s").alias("_slo"),
+            F.max("_s").alias("_shi"),
+        )
+        # min==max over the strings proves the hash maps to ONE string:
+        # its doc range is the string's doc range, decided exactly
+        clean_uniq = agg.filter(
+            (F.col("_lo") == F.col("_hi")) & (F.col("_slo") == F.col("_shi"))
+        ).select("_g")
+        # >= 2 distinct strings share this hash: re-decide by the exact
+        # string, for ONLY these grams (O(collision volume))
+        collided = agg.filter(F.col("_slo") != F.col("_shi")).select("_g")
+        rescue_src = starts.join(collided, "_g")
+        rescue_uniq = (
+            rescue_src.groupBy("_s")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") == F.col("_hi"))
+            .select("_s")
+        )
+        hits = (
+            starts.join(clean_uniq, "_g")
+            .select(id_col, "_i")
+            .unionByName(rescue_src.join(rescue_uniq, "_s").select(id_col, "_i"))
+        )
     red = (
-        starts.join(uniq, "_g")
-        .select(
+        hits.select(
             id_col,
             F.explode(
                 F.sequence(F.col("_i"), F.col("_i") + (n - 1))

@@ -1500,7 +1500,16 @@ def waterfill_allocation(
         )
     )
     fallback = ranked.agg(F.max("c").alias("t"))
-    t_row = boundary.unionByName(fallback).limit(1)
+    # deterministic pick: boundary (when it exists) must beat the
+    # fallback — an explicit priority sort, never union+limit partition
+    # order (limit without orderBy has no ordering contract in Spark)
+    t_row = (
+        boundary.select("t", F.lit(0).alias("_pri"))
+        .unionByName(fallback.select("t", F.lit(1).alias("_pri")))
+        .orderBy("_pri")
+        .limit(1)
+        .select("t")
+    )
     return (
         ranked.crossJoin(F.broadcast(t_row))
         .select(
@@ -1520,9 +1529,14 @@ def waterfill_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head lang(s) clip to the water level; by-source would cap all 20
     near-uniform sources identically and leave the kept-branch untested)."""
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint pins the O(langs) aggregate: the budget read below
+    # and every window/join inside waterfill_allocation then reuse the
+    # SAME materialized rows — without it the corpus aggregation would
+    # re-run from lineage per consumer (two 100 TB scans where one
+    # suffices)
     per = docs.groupBy("lang").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).alias("c")
-    )
+    ).localCheckpoint()
     total = per.agg(F.sum("c")).first()[0]
     budget = (7 * int(total)) // 10  # exact 70% in integers on both engines
     return waterfill_allocation(per, budget, key_col="lang")

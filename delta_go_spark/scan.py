@@ -370,6 +370,39 @@ def metadata_only_count(snapshot, predicate=None, spark=None) -> int:
     return total
 
 
+def _typed_stat(v, dtype: str):
+    """Normalize a JSON-parsed log statistic to the column's Python type —
+    the type a real scan of the same column returns.  Stats serialize
+    temporal values as ISO strings (writer._json_safe) and decimals as
+    floats; without this, a table mixing stats-bearing and stats-less
+    files would compare str vs datetime in the min/max fold (TypeError)
+    and stats-served temporal results would come back as strings.
+    Raises on malformed input — the caller treats that file as statless
+    and lets the scan fallback answer."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if dtype == "date":
+        if isinstance(v, datetime.date):
+            return v
+        return datetime.date.fromisoformat(str(v))
+    if dtype.startswith("timestamp"):
+        if isinstance(v, datetime.datetime):
+            return v
+        return datetime.datetime.fromisoformat(str(v))
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if dtype in ("float", "double"):
+        return float(v)
+    if dtype.startswith("decimal"):
+        return decimal.Decimal(str(v))
+    if dtype == "boolean":
+        return bool(v)
+    return v
+
+
 def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
     """Exact per-column (min, max) from log statistics — no data scan.
 
@@ -382,9 +415,12 @@ def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
 
     STRING/BINARY columns are refused outright: parquet writers may
     truncate long min/max statistics, and a truncated max understates the
-    real one — numeric/date stats are always exact.  reference: the
-    reference carries AddFile.Stats unparsed (parquet_marshaller.go:114);
-    this surface exceeds it.
+    real one — numeric/date stats are always exact.  Parsed stat values
+    are normalized to the column's Python type (_typed_stat): date stats
+    live in the log as ISO strings while the statless-file fallback scan
+    returns datetime.date, and the two must fold and return consistently.
+    reference: the reference carries AddFile.Stats unparsed
+    (parquet_marshaller.go:114); this surface exceeds it.
     """
     schema = snapshot.metadata().schema()
     by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -415,9 +451,15 @@ def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
             if num is not None and nulls.get(c) == num:
                 continue  # all-NULL file: contributes no min/max
             if c in mins and c in maxs:
+                try:
+                    mn = _typed_stat(mins[c], by_name[c])
+                    mx = _typed_stat(maxs[c], by_name[c])
+                except (ValueError, TypeError, ArithmeticError):
+                    statless[c].append(add)  # malformed stat: scan the file
+                    continue
                 lo, hi = out[c]
-                out[c][0] = mins[c] if lo is None else min(lo, mins[c])
-                out[c][1] = maxs[c] if hi is None else max(hi, maxs[c])
+                out[c][0] = mn if lo is None else min(lo, mn)
+                out[c][1] = mx if hi is None else max(hi, mx)
             else:
                 statless[c].append(add)
     missing = {c: fs for c, fs in statless.items() if fs}

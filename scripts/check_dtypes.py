@@ -95,6 +95,36 @@ def classify_pair(a_dtype: str, b_dtype: str, a_series, b_series) -> str:
     return "harmful"
 
 
+def driver_canon(pdf):
+    """Replay the driver's EXACT result canonicalization: select the
+    columns in sorted order, then pandas sort_values over ALL of them.
+    This is the step that threw `TypeError: unhashable type: 'list'` on
+    the round-10 inverted_index pair — pandas cannot factorize list (or
+    dict, or Row) cells — so a query whose output this function cannot
+    canonicalize can NEVER produce a driver hash, however correct its
+    values (check_parity serializes complex cells and is structurally
+    blind to the break).  Returns the canonicalized frame; raises
+    whatever pandas raises on a non-scalar or non-orderable cell."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(cols))
+    return pdf.reset_index(drop=True)
+
+
+def canon_problems(spark_df_pandas, duck_df_pandas) -> list[str]:
+    """Driver-canonicalization replay failures for the two frames
+    (importable for the pytest gate).  Empty list = both frames survive
+    the driver's sort_values canonicalization."""
+    out = []
+    for side, frame in (("spark", spark_df_pandas), ("duck", duck_df_pandas)):
+        try:
+            driver_canon(frame)
+        except Exception as ex:  # noqa: BLE001 - any raise = driver err row
+            out.append(f"{side} driver-canon replay: {type(ex).__name__}: {ex}")
+    return out
+
+
 def dtype_problems(spark_df_pandas, duck_df_pandas) -> list[str]:
     """HARMFUL dtype diffs between the two pandas frames (importable for the
     pytest gate).  Missing-column asymmetries are reported too — the parity
@@ -143,7 +173,7 @@ def main() -> int:
             continue
         sd = {c: str(t) for c, t in sp.dtypes.items()}
         dd = {c: str(t) for c, t in du.dtypes.items()}
-        bad, benign = [], []
+        bad, benign = list(canon_problems(sp, du)), []
         for c in sorted(set(sd) | set(dd)):
             a, b = sd.get(c), dd.get(c)
             if a == b:

@@ -477,3 +477,26 @@ def test_merge_refuses_null_source_keys(spark, tmp_path):
         t.merge(bad, on="k", update_set={"v": F.col("_s_v")})
     # table unchanged — the refusal happened before any commit
     assert [(r["k"], r["v"]) for r in t.to_df().collect()] == [(1, 10)]
+
+
+def test_merge_null_keys_allowed_where_no_duplicate_trap(spark, tmp_path):
+    """The refusal is scoped to the actual trap (insert path on replay):
+    insert_not_matched=False merges skip NULL rows silently (ANSI), and
+    allow_null_keys=True restores upstream insert-them-anyway behavior
+    for single-shot merges."""
+    path = str(tmp_path / "tnull_ok")
+    t = DeltaTable.create(
+        spark, path, spark.createDataFrame([(1, 10)], "k long, v long")
+    )
+    bad = spark.createDataFrame([(None, 99), (1, 11)], "k long, v long")
+    # update-only merge: NULL row is simply not-matched-and-not-inserted
+    t.merge(
+        bad, on="k", update_set={"v": F.col("_s_v")}, insert_not_matched=False
+    )
+    assert [(r["k"], r["v"]) for r in t.to_df().collect()] == [(1, 11)]
+    # explicit opt-in: the NULL-key row inserts (upstream ANSI behavior)
+    t.merge(bad, on="k", update_set={"v": F.col("_s_v")}, allow_null_keys=True)
+    rows = sorted(
+        t.to_df().collect(), key=lambda r: (r["k"] is None, r["k"])
+    )
+    assert [(r["k"], r["v"]) for r in rows] == [(1, 11), (None, 99)]

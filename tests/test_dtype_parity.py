@@ -29,6 +29,17 @@ def _window_names():
     return [n for n in list(queries())[:50] if n in osql]
 
 
+def _all_names():
+    """Every oracle-backed registry row — any of them can rotate into the
+    driver window, so the scalar-output lint covers them all.  The three
+    rows-only queries are exempt (never hash-canonicalized; policy keeps
+    them out of the window)."""
+    from delta_go_spark.queries import oracle_sql, queries
+
+    osql = oracle_sql()
+    return [n for n in queries() if n in osql]
+
+
 @pytest.fixture(scope="module")
 def duck():
     from check_parity import duckdb_for
@@ -38,15 +49,42 @@ def duck():
 
 @pytest.mark.parametrize("name", _window_names())
 def test_window_dtype_parity(spark, duck, name):
-    from check_dtypes import dtype_problems
+    from check_dtypes import canon_problems, dtype_problems
 
     from delta_go_spark.queries import registry
 
     fn, sql = registry()[name]
     sp = fn(spark, SF_DIR).toPandas()
     du = duck.execute(sql).df()
-    problems = dtype_problems(sp, du)
+    problems = dtype_problems(sp, du) + canon_problems(sp, du)
     assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(_all_names()))
+def test_registry_output_schema_is_scalar(spark, name):
+    """Driver output contract, schema level: EVERY registry query (window
+    or not — any row can rotate in) must emit scalar-only columns.  The
+    driver canonicalizes results with pandas sort_values over all columns,
+    which throws on list/dict cells (array/map/struct) and on bytearray
+    (binary) — round 10 lost both inverted_index window slots to an
+    array<long> column whose VALUES were parity-proven correct."""
+    from pyspark.sql import types as T
+
+    from delta_go_spark.queries import registry
+
+    fn, _ = registry()[name]
+    schema = fn(spark, SF_DIR).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        )
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} can never "
+        "produce a driver hash (pandas sort_values cannot order them)"
+    )
 
 
 def test_classifier_contract():

@@ -118,9 +118,9 @@ def test_inverted_index_topk_and_thresholds(spark):
     hot = got["hot"]
     assert hot["df"] == 7
     assert hot["cf"] == sum(range(1, 8))
-    assert hot["top_docs"] == [7, 6, 5, 4, 3]  # tf desc, exact top-5
+    assert hot["top_docs"] == "7,6,5,4,3"  # tf desc, exact top-5
     # all-tied tf: top-5 broken by doc asc
-    assert got["base"]["top_docs"] == [1, 2, 3, 4, 5]
+    assert got["base"]["top_docs"] == "1,2,3,4,5"
 
 
 def test_inverted_index_exact_under_any_salting(spark):
@@ -207,7 +207,7 @@ def test_inverted_index_incremental_displaces_and_crosses_threshold(spark):
         r["token"]: r
         for r in inverted_index_incremental(index0, postings0, new).collect()
     }
-    assert got["hot"]["top_docs"] == [100, 1, 2, 3, 4]  # doc 5 displaced
+    assert got["hot"]["top_docs"] == "100,1,2,3,4"  # doc 5 displaced
     assert got["hot"]["df"] == 6 and got["hot"]["cf"] == 15 + 50
     assert got["edge"]["df"] == 3  # crossed the threshold via the ingest
     # and the maintained view equals a batch rebuild over the union corpus

@@ -219,80 +219,74 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round10_queries_in_window():
+def test_round11_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
-    contract).  Extend R10_MUST with every query added or changed in
-    round 10."""
+    contract).  Rewrite R_MUST each round to the new rotation."""
     from delta_go_spark.queries import oracle_sql, queries
 
     order = list(queries())
-    R10_MUST = [
-        # the two r9 red rows — oracle CAST fix must produce green hashes
-        "doremi_weights_docs",
-        "doremi_incremental_docs",
-        # NEW in round 10
-        "exactsubstr_dedup_docs",
-        "softdedup_incremental_docs",
-        # NEW in round 10, second batch (displacing cube_lineitem_counts,
-        # join_left_outer_orders, setops_segment_intersect,
-        # string_functions_part, events_hourly_rollup -> r11 head; each
-        # class keeps an in-window sibling)
-        "containment_near_dup_docs",
-        "streaming_upsert_events",
-        "profile_table_docs",
+    R_MUST = [
+        # the two r10 driver-ERR rows (scalarized top_docs) — window TOP
+        # until hash-green — plus every row whose code changed in r11
         "inverted_index_docs",
         "inverted_index_incremental_docs",
-        "hilbert_locality_lineitem",
-        "waterfill_budget_docs",
-        # late r9, never driver-checked (+ r10 divisor clamp / verbatim-SQL
-        # embed)
-        "editdist_near_dup_docs",
-        "contamination_report_docs",
-        # the stalest driver evidence (last green round 6) — full block
-        "date_functions_orders",
-        "join_semi_anti_suppliers",
-        "rollup_order_totals",
-        "setops_loyal_customers",
-        "window_running_revenue",
-        "json_functions_events",
-        "null_semantics_orders",
-        "unpivot_order_flags",
-        "retention_cohorts_events",
-        "cluster_representative_docs",
-        "cross_source_matrix_docs",
-        "normalized_dedup_docs",
-        "pagerank_docs",
-        "hard_negatives_embeddings",
-        "matryoshka_recall_embeddings",
-        "quantization_recall_embeddings",
-        "semdedup_embeddings",
-        "bm25_search_docs",
-        "bpe_merge_pairs_docs",
-        "fim_transform_docs",
-        "lang_confusion_docs",
-        "pmi_bigrams_docs",
-        "winnow_fingerprint_docs",
-        "source_drift_chisq_docs",
-        "split_cluster_safe_docs",
-        "split_leakage_docs",
-        "temperature_resample_docs",
-        "span_decontaminate_docs",
-        # representatives of every cache site the r10 content-signing
-        # refactor touched
-        "delta_roundtrip_agg",
-        "delta_time_travel_count",
-        "delta_incremental_agg",
-        "delta_datasource_agg",
-        "delta_scd2_agg",
-        "delta_cdf_agg",
-        "salted_skew_join_events",
+        "bm25_incremental_docs",  # NEW in round 11
+        "softdedup_incremental_docs",  # delete-aware this round
+        "waterfill_budget_docs",  # single-scan budget this round
+        "streaming_upsert_events",  # merge path changed (NULL-key probe)
         "streaming_delta_aggsink_events",
-        "minhash_incremental_docs",
+        "delta_scd2_agg",
+        "unique_gram_redact_docs",  # exact flag this round
+        "delta_metadata_agg",  # typed-stat normalization this round
+        # late-r10 rows never driver-checked
+        "delta_hilbert_agg",
+        "equidepth_histogram_docs",
+        "orc_roundtrip_docs",
+        # displaced by r10b, last green round 6
+        "cube_lineitem_counts",
+        "join_left_outer_orders",
+        "setops_segment_intersect",
+        "string_functions_part",
+        "events_hourly_rollup",
+        "window_topk_orders",
+        "agg_event_users",
+        # the r7-stale block (30 of 40; the 10 deferred are listed in
+        # queries.py's rotation comment)
+        "corpus_curation_pipeline",
+        "gopher_rules_docs",
+        "curriculum_interleave_docs",
+        "dsir_affinity_docs",
+        "token_budget_select_docs",
+        "decontaminate_docs",
+        "redact_pii_docs",
+        "dedup_keep_longest_docs",
+        "exact_dedup_docs",
+        "minhash_near_dup_docs",
+        "ngram_jaccard_pairs_docs",
+        "delta_generated_agg",
+        "delta_optimize_agg",
+        "delta_schema_evolution_agg",
+        "lang_id_docs",
+        "pack_sequences_docs",
+        "quality_quartile_docs",
+        "text_quality_docs",
+        "tfidf_top_terms_docs",
+        "token_stats_docs",
+        "funnel_conversion_events",
+        "kcenter_coreset_embeddings",
+        "kmeans_embeddings",
+        "mmr_diverse_embeddings",
+        "pq_codebook_embeddings",
+        "random_projection_embeddings",
+        "rrf_hybrid_search_docs",
+        "lateral_topk_suppliers",
+        "stateful_running_totals",
+        "streaming_hourly_rollup",
     ]
-    assert order[0] == "doremi_weights_docs"  # window TOP until hash-green
-    positions = {n: order.index(n) + 1 for n in R10_MUST}
+    assert order[0] == "inverted_index_docs"  # window TOP until hash-green
+    positions = {n: order.index(n) + 1 for n in R_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
     # every window slot must carry an oracle (no rows-only filler inside
