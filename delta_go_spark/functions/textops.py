@@ -2361,11 +2361,24 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(load_table(spark, sf_dir, "documents"))
 
 
-INVERTED_INDEX_SQL = """
-WITH postings AS (
+def inverted_index_sql(
+    top_k: int = 5, min_df: int = 3, source_sql: str | None = None
+) -> str:
+    """THE single SQL rendering of the batch index build, parameterized
+    the same way as index_from_postings — shared by the batch oracle, the
+    CDF-incremental oracle and the streaming-maintenance oracle so the
+    three can never drift.  `source_sql` (a SELECT over documents)
+    restricts the corpus; None means the whole documents table."""
+    src = "documents"
+    prefix = "WITH "
+    if source_sql is not None:
+        src = "live_docs"
+        prefix = f"WITH live_docs AS (\n  {source_sql}\n), "
+    return f"""
+{prefix}postings AS (
   SELECT token, doc_id AS doc, count(*) AS tf
   FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {src}
   ) WHERE token <> ''
   GROUP BY token, doc_id
 ), ranked AS (
@@ -2376,7 +2389,7 @@ WITH postings AS (
 ), lists AS (
   SELECT token,
          array_to_string(
-             list(doc ORDER BY rk) FILTER (WHERE rk <= 5), ','
+             list(doc ORDER BY rk) FILTER (WHERE rk <= {top_k}), ','
          ) AS top_docs
   FROM ranked GROUP BY token
 ), stats AS (
@@ -2385,9 +2398,12 @@ WITH postings AS (
 )
 SELECT s.token, CAST(s.df AS BIGINT) AS df, s.cf, l.top_docs
 FROM stats s JOIN lists l USING (token)
-WHERE s.df >= 3
+WHERE s.df >= {min_df}
 ORDER BY s.token
 """
+
+
+INVERTED_INDEX_SQL = inverted_index_sql()
 
 
 QUERIES["inverted_index_docs"] = (inverted_index_docs, INVERTED_INDEX_SQL)
@@ -2583,12 +2599,10 @@ def inverted_index_incremental_docs(
 
 
 # The maintained view must equal the batch rebuild over the POST-DELETE
-# corpus (doc_id % 7 == 0 rows deleted at v2): same SQL, live-rows CTE.
-INVERTED_INDEX_INCREMENTAL_SQL = (
-    "WITH live_docs AS (\n"
-    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
-    "), "
-    + INVERTED_INDEX_SQL.replace("FROM documents", "FROM live_docs").lstrip().removeprefix("WITH ")
+# corpus (doc_id % 7 == 0 rows deleted at v2): same SQL template, live
+# rows only.
+INVERTED_INDEX_INCREMENTAL_SQL = inverted_index_sql(
+    source_sql="SELECT * FROM documents WHERE doc_id % 7 <> 0"
 )
 
 

@@ -67,12 +67,13 @@ from delta_go_spark.operators import (
 #   (c) the 7 rows displaced by r10b, last green round 6
 #       (cube/join_left_outer/setops_segment/string_functions/
 #       events_hourly/window_topk/agg_event_users);
-#   (d) 30 of the 40 r7-stale rows.  The 10 deferred to the r12 head
+#   (d) 29 of the 40 r7-stale rows.  The 11 deferred to the r12 head
 #       (ann_ivf_int8, ann_signlsh, binary_stats, bpe_token_count,
 #       chunk_documents, duplicated_gram_fraction, embedding_norms,
-#       hash_sample, knn_cosine, fingerprint — the last displaced by the
-#       NEW bm25_incremental row) each keep >= 3 in-window class
-#       siblings.
+#       hash_sample, knn_cosine, plus fingerprint and
+#       streaming_hourly_rollup displaced by the NEW bm25_incremental
+#       and streaming_index_maintenance rows) each keep >= 3 in-window
+#       class siblings.
 # Rotated OUT r10-green: doremi pair, containment_near_dup, profile_table,
 # hilbert_locality, exactsubstr, editdist, contamination_report, the whole
 # re-greened r6 block, the delta cache-site representatives
@@ -110,6 +111,10 @@ _WINDOW: list = [
     (streaming_windows, [
         "streaming_upsert_events",
         "streaming_delta_aggsink_events",
+        # NEW in round 11: index upkeep as a Structured Streaming job over
+        # the table's own change feed (displaces streaming_hourly_rollup
+        # to the r12 queue — the streaming class keeps 4 in-window rows)
+        "streaming_index_maintenance_docs",
     ]),
     (delta_queries, ["delta_scd2_agg"]),
     # exact-confirmation flag landed in unique_gram_redact this round
@@ -173,7 +178,6 @@ _WINDOW: list = [
     ]),
     (subqueries, ["lateral_topk_suppliers"]),
     (streaming_stateful, ["stateful_running_totals"]),
-    (streaming_windows, ["streaming_hourly_rollup"]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
 # and scripts/check_parity.py remain its gate; the 9 deferred r7-stale

@@ -938,3 +938,183 @@ QUERIES["streaming_upsert_events"] = (
     streaming_upsert_events,
     STREAMING_UPSERT_SQL,
 )
+
+
+class IndexMaintainer:
+    """foreachBatch sink for stream-maintained inverted-index state.
+
+    State lives as batch-id-keyed parquet generations under `state_dir`
+    with a pointer file advanced ATOMICALLY (write-temp + rename) after a
+    generation is fully written, so:
+      * a REPLAYED micro-batch (foreachBatch is at-least-once; a crash
+        between the state write and Spark's offset commit re-delivers the
+        batch) sees pointer >= batch_id and no-ops — state applies exactly
+        once, the same idempotency rule as SetTransaction tokens on the
+        Delta-sink committers;
+      * a crash MID-write leaves the pointer on the previous generation
+        and the half-written gen dir is simply overwritten by the retry.
+    A RESTARTED maintenance job (new stream run, same checkpoint + same
+    state_dir) resumes from both the streaming offsets and the pointer —
+    the scheduled-incremental-job deployment shape."""
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        postings_v0: str,
+        index_v0: str,
+        top_k: int = 5,
+    ):
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.top_k = top_k
+        os.makedirs(state_dir, exist_ok=True)
+        self._pointer = os.path.join(state_dir, "POINTER")
+        if not os.path.exists(self._pointer):
+            self._write_pointer(-1, postings_v0, index_v0)
+
+    def _read_pointer(self) -> tuple[int, str, str]:
+        with open(self._pointer) as f:
+            last, ppath, ipath = f.read().splitlines()
+        return int(last), ppath, ipath
+
+    def _write_pointer(self, batch_id: int, ppath: str, ipath: str) -> None:
+        import os
+
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{batch_id}\n{ppath}\n{ipath}\n")
+        os.replace(tmp, self._pointer)  # atomic: a crash keeps the old one
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from delta_go_spark.functions.textops import (
+            cdf_net_changes,
+            inverted_index_incremental,
+            token_postings,
+        )
+
+        last, ppath, ipath = self._read_pointer()
+        if batch_id <= last:
+            return  # replayed micro-batch: already folded into state
+        new_docs, deleted_docs = cdf_net_changes(
+            batch_df.select("doc_id", "text", "_change_type", "_commit_version")
+        )
+        new_docs = new_docs.localCheckpoint()
+        deleted_docs = deleted_docs.localCheckpoint()
+        p0 = self.spark.read.parquet(ppath)
+        i0 = self.spark.read.parquet(ipath)
+        del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
+        gen = os.path.join(self.state_dir, f"gen-{batch_id}")
+        p1_path = os.path.join(gen, "postings")
+        i1_path = os.path.join(gen, "index")
+        p0.join(del_ids, "doc", "left_anti").unionByName(
+            token_postings(new_docs)
+        ).write.mode("overwrite").parquet(p1_path)
+        inverted_index_incremental(
+            i0, p0, new_docs, deleted_docs, top_k=self.top_k, min_df=1
+        ).write.mode("overwrite").parquet(i1_path)
+        self._write_pointer(batch_id, p1_path, i1_path)
+
+    def current_index(self, min_df: int = 1) -> DataFrame:
+        _, _, ipath = self._read_pointer()
+        return (
+            self.spark.read.parquet(ipath)
+            .filter(F.col("df") >= min_df)
+            .select("token", "df", "cf", "top_docs")
+            .orderBy("token")
+        )
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance — the inverted index kept fresh by a
+# Structured Streaming job over the table's OWN change feed
+# (readStream.format("delta_go").option("readChangeFeed", "true")), the
+# production shape for search-index upkeep: the maintenance job tails the
+# change feed, each micro-batch nets its changes (cdf_net_changes handles
+# multi-version catch-up batches via _commit_version) and applies the
+# delete-aware O(change + affected-token postings) refresh, and state
+# advances through batch-id-keyed generations so a REPLAYED micro-batch
+# (foreachBatch's at-least-once contract) is a no-op instead of a
+# double-apply — the same idempotency rule as the SetTransaction token on
+# the Delta-sink committers.  Oracle: the batch index SQL over the final
+# live corpus — a hash match proves stream-maintained state converges to
+# a from-scratch build through appends AND deletes.
+def streaming_index_maintenance_docs(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from delta_go_spark.datasource import register
+    from delta_go_spark.functions.textops import (
+        index_from_postings,
+        token_postings,
+    )
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.session import load_table
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "stream_invindex")
+    tbl = os.path.join(root, "docs")
+    postings_path = os.path.join(root, "postings_v0")
+    index_path = os.path.join(root, "index_v0")
+
+    def build():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
+        v0 = docs.filter(F.col("doc_id") % 5 < 3)  # 60% of the corpus
+        p0 = token_postings(v0)
+        p0.write.mode("overwrite").parquet(postings_path)
+        index_from_postings(
+            spark.read.parquet(postings_path), top_k=3, min_df=1
+        ).write.mode("overwrite").parquet(index_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 3))
+        t.append(docs.filter(F.col("doc_id") % 5 == 4))
+        t.delete_where("mod7 = 0")
+
+    _ensure_built(tbl, 3, build, sf_dir=sf_dir, tables=("documents",))
+    run_dir = _run_scratch(root, "runs")
+    maintainer = IndexMaintainer(
+        spark, run_dir, postings_path, index_path, top_k=3
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.foreachBatch(maintainer.apply)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return maintainer.current_index(min_df=2)
+
+
+def _streaming_index_sql() -> str:
+    from delta_go_spark.functions.textops import inverted_index_sql
+
+    # top_k=3 / min_df=2 (vs the CDF-incremental row's 5 / 3) so the two
+    # maintenance rows hash different result sets despite sharing the
+    # live corpus (every token with >3 postings ranks differently)
+    return inverted_index_sql(
+        top_k=3, min_df=2,
+        source_sql="SELECT * FROM documents WHERE doc_id % 7 <> 0",
+    )
+
+
+QUERIES["streaming_index_maintenance_docs"] = (
+    streaming_index_maintenance_docs,
+    _streaming_index_sql(),
+)

@@ -328,6 +328,98 @@ def test_update_through_cdf_maintains_index(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# IndexMaintainer — stream-maintained index state across RESTARTS and
+# replayed micro-batches
+
+
+def _maintainer_fixture(spark, tmp_path):
+    from delta_go_spark.functions.textops import (
+        index_from_postings,
+        token_postings,
+    )
+    from delta_go_spark.streaming.windows import IndexMaintainer
+    from delta_go_spark.table import DeltaTable
+
+    v0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta gamma")],
+        DOC_SCHEMA,
+    )
+    root = str(tmp_path / "m")
+    p0, i0 = root + "/p0", root + "/i0"
+    token_postings(v0).write.parquet(p0)
+    index_from_postings(spark.read.parquet(p0), min_df=1).write.parquet(i0)
+    tbl = root + "/docs"
+    t = DeltaTable.create(
+        spark, tbl, v0, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    m = IndexMaintainer(spark, root + "/state", p0, i0)
+    return t, m
+
+
+def _run_maintenance(spark, t, m, ckpt):
+    from delta_go_spark.datasource import register
+
+    register(spark)
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(t.log.table_path)
+        .writeStream.foreachBatch(m.apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_index_maintainer_across_stream_restarts(spark, tmp_path):
+    """The scheduled-job deployment shape: table changes land, the
+    maintenance stream runs availableNow, MORE changes land, the stream
+    runs again with the SAME checkpoint + state — the second run must
+    consume only the unseen versions and the final state must equal a
+    batch rebuild over the live corpus."""
+    from delta_go_spark.functions.textops import inverted_index
+
+    t, m = _maintainer_fixture(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    t.append(
+        spark.createDataFrame([(4, "alpha delta"), (5, "delta beta")], DOC_SCHEMA)
+    )
+    _run_maintenance(spark, t, m, ckpt)
+    first_ptr = m._read_pointer()
+    assert first_ptr[0] >= 0  # at least one batch folded in
+    t.delete_where("doc_id = 1")
+    t.append(spark.createDataFrame([(6, "gamma delta")], DOC_SCHEMA))
+    _run_maintenance(spark, t, m, ckpt)
+    second_ptr = m._read_pointer()
+    assert second_ptr[0] > first_ptr[0]  # resumed, not reprocessed
+    got = sorted(map(tuple, m.current_index().collect()))
+    want = sorted(
+        map(tuple, inverted_index(t.to_df(), min_df=1).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_index_maintainer_replayed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    batch_id must not double-apply (pointer guard)."""
+    from delta_go_spark.functions.textops import token_postings
+
+    t, m = _maintainer_fixture(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(4, "alpha delta", "insert", 1)],
+        "doc_id long, text string, _change_type string, _commit_version long",
+    )
+    m.apply(batch, 0)
+    after_first = sorted(map(tuple, m.current_index().collect()))
+    m.apply(batch, 0)  # replay: must be a no-op
+    assert sorted(map(tuple, m.current_index().collect())) == after_first
+    alpha = [r for r in after_first if r[0] == "alpha"][0]
+    assert alpha[1] == 3  # df: docs 1, 2, 4 — applied exactly once
+
+
+# ---------------------------------------------------------------------------
 # bm25_rank_from_state — index-served BM25 must equal corpus-scan BM25
 
 

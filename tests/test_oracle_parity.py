@@ -237,6 +237,7 @@ def test_round11_queries_in_window():
         "waterfill_budget_docs",  # single-scan budget this round
         "streaming_upsert_events",  # merge path changed (NULL-key probe)
         "streaming_delta_aggsink_events",
+        "streaming_index_maintenance_docs",  # NEW in round 11
         "delta_scd2_agg",
         "unique_gram_redact_docs",  # exact flag this round
         "delta_metadata_agg",  # typed-stat normalization this round
@@ -252,7 +253,7 @@ def test_round11_queries_in_window():
         "events_hourly_rollup",
         "window_topk_orders",
         "agg_event_users",
-        # the r7-stale block (30 of 40; the 10 deferred are listed in
+        # the r7-stale block (29 of 40; the 11 deferred are listed in
         # queries.py's rotation comment)
         "corpus_curation_pipeline",
         "gopher_rules_docs",
@@ -283,7 +284,6 @@ def test_round11_queries_in_window():
         "rrf_hybrid_search_docs",
         "lateral_topk_suppliers",
         "stateful_running_totals",
-        "streaming_hourly_rollup",
     ]
     assert order[0] == "inverted_index_docs"  # window TOP until hash-green
     positions = {n: order.index(n) + 1 for n in R_MUST}
