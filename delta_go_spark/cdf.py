@@ -277,3 +277,74 @@ def table_changes(
         # DeltaScan.to_df — the pushed conjunct re-applies for free)
         out = out.filter(predicate.to_spark())
     return out
+
+
+def snapshot_diff(
+    spark: "SparkSession",
+    table_path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Row-level diff between two versions of ANY Delta table — including
+    tables WITHOUT change data feed enabled, where `table_changes` can
+    only degrade to whole-file add/remove semantics (every row of a
+    rewritten file shows as delete+insert even when unchanged).  Output:
+    key columns + `change` ('inserted' | 'deleted' | 'updated') +
+    `old_<c>` / `new_<c>` for every compared column; rows identical in
+    both versions are dropped.
+
+    The 100 TB property is FILE-LEVEL PRUNING: Delta data files are
+    immutable, so a file present in both snapshots is byte-identical and
+    contributes no diff — only the symmetric difference of the two
+    AddFile sets is read, and the join is bounded by CHANGED-file rows,
+    never the table.  (A daily diff of a 100 TB table that rewrote 1% of
+    its files reads 2% of it.)  reference: version walking
+    log.go:188-226; the row-level reconcile exceeds the reference, whose
+    Changes surface is file-granular."""
+    from pyspark.sql import functions as F
+
+    from delta_go_spark.datareader import files_to_df
+    from delta_go_spark.log import DeltaLog
+
+    log = DeltaLog.for_table(table_path)
+    s_old = log.snapshot_for_version_as_of(v_old)
+    s_new = log.snapshot_for_version_as_of(v_new)
+    old_files = {a.path: a for a in s_old.all_files()}
+    new_files = {a.path: a for a in s_new.all_files()}
+    only_old = [a for p, a in old_files.items() if p not in new_files]
+    only_new = [a for p, a in new_files.items() if p not in old_files]
+    old_df = files_to_df(spark, s_old, only_old)
+    new_df = files_to_df(spark, s_new, only_new)
+    if compare_cols is None:
+        compare_cols = [c for c in old_df.columns if c not in key_cols]
+    missing = [c for c in [*key_cols, *compare_cols] if c not in old_df.columns]
+    if missing:
+        raise ValueError(f"unknown column(s) {missing}")
+    o = old_df.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new_df.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("inserted"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.filter(
+            F.col("_in_old").isNull() | F.col("_in_new").isNull() | differs
+        )
+        .select(
+            *key_cols,
+            change.alias("change"),
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -67,13 +67,14 @@ from delta_go_spark.operators import (
 #   (c) the 7 rows displaced by r10b, last green round 6
 #       (cube/join_left_outer/setops_segment/string_functions/
 #       events_hourly/window_topk/agg_event_users);
-#   (d) 29 of the 40 r7-stale rows.  The 11 deferred to the r12 head
+#   (d) 28 of the 40 r7-stale rows.  The 12 deferred to the r12 head
 #       (ann_ivf_int8, ann_signlsh, binary_stats, bpe_token_count,
 #       chunk_documents, duplicated_gram_fraction, embedding_norms,
-#       hash_sample, knn_cosine, plus fingerprint and
-#       streaming_hourly_rollup displaced by the NEW bm25_incremental
-#       and streaming_index_maintenance rows) each keep >= 3 in-window
-#       class siblings.
+#       hash_sample, knn_cosine, plus fingerprint,
+#       streaming_hourly_rollup and token_stats displaced by the NEW
+#       bm25_incremental, streaming_index_maintenance and
+#       delta_snapshot_diff rows) each keep >= 3 in-window class
+#       siblings.
 # Rotated OUT r10-green: doremi pair, containment_near_dup, profile_table,
 # hilbert_locality, exactsubstr, editdist, contamination_report, the whole
 # re-greened r6 block, the delta cache-site representatives
@@ -123,6 +124,9 @@ _WINDOW: list = [
     # delta_metadata_agg also rides this round's scan.py temporal-stat
     # normalization ---
     (delta_queries, ["delta_hilbert_agg", "delta_metadata_agg"]),
+    # NEW in round 11: version-to-version row diff with file-set pruning
+    # (displaces token_stats_docs to the r12 queue)
+    (cdf_queries, ["delta_snapshot_diff"]),
     (coverage, ["equidepth_histogram_docs", "orc_roundtrip_docs"]),
     # --- the 7 rows displaced by r10b, last green round 6 (queue item c) ---
     (relational, [
@@ -134,13 +138,10 @@ _WINDOW: list = [
         "window_topk_orders",
         "agg_event_users",
     ]),
-    # --- the r7-stale block (queue item d): 31 of the 40 rows whose last
-    # green driver hash is round 7.  The 9 deferred to the r12 head
-    # (ann_ivf_int8, ann_signlsh, binary_stats, bpe_token_count,
-    # chunk_documents, duplicated_gram_fraction, embedding_norms,
-    # hash_sample, knn_cosine) each keep >= 3 in-window class siblings
-    # (ANN/similarity, textops, sampling) and stay gated by the pytest
-    # SAMPLE + check_parity. ---
+    # --- the r7-stale block (queue item d): 28 of the 40 rows whose last
+    # green driver hash is round 7 (the 12 deferred are listed in the
+    # header comment; each keeps >= 3 in-window class siblings and stays
+    # gated by the pytest SAMPLE + check_parity) ---
     (curation, ["corpus_curation_pipeline", "gopher_rules_docs"]),
     (sampling, [
         "curriculum_interleave_docs",
@@ -165,7 +166,6 @@ _WINDOW: list = [
         "quality_quartile_docs",
         "text_quality_docs",
         "tfidf_top_terms_docs",
-        "token_stats_docs",
     ]),
     (funnel, ["funnel_conversion_events"]),
     (similarity, [

@@ -328,6 +328,79 @@ def test_update_through_cdf_maintains_index(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# snapshot_diff — row-level version diff with file-set pruning
+
+
+def test_snapshot_diff_reads_only_changed_files(spark, tmp_path):
+    """The 100 TB property: files present in BOTH snapshots are immutable
+    and must never be read.  Partitioned table, update touches only p=1:
+    the diff plan's input files must all live under p=1."""
+    from delta_go_spark.cdf import snapshot_diff
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tsd")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"text {i}") for i in range(40)], "k long, p long, v string"
+    )
+    t = DeltaTable.create(spark, path, df, partition_by=["p"])
+    t.update_where("p = 1 AND k = 1", {"v": "changed"})
+    diff = snapshot_diff(spark, path, 0, 1, ["k"])
+    rows = {(r["k"], r["change"], r["old_v"], r["new_v"]) for r in diff.collect()}
+    assert rows == {(1, "updated", "text 1", "changed")}
+    scanned = diff.inputFiles()
+    assert scanned, "diff plan reads no files?"
+    assert all("p=1" in f for f in scanned), scanned  # p=0 never read
+
+
+def test_snapshot_diff_compaction_is_invisible(spark, tmp_path):
+    """An OPTIMIZE rewrite (same rows, new files) must produce an EMPTY
+    diff — the row-level reconcile drops rows that merely moved files,
+    the refinement file-granular Changes cannot make."""
+    from delta_go_spark.cdf import snapshot_diff
+    from delta_go_spark.maintenance import optimize
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tsdc")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string"),
+    )
+    t.append(spark.createDataFrame([(100, "v100")], "k long, v string"))
+    optimize(spark, path)
+    v_new = t.log.update().version
+    assert v_new >= 2
+    assert snapshot_diff(spark, path, 1, v_new, ["k"]).count() == 0
+    # and against v0 only the appended row surfaces, despite the rewrite
+    d0 = snapshot_diff(spark, path, 0, v_new, ["k"]).collect()
+    assert [(r["k"], r["change"]) for r in d0] == [(100, "inserted")]
+
+
+def test_snapshot_diff_delete_and_multi_column_compare(spark, tmp_path):
+    from delta_go_spark.cdf import snapshot_diff
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "tsdd")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, w long"
+        ),
+    )
+    t.delete_where("k = 2")
+    t.update_where("k = 3", {"w": 31})
+    got = {
+        r["k"]: (r["change"], r["old_v"], r["new_v"], r["old_w"], r["new_w"])
+        for r in snapshot_diff(spark, path, 0, 2, ["k"]).collect()
+    }
+    assert got == {
+        2: ("deleted", "b", None, 20, None),
+        3: ("updated", "c", "c", 30, 31),
+    }
+
+
+# ---------------------------------------------------------------------------
 # IndexMaintainer — stream-maintained index state across RESTARTS and
 # replayed micro-batches
 

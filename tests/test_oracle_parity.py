@@ -238,6 +238,7 @@ def test_round11_queries_in_window():
         "streaming_upsert_events",  # merge path changed (NULL-key probe)
         "streaming_delta_aggsink_events",
         "streaming_index_maintenance_docs",  # NEW in round 11
+        "delta_snapshot_diff",  # NEW in round 11
         "delta_scd2_agg",
         "unique_gram_redact_docs",  # exact flag this round
         "delta_metadata_agg",  # typed-stat normalization this round
@@ -274,7 +275,6 @@ def test_round11_queries_in_window():
         "quality_quartile_docs",
         "text_quality_docs",
         "tfidf_top_terms_docs",
-        "token_stats_docs",
         "funnel_conversion_events",
         "kcenter_coreset_embeddings",
         "kmeans_embeddings",
