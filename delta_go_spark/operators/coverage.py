@@ -969,6 +969,234 @@ QUERIES["profile_table_docs"] = (profile_table_docs, PROFILE_TABLE_SQL)
 
 
 # ---------------------------------------------------------------------------
+# CDF-incremental table statistics — the stats-maintenance axis next to
+# the index (inverted_index_incremental), cluster-weight (softdedup) and
+# mixture (doremi) maintainers: ANALYZE numbers kept fresh per ingest
+# batch instead of recomputed corpus-wide.  What each stat costs under
+# deletes is stated honestly:
+#   * n_rows / n_nulls sign-sum (insert adds, delete subtracts) — O(change);
+#   * min / max merge in O(change) for inserts (LEAST/GREATEST against the
+#     stored value), but a DELETE that removes the row CARRYING a stored
+#     extreme cannot be fixed from deltas — only the affected COLUMNS
+#     rescan (column-pruned, so the parquet reader touches one column's
+#     pages), everything else stays O(change).  The boundary test is a
+#     single 1-row Spark job over the delete batch;
+#   * n_distinct is deliberately ABSENT: exact NDV under deletes needs the
+#     full value-frequency state and HLL sketches cannot delete — serve it
+#     from profile_table (exact or approx) on the rebuild cadence instead.
+def profile_incremental(
+    spark: SparkSession,
+    stats0: DataFrame,
+    new_rows: DataFrame,
+    deleted_rows: DataFrame,
+    live_df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """stats0 = profile-lite of the pre-change corpus (column_name,
+    n_rows, n_nulls, min_val, max_val — min/max as strings, the
+    profile_table contract); new_rows / deleted_rows = the netted change
+    feed (an update contributes its pre-image to deletes and post-image
+    to inserts, so the sign-sums stay exact); live_df = the post-change
+    table, read ONLY for columns whose stored extreme was deleted."""
+    dtypes = dict(live_df.dtypes)
+    st = {r["column_name"]: r for r in stats0.collect()}  # O(cols) rows
+
+    def _wide(df: DataFrame):
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.min(F.col(c)).alias(f"{c}__min"),
+                F.max(F.col(c)).alias(f"{c}__max"),
+            ]
+        return df.agg(*aggs).first()
+
+    ins, dels = _wide(new_rows), _wide(deleted_rows)
+
+    def _stored(c: str, which: str):
+        v = st[c][which]
+        return None if v is None else F.lit(v).cast(dtypes[c])
+
+    # boundary probe: does the delete batch carry any stored extreme?
+    # (native-typed comparison inside one 1-row plan; conservative — a
+    # surviving twin of the extreme just makes the rescan re-find it)
+    rescan: list[str] = []
+    for c in cols:
+        lo, hi = dels[f"{c}__min"], dels[f"{c}__max"]
+        probe = spark.range(1).select(
+            (
+                (F.lit(lo).cast(dtypes[c]).eqNullSafe(_stored(c, "min_val")))
+                | (F.lit(hi).cast(dtypes[c]).eqNullSafe(_stored(c, "max_val")))
+            ).alias("hit")
+        ).first()["hit"]
+        if dels["__n"] and probe:
+            rescan.append(c)
+    fresh = (
+        {
+            r["column_name"]: r
+            for r in live_df.agg(
+                *[
+                    f
+                    for c in rescan
+                    for f in (
+                        F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                        F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+                    )
+                ]
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column_name"),
+                                F.col(f"{c}__min").alias("mn"),
+                                F.col(f"{c}__max").alias("mx"),
+                            )
+                            for c in rescan
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.*")
+            .collect()
+        }
+        if rescan
+        else {}
+    )
+    out_rows = []
+    for c in cols:
+        n_rows = int(st[c]["n_rows"]) + int(ins["__n"]) - int(dels["__n"])
+        # sum() over an EMPTY delta side is NULL, not 0 — the classic
+        # accumulator-poisoning trap; coalesce both sides
+        n_nulls = (
+            int(st[c]["n_nulls"])
+            + int(ins[f"{c}__nulls"] or 0)
+            - int(dels[f"{c}__nulls"] or 0)
+        )
+        if c in fresh:
+            mn, mx = fresh[c]["mn"], fresh[c]["mx"]
+            out_rows.append((c, n_rows, n_nulls, mn, mx))
+        else:
+            # merge stored + insert extremes natively, render as string
+            row = spark.range(1).select(
+                F.least(_stored(c, "min_val"), F.lit(ins[f"{c}__min"]).cast(dtypes[c]))
+                .cast("string")
+                .alias("mn"),
+                F.greatest(_stored(c, "max_val"), F.lit(ins[f"{c}__max"]).cast(dtypes[c]))
+                .cast("string")
+                .alias("mx"),
+            ).first()
+            out_rows.append((c, n_rows, n_nulls, row["mn"], row["mx"]))
+    return spark.createDataFrame(
+        out_rows, "column_name string, n_rows long, n_nulls long, "
+        "min_val string, max_val string"
+    ).orderBy("column_name")
+
+
+def profile_lite(df: DataFrame, cols: list[str]) -> DataFrame:
+    """profile_table minus NDV — the delete-maintainable stat set."""
+    return (
+        profile_table(df.select(*cols))
+        .select("column_name", "n_rows", "n_nulls", "min_val", "max_val")
+    )
+
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def profile_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: v0 = documents with doc_id % 5 != 0 profiled in full; v1
+    appends the rest; v2 deletes doc_id % 7 == 0; v3 deletes THE row
+    carrying max(doc_id) — forcing the boundary-rescan path for doc_id
+    while every other column merges from deltas.  Oracle = profile-lite
+    over the surviving rows."""
+    import os
+
+    from delta_go_spark.functions.textops import cdf_net_changes
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.table import DeltaTable
+    from delta_go_spark import cdf
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_profile")
+    tbl = os.path.join(root, "docs")
+    stats_path = os.path.join(root, "stats_v0")
+
+    def build():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        profile_lite(v0, _PROFILE_COLS).write.mode("overwrite").parquet(
+            stats_path
+        )
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+        t.delete_where("mod7 = 0")
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        t.delete_where(f"doc_id = {max_id}")
+
+    _ensure_built(tbl, 3, build, sf_dir=sf_dir, tables=("documents",))
+    changes = cdf.table_changes(spark, tbl, start_version=1)
+    new_rows, deleted_ids = cdf_net_changes(changes)
+    # cdf_net_changes keeps (doc_id, text); the stats maintainer needs the
+    # full pre-image rows — join the netted ids back to the change rows
+    deleted_rows = (
+        changes.filter(F.col("_change_type") == "delete")
+        .join(deleted_ids.select("doc_id"), "doc_id", "left_semi")
+        .select(*_PROFILE_COLS)
+    )
+    inserted_rows = (
+        changes.filter(F.col("_change_type") == "insert")
+        .join(new_rows.select("doc_id"), "doc_id", "left_semi")
+        .select(*_PROFILE_COLS)
+    )
+    t = DeltaTable.for_path(spark, tbl)
+    return profile_incremental(
+        spark,
+        spark.read.parquet(stats_path),
+        inserted_rows.localCheckpoint(),
+        deleted_rows.localCheckpoint(),
+        t.to_df(),
+        _PROFILE_COLS,
+    )
+
+
+_PROFILE_LITE_COL = """
+SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CAST({c} IS NULL AS INT)) AS BIGINT) AS n_nulls,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM live_docs
+"""
+
+PROFILE_INCREMENTAL_SQL = (
+    """WITH live_docs AS (
+  SELECT * FROM documents
+  WHERE doc_id % 7 <> 0
+    AND doc_id <> (SELECT max(doc_id) FROM documents)
+)
+"""
+    + " UNION ALL ".join(_PROFILE_LITE_COL.format(c=c) for c in _PROFILE_COLS)
+    + " ORDER BY column_name"
+)
+
+
+QUERIES["profile_incremental_docs"] = (
+    profile_incremental_docs,
+    PROFILE_INCREMENTAL_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Equi-depth histogram (the optimizer-stats companion to profile_table):
 # B buckets each holding an equal share of the rows, with per-bucket
 # min/max/count — what a cost-based optimizer stores per column, and what

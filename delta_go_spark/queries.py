@@ -67,14 +67,14 @@ from delta_go_spark.operators import (
 #   (c) the 7 rows displaced by r10b, last green round 6
 #       (cube/join_left_outer/setops_segment/string_functions/
 #       events_hourly/window_topk/agg_event_users);
-#   (d) 28 of the 40 r7-stale rows.  The 12 deferred to the r12 head
+#   (d) 27 of the 40 r7-stale rows.  The 13 deferred to the r12 head
 #       (ann_ivf_int8, ann_signlsh, binary_stats, bpe_token_count,
 #       chunk_documents, duplicated_gram_fraction, embedding_norms,
 #       hash_sample, knn_cosine, plus fingerprint,
-#       streaming_hourly_rollup and token_stats displaced by the NEW
-#       bm25_incremental, streaming_index_maintenance and
-#       delta_snapshot_diff rows) each keep >= 3 in-window class
-#       siblings.
+#       streaming_hourly_rollup, token_stats and lateral_topk displaced
+#       by the NEW bm25_incremental, streaming_index_maintenance,
+#       delta_snapshot_diff and profile_incremental rows) each keep >= 3
+#       in-window class siblings.
 # Rotated OUT r10-green: doremi pair, containment_near_dup, profile_table,
 # hilbert_locality, exactsubstr, editdist, contamination_report, the whole
 # re-greened r6 block, the delta cache-site representatives
@@ -127,7 +127,14 @@ _WINDOW: list = [
     # NEW in round 11: version-to-version row diff with file-set pruning
     # (displaces token_stats_docs to the r12 queue)
     (cdf_queries, ["delta_snapshot_diff"]),
-    (coverage, ["equidepth_histogram_docs", "orc_roundtrip_docs"]),
+    # NEW in round 11: CDF-incremental ANALYZE stats (displaces
+    # lateral_topk_suppliers to the r12 queue — top-k keeps
+    # window_topk_orders in-window)
+    (coverage, [
+        "profile_incremental_docs",
+        "equidepth_histogram_docs",
+        "orc_roundtrip_docs",
+    ]),
     # --- the 7 rows displaced by r10b, last green round 6 (queue item c) ---
     (relational, [
         "cube_lineitem_counts",
@@ -138,8 +145,8 @@ _WINDOW: list = [
         "window_topk_orders",
         "agg_event_users",
     ]),
-    # --- the r7-stale block (queue item d): 28 of the 40 rows whose last
-    # green driver hash is round 7 (the 12 deferred are listed in the
+    # --- the r7-stale block (queue item d): 27 of the 40 rows whose last
+    # green driver hash is round 7 (the 13 deferred are listed in the
     # header comment; each keeps >= 3 in-window class siblings and stays
     # gated by the pytest SAMPLE + check_parity) ---
     (curation, ["corpus_curation_pipeline", "gopher_rules_docs"]),
@@ -176,7 +183,6 @@ _WINDOW: list = [
         "random_projection_embeddings",
         "rrf_hybrid_search_docs",
     ]),
-    (subqueries, ["lateral_topk_suppliers"]),
     (streaming_stateful, ["stateful_running_totals"]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE

@@ -328,6 +328,136 @@ def test_update_through_cdf_maintains_index(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# profile_incremental — CDF-maintained ANALYZE stats with honest deletes
+
+
+def _profile_state(spark, rows):
+    from delta_go_spark.operators.coverage import profile_lite
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    return df, profile_lite(df, ["k", "v"]).localCheckpoint()
+
+
+def test_profile_incremental_sign_sums_and_merges_inserts(spark):
+    from delta_go_spark.operators.coverage import profile_incremental
+
+    base, stats0 = _profile_state(
+        spark, [(1, "a"), (5, None), (9, "z")]
+    )
+    new = spark.createDataFrame([(12, "b"), (0, None)], "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string")
+    live = base.unionByName(new)
+    got = {
+        r["column_name"]: r
+        for r in profile_incremental(
+            spark, stats0, new, empty, live, ["k", "v"]
+        ).collect()
+    }
+    assert (got["k"]["n_rows"], got["k"]["n_nulls"]) == (5, 0)
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("0", "12")
+    assert got["v"]["n_nulls"] == 2  # stored 1 + inserted 1
+    assert (got["v"]["min_val"], got["v"]["max_val"]) == ("a", "z")
+
+
+def test_profile_incremental_boundary_delete_rescans(spark):
+    """Deleting the row that CARRIES the stored max must trigger the
+    column-pruned rescan and find the new max; a non-boundary delete must
+    not (min/max served from stored state)."""
+    from delta_go_spark.operators.coverage import profile_incremental
+
+    base, stats0 = _profile_state(spark, [(1, "a"), (5, "m"), (9, "z")])
+    empty = spark.createDataFrame([], "k long, v string")
+    # boundary: k=9 carries max(k) AND 'z' carries max(v)
+    dele = spark.createDataFrame([(9, "z")], "k long, v string")
+    live = base.filter(F.col("k") != 9)
+    got = {
+        r["column_name"]: r
+        for r in profile_incremental(
+            spark, stats0, empty, dele, live, ["k", "v"]
+        ).collect()
+    }
+    assert (got["k"]["n_rows"], got["k"]["max_val"]) == (2, "5")
+    assert got["v"]["max_val"] == "m"
+    # non-boundary: the middle row leaves extremes intact, no rescan path
+    dele2 = spark.createDataFrame([(5, "m")], "k long, v string")
+    live2 = base.filter(F.col("k") != 5)
+    got2 = {
+        r["column_name"]: r
+        for r in profile_incremental(
+            spark, stats0, empty, dele2, live2, ["k", "v"]
+        ).collect()
+    }
+    assert (got2["k"]["min_val"], got2["k"]["max_val"]) == ("1", "9")
+    assert (got2["v"]["min_val"], got2["v"]["max_val"]) == ("a", "z")
+    assert got2["k"]["n_rows"] == 2
+
+
+def test_profile_incremental_matches_batch_rebuild(spark):
+    """End-to-end on the real fixture: the maintained stats equal a
+    from-scratch profile_lite over the surviving documents."""
+    from delta_go_spark.operators.coverage import (
+        _PROFILE_COLS,
+        profile_incremental_docs,
+        profile_lite,
+    )
+    from delta_go_spark.session import load_table
+
+    got = sorted(map(tuple, profile_incremental_docs(spark, SF_DIR).collect()))
+    docs = load_table(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    live = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") != max_id)
+    )
+    want = sorted(map(tuple, profile_lite(live, _PROFILE_COLS).collect()))
+    assert got == want and len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter join — the 4th scale-join layout next to
+# bucketed/salted/DPP: Spark injects a bloom filter built from the
+# selective side into the fact scan of a shuffle join.  It only arms
+# past a 10 GB application-side scan, so at test scale the thresholds
+# are lowered to prove the MECHANISM fires on this engine's loaders and
+# changes nothing about the results.
+
+
+def test_runtime_bloom_filter_join_fires_and_is_pure(spark):
+    from delta_go_spark.session import load_table
+
+    lo = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc = "spark.sql.autoBroadcastJoinThreshold"
+    old_lo, old_bc = spark.conf.get(lo), spark.conf.get(bc)
+    try:
+        spark.conf.set(lo, "0")
+        # the injector skips joins it could broadcast (a broadcast join
+        # needs no runtime filter) — at 100 TB the dim would be over the
+        # threshold naturally; at test scale force the shuffle plan
+        spark.conf.set(bc, "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey")
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        n_bloom = j.count()
+    finally:
+        spark.conf.set(lo, old_lo)
+        spark.conf.set(bc, old_bc)
+    # the filter is a pure pre-filter: row set identical without it
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey")
+    )
+    n_plain = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert n_bloom == n_plain and n_bloom > 0
+
+
+# ---------------------------------------------------------------------------
 # snapshot_diff — row-level version diff with file-set pruning
 
 

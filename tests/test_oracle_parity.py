@@ -239,6 +239,7 @@ def test_round11_queries_in_window():
         "streaming_delta_aggsink_events",
         "streaming_index_maintenance_docs",  # NEW in round 11
         "delta_snapshot_diff",  # NEW in round 11
+        "profile_incremental_docs",  # NEW in round 11
         "delta_scd2_agg",
         "unique_gram_redact_docs",  # exact flag this round
         "delta_metadata_agg",  # typed-stat normalization this round
@@ -254,7 +255,7 @@ def test_round11_queries_in_window():
         "events_hourly_rollup",
         "window_topk_orders",
         "agg_event_users",
-        # the r7-stale block (29 of 40; the 11 deferred are listed in
+        # the r7-stale block (27 of 40; the 13 deferred are listed in
         # queries.py's rotation comment)
         "corpus_curation_pipeline",
         "gopher_rules_docs",
@@ -282,7 +283,6 @@ def test_round11_queries_in_window():
         "pq_codebook_embeddings",
         "random_projection_embeddings",
         "rrf_hybrid_search_docs",
-        "lateral_topk_suppliers",
         "stateful_running_totals",
     ]
     assert order[0] == "inverted_index_docs"  # window TOP until hash-green
