@@ -48,11 +48,9 @@ HEADLINE = [
     "dedup_clusters_docs",  # r3: iterative connected components
     "simhash_docs",  # r3: engine-portable 60-bit signatures
     "decontaminate_docs",  # r4: benchmark n-gram decontamination
-    "duplicated_gram_fraction_docs",  # r4: inter-doc duplication gate
     "semdedup_embeddings",  # r4: SemDeDup k-means + per-cluster matmul
     "funnel_conversion_events",  # r4: multi-step conversion funnel
     "corpus_curation_pipeline",  # r4: dedup+gate+pack end-to-end
-    "mixture_sample_docs",  # r4: token-budget corpus mixing
     "segment_dedup_docs",  # r4: repeated-segment drop + doc rebuild
     "mislabel_confusion_embeddings",  # r4: nearest-centroid label audit
     "minhash_incremental_docs",  # r4: CDF-incremental near-dup upkeep
@@ -95,6 +93,8 @@ HEADLINE = [
     "containment_near_dup_docs",  # r10: asymmetric containment pairs
     "inverted_index_docs",  # r10: salted-two-phase exact top-k postings
     "bm25_incremental_docs",  # r11: BM25 served from CDF-maintained state
+    "delta_snapshot_diff",  # r11: version diff at O(changed files)
+    "profile_incremental_docs",  # r11: CDF-maintained ANALYZE stats
     # (its corpus-scan twin bm25_search stays wired — the pair times the
     # index-amortization story; maintenance incl. deletes is inside)
     # streaming_sessionize_events / streaming_late_data_events /
@@ -110,8 +110,12 @@ HEADLINE = [
     # curation_pipeline_v2 anyway) and span_scrub_docs (209 ms one-Arrow-
     # pass; unique_gram_redact carries the gram-rebuild family's wire
     # slot, exactsubstr_dedup now times the corpus-join variant).
-    # r11 wire trim making room for bm25_incremental: bigram_coverage_docs
-    # (same bigram-aggregate cost shape pmi_bigrams_docs already times).
+    # r11 wire trims making room for the three adds: bigram_coverage_docs
+    # (same bigram-aggregate cost shape pmi_bigrams_docs already times),
+    # duplicated_gram_fraction_docs (gram-family cost carried by
+    # exactsubstr_dedup + unique_gram_redact + decontaminate) and
+    # mixture_sample_docs (mixture planning carried by token_budget_select
+    # + systematic_weighted_sample).
 ]
 
 

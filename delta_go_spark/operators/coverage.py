@@ -1017,20 +1017,34 @@ def profile_incremental(
         v = st[c][which]
         return None if v is None else F.lit(v).cast(dtypes[c])
 
-    # boundary probe: does the delete batch carry any stored extreme?
-    # (native-typed comparison inside one 1-row plan; conservative — a
-    # surviving twin of the extreme just makes the rescan re-find it)
-    rescan: list[str] = []
+    # boundary probe + insert-merge for EVERY column in ONE 1-row plan
+    # (native-typed comparisons; conservative — a surviving twin of a
+    # deleted extreme just makes the rescan re-find the same value)
+    one_row_cols = []
     for c in cols:
         lo, hi = dels[f"{c}__min"], dels[f"{c}__max"]
-        probe = spark.range(1).select(
+        one_row_cols.append(
             (
                 (F.lit(lo).cast(dtypes[c]).eqNullSafe(_stored(c, "min_val")))
                 | (F.lit(hi).cast(dtypes[c]).eqNullSafe(_stored(c, "max_val")))
-            ).alias("hit")
-        ).first()["hit"]
-        if dels["__n"] and probe:
-            rescan.append(c)
+            ).alias(f"hit_{c}")
+        )
+        one_row_cols.append(
+            F.least(
+                _stored(c, "min_val"), F.lit(ins[f"{c}__min"]).cast(dtypes[c])
+            )
+            .cast("string")
+            .alias(f"mn_{c}")
+        )
+        one_row_cols.append(
+            F.greatest(
+                _stored(c, "max_val"), F.lit(ins[f"{c}__max"]).cast(dtypes[c])
+            )
+            .cast("string")
+            .alias(f"mx_{c}")
+        )
+    one = spark.range(1).select(*one_row_cols).first()
+    rescan = [c for c in cols if dels["__n"] and one[f"hit_{c}"]]
     fresh = (
         {
             r["column_name"]: r
@@ -1075,19 +1089,10 @@ def profile_incremental(
             - int(dels[f"{c}__nulls"] or 0)
         )
         if c in fresh:
-            mn, mx = fresh[c]["mn"], fresh[c]["mx"]
-            out_rows.append((c, n_rows, n_nulls, mn, mx))
+            out_rows.append((c, n_rows, n_nulls, fresh[c]["mn"], fresh[c]["mx"]))
         else:
-            # merge stored + insert extremes natively, render as string
-            row = spark.range(1).select(
-                F.least(_stored(c, "min_val"), F.lit(ins[f"{c}__min"]).cast(dtypes[c]))
-                .cast("string")
-                .alias("mn"),
-                F.greatest(_stored(c, "max_val"), F.lit(ins[f"{c}__max"]).cast(dtypes[c]))
-                .cast("string")
-                .alias("mx"),
-            ).first()
-            out_rows.append((c, n_rows, n_nulls, row["mn"], row["mx"]))
+            # stored + insert extremes, merged natively in the 1-row plan
+            out_rows.append((c, n_rows, n_nulls, one[f"mn_{c}"], one[f"mx_{c}"]))
     return spark.createDataFrame(
         out_rows, "column_name string, n_rows long, n_nulls long, "
         "min_val string, max_val string"
