@@ -442,6 +442,14 @@ class DeltaDml:
                     # _s_ts > ts would update ts first and then judge every
                     # other column against the NEW ts (always false).  Stage
                     # all values into temp columns first, then assign.
+                    # staging prefix for the pre-image temp columns below;
+                    # lengthened until it collides with no real column, so
+                    # a table that legitimately has an `_u_<col>` column
+                    # cannot be clobbered mid-merge
+                    prefix = "_u_"
+                    existing = set(rewritten.columns)
+                    while any(f"{prefix}{c}" in existing for c in update_set or {}):
+                        prefix = "_" + prefix
                     staged: dict[str, str] = {}
                     for col, expr in (update_set or {}).items():
                         value = (
@@ -449,7 +457,7 @@ class DeltaDml:
                             if hasattr(expr, "_jc") or hasattr(expr, "_expr")
                             else F.lit(expr)
                         )
-                        tmp = f"_u_{col}"
+                        tmp = f"{prefix}{col}"
                         staged[col] = tmp
                         rewritten = rewritten.withColumn(
                             tmp, F.when(is_match, value).otherwise(F.col(col))

@@ -479,6 +479,23 @@ def test_merge_refuses_null_source_keys(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in t.to_df().collect()] == [(1, 10)]
 
 
+def test_merge_staging_prefix_avoids_real_u_columns(spark, tmp_path):
+    """The ANSI pre-image staging writes `_u_<col>` temp columns; a table
+    that legitimately carries an `_u_v` column must survive a merge
+    updating `v` with both columns intact (the prefix lengthens until
+    collision-free)."""
+    path = str(tmp_path / "tuprefix")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10, 99), (2, 20, 88)], "k long, v long, _u_v long"),
+    )
+    src = spark.createDataFrame([(1, 11)], "k long, v long")
+    t.merge(src, on="k", update_set={"v": F.col("_s_v")}, insert_not_matched=False)
+    rows = sorted(tuple(r) for r in t.to_df().collect())
+    assert rows == [(1, 11, 99), (2, 20, 88)]
+
+
 def test_merge_null_keys_allowed_where_no_duplicate_trap(spark, tmp_path):
     """The refusal is scoped to the actual trap (insert path on replay):
     insert_not_matched=False merges skip NULL rows silently (ANSI), and
