@@ -2427,6 +2427,7 @@ def inverted_index_incremental(
     top_k: int = 5,
     salt_buckets: int = 8,
     min_df: int = 3,
+    new_postings: DataFrame | None = None,
 ) -> DataFrame:
     """index0 = (token, df, cf, top_docs) of the pre-ingest corpus
     (min_df=1, i.e. UNFILTERED — a token below min_df may cross it after
@@ -2444,8 +2445,14 @@ def inverted_index_incremental(
     only a re-rank over the surviving postings gets right); the
     deleted doc's posting rows are anti-joined out of the stored side
     before the re-rank.  A token whose every posting is deleted drops
-    out of the index naturally (no surviving rows to re-rank)."""
-    delta_postings = token_postings(new_docs)
+    out of the index naturally (no surviving rows to re-rank).
+
+    `new_postings` optionally supplies token_postings(new_docs) a caller
+    already computed (bm25_incremental materializes it for the postings
+    state anyway) so the shingle pass runs once, not twice."""
+    delta_postings = (
+        new_postings if new_postings is not None else token_postings(new_docs)
+    )
     affected = delta_postings.select("token")
     stored = postings0
     if deleted_docs is not None:
@@ -2469,9 +2476,13 @@ def inverted_index_incremental(
     )
 
 
-def cdf_net_changes(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
+def cdf_net_changes(
+    changes: DataFrame, payload_cols: tuple[str, ...] = ("text",)
+) -> tuple[DataFrame, DataFrame]:
     """Net a CDF range down to (inserted_docs, deleted_docs) for a
-    stored-state maintainer.  Per doc_id:
+    stored-state maintainer; `payload_cols` are carried alongside doc_id
+    (the index maintainers need text; the stats maintainer needs every
+    profiled column).  Per doc_id:
 
       * the doc goes to the DELETE side (with its earliest pre-image
         text) iff its FIRST change is delete/update_preimage — i.e. the
@@ -2489,7 +2500,7 @@ def cdf_net_changes(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     typed = changes.select(
         "doc_id",
-        "text",
+        *payload_cols,
         F.when(
             F.col("_change_type").isin("insert", "update_postimage"),
             F.lit("insert"),
@@ -2515,10 +2526,10 @@ def cdf_net_changes(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
     ).withColumn("_rk_last", F.row_number().over(w_last))
     inserted = ranked.filter(
         (F.col("_rk_last") == 1) & (F.col("_net") == "insert")
-    ).select("doc_id", "text")
+    ).select("doc_id", *payload_cols)
     deleted = ranked.filter(
         (F.col("_rk_first") == 1) & (F.col("_net") == "delete")
-    ).select("doc_id", "text")
+    ).select("doc_id", *payload_cols)
     return inserted, deleted
 
 
@@ -2702,14 +2713,15 @@ def bm25_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _inc_invindex_fixture(spark, sf_dir)
     )
     del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
-    postings1 = postings0.join(del_ids, "doc", "left_anti").unionByName(
-        token_postings(new_docs)
-    )
+    # one shingle pass: the delta postings feed BOTH the postings state
+    # and the index maintainer (checkpointed — O(change) rows)
+    dp = token_postings(new_docs).localCheckpoint()
+    postings1 = postings0.join(del_ids, "doc", "left_anti").unionByName(dp)
     doclens1 = doclens0.join(del_ids, "doc", "left_anti").unionByName(
         doc_lengths(new_docs)
     )
     index1 = inverted_index_incremental(
-        index0, postings0, new_docs, deleted_docs, min_df=1
+        index0, postings0, new_docs, deleted_docs, min_df=1, new_postings=dp
     )
     return bm25_rank_from_state(
         postings1, doclens1, index1, ["dup", "vector", "key"], k=20

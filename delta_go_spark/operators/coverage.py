@@ -1014,8 +1014,13 @@ def profile_incremental(
     ins, dels = _wide(new_rows), _wide(deleted_rows)
 
     def _stored(c: str, which: str):
+        # a typed NULL literal, never Python None — pyspark's eqNullSafe/
+        # least/greatest raise on a raw None argument, and an all-NULL
+        # column legitimately stores NULL extremes
         v = st[c][which]
-        return None if v is None else F.lit(v).cast(dtypes[c])
+        return F.lit(v).cast(dtypes[c]) if v is not None else F.lit(None).cast(
+            dtypes[c]
+        )
 
     # boundary probe + insert-merge for EVERY column in ONE 1-row plan
     # (native-typed comparisons; conservative — a surviving twin of a
@@ -1150,25 +1155,19 @@ def profile_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_built(tbl, 3, build, sf_dir=sf_dir, tables=("documents",))
     changes = cdf.table_changes(spark, tbl, start_version=1)
-    new_rows, deleted_ids = cdf_net_changes(changes)
-    # cdf_net_changes keeps (doc_id, text); the stats maintainer needs the
-    # full pre-image rows — join the netted ids back to the change rows
-    deleted_rows = (
-        changes.filter(F.col("_change_type") == "delete")
-        .join(deleted_ids.select("doc_id"), "doc_id", "left_semi")
-        .select(*_PROFILE_COLS)
-    )
-    inserted_rows = (
-        changes.filter(F.col("_change_type") == "insert")
-        .join(new_rows.select("doc_id"), "doc_id", "left_semi")
-        .select(*_PROFILE_COLS)
-    )
+    # the netting carries EVERY profiled column, so an update contributes
+    # its full pre-image to the delete side and post-image to the insert
+    # side (profile_incremental's contract) — never reconstructed by
+    # change-type filtering, which would drop updates and double-count
+    # multi-change docs
+    payload = tuple(c for c in _PROFILE_COLS if c != "doc_id")
+    inserted_rows, deleted_rows = cdf_net_changes(changes, payload_cols=payload)
     t = DeltaTable.for_path(spark, tbl)
     return profile_incremental(
         spark,
         spark.read.parquet(stats_path),
-        inserted_rows.localCheckpoint(),
-        deleted_rows.localCheckpoint(),
+        inserted_rows.select(*_PROFILE_COLS).localCheckpoint(),
+        deleted_rows.select(*_PROFILE_COLS).localCheckpoint(),
         t.to_df(),
         _PROFILE_COLS,
     )

@@ -186,8 +186,8 @@ _WINDOW: list = [
     (streaming_stateful, ["stateful_running_totals"]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
-# and scripts/check_parity.py remain its gate; the 9 deferred r7-stale
-# rows (listed above) head the round-12 rotation.
+# and scripts/check_parity.py remain its gate; the 13 deferred rows
+# (listed in the header comment) head the round-12 rotation.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

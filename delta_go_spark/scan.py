@@ -380,7 +380,6 @@ def _typed_stat(v, dtype: str):
     Raises on malformed input — the caller treats that file as statless
     and lets the scan fallback answer."""
     import datetime
-    import decimal
 
     if v is None:
         return None
@@ -396,8 +395,8 @@ def _typed_stat(v, dtype: str):
         return int(v)
     if dtype in ("float", "double"):
         return float(v)
-    if dtype.startswith("decimal"):
-        return decimal.Decimal(str(v))
+    # decimal never reaches here: metadata_only_min_max refuses decimal
+    # columns up front (their log stats are float-serialized — lossy)
     if dtype == "boolean":
         return bool(v)
     return v
@@ -413,9 +412,11 @@ def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
     holding non-null rows are scanned individually when a SparkSession is
     supplied, else the call refuses.
 
-    STRING/BINARY columns are refused outright: parquet writers may
+    STRING/BINARY columns are refused outright (parquet writers may
     truncate long min/max statistics, and a truncated max understates the
-    real one — numeric/date stats are always exact.  Parsed stat values
+    real one), and so are DECIMAL columns (the log serializes their stats
+    through float — lossy past ~15 significant digits); integer/float/
+    date stats are always exact.  Parsed stat values
     are normalized to the column's Python type (_typed_stat): date stats
     live in the log as ISO strings while the statless-file fallback scan
     returns datetime.date, and the two must fold and return consistently.
@@ -431,6 +432,16 @@ def metadata_only_min_max(snapshot, cols, spark=None) -> dict:
             raise ValueError(
                 f"metadata-only min/max refuses {c!r} ({by_name[c]}): "
                 "parquet string statistics may be truncated; scan instead"
+            )
+        if by_name[c].startswith("decimal"):
+            # writer._json_safe serializes decimal stats through float —
+            # lossy past ~15 significant digits, so a stats-served extreme
+            # could differ from the true one.  Refuse like string/binary
+            # rather than return a wrong "exact" answer.
+            raise ValueError(
+                f"metadata-only min/max refuses {c!r} ({by_name[c]}): "
+                "decimal statistics are float-serialized in the log "
+                "(precision loss past ~15 digits); scan instead"
             )
     out = {c: [None, None] for c in cols}
     statless: dict[str, list] = {c: [] for c in cols}

@@ -955,7 +955,18 @@ class IndexMaintainer:
         and the half-written gen dir is simply overwritten by the retry.
     A RESTARTED maintenance job (new stream run, same checkpoint + same
     state_dir) resumes from both the streaming offsets and the pointer —
-    the scheduled-incremental-job deployment shape."""
+    the scheduled-incremental-job deployment shape.
+
+    Cost honesty: the COMPUTE per batch is O(change + affected-token
+    postings) (the maintainer's contract), but this parquet-generation
+    state form REWRITES the full postings/index tables per batch —
+    O(state) I/O.  That is fine for the fixture scale and for any state
+    that fits a few files; the 100 TB deployment keeps the postings
+    state in a Delta table keyed (token, doc) and replaces the
+    generation rewrite with one MERGE per batch (delete_condition for
+    removed docs, insert for new postings), making state I/O
+    change-proportional too — the same committer streaming_upsert
+    already exercises."""
 
     def __init__(
         self,
