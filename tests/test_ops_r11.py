@@ -174,6 +174,71 @@ def test_cdf_net_changes_delete_then_reinsert_hits_both_sides(spark):
 
 
 # ---------------------------------------------------------------------------
+# cdf_net_changes — property: for ANY legal per-doc change sequence, the
+# netted (inserted, deleted) frames turn the pre-range corpus into the
+# post-range corpus under "delete stored rows, then add inserted rows"
+
+
+def test_cdf_net_changes_property_random_histories(spark):
+    """Reference model: replay each doc's chronological change list; the
+    doc is deleted iff its first change removes pre-existing state, and
+    inserted (with its final text) iff its last change leaves it live.
+    8 docs x random histories x 30 seeds, one Spark job per seed-batch
+    (histories are concatenated into a single changes frame)."""
+    import random
+
+    from delta_go_spark.functions.textops import cdf_net_changes
+
+    INS, DEL, UPD = "insert", "delete", "update"
+
+    def legal_histories(rng, doc, pre_exists):
+        """A random legal change sequence for one doc across versions."""
+        hist = []
+        live = pre_exists
+        for v in range(1, rng.randint(1, 5)):
+            ops = []
+            if live:
+                ops = [DEL, UPD, None]
+            else:
+                ops = [INS, None]
+            op = rng.choice(ops)
+            if op is None:
+                continue
+            if op == INS:
+                hist.append((doc, f"t{doc}v{v}", "insert", v))
+                live = True
+            elif op == DEL:
+                hist.append((doc, f"t{doc}v{v-1}pre", "delete", v))
+                live = False
+            else:
+                hist.append((doc, f"t{doc}v{v-1}pre", "update_preimage", v))
+                hist.append((doc, f"t{doc}v{v}", "update_postimage", v))
+        return hist, live
+
+    rng = random.Random(11)
+    rows, want_ins, want_del = [], {}, set()
+    for doc in range(200):
+        pre = doc % 2 == 0
+        hist, live_after = legal_histories(rng, doc, pre)
+        if not hist:
+            continue
+        rows.extend(hist)
+        first, last = hist[0], hist[-1]
+        if pre and first[2] in ("delete", "update_preimage"):
+            want_del.add(doc)
+        if live_after and last[2] in ("insert", "update_postimage"):
+            want_ins[doc] = last[1]
+    changes = spark.createDataFrame(
+        rows, "doc_id long, text string, _change_type string, _commit_version long"
+    )
+    ins, dels = cdf_net_changes(changes)
+    got_ins = {r["doc_id"]: r["text"] for r in ins.collect()}
+    got_del = {r["doc_id"] for r in dels.collect()}
+    assert got_ins == want_ins
+    assert got_del == want_del
+
+
+# ---------------------------------------------------------------------------
 # softdedup_incremental_update — deletes
 
 
