@@ -295,6 +295,16 @@ def snapshot_diff(
     `old_<c>` / `new_<c>` for every compared column; rows identical in
     both versions are dropped.
 
+    CONTRACT: `key_cols` must uniquely identify rows (within each
+    version).  Duplicate keys would fan the full-outer join into
+    per-key cross products and silently misclassify rows as 'updated';
+    a key whose rows span a changed and an unchanged file would be
+    labeled 'deleted' while a same-key row survives elsewhere.  The
+    guard below probes the CHANGED-file rows (the only rows this diff
+    can see — one bounded aggregate, same cost class as the join
+    itself) and raises DeltaError naming the offending key, the same
+    refuse-loudly style as MERGE's NULL-key guard (dml.py).
+
     The 100 TB property is FILE-LEVEL PRUNING: Delta data files are
     immutable, so a file present in both snapshots is byte-identical and
     contributes no diff — only the symmetric difference of the two
@@ -322,6 +332,31 @@ def snapshot_diff(
     missing = [c for c in [*key_cols, *compare_cols] if c not in old_df.columns]
     if missing:
         raise ValueError(f"unknown column(s) {missing}")
+    # duplicate-key probe: one aggregate over the already-bounded
+    # changed-file rows (never the table); a dup on either side means the
+    # full-outer below would fan out and misclassify — refuse loudly
+    dup = (
+        old_df.select(*key_cols).withColumn("_side", F.lit("old"))
+        .unionByName(
+            new_df.select(*key_cols).withColumn("_side", F.lit("new"))
+        )
+        .groupBy("_side", *key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        from delta_go_spark.snapshot import DeltaError
+
+        r = dup[0]
+        keyrepr = ", ".join(f"{c}={r[c]!r}" for c in key_cols)
+        raise DeltaError(
+            f"snapshot_diff: key ({keyrepr}) is duplicated within the "
+            f"{r['_side']}-version changed rows; key_cols must uniquely "
+            f"identify rows or the full-outer diff join fans out and "
+            f"misclassifies rows as 'updated' — pass a unique key"
+        )
     o = old_df.select(
         *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
     ).withColumn("_in_old", F.lit(True))

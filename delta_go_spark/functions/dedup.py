@@ -1246,21 +1246,34 @@ def minhash_incremental_pairs(
 
 
 def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry query: CDF-driven incremental near-dup maintenance.
+    """Registry query: CDF-driven incremental near-dup maintenance,
+    DELETE-aware (the last maintainer to gain it — softdedup_incremental
+    consumes this exact pair contract downstream).
 
     Build (cached once per sf_dir): a Delta documents table whose v0
     holds 80% of the corpus, plus the two artifacts a production
     pipeline persists — the v0 signature table and the v0 pair set; then
-    v1 appends the remaining 20%.  Query: read ONLY the v1 change feed,
-    run the incremental band join against the stored signatures, and
-    union with the stored pairs.  The oracle is the full-recompute pair
-    SQL over the whole corpus — a hash match proves incremental
-    maintenance converges to exactly the from-scratch answer.
+    v1 appends the remaining 20% and v2 DELETES every doc_id % 7 == 0
+    (hitting v0 docs — their stored signatures AND stored pairs must
+    vanish — and v1 docs, whose insert+delete must net to nothing).
+    Query: net the change feed (cdf_net_changes), anti-join deleted ids
+    out of the stored signatures BEFORE the band join (a phantom pair
+    new-doc x deleted-stored-doc must never form), drop stored pairs
+    with a deleted endpoint, run the incremental band join for the net
+    inserts, and union with the surviving stored pairs.  The oracle is
+    the full-recompute pair SQL over the POST-DELETE corpus — a hash
+    match proves incremental maintenance converges to exactly the
+    from-scratch answer through appends AND deletes.
+
+    Cost stays O(change + collision candidates): the netted feed is
+    change-bounded, the anti-joins are key-joins against it, and the
+    band join broadcasts the batch side (minhash_incremental_pairs).
     """
     import os
     import shutil
 
     from delta_go_spark import cdf
+    from delta_go_spark.functions.textops import cdf_net_changes
     from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
     from delta_go_spark.table import DeltaTable
 
@@ -1275,7 +1288,11 @@ def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # version is the completion marker _ensure_built checks, so a
         # crash mid-build can never serve the table without its artifacts
         shutil.rmtree(root, ignore_errors=True)
-        docs = load_table(spark, sf_dir, "documents")
+        # mod7 materialized: the engine's predicate grammar is
+        # comparison-only, so the v2 delete key must be a stored column
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
         v0 = docs.filter(F.col("doc_id") % 5 != 0)
         # num_perm must match minhash_incremental_pairs' default (16) —
         # minhash_signatures' own default is 32
@@ -1288,22 +1305,75 @@ def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             configuration={"delta.enableChangeDataFeed": "true"},
         )
         t.append(docs.filter(F.col("doc_id") % 5 == 0))
+        # v2: deletes hit v0 docs (stored sigs + pairs must shrink) and
+        # v1 docs (insert+delete nets to nothing)
+        t.delete_where("mod7 = 0")
 
-    _ensure_built(tbl, 1, build, sf_dir=sf_dir, tables=("documents",))
-    new_docs = (
+    _ensure_built(tbl, 2, build, sf_dir=sf_dir, tables=("documents",))
+    new_docs, deleted_docs = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1)
-        .filter(F.col("_change_type") == "insert")
-        .select("doc_id", "text")
     )
-    sig_base = spark.read.parquet(sig_path)
-    inc = minhash_incremental_pairs(sig_base, new_docs)
-    base_pairs = spark.read.parquet(pairs_path)
-    return base_pairs.unionByName(inc).orderBy("doc_id_a", "doc_id_b")
+    # checkpoint the netted sides (O(change) rows): the band join and the
+    # two anti-joins would replay the CDF read + netting windows otherwise
+    new_docs = new_docs.select("doc_id", "text").localCheckpoint()
+    del_ids = deleted_docs.select("doc_id").localCheckpoint()
+    return minhash_incremental_update(
+        spark.read.parquet(sig_path),
+        spark.read.parquet(pairs_path),
+        new_docs,
+        del_ids,
+    ).orderBy("doc_id_a", "doc_id_b")
 
 
-# Full-recompute oracle over the final corpus — identical SQL to the
-# one-shot minhash query: incremental maintenance must converge to it.
-MINHASH_INCREMENTAL_SQL = NGRAM_JACCARD_SQL
+def minhash_incremental_update(
+    sig_base: DataFrame,
+    pairs0: DataFrame,
+    new_docs: DataFrame,
+    deleted_ids: DataFrame,
+    num_perm: int = 16,
+) -> DataFrame:
+    """Delete-aware maintenance step for the persisted near-dup pair set:
+    emit the post-change pair set from the stored signatures + stored
+    pairs and a NETTED change batch (cdf_net_changes' contract — an
+    updated doc appears as delete + insert).
+
+    Three change-bounded moves, mirroring softdedup_incremental's:
+      1. deleted endpoints leave the stored SIGNATURES before the band
+         join — a phantom pair (new doc x deleted stored doc) must
+         never form;
+      2. stored PAIRS with a deleted endpoint drop (two anti-joins
+         against the O(change) delete set);
+      3. the incremental band join (batch side broadcast, corpus band
+         table never reshuffled) adds every pair with >= 1 net-new doc.
+    The union is exactly the full-recompute pair set over the
+    post-change corpus — the registry oracle's contract."""
+    dels_sig = deleted_ids.withColumnRenamed("doc_id", "doc")
+    sig_live = sig_base.join(dels_sig, "doc", "left_anti")
+    inc = minhash_incremental_pairs(sig_live, new_docs, num_perm=num_perm)
+    surviving = pairs0.join(
+        deleted_ids.withColumnRenamed("doc_id", "doc_id_a"),
+        "doc_id_a",
+        "left_anti",
+    ).join(
+        deleted_ids.withColumnRenamed("doc_id", "doc_id_b"),
+        "doc_id_b",
+        "left_anti",
+    )
+    return surviving.unionByName(inc)
+
+
+# Full-recompute oracle over the POST-DELETE corpus — identical SQL
+# template to the one-shot minhash query, live rows only: incremental
+# maintenance must converge to it through appends AND deletes.
+MINHASH_INCREMENTAL_SQL = NGRAM_JACCARD_SQL.replace(
+    "FROM documents", "FROM live_docs"
+).replace(
+    "WITH ",
+    "WITH live_docs AS (\n"
+    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
+    "), ",
+    1,
+)
 
 
 QUERIES["minhash_incremental_docs"] = (

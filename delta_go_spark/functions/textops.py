@@ -2540,8 +2540,11 @@ def _inc_invindex_fixture(spark: SparkSession, sf_dir: str):
     batch; v2 DELETES every doc_id % 7 == 0 (hitting both v0 docs —
     stored postings must shrink, stored top-k winners may vanish — and
     v1 docs, whose insert+delete must net to nothing).  Returns
-    (postings0, index0, doclens0, new_docs, deleted_docs) — the stored
-    state plus the netted change feed."""
+    (postings0, index0, doclens0, stats0, new_docs, deleted_docs) — the
+    stored state plus the netted change feed; stats0 is the 1-row
+    (_n, _sumdl) corpus-stats table a production deployment sign-sums
+    per ingest batch (derived lazily from doclen_v0, so caches built
+    before it existed stay valid)."""
     import os
     import shutil
 
@@ -2580,6 +2583,13 @@ def _inc_invindex_fixture(spark: SparkSession, sf_dir: str):
         t.delete_where("mod7 = 0")
 
     _ensure_built(tbl, 2, build, sf_dir=sf_dir, tables=("documents",))
+    stats_path = os.path.join(root, "stats_v0")
+    # _SUCCESS is the write's own completion marker: a crash mid-write
+    # leaves the dir without it and the overwrite below retries cleanly
+    if not os.path.exists(os.path.join(stats_path, "_SUCCESS")):
+        spark.read.parquet(doclen_path).agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
+        ).write.mode("overwrite").parquet(stats_path)
     new_docs, deleted_docs = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1)
     )
@@ -2591,6 +2601,7 @@ def _inc_invindex_fixture(spark: SparkSession, sf_dir: str):
         spark.read.parquet(postings_path),
         spark.read.parquet(index_path),
         spark.read.parquet(doclen_path),
+        spark.read.parquet(stats_path),
         new_docs.localCheckpoint(),
         deleted_docs.localCheckpoint(),
     )
@@ -2601,7 +2612,7 @@ def inverted_index_incremental_docs(
 ) -> DataFrame:
     """The maintained index over _inc_invindex_fixture's change feed must
     hash-equal the batch INVERTED_INDEX_SQL over the POST-DELETE corpus."""
-    postings0, index0, _, new_docs, deleted_docs = _inc_invindex_fixture(
+    postings0, index0, _, _, new_docs, deleted_docs = _inc_invindex_fixture(
         spark, sf_dir
     )
     return inverted_index_incremental(
@@ -2636,6 +2647,35 @@ def doc_lengths(
     )
 
 
+def corpus_stats_signsum(
+    stats0: DataFrame, new_docs: DataFrame, deleted_docs: DataFrame
+) -> DataFrame:
+    """Advance the 1-row (_n, _sumdl) corpus-stats table through a netted
+    change batch by SIGN-SUM: inserted docs contribute (+1, +dl), deleted
+    docs (-1, -dl), where a deleted doc's dl re-derives from its CDF
+    pre-image text (same length rule as doc_lengths) — the update never
+    reads the doclens state, let alone the corpus.  O(change) rows in,
+    one row out; at 100 TB this is the difference between a per-batch
+    corpus reduce and a per-batch scalar add.  An updated doc appears on
+    both sides of the netted feed, so its old length leaves and its new
+    length enters in the same pass."""
+    signed = (
+        doc_lengths(new_docs)
+        .withColumn("_sgn", F.lit(1))
+        .unionByName(doc_lengths(deleted_docs).withColumn("_sgn", F.lit(-1)))
+    )
+    delta = signed.agg(
+        F.coalesce(F.sum("_sgn"), F.lit(0)).cast("long").alias("_dn"),
+        F.coalesce(F.sum(F.col("dl") * F.col("_sgn")), F.lit(0))
+        .cast("long")
+        .alias("_dsum"),
+    )
+    return stats0.crossJoin(delta).select(
+        (F.col("_n") + F.col("_dn")).cast("long").alias("_n"),
+        (F.col("_sumdl") + F.col("_dsum")).cast("long").alias("_sumdl"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 served FROM the maintained index — the consumer the maintenance
 # operators exist for.  bm25_rank (batch, above) pays a corpus stats pass
@@ -2656,13 +2696,18 @@ def bm25_rank_from_state(
     terms: list[str],
     k: int = 20,
     id_col: str = "doc_id",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score_micro, n_terms), BM25 k1=1.2 b=0.75, computed
     without touching any document text: `postings` (token, doc, tf),
     `doclens` (doc, dl) and `index_df` (token, df, ... built min_df=1)
-    are the maintained state.  Integer micro-scores via the same
-    floor(x*1e6 + 0.5) rule as bm25_rank, so both paths and the DuckDB
-    oracle agree bit-for-bit."""
+    are the maintained state.  `stats` optionally supplies the 1-row
+    (_n, _sumdl) corpus-stats table a production deployment sign-sums
+    per ingest batch — with it the query path is FULLY match-bounded
+    (no corpus-shaped reduce at all); without it the (N, Σdl) pair
+    reduces from `doclens` (narrow 2 columns, but O(corpus) rows).
+    Integer micro-scores via the same floor(x*1e6 + 0.5) rule as
+    bm25_rank, so both paths and the DuckDB oracle agree bit-for-bit."""
     tf = postings.filter(F.col("token").isin(terms)).select(
         F.col("doc").alias(id_col),
         F.col("token").alias("_tok"),
@@ -2671,9 +2716,15 @@ def bm25_rank_from_state(
     dft = index_df.filter(F.col("token").isin(terms)).select(
         F.col("token").alias("_tok"), F.col("df").alias("_df")
     )
-    stats = doclens.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
-    )
+    if stats is None:
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
+        )
+    else:
+        stats = stats.select(
+            F.col("_n").cast("long").alias("_n"),
+            F.col("_sumdl").cast("long").alias("_sumdl"),
+        )
     avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
     idf = (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     tfn = (F.col("_tf") * 2.2) / (
@@ -2702,14 +2753,20 @@ def bm25_rank_from_state(
 def bm25_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: BM25 over the POST-CHANGE corpus, served entirely
     from CDF-maintained state (shared _inc_invindex_fixture: append at
-    v1, delete at v2).  The three state tables update at O(change):
+    v1, delete at v2).  The FOUR state tables update at O(change):
     postings and doc lengths by anti-join + union of the netted feed,
-    df by the delete-aware index maintainer.  Oracle = the batch BM25
+    df by the delete-aware index maintainer, and the 1-row (N, Σdl)
+    corpus-stats table by SIGN-SUM (corpus_stats_signsum: inserted
+    docs' lengths add, deleted docs' pre-image lengths subtract — the
+    CDF delivers the pre-image text, so the stored dl re-derives
+    without reading the doclens state).  Serving avgdl from that table
+    removes the last non-match-bounded step from the QUERY path: zero
+    corpus work at query time.  Oracle = the batch BM25
     SQL over the surviving documents — a hash match proves index-served
     search converges to scan-the-corpus search through inserts AND
     deletes (deleted docs must vanish from the ranking, and their mass
     must leave df/avgdl)."""
-    postings0, index0, doclens0, new_docs, deleted_docs = (
+    postings0, index0, doclens0, stats0, new_docs, deleted_docs = (
         _inc_invindex_fixture(spark, sf_dir)
     )
     del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
@@ -2723,8 +2780,10 @@ def bm25_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index1 = inverted_index_incremental(
         index0, postings0, new_docs, deleted_docs, min_df=1, new_postings=dp
     )
+    stats1 = corpus_stats_signsum(stats0, new_docs, deleted_docs)
     return bm25_rank_from_state(
-        postings1, doclens1, index1, ["dup", "vector", "key"], k=20
+        postings1, doclens1, index1, ["dup", "vector", "key"], k=20,
+        stats=stats1,
     )
 
 

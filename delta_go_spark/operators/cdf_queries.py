@@ -111,9 +111,16 @@ def delta_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = DeltaTable.create(spark, path, docs)
         t.update_where("mod7 = 1", {"text": F.lit("updated")})
         t.delete_where("mod7 = 2")
+        # appended keys offset by max(doc_id)+1, NOT a literal: a fixed
+        # offset collides with live ids at a large-enough sf, and a
+        # collision classifies differently on the Spark (changed-files
+        # view) vs oracle (whole-corpus join) side — a data-dependent
+        # hash break.  The oracle replays the same offset as a scalar
+        # subquery (SELECT max(doc_id)+1 FROM documents).
+        off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         t.append(
             docs.filter(F.col("mod7") == 3).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") + F.lit(off)).alias("doc_id"),
                 F.lit("appended").alias("text"),
                 "lang",
                 "source",
@@ -140,7 +147,8 @@ WITH old AS (
          CASE WHEN doc_id % 7 = 1 THEN 'updated' ELSE text END AS text
   FROM documents WHERE doc_id % 7 <> 2
   UNION ALL
-  SELECT doc_id + 1000000, 'appended' FROM documents WHERE doc_id % 7 = 3
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), 'appended'
+  FROM documents WHERE doc_id % 7 = 3
 ), j AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
          o.text AS old_text, n.text AS new_text,

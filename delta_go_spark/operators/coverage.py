@@ -997,7 +997,15 @@ def profile_incremental(
     profile_table contract); new_rows / deleted_rows = the netted change
     feed (an update contributes its pre-image to deletes and post-image
     to inserts, so the sign-sums stay exact); live_df = the post-change
-    table, read ONLY for columns whose stored extreme was deleted."""
+    table, read ONLY for columns whose stored extreme was deleted.
+
+    HARD PRECONDITION: `deleted_rows` must carry PRE-IMAGE values (what
+    cdf_net_changes' delete side delivers).  The boundary-rescan probe
+    compares the delete batch's extremes against stats0's STORED
+    extremes — a raw/un-netted feed whose delete side carried
+    post-image values would silently miss a boundary delete and serve
+    a stale min/max.  Feed this function from cdf_net_changes (or any
+    source honoring the pre-image contract), never a raw CDF range."""
     dtypes = dict(live_df.dtypes)
     st = {r["column_name"]: r for r in stats0.collect()}  # O(cols) rows
 

@@ -941,32 +941,44 @@ QUERIES["streaming_upsert_events"] = (
 
 
 class IndexMaintainer:
-    """foreachBatch sink for stream-maintained inverted-index state.
+    """foreachBatch sink for stream-maintained inverted-index state,
+    stored in the engine's OWN Delta tables: a postings table keyed
+    `pk` = token<US>doc (token, doc, tf) and an index table keyed
+    `token` (df, cf, top_docs), each advanced by ONE MERGE per
+    micro-batch — delete_condition removes the netted-away rows, the
+    not-matched remainder inserts, exactly the CDC-apply committer
+    shape streaming_upsert exercises.
 
-    State lives as batch-id-keyed parquet generations under `state_dir`
-    with a pointer file advanced ATOMICALLY (write-temp + rename) after a
-    generation is fully written, so:
-      * a REPLAYED micro-batch (foreachBatch is at-least-once; a crash
-        between the state write and Spark's offset commit re-delivers the
-        batch) sees pointer >= batch_id and no-ops — state applies exactly
-        once, the same idempotency rule as SetTransaction tokens on the
-        Delta-sink committers;
-      * a crash MID-write leaves the pointer on the previous generation
-        and the half-written gen dir is simply overwritten by the retry.
-    A RESTARTED maintenance job (new stream run, same checkpoint + same
-    state_dir) resumes from both the streaming offsets and the pointer —
-    the scheduled-incremental-job deployment shape.
+    Idempotency: both merges carry a SetTransaction token (one app id
+    per state table, version = batch_id), so a REPLAYED micro-batch
+    (foreachBatch is at-least-once; a crash between the state commit
+    and Spark's offset commit re-delivers the batch) no-ops at the
+    TRANSACTION layer — the pointer-file machinery of the earlier
+    parquet-generation form is gone, and with it the unbounded
+    generation-dir growth.  A crash BETWEEN the two merges re-delivers
+    the batch: the postings merge no-ops via its token and the index
+    refresh recomputes from the (already post-batch) postings state,
+    converging to the same rows — within a batch the index may lag the
+    postings until the second merge lands, the standard
+    eventually-consistent contract for a search index.  A RESTARTED
+    maintenance job (new stream run, same checkpoint + state tables)
+    resumes from the streaming offsets and the tables' txn versions.
 
-    Cost honesty: the COMPUTE per batch is O(change + affected-token
-    postings) (the maintainer's contract), but this parquet-generation
-    state form REWRITES the full postings/index tables per batch —
-    O(state) I/O.  That is fine for the fixture scale and for any state
-    that fits a few files; the 100 TB deployment keeps the postings
-    state in a Delta table keyed (token, doc) and replaces the
-    generation rewrite with one MERGE per batch (delete_condition for
-    removed docs, insert for new postings), making state I/O
-    change-proportional too — the same committer streaming_upsert
-    already exercises."""
+    I/O shape (the r11 scale fix): per batch the merge REWRITES only
+    data files containing a matched key (copy-on-write; the state is
+    laid out token-hashed across `state_files` files so a batch
+    touches few of them) and APPENDS the change's new rows — WRITTEN
+    bytes scale with the CHANGE, not the state, pytest-pinned by
+    reading the merge commit's own add/remove actions against the
+    full state file count.  The residual O(state) is the merge's
+    key-only columnar READ (touched-file probe + insert anti-join);
+    a production layout prunes that with per-file key-range stats
+    (the engine's stats skipping) rather than scanning every file."""
+
+    # one MERGE per state table per batch; the app ids namespace the
+    # SetTransaction tokens so the two tables replay independently
+    _TXN_POSTINGS = "idxmaint-postings"
+    _TXN_INDEX = "idxmaint-index"
 
     def __init__(
         self,
@@ -975,65 +987,135 @@ class IndexMaintainer:
         postings_v0: str,
         index_v0: str,
         top_k: int = 5,
+        state_files: int = 8,
     ):
         import os
 
+        from delta_go_spark.log import DeltaLog
+        from delta_go_spark.table import DeltaTable
+
         self.spark = spark
-        self.state_dir = state_dir
         self.top_k = top_k
         os.makedirs(state_dir, exist_ok=True)
-        self._pointer = os.path.join(state_dir, "POINTER")
-        if not os.path.exists(self._pointer):
-            self._write_pointer(-1, postings_v0, index_v0)
+        self.postings_tbl = os.path.join(state_dir, "postings")
+        self.index_tbl = os.path.join(state_dir, "index")
+        # seed each state table from the v0 parquet exactly once;
+        # DeltaTable.create commits atomically, so a crash between the
+        # two creates just re-creates the missing one on restart
+        if not DeltaLog.for_table(self.postings_tbl).table_exists():
+            DeltaTable.create(
+                self.spark,
+                self.postings_tbl,
+                self._with_pk(spark.read.parquet(postings_v0)).repartition(
+                    state_files, "token"
+                ),
+            )
+        if not DeltaLog.for_table(self.index_tbl).table_exists():
+            DeltaTable.create(
+                self.spark,
+                self.index_tbl,
+                spark.read.parquet(index_v0).repartition(
+                    state_files, "token"
+                ),
+            )
 
-    def _read_pointer(self) -> tuple[int, str, str]:
-        with open(self._pointer) as f:
-            last, ppath, ipath = f.read().splitlines()
-        return int(last), ppath, ipath
-
-    def _write_pointer(self, batch_id: int, ppath: str, ipath: str) -> None:
-        import os
-
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"{batch_id}\n{ppath}\n{ipath}\n")
-        os.replace(tmp, self._pointer)  # atomic: a crash keeps the old one
-
-    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        from delta_go_spark.functions.textops import (
-            cdf_net_changes,
-            inverted_index_incremental,
-            token_postings,
+    @staticmethod
+    def _with_pk(postings: DataFrame) -> DataFrame:
+        # unit separator: a token is whitespace-split text, so \x1f
+        # followed by a pure-digit tail cannot occur inside one
+        return postings.withColumn(
+            "pk",
+            F.concat_ws("\x1f", F.col("token"), F.col("doc").cast("string")),
         )
 
-        last, ppath, ipath = self._read_pointer()
-        if batch_id <= last:
-            return  # replayed micro-batch: already folded into state
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta_go_spark.dml import DeltaDml
+        from delta_go_spark.functions.textops import (
+            cdf_net_changes,
+            index_from_postings,
+            token_postings,
+        )
+        from delta_go_spark.table import DeltaTable
+
         new_docs, deleted_docs = cdf_net_changes(
             batch_df.select("doc_id", "text", "_change_type", "_commit_version")
         )
         new_docs = new_docs.localCheckpoint()
         deleted_docs = deleted_docs.localCheckpoint()
-        p0 = self.spark.read.parquet(ppath)
-        i0 = self.spark.read.parquet(ipath)
-        del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
-        gen = os.path.join(self.state_dir, f"gen-{batch_id}")
-        p1_path = os.path.join(gen, "postings")
-        i1_path = os.path.join(gen, "index")
-        p0.join(del_ids, "doc", "left_anti").unionByName(
-            token_postings(new_docs)
-        ).write.mode("overwrite").parquet(p1_path)
-        inverted_index_incremental(
-            i0, p0, new_docs, deleted_docs, top_k=self.top_k, min_df=1
-        ).write.mode("overwrite").parquet(i1_path)
-        self._write_pointer(batch_id, p1_path, i1_path)
+        # one shingle pass per side, O(change) rows, each feeding both
+        # the postings merge source and the affected-token set
+        dp = self._with_pk(token_postings(new_docs)).localCheckpoint()
+        del_p = self._with_pk(token_postings(deleted_docs)).localCheckpoint()
+        affected = (
+            dp.select("token").unionByName(del_p.select("token")).distinct()
+        )
+        # postings MERGE: a netted-away posting deletes UNLESS the same
+        # (token, doc) re-inserts in this very batch (delete-then-
+        # reinsert nets to an update — the fresh tf must win, and a
+        # duplicated source pk would trip the multiple-match guard)
+        src = (
+            del_p.join(dp, "pk", "left_anti")
+            .withColumn("_del", F.lit(True))
+            .unionByName(dp.withColumn("_del", F.lit(False)))
+        )
+        DeltaDml(self.spark, self.postings_tbl).merge(
+            src,
+            on="pk",
+            update_set={"tf": F.col("_s_tf")},
+            delete_condition="_del",
+            txn_app_id=self._TXN_POSTINGS,
+            txn_version=batch_id,
+        )
+        # index refresh: affected tokens re-rank over the POST-merge
+        # postings state — deliberately post-merge, so a replay that
+        # skipped the (already-applied) postings merge recomputes rows
+        # identical to the first attempt's
+        p1 = DeltaTable.for_path(self.spark, self.postings_tbl).to_df()
+        refreshed = index_from_postings(
+            p1.join(F.broadcast(affected), "token"),
+            top_k=self.top_k,
+            min_df=1,
+        ).localCheckpoint()
+        # an affected token with NO surviving postings leaves the index
+        gone = affected.join(refreshed.select("token"), "token", "left_anti")
+        isrc = refreshed.withColumn("_del", F.lit(False)).unionByName(
+            gone.select(
+                "token",
+                F.lit(None).cast("long").alias("df"),
+                F.lit(None).cast("long").alias("cf"),
+                F.lit(None).cast("string").alias("top_docs"),
+                F.lit(True).alias("_del"),
+            )
+        )
+        DeltaDml(self.spark, self.index_tbl).merge(
+            isrc,
+            on="token",
+            update_set={
+                "df": F.col("_s_df"),
+                "cf": F.col("_s_cf"),
+                "top_docs": F.col("_s_top_docs"),
+            },
+            delete_condition="_del",
+            txn_app_id=self._TXN_INDEX,
+            txn_version=batch_id,
+        )
+
+    def last_applied(self) -> int:
+        """Highest batch_id fully folded into state — the INDEX table's
+        SetTransaction version (the second of the two per-batch merges;
+        once it lands the batch is completely applied)."""
+        from delta_go_spark.log import DeltaLog
+
+        snap = DeltaLog.for_table(self.index_tbl).update()
+        t = snap.state().set_transactions.get(self._TXN_INDEX)
+        return t.version if t else -1
 
     def current_index(self, min_df: int = 1) -> DataFrame:
-        _, _, ipath = self._read_pointer()
+        from delta_go_spark.table import DeltaTable
+
         return (
-            self.spark.read.parquet(ipath)
+            DeltaTable.for_path(self.spark, self.index_tbl)
+            .to_df()
             .filter(F.col("df") >= min_df)
             .select("token", "df", "cf", "top_docs")
             .orderBy("token")
@@ -1048,10 +1130,12 @@ class IndexMaintainer:
 # change feed, each micro-batch nets its changes (cdf_net_changes handles
 # multi-version catch-up batches via _commit_version) and applies the
 # delete-aware O(change + affected-token postings) refresh, and state
-# advances through batch-id-keyed generations so a REPLAYED micro-batch
-# (foreachBatch's at-least-once contract) is a no-op instead of a
-# double-apply — the same idempotency rule as the SetTransaction token on
-# the Delta-sink committers.  Oracle: the batch index SQL over the final
+# lives in the engine's OWN Delta tables advanced by one MERGE per batch
+# under SetTransaction tokens, so a REPLAYED micro-batch (foreachBatch's
+# at-least-once contract) is a no-op instead of a double-apply and
+# written state bytes scale with the CHANGE, not the state (the r11
+# parquet-generation form rewrote the full postings/index per batch).
+# Oracle: the batch index SQL over the final
 # live corpus — a hash match proves stream-maintained state converges to
 # a from-scratch build through appends AND deletes.
 def streaming_index_maintenance_docs(spark, sf_dir: str) -> DataFrame:

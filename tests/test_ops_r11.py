@@ -655,13 +655,12 @@ def test_index_maintainer_across_stream_restarts(spark, tmp_path):
         spark.createDataFrame([(4, "alpha delta"), (5, "delta beta")], DOC_SCHEMA)
     )
     _run_maintenance(spark, t, m, ckpt)
-    first_ptr = m._read_pointer()
-    assert first_ptr[0] >= 0  # at least one batch folded in
+    first = m.last_applied()
+    assert first >= 0  # at least one batch folded in
     t.delete_where("doc_id = 1")
     t.append(spark.createDataFrame([(6, "gamma delta")], DOC_SCHEMA))
     _run_maintenance(spark, t, m, ckpt)
-    second_ptr = m._read_pointer()
-    assert second_ptr[0] > first_ptr[0]  # resumed, not reprocessed
+    assert m.last_applied() > first  # resumed, not reprocessed
     got = sorted(map(tuple, m.current_index().collect()))
     want = sorted(
         map(tuple, inverted_index(t.to_df(), min_df=1).collect())
@@ -671,9 +670,8 @@ def test_index_maintainer_across_stream_restarts(spark, tmp_path):
 
 def test_index_maintainer_replayed_batch_is_noop(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering an already-applied
-    batch_id must not double-apply (pointer guard)."""
-    from delta_go_spark.functions.textops import token_postings
-
+    batch_id must not double-apply (SetTransaction token guard on both
+    state-table merges)."""
     t, m = _maintainer_fixture(spark, tmp_path)
     batch = spark.createDataFrame(
         [(4, "alpha delta", "insert", 1)],
@@ -685,6 +683,58 @@ def test_index_maintainer_replayed_batch_is_noop(spark, tmp_path):
     assert sorted(map(tuple, m.current_index().collect())) == after_first
     alpha = [r for r in after_first if r[0] == "alpha"][0]
     assert alpha[1] == 3  # df: docs 1, 2, 4 — applied exactly once
+
+
+def test_index_maintainer_state_io_is_change_proportional(spark, tmp_path):
+    """The r11 scale fix pinned at the Delta-log level: the postings
+    state spans ~8 token-hashed files; a batch changing ONE doc (one
+    insert + one delete) may copy-on-write only the files holding a
+    MATCHED key and append the change's new rows — most state files
+    must survive the batch byte-identical.  The r11 parquet-generation
+    form rewrote every state file every batch (O(state) I/O)."""
+    from delta_go_spark.functions.textops import (
+        index_from_postings,
+        token_postings,
+    )
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.streaming.windows import IndexMaintainer
+
+    v0 = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} common") for i in range(60)], DOC_SCHEMA
+    )
+    root = str(tmp_path / "cp")
+    p0, i0 = root + "/p0", root + "/i0"
+    token_postings(v0).write.parquet(p0)
+    index_from_postings(spark.read.parquet(p0), min_df=1).write.parquet(i0)
+    m = IndexMaintainer(spark, root + "/state", p0, i0)
+
+    def live(tbl):
+        return {a.path for a in DeltaLog.for_table(tbl).update().all_files()}
+
+    pfiles0, ifiles0 = live(m.postings_tbl), live(m.index_tbl)
+    assert len(pfiles0) >= 6  # token-hashed layout really spans files
+    # one inserted doc + one deleted doc: matched pks touch at most the
+    # 3 files holding (tok3, 3), (tok4, 3), (common, 3)
+    batch = spark.createDataFrame(
+        [
+            (100, "tok5 fresh", "insert", 1),
+            (3, "tok3 tok4 common", "delete", 1),
+        ],
+        "doc_id long, text string, _change_type string, _commit_version long",
+    )
+    m.apply(batch, 0)
+    pfiles1, ifiles1 = live(m.postings_tbl), live(m.index_tbl)
+    rewritten = pfiles0 - pfiles1
+    assert 1 <= len(rewritten) <= 3, rewritten
+    assert len(pfiles0 & pfiles1) >= len(pfiles0) - 3  # the rest survive
+    # index merge likewise: only files holding an affected token rewrite
+    assert len(ifiles0 & ifiles1) >= len(ifiles0) - 4
+    # and the state is still CORRECT through the partial rewrite
+    idx = {r["token"]: r["df"] for r in m.current_index().collect()}
+    assert idx["common"] == 59  # docs 0-59 carried it; doc 3 deleted
+    assert idx["fresh"] == 1  # the inserted doc's new token
+    assert idx["tok3"] == 1  # doc 3 gone, doc 2 remains
+    assert idx["tok5"] == 3  # docs 4, 5 + inserted doc 100
 
 
 # ---------------------------------------------------------------------------

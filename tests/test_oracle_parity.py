@@ -219,7 +219,7 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round11_queries_in_window():
+def test_round12_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
@@ -228,64 +228,64 @@ def test_round11_queries_in_window():
 
     order = list(queries())
     R_MUST = [
-        # the two r10 driver-ERR rows (scalarized top_docs) — window TOP
-        # until hash-green — plus every row whose code changed in r11
-        "inverted_index_docs",
-        "inverted_index_incremental_docs",
-        "bm25_incremental_docs",  # NEW in round 11
-        "softdedup_incremental_docs",  # delete-aware this round
-        "waterfill_budget_docs",  # single-scan budget this round
-        "streaming_upsert_events",  # merge path changed (NULL-key probe)
-        "streaming_delta_aggsink_events",
-        "streaming_index_maintenance_docs",  # NEW in round 11
-        "delta_snapshot_diff",  # NEW in round 11
-        "profile_incremental_docs",  # NEW in round 11
-        "delta_scd2_agg",
-        "unique_gram_redact_docs",  # exact flag this round
-        "delta_metadata_agg",  # typed-stat normalization this round
-        # late-r10 rows never driver-checked
-        "delta_hilbert_agg",
-        "equidepth_histogram_docs",
-        "orc_roundtrip_docs",
-        # displaced by r10b, last green round 6
-        "cube_lineitem_counts",
-        "join_left_outer_orders",
-        "setops_segment_intersect",
-        "string_functions_part",
-        "events_hourly_rollup",
-        "window_topk_orders",
-        "agg_event_users",
-        # the r7-stale block (27 of 40; the 13 deferred are listed in
+        # every row whose code changed in r12 — window head
+        "inverted_index_incremental_docs",  # fixture persists stats_v0
+        "bm25_incremental_docs",  # sign-summed stats table this round
+        "minhash_incremental_docs",  # delete-aware this round
+        "streaming_index_maintenance_docs",  # Delta-MERGE state this round
+        "delta_snapshot_diff",  # dup-key guard + derived offset
+        # the 13 rows deferred from r11 (last driver hash r7)
+        "ann_ivf_int8_docs",
+        "ann_signlsh_docs",
+        "knn_cosine_docs",
+        "embedding_norms",
+        "binary_stats_docs",
+        "bpe_token_count_docs",
+        "chunk_documents_docs",
+        "fingerprint_docs",
+        "token_stats_docs",
+        "duplicated_gram_fraction_docs",
+        "hash_sample_docs",
+        "lateral_topk_suppliers",
+        "streaming_hourly_rollup",
+        # 32 of the 47 r8-stale rows (the 15 deferred are listed in
         # queries.py's rotation comment)
-        "corpus_curation_pipeline",
-        "gopher_rules_docs",
-        "curriculum_interleave_docs",
-        "dsir_affinity_docs",
-        "token_budget_select_docs",
-        "decontaminate_docs",
-        "redact_pii_docs",
-        "dedup_keep_longest_docs",
-        "exact_dedup_docs",
-        "minhash_near_dup_docs",
-        "ngram_jaccard_pairs_docs",
-        "delta_generated_agg",
-        "delta_optimize_agg",
-        "delta_schema_evolution_agg",
-        "lang_id_docs",
-        "pack_sequences_docs",
-        "quality_quartile_docs",
-        "text_quality_docs",
-        "tfidf_top_terms_docs",
-        "funnel_conversion_events",
-        "kcenter_coreset_embeddings",
-        "kmeans_embeddings",
-        "mmr_diverse_embeddings",
-        "pq_codebook_embeddings",
-        "random_projection_embeddings",
-        "rrf_hybrid_search_docs",
-        "stateful_running_totals",
+        "asof_attribution_events",
+        "bigram_repetition_docs",
+        "curation_pipeline_v2_docs",
+        "quality_classifier_docs",
+        "block_dedup_docs",
+        "media_pipeline_summary",
+        "bucketed_join_lineitem",
+        "dpp_join_orders",
+        "cdc_chunk_docs",
+        "complex_types_docs",
+        "length_batching_docs",
+        "like_regexp_docs",
+        "pack_bestfit_docs",
+        "pandas_udf_score_docs",
+        "delta_dml_agg",
+        "delta_restore_agg",
+        "delta_sql_time_travel",
+        "gram_novelty_docs",
+        "grouping_sets_orders",
+        "join_full_outer_nation",
+        "mislabel_confusion_embeddings",
+        "quantize_embeddings_int8",
+        "proportional_quota_docs",
+        "stratified_sample_docs",
+        "systematic_weighted_sample_docs",
+        "range_join_purchase_errors",
+        "segment_dedup_docs",
+        "simhash_near_dup_docs",
+        "session_windows_events",
+        "sliding_avg_events",
+        "streaming_dedup_events",
+        "streaming_interval_join_events",
     ]
-    assert order[0] == "inverted_index_docs"  # window TOP until hash-green
+    assert len(R_MUST) == 50  # this round the window IS the must-list
+    # r12-changed rows head the window
+    assert order[0] == "inverted_index_incremental_docs"
     positions = {n: order.index(n) + 1 for n in R_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
