@@ -47,6 +47,12 @@ from delta_go_spark.writer import (
 )
 
 
+# Below this many active files a keyed MERGE skips candidate pruning:
+# the source-bounds aggregate costs one job, worth paying only when
+# there are files to skip (see DeltaDml._merge_candidates).
+_MERGE_PRUNE_MIN_FILES = 8
+
+
 def _cdf_enabled(snap) -> bool:
     return cfg.get_bool(
         snap.metadata().configuration or {}, cfg.ENABLE_CHANGE_DATA_FEED
@@ -247,6 +253,61 @@ class DeltaDml:
                 df.unpersist()
 
     # -- MERGE -------------------------------------------------------------
+    def _merge_candidates(self, snap, source: DataFrame, on: str) -> list[AddFile]:
+        """Stats/partition-pruned candidate files for a keyed MERGE.
+
+        A file whose key range cannot intersect the SOURCE's
+        [min(on), max(on)] range is invisible to every MERGE clause: it
+        cannot hold a matched target row (touched-file probe) and cannot
+        prove a source key already present (the insert anti-join — every
+        source key lies inside the range, so a pruned file's keys can
+        never equal one).  One tiny aggregate over the source buys file
+        skipping on the big side through the SAME scan machinery filtered
+        reads use (partition pruning when `on` is a partition column,
+        min/max stats otherwise, distributed above the state threshold) —
+        on a key-clustered 100 TB target a small upsert batch reads the
+        overlapping files, not the table.  Conservative by construction:
+        missing stats, un-coercible bounds, or any scan error keep every
+        file; conflict detection is unchanged (read_whole_table).  An
+        empty or all-NULL-key source prunes to [] — NULL never
+        equi-matches, and the NULL-key insert path never consults
+        existing keys.
+
+        Gated on target file count: the bounds aggregate re-evaluates
+        the SOURCE plan (one extra job), which only pays for itself
+        when there are files to skip — a fixture-scale target of a
+        handful of files reads faster than the probe costs (measured
+        ~+0.4 s/merge on the streaming aggsink), while the 100 TB
+        target this exists for has ~10^5 files."""
+        candidates = snap.all_files()
+        if len(candidates) < _MERGE_PRUNE_MIN_FILES:
+            return candidates
+        try:
+            b = source.agg(F.min(on).alias("_mn"), F.max(on).alias("_mx")).first()
+            if b is None or b["_mn"] is None:
+                return []
+            from delta_go_spark.expressions import (
+                And,
+                Column,
+                GreaterThanOrEq,
+                LessThanOrEq,
+                Literal,
+            )
+
+            # bind the key's declared dtype (sqlpred.py house rule): the
+            # partition-value eval path parses raw strings through the
+            # Column's dtype, so a StringType default on an int partition
+            # key would compare "5" against 5
+            fields = {f.name: f.dataType for f in snap.metadata().schema().fields}
+            col = Column(on, fields[on])
+            pred = And(
+                GreaterThanOrEq(col, Literal(b["_mn"], fields[on])),
+                LessThanOrEq(col, Literal(b["_mx"], fields[on])),
+            )
+            return list(snap.scan(pred).files())
+        except Exception:
+            return candidates
+
     def merge(
         self,
         source: DataFrame,
@@ -266,7 +327,10 @@ class DeltaDml:
         whenNotMatched: INSERT (insert_not_matched).  `on` is an equi-join
         key present in both sides — the standard upsert shape; the source
         is joined once (broadcast when small, shuffle hash otherwise, by
-        Catalyst's choice).
+        Catalyst's choice).  Candidate files are PRUNED by the source's
+        key range before anything is read (_merge_candidates): the
+        touched-file probe and the insert anti-join scan only files whose
+        key stats can intersect [min(on), max(on)] of the source.
 
         insert_set (Delta's whenNotMatchedInsert(values=...) shape):
         overrides the VALUES written for not-matched rows — each entry maps
@@ -331,7 +395,7 @@ class DeltaDml:
                 f"allow_null_keys=True for ANSI insert-them-anyway behavior"
             )
         txn.read_whole_table()
-        candidates = snap.all_files()
+        candidates = self._merge_candidates(snap, source, on)
         # Delta's multiple-match rule: a TARGET row may match at most one
         # source row.  Duplicate source keys alone are legal (an insert-only
         # merge inserts them all), so the guard is deferred until touched

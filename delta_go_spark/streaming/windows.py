@@ -970,10 +970,14 @@ class IndexMaintainer:
     touches few of them) and APPENDS the change's new rows — WRITTEN
     bytes scale with the CHANGE, not the state, pytest-pinned by
     reading the merge commit's own add/remove actions against the
-    full state file count.  The residual O(state) is the merge's
-    key-only columnar READ (touched-file probe + insert anti-join);
-    a production layout prunes that with per-file key-range stats
-    (the engine's stats skipping) rather than scanning every file."""
+    full state file count.  READS: the merge prunes candidate files
+    by the source's key range against per-file stats
+    (DeltaDml._merge_candidates) — that pays off on a RANGE-clustered
+    key; this token-HASHED layout spreads every pk range across all
+    files, trading read pruning for write locality (each token's
+    postings live in exactly one file, so a batch's rewrites stay
+    few).  A deployment whose batches touch token ranges would lay
+    the state out repartitionByRange("token") and get both."""
 
     # one MERGE per state table per batch; the app ids namespace the
     # SetTransaction tokens so the two tables replay independently

@@ -221,6 +221,129 @@ def test_snapshot_diff_duplicate_key_raises(spark, tmp_path):
         snapshot_diff(spark, path, 0, 1, ["k"]).collect()
 
 
+# ---------------------------------------------------------------------------
+# MERGE candidate pruning — the source key range skips non-overlapping files
+
+
+def _range_table(spark, path):
+    # 8 range files: at or above _MERGE_PRUNE_MIN_FILES, so the pruning
+    # path (not the small-target bypass) is what these tests exercise
+    from delta_go_spark.table import DeltaTable
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    DeltaTable.create(spark, path, df.repartitionByRange(8, "k"))
+
+
+def test_merge_candidate_pruning_skips_nonoverlapping_files(spark, tmp_path):
+    """A keyed MERGE must read only files whose key range can intersect
+    the source's [min, max] — on a range-clustered 100 TB target a small
+    upsert batch reads the overlapping files, never the table."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mp")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    assert len(snap.all_files()) == 8
+    src = spark.createDataFrame([(90, 1), (95, 2)], "k long, v long")
+    dml = DeltaDml(spark, path)
+    pruned = dml._merge_candidates(snap, src, "k")
+    assert 1 <= len(pruned) <= 2, [a.path for a in pruned]
+    # and the merge stays correct through the pruned read
+    dml.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    got = {
+        r["k"]: r["v"]
+        for r in DeltaTable.for_path(spark, path).to_df().collect()
+    }
+    assert got[90] == 1 and got[95] == 2
+    assert got[0] == 0 and len(got) == 100  # untouched rows intact
+
+
+def test_merge_pruning_insert_outside_every_file_range(spark, tmp_path):
+    """Source keys beyond every file's range prune ALL candidates — no
+    key can match, so nothing is read and the rows simply insert."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpi")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame([(200, 7), (201, 8)], "k long, v long")
+    dml = DeltaDml(spark, path)
+    assert dml._merge_candidates(snap, src, "k") == []
+    dml.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    got = {
+        r["k"]: r["v"]
+        for r in DeltaTable.for_path(spark, path).to_df().collect()
+    }
+    assert got[200] == 7 and got[201] == 8 and len(got) == 102
+
+
+def test_merge_pruning_mixed_update_and_insert(spark, tmp_path):
+    """A source spanning one file's range plus fresh keys updates the
+    matched row and inserts the rest, reading only the overlapping
+    file(s)."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpm")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame([(99, 1), (150, 2)], "k long, v long")
+    dml = DeltaDml(spark, path)
+    pruned = dml._merge_candidates(snap, src, "k")
+    assert 1 <= len(pruned) <= 2  # the top range file; 100..150 matches none
+    dml.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    got = {
+        r["k"]: r["v"]
+        for r in DeltaTable.for_path(spark, path).to_df().collect()
+    }
+    assert got[99] == 1 and got[150] == 2 and got[50] == 100
+    assert len(got) == 101
+
+
+def test_merge_pruning_empty_source_reads_nothing(spark, tmp_path):
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+
+    path = str(tmp_path / "mpe")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame([], "k long, v long")
+    assert DeltaDml(spark, path)._merge_candidates(snap, src, "k") == []
+
+
+def test_merge_pruning_gated_off_for_small_targets(spark, tmp_path):
+    """The bounds probe re-evaluates the SOURCE plan (one extra job) —
+    below _MERGE_PRUNE_MIN_FILES active files there is nothing worth
+    skipping, so the source must never be touched (the fixture-scale
+    streaming committers pay zero for the feature)."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpg")
+    DeltaTable.create(
+        spark,
+        path,
+        spark.range(10).select(F.col("id").alias("k")).coalesce(2),
+    )
+    snap = DeltaLog.for_table(path).update()
+    assert len(snap.all_files()) == 2
+
+    class _Boom:
+        def agg(self, *a, **k):
+            raise AssertionError("source evaluated despite small target")
+
+    got = DeltaDml(spark, path)._merge_candidates(snap, _Boom(), "k")
+    assert len(got) == 2  # all candidates, no source job
+
+
 def test_snapshot_diff_unique_keys_still_pass_guard(spark, tmp_path):
     from delta_go_spark.cdf import snapshot_diff
     from delta_go_spark.table import DeltaTable
