@@ -334,15 +334,23 @@ def snapshot_diff(
         raise ValueError(f"unknown column(s) {missing}")
     # duplicate-key probe: one aggregate over the already-bounded
     # changed-file rows (never the table); a dup on either side means the
-    # full-outer below would fan out and misclassify — refuse loudly
+    # full-outer below would fan out and misclassify — refuse loudly.
+    # Helper column names are lengthened until they collide with no key
+    # column (the MERGE `_u_` staging-prefix rule): a table legitimately
+    # keyed `_side` or `_n` must not break or bias the probe.
+    side_col, cnt_col = "_side", "_n"
+    while side_col in key_cols:
+        side_col = "_" + side_col
+    while cnt_col in key_cols:
+        cnt_col = "_" + cnt_col
     dup = (
-        old_df.select(*key_cols).withColumn("_side", F.lit("old"))
+        old_df.select(*key_cols).withColumn(side_col, F.lit("old"))
         .unionByName(
-            new_df.select(*key_cols).withColumn("_side", F.lit("new"))
+            new_df.select(*key_cols).withColumn(side_col, F.lit("new"))
         )
-        .groupBy("_side", *key_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
+        .groupBy(side_col, *key_cols)
+        .agg(F.count(F.lit(1)).alias(cnt_col))
+        .filter(F.col(cnt_col) > 1)
         .limit(1)
         .collect()
     )
@@ -353,7 +361,7 @@ def snapshot_diff(
         keyrepr = ", ".join(f"{c}={r[c]!r}" for c in key_cols)
         raise DeltaError(
             f"snapshot_diff: key ({keyrepr}) is duplicated within the "
-            f"{r['_side']}-version changed rows; key_cols must uniquely "
+            f"{r[side_col]}-version changed rows; key_cols must uniquely "
             f"identify rows or the full-outer diff join fans out and "
             f"misclassifies rows as 'updated' — pass a unique key"
         )

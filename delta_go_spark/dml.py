@@ -286,6 +286,21 @@ class DeltaDml:
             b = source.agg(F.min(on).alias("_mn"), F.max(on).alias("_mx")).first()
             if b is None or b["_mn"] is None:
                 return []
+            # NaN bounds make range pruning a LIE, not merely loose: Spark
+            # orders NaN greatest, so a float-key source containing one NaN
+            # yields _mx = NaN, and stats_may_match evaluates `mn <= NaN`
+            # as provably-false for every stats-bearing file — ALL
+            # candidates would prune, matched rows would never update, and
+            # the insert anti-join would re-insert their keys as
+            # duplicates.  No exception fires, so the conservative guard
+            # below never sees it — bail to the unpruned scan explicitly.
+            import math
+
+            if any(
+                isinstance(v, float) and math.isnan(v)
+                for v in (b["_mn"], b["_mx"])
+            ):
+                return candidates
             from delta_go_spark.expressions import (
                 And,
                 Column,

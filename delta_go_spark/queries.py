@@ -59,20 +59,27 @@ from delta_go_spark.operators import (
 #       stats_v0), streaming_index_maintenance (state moved into Delta
 #       tables MERGEd per micro-batch — the r11 scale fix),
 #       delta_snapshot_diff (duplicate-key guard + fixture offset derived
-#       from max(doc_id));
+#       from max(doc_id)), PLUS every merge-exercising row
+#       (streaming_upsert, streaming_delta_aggsink, delta_scd2_agg) —
+#       dml.merge gained source-key-range candidate pruning this round,
+#       the r11 precedent for merge changes;
 #   (b) the 13 rows deferred by the r11 rotation (last driver hash r7);
-#   (c) 32 of the 47 r8-stale rows.  The 15 deferred to the r13 queue —
+#   (c) 29 of the 47 r8-stale rows.  The 18 deferred to the r13 queue —
 #       agg_percentiles_lineitem, bigram_coverage_docs,
 #       char_trigram_profile, cosine_near_dup_docs, delta_vacuum_agg,
-#       hash_features_docs, length_outlier_docs, mixture_sample_docs,
+#       hash_features_docs, length_outlier_docs, like_regexp_docs,
+#       mixture_sample_docs, quality_classifier_docs,
 #       repetition_topword_docs, sample_k_per_source_docs,
-#       shuffle_shard_docs, simhash_docs, source_similarity_docs,
-#       streaming_quota_gate_events, word_rarity_docs — each keeps >= 1
-#       fresher in-window family sibling (bigram_repetition for the gram
-#       profiles, simhash_near_dup for the simhash pair, the ANN trio for
+#       shuffle_shard_docs, simhash_docs, sliding_avg_events,
+#       source_similarity_docs, streaming_quota_gate_events,
+#       word_rarity_docs — each keeps >= 1 fresher in-window family
+#       sibling (bigram_repetition for the gram profiles,
+#       simhash_near_dup for the simhash pair, the ANN trio for
 #       cosine_near_dup, stratified/proportional/systematic for the
 #       sampling block, delta_dml/restore/sql_time_travel for vacuum,
-#       streaming_dedup/interval_join/hourly_rollup for quota_gate) and
+#       complex_types for like_regexp, curation_pipeline_v2 for
+#       quality_classifier, session_windows/streaming_dedup/
+#       interval_join/hourly_rollup for quota_gate and sliding_avg) and
 #       stays gated by the pytest SAMPLE + check_parity.
 # Rotated OUT r11-green: the entire r11 window except its five
 # r12-rechanged rows — all unchanged this round and below-window gated.
@@ -91,7 +98,15 @@ _WINDOW: list = [
         "bm25_incremental_docs",
     ]),
     (dedup, ["minhash_incremental_docs"]),
-    (streaming_windows, ["streaming_index_maintenance_docs"]),
+    # the merge path changed again this round (candidate pruning by the
+    # source key range): every merge-exercising row stays in-window, the
+    # same precedent as the r11 NULL-key-probe change
+    (streaming_windows, [
+        "streaming_index_maintenance_docs",
+        "streaming_upsert_events",
+        "streaming_delta_aggsink_events",
+    ]),
+    (delta_queries, ["delta_scd2_agg"]),
     (cdf_queries, ["delta_snapshot_diff"]),
     # --- the 13 rows deferred from r11 (queue item b, last green r7) ---
     (similarity, [
@@ -117,7 +132,6 @@ _WINDOW: list = [
     (curation, [
         "bigram_repetition_docs",
         "curation_pipeline_v2_docs",
-        "quality_classifier_docs",
     ]),
     (multimodal, ["block_dedup_docs", "media_pipeline_summary"]),
     (scalejoins, ["bucketed_join_lineitem", "dpp_join_orders"]),
@@ -125,7 +139,6 @@ _WINDOW: list = [
         "cdc_chunk_docs",
         "complex_types_docs",
         "length_batching_docs",
-        "like_regexp_docs",
         "pack_bestfit_docs",
         "pandas_udf_score_docs",
     ]),
@@ -149,13 +162,12 @@ _WINDOW: list = [
     (dedup, ["segment_dedup_docs", "simhash_near_dup_docs"]),
     (streaming_windows, [
         "session_windows_events",
-        "sliding_avg_events",
         "streaming_dedup_events",
         "streaming_interval_join_events",
     ]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
-# and scripts/check_parity.py remain its gate; the 15 deferred r8 rows
+# and scripts/check_parity.py remain its gate; the 18 deferred r8 rows
 # (listed in the header comment) head the round-13 rotation, after which
 # every row's driver evidence is r9 or fresher.
 

@@ -344,6 +344,56 @@ def test_merge_pruning_gated_off_for_small_targets(spark, tmp_path):
     assert len(got) == 2  # all candidates, no source job
 
 
+def test_merge_pruning_nan_key_bails_to_unpruned(spark, tmp_path):
+    """A float-key source containing NaN must NOT prune: Spark orders
+    NaN greatest, so max(on) = NaN and every `mn <= NaN` stats check is
+    provably-false — range pruning would drop ALL candidates, lose the
+    matched update, and re-insert its key as a duplicate.  The NaN bail
+    falls back to the full candidate set and the merge stays correct."""
+    import math
+
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpnan")
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    DeltaTable.create(spark, path, df.repartitionByRange(8, "k"))
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame(
+        [(5.0, 111), (float("nan"), 222)], "k double, v long"
+    )
+    dml = DeltaDml(spark, path)
+    assert len(dml._merge_candidates(snap, src, "k")) == 8  # bail, not []
+    dml.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    rows = DeltaTable.for_path(spark, path).to_df().collect()
+    fives = [r for r in rows if r["k"] == 5.0]
+    assert len(fives) == 1 and fives[0]["v"] == 111  # updated, no dup
+    assert sum(1 for r in rows if math.isnan(r["k"])) == 1  # NaN inserted
+
+
+def test_snapshot_diff_guard_survives_side_named_key(spark, tmp_path):
+    """A table legitimately keyed `_side` / `_n` must not break or bias
+    the duplicate-key probe (helper names lengthen until collision-free,
+    the MERGE staging-prefix rule)."""
+    from delta_go_spark.cdf import snapshot_diff
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "sdcol")
+    t = DeltaTable.create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "_side long, _n long, v string"
+        ),
+    )
+    t.delete_where("_side = 2")
+    got = snapshot_diff(spark, path, 0, 1, ["_side", "_n"]).collect()
+    assert [(r["_side"], r["change"]) for r in got] == [(2, "deleted")]
+
+
 def test_snapshot_diff_unique_keys_still_pass_guard(spark, tmp_path):
     from delta_go_spark.cdf import snapshot_diff
     from delta_go_spark.table import DeltaTable

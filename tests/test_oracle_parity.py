@@ -234,6 +234,11 @@ def test_round12_queries_in_window():
         "minhash_incremental_docs",  # delete-aware this round
         "streaming_index_maintenance_docs",  # Delta-MERGE state this round
         "delta_snapshot_diff",  # dup-key guard + derived offset
+        # merge path changed (source-key-range candidate pruning): every
+        # merge-exercising row stays in-window, the r11 precedent
+        "streaming_upsert_events",
+        "streaming_delta_aggsink_events",
+        "delta_scd2_agg",
         # the 13 rows deferred from r11 (last driver hash r7)
         "ann_ivf_int8_docs",
         "ann_signlsh_docs",
@@ -248,12 +253,11 @@ def test_round12_queries_in_window():
         "hash_sample_docs",
         "lateral_topk_suppliers",
         "streaming_hourly_rollup",
-        # 32 of the 47 r8-stale rows (the 15 deferred are listed in
+        # 29 of the 47 r8-stale rows (the 18 deferred are listed in
         # queries.py's rotation comment)
         "asof_attribution_events",
         "bigram_repetition_docs",
         "curation_pipeline_v2_docs",
-        "quality_classifier_docs",
         "block_dedup_docs",
         "media_pipeline_summary",
         "bucketed_join_lineitem",
@@ -261,7 +265,6 @@ def test_round12_queries_in_window():
         "cdc_chunk_docs",
         "complex_types_docs",
         "length_batching_docs",
-        "like_regexp_docs",
         "pack_bestfit_docs",
         "pandas_udf_score_docs",
         "delta_dml_agg",
@@ -279,7 +282,6 @@ def test_round12_queries_in_window():
         "segment_dedup_docs",
         "simhash_near_dup_docs",
         "session_windows_events",
-        "sliding_avg_events",
         "streaming_dedup_events",
         "streaming_interval_join_events",
     ]
