@@ -1209,6 +1209,196 @@ QUERIES["profile_incremental_docs"] = (
 
 
 # ---------------------------------------------------------------------------
+# CDF-incremental EXACT distinct counts — the stat profile_incremental
+# deliberately omits (its docstring: HLL sketches cannot delete).  The
+# textbook exact answer is the per-(column, value) FREQUENCY table:
+# deletable by construction (a frequency decrements where a sketch
+# cannot forget), partial-aggregable to build, O(distinct values) state.
+# n_distinct itself then maintains by SIGN-SUM — count the values whose
+# frequency crosses 0 in either direction — so a change batch costs
+# O(change), never a rescan and never an O(state) aggregate.
+def value_frequencies(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column_name, val, cnt) per-column value frequencies in ONE scan
+    (struct-array explode, then a partial-aggregable groupBy).  NULLs
+    are excluded — count(DISTINCT col) ignores them, and the state must
+    count exactly what the oracle counts.  Values are carried as strings
+    so every column shares one state schema; the cast is injective for
+    the integer/string columns this serves (doubles would need a
+    bit-pattern key instead)."""
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("val").isNotNull())
+        .groupBy("column_name", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ndv_incremental(
+    spark: SparkSession,
+    freq0: DataFrame,
+    ndv0: DataFrame,
+    new_rows: DataFrame,
+    deleted_rows: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Advance (column_name, n_distinct) through a NETTED change batch
+    (cdf_net_changes' contract: delete side carries pre-images, an
+    update appears on both sides) at O(change):
+
+      1. the batch's own signed value deltas aggregate per
+         (column, value) — O(change) rows, map-side combinable;
+      2. pre-change frequencies are needed for ONLY the batch's values:
+         the state is SLICED by a broadcast left-semi join (freq0
+         streams, never shuffles — at 100 TB the state lives
+         key-clustered in a Delta table and this is a pruned,
+         match-bounded read; the same layout lets the production writer
+         fold the deltas back with one MERGE per batch, the
+         IndexMaintainer committer shape);
+      3. a value whose frequency crosses 0 -> + ENTERS the distinct set,
+         + -> 0 LEAVES it; n_distinct1 = n_distinct0 + entering -
+         leaving per column — a sign-sum over O(change) rows.
+
+    The returned (column_name, n_distinct) equals count(DISTINCT col)
+    over the post-change corpus — the oracle contract, through deletes
+    that remove a value's LAST row and inserts of never-seen values."""
+    signed = (
+        value_frequencies(new_rows, cols)
+        .select("column_name", "val", F.col("cnt").alias("d"))
+        .unionByName(
+            value_frequencies(deleted_rows, cols).select(
+                "column_name", "val", (-F.col("cnt")).alias("d")
+            )
+        )
+        .groupBy("column_name", "val")
+        .agg(F.sum("d").alias("d"))
+        .localCheckpoint()  # O(change) rows; feeds the slice AND the join
+    )
+    batch_keys = signed.select("column_name", "val")
+    freq_slice = freq0.join(
+        F.broadcast(batch_keys), ["column_name", "val"], "left_semi"
+    )
+    crossings = (
+        signed.join(freq_slice, ["column_name", "val"], "left_outer")
+        .select(
+            "column_name",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d")).alias("c1"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("c0"),
+        )
+        .select(
+            "column_name",
+            F.when((F.col("c0") <= 0) & (F.col("c1") > 0), 1)
+            .when((F.col("c0") > 0) & (F.col("c1") <= 0), -1)
+            .otherwise(0)
+            .alias("adj"),
+        )
+        .groupBy("column_name")
+        .agg(F.sum("adj").alias("adj"))
+    )
+    # full outer: a column with ZERO v0 values has no ndv0 row, yet its
+    # first inserted values must surface (n_distinct coalesces from 0)
+    return (
+        ndv0.join(crossings, "column_name", "full_outer")
+        .select(
+            "column_name",
+            (
+                F.coalesce(F.col("n_distinct"), F.lit(0))
+                + F.coalesce(F.col("adj"), F.lit(0))
+            ).cast("long").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )
+
+
+_NDV_COLS = ["lang", "n_chars", "source"]
+
+
+def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture (the shared CDF-maintenance shape): v0 = documents with
+    doc_id % 5 != 0, its frequency state + exact n_distinct persisted;
+    v1 appends the rest (new n_chars values ENTER); v2 deletes
+    doc_id % 7 == 0 (an n_chars value whose last row dies LEAVES).
+    Oracle = count(DISTINCT col) over the surviving rows — a hash match
+    proves the sign-summed counts converge to the from-scratch answer
+    through both crossing directions."""
+    import os
+
+    from delta_go_spark import cdf
+    from delta_go_spark.functions.textops import cdf_net_changes
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "inc_ndv")
+    tbl = os.path.join(root, "docs")
+    freq_path = os.path.join(root, "freq_v0")
+    ndv_path = os.path.join(root, "ndv_v0")
+
+    def build():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
+        v0 = docs.filter(F.col("doc_id") % 5 != 0)
+        value_frequencies(v0, _NDV_COLS).write.mode("overwrite").parquet(
+            freq_path
+        )
+        spark.read.parquet(freq_path).groupBy("column_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct")
+        ).write.mode("overwrite").parquet(ndv_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 0))
+        t.delete_where("mod7 = 0")
+
+    _ensure_built(tbl, 2, build, sf_dir=sf_dir, tables=("documents",))
+    new_rows, deleted_rows = cdf_net_changes(
+        cdf.table_changes(spark, tbl, start_version=1),
+        payload_cols=tuple(_NDV_COLS),
+    )
+    return ndv_incremental(
+        spark,
+        spark.read.parquet(freq_path),
+        spark.read.parquet(ndv_path),
+        new_rows.localCheckpoint(),
+        deleted_rows.localCheckpoint(),
+        _NDV_COLS,
+    )
+
+
+NDV_INCREMENTAL_SQL = (
+    "WITH live_docs AS (\n"
+    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
+    ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM live_docs"
+        for c in _NDV_COLS
+    )
+    + "\nORDER BY column_name"
+)
+
+
+QUERIES["ndv_incremental_docs"] = (ndv_incremental_docs, NDV_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Equi-depth histogram (the optimizer-stats companion to profile_table):
 # B buckets each holding an equal share of the rows, with per-bucket
 # min/max/count — what a cost-based optimizer stores per column, and what

@@ -62,13 +62,14 @@ from delta_go_spark.operators import (
 #       from max(doc_id)), PLUS every merge-exercising row
 #       (streaming_upsert, streaming_delta_aggsink, delta_scd2_agg) —
 #       dml.merge gained source-key-range candidate pruning this round,
-#       the r11 precedent for merge changes;
+#       the r11 precedent for merge changes — and the round's one NEW
+#       query, ndv_incremental (exact delete-capable distinct counts);
 #   (b) the 13 rows deferred by the r11 rotation (last driver hash r7);
-#   (c) 29 of the 47 r8-stale rows.  The 18 deferred to the r13 queue —
+#   (c) 28 of the 47 r8-stale rows.  The 19 deferred to the r13 queue —
 #       agg_percentiles_lineitem, bigram_coverage_docs,
 #       char_trigram_profile, cosine_near_dup_docs, delta_vacuum_agg,
-#       hash_features_docs, length_outlier_docs, like_regexp_docs,
-#       mixture_sample_docs, quality_classifier_docs,
+#       hash_features_docs, join_full_outer_nation, length_outlier_docs,
+#       like_regexp_docs, mixture_sample_docs, quality_classifier_docs,
 #       repetition_topword_docs, sample_k_per_source_docs,
 #       shuffle_shard_docs, simhash_docs, sliding_avg_events,
 #       source_similarity_docs, streaming_quota_gate_events,
@@ -98,6 +99,12 @@ _WINDOW: list = [
         "bm25_incremental_docs",
     ]),
     (dedup, ["minhash_incremental_docs"]),
+    # NEW in round 12: exact delete-capable distinct counts from a
+    # sign-summed value-frequency state — the stat profile_incremental
+    # deliberately omits because HLL cannot delete.  Displaces
+    # join_full_outer_nation to the r13 queue (the join class keeps
+    # bucketed_join, dpp_join, range_join and asof in-window).
+    (coverage, ["ndv_incremental_docs"]),
     # the merge path changed again this round (candidate pruning by the
     # source key range): every merge-exercising row stays in-window, the
     # same precedent as the r11 NULL-key-probe change
@@ -126,7 +133,7 @@ _WINDOW: list = [
     (sampling, ["hash_sample_docs"]),
     (subqueries, ["lateral_topk_suppliers"]),
     (streaming_windows, ["streaming_hourly_rollup"]),
-    # --- 32 of the 47 r8-stale rows (queue item c; the 15 deferred are
+    # --- 28 of the 47 r8-stale rows (queue item c; the 19 deferred are
     # listed in the header comment) ---
     (asof, ["asof_attribution_events"]),
     (curation, [
@@ -148,7 +155,7 @@ _WINDOW: list = [
         "delta_sql_time_travel",
     ]),
     (safety, ["gram_novelty_docs"]),
-    (coverage, ["grouping_sets_orders", "join_full_outer_nation"]),
+    (coverage, ["grouping_sets_orders"]),
     (similarity, [
         "mislabel_confusion_embeddings",
         "quantize_embeddings_int8",
@@ -167,7 +174,7 @@ _WINDOW: list = [
     ]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
-# and scripts/check_parity.py remain its gate; the 18 deferred r8 rows
+# and scripts/check_parity.py remain its gate; the 19 deferred r8 rows
 # (listed in the header comment) head the round-13 rotation, after which
 # every row's driver evidence is r9 or fresher.
 

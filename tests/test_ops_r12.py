@@ -194,6 +194,111 @@ def test_bm25_stats_path_equals_reduce_path(spark):
 
 
 # ---------------------------------------------------------------------------
+# ndv_incremental — exact delete-capable distinct counts
+
+
+def test_ndv_incremental_crossings_both_directions(spark):
+    """The two cases no sketch can serve: deleting a value's LAST row
+    must decrement n_distinct (leaving), inserting a never-seen value
+    must increment it (entering); an update that keeps the value set
+    changes nothing; a surviving duplicate keeps its value counted."""
+    from delta_go_spark.operators.coverage import (
+        ndv_incremental,
+        value_frequencies,
+    )
+
+    schema = "doc_id long, lang string, src string"
+    v0 = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (3, "fr", "web"), (4, "de", "pdf")],
+        schema,
+    )
+    cols = ["lang", "src"]
+    freq0 = value_frequencies(v0, cols).localCheckpoint()
+    ndv0 = freq0.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    ).localCheckpoint()
+    # delete doc 3 (fr's LAST row -> lang leaves) and doc 4 (de's last,
+    # pdf's last -> both leave); insert doc 5 with a NEW lang and doc 6
+    # duplicating en (no entering)
+    new_rows = spark.createDataFrame(
+        [(5, "ja", "web"), (6, "en", "web")], schema
+    )
+    deleted_rows = spark.createDataFrame(
+        [(3, "fr", "web"), (4, "de", "pdf")], schema
+    )
+    got = {
+        r["column_name"]: r["n_distinct"]
+        for r in ndv_incremental(
+            spark, freq0, ndv0, new_rows, deleted_rows, cols
+        ).collect()
+    }
+    # lang: {en, fr, de} -> {en, ja} = 2; src: {web, pdf} -> {web} = 1
+    assert got == {"lang": 2, "src": 1}
+
+
+def test_ndv_incremental_empty_batch_and_null_values(spark):
+    """Empty batch = identity; NULLs never count (the count(DISTINCT)
+    contract), so inserting a NULL changes nothing."""
+    from delta_go_spark.operators.coverage import (
+        ndv_incremental,
+        value_frequencies,
+    )
+
+    schema = "doc_id long, lang string, src string"
+    v0 = spark.createDataFrame([(1, "en", "web"), (2, None, "web")], schema)
+    cols = ["lang", "src"]
+    freq0 = value_frequencies(v0, cols).localCheckpoint()
+    ndv0 = freq0.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    ).localCheckpoint()
+    empty = spark.createDataFrame([], schema)
+    got = {
+        r["column_name"]: r["n_distinct"]
+        for r in ndv_incremental(
+            spark, freq0, ndv0, empty, empty, cols
+        ).collect()
+    }
+    assert got == {"lang": 1, "src": 1}
+    nullins = spark.createDataFrame([(9, None, "web")], schema)
+    got2 = {
+        r["column_name"]: r["n_distinct"]
+        for r in ndv_incremental(
+            spark, freq0, ndv0, nullins, empty, cols
+        ).collect()
+    }
+    assert got2 == {"lang": 1, "src": 1}  # NULL lang never enters
+
+
+def test_ndv_incremental_registry_nonvacuous(spark):
+    """Fixture-level non-vacuity: the v1 append must introduce at least
+    one ENTERING n_chars value and the v2 delete at least one LEAVING
+    one, so the registry row actually exercises both crossings."""
+    from delta_go_spark.operators.coverage import (
+        _NDV_COLS,
+        ndv_incremental_docs,
+        value_frequencies,
+    )
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    v0 = docs.filter(F.col("doc_id") % 5 != 0)
+    live = docs.filter(F.col("doc_id") % 7 != 0)
+    f0 = value_frequencies(v0, ["n_chars"]).select("val")
+    flive = value_frequencies(live, ["n_chars"]).select("val")
+    assert flive.join(f0, "val", "left_anti").count() > 0  # entering
+    assert f0.join(flive, "val", "left_anti").count() > 0  # leaving
+    got = {
+        r["column_name"]: r["n_distinct"]
+        for r in ndv_incremental_docs(spark, SF_DIR).collect()
+    }
+    want = {
+        c: live.filter(F.col(c).isNotNull()).select(c).distinct().count()
+        for c in _NDV_COLS
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # snapshot_diff — duplicate-key guard
 
 

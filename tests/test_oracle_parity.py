@@ -232,6 +232,7 @@ def test_round12_queries_in_window():
         "inverted_index_incremental_docs",  # fixture persists stats_v0
         "bm25_incremental_docs",  # sign-summed stats table this round
         "minhash_incremental_docs",  # delete-aware this round
+        "ndv_incremental_docs",  # NEW in round 12
         "streaming_index_maintenance_docs",  # Delta-MERGE state this round
         "delta_snapshot_diff",  # dup-key guard + derived offset
         # merge path changed (source-key-range candidate pruning): every
@@ -253,7 +254,7 @@ def test_round12_queries_in_window():
         "hash_sample_docs",
         "lateral_topk_suppliers",
         "streaming_hourly_rollup",
-        # 29 of the 47 r8-stale rows (the 18 deferred are listed in
+        # 28 of the 47 r8-stale rows (the 19 deferred are listed in
         # queries.py's rotation comment)
         "asof_attribution_events",
         "bigram_repetition_docs",
@@ -272,7 +273,6 @@ def test_round12_queries_in_window():
         "delta_sql_time_travel",
         "gram_novelty_docs",
         "grouping_sets_orders",
-        "join_full_outer_nation",
         "mislabel_confusion_embeddings",
         "quantize_embeddings_int8",
         "proportional_quota_docs",
