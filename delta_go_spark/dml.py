@@ -51,6 +51,11 @@ from delta_go_spark.writer import (
 # the source-bounds aggregate costs one job, worth paying only when
 # there are files to skip (see DeltaDml._merge_candidates).
 _MERGE_PRUNE_MIN_FILES = 8
+# At or below this many DISTINCT source keys, pruning uses an exact
+# In-list (per-value skipping) instead of the [min, max] range — the
+# distinct collect is one extra bounded job, gated by a cheap
+# approx_count_distinct in the bounds aggregate.
+_MERGE_PRUNE_IN_CAP = 64
 
 
 def _cdf_enabled(snap) -> bool:
@@ -256,12 +261,14 @@ class DeltaDml:
     def _merge_candidates(self, snap, source: DataFrame, on: str) -> list[AddFile]:
         """Stats/partition-pruned candidate files for a keyed MERGE.
 
-        A file whose key range cannot intersect the SOURCE's
-        [min(on), max(on)] range is invisible to every MERGE clause: it
-        cannot hold a matched target row (touched-file probe) and cannot
-        prove a source key already present (the insert anti-join — every
-        source key lies inside the range, so a pruned file's keys can
-        never equal one).  One tiny aggregate over the source buys file
+        A file that can hold NO source key is invisible to every MERGE
+        clause: it cannot hold a matched target row (touched-file
+        probe) and cannot prove a source key already present (the
+        insert anti-join — a pruned file's keys can never equal one).
+        Small key sets (<= _MERGE_PRUNE_IN_CAP distinct) prune with an
+        exact In-list (per-value skipping — scattered CDC keys keep
+        only their own files); larger sources fall back to the
+        [min(on), max(on)] range.  One tiny aggregate over the source buys file
         skipping on the big side through the SAME scan machinery filtered
         reads use (partition pruning when `on` is a partition column,
         min/max stats otherwise, distributed above the state threshold) —
@@ -283,7 +290,11 @@ class DeltaDml:
         if len(candidates) < _MERGE_PRUNE_MIN_FILES:
             return candidates
         try:
-            b = source.agg(F.min(on).alias("_mn"), F.max(on).alias("_mx")).first()
+            b = source.agg(
+                F.min(on).alias("_mn"),
+                F.max(on).alias("_mx"),
+                F.approx_count_distinct(on).alias("_acd"),
+            ).first()
             if b is None or b["_mn"] is None:
                 return []
             # NaN bounds make range pruning a LIE, not merely loose: Spark
@@ -305,6 +316,7 @@ class DeltaDml:
                 And,
                 Column,
                 GreaterThanOrEq,
+                In,
                 LessThanOrEq,
                 Literal,
             )
@@ -315,6 +327,26 @@ class DeltaDml:
             # key would compare "5" against 5
             fields = {f.name: f.dataType for f in snap.metadata().schema().fields}
             col = Column(on, fields[on])
+            # a SMALL key set prunes per VALUE, not per range: a CDC batch
+            # touching keys {1, 9_000_000} keeps only the two files that
+            # can hold them, where [min, max] keeps everything between.
+            # approx_count_distinct gates the extra distinct-collect job;
+            # its few-percent error is absorbed by re-checking the exact
+            # collected size (an undercount falls through to range).
+            if b["_acd"] <= _MERGE_PRUNE_IN_CAP:
+                ks = [
+                    r[0]
+                    for r in source.select(on)
+                    .distinct()
+                    .limit(_MERGE_PRUNE_IN_CAP + 1)
+                    .collect()
+                    if r[0] is not None
+                ]
+                if ks and len(ks) <= _MERGE_PRUNE_IN_CAP:
+                    pred = In(
+                        col, tuple(Literal(k, fields[on]) for k in ks)
+                    )
+                    return list(snap.scan(pred).files())
             pred = And(
                 GreaterThanOrEq(col, Literal(b["_mn"], fields[on])),
                 LessThanOrEq(col, Literal(b["_mx"], fields[on])),

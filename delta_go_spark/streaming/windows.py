@@ -977,7 +977,14 @@ class IndexMaintainer:
     files, trading read pruning for write locality (each token's
     postings live in exactly one file, so a batch's rewrites stay
     few).  A deployment whose batches touch token ranges would lay
-    the state out repartitionByRange("token") and get both."""
+    the state out repartitionByRange("token") and get both.
+
+    RETENTION: each merge tombstones the files it rewrote; the Delta
+    log bounds itself (postCommit checkpoints + expired-log cleanup)
+    but superseded DATA files live until VACUUM — a long-running
+    maintenance job schedules vacuum on these state tables at the
+    standard retention, the Delta-native bound on the same growth the
+    old generation-dir form suffered unboundedly."""
 
     # one MERGE per state table per batch; the app ids namespace the
     # SetTransaction tokens so the two tables replay independently

@@ -423,6 +423,30 @@ def test_merge_pruning_empty_source_reads_nothing(spark, tmp_path):
     assert DeltaDml(spark, path)._merge_candidates(snap, src, "k") == []
 
 
+def test_merge_pruning_inlist_beats_range_for_scattered_keys(spark, tmp_path):
+    """Keys {5, 95} span almost the whole [min, max] range — range
+    pruning would keep every file between them; the In-list keeps only
+    the two files that can actually HOLD a source key."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpil")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame([(5, 1), (95, 2)], "k long, v long")
+    dml = DeltaDml(spark, path)
+    pruned = dml._merge_candidates(snap, src, "k")
+    assert len(pruned) == 2, [a.path for a in pruned]  # not ~8
+    dml.merge(src, on="k", update_set={"v": F.col("_s_v")})
+    got = {
+        r["k"]: r["v"]
+        for r in DeltaTable.for_path(spark, path).to_df().collect()
+    }
+    assert got[5] == 1 and got[95] == 2 and got[50] == 100
+    assert len(got) == 100
+
+
 def test_merge_pruning_gated_off_for_small_targets(spark, tmp_path):
     """The bounds probe re-evaluates the SOURCE plan (one extra job) —
     below _MERGE_PRUNE_MIN_FILES active files there is nothing worth
