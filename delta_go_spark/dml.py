@@ -334,13 +334,19 @@ class DeltaDml:
             # its few-percent error is absorbed by re-checking the exact
             # collected size (an undercount falls through to range).
             if b["_acd"] <= _MERGE_PRUNE_IN_CAP:
+                # NULLs filter BEFORE the limit: a NULL key occupying the
+                # overflow-detection slot would let 65 real keys pass the
+                # exact size re-check as 64 — one key silently missing
+                # from the In-list is the lost-update/duplicate-key
+                # corruption class again (NULL keys themselves never
+                # equi-match, so dropping them from the list is safe)
                 ks = [
                     r[0]
                     for r in source.select(on)
+                    .where(F.col(on).isNotNull())
                     .distinct()
                     .limit(_MERGE_PRUNE_IN_CAP + 1)
                     .collect()
-                    if r[0] is not None
                 ]
                 if ks and len(ks) <= _MERGE_PRUNE_IN_CAP:
                     pred = In(

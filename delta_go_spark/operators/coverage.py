@@ -1161,7 +1161,12 @@ def profile_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_id = docs.agg(F.max("doc_id")).first()[0]
         t.delete_where(f"doc_id = {max_id}")
 
-    _ensure_built(tbl, 3, build, sf_dir=sf_dir, tables=("documents",))
+    # module-level column lists don't land in the build closure's code
+    # signature — interpolate them so edits rebuild the cached stats
+    _ensure_built(
+        tbl, 3, build, sf_dir=sf_dir, tables=("documents",),
+        recipe=f"cols={_PROFILE_COLS!r}",
+    )
     changes = cdf.table_changes(spark, tbl, start_version=1)
     # the netting carries EVERY profiled column, so an update contributes
     # its full pre-image to the delete side and post-image to the insert
@@ -1307,10 +1312,14 @@ def ndv_incremental(
         .groupBy("column_name")
         .agg(F.sum("adj").alias("adj"))
     )
-    # full outer: a column with ZERO v0 values has no ndv0 row, yet its
-    # first inserted values must surface (n_distinct coalesces from 0)
+    # seed one row per REQUESTED column: a column with zero non-null
+    # values anywhere (no ndv0 row, no crossings row) must still emit
+    # n_distinct = 0 — the count(DISTINCT) contract the oracle replays
+    # with one SELECT per column
+    base = spark.createDataFrame([(c,) for c in cols], "column_name string")
     return (
-        ndv0.join(crossings, "column_name", "full_outer")
+        base.join(ndv0, "column_name", "left_outer")
+        .join(crossings, "column_name", "left_outer")
         .select(
             "column_name",
             (
@@ -1367,7 +1376,14 @@ def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(docs.filter(F.col("doc_id") % 5 == 0))
         t.delete_where("mod7 = 0")
 
-    _ensure_built(tbl, 2, build, sf_dir=sf_dir, tables=("documents",))
+    # _code_sig hashes the build closure's bytecode, NOT module-level
+    # constants referenced by name — interpolate _NDV_COLS into the
+    # recipe so editing the column list rebuilds the cached state
+    # instead of serving frequencies that lack the new column
+    _ensure_built(
+        tbl, 2, build, sf_dir=sf_dir, tables=("documents",),
+        recipe=f"cols={_NDV_COLS!r}",
+    )
     new_rows, deleted_rows = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1),
         payload_cols=tuple(_NDV_COLS),

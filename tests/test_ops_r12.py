@@ -269,6 +269,33 @@ def test_ndv_incremental_empty_batch_and_null_values(spark):
     assert got2 == {"lang": 1, "src": 1}  # NULL lang never enters
 
 
+def test_ndv_incremental_all_null_column_emits_zero(spark):
+    """A requested column with zero non-null values anywhere (no state
+    row, no batch row) must still emit n_distinct = 0 — the oracle
+    pattern produces one SELECT per column, so a missing row would be
+    a row-count mismatch, not just a wrong number."""
+    from delta_go_spark.operators.coverage import (
+        ndv_incremental,
+        value_frequencies,
+    )
+
+    schema = "doc_id long, lang string, src string"
+    v0 = spark.createDataFrame([(1, "en", None), (2, "fr", None)], schema)
+    cols = ["lang", "src"]
+    freq0 = value_frequencies(v0, cols).localCheckpoint()
+    ndv0 = freq0.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    ).localCheckpoint()
+    empty = spark.createDataFrame([], schema)
+    got = {
+        r["column_name"]: r["n_distinct"]
+        for r in ndv_incremental(
+            spark, freq0, ndv0, empty, empty, cols
+        ).collect()
+    }
+    assert got == {"lang": 2, "src": 0}  # src row present, zero
+
+
 def test_ndv_incremental_registry_nonvacuous(spark):
     """Fixture-level non-vacuity: the v1 append must introduce at least
     one ENTERING n_chars value and the v2 delete at least one LEAVING
@@ -445,6 +472,33 @@ def test_merge_pruning_inlist_beats_range_for_scattered_keys(spark, tmp_path):
     }
     assert got[5] == 1 and got[95] == 2 and got[50] == 100
     assert len(got) == 100
+
+
+def test_merge_pruning_inlist_null_keys_filtered_before_limit(spark, tmp_path):
+    """NULL keys must filter BEFORE the overflow-detection limit (a NULL
+    occupying the slot could let a real key drop from the In-list — the
+    lost-update class), and a NULL-key source row must still insert
+    under allow_null_keys while the real keys prune and match."""
+    from delta_go_spark.dml import DeltaDml
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.table import DeltaTable
+
+    path = str(tmp_path / "mpnull")
+    _range_table(spark, path)
+    snap = DeltaLog.for_table(path).update()
+    src = spark.createDataFrame(
+        [(5, 1), (95, 2), (None, 3)], "k long, v long"
+    )
+    dml = DeltaDml(spark, path)
+    pruned = dml._merge_candidates(snap, src, "k")
+    assert len(pruned) == 2  # the NULL never widens or narrows the list
+    dml.merge(
+        src, on="k", update_set={"v": F.col("_s_v")}, allow_null_keys=True
+    )
+    rows = DeltaTable.for_path(spark, path).to_df().collect()
+    got = {r["k"]: r["v"] for r in rows if r["k"] is not None}
+    assert got[5] == 1 and got[95] == 2 and got[50] == 100
+    assert sum(1 for r in rows if r["k"] is None) == 1  # NULL row inserted
 
 
 def test_merge_pruning_gated_off_for_small_targets(spark, tmp_path):
