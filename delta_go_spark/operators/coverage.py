@@ -1334,14 +1334,13 @@ def ndv_incremental(
 _NDV_COLS = ["lang", "n_chars", "source"]
 
 
-def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture (the shared CDF-maintenance shape): v0 = documents with
-    doc_id % 5 != 0, its frequency state + exact n_distinct persisted;
+def _inc_ndv_fixture(spark: SparkSession, sf_dir: str):
+    """Shared CDF fixture for the frequency-state maintainers (exact NDV
+    and the state-served histogram): v0 = documents with doc_id % 5 != 0,
+    its per-(column, value) frequency state + exact n_distinct persisted;
     v1 appends the rest (new n_chars values ENTER); v2 deletes
     doc_id % 7 == 0 (an n_chars value whose last row dies LEAVES).
-    Oracle = count(DISTINCT col) over the surviving rows — a hash match
-    proves the sign-summed counts converge to the from-scratch answer
-    through both crossing directions."""
+    Returns (freq0, ndv0, new_rows, deleted_rows) — netted, checkpointed."""
     import os
 
     from delta_go_spark import cdf
@@ -1388,13 +1387,21 @@ def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdf.table_changes(spark, tbl, start_version=1),
         payload_cols=tuple(_NDV_COLS),
     )
-    return ndv_incremental(
-        spark,
+    return (
         spark.read.parquet(freq_path),
         spark.read.parquet(ndv_path),
         new_rows.localCheckpoint(),
         deleted_rows.localCheckpoint(),
-        _NDV_COLS,
+    )
+
+
+def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle = count(DISTINCT col) over the surviving rows — a hash
+    match proves the sign-summed counts converge to the from-scratch
+    answer through both crossing directions (see _inc_ndv_fixture)."""
+    freq0, ndv0, new_rows, deleted_rows = _inc_ndv_fixture(spark, sf_dir)
+    return ndv_incremental(
+        spark, freq0, ndv0, new_rows, deleted_rows, _NDV_COLS
     )
 
 
@@ -1412,6 +1419,132 @@ NDV_INCREMENTAL_SQL = (
 
 
 QUERIES["ndv_incremental_docs"] = (ndv_incremental_docs, NDV_INCREMENTAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram SERVED FROM the frequency state — the CBO-stats
+# refresh without a corpus rescan.  equidepth_histogram (above) ranks the
+# CORPUS per refresh; but bucket row-counts and value bounds are a pure
+# function of the sorted (value, frequency) table: a value whose
+# cumulative predecessor count is c0 and frequency is f occupies 0-based
+# ranks [c0, c0+f), and bucket k of B over N rows owns ranks
+# [ceil(kN/B), ceil((k+1)N/B)) — every per-bucket stat falls out of
+# interval overlaps.  So after a change batch, sign-sum the O(change)
+# value deltas into the maintained frequency state (ndv_incremental's
+# state, shared) and re-derive ALL split points at O(distinct values),
+# never O(corpus) — on a 100 TB table with a bounded value domain the
+# histogram refresh stops touching data entirely.
+def equidepth_from_frequencies(
+    freq: DataFrame,
+    buckets: int = 8,
+    val_col: str = "val",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """(bucket, n_rows, min_val, max_val) from a (value, count) table —
+    identical to ranking the expanded corpus, proven by the oracle (the
+    per-bucket stats are tie-break-invariant: equal values form one rank
+    block however row_number orders within it).  The cumulative count
+    runs through _global_prefix (range-partitioned two-pass — never an
+    un-partitioned window, even though the input is only O(distinct));
+    each value then explodes to at most `buckets` overlap rows."""
+    from delta_go_spark.functions.sampling import _global_prefix
+
+    src = freq.filter(F.col(cnt_col) > 0).select(
+        F.col(val_col).alias("_v"), F.col(cnt_col).cast("long").alias("_f")
+    )
+    ranked, _, total = _global_prefix(
+        src, [F.col("_v").asc()], sum_col="_f", return_totals=True
+    )
+    n, b = int(total), int(buckets)
+    if n == 0:
+        return freq.sparkSession.createDataFrame(
+            [], "bucket long, n_rows long, min_val long, max_val long"
+        )
+    spans = (
+        ranked.withColumn("_c0", (F.col("_gcum") - F.col("_f")).cast("long"))
+        .withColumn("_blo", F.expr(f"(_c0 * {b}) div {n}"))
+        .withColumn("_bhi", F.expr(f"((_c0 + _f - 1) * {b}) div {n}"))
+        .select(
+            "_v",
+            "_f",
+            "_c0",
+            F.explode(F.sequence(F.col("_blo"), F.col("_bhi"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    # bucket k owns 0-based ranks [s_k, s_{k+1}), s_k = ceil(k*n/b)
+    s_k = F.expr(f"(bucket * {n} + {b} - 1) div {b}")
+    s_k1 = F.expr(f"((bucket + 1) * {n} + {b} - 1) div {b}")
+    rows = F.least(F.col("_c0") + F.col("_f"), s_k1) - F.greatest(
+        F.col("_c0"), s_k
+    )
+    return (
+        spans.select("bucket", "_v", rows.alias("_rows"))
+        .filter(F.col("_rows") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum("_rows").cast("long").alias("n_rows"),
+            F.min("_v").alias("min_val"),
+            F.max("_v").alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def equidepth_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the n_chars histogram over the POST-CHANGE corpus,
+    served from the CDF-maintained frequency state (shared
+    _inc_ndv_fixture) — freq0 sign-sums the netted batch's value deltas
+    (O(change)), then buckets derive from the surviving frequencies at
+    O(distinct).  Oracle = ranking the surviving rows from scratch, so a
+    hash match proves the state-served histogram equals the corpus-scan
+    one through inserts AND deletes."""
+    freq0, _, new_rows, deleted_rows = _inc_ndv_fixture(spark, sf_dir)
+    nc0 = freq0.filter(F.col("column_name") == "n_chars").select(
+        F.col("val").cast("long").alias("val"), F.col("cnt").alias("d")
+    )
+    delta = (
+        value_frequencies(new_rows, ["n_chars"])
+        .select(F.col("val").cast("long").alias("val"), F.col("cnt").alias("d"))
+        .unionByName(
+            value_frequencies(deleted_rows, ["n_chars"]).select(
+                F.col("val").cast("long").alias("val"),
+                (-F.col("cnt")).alias("d"),
+            )
+        )
+    )
+    freq1 = (
+        nc0.unionByName(delta)
+        .groupBy("val")
+        .agg(F.sum("d").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    return equidepth_from_frequencies(freq1, buckets=8)
+
+
+EQUIDEPTH_INCREMENTAL_SQL = """
+WITH live_docs AS (
+  SELECT * FROM documents WHERE doc_id % 7 <> 0
+), ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars ASC) AS rn,
+         count(*) OVER () AS n
+  FROM live_docs
+)
+SELECT ((rn - 1) * 8) // n AS bucket,
+       count(*) AS n_rows,
+       min(n_chars) AS min_val,
+       max(n_chars) AS max_val
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["equidepth_incremental_docs"] = (
+    equidepth_incremental_docs,
+    EQUIDEPTH_INCREMENTAL_SQL,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -62,18 +62,21 @@ from delta_go_spark.operators import (
 #       from max(doc_id)), PLUS every merge-exercising row
 #       (streaming_upsert, streaming_delta_aggsink, delta_scd2_agg) —
 #       dml.merge gained source-key-range candidate pruning this round,
-#       the r11 precedent for merge changes — and the round's one NEW
-#       query, ndv_incremental (exact delete-capable distinct counts);
+#       the r11 precedent for merge changes — and the round's two NEW
+#       queries, ndv_incremental (exact delete-capable distinct counts)
+#       and equidepth_incremental (the histogram served from the same
+#       frequency state at O(distinct));
 #   (b) the 13 rows deferred by the r11 rotation (last driver hash r7);
-#   (c) 28 of the 47 r8-stale rows.  The 19 deferred to the r13 queue —
+#   (c) 27 of the 47 r8-stale rows.  The 20 deferred to the r13 queue —
 #       agg_percentiles_lineitem, bigram_coverage_docs,
 #       char_trigram_profile, cosine_near_dup_docs, delta_vacuum_agg,
-#       hash_features_docs, join_full_outer_nation, length_outlier_docs,
-#       like_regexp_docs, mixture_sample_docs, quality_classifier_docs,
-#       repetition_topword_docs, sample_k_per_source_docs,
-#       shuffle_shard_docs, simhash_docs, sliding_avg_events,
-#       source_similarity_docs, streaming_quota_gate_events,
-#       word_rarity_docs — each keeps >= 1 fresher in-window family
+#       gram_novelty_docs, hash_features_docs, join_full_outer_nation,
+#       length_outlier_docs, like_regexp_docs, mixture_sample_docs,
+#       quality_classifier_docs, repetition_topword_docs,
+#       sample_k_per_source_docs, shuffle_shard_docs, simhash_docs,
+#       sliding_avg_events, source_similarity_docs,
+#       streaming_quota_gate_events, word_rarity_docs — each keeps >= 1
+#       fresher in-window family
 #       sibling (bigram_repetition for the gram profiles,
 #       simhash_near_dup for the simhash pair, the ANN trio for
 #       cosine_near_dup, stratified/proportional/systematic for the
@@ -104,7 +107,11 @@ _WINDOW: list = [
     # deliberately omits because HLL cannot delete.  Displaces
     # join_full_outer_nation to the r13 queue (the join class keeps
     # bucketed_join, dpp_join, range_join and asof in-window).
-    (coverage, ["ndv_incremental_docs"]),
+    # ALSO NEW: the equi-depth histogram served from the SAME frequency
+    # state at O(distinct), never rescanning the corpus.  Displaces
+    # gram_novelty_docs (safety keeps duplicated_gram_fraction +
+    # unique-gram siblings below-window gated).
+    (coverage, ["ndv_incremental_docs", "equidepth_incremental_docs"]),
     # the merge path changed again this round (candidate pruning by the
     # source key range): every merge-exercising row stays in-window, the
     # same precedent as the r11 NULL-key-probe change
@@ -133,7 +140,7 @@ _WINDOW: list = [
     (sampling, ["hash_sample_docs"]),
     (subqueries, ["lateral_topk_suppliers"]),
     (streaming_windows, ["streaming_hourly_rollup"]),
-    # --- 28 of the 47 r8-stale rows (queue item c; the 19 deferred are
+    # --- 27 of the 47 r8-stale rows (queue item c; the 20 deferred are
     # listed in the header comment) ---
     (asof, ["asof_attribution_events"]),
     (curation, [
@@ -154,7 +161,6 @@ _WINDOW: list = [
         "delta_restore_agg",
         "delta_sql_time_travel",
     ]),
-    (safety, ["gram_novelty_docs"]),
     (coverage, ["grouping_sets_orders"]),
     (similarity, [
         "mislabel_confusion_embeddings",
@@ -174,7 +180,7 @@ _WINDOW: list = [
     ]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
-# and scripts/check_parity.py remain its gate; the 19 deferred r8 rows
+# and scripts/check_parity.py remain its gate; the 20 deferred r8 rows
 # (listed in the header comment) head the round-13 rotation, after which
 # every row's driver evidence is r9 or fresher.
 

@@ -326,6 +326,64 @@ def test_ndv_incremental_registry_nonvacuous(spark):
 
 
 # ---------------------------------------------------------------------------
+# equidepth_from_frequencies — the histogram served from frequency state
+
+
+def test_equidepth_from_frequencies_equals_corpus_ranking(spark):
+    """Bucket counts and value bounds derived from (value, frequency)
+    interval overlaps must equal ranking the expanded corpus — including
+    a heavy value whose rank block SPANS multiple buckets and buckets
+    whose boundary falls inside a value block."""
+    from delta_go_spark.operators.coverage import (
+        equidepth_from_frequencies,
+        equidepth_histogram,
+    )
+
+    rows = [(i, v) for i, v in enumerate([1] * 7 + [2] * 1 + [3] * 5 + [9] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    freq = df.groupBy(F.col("n_chars").alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    got = [
+        (r["bucket"], r["n_rows"], r["min_val"], r["max_val"])
+        for r in equidepth_from_frequencies(freq, buckets=4).collect()
+    ]
+    want = [
+        (r["bucket"], r["n_rows"], r["min_val"], r["max_val"])
+        for r in equidepth_histogram(df, "n_chars", "doc_id", buckets=4)
+        .drop("id_checksum")
+        .collect()
+    ]
+    assert got == want
+    assert sum(r[1] for r in got) == 16  # every row landed exactly once
+
+
+def test_equidepth_from_frequencies_empty_state(spark):
+    from delta_go_spark.operators.coverage import equidepth_from_frequencies
+
+    freq = spark.createDataFrame([], "val long, cnt long")
+    assert equidepth_from_frequencies(freq).collect() == []
+
+
+def test_equidepth_from_frequencies_value_spanning_all_buckets(spark):
+    """One value holding most of the mass spans every bucket — the
+    degenerate skew case a histogram must survive (each bucket reports
+    the same value as both bounds)."""
+    from delta_go_spark.operators.coverage import equidepth_from_frequencies
+
+    freq = spark.createDataFrame(
+        [(5, 100), (7, 1)], "val long, cnt long"
+    )
+    got = {
+        r["bucket"]: (r["n_rows"], r["min_val"], r["max_val"])
+        for r in equidepth_from_frequencies(freq, buckets=4).collect()
+    }
+    assert sum(v[0] for v in got.values()) == 101
+    assert got[0][1] == 5 and got[0][2] == 5  # low buckets pure 5
+    assert got[3][2] == 7  # the tail value lands in the last bucket
+
+
+# ---------------------------------------------------------------------------
 # snapshot_diff — duplicate-key guard
 
 

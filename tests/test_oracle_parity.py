@@ -233,6 +233,7 @@ def test_round12_queries_in_window():
         "bm25_incremental_docs",  # sign-summed stats table this round
         "minhash_incremental_docs",  # delete-aware this round
         "ndv_incremental_docs",  # NEW in round 12
+        "equidepth_incremental_docs",  # NEW in round 12
         "streaming_index_maintenance_docs",  # Delta-MERGE state this round
         "delta_snapshot_diff",  # dup-key guard + derived offset
         # merge path changed (source-key-range candidate pruning): every
@@ -271,7 +272,6 @@ def test_round12_queries_in_window():
         "delta_dml_agg",
         "delta_restore_agg",
         "delta_sql_time_travel",
-        "gram_novelty_docs",
         "grouping_sets_orders",
         "mislabel_confusion_embeddings",
         "quantize_embeddings_int8",
