@@ -1251,6 +1251,27 @@ def value_frequencies(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def signed_value_deltas(
+    new_rows: DataFrame, deleted_rows: DataFrame, cols: list[str]
+) -> DataFrame:
+    """(column_name, val, d): a netted change batch's signed
+    value-frequency deltas — THE single sign-sum rule every
+    frequency-state maintainer folds with (ndv_incremental,
+    equidepth_incremental), so a fix to the netting arithmetic lands in
+    all of them at once.  O(change) rows, map-side combinable."""
+    return (
+        value_frequencies(new_rows, cols)
+        .select("column_name", "val", F.col("cnt").alias("d"))
+        .unionByName(
+            value_frequencies(deleted_rows, cols).select(
+                "column_name", "val", (-F.col("cnt")).alias("d")
+            )
+        )
+        .groupBy("column_name", "val")
+        .agg(F.sum("d").alias("d"))
+    )
+
+
 def ndv_incremental(
     spark: SparkSession,
     freq0: DataFrame,
@@ -1279,18 +1300,8 @@ def ndv_incremental(
     The returned (column_name, n_distinct) equals count(DISTINCT col)
     over the post-change corpus — the oracle contract, through deletes
     that remove a value's LAST row and inserts of never-seen values."""
-    signed = (
-        value_frequencies(new_rows, cols)
-        .select("column_name", "val", F.col("cnt").alias("d"))
-        .unionByName(
-            value_frequencies(deleted_rows, cols).select(
-                "column_name", "val", (-F.col("cnt")).alias("d")
-            )
-        )
-        .groupBy("column_name", "val")
-        .agg(F.sum("d").alias("d"))
-        .localCheckpoint()  # O(change) rows; feeds the slice AND the join
-    )
+    # O(change) rows; checkpointed because it feeds the slice AND the join
+    signed = signed_value_deltas(new_rows, deleted_rows, cols).localCheckpoint()
     batch_keys = signed.select("column_name", "val")
     freq_slice = freq0.join(
         F.broadcast(batch_keys), ["column_name", "val"], "left_semi"
@@ -1457,8 +1468,11 @@ def equidepth_from_frequencies(
     )
     n, b = int(total), int(buckets)
     if n == 0:
+        # empty schema matches the non-empty path's: min/max carry the
+        # VALUE type (the helper is generic over it)
+        vt = freq.schema[val_col].dataType.simpleString()
         return freq.sparkSession.createDataFrame(
-            [], "bucket long, n_rows long, min_val long, max_val long"
+            [], f"bucket long, n_rows long, min_val {vt}, max_val {vt}"
         )
     spans = (
         ranked.withColumn("_c0", (F.col("_gcum") - F.col("_f")).cast("long"))
@@ -1504,15 +1518,8 @@ def equidepth_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc0 = freq0.filter(F.col("column_name") == "n_chars").select(
         F.col("val").cast("long").alias("val"), F.col("cnt").alias("d")
     )
-    delta = (
-        value_frequencies(new_rows, ["n_chars"])
-        .select(F.col("val").cast("long").alias("val"), F.col("cnt").alias("d"))
-        .unionByName(
-            value_frequencies(deleted_rows, ["n_chars"]).select(
-                F.col("val").cast("long").alias("val"),
-                (-F.col("cnt")).alias("d"),
-            )
-        )
+    delta = signed_value_deltas(new_rows, deleted_rows, ["n_chars"]).select(
+        F.col("val").cast("long").alias("val"), F.col("d")
     )
     freq1 = (
         nc0.unionByName(delta)

@@ -255,7 +255,7 @@ def test_round12_queries_in_window():
         "hash_sample_docs",
         "lateral_topk_suppliers",
         "streaming_hourly_rollup",
-        # 28 of the 47 r8-stale rows (the 19 deferred are listed in
+        # 27 of the 47 r8-stale rows (the 20 deferred are listed in
         # queries.py's rotation comment)
         "asof_attribution_events",
         "bigram_repetition_docs",
