@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the threshold guard is shared repo-wide (hints.py) — every change-volume
+# broadcast in the maintainers goes through the same logic
+from delta_go_spark.hints import broadcast_if_small
 from delta_go_spark.session import load_table
 
 
@@ -318,30 +321,6 @@ def minhash_lsh_pairs(
 # a ~32-char doc id string + two longs + JVM row overhead.
 _BAND_ROW_EST_BYTES = 96
 
-
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """The session's autoBroadcastJoinThreshold in bytes (<=0 means the
-    user disabled broadcasting — honor that by never hinting)."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
-    # Spark accepts both single-letter (k/m/g/t/p) and two-letter (kb/..)
-    # suffixes; parse both or the guard silently falls back to 10MB and
-    # force-broadcasts past the user's own cap.
-    mult = 1
-    for suffix, m in (
-        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-        ("tb", 1 << 40), ("pb", 1 << 50),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-        ("t", 1 << 40), ("p", 1 << 50), ("b", 1),
-    ):
-        if raw.endswith(suffix):
-            raw, mult = raw[: -len(suffix)], m
-            break
-    try:
-        return int(raw) * mult
-    except ValueError:
-        return 10 << 20
 
 
 def _band_table(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
@@ -1230,9 +1209,7 @@ def minhash_incremental_pairs(
     # eager materialization of its checkpoint, so the batch signatures are
     # computed once either way).
     n_new = sig_new.count()
-    est_bytes = n_new * bands * _BAND_ROW_EST_BYTES
-    if est_bytes <= _broadcast_threshold_bytes(sig_base.sparkSession):
-        nb = F.broadcast(nb)
+    nb = broadcast_if_small(nb, n_new * bands * _BAND_ROW_EST_BYTES)
     cand = (
         nb.join(ab, ["band_id", "band_hash"])
         .filter(F.col("doc_n") != F.col("doc"))

@@ -981,9 +981,12 @@ QUERIES["profile_table_docs"] = (profile_table_docs, PROFILE_TABLE_SQL)
 #     rescan (column-pruned, so the parquet reader touches one column's
 #     pages), everything else stays O(change).  The boundary test is a
 #     single 1-row Spark job over the delete batch;
-#   * n_distinct is deliberately ABSENT: exact NDV under deletes needs the
-#     full value-frequency state and HLL sketches cannot delete — serve it
-#     from profile_table (exact or approx) on the rebuild cadence instead.
+#   * n_distinct is exact and delete-capable — but NOT derivable from this
+#     function's O(cols) stats state (HLL sketches cannot delete); it is
+#     served from the maintained per-(column, value) frequency state
+#     (FrequencyStateMaintainer / ndv_incremental below) and joined in via
+#     the `ndv` parameter.  Callers without frequency state omit it and
+#     get the delta-maintainable stat set alone.
 def profile_incremental(
     spark: SparkSession,
     stats0: DataFrame,
@@ -991,6 +994,7 @@ def profile_incremental(
     deleted_rows: DataFrame,
     live_df: DataFrame,
     cols: list[str],
+    ndv: DataFrame | None = None,
 ) -> DataFrame:
     """stats0 = profile-lite of the pre-change corpus (column_name,
     n_rows, n_nulls, min_val, max_val — min/max as strings, the
@@ -1106,10 +1110,22 @@ def profile_incremental(
         else:
             # stored + insert extremes, merged natively in the 1-row plan
             out_rows.append((c, n_rows, n_nulls, one[f"mn_{c}"], one[f"mx_{c}"]))
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         out_rows, "column_name string, n_rows long, n_nulls long, "
         "min_val string, max_val string"
-    ).orderBy("column_name")
+    )
+    if ndv is not None:
+        # exact maintained NDV (an O(cols) frame) joined in; left_outer so
+        # a column the frequency state doesn't cover still profiles
+        out = out.join(ndv, "column_name", "left_outer").select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+    return out.orderBy("column_name")
 
 
 def profile_lite(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -1124,49 +1140,18 @@ _PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
 
 
 def profile_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture: v0 = documents with doc_id % 5 != 0 profiled in full; v1
-    appends the rest; v2 deletes doc_id % 7 == 0; v3 deletes THE row
-    carrying max(doc_id) — forcing the boundary-rescan path for doc_id
-    while every other column merges from deltas.  Oracle = profile-lite
-    over the surviving rows."""
-    import os
-
+    """Unified stats fixture (_inc_stats_fixture, defined below): v0 =
+    documents with doc_id % 5 != 0 profiled in full; v1 appends the rest;
+    v2 deletes doc_id % 7 == 0; v3 deletes THE row carrying max(doc_id) —
+    forcing the boundary-rescan path for doc_id while every other column
+    merges from deltas.  n_distinct comes from the SAME maintained
+    frequency state that serves ndv_incremental_docs.  Oracle =
+    profile-lite + count(DISTINCT) over the surviving rows."""
     from delta_go_spark.functions.textops import cdf_net_changes
-    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
     from delta_go_spark.table import DeltaTable
     from delta_go_spark import cdf
 
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(_CACHE_ROOT, key, "inc_profile")
-    tbl = os.path.join(root, "docs")
-    stats_path = os.path.join(root, "stats_v0")
-
-    def build():
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
-        docs = load_table(spark, sf_dir, "documents").withColumn(
-            "mod7", F.col("doc_id") % 7
-        )
-        v0 = docs.filter(F.col("doc_id") % 5 != 0)
-        profile_lite(v0, _PROFILE_COLS).write.mode("overwrite").parquet(
-            stats_path
-        )
-        t = DeltaTable.create(
-            spark, tbl, v0,
-            configuration={"delta.enableChangeDataFeed": "true"},
-        )
-        t.append(docs.filter(F.col("doc_id") % 5 == 0))
-        t.delete_where("mod7 = 0")
-        max_id = docs.agg(F.max("doc_id")).first()[0]
-        t.delete_where(f"doc_id = {max_id}")
-
-    # module-level column lists don't land in the build closure's code
-    # signature — interpolate them so edits rebuild the cached stats
-    _ensure_built(
-        tbl, 3, build, sf_dir=sf_dir, tables=("documents",),
-        recipe=f"cols={_PROFILE_COLS!r}",
-    )
+    m, stats_path, tbl = _inc_stats_fixture(spark, sf_dir)
     changes = cdf.table_changes(spark, tbl, start_version=1)
     # the netting carries EVERY profiled column, so an update contributes
     # its full pre-image to the delete side and post-image to the insert
@@ -1183,6 +1168,7 @@ def profile_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         deleted_rows.select(*_PROFILE_COLS).localCheckpoint(),
         t.to_df(),
         _PROFILE_COLS,
+        ndv=m.current_ndv(),
     )
 
 
@@ -1190,6 +1176,7 @@ _PROFILE_LITE_COL = """
 SELECT '{c}' AS column_name,
        count(*) AS n_rows,
        CAST(sum(CAST({c} IS NULL AS INT)) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_val,
        CAST(max({c}) AS VARCHAR) AS max_val
 FROM live_docs
@@ -1272,6 +1259,72 @@ def signed_value_deltas(
     )
 
 
+# Conservative in-memory bytes per broadcast (column_name, val) key row:
+# two short strings + JVM row overhead (val is a stringified scalar for
+# the integer/short-string columns this state serves; a long-text column
+# would blow this estimate AND the state size — see value_frequencies'
+# injectivity note).
+_VAL_KEY_ROW_EST_BYTES = 128
+
+
+def fold_value_deltas(freq0: DataFrame, signed: DataFrame) -> DataFrame:
+    """(column_name, val, c0, c1): each batch value's pre- and post-change
+    frequency, from the maintained state `freq0` and the batch's signed
+    deltas — THE shared fold step of every frequency-state consumer
+    (ndv_incremental, the FrequencyStateMaintainer's two merges).
+
+    Pre-change frequencies are needed for ONLY the batch's values: the
+    state is SLICED by a left-semi join on the batch keys (freq0 streams,
+    never shuffles — at 100 TB the state lives key-clustered in a Delta
+    table and this is a pruned, match-bounded read).  The batch side is
+    O(change) and normally broadcast, but the hint is size-guarded
+    (broadcast_if_small): a BACKFILL-sized batch degrades to a shuffle
+    join instead of OOMing executors on a multi-GB broadcast.
+
+    `signed` must be materialized (localCheckpoint) by the caller — it is
+    counted here for the guard and joined twice downstream."""
+    from delta_go_spark.hints import broadcast_if_small
+
+    batch_keys = signed.select("column_name", "val")
+    n_keys = signed.count()
+    freq_slice = freq0.join(
+        broadcast_if_small(batch_keys, n_keys * _VAL_KEY_ROW_EST_BYTES),
+        ["column_name", "val"],
+        "left_semi",
+    )
+    return signed.join(
+        freq_slice.select("column_name", "val", "cnt"),
+        ["column_name", "val"],
+        "left_outer",
+    ).select(
+        "column_name",
+        "val",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c0"),
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d"))
+        .cast("long")
+        .alias("c1"),
+    )
+
+
+def zero_crossings(folded: DataFrame) -> DataFrame:
+    """(column_name, adj): net distinct-count adjustment per column from a
+    folded batch — a value crossing 0 -> + ENTERS the distinct set, + -> 0
+    LEAVES it.  Columns whose adjustment nets to 0 are dropped, so the
+    consumer (the stats MERGE) touches no file for them."""
+    return (
+        folded.select(
+            "column_name",
+            F.when((F.col("c0") <= 0) & (F.col("c1") > 0), 1)
+            .when((F.col("c0") > 0) & (F.col("c1") <= 0), -1)
+            .otherwise(0)
+            .alias("adj"),
+        )
+        .groupBy("column_name")
+        .agg(F.sum("adj").cast("long").alias("adj"))
+        .filter(F.col("adj") != 0)
+    )
+
+
 def ndv_incremental(
     spark: SparkSession,
     freq0: DataFrame,
@@ -1287,12 +1340,14 @@ def ndv_incremental(
       1. the batch's own signed value deltas aggregate per
          (column, value) — O(change) rows, map-side combinable;
       2. pre-change frequencies are needed for ONLY the batch's values:
-         the state is SLICED by a broadcast left-semi join (freq0
-         streams, never shuffles — at 100 TB the state lives
+         fold_value_deltas slices the state by a size-guarded broadcast
+         left-semi join (freq0 streams, never shuffles; a backfill-sized
+         batch degrades to a shuffle join) — at 100 TB the state lives
          key-clustered in a Delta table and this is a pruned,
-         match-bounded read; the same layout lets the production writer
-         fold the deltas back with one MERGE per batch, the
-         IndexMaintainer committer shape);
+         match-bounded read; the FrequencyStateMaintainer
+         (streaming/windows.py) is the production writer that folds the
+         deltas back with one MERGE per batch, the IndexMaintainer
+         committer shape;
       3. a value whose frequency crosses 0 -> + ENTERS the distinct set,
          + -> 0 LEAVES it; n_distinct1 = n_distinct0 + entering -
          leaving per column — a sign-sum over O(change) rows.
@@ -1302,27 +1357,7 @@ def ndv_incremental(
     that remove a value's LAST row and inserts of never-seen values."""
     # O(change) rows; checkpointed because it feeds the slice AND the join
     signed = signed_value_deltas(new_rows, deleted_rows, cols).localCheckpoint()
-    batch_keys = signed.select("column_name", "val")
-    freq_slice = freq0.join(
-        F.broadcast(batch_keys), ["column_name", "val"], "left_semi"
-    )
-    crossings = (
-        signed.join(freq_slice, ["column_name", "val"], "left_outer")
-        .select(
-            "column_name",
-            (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d")).alias("c1"),
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("c0"),
-        )
-        .select(
-            "column_name",
-            F.when((F.col("c0") <= 0) & (F.col("c1") > 0), 1)
-            .when((F.col("c0") > 0) & (F.col("c1") <= 0), -1)
-            .otherwise(0)
-            .alias("adj"),
-        )
-        .groupBy("column_name")
-        .agg(F.sum("adj").alias("adj"))
-    )
+    crossings = zero_crossings(fold_value_deltas(freq0, signed))
     # seed one row per REQUESTED column: a column with zero non-null
     # values anywhere (no ndv0 row, no crossings row) must still emit
     # n_distinct = 0 — the count(DISTINCT) contract the oracle replays
@@ -1342,28 +1377,42 @@ def ndv_incremental(
     )
 
 
-_NDV_COLS = ["lang", "n_chars", "source"]
+# bump to invalidate cached maintainer STATE when the maintainer's fold
+# logic changes — the state tables advance under SetTransaction tokens, so
+# without this a code change would silently keep serving state computed by
+# the old code (the tokens make re-applies no-op by design)
+_STATS_MAINTAINER_REV = "v1"
 
 
-def _inc_ndv_fixture(spark: SparkSession, sf_dir: str):
-    """Shared CDF fixture for the frequency-state maintainers (exact NDV
-    and the state-served histogram): v0 = documents with doc_id % 5 != 0,
-    its per-(column, value) frequency state + exact n_distinct persisted;
-    v1 appends the rest (new n_chars values ENTER); v2 deletes
-    doc_id % 7 == 0 (an n_chars value whose last row dies LEAVES).
-    Returns (freq0, ndv0, new_rows, deleted_rows) — netted, checkpointed."""
+def _inc_stats_fixture(spark: SparkSession, sf_dir: str):
+    """ONE CDF fixture for the whole stats-maintenance family (profile
+    min/max, exact NDV, the state-served histogram): v0 = documents with
+    doc_id % 5 != 0, with three artifacts a production pipeline persists
+    — the profile-lite stats, the per-(column, value) frequency state and
+    the exact per-column n_distinct; v1 appends the rest (new n_chars
+    values ENTER); v2 deletes doc_id % 7 == 0 (an n_chars value whose
+    last row dies LEAVES); v3 deletes THE row carrying max(doc_id),
+    forcing profile's boundary-rescan path.
+
+    The netted change feed is folded into a FrequencyStateMaintainer —
+    the frequency/ndv state lives in the engine's OWN Delta tables
+    advanced by one MERGE per batch under SetTransaction tokens.  The
+    fold runs INSIDE build() so the cache completion marker covers the
+    state; consumer queries only READ the maintained tables.  Returns
+    (maintainer, stats0_path, docs_table)."""
     import os
 
     from delta_go_spark import cdf
-    from delta_go_spark.functions.textops import cdf_net_changes
     from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.streaming.windows import FrequencyStateMaintainer
     from delta_go_spark.table import DeltaTable
 
     key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(_CACHE_ROOT, key, "inc_ndv")
+    root = os.path.join(_CACHE_ROOT, key, "inc_stats")
     tbl = os.path.join(root, "docs")
     freq_path = os.path.join(root, "freq_v0")
     ndv_path = os.path.join(root, "ndv_v0")
+    stats_path = os.path.join(root, "stats_v0")
 
     def build():
         import shutil
@@ -1373,57 +1422,100 @@ def _inc_ndv_fixture(spark: SparkSession, sf_dir: str):
             "mod7", F.col("doc_id") % 7
         )
         v0 = docs.filter(F.col("doc_id") % 5 != 0)
-        value_frequencies(v0, _NDV_COLS).write.mode("overwrite").parquet(
+        profile_lite(v0, _PROFILE_COLS).write.mode("overwrite").parquet(
+            stats_path
+        )
+        value_frequencies(v0, _PROFILE_COLS).write.mode("overwrite").parquet(
             freq_path
         )
-        spark.read.parquet(freq_path).groupBy("column_name").agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct")
-        ).write.mode("overwrite").parquet(ndv_path)
+        # one row per REQUESTED column even when v0 has zero non-null
+        # values for it — the count(DISTINCT) contract starts at 0
+        base = spark.createDataFrame(
+            [(c,) for c in _PROFILE_COLS], "column_name string"
+        )
+        (
+            base.join(
+                spark.read.parquet(freq_path)
+                .groupBy("column_name")
+                .agg(F.count(F.lit(1)).alias("n")),
+                "column_name",
+                "left_outer",
+            )
+            .select(
+                "column_name",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                    "n_distinct"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(ndv_path)
+        )
         t = DeltaTable.create(
             spark, tbl, v0,
             configuration={"delta.enableChangeDataFeed": "true"},
         )
         t.append(docs.filter(F.col("doc_id") % 5 == 0))
         t.delete_where("mod7 = 0")
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        t.delete_where(f"doc_id = {max_id}")
+        # fold the change feed INSIDE build(), so _ensure_built's
+        # completion marker (sig file written strictly after build)
+        # covers the maintained state too — an apply on the query path
+        # would let two processes race the batch-1 merges on the shared
+        # cache tables (the build-once protocol every cached fixture
+        # follows; apply() itself is exercised by tests/test_ops_r13.py
+        # and the streaming_stats_maintenance row's per-pid run dir)
+        FrequencyStateMaintainer(
+            spark, os.path.join(root, "state"), _PROFILE_COLS,
+            freq_path, ndv_path,
+        ).apply(
+            cdf.table_changes(spark, tbl, start_version=1).select(
+                *_PROFILE_COLS, "_change_type", "_commit_version"
+            ),
+            1,
+        )
 
     # _code_sig hashes the build closure's bytecode, NOT module-level
-    # constants referenced by name — interpolate _NDV_COLS into the
-    # recipe so editing the column list rebuilds the cached state
-    # instead of serving frequencies that lack the new column
+    # constants referenced by name — interpolate the column list and the
+    # maintainer revision into the recipe so editing either rebuilds the
+    # cached state instead of serving stale artifacts
     _ensure_built(
-        tbl, 2, build, sf_dir=sf_dir, tables=("documents",),
-        recipe=f"cols={_NDV_COLS!r}",
+        tbl, 3, build, sf_dir=sf_dir, tables=("documents",),
+        recipe=f"cols={_PROFILE_COLS!r}|maintainer={_STATS_MAINTAINER_REV}",
     )
-    new_rows, deleted_rows = cdf_net_changes(
-        cdf.table_changes(spark, tbl, start_version=1),
-        payload_cols=tuple(_NDV_COLS),
+    m = FrequencyStateMaintainer(
+        spark,
+        os.path.join(root, "state"),
+        _PROFILE_COLS,
+        freq_path,
+        ndv_path,
     )
-    return (
-        spark.read.parquet(freq_path),
-        spark.read.parquet(ndv_path),
-        new_rows.localCheckpoint(),
-        deleted_rows.localCheckpoint(),
-    )
+    return m, stats_path, tbl
 
 
 def ndv_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle = count(DISTINCT col) over the surviving rows — a hash
-    match proves the sign-summed counts converge to the from-scratch
-    answer through both crossing directions (see _inc_ndv_fixture)."""
-    freq0, ndv0, new_rows, deleted_rows = _inc_ndv_fixture(spark, sf_dir)
-    return ndv_incremental(
-        spark, freq0, ndv0, new_rows, deleted_rows, _NDV_COLS
-    )
+    match proves the MAINTAINED state (FrequencyStateMaintainer's Delta
+    tables, advanced by one MERGE per batch) converges to the
+    from-scratch answer through both crossing directions, a boundary
+    delete, and an insert+delete that nets out (see _inc_stats_fixture)."""
+    m, _, _ = _inc_stats_fixture(spark, sf_dir)
+    return m.current_ndv()
 
+
+_STATS_LIVE_DOCS = (
+    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
+    "    AND doc_id <> (SELECT max(doc_id) FROM documents)\n"
+)
 
 NDV_INCREMENTAL_SQL = (
     "WITH live_docs AS (\n"
-    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
-    ")\n"
+    + _STATS_LIVE_DOCS
+    + ")\n"
     + "\nUNION ALL\n".join(
         f"SELECT '{c}' AS column_name, "
         f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM live_docs"
-        for c in _NDV_COLS
+        for c in _PROFILE_COLS
     )
     + "\nORDER BY column_name"
 )
@@ -1508,32 +1600,19 @@ def equidepth_from_frequencies(
 
 def equidepth_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry query: the n_chars histogram over the POST-CHANGE corpus,
-    served from the CDF-maintained frequency state (shared
-    _inc_ndv_fixture) — freq0 sign-sums the netted batch's value deltas
-    (O(change)), then buckets derive from the surviving frequencies at
+    served from the MAINTAINED frequency state (the
+    FrequencyStateMaintainer's Delta table, advanced by one MERGE per
+    batch at O(change)); buckets derive from the surviving frequencies at
     O(distinct).  Oracle = ranking the surviving rows from scratch, so a
     hash match proves the state-served histogram equals the corpus-scan
     one through inserts AND deletes."""
-    freq0, _, new_rows, deleted_rows = _inc_ndv_fixture(spark, sf_dir)
-    nc0 = freq0.filter(F.col("column_name") == "n_chars").select(
-        F.col("val").cast("long").alias("val"), F.col("cnt").alias("d")
-    )
-    delta = signed_value_deltas(new_rows, deleted_rows, ["n_chars"]).select(
-        F.col("val").cast("long").alias("val"), F.col("d")
-    )
-    freq1 = (
-        nc0.unionByName(delta)
-        .groupBy("val")
-        .agg(F.sum("d").alias("cnt"))
-        .filter(F.col("cnt") > 0)
-    )
-    return equidepth_from_frequencies(freq1, buckets=8)
+    m, _, _ = _inc_stats_fixture(spark, sf_dir)
+    return m.current_histogram("n_chars", buckets=8, val_type="long")
 
 
-EQUIDEPTH_INCREMENTAL_SQL = """
+EQUIDEPTH_INCREMENTAL_SQL = f"""
 WITH live_docs AS (
-  SELECT * FROM documents WHERE doc_id % 7 <> 0
-), ranked AS (
+{_STATS_LIVE_DOCS}), ranked AS (
   SELECT n_chars,
          row_number() OVER (ORDER BY n_chars ASC) AS rn,
          count(*) OVER () AS n
@@ -1551,6 +1630,98 @@ GROUP BY 1 ORDER BY 1
 QUERIES["equidepth_incremental_docs"] = (
     equidepth_incremental_docs,
     EQUIDEPTH_INCREMENTAL_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Range-partition split points FROM the maintained histogram — the consumer
+# that closes the CBO-stats loop: maintained statistics DRIVING a write
+# plan, not just sitting in a table.  A balanced range-bucketed write (the
+# layout that makes key-range MERGE pruning and range predicates
+# file-skippable) needs B-1 boundary values that evenly split the rows;
+# deriving them from the frequency state costs O(distinct), never a corpus
+# rescan or the sampling pass Spark's own RangePartitioner runs per write.
+def range_split_points(
+    freq: DataFrame,
+    buckets: int = 8,
+    val_col: str = "val",
+    cnt_col: str = "cnt",
+) -> list:
+    """B-1 upper-inclusive boundaries from a (value, count) table: point
+    k is equi-depth bucket k's max value.  A row with value v belongs to
+    bucket = |{p : p < v}| — assignment is a pure function of the VALUE
+    (ties never straddle a boundary), so per-bucket counts deviate from
+    perfect balance only by tie mass, the inherent limit of value-pure
+    range partitioning.  Returns an O(B) driver-side list — split points
+    ARE driver state (Spark's RangePartitioner samples the corpus to
+    build exactly this; here the maintained state replaces the sample)."""
+    rows = equidepth_from_frequencies(
+        freq, buckets=buckets, val_col=val_col, cnt_col=cnt_col
+    ).collect()
+    return [r["max_val"] for r in rows[:-1]]
+
+
+def range_split_points_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: derive 8-way n_chars split points from the
+    MAINTAINED frequency state (_inc_stats_fixture — the same Delta
+    tables serving ndv/equidepth), assign every surviving document its
+    bucket by pure value comparison, and emit per-bucket (n_rows,
+    min_val, max_val).  Oracle replays the boundaries by rank arithmetic
+    over the surviving rows and the assignment by the same count-of-
+    points-below rule — a hash match proves the state-derived write
+    boundaries equal the corpus-derived ones."""
+    from delta_go_spark.table import DeltaTable
+
+    m, _, tbl = _inc_stats_fixture(spark, sf_dir)
+    freq = m.current_frequencies("n_chars").select(
+        F.col("val").cast("long").alias("val"), "cnt"
+    )
+    pts = range_split_points(freq, buckets=8)
+    pts_arr = F.array(*[F.lit(int(p)) for p in pts])
+    live = DeltaTable.for_path(spark, tbl).to_df()
+    return (
+        live.select(
+            "n_chars",
+            F.size(F.filter(pts_arr, lambda p: p < F.col("n_chars")))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("n_chars").alias("min_val"),
+            F.max("n_chars").alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+RANGE_SPLIT_POINTS_SQL = f"""
+WITH live_docs AS (
+{_STATS_LIVE_DOCS}), ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars ASC) AS rn,
+         count(*) OVER () AS n
+  FROM live_docs
+), bounds AS (
+  SELECT ((rn - 1) * 8) // n AS bkt, max(n_chars) AS ub
+  FROM ranked GROUP BY 1
+), pts AS (
+  SELECT ub FROM bounds WHERE bkt < 7
+)
+SELECT CAST((SELECT count(*) FROM pts WHERE ub < d.n_chars) AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(n_chars) AS min_val,
+       max(n_chars) AS max_val
+FROM live_docs d
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["range_split_points_docs"] = (
+    range_split_points_docs,
+    RANGE_SPLIT_POINTS_SQL,
 )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_go_spark.hints import broadcast_if_small
 
 # Shared exact-arithmetic helper (delta_go_spark.exact); re-exported here
 # for the streaming queries and their tests.
@@ -940,6 +941,33 @@ QUERIES["streaming_upsert_events"] = (
 )
 
 
+def compact_state_tables(
+    spark, tables: dict[str, str], batch_id: int, every: int
+) -> None:
+    """Every `every` batches, OPTIMIZE the maintainer's state tables
+    (`tables` maps path -> cluster column).
+
+    Each per-batch MERGE appends the change's new rows as small files;
+    over a long-running job they accumulate without bound (the log itself
+    is bounded by postCommit checkpoints, the DATA file count is not).
+    Compaction rebins them into ~target-size files sorted by the cluster
+    column, committing dataChange=False so concurrent readers of the
+    state keep snapshot isolation.  The trade is honest: the first merge
+    after a compaction rewrites the larger compacted file(s) its keys
+    land in — write amplification bounded by target_size and amortized
+    over the N batches between compactions, the standard LSM bargain.
+    Runs OUTSIDE the SetTransaction tokens: a replayed batch may re-run
+    it, but dataChange=False compaction is idempotent in effect
+    (re-binning already-compacted files is a no-op when min_files isn't
+    met).  every=0 disables."""
+    if not every or batch_id <= 0 or batch_id % every:
+        return
+    from delta_go_spark.maintenance import optimize
+
+    for tbl, cluster_col in tables.items():
+        optimize(spark, tbl, cluster_by=[cluster_col])
+
+
 class IndexMaintainer:
     """foreachBatch sink for stream-maintained inverted-index state,
     stored in the engine's OWN Delta tables: a postings table keyed
@@ -991,6 +1019,10 @@ class IndexMaintainer:
     _TXN_POSTINGS = "idxmaint-postings"
     _TXN_INDEX = "idxmaint-index"
 
+    # conservative in-memory bytes per broadcast affected-token row: a
+    # ~24-char token string + JVM row overhead
+    _TOKEN_ROW_EST_BYTES = 64
+
     def __init__(
         self,
         spark,
@@ -999,6 +1031,7 @@ class IndexMaintainer:
         index_v0: str,
         top_k: int = 5,
         state_files: int = 8,
+        compact_every: int = 8,
     ):
         import os
 
@@ -1007,6 +1040,7 @@ class IndexMaintainer:
 
         self.spark = spark
         self.top_k = top_k
+        self.compact_every = compact_every
         os.makedirs(state_dir, exist_ok=True)
         self.postings_tbl = os.path.join(state_dir, "postings")
         self.index_tbl = os.path.join(state_dir, "index")
@@ -1058,8 +1092,16 @@ class IndexMaintainer:
         dp = self._with_pk(token_postings(new_docs)).localCheckpoint()
         del_p = self._with_pk(token_postings(deleted_docs)).localCheckpoint()
         affected = (
-            dp.select("token").unionByName(del_p.select("token")).distinct()
+            dp.select("token")
+            .unionByName(del_p.select("token"))
+            .distinct()
+            .localCheckpoint()
         )
+        # O(change) for an incremental batch — but a BACKFILL pushed
+        # through the same path would force a multi-GB broadcast, so the
+        # hint is size-guarded (the dedup.py:1230 lesson): past the
+        # session threshold the index refresh degrades to a shuffle join
+        n_affected = affected.count()
         # postings MERGE: a netted-away posting deletes UNLESS the same
         # (token, doc) re-inserts in this very batch (delete-then-
         # reinsert nets to an update — the fresh tf must win, and a
@@ -1083,7 +1125,12 @@ class IndexMaintainer:
         # identical to the first attempt's
         p1 = DeltaTable.for_path(self.spark, self.postings_tbl).to_df()
         refreshed = index_from_postings(
-            p1.join(F.broadcast(affected), "token"),
+            p1.join(
+                broadcast_if_small(
+                    affected, n_affected * self._TOKEN_ROW_EST_BYTES
+                ),
+                "token",
+            ),
             top_k=self.top_k,
             min_df=1,
         ).localCheckpoint()
@@ -1109,6 +1156,12 @@ class IndexMaintainer:
             delete_condition="_del",
             txn_app_id=self._TXN_INDEX,
             txn_version=batch_id,
+        )
+        compact_state_tables(
+            self.spark,
+            {self.postings_tbl: "token", self.index_tbl: "token"},
+            batch_id,
+            self.compact_every,
         )
 
     def last_applied(self) -> int:
@@ -1223,4 +1276,316 @@ def _streaming_index_sql() -> str:
 QUERIES["streaming_index_maintenance_docs"] = (
     streaming_index_maintenance_docs,
     _streaming_index_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-state maintenance — the IndexMaintainer committer shape applied
+# to the CBO-stats axis.  The exact, delete-capable statistics
+# (ndv_incremental's distinct counts, equidepth_from_frequencies'
+# histogram buckets) are pure functions of a per-(column, value) frequency
+# table; this maintainer is the production writer that keeps that table —
+# and the per-column n_distinct derived from it — in the engine's OWN
+# Delta tables, advanced by one MERGE per micro-batch under SetTransaction
+# tokens.
+class FrequencyStateMaintainer:
+    """foreachBatch sink for stream-maintained column statistics, stored
+    in two Delta tables: a frequency table keyed `pk` =
+    column_name<US>val (column_name, val, cnt) and a stats table keyed
+    `column_name` (column_name, n_distinct), each advanced by ONE MERGE
+    per micro-batch.
+
+    Per batch (all O(change) compute, fold_value_deltas' size-guarded
+    state slice):
+
+      1. net the CDF batch (cdf_net_changes) and sign-sum its per-value
+         deltas (signed_value_deltas — the ONE netting rule every
+         frequency consumer shares);
+      2. fold against the CURRENT frequency state once
+         (fold_value_deltas -> (column_name, val, c0, c1)), eagerly
+         checkpointed so both merges read the same pre-batch image;
+      3. MERGE the stats table first: n_distinct += the batch's
+         zero-crossing sign-sum (columns netting to 0 are filtered out
+         and touch no file);
+      4. MERGE the frequency table last: cnt := c1, delete_condition
+         removes rows whose frequency reached 0, never-seen values
+         insert.
+
+    MERGE ORDER IS A CRASH-RECOVERY INVARIANT: the stats delta (step 3)
+    is computed AGAINST the pre-batch frequency image, so the table that
+    other tables' deltas are derived FROM must advance LAST.  A crash
+    between the merges re-delivers the batch (foreachBatch is
+    at-least-once); the stats merge no-ops via its SetTransaction token
+    and the frequency fold recomputes from the still-unchanged frequency
+    state — converging to the same rows.  Were the order reversed, the
+    replayed fold would read POST-merge frequencies and double-count
+    crossings.  `last_applied` is therefore the FREQUENCY table's token:
+    once the last merge lands the batch is completely applied.
+
+    I/O shape: the frequency state is laid out pk-hashed across
+    `state_files` files, so a batch's copy-on-write MERGE rewrites only
+    the files holding a matched key and appends the new values — written
+    bytes scale with the CHANGE, not the state (the same log-level pin
+    as the IndexMaintainer, tests/test_ops_r13.py).  Every
+    `compact_every` batches the small merge outputs compact
+    (compact_state_tables, dataChange=False).  State size is O(distinct
+    values) per column — the honest price of EXACT NDV under deletes
+    (a sketch cannot forget); deployments choose the column set
+    accordingly, and an unbounded-domain column (ids, raw text) pays
+    O(corpus) state for exactness.
+
+    VACUUM retention: each merge tombstones the files it rewrote;
+    schedule vacuum on both state tables at the standard retention, as
+    for any high-churn Delta table."""
+
+    _TXN_FREQ = "freqmaint-freq"
+    _TXN_STATS = "freqmaint-stats"
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        cols: list[str],
+        freq_v0: str,
+        ndv_v0: str,
+        state_files: int = 8,
+        compact_every: int = 8,
+    ):
+        import os
+
+        from delta_go_spark.log import DeltaLog
+        from delta_go_spark.table import DeltaTable
+
+        self.spark = spark
+        self.cols = list(cols)
+        self.compact_every = compact_every
+        os.makedirs(state_dir, exist_ok=True)
+        self.freq_tbl = os.path.join(state_dir, "freq")
+        self.stats_tbl = os.path.join(state_dir, "stats")
+        # seed each state table from the v0 parquet exactly once;
+        # DeltaTable.create commits atomically, so a crash between the
+        # two creates just re-creates the missing one on restart
+        if not DeltaLog.for_table(self.freq_tbl).table_exists():
+            DeltaTable.create(
+                self.spark,
+                self.freq_tbl,
+                self._with_pk(spark.read.parquet(freq_v0)).repartition(
+                    state_files, "pk"
+                ),
+            )
+        if not DeltaLog.for_table(self.stats_tbl).table_exists():
+            DeltaTable.create(
+                self.spark, self.stats_tbl, spark.read.parquet(ndv_v0)
+            )
+
+    @staticmethod
+    def _with_pk(freq: DataFrame) -> DataFrame:
+        # unit separator directly after the code-controlled column name
+        # (which never contains \x1f); `val` is the raw tail, so the key
+        # is injective whatever bytes the VALUE carries
+        return freq.withColumn(
+            "pk", F.concat_ws("\x1f", F.col("column_name"), F.col("val"))
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold one CDF micro-batch (doc_id + the profiled payload columns
+        + _change_type/_commit_version, the cdf_net_changes contract)."""
+        from delta_go_spark.dml import DeltaDml
+        from delta_go_spark.functions.textops import cdf_net_changes
+        from delta_go_spark.operators.coverage import (
+            fold_value_deltas,
+            signed_value_deltas,
+            zero_crossings,
+        )
+        from delta_go_spark.table import DeltaTable
+
+        if self.last_applied() >= batch_id:
+            return  # replayed batch: both merges would no-op anyway
+        payload = tuple(c for c in self.cols if c != "doc_id")
+        new_rows, deleted_rows = cdf_net_changes(
+            batch_df, payload_cols=payload
+        )
+        signed = (
+            signed_value_deltas(new_rows, deleted_rows, self.cols)
+            .filter(F.col("d") != 0)
+            .localCheckpoint()
+        )
+        freq0 = DeltaTable.for_path(self.spark, self.freq_tbl).to_df()
+        # EAGER checkpoint before either merge: both sources must read the
+        # pre-batch frequency image, and the frequency merge below
+        # invalidates it
+        folded = fold_value_deltas(freq0, signed).localCheckpoint()
+        DeltaDml(self.spark, self.stats_tbl).merge(
+            zero_crossings(folded),
+            on="column_name",
+            update_set={
+                "n_distinct": (
+                    F.col("n_distinct") + F.col("_s_adj")
+                ).cast("long")
+            },
+            insert_set={"n_distinct": F.col("adj").cast("long")},
+            txn_app_id=self._TXN_STATS,
+            txn_version=batch_id,
+        )
+        fsrc = self._with_pk(folded).withColumn("_del", F.col("c1") <= 0)
+        DeltaDml(self.spark, self.freq_tbl).merge(
+            fsrc,
+            on="pk",
+            update_set={"cnt": F.col("_s_c1")},
+            insert_set={"cnt": F.col("c1")},
+            delete_condition="_del",
+            txn_app_id=self._TXN_FREQ,
+            txn_version=batch_id,
+        )
+        compact_state_tables(
+            self.spark,
+            {self.freq_tbl: "pk", self.stats_tbl: "column_name"},
+            batch_id,
+            self.compact_every,
+        )
+
+    def last_applied(self) -> int:
+        """Highest batch_id fully folded into state — the FREQUENCY
+        table's SetTransaction version (the second of the two per-batch
+        merges; see the merge-order invariant in the class docstring)."""
+        from delta_go_spark.log import DeltaLog
+
+        snap = DeltaLog.for_table(self.freq_tbl).update()
+        t = snap.state().set_transactions.get(self._TXN_FREQ)
+        return t.version if t else -1
+
+    def current_ndv(self) -> DataFrame:
+        from delta_go_spark.table import DeltaTable
+
+        return (
+            DeltaTable.for_path(self.spark, self.stats_tbl)
+            .to_df()
+            .select("column_name", F.col("n_distinct").cast("long"))
+            .orderBy("column_name")
+        )
+
+    def current_frequencies(self, column: str) -> DataFrame:
+        from delta_go_spark.table import DeltaTable
+
+        return (
+            DeltaTable.for_path(self.spark, self.freq_tbl)
+            .to_df()
+            .filter(F.col("column_name") == column)
+            .select("val", "cnt")
+        )
+
+    def current_histogram(
+        self, column: str, buckets: int = 8, val_type: str = "long"
+    ) -> DataFrame:
+        """Equi-depth histogram served from the MAINTAINED state at
+        O(distinct) — the CBO-stats refresh that never rescans the
+        corpus.  `val_type` casts the stringified state values back to
+        the column's native type so bucket ordering is numeric, not
+        collation-dependent."""
+        from delta_go_spark.operators.coverage import (
+            equidepth_from_frequencies,
+        )
+
+        freq = self.current_frequencies(column).select(
+            F.col("val").cast(val_type).alias("val"), "cnt"
+        )
+        return equidepth_from_frequencies(freq, buckets=buckets)
+
+
+# ---------------------------------------------------------------------------
+# Streaming stats maintenance — the FrequencyStateMaintainer driven the way
+# production drives it: a Structured Streaming job tailing the table's OWN
+# change feed (readStream.format("delta_go").option("readChangeFeed")),
+# each micro-batch folded by ONE MERGE per state table under
+# SetTransaction tokens.  This is the CBO-stats twin of
+# streaming_index_maintenance_docs: ANALYZE numbers that stay fresh while
+# the table churns, at O(change) per batch, exactly-once under foreachBatch
+# replays, resumable across stream restarts.  Oracle: count(DISTINCT) per
+# column over the final live corpus — a hash match proves stream-maintained
+# NDV state converges to a from-scratch count through appends AND deletes.
+_STREAM_STATS_COLS = ["lang", "n_chars", "source"]
+
+
+def streaming_stats_maintenance_docs(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from delta_go_spark.datasource import register
+    from delta_go_spark.operators.coverage import value_frequencies
+    from delta_go_spark.operators.delta_queries import _CACHE_ROOT, _ensure_built
+    from delta_go_spark.session import load_table
+    from delta_go_spark.table import DeltaTable
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(_CACHE_ROOT, key, "stream_stats")
+    tbl = os.path.join(root, "docs")
+    freq_path = os.path.join(root, "freq_v0")
+    ndv_path = os.path.join(root, "ndv_v0")
+
+    def build():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "mod7", F.col("doc_id") % 7
+        )
+        v0 = docs.filter(F.col("doc_id") % 5 < 3)  # 60% of the corpus
+        value_frequencies(v0, _STREAM_STATS_COLS).write.mode(
+            "overwrite"
+        ).parquet(freq_path)
+        spark.read.parquet(freq_path).groupBy("column_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct")
+        ).write.mode("overwrite").parquet(ndv_path)
+        t = DeltaTable.create(
+            spark, tbl, v0,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        t.append(docs.filter(F.col("doc_id") % 5 == 3))
+        t.append(docs.filter(F.col("doc_id") % 5 == 4))
+        t.delete_where("mod7 = 0")
+
+    _ensure_built(
+        tbl, 3, build, sf_dir=sf_dir, tables=("documents",),
+        recipe=f"cols={_STREAM_STATS_COLS!r}",
+    )
+    run_dir = _run_scratch(root, "runs")
+    # doc_id is the netting KEY (cdf_net_changes), not a maintained
+    # column — the state tracks exactly the three profiled columns
+    maintainer = FrequencyStateMaintainer(
+        spark,
+        os.path.join(run_dir, "state"),
+        _STREAM_STATS_COLS,
+        freq_path,
+        ndv_path,
+    )
+    register(spark)
+    q = (
+        spark.readStream.format("delta_go")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.foreachBatch(maintainer.apply)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return maintainer.current_ndv()
+
+
+STREAMING_STATS_SQL = (
+    "WITH live_docs AS (\n"
+    "  SELECT * FROM documents WHERE doc_id % 7 <> 0\n"
+    ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM live_docs"
+        for c in _STREAM_STATS_COLS
+    )
+    + "\nORDER BY column_name"
+)
+
+
+QUERIES["streaming_stats_maintenance_docs"] = (
+    streaming_stats_maintenance_docs,
+    STREAMING_STATS_SQL,
 )

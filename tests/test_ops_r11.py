@@ -473,7 +473,17 @@ def test_profile_incremental_matches_batch_rebuild(spark):
     live = docs.filter(
         (F.col("doc_id") % 7 != 0) & (F.col("doc_id") != max_id)
     )
-    want = sorted(map(tuple, profile_lite(live, _PROFILE_COLS).collect()))
+    # r13: profile emits the exact maintained n_distinct as well — build
+    # the expectation from profile_lite + a from-scratch distinct count
+    ndv = {
+        c: live.filter(F.col(c).isNotNull()).select(c).distinct().count()
+        for c in _PROFILE_COLS
+    }
+    want = sorted(
+        (r["column_name"], r["n_rows"], r["n_nulls"],
+         ndv[r["column_name"]], r["min_val"], r["max_val"])
+        for r in profile_lite(live, _PROFILE_COLS).collect()
+    )
     assert got == want and len(got) == 5
 
 

@@ -301,15 +301,18 @@ def test_ndv_incremental_registry_nonvacuous(spark):
     one ENTERING n_chars value and the v2 delete at least one LEAVING
     one, so the registry row actually exercises both crossings."""
     from delta_go_spark.operators.coverage import (
-        _NDV_COLS,
+        _PROFILE_COLS,
         ndv_incremental_docs,
         value_frequencies,
     )
     from delta_go_spark.session import load_table
 
     docs = load_table(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
     v0 = docs.filter(F.col("doc_id") % 5 != 0)
-    live = docs.filter(F.col("doc_id") % 7 != 0)
+    live = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") != max_id)
+    )
     f0 = value_frequencies(v0, ["n_chars"]).select("val")
     flive = value_frequencies(live, ["n_chars"]).select("val")
     assert flive.join(f0, "val", "left_anti").count() > 0  # entering
@@ -320,7 +323,7 @@ def test_ndv_incremental_registry_nonvacuous(spark):
     }
     want = {
         c: live.filter(F.col(c).isNotNull()).select(c).distinct().count()
-        for c in _NDV_COLS
+        for c in _PROFILE_COLS
     }
     assert got == want
 

@@ -219,7 +219,7 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round12_queries_in_window():
+def test_round13_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
@@ -228,66 +228,63 @@ def test_round12_queries_in_window():
 
     order = list(queries())
     R_MUST = [
-        # every row whose code changed in r12 — window head
-        "inverted_index_incremental_docs",  # fixture persists stats_v0
-        "bm25_incremental_docs",  # sign-summed stats table this round
-        "minhash_incremental_docs",  # delete-aware this round
-        "ndv_incremental_docs",  # NEW in round 12
-        "equidepth_incremental_docs",  # NEW in round 12
-        "streaming_index_maintenance_docs",  # Delta-MERGE state this round
-        "delta_snapshot_diff",  # dup-key guard + derived offset
-        # merge path changed (source-key-range candidate pruning): every
-        # merge-exercising row stays in-window, the r11 precedent
-        "streaming_upsert_events",
-        "streaming_delta_aggsink_events",
-        "delta_scd2_agg",
-        # the 13 rows deferred from r11 (last driver hash r7)
-        "ann_ivf_int8_docs",
-        "ann_signlsh_docs",
-        "knn_cosine_docs",
-        "embedding_norms",
-        "binary_stats_docs",
-        "bpe_token_count_docs",
-        "chunk_documents_docs",
-        "fingerprint_docs",
-        "token_stats_docs",
-        "duplicated_gram_fraction_docs",
-        "hash_sample_docs",
-        "lateral_topk_suppliers",
-        "streaming_hourly_rollup",
-        # 27 of the 47 r8-stale rows (the 20 deferred are listed in
-        # queries.py's rotation comment)
-        "asof_attribution_events",
-        "bigram_repetition_docs",
-        "curation_pipeline_v2_docs",
-        "block_dedup_docs",
-        "media_pipeline_summary",
-        "bucketed_join_lineitem",
-        "dpp_join_orders",
-        "cdc_chunk_docs",
-        "complex_types_docs",
-        "length_batching_docs",
-        "pack_bestfit_docs",
-        "pandas_udf_score_docs",
-        "delta_dml_agg",
-        "delta_restore_agg",
-        "delta_sql_time_travel",
-        "grouping_sets_orders",
-        "mislabel_confusion_embeddings",
-        "quantize_embeddings_int8",
-        "proportional_quota_docs",
-        "stratified_sample_docs",
-        "systematic_weighted_sample_docs",
-        "range_join_purchase_errors",
-        "segment_dedup_docs",
-        "simhash_near_dup_docs",
-        "session_windows_events",
-        "streaming_dedup_events",
-        "streaming_interval_join_events",
+        # every row whose code changed in r13 — window head
+        "ndv_incremental_docs",  # maintained-Delta-state served
+        "equidepth_incremental_docs",  # maintained-Delta-state served
+        "profile_incremental_docs",  # unified fixture + exact n_distinct
+        "range_split_points_docs",  # NEW in round 13
+        "streaming_stats_maintenance_docs",  # NEW in round 13
+        "streaming_index_maintenance_docs",  # guard + compaction
+        "minhash_incremental_docs",  # shared hints.py guard import
+        # the 20 rows deferred from r12 (last driver hash r8)
+        "agg_percentiles_lineitem",
+        "join_full_outer_nation",
+        "bigram_coverage_docs",
+        "hash_features_docs",
+        "like_regexp_docs",
+        "char_trigram_profile",
+        "length_outlier_docs",
+        "quality_classifier_docs",
+        "repetition_topword_docs",
+        "source_similarity_docs",
+        "word_rarity_docs",
+        "cosine_near_dup_docs",
+        "delta_vacuum_agg",
+        "gram_novelty_docs",
+        "mixture_sample_docs",
+        "sample_k_per_source_docs",
+        "shuffle_shard_docs",
+        "simhash_docs",
+        "sliding_avg_events",
+        "streaming_quota_gate_events",
+        # 23 of the 47 r9 rows (deferrals in queries.py's rotation comment)
+        "argmax_orders_per_status",
+        "join_cross_regions",
+        "join_right_outer_parts",
+        "multiformat_ingest_docs",
+        "pivot_lineitem_status",
+        "stats_agg_lineitem",
+        "window_lag_lead_orders",
+        "dedup_clusters_docs",
+        "softdedup_weights_docs",
+        "delta_convert_agg",
+        "delta_replace_agg",
+        "doc_length_buckets",
+        "lang_source_matrix",
+        "source_rank_by_lang",
+        "span_scrub_docs",
+        "label_centroid_drift_embeddings",
+        "semantic_decontaminate_embeddings",
+        "sessionize_events",
+        "span_corrupt_docs",
+        "streaming_late_data_events",
+        "streaming_sessionize_events",
+        "streaming_leftouter_join_events",
+        "streaming_static_enrich_events",
     ]
     assert len(R_MUST) == 50  # this round the window IS the must-list
-    # r12-changed rows head the window
-    assert order[0] == "inverted_index_incremental_docs"
+    # r13-changed rows head the window
+    assert order[0] == "ndv_incremental_docs"
     positions = {n: order.index(n) + 1 for n in R_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
