@@ -942,10 +942,15 @@ QUERIES["streaming_upsert_events"] = (
 
 
 def compact_state_tables(
-    spark, tables: dict[str, str], batch_id: int, every: int
+    spark,
+    tables: dict[str, str],
+    batch_id: int,
+    every: int,
+    vacuum_retention_ms: int | None = None,
 ) -> None:
     """Every `every` batches, OPTIMIZE the maintainer's state tables
-    (`tables` maps path -> cluster column).
+    (`tables` maps path -> cluster column), then — when
+    `vacuum_retention_ms` is set — VACUUM each at that retention.
 
     Each per-batch MERGE appends the change's new rows as small files;
     over a long-running job they accumulate without bound (the log itself
@@ -959,13 +964,27 @@ def compact_state_tables(
     Runs OUTSIDE the SetTransaction tokens: a replayed batch may re-run
     it, but dataChange=False compaction is idempotent in effect
     (re-binning already-compacted files is a no-op when min_files isn't
-    met).  every=0 disables."""
+    met).  every=0 disables.
+
+    VACUUM closes the growth axis compaction alone cannot: every merge
+    and every compaction TOMBSTONE the files they rewrote, and the
+    superseded bytes live on disk until vacuumed — so without it a
+    long-running maintainer's disk footprint grows with total churn even
+    while its ACTIVE file count stays bounded.  Vacuum here deletes
+    tombstones older than the caller's retention (vacuum.py's standard
+    contract — readers of snapshots older than the retention are stale by
+    contract; a deployment sets this to its time-travel window, and None
+    keeps vacuum manual).  It writes no commit, so a replayed batch
+    re-running it is harmless."""
     if not every or batch_id <= 0 or batch_id % every:
         return
     from delta_go_spark.maintenance import optimize
+    from delta_go_spark.vacuum import vacuum
 
     for tbl, cluster_col in tables.items():
         optimize(spark, tbl, cluster_by=[cluster_col])
+        if vacuum_retention_ms is not None:
+            vacuum(tbl, retention_millis=vacuum_retention_ms)
 
 
 class IndexMaintainer:
@@ -1009,10 +1028,11 @@ class IndexMaintainer:
 
     RETENTION: each merge tombstones the files it rewrote; the Delta
     log bounds itself (postCommit checkpoints + expired-log cleanup)
-    but superseded DATA files live until VACUUM — a long-running
-    maintenance job schedules vacuum on these state tables at the
-    standard retention, the Delta-native bound on the same growth the
-    old generation-dir form suffered unboundedly."""
+    but superseded DATA files live until VACUUM — pass
+    `vacuum_retention_ms` (the deployment's time-travel window) and the
+    housekeeping step vacuums both state tables on the compaction
+    cadence (compact_state_tables), the Delta-native bound on the same
+    growth the old generation-dir form suffered unboundedly."""
 
     # one MERGE per state table per batch; the app ids namespace the
     # SetTransaction tokens so the two tables replay independently
@@ -1032,6 +1052,7 @@ class IndexMaintainer:
         top_k: int = 5,
         state_files: int = 8,
         compact_every: int = 8,
+        vacuum_retention_ms: int | None = None,
     ):
         import os
 
@@ -1041,6 +1062,7 @@ class IndexMaintainer:
         self.spark = spark
         self.top_k = top_k
         self.compact_every = compact_every
+        self.vacuum_retention_ms = vacuum_retention_ms
         os.makedirs(state_dir, exist_ok=True)
         self.postings_tbl = os.path.join(state_dir, "postings")
         self.index_tbl = os.path.join(state_dir, "index")
@@ -1162,6 +1184,7 @@ class IndexMaintainer:
             {self.postings_tbl: "token", self.index_tbl: "token"},
             batch_id,
             self.compact_every,
+            vacuum_retention_ms=self.vacuum_retention_ms,
         )
 
     def last_applied(self) -> int:
@@ -1334,9 +1357,11 @@ class FrequencyStateMaintainer:
     accordingly, and an unbounded-domain column (ids, raw text) pays
     O(corpus) state for exactness.
 
-    VACUUM retention: each merge tombstones the files it rewrote;
-    schedule vacuum on both state tables at the standard retention, as
-    for any high-churn Delta table."""
+    VACUUM retention: each merge tombstones the files it rewrote; pass
+    `vacuum_retention_ms` (the deployment's time-travel window) and the
+    housekeeping step vacuums both state tables on the compaction
+    cadence (compact_state_tables), as for any high-churn Delta
+    table."""
 
     _TXN_FREQ = "freqmaint-freq"
     _TXN_STATS = "freqmaint-stats"
@@ -1350,6 +1375,7 @@ class FrequencyStateMaintainer:
         ndv_v0: str,
         state_files: int = 8,
         compact_every: int = 8,
+        vacuum_retention_ms: int | None = None,
     ):
         import os
 
@@ -1359,6 +1385,7 @@ class FrequencyStateMaintainer:
         self.spark = spark
         self.cols = list(cols)
         self.compact_every = compact_every
+        self.vacuum_retention_ms = vacuum_retention_ms
         os.makedirs(state_dir, exist_ok=True)
         self.freq_tbl = os.path.join(state_dir, "freq")
         self.stats_tbl = os.path.join(state_dir, "stats")
@@ -1442,6 +1469,7 @@ class FrequencyStateMaintainer:
             {self.freq_tbl: "pk", self.stats_tbl: "column_name"},
             batch_id,
             self.compact_every,
+            vacuum_retention_ms=self.vacuum_retention_ms,
         )
 
     def last_applied(self) -> int:

@@ -243,6 +243,63 @@ def test_compaction_bounds_state_file_count(spark, tmp_path):
     assert n_comp < n_plain  # the file count is genuinely bounded
 
 
+def test_vacuum_bounds_state_disk_footprint(spark, tmp_path):
+    """Auto-vacuum on the compaction cadence: every merge/compaction
+    tombstones the files it rewrote, so WITHOUT vacuum the on-disk byte
+    footprint grows with total churn even while the active set stays
+    bounded.  With vacuum_retention_ms=0 the on-disk parquet set shrinks
+    to exactly the active set, and the state is still exactly correct."""
+    import os
+
+    from delta_go_spark.log import DeltaLog
+    from delta_go_spark.snapshot import canonicalize_path
+
+    cols = ["lang"]
+
+    def disk_parquets(tbl):
+        out = set()
+        for dirpath, dirnames, filenames in os.walk(tbl):
+            if "_delta_log" in dirpath:
+                continue
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, f))
+        return out
+
+    def active_parquets(tbl):
+        snap = DeltaLog.for_table(tbl).update()
+        return {
+            canonicalize_path(a.path, os.path.abspath(tbl)).replace(
+                "file://", ""
+            )
+            for a in snap.all_files()
+        }
+
+    def run(root, retention):
+        t, m = _seed_maintainer(
+            spark, root, V0, cols,
+            compact_every=2, vacuum_retention_ms=retention,
+        )
+        for i in range(1, 7):
+            t.append(
+                spark.createDataFrame([(100 + i, f"b{i}", 10)], DOC_SCHEMA)
+            )
+            m.apply(_batch(spark, t.log.table_path, i, i), i)
+        got = {
+            r["column_name"]: r["n_distinct"]
+            for r in m.current_ndv().collect()
+        }
+        assert got == _want_ndv(t, cols)
+        return disk_parquets(m.freq_tbl), active_parquets(m.freq_tbl)
+
+    disk_manual, active_manual = run(str(tmp_path / "manual"), None)
+    disk_auto, active_auto = run(str(tmp_path / "auto"), 0)
+    # without vacuum, churn leaves superseded bytes behind the active set
+    assert active_manual < disk_manual
+    # with retention-0 auto-vacuum, disk == the live snapshot exactly
+    assert disk_auto == active_auto
+
+
 # ---------------------------------------------------------------------------
 # broadcast_if_small — the shared change-volume broadcast guard
 
