@@ -64,10 +64,12 @@ from delta_go_spark.operators import (
 #       to the shared hints.py — same logic, changed import path);
 #   (b) the 20 rows deferred by the r12 rotation (last driver hash r8) —
 #       after this window lands, every row's driver evidence is r9+;
-#   (c) 23 of the 47 r9 rows (the oldest remaining evidence).  Deferred
+#   (c) 22 of the 47 r9 rows (the oldest remaining evidence).  Deferred
 #       to the r14 queue: vocab_by_source and word_entropy_docs (their
 #       family siblings lang_source_matrix + source_rank_by_lang +
-#       doc_length_buckets sit in-window) and the 22 TPC-H rows q1-q22
+#       doc_length_buckets sit in-window), span_corrupt_docs (displaced
+#       mid-round by the NEW hotkey_salted_join_events; its sibling
+#       span_scrub_docs sits in-window) and the 22 TPC-H rows q1-q22
 #       (one shared plan family, pinned locally by the pytest SAMPLE +
 #       check_parity; they rotate as a block next round).  The extra
 #       head slot went to the round's second NEW row,
@@ -84,6 +86,13 @@ from delta_go_spark.operators import (
 
 _WINDOW: list = [
     # --- r13 head (queue item a): every row whose code changed this round ---
+    (scalejoins, [
+        # NEW in round 13: partial salting driven by the (val, cnt)
+        # frequency-table shape the FrequencyStateMaintainer serves —
+        # the second stats->plan consumer after range_split_points.
+        # Displaces span_corrupt_docs (r9, unchanged) to the r14 queue.
+        "hotkey_salted_join_events",
+    ]),
     (coverage, [
         "ndv_incremental_docs",
         "equidepth_incremental_docs",
@@ -149,7 +158,6 @@ _WINDOW: list = [
         "semantic_decontaminate_embeddings",
     ]),
     (sessions, ["sessionize_events"]),
-    (textops, ["span_corrupt_docs"]),
     (streaming_stateful, [
         "streaming_late_data_events",
         "streaming_sessionize_events",

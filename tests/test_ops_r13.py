@@ -413,6 +413,50 @@ def test_range_split_points_balanced_when_values_distinct(spark):
     assert all(12 <= n <= 13 for n in sizes.values())  # ceil/floor of 100/8
 
 
+def test_heavy_hitters_bounded_and_exact(spark):
+    """heavy_hitters returns exactly the values over the mass fraction,
+    and its size is bounded by 1/hot_frac by construction."""
+    from delta_go_spark.operators.scalejoins import heavy_hitters
+
+    freq = spark.createDataFrame(
+        [(1, 70), (2, 10), (3, 10), (4, 10)], "val long, cnt long"
+    )
+    hot = heavy_hitters(freq, hot_frac=0.25)
+    assert hot == [1]
+    assert len(heavy_hitters(freq, hot_frac=0.05)) <= 20
+    empty = spark.createDataFrame([], "val long, cnt long")
+    assert heavy_hitters(empty) == []
+
+
+def test_hotkey_salted_join_matches_plain_join(spark):
+    """Partial salting is a pure physical rewrite: hot-only salting (and
+    the empty-hot degenerate) produce row sets identical to the plain
+    join, including fact keys with NO dim match (dropped) and dim rows
+    matching many fact rows."""
+    from delta_go_spark.operators.scalejoins import hotkey_salted_join
+
+    fact_rows = [(1, i, i * 10) for i in range(90)] + [
+        (k, 1000 + k, k) for k in range(2, 12)
+    ]
+    fact = spark.createDataFrame(fact_rows, "k long, eid long, v long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 8)], "k long, name string"
+    )
+    want = sorted(
+        tuple(r) for r in fact.join(dim, "k").select("k", "eid", "v", "name").collect()
+    )
+    for hot in ([1], []):
+        got = sorted(
+            tuple(r)
+            for r in hotkey_salted_join(
+                fact, dim, "k", hot, salt_expr=F.col("eid"), salt_n=4
+            )
+            .select("k", "eid", "v", "name")
+            .collect()
+        )
+        assert got == want
+
+
 def test_range_split_points_ties_never_straddle(spark):
     """A heavy tied value lands WHOLLY in one bucket (assignment is a
     pure function of the value) — imbalance is bounded by the tie mass,

@@ -229,6 +229,7 @@ def test_round13_queries_in_window():
     order = list(queries())
     R_MUST = [
         # every row whose code changed in r13 — window head
+        "hotkey_salted_join_events",  # NEW mid-round: stats-driven salting
         "ndv_incremental_docs",  # maintained-Delta-state served
         "equidepth_incremental_docs",  # maintained-Delta-state served
         "profile_incremental_docs",  # unified fixture + exact n_distinct
@@ -257,7 +258,8 @@ def test_round13_queries_in_window():
         "simhash_docs",
         "sliding_avg_events",
         "streaming_quota_gate_events",
-        # 23 of the 47 r9 rows (deferrals in queries.py's rotation comment)
+        # 22 of the 47 r9 rows (deferrals in queries.py's rotation comment;
+        # span_corrupt_docs displaced mid-round by hotkey_salted_join_events)
         "argmax_orders_per_status",
         "join_cross_regions",
         "join_right_outer_parts",
@@ -276,7 +278,6 @@ def test_round13_queries_in_window():
         "label_centroid_drift_embeddings",
         "semantic_decontaminate_embeddings",
         "sessionize_events",
-        "span_corrupt_docs",
         "streaming_late_data_events",
         "streaming_sessionize_events",
         "streaming_leftouter_join_events",
@@ -284,7 +285,7 @@ def test_round13_queries_in_window():
     ]
     assert len(R_MUST) == 50  # this round the window IS the must-list
     # r13-changed rows head the window
-    assert order[0] == "ndv_incremental_docs"
+    assert order[0] == "hotkey_salted_join_events"
     positions = {n: order.index(n) + 1 for n in R_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
