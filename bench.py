@@ -158,8 +158,10 @@ def main() -> None:
     # judge can weigh anchor quality without replaying the run.  The wire
     # line drops it (the driver parses the fixed key set).
     try:
+        # AttributeError: platforms without os.getloadavg lack the
+        # attribute entirely — degrade, don't lose the whole run
         load_1m = round(os.getloadavg()[0], 2)
-    except OSError:
+    except (OSError, AttributeError):
         load_1m = -1.0
     payload = {
         "metric": "headline_queries_total_wall",

@@ -1259,12 +1259,15 @@ def signed_value_deltas(
     )
 
 
-# Conservative in-memory bytes per broadcast (column_name, val) key row:
-# two short strings + JVM row overhead (val is a stringified scalar for
-# the integer/short-string columns this state serves; a long-text column
-# would blow this estimate AND the state size — see value_frequencies'
-# injectivity note).
-_VAL_KEY_ROW_EST_BYTES = 128
+# Conservative in-memory OVERHEAD bytes per broadcast (column_name, val)
+# key row — JVM row header + the short column_name string.  The val
+# payload is NOT covered by this constant: a maintained column can be
+# full document text (profile's _PROFILE_COLS includes `text`), so the
+# guard estimate must measure the actual value bytes (sum(length(val)))
+# rather than assume scalar-sized keys — a flat per-row constant would
+# under-estimate a text backfill ~40x and defeat the very OOM guard it
+# feeds.
+_VAL_KEY_ROW_OVERHEAD_BYTES = 64
 
 
 def fold_value_deltas(freq0: DataFrame, signed: DataFrame) -> DataFrame:
@@ -1286,9 +1289,19 @@ def fold_value_deltas(freq0: DataFrame, signed: DataFrame) -> DataFrame:
     from delta_go_spark.hints import broadcast_if_small
 
     batch_keys = signed.select("column_name", "val")
-    n_keys = signed.count()
+    # real size estimate in ONE job over the (caller-materialized) batch:
+    # per-row overhead + the measured value bytes (2x chars, the JVM's
+    # UTF-16 in-memory width) — a flat per-row constant would miss that
+    # `val` can be full document text
+    stats = signed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("val")), F.lit(0)).alias("chars"),
+    ).first()
+    est_bytes = (
+        stats["n"] * _VAL_KEY_ROW_OVERHEAD_BYTES + 2 * stats["chars"]
+    )
     freq_slice = freq0.join(
-        broadcast_if_small(batch_keys, n_keys * _VAL_KEY_ROW_EST_BYTES),
+        broadcast_if_small(batch_keys, est_bytes),
         ["column_name", "val"],
         "left_semi",
     )
