@@ -466,6 +466,19 @@ class DeltaDml:
         from delta_go_spark.datareader import files_to_df
 
         target_df = files_to_df(self.spark, snap, candidates) if candidates else None
+        # One measured size estimate for the source batch, shared by every
+        # broadcast site below (the key frames are column-subsets of the
+        # source, so the full-source estimate upper-bounds them): an
+        # incremental batch broadcasts as before, while a BACKFILL-sized
+        # source degrades all three joins to shuffles instead of OOMing
+        # executors — the size-guard rule the maintainers' other
+        # change-volume broadcasts already follow.  Costs one aggregate
+        # job, skipped when no candidate files survived pruning.
+        from delta_go_spark.hints import broadcast_if_small, estimated_df_bytes
+
+        src_est_bytes = (
+            estimated_df_bytes(source) if target_df is not None else 0
+        )
         touched: list[AddFile] = []
         if target_df is not None:
             # input_file_name() must bind to the TARGET scan before the
@@ -474,7 +487,7 @@ class DeltaDml:
             # merging from another Delta table) — MULTI_SOURCES_UNSUPPORTED.
             semi = (
                 target_df.withColumn("_f", F.input_file_name())
-                .join(F.broadcast(keys), on, "left_semi")
+                .join(broadcast_if_small(keys, src_est_bytes), on, "left_semi")
                 .select("_f")
                 .distinct()
                 .toLocalIterator()
@@ -503,7 +516,11 @@ class DeltaDml:
                     # cdf/constraints), never the whole table.
                     dup_keys = key_counts.filter(F.col("_n") > 1).select(F.col(on))
                     hit = (
-                        tdf.join(F.broadcast(dup_keys), on, "left_semi")
+                        tdf.join(
+                            broadcast_if_small(dup_keys, src_est_bytes),
+                            on,
+                            "left_semi",
+                        )
                         .limit(1)
                         .count()
                     )
@@ -516,7 +533,11 @@ class DeltaDml:
                 src = source.select(
                     F.col(on).alias("_mk"), *[F.col(c).alias(f"_s_{c}") for c in src_cols]
                 )
-                joined = tdf.join(F.broadcast(src), tdf[on] == F.col("_mk"), "left_outer")
+                joined = tdf.join(
+                    broadcast_if_small(src, src_est_bytes),
+                    tdf[on] == F.col("_mk"),
+                    "left_outer",
+                )
                 is_match = F.col("_mk").isNotNull()
                 if delete_matched:
                     rewritten = joined.filter(~is_match).select(*tdf.columns)

@@ -43,6 +43,41 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
         return 10 << 20
 
 
+def estimated_df_bytes(df: DataFrame, row_overhead: int = 32) -> int:
+    """Conservative in-memory byte estimate for `df`, measured by ONE
+    aggregate job: per-row overhead + a flat 16 bytes per fixed-width
+    column + the MEASURED payload of every string/binary/complex column
+    (2 bytes/char, the JVM's UTF-16 in-memory width; complex types via
+    their JSON rendering).  Measuring instead of assuming a per-row
+    constant is the point: a guard fed a flat estimate is defeated by
+    exactly the wide-payload backfill it exists for (the
+    fold_value_deltas lesson — document text underestimates ~40x).
+    Costs one pass over `df`; callers on a hot path hand it an
+    already-materialized frame."""
+    from pyspark.sql import types as T
+
+    aggs = []
+    fixed_per_row = row_overhead
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.StringType):
+            aggs.append(F.sum(F.length(c) * 2))
+        elif isinstance(f.dataType, T.BinaryType):
+            aggs.append(F.sum(F.length(c)))
+        elif isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ):
+            aggs.append(F.sum(F.length(F.to_json(c)) * 2))
+        else:
+            fixed_per_row += 16
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[a.alias(f"_b{i}") for i, a in enumerate(aggs)],
+    ).first()
+    payload = sum(row[f"_b{i}"] or 0 for i in range(len(aggs)))
+    return int(row["_n"] * fixed_per_row + payload)
+
+
 def broadcast_if_small(df: DataFrame, est_bytes: int) -> DataFrame:
     """Hint `df` for broadcast only when the caller's size estimate fits
     under the session threshold; otherwise return it unhinted so the join

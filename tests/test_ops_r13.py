@@ -479,3 +479,66 @@ def test_range_split_points_ties_never_straddle(spark):
         .collect()
     )
     assert all(r["nb"] == 1 for r in by_bucket)  # each value -> ONE bucket
+
+
+# ---------------------------------------------------------------------------
+# Guarded MERGE broadcasts — the backfill axis of the DML path
+
+
+def test_estimated_df_bytes_measures_payload(spark):
+    """The estimate MEASURES string/binary/complex payload instead of
+    assuming a flat per-row constant — a 5KB-text row must dominate its
+    fixed-width neighbours (the wide-payload backfill case a flat
+    constant under-counts ~40x)."""
+    from delta_go_spark.hints import estimated_df_bytes
+
+    small = spark.createDataFrame([(1, "ab")] * 10, "k long, s string")
+    wide = spark.createDataFrame([(1, "x" * 5000)] * 10, "k long, s string")
+    b_small = estimated_df_bytes(small)
+    b_wide = estimated_df_bytes(wide)
+    assert b_wide > 10 * 5000 * 2  # measured chars, UTF-16 width
+    assert b_wide > 50 * b_small  # payload dominates, not row count
+    arr = spark.createDataFrame(
+        [(1, list(range(100)))], "k long, a array<int>"
+    )
+    assert estimated_df_bytes(arr) > 200  # complex types measured too
+    empty = spark.createDataFrame([], "k long, s string")
+    assert estimated_df_bytes(empty) == 0
+
+
+def test_merge_degraded_broadcast_results_identical(spark, tmp_path):
+    """MERGE under autoBroadcastJoinThreshold=0 (every broadcast site
+    degrades to a shuffle join) produces state identical to the hinted
+    path, and the duplicate-source-key guard still fires."""
+    from delta_go_spark.snapshot import DeltaError
+    from delta_go_spark.table import DeltaTable
+
+    def run(sub):
+        path = str(tmp_path / sub)
+        t = DeltaTable.create(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(20)], "k long, v long"
+            ),
+        )
+        src = spark.createDataFrame(
+            [(5, 555), (19, 999), (100, 1)], "k long, v long"
+        )
+        t.merge(src, on="k", update_set={"v": F.col("_s_v")})
+        return {r["k"]: r["v"] for r in t.to_df().collect()}, path
+
+    fast, _ = run("fast")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        slow, slow_path = run("slow")
+        assert fast == slow
+        assert fast[5] == 555 and fast[100] == 1 and len(fast) == 21
+        # dup-key guard unaffected by the degraded join form
+        t = DeltaTable.for_path(spark, slow_path)
+        dup = spark.createDataFrame([(5, 1), (5, 2)], "k long, v long")
+        with pytest.raises(DeltaError, match="multiple source rows"):
+            t.merge(dup, on="k", update_set={"v": F.col("_s_v")})
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
