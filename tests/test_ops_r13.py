@@ -542,3 +542,55 @@ def test_merge_degraded_broadcast_results_identical(spark, tmp_path):
             t.merge(dup, on="k", update_set={"v": F.col("_s_v")})
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_maintainers_pass_vacuum_retention_to_housekeeping(
+    spark, tmp_path, monkeypatch
+):
+    """Both maintainers must hand their vacuum_retention_ms through to
+    compact_state_tables — a silently-dropped kwarg would mean the
+    auto-vacuum is configured but never runs (the documented-not-built
+    class this round exists to close)."""
+    from delta_go_spark.functions.textops import (
+        index_from_postings,
+        token_postings,
+    )
+    from delta_go_spark.streaming import windows as W
+
+    seen = []
+
+    def capture(spark_, tables, batch_id, every, vacuum_retention_ms=None):
+        seen.append((sorted(tables.values()), every, vacuum_retention_ms))
+
+    monkeypatch.setattr(W, "compact_state_tables", capture)
+
+    root = str(tmp_path)
+    v0 = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    p0, i0 = root + "/p0", root + "/i0"
+    token_postings(v0).write.parquet(p0)
+    index_from_postings(spark.read.parquet(p0), min_df=1).write.parquet(i0)
+    im = W.IndexMaintainer(
+        spark, root + "/istate", p0, i0, vacuum_retention_ms=12345
+    )
+    im.apply(
+        spark.createDataFrame(
+            [(2, "beta gamma", "insert", 1)],
+            "doc_id long, text string, _change_type string, "
+            "_commit_version long",
+        ),
+        0,
+    )
+    cols = ["lang"]
+    _, fm = _seed_maintainer(
+        spark, root, V0, cols, vacuum_retention_ms=777, compact_every=3
+    )
+    t = spark.createDataFrame([(50, "l8", 9)], DOC_SCHEMA)
+    from delta_go_spark.table import DeltaTable
+
+    dt = DeltaTable.for_path(spark, root + "/docs")
+    dt.append(t)
+    fm.apply(_batch(spark, root + "/docs", 1, 1), 1)
+    assert (["token", "token"], 8, 12345) in seen
+    assert (["column_name", "pk"], 3, 777) in seen
