@@ -382,7 +382,13 @@ def _lsh_signatures_udf(n_tables: int, n_planes: int, dim: int, seed: int = 7):
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf cannot introspect — attach real objects instead.
     _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(_sig, "array<long>")
+    # asNondeterministic: the consumer explodes the signature array, and
+    # the optimizer pushes the resulting size()>0 filter BELOW the
+    # projection, evaluating the UDF twice per row (two ArrowEvalPython
+    # nodes — plans/r13/ann_lsh_docs_before.txt).  Marking it
+    # non-deterministic forbids the duplication; the function itself is
+    # pure (fixed seed), so results are unchanged.
+    return pandas_udf(_sig, "array<long>").asNondeterministic()
 
 
 # ---------------------------------------------------------------------------
@@ -1124,6 +1130,13 @@ def ivf_sq8_exact(
             {"lst": lst.astype("int32"), "na2": na2, "dot": qm @ qv0}
         )
 
+    # asNondeterministic: the lst/na2 filter below otherwise pushes under
+    # the struct-expanding projection and the optimizer evaluates the UDF
+    # twice per row (two ArrowEvalPython nodes —
+    # plans/r13/ann_ivf_int8_docs_before.txt).  The function is pure, so
+    # results are unchanged; the only blocked pushdown is `vec_id != 0`
+    # (one row), which still filters post-UDF.
+    _assign_dot = _assign_dot.asNondeterministic()
     sig = corpus.select(
         id_col,
         F.col(label_col).alias("label"),
@@ -1437,6 +1450,11 @@ def ann_signlsh(
             {"bucket": bucket.astype("int32"), "na2": na2, "dot": qm @ pv}
         )
 
+    # asNondeterministic: same duplicate-ArrowEvalPython fix as
+    # ivf_sq8_exact above (plans/r13/ann_signlsh_docs_before.txt shows the
+    # bucket/na2 filter pushed below the projection, costing a second
+    # full-corpus UDF pass).  Pure function — results unchanged.
+    _sig_dot = _sig_dot.asNondeterministic()
     sig = corpus.select(
         id_col,
         F.col(label_col).alias("label"),
