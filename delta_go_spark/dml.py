@@ -258,7 +258,9 @@ class DeltaDml:
                 df.unpersist()
 
     # -- MERGE -------------------------------------------------------------
-    def _merge_candidates(self, snap, source: DataFrame, on: str) -> list[AddFile]:
+    def _merge_candidates(
+        self, snap, source: DataFrame, on: str, bounds=None
+    ) -> list[AddFile]:
         """Stats/partition-pruned candidate files for a keyed MERGE.
 
         A file that can hold NO source key is invisible to every MERGE
@@ -285,12 +287,16 @@ class DeltaDml:
         when there are files to skip — a fixture-scale target of a
         handful of files reads faster than the probe costs (measured
         ~+0.4 s/merge on the streaming aggsink), while the 100 TB
-        target this exists for has ~10^5 files."""
+        target this exists for has ~10^5 files.  merge() passes the
+        bounds it already measured in its fused source probe via
+        `bounds` (a mapping with _mn/_mx/_acd), removing the separate
+        aggregate job; without it (direct callers, tests) the aggregate
+        runs here as before."""
         candidates = snap.all_files()
         if len(candidates) < _MERGE_PRUNE_MIN_FILES:
             return candidates
         try:
-            b = source.agg(
+            b = bounds if bounds is not None else source.agg(
                 F.min(on).alias("_mn"),
                 F.max(on).alias("_mx"),
                 F.approx_count_distinct(on).alias("_acd"),
@@ -425,20 +431,83 @@ class DeltaDml:
             and txn.txn_version(txn_app_id) >= txn_version
         ):
             return None  # already applied by a previous attempt
+        # The merge pipeline below evaluates the source plan repeatedly
+        # (fused probe, touched-file semi-join, duplicate-key probe, the
+        # rewrite join, the insert anti-join + its emptiness probe, CDC
+        # staging) — up to ~7 executions.  Materialize it ONCE: delta-spark
+        # itself materializes the merge source for the same reason.  The
+        # source is an O(batch) frame by contract; MEMORY_AND_DISK persist
+        # is bounded, keeps lineage for executor-loss recovery, and the
+        # first probe below triggers it without a dedicated job.  The
+        # persist sits AFTER the SetTransaction replay short-circuit, so a
+        # replayed merge still pays nothing.
+        source = source.persist()
+        try:
+            return self._merge_exec(
+                log, txn, snap, source, on, update_set, delete_matched,
+                insert_not_matched, txn_app_id, txn_version,
+                delete_condition, insert_set, allow_null_keys,
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_exec(
+        self,
+        log,
+        txn,
+        snap,
+        source: DataFrame,
+        on: str,
+        update_set,
+        delete_matched: bool,
+        insert_not_matched: bool,
+        txn_app_id,
+        txn_version,
+        delete_condition,
+        insert_set,
+        allow_null_keys: bool,
+    ) -> int | None:
+        """merge() body, split out so the persisted source unpersists on
+        every exit path (see merge's try/finally)."""
+        from delta_go_spark.hints import byte_estimate_aggs
+
+        # ONE fused aggregate over the persisted source replaces what were
+        # three separate source-plan jobs: the NULL-key probe, the
+        # candidate-pruning bounds aggregate (_merge_candidates) and the
+        # broadcast-guard size measurement (estimated_df_bytes).  Falls
+        # back to the legacy per-probe path if the key type rejects
+        # min/max (the probe must never make a mergeable source
+        # unmergeable).
+        fixed_per_row, baggs = 0, []
+        probe = None
+        try:
+            fixed_per_row, baggs = byte_estimate_aggs(source)
+            probe = source.agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.count(F.when(F.col(on).isNull(), F.lit(1))).alias("_nk"),
+                F.min(on).alias("_mn"),
+                F.max(on).alias("_mx"),
+                F.approx_count_distinct(on).alias("_acd"),
+                *[a.alias(f"_b{i}") for i, a in enumerate(baggs)],
+            ).first()
+        except Exception:
+            probe = None
         # NULL merge keys never equi-match: a NULL-key source row passes
         # the insert anti-join on EVERY retry — re-inserted per batch in a
-        # non-idempotent streaming upsert.  Refuse loudly (one limit(1)
-        # probe on the small source side), but only where the trap exists:
-        # with insert_not_matched=False a NULL-key row does nothing at all
-        # (ANSI behavior, matched clauses just skip it), and the probe runs
-        # AFTER the SetTransaction replay short-circuit so a replayed merge
-        # never pays the extra source-plan job.  allow_null_keys=True
-        # restores upstream ANSI behavior (NULL-key rows insert) for
-        # single-shot merges that legitimately want it.
+        # non-idempotent streaming upsert.  Refuse loudly, but only where
+        # the trap exists: with insert_not_matched=False a NULL-key row
+        # does nothing at all (ANSI behavior, matched clauses just skip
+        # it).  allow_null_keys=True restores upstream ANSI behavior
+        # (NULL-key rows insert) for single-shot merges that legitimately
+        # want it.
         if (
             insert_not_matched
             and not allow_null_keys
-            and source.filter(F.col(on).isNull()).limit(1).count()
+            and (
+                probe["_nk"] > 0
+                if probe is not None
+                else source.filter(F.col(on).isNull()).limit(1).count()
+            )
         ):
             raise DeltaError(
                 f"MERGE: source contains NULL '{on}' keys; NULL never "
@@ -448,7 +517,7 @@ class DeltaDml:
                 f"allow_null_keys=True for ANSI insert-them-anyway behavior"
             )
         txn.read_whole_table()
-        candidates = self._merge_candidates(snap, source, on)
+        candidates = self._merge_candidates(snap, source, on, bounds=probe)
         # Delta's multiple-match rule: a TARGET row may match at most one
         # source row.  Duplicate source keys alone are legal (an insert-only
         # merge inserts them all), so the guard is deferred until touched
@@ -472,13 +541,20 @@ class DeltaDml:
         # incremental batch broadcasts as before, while a BACKFILL-sized
         # source degrades all three joins to shuffles instead of OOMing
         # executors — the size-guard rule the maintainers' other
-        # change-volume broadcasts already follow.  Costs one aggregate
-        # job, skipped when no candidate files survived pruning.
+        # change-volume broadcasts already follow.  Served from the fused
+        # probe (no extra job); the legacy measurement only runs when the
+        # probe itself fell back.
         from delta_go_spark.hints import broadcast_if_small, estimated_df_bytes
 
-        src_est_bytes = (
-            estimated_df_bytes(source) if target_df is not None else 0
-        )
+        if probe is not None:
+            src_est_bytes = int(
+                probe["_cnt"] * fixed_per_row
+                + sum(probe[f"_b{i}"] or 0 for i in range(len(baggs)))
+            )
+        else:
+            src_est_bytes = (
+                estimated_df_bytes(source) if target_df is not None else 0
+            )
         touched: list[AddFile] = []
         if target_df is not None:
             # input_file_name() must bind to the TARGET scan before the

@@ -343,9 +343,29 @@ def _band_table(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
 
 def _jaccard_verify(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verify candidate pairs against the hashed-shingle sets
-    in `sig`; emits (doc_id_a, doc_id_b, jaccard) for true pairs only."""
-    ha = sig.select(F.col("doc").alias("doc_id_a"), F.col("hset").alias("sh_a"))
-    hb = sig.select(F.col("doc").alias("doc_id_b"), F.col("hset").alias("sh_b"))
+    in `sig`; emits (doc_id_a, doc_id_b, jaccard) for true pairs only.
+
+    The candidate set is collision-bounded; `sig` is corpus-sized.  The
+    unhinted formulation sort-merge joined — shuffling the signature
+    table TWICE (by doc_id_a, by doc_id_b) per verify
+    (plans/r13/minhash_incremental_docs_before.txt).  Instead: checkpoint
+    the candidates (member-id set + both verify joins consume them),
+    semi-filter `sig` down to candidate MEMBERS with a size-guarded
+    broadcast (guide §3.2 pre-filter), and let the verify joins run over
+    candidate-bounded frames — the corpus is scanned in place, never
+    shuffled.  A backfill-sized candidate set fails the guard and
+    degrades to the old sort-merge shape."""
+    from delta_go_spark.hints import broadcast_measured
+
+    cand = cand.localCheckpoint(eager=False)
+    ids = (
+        cand.select(F.col("doc_id_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc")))
+        .distinct()
+    )
+    sig_c = sig.join(broadcast_measured(ids), "doc", "left_semi")
+    ha = sig_c.select(F.col("doc").alias("doc_id_a"), F.col("hset").alias("sh_a"))
+    hb = sig_c.select(F.col("doc").alias("doc_id_b"), F.col("hset").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
@@ -1324,15 +1344,30 @@ def minhash_incremental_update(
          table never reshuffled) adds every pair with >= 1 net-new doc.
     The union is exactly the full-recompute pair set over the
     post-change corpus — the registry oracle's contract."""
-    dels_sig = deleted_ids.withColumnRenamed("doc_id", "doc")
+    from delta_go_spark.hints import broadcast_if_small, estimated_df_bytes
+
+    # O(deletes) id set vs the stored signature/pair STATE: one measured
+    # estimate (callers hand a checkpointed frame) feeds the size guard
+    # on all three anti-joins, so the state side is never shuffled —
+    # unhinted, the planner saw an unsized LogicalRDD and sort-merge
+    # joined (plans/r13/minhash_incremental_docs_before.txt); a
+    # backfill-sized delete set degrades back to the shuffle.
+    del_est = estimated_df_bytes(deleted_ids)
+    dels_sig = broadcast_if_small(
+        deleted_ids.withColumnRenamed("doc_id", "doc"), del_est
+    )
     sig_live = sig_base.join(dels_sig, "doc", "left_anti")
     inc = minhash_incremental_pairs(sig_live, new_docs, num_perm=num_perm)
     surviving = pairs0.join(
-        deleted_ids.withColumnRenamed("doc_id", "doc_id_a"),
+        broadcast_if_small(
+            deleted_ids.withColumnRenamed("doc_id", "doc_id_a"), del_est
+        ),
         "doc_id_a",
         "left_anti",
     ).join(
-        deleted_ids.withColumnRenamed("doc_id", "doc_id_b"),
+        broadcast_if_small(
+            deleted_ids.withColumnRenamed("doc_id", "doc_id_b"), del_est
+        ),
         "doc_id_b",
         "left_anti",
     )
@@ -1441,9 +1476,15 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = new_docs.localCheckpoint()
     deleted_ids = deleted_docs.select("doc_id").localCheckpoint()
     # drop deleted docs from the stored signatures BEFORE the band join:
-    # a phantom pair (new doc x deleted stored doc) must never form
+    # a phantom pair (new doc x deleted stored doc) must never form.
+    # Guarded broadcast of the O(deletes) set keeps the signature state
+    # unshuffled (guide §3.1).
+    from delta_go_spark.hints import broadcast_measured
+
     sig_base = spark.read.parquet(sig_path).join(
-        deleted_ids.withColumnRenamed("doc_id", "doc"), "doc", "left_anti"
+        broadcast_measured(deleted_ids.withColumnRenamed("doc_id", "doc")),
+        "doc",
+        "left_anti",
     )
     # checkpoint: the incremental pair set feeds three consumers (two
     # touch-set projections + the sub-CC edge list) and would otherwise
@@ -1491,32 +1532,81 @@ def softdedup_incremental_update(
     the sub-CC and lands as a singleton via the final coalesce.  Every
     untouched cluster is served from stored state without
     recomputation — work stays O(change + affected-cluster mass)."""
+    from delta_go_spark.hints import (
+        broadcast_if_small,
+        broadcast_measured,
+        estimated_df_bytes,
+    )
+
     touched = (
         inc_pairs.select(F.col("doc_id_a").alias("node"))
         .unionByName(inc_pairs.select(F.col("doc_id_b").alias("node")))
     )
     if deleted_ids is not None:
-        dels = deleted_ids.select(F.col(id_col).alias("node")).distinct()
+        # O(deletes) node set vs the stored pair state: checkpoint once
+        # (four anti-joins consume it), measure once, guard-broadcast so
+        # pairs0 is never shuffled by the delete erasure (it sort-merge
+        # joined before — plans/r13/softdedup_incremental_docs_before.txt)
+        dels = (
+            deleted_ids.select(F.col(id_col).alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        del_est = estimated_df_bytes(dels)
         touched = touched.unionByName(dels)
         # pairs with a deleted endpoint vanish from both pair sources
         inc_pairs = inc_pairs.join(
-            dels.withColumnRenamed("node", "doc_id_a"), "doc_id_a", "left_anti"
+            broadcast_if_small(
+                dels.withColumnRenamed("node", "doc_id_a"), del_est
+            ),
+            "doc_id_a",
+            "left_anti",
         ).join(
-            dels.withColumnRenamed("node", "doc_id_b"), "doc_id_b", "left_anti"
+            broadcast_if_small(
+                dels.withColumnRenamed("node", "doc_id_b"), del_est
+            ),
+            "doc_id_b",
+            "left_anti",
         )
         pairs0 = pairs0.join(
-            dels.withColumnRenamed("node", "doc_id_a"), "doc_id_a", "left_anti"
+            broadcast_if_small(
+                dels.withColumnRenamed("node", "doc_id_a"), del_est
+            ),
+            "doc_id_a",
+            "left_anti",
         ).join(
-            dels.withColumnRenamed("node", "doc_id_b"), "doc_id_b", "left_anti"
+            broadcast_if_small(
+                dels.withColumnRenamed("node", "doc_id_b"), del_est
+            ),
+            "doc_id_b",
+            "left_anti",
         )
-    touched = touched.distinct()
+    # every frame below is O(change) or O(affected-cluster mass), each
+    # consumed by joins against corpus-sized state (labels0/pairs0) —
+    # checkpoint + measured guarded broadcast keeps the state sides
+    # unshuffled (backfills degrade to the shuffle join as before)
+    touched = touched.distinct().localCheckpoint()
     affected_reps = (
-        labels0.join(touched, "node").select("cluster_rep").distinct()
+        labels0.join(broadcast_measured(touched), "node")
+        .select("cluster_rep")
+        .distinct()
+        .localCheckpoint()
+    )
+    reps_b = broadcast_measured(affected_reps)
+    # REORDERED from pairs0 ⋈ labels0 ⋈ affected_reps: the old order
+    # sort-merge joined two corpus-sized STATE tables before the
+    # affected filter could bite.  Resolving the affected node set first
+    # (labels0 ⋈ reps, O(affected mass)) lets the pair-state join run
+    # broadcast too.  Equivalent because labels0 holds exactly one row
+    # per node and affected_reps is distinct — no fan-out either way.
+    affected_nodes = (
+        labels0.join(reps_b, "cluster_rep")
+        .select(F.col("node").alias("doc_id_a"))
+        .localCheckpoint()
     )
     affected_old_pairs = (
         pairs0.select("doc_id_a", "doc_id_b")
-        .join(labels0.withColumnRenamed("node", "doc_id_a"), "doc_id_a")
-        .join(affected_reps, "cluster_rep")
+        .join(broadcast_measured(affected_nodes), "doc_id_a")
         .select("doc_id_a", "doc_id_b")
     )
     sub_cc = connected_components(
@@ -1526,7 +1616,7 @@ def softdedup_incremental_update(
         F.col("node").alias(id_col), "cluster_size"
     )
     kept_clustered = (
-        labels0.join(affected_reps, "cluster_rep", "left_anti")
+        labels0.join(reps_b, "cluster_rep", "left_anti")
         .join(csize0, "cluster_rep")
         .select(F.col("node").alias(id_col), "cluster_size")
     )

@@ -2450,6 +2450,8 @@ def inverted_index_incremental(
     `new_postings` optionally supplies token_postings(new_docs) a caller
     already computed (bm25_incremental materializes it for the postings
     state anyway) so the shingle pass runs once, not twice."""
+    from delta_go_spark.hints import broadcast_measured
+
     delta_postings = (
         new_postings if new_postings is not None else token_postings(new_docs)
     )
@@ -2458,17 +2460,29 @@ def inverted_index_incremental(
     if deleted_docs is not None:
         del_postings = token_postings(deleted_docs)
         affected = affected.unionByName(del_postings.select("token"))
-        del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
-        stored = stored.join(del_ids, "doc", "left_anti")
-    affected = affected.distinct()
+        # O(deletes) frame vs the stored postings STATE: checkpoint (the
+        # measurement and the join both consume it) and broadcast under
+        # the size guard, so the state side is never shuffled — before
+        # this hint the planner saw an unsized LogicalRDD and sort-merge
+        # joined, shuffling the whole postings table (guide §3.1).
+        del_ids = (
+            deleted_docs.select(F.col("doc_id").alias("doc"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stored = stored.join(broadcast_measured(del_ids), "doc", "left_anti")
+    # the affected-token set is O(change); both its consumers join it
+    # against state tables — same checkpoint + guarded-broadcast shape
+    affected = affected.distinct().localCheckpoint()
+    affected_b = broadcast_measured(affected)
     # affected tokens: exact recompute over surviving-stored + delta
     # postings (disjoint doc sets — a reused doc_id was anti-joined out
     # of the stored side above)
-    merged = stored.join(affected, "token").unionByName(delta_postings)
+    merged = stored.join(affected_b, "token").unionByName(delta_postings)
     refreshed = index_from_postings(
         merged, top_k=top_k, salt_buckets=salt_buckets, min_df=1
     )
-    untouched = index0.join(affected, "token", "left_anti")
+    untouched = index0.join(affected_b, "token", "left_anti")
     return (
         untouched.unionByName(refreshed)
         .filter(F.col("df") >= min_df)
@@ -2769,12 +2783,23 @@ def bm25_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings0, index0, doclens0, stats0, new_docs, deleted_docs = (
         _inc_invindex_fixture(spark, sf_dir)
     )
-    del_ids = deleted_docs.select(F.col("doc_id").alias("doc")).distinct()
+    from delta_go_spark.hints import broadcast_measured
+
+    # O(deletes) id set vs two state tables: checkpoint once, measure
+    # once, broadcast under the size guard so neither state table is
+    # shuffled by its anti-join (they were sort-merge joins before —
+    # plans/r13/bm25_incremental_docs_before.txt)
+    del_ids = (
+        deleted_docs.select(F.col("doc_id").alias("doc"))
+        .distinct()
+        .localCheckpoint()
+    )
+    del_ids_b = broadcast_measured(del_ids)
     # one shingle pass: the delta postings feed BOTH the postings state
     # and the index maintainer (checkpointed — O(change) rows)
     dp = token_postings(new_docs).localCheckpoint()
-    postings1 = postings0.join(del_ids, "doc", "left_anti").unionByName(dp)
-    doclens1 = doclens0.join(del_ids, "doc", "left_anti").unionByName(
+    postings1 = postings0.join(del_ids_b, "doc", "left_anti").unionByName(dp)
+    doclens1 = doclens0.join(del_ids_b, "doc", "left_anti").unionByName(
         doc_lengths(new_docs)
     )
     index1 = inverted_index_incremental(

@@ -43,17 +43,11 @@ def broadcast_threshold_bytes(spark: SparkSession) -> int:
         return 10 << 20
 
 
-def estimated_df_bytes(df: DataFrame, row_overhead: int = 32) -> int:
-    """Conservative in-memory byte estimate for `df`, measured by ONE
-    aggregate job: per-row overhead + a flat 16 bytes per fixed-width
-    column + the MEASURED payload of every string/binary/complex column
-    (2 bytes/char, the JVM's UTF-16 in-memory width; complex types via
-    their JSON rendering).  Measuring instead of assuming a per-row
-    constant is the point: a guard fed a flat estimate is defeated by
-    exactly the wide-payload backfill it exists for (the
-    fold_value_deltas lesson — document text underestimates ~40x).
-    Costs one pass over `df`; callers on a hot path hand it an
-    already-materialized frame."""
+def byte_estimate_aggs(df: DataFrame, row_overhead: int = 32):
+    """(fixed_per_row, agg_exprs) — the measurement rule of
+    estimated_df_bytes, exposed separately so a caller that already runs
+    an aggregate over `df` (the MERGE source probe) can fold the byte
+    sums into that SAME job instead of paying a second pass."""
     from pyspark.sql import types as T
 
     aggs = []
@@ -70,12 +64,43 @@ def estimated_df_bytes(df: DataFrame, row_overhead: int = 32) -> int:
             aggs.append(F.sum(F.length(F.to_json(c)) * 2))
         else:
             fixed_per_row += 16
+    return fixed_per_row, aggs
+
+
+def estimated_df_bytes(df: DataFrame, row_overhead: int = 32) -> int:
+    """Conservative in-memory byte estimate for `df`, measured by ONE
+    aggregate job: per-row overhead + a flat 16 bytes per fixed-width
+    column + the MEASURED payload of every string/binary/complex column
+    (2 bytes/char, the JVM's UTF-16 in-memory width; complex types via
+    their JSON rendering).  Measuring instead of assuming a per-row
+    constant is the point: a guard fed a flat estimate is defeated by
+    exactly the wide-payload backfill it exists for (the
+    fold_value_deltas lesson — document text underestimates ~40x).
+    Costs one pass over `df`; callers on a hot path hand it an
+    already-materialized frame."""
+    fixed_per_row, aggs = byte_estimate_aggs(df, row_overhead)
     row = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[a.alias(f"_b{i}") for i, a in enumerate(aggs)],
     ).first()
     payload = sum(row[f"_b{i}"] or 0 for i in range(len(aggs)))
     return int(row["_n"] * fixed_per_row + payload)
+
+
+def broadcast_measured(df: DataFrame) -> DataFrame:
+    """Measure-then-hint for an O(change) frame that joins stored state.
+
+    The incremental maintainers join small netted change frames
+    (localCheckpointed — LogicalRDD, whose size Catalyst estimates as
+    defaultSizeInBytes = huge) against parquet-backed state, so the
+    planner picks a sort-merge join and shuffles the STATE side
+    (plans/r13/bm25_incremental_docs_before.txt: 7 SortMergeJoins).  One
+    cheap aggregate over the materialized frame gives a real size; under
+    the session threshold the hint makes the join broadcast-hash and the
+    state side is never shuffled (guide §3.1) — past it (a backfill
+    batch) the join degrades to a shuffle as before.  Hand this an
+    already-checkpointed frame: the measurement re-executes the plan."""
+    return broadcast_if_small(df, estimated_df_bytes(df))
 
 
 def broadcast_if_small(df: DataFrame, est_bytes: int) -> DataFrame:
