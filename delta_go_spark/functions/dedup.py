@@ -140,9 +140,17 @@ def ngram_jaccard_pairs(
         )
         .dropDuplicates(["doc", "h"])
     )
+    # Materialize the per-doc shingle sets ONCE (same lazy-checkpoint
+    # rationale as minhash_lsh_pairs' signature table): unmaterialized,
+    # Catalyst auto-broadcasts one side of the self-join at fixture scale
+    # and REBUILDS the whole explode+dedup+window pipeline for it — the
+    # round-13 plans showed two complete shingle subtrees and zero
+    # ReusedExchange (plans/r13/cross_source_matrix_docs_before.txt).
+    # The checkpoint holds the same (doc, h, n) rows the equi-join must
+    # shuffle anyway.
     sh = ex.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    )
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -2057,9 +2065,17 @@ def containment_pairs(
         )
         .dropDuplicates(["doc", "h"])
     )
+    # Materialize the per-doc shingle sets ONCE (same lazy-checkpoint
+    # rationale as minhash_lsh_pairs' signature table): unmaterialized,
+    # Catalyst auto-broadcasts one side of the self-join at fixture scale
+    # and REBUILDS the whole explode+dedup+window pipeline for it — the
+    # round-13 plans showed two complete shingle subtrees and zero
+    # ReusedExchange (plans/r13/cross_source_matrix_docs_before.txt).
+    # The checkpoint holds the same (doc, h, n) rows the equi-join must
+    # shuffle anyway.
     sh = ex.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    )
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
