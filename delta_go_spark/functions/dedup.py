@@ -1768,19 +1768,22 @@ def pagerank_int(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
-    )
+    # The out-degree is static across rounds — fold it INTO the
+    # checkpointed edge table once, so each round joins ONE table (the
+    # rank frame) instead of two (rank + degree): one join per round
+    # saved, and round plans shuffle only (long, long) pairs as before.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     base = scale * (100 - damping_pct) // 100
-    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
+    ranks = (
+        edges_deg.select("src")
+        .dropDuplicates(["src"])
+        .select("src", F.lit(scale).cast("long").alias("rank"))
+    )
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            edges_deg.join(ranks, "src")
             .select(
                 F.col("dst"),
                 F.floor(
