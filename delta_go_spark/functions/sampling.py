@@ -589,9 +589,16 @@ def cluster_safe_split(
     """
     from delta_go_spark.functions.dedup import connected_components
 
-    cc = connected_components(
-        pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
-    ).withColumnRenamed("node", id_col)
+    from delta_go_spark.hints import broadcast_measured
+
+    # the label table is O(clustered docs) and already checkpointed by
+    # connected_components — a measured, size-guarded broadcast keeps the
+    # corpus side unshuffled (it sort-merge joined before)
+    cc = broadcast_measured(
+        connected_components(
+            pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
+        ).withColumnRenamed("node", id_col)
+    )
     rep = df.join(cc, id_col, "left").withColumn(
         "rep", F.coalesce("cluster_rep", F.col(id_col))
     ).drop("cluster_rep")
@@ -614,7 +621,16 @@ def split_cluster_safe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_go_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    tagged = cluster_safe_split(docs, ngram_jaccard_pairs(docs))
+    # two consumers below (the leaked-clusters gate and the per-split
+    # aggregate) otherwise re-run the corpus-sized docs ⟕ labels join +
+    # split tagging end to end (two identical subtrees in
+    # plans/r13/split_cluster_safe_docs_before.txt); project to the four
+    # columns both need and materialize once
+    tagged = (
+        cluster_safe_split(docs, ngram_jaccard_pairs(docs))
+        .select("doc_id", "source", "rep", "split")
+        .localCheckpoint(eager=False)
+    )
     leaked = (
         tagged.groupBy("rep")
         .agg(F.count_distinct("split").alias("ns"))

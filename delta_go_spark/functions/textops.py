@@ -1146,11 +1146,18 @@ def bm25_rank(
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl")
     )
+    # tf is match-bounded (query-term tokens only) and feeds BOTH the
+    # per-term df aggregate and the scoring join — unmaterialized, the
+    # df branch re-ran the whole tokenize + explode pipeline (a third
+    # corpus pass, visible as two identical Generate subtrees in
+    # plans/r13/rrf_hybrid_search_docs_before.txt); the checkpoint keeps
+    # the documented two corpus scans (stats + tf) and nothing more
     tf = (
         base.select(id_col, "_dl", F.explode("_t").alias("_tok"))
         .filter(F.col("_tok").isin(terms))
         .groupBy(id_col, "_tok")
         .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
