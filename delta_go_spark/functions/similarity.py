@@ -2843,12 +2843,22 @@ def pq_train_encode(
     if dim % m:
         raise ValueError(f"pq_train_encode: dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for b in range(m):
+    # The m Lloyd runs are INDEPENDENT small-job chains over the same
+    # checkpointed codes — submit them from a thread pool (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially) so one block's tiny argmin/update jobs back-fill
+    # executors while another's finish.  pool.map preserves block order,
+    # and each run is deterministic, so the codebooks are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(b: int):
         block = coded.select(
             "vid", F.slice("q", b * sub + 1, sub).alias("q")
         )
-        books.append(_lloyd_centroids(block, ksub, iters))
+        return _lloyd_centroids(block, ksub, iters)
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(_train, range(m)))
     Cs = [c.copy() for c in books]
     cn2s = [(c * c).sum(axis=1) for c in Cs]
     weights = [ksub**b for b in range(m)]
