@@ -93,31 +93,25 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     return df.withColumn("shingles", F.array_distinct(shingles))
 
 
-# ---------------------------------------------------------------------------
-# Exact n-gram Jaccard near-dup pairs (oracle-verifiable baseline)
-def ngram_jaccard_pairs(
+def with_shingle_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    threshold: float = 0.6,
 ) -> DataFrame:
-    """All pairs with k-shingle Jaccard >= threshold via shingle equi-join.
+    """Per-doc distinct k-shingle 64-bit hashes plus the set size: one
+    (doc, h, n) bigint row per distinct shingle.
 
-    The join key is the 64-bit shingle hash (8 bytes shuffled per shingle,
-    not the string), so complexity is sum over shingles of
-    (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
-    the corpus.
+    Codegen formulation: shingles explode via sequence + column-start
+    slice/concat/xxhash64 — every expression whole-stage-codegen'd (the
+    earlier per-doc array build ran through Spark's INTERPRETED
+    higher-order transform(); this form measured 1.6x faster at sf0.1).
+    The price is two extra narrow exchanges — dropDuplicates on
+    (doc, hash) for the per-doc shingle SET and a doc-partitioned
+    window for the set size — both moving only 16-byte pairs, the same
+    data volume the downstream equi-join must shuffle anyway.  No string
+    shingle survives past this frame.
     """
-    # Codegen formulation: shingles explode via sequence + column-start
-    # slice/concat/hash — every expression whole-stage-codegen'd (the
-    # earlier per-doc array build ran through Spark's INTERPRETED
-    # higher-order transform(); this form measured 1.6x faster at sf0.1).
-    # The price is two extra narrow exchanges — dropDuplicates on
-    # (doc, hash) for the per-doc shingle SET and a doc-partitioned
-    # window for the set size — both moving only 16-byte pairs, the same
-    # data volume the equi-join must shuffle anyway (and ReuseExchange
-    # still materializes the self-join's input once).
     from pyspark.sql import Window
 
     toks = F.split(F.col(text_col), " ")
@@ -140,6 +134,25 @@ def ngram_jaccard_pairs(
         )
         .dropDuplicates(["doc", "h"])
     )
+    return ex.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (oracle-verifiable baseline)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs with k-shingle Jaccard >= threshold via shingle equi-join.
+
+    The join key is the 64-bit shingle hash (8 bytes shuffled per shingle,
+    not the string), so complexity is sum over shingles of
+    (docs-per-shingle)^2 — quadratic only inside duplicate clusters, not in
+    the corpus.
+    """
     # Materialize the per-doc shingle sets ONCE (same lazy-checkpoint
     # rationale as minhash_lsh_pairs' signature table): unmaterialized,
     # Catalyst auto-broadcasts one side of the self-join at fixture scale
@@ -148,9 +161,9 @@ def ngram_jaccard_pairs(
     # ReusedExchange (plans/r13/cross_source_matrix_docs_before.txt).
     # The checkpoint holds the same (doc, h, n) rows the equi-join must
     # shuffle anyway.
-    sh = ex.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    ).localCheckpoint(eager=False)
+    sh = with_shingle_hashes(df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -366,10 +379,16 @@ def _jaccard_verify(cand: DataFrame, sig: DataFrame, threshold: float) -> DataFr
     from delta_go_spark.hints import broadcast_measured
 
     cand = cand.localCheckpoint(eager=False)
+    # EAGER checkpoint: the one materialization job doubles as the size
+    # measurement (broadcast_measured reads the stored bytes off the
+    # block manager — no separate aggregate job) and the verify plan's
+    # broadcast build reads the cached member set instead of re-running
+    # the union+distinct over the candidates.
     ids = (
         cand.select(F.col("doc_id_a").alias("doc"))
         .unionByName(cand.select(F.col("doc_id_b").alias("doc")))
         .distinct()
+        .localCheckpoint()
     )
     sig_c = sig.join(broadcast_measured(ids), "doc", "left_semi")
     ha = sig_c.select(F.col("doc").alias("doc_id_a"), F.col("hset").alias("sh_a"))
@@ -1352,15 +1371,17 @@ def minhash_incremental_update(
          table never reshuffled) adds every pair with >= 1 net-new doc.
     The union is exactly the full-recompute pair set over the
     post-change corpus — the registry oracle's contract."""
-    from delta_go_spark.hints import broadcast_if_small, estimated_df_bytes
+    from delta_go_spark.hints import broadcast_if_small, measured_df_bytes
 
     # O(deletes) id set vs the stored signature/pair STATE: one measured
-    # estimate (callers hand a checkpointed frame) feeds the size guard
-    # on all three anti-joins, so the state side is never shuffled —
-    # unhinted, the planner saw an unsized LogicalRDD and sort-merge
-    # joined (plans/r13/minhash_incremental_docs_before.txt); a
-    # backfill-sized delete set degrades back to the shuffle.
-    del_est = estimated_df_bytes(deleted_ids)
+    # estimate (callers hand a checkpointed frame — when it is EAGERLY
+    # materialized the measurement is a zero-job block-manager read)
+    # feeds the size guard on all three anti-joins, so the state side is
+    # never shuffled — unhinted, the planner saw an unsized LogicalRDD
+    # and sort-merge joined
+    # (plans/r13/minhash_incremental_docs_before.txt); a backfill-sized
+    # delete set degrades back to the shuffle.
+    del_est = measured_df_bytes(deleted_ids)
     dels_sig = broadcast_if_small(
         deleted_ids.withColumnRenamed("doc_id", "doc"), del_est
     )
@@ -1487,10 +1508,15 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a phantom pair (new doc x deleted stored doc) must never form.
     # Guarded broadcast of the O(deletes) set keeps the signature state
     # unshuffled (guide §3.1).
-    from delta_go_spark.hints import broadcast_measured
+    from delta_go_spark.hints import broadcast_if_small, measured_df_bytes
 
+    # measure the checkpointed base frame (zero-job stored-bytes read),
+    # not the renamed projection on top of it
     sig_base = spark.read.parquet(sig_path).join(
-        broadcast_measured(deleted_ids.withColumnRenamed("doc_id", "doc")),
+        broadcast_if_small(
+            deleted_ids.withColumnRenamed("doc_id", "doc"),
+            measured_df_bytes(deleted_ids),
+        ),
         "doc",
         "left_anti",
     )
@@ -1543,7 +1569,7 @@ def softdedup_incremental_update(
     from delta_go_spark.hints import (
         broadcast_if_small,
         broadcast_measured,
-        estimated_df_bytes,
+        measured_df_bytes,
     )
 
     touched = (
@@ -1560,7 +1586,7 @@ def softdedup_incremental_update(
             .distinct()
             .localCheckpoint()
         )
-        del_est = estimated_df_bytes(dels)
+        del_est = measured_df_bytes(dels)
         touched = touched.unionByName(dels)
         # pairs with a deleted endpoint vanish from both pair sources
         inc_pairs = inc_pairs.join(
@@ -2046,39 +2072,12 @@ def containment_pairs(
     front (minhash_lsh_pairs), since high containment of the SMALLER set
     implies a shared band with high probability.
     """
-    from pyspark.sql import Window
-
-    toks = F.split(F.col(text_col), " ")
-    base = _spread(df).select(F.col(id_col).alias("doc"), toks.alias("_t"))
-    ex = (
-        base.select(
-            "doc",
-            "_t",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("_t") - (k - 1), F.lit(1))
-                )
-            ).alias("_i"),
-        )
-        .select(
-            "doc",
-            F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), k))
-            ).alias("h"),
-        )
-        .dropDuplicates(["doc", "h"])
+    # Materialized once for the self-join, same rationale as
+    # ngram_jaccard_pairs (two shingle subtrees otherwise — see the note
+    # there).
+    sh = with_shingle_hashes(df, id_col, text_col, k).localCheckpoint(
+        eager=False
     )
-    # Materialize the per-doc shingle sets ONCE (same lazy-checkpoint
-    # rationale as minhash_lsh_pairs' signature table): unmaterialized,
-    # Catalyst auto-broadcasts one side of the self-join at fixture scale
-    # and REBUILDS the whole explode+dedup+window pipeline for it — the
-    # round-13 plans showed two complete shingle subtrees and zero
-    # ReusedExchange (plans/r13/cross_source_matrix_docs_before.txt).
-    # The checkpoint holds the same (doc, h, n) rows the equi-join must
-    # shuffle anyway.
-    sh = ex.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc"))
-    ).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))

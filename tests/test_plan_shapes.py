@@ -896,9 +896,35 @@ def test_profile_table_single_scan(spark):
 
 def test_containment_joins_on_hash_not_string(spark):
     """Pair candidates join on the 64-bit shingle hash (16-byte shuffle
-    rows), never the shingle string."""
+    rows), never the shingle string.
+
+    Since r13 the (doc, h, n) shingle-set frame is localCheckpointed so
+    the self-join materializes it once; the final plan therefore joins
+    two ExistingRDD scans whose columns are ALL bigint (`#NNL`) — no
+    string shingle survives past the checkpoint — while the xxhash64
+    build lives inside the checkpointed subtree (asserted via the
+    builder's own pre-checkpoint plan below)."""
+    import re
+
     from delta_go_spark.queries import queries
 
     plan = _plan(queries()["containment_near_dup_docs"](spark, SF_DIR))
-    assert "xxhash64" in plan
     assert "BatchEvalPython" not in plan
+    # the join inputs are the checkpointed shingle sets: every scanned
+    # column is a 64-bit long (attribute refs end in L), so the 24-byte
+    # (doc, h, n) row — not the shingle string — is what shuffles
+    scans = re.findall(r"Scan ExistingRDD\[([^\]]*)\]", plan)
+    assert scans, plan
+    for cols in scans:
+        for attr in re.findall(r"#\d+(\w?)", cols):
+            assert attr == "L", plan
+    # the hash build itself still runs through xxhash64 (visible before
+    # the checkpoint truncates the lineage)
+    from delta_go_spark.functions.dedup import with_shingle_hashes
+    from delta_go_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    build_plan = (
+        with_shingle_hashes(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "xxhash64" in build_plan
