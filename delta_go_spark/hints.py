@@ -67,6 +67,35 @@ def byte_estimate_aggs(df: DataFrame, row_overhead: int = 32):
     return fixed_per_row, aggs
 
 
+def checkpointed_storage_bytes(df: DataFrame):
+    """Exact stored bytes of an already-materialized localCheckpoint, read
+    from the driver's block-manager registry — ZERO Spark jobs.
+
+    Returns None unless `df` is exactly a (local)checkpointed frame (root
+    plan node LogicalRDD) whose RDD is FULLY cached right now; callers
+    fall back to the one-job `estimated_df_bytes` measurement.  The value
+    is the JVM's own deserialized storage footprint (mem + spilled disk),
+    the closest real proxy for what a broadcast of the frame would
+    occupy — measured, not assumed, so it honors the same guard
+    discipline (a backfill-sized frame reports its true giant size).
+    Only the exact-LogicalRDD root qualifies: any projection on top could
+    change the payload, so renamed/derived frames pay the aggregate."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() != "LogicalRDD":
+            return None
+        rid = plan.rdd().id()
+        for info in df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if (
+                info.id() == rid
+                and info.numCachedPartitions() == info.numPartitions()
+            ):
+                return int(info.memSize() + info.diskSize())
+    except Exception:
+        return None
+    return None
+
+
 def estimated_df_bytes(df: DataFrame, row_overhead: int = 32) -> int:
     """Conservative in-memory byte estimate for `df`, measured by ONE
     aggregate job: per-row overhead + a flat 16 bytes per fixed-width
@@ -99,8 +128,20 @@ def broadcast_measured(df: DataFrame) -> DataFrame:
     the session threshold the hint makes the join broadcast-hash and the
     state side is never shuffled (guide §3.1) — past it (a backfill
     batch) the join degrades to a shuffle as before.  Hand this an
-    already-checkpointed frame: the measurement re-executes the plan."""
-    return broadcast_if_small(df, estimated_df_bytes(df))
+    already-checkpointed frame: the measurement re-executes the plan —
+    and an EAGERLY checkpointed frame skips the measurement job entirely
+    (its stored size is read off the block manager)."""
+    return broadcast_if_small(df, measured_df_bytes(df))
+
+
+def measured_df_bytes(df: DataFrame) -> int:
+    """Real measured size of `df`: the zero-job stored-bytes fast path
+    when the frame is an already-materialized checkpoint, else the
+    one-aggregate-job estimate."""
+    est = checkpointed_storage_bytes(df)
+    if est is None:
+        est = estimated_df_bytes(df)
+    return est
 
 
 def broadcast_if_small(df: DataFrame, est_bytes: int) -> DataFrame:

@@ -320,6 +320,42 @@ def test_broadcast_if_small_honors_threshold(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_checkpointed_storage_bytes_fast_path(spark):
+    """The zero-job measurement: an EAGERLY localCheckpointed frame
+    reports its real stored size straight off the block manager; a lazy
+    (unmaterialized) checkpoint, or any projection on top, returns None
+    so callers fall back to the one-job aggregate — and the size is real
+    enough that the broadcast guard still rejects an oversized frame."""
+    from delta_go_spark.hints import (
+        broadcast_measured,
+        checkpointed_storage_bytes,
+        measured_df_bytes,
+    )
+
+    eager = spark.range(1000).selectExpr(
+        "id as doc_id", "repeat('x', 40) as text"
+    ).localCheckpoint()
+    stored = checkpointed_storage_bytes(eager)
+    assert stored is not None and stored > 1000 * 40  # real payload bytes
+    assert measured_df_bytes(eager) == stored
+
+    lazy = spark.range(10).localCheckpoint(eager=False)
+    assert checkpointed_storage_bytes(lazy) is None
+    projected = eager.withColumnRenamed("doc_id", "doc")
+    assert checkpointed_storage_bytes(projected) is None
+    # the fallback aggregate still measures both
+    assert measured_df_bytes(lazy) > 0
+
+    # guard discipline holds on the fast path: an over-threshold stored
+    # frame must NOT be hinted
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1kb")
+        assert broadcast_measured(eager) is eager
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_ndv_fold_degraded_path_results_identical(spark):
     """Threshold forced to 0: fold_value_deltas must fall back to a
     shuffle join and produce byte-identical results (the backfill path
