@@ -5,13 +5,19 @@ first-class product-analytics operator every event pipeline needs: how
 many users performed step-1, then step-2 AFTER it, then step-3 after
 that, all within a window of the first step.
 
-Scale shape: one aggregate per funnel step, every one keyed on the SAME
-user column — Catalyst plans a single hash partitioning and REUSES the
-exchange across the per-step joins, so a k-step funnel costs one shuffle
-of (user, ts) pairs plus k cheap co-partitioned joins, never a per-user
-collect or a cross join.  All time arithmetic is integer microseconds
-from the NTZ epoch (timezone-free, exact on both engines — the oracle's
-sums are BIGINT micro-deltas, never order-dependent float sums).
+Scale shape: ONE scan of the events table and ONE user-keyed shuffle for
+the whole k-step funnel.  The per-step "earliest event at-or-after the
+previous step" times are chained unbounded window minimums over the same
+user partitioning (k Window operators share one Exchange + Sort), the
+per-user row collapses in the already-co-partitioned aggregate, and the
+final per-step counts land in a single global aggregate unpivoted with
+stack() — never a per-user collect, a cross join, or a per-step rescan
+(the pre-r13 formulation scanned events once per step and chained
+per-step joins: 3 scans and 8 exchanges at k=3, see
+plans/r13/funnel_conversion_events_before.txt).  All time arithmetic is
+integer microseconds from the NTZ epoch (timezone-free, exact on both
+engines — the oracle's sums are BIGINT micro-deltas, never
+order-dependent float sums).
 """
 
 from __future__ import annotations
@@ -40,43 +46,65 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    from pyspark.sql import Window
+
     win_us = int(within_seconds * 1_000_000)
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
         _us(ts_col).alias("us"),
     )
-    # step 1: earliest occurrence per user
-    reached = ev.filter(F.col("t") == steps[0]).groupBy("u").agg(
-        F.min("us").alias("s1")
-    ).withColumn("prev", F.col("s1"))
-    out_rows = [reached.select(F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"), "u", (F.col("prev") - F.col("s1")).alias("delta"))]
+    # Chained window minimums over ONE user partitioning: _s1 is the
+    # user's earliest step-1 time; _sk the earliest step-k event
+    # at-or-after _s(k-1) and within the window of _s1.  Each withColumn
+    # is its own Window operator but they all share the single Exchange +
+    # Sort on u.  The u-NOT-NULL guard on steps >= 2 replicates the old
+    # join formulation exactly (an equi-join never matched a NULL user,
+    # while step 1's groupBy kept the NULL group).
+    w = Window.partitionBy("u")
+    df = ev.withColumn(
+        "_s1", F.min(F.when(F.col("t") == steps[0], F.col("us"))).over(w)
+    )
+    prev = "_s1"
+    step_cols = ["_s1"]
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.filter(F.col("t") == step)
-            .join(reached.select("u", "s1", "prev"), "u")
-            .filter((F.col("us") >= F.col("prev")) & (F.col("us") <= F.col("s1") + F.lit(win_us)))
-            .groupBy("u", "s1")
-            .agg(F.min("us").alias("cur"))
+        c = f"_s{i}"
+        cond = (
+            (F.col("t") == step)
+            & F.col("u").isNotNull()
+            & (F.col("us") >= F.col(prev))
+            & (F.col("us") <= F.col("_s1") + F.lit(win_us))
         )
-        reached = nxt.select("u", "s1", F.col("cur").alias("prev"))
-        out_rows.append(
-            reached.select(
-                F.lit(i).alias("step"),
-                F.lit(step).alias("event_type"),
-                "u",
-                (F.col("prev") - F.col("s1")).alias("delta"),
-            )
+        df = df.withColumn(c, F.min(F.when(cond, F.col("us"))).over(w))
+        prev = c
+        step_cols.append(c)
+    # one row per user (co-partitioned after the window — no new
+    # exchange; the step columns are constant within the partition)
+    per_user = df.groupBy("u").agg(
+        *[F.max(c).alias(c) for c in step_cols]
+    )
+    # single global aggregate: per-step reach count + exact integer
+    # latency sum, unpivoted to one row per step.  count(_sk) skips
+    # NULLs, so it counts exactly the users whose step-k event exists;
+    # a step nobody reached had NO group in the old union formulation,
+    # hence the n_users > 0 filter.
+    aggs = []
+    for i, c in enumerate(step_cols, start=1):
+        aggs.append(F.count(F.col(c)).alias(f"_n{i}"))
+        aggs.append(
+            F.sum(F.col(c) - F.col("_s1")).alias(f"_d{i}")
         )
-    all_steps = out_rows[0]
-    for r in out_rows[1:]:
-        all_steps = all_steps.unionByName(r)
+    row = per_user.agg(*aggs)
+    stack_parts = ", ".join(
+        "{}, '{}', _n{}, _d{}".format(i, step.replace("'", "''"), i, i)
+        for i, step in enumerate(steps, start=1)
+    )
     return (
-        all_steps.groupBy("step", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("delta").alias("total_delta_us"),
+        row.selectExpr(
+            f"stack({len(steps)}, {stack_parts}) AS "
+            "(step, event_type, n_users, total_delta_us)"
         )
+        .filter(F.col("n_users") > 0)
         .orderBy("step")
     )
 
