@@ -200,9 +200,13 @@ def main() -> None:
         # fidelity at fewer bytes than 2-decimal seconds; BENCH_FULL keeps
         # 3-decimal seconds under the untruncated names
         short[s] = int(round(secs * 1000))
-    wire = {k: v for k, v in payload.items() if k != "loadavg_1m"}
+    # r13 verdict item 2: loadavg_1m rides the wire line too (additions
+    # only — the driver parses the whole line as JSON, extra keys are
+    # ignored), so the DRIVER's own runs carry the load context that
+    # previously lived only in the untracked FULL payload.  ~19 chars,
+    # well inside the 1750 cap's headroom.
     line = json.dumps(
-        {**wire, "queries": short, "qunit": "ms"}, separators=(",", ":")
+        {**payload, "queries": short, "qunit": "ms"}, separators=(",", ":")
     )
     # Driver capture window is 2000 chars of stdout tail (round 6's line
     # overflowed it and the driver recorded parsed:null).  Cap at 1750 —
