@@ -1015,6 +1015,16 @@ def exactsubstr_dedup(
                 F.concat_ws(" ", F.slice("_t", F.col("_i") + 1, n))
             ).alias("_g"),
         )
+        # TWO consumers (the repeated-gram aggregate and the hit-start
+        # join below); when `repeated` broadcasts, the join side is never
+        # shuffled so exchange reuse cannot kick in and the whole
+        # tokenize + explode + hash pipeline ran TWICE
+        # (plans/r13/exactsubstr_dedup_docs_before.txt — the r13 verdict's
+        # item 4).  One lazy checkpoint computes it once for both; the
+        # stored (id, i, 8-byte gram) rows are the same narrow volume the
+        # aggregate must shuffle anyway (guide §2.4, the shingle-set
+        # materialization trade).
+        .localCheckpoint(eager=False)
     )
     repeated = (
         starts.groupBy("_g")
@@ -1646,7 +1656,19 @@ def softdedup_incremental_update(
     sub_cc = connected_components(
         inc_pairs.unionByName(affected_old_pairs)
     )
-    sub_clustered = sub_cc.join(_cluster_sizes(sub_cc), "cluster_rep").select(
+    # The sub-CC label frame is a checkpoint projection (sizeless
+    # LogicalRDD to Catalyst), so its self-join against its own size
+    # aggregate planned sort-merge — TWO exchanges over the affected set
+    # (plans/r13/softdedup_incremental_docs_after.txt nodes 20/26/29, the
+    # r13 verdict's item 7).  The size table is O(affected clusters) —
+    # change-bounded by construction — so the eager checkpoint + measured
+    # broadcast keeps the label side unshuffled; a backfill-sized batch
+    # fails the guard and degrades to the shuffle as everywhere else.
+    sub_sizes = _cluster_sizes(sub_cc).localCheckpoint()
+    sub_clustered = sub_cc.join(
+        broadcast_if_small(sub_sizes, measured_df_bytes(sub_sizes)),
+        "cluster_rep",
+    ).select(
         F.col("node").alias(id_col), "cluster_size"
     )
     kept_clustered = (

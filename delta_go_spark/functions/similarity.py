@@ -282,6 +282,14 @@ def cosine_all_pairs_exact(
     blocks = normed.groupBy("_b").agg(
         F.collect_list(F.struct("id", "u")).alias("items")
     )
+    # TWO broadcast consumers below (the ba and bb sides) — separate
+    # BroadcastExchanges never share work, so the full corpus scan +
+    # normalize + collect_list pipeline executed TWICE
+    # (plans/r13/cosine_near_dup_docs_before.txt shows both subtrees).
+    # One lazy checkpoint materializes the B block rows once for both
+    # sides; the stored bytes are the corpus itself — exactly what each
+    # broadcast must hold anyway (guide §2.4).
+    blocks = blocks.localCheckpoint(eager=False)
     pair_idx = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "ba long, bb long",
@@ -2293,11 +2301,19 @@ def _lloyd_centroids(coded: DataFrame, k: int, iters: int):
     pq_train_encode: seed = codes of the k lowest ids, then `iters - 1`
     rounds of (argmin assignment, floor(sum/n) update, empty clusters
     inherit).  `coded` is (vid, q array<long>).  Returns the (k x dim)
-    int64 centroid matrix; per round ONE Arrow argmin pass + one
-    k*dim-row aggregate — driver state O(k * dim)."""
-    import numpy as np
+    int64 centroid matrix; per round ONE fused Arrow pass computing the
+    argmin AND the per-cluster partial sums in the same batch loop —
+    driver state O(k * dim).
 
-    from pyspark.sql.functions import pandas_udf
+    The pre-r14 update step posexploded the assigned codes (N*dim rows
+    through the JVM aggregation map) before the (cluster, pos) groupBy;
+    the fused mapInPandas reduces each Arrow batch to <= k*dim partial
+    rows with one numpy sum per cluster, so the JVM only ever sees the
+    partials (guide §2.3 aggregate-before-you-shuffle + §4.2 do the bulk
+    work in numpy).  Integer sums are associative/commutative, so the
+    floor(sum/n) centroids are bit-identical regardless of batch or
+    partition layout — the oracle contract is untouched."""
+    import numpy as np
 
     init = coded.orderBy("vid").limit(k).collect()
     if not init:
@@ -2307,17 +2323,34 @@ def _lloyd_centroids(coded: DataFrame, k: int, iters: int):
         Cl = C.copy()
         cn2 = (Cl * Cl).sum(axis=1)
 
-        @pandas_udf("int")
-        def _assign(qs: pd.Series) -> pd.Series:
-            m = np.vstack(qs.to_numpy()).astype(np.int64)
-            d = (m * m).sum(axis=1)[:, None] - 2 * (m @ Cl.T) + cn2[None, :]
-            return pd.Series(d.argmin(axis=1).astype("int32"))
+        def _partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+                d = (
+                    (m * m).sum(axis=1)[:, None]
+                    - 2 * (m @ Cl.T)
+                    + cn2[None, :]
+                )
+                cl = d.argmin(axis=1)  # first min = lowest cluster index
+                dim = m.shape[1]
+                for c in np.unique(cl):
+                    sel = m[cl == c]
+                    yield pd.DataFrame(
+                        {
+                            "cluster": np.full(dim, int(c), dtype="int32"),
+                            "pos": np.arange(dim, dtype="int32"),
+                            "s": sel.sum(axis=0),
+                            "n": np.full(dim, sel.shape[0], dtype="int64"),
+                        }
+                    )
 
         stats = (
-            coded.select(_assign("q").alias("cluster"), "q")
-            .select("cluster", F.posexplode("q").alias("pos", "v"))
+            coded.select("q")  # ship only the codes into Python (§4.1)
+            .mapInPandas(_partials, "cluster int, pos int, s long, n long")
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )  # <= k * dim rows — the centroid update itself, O(small)
         newC = C.copy()  # empty cluster keeps its previous centroid
