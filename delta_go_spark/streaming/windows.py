@@ -452,14 +452,34 @@ QUERIES["streaming_interval_join_events"] = (
 # stateful / dedup / interval-join / static-enrich.
 def streaming_static_enrich_events(spark, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    # The stateful aggregate's key space is (4 tiers) x (handful of event
+    # types) ~ 20 groups AT ANY SCALE — the key cardinality is fixed by
+    # the query, not the data volume — yet the state store allocated one
+    # partition per session shuffle partition (= cores), and EVERY
+    # micro-batch pays a per-partition state-store commit (delta file
+    # write + rename).  Profiled at sf0.1/local[32]: 32 state partitions,
+    # summed commitTimeMs 14-74 s per batch for 20 state rows — the
+    # row's entire cost is this fixed overhead (r13 verdict item 3).
+    # Run the stream in an ISOLATED session (newSession: shared context,
+    # own SQL conf) with state partitions sized to the KEY CARDINALITY —
+    # a scale-independent property — leaving the parent session's batch
+    # shuffle parallelism untouched.  Deployments with genuinely large
+    # key spaces size it via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    import os as _os
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ns.conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"),
+    )
+    schema = ns.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(schema)
+        ns.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    tiers = spark.createDataFrame(
+    tiers = ns.createDataFrame(
         [(0, "bronze"), (1, "silver"), (2, "gold"), (3, "platinum")],
         "tier_id int, tier string",
     )
@@ -487,7 +507,7 @@ def streaming_static_enrich_events(spark, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).orderBy("tier", "event_type")
+    return ns.table(sink).orderBy("tier", "event_type")
 
 
 STREAMING_STATIC_ENRICH_SQL = """
