@@ -477,21 +477,36 @@ class DeltaDml:
         # broadcast-guard size measurement (estimated_df_bytes).  Falls
         # back to the legacy per-probe path if the key type rejects
         # min/max (the probe must never make a mergeable source
-        # unmergeable).
+        # unmergeable).  Gated on its CONSUMERS (the r13 ADVICE finding —
+        # the fused probe ran even where the old path ran no source
+        # aggregate at all): skip it entirely for a merge into an EMPTY
+        # table that also needs no NULL check, and drop the bounds
+        # columns when the target sits below the pruning gate, so the
+        # probe never costs more than what it replaces.
+        needs_null = insert_not_matched and not allow_null_keys
+        n_target_files = len(snap.all_files())
+        needs_bounds = n_target_files >= _MERGE_PRUNE_MIN_FILES
         fixed_per_row, baggs = 0, []
         probe = None
-        try:
-            fixed_per_row, baggs = byte_estimate_aggs(source)
-            probe = source.agg(
-                F.count(F.lit(1)).alias("_cnt"),
-                F.count(F.when(F.col(on).isNull(), F.lit(1))).alias("_nk"),
-                F.min(on).alias("_mn"),
-                F.max(on).alias("_mx"),
-                F.approx_count_distinct(on).alias("_acd"),
-                *[a.alias(f"_b{i}") for i, a in enumerate(baggs)],
-            ).first()
-        except Exception:
-            probe = None
+        if needs_null or n_target_files > 0:
+            try:
+                fixed_per_row, baggs = byte_estimate_aggs(source)
+                aggs = [
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.count(F.when(F.col(on).isNull(), F.lit(1))).alias("_nk"),
+                ]
+                if needs_bounds:
+                    aggs += [
+                        F.min(on).alias("_mn"),
+                        F.max(on).alias("_mx"),
+                        F.approx_count_distinct(on).alias("_acd"),
+                    ]
+                probe = source.agg(
+                    *aggs,
+                    *[a.alias(f"_b{i}") for i, a in enumerate(baggs)],
+                ).first()
+            except Exception:
+                probe = None
         # NULL merge keys never equi-match: a NULL-key source row passes
         # the insert anti-join on EVERY retry — re-inserted per batch in a
         # non-idempotent streaming upsert.  Refuse loudly, but only where
@@ -517,7 +532,9 @@ class DeltaDml:
                 f"allow_null_keys=True for ANSI insert-them-anyway behavior"
             )
         txn.read_whole_table()
-        candidates = self._merge_candidates(snap, source, on, bounds=probe)
+        candidates = self._merge_candidates(
+            snap, source, on, bounds=probe if needs_bounds else None
+        )
         # Delta's multiple-match rule: a TARGET row may match at most one
         # source row.  Duplicate source keys alone are legal (an insert-only
         # merge inserts them all), so the guard is deferred until touched

@@ -589,15 +589,21 @@ def cluster_safe_split(
     """
     from delta_go_spark.functions.dedup import connected_components
 
-    from delta_go_spark.hints import broadcast_measured
+    from delta_go_spark.hints import broadcast_if_small, measured_df_bytes
 
-    # the label table is O(clustered docs) and already checkpointed by
-    # connected_components — a measured, size-guarded broadcast keeps the
-    # corpus side unshuffled (it sort-merge joined before)
-    cc = broadcast_measured(
-        connected_components(
-            pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
-        ).withColumnRenamed("node", id_col)
+    # the label table is O(clustered docs) — a measured, size-guarded
+    # broadcast keeps the corpus side unshuffled (it sort-merge joined
+    # before).  connected_components returns a PROJECTION over its last
+    # lazy checkpoint, so measuring it (or any rename on top — the r13
+    # ADVICE finding) always paid an aggregate job; one EAGER checkpoint
+    # of the final label frame makes that materialization double as the
+    # size measurement (checkpointed_storage_bytes' zero-job block-manager
+    # read) and lets the broadcast build read the cached rows.
+    labels = connected_components(
+        pairs, a_col=a_col, b_col=b_col, checkpoint_dir=checkpoint_dir
+    ).localCheckpoint()
+    cc = broadcast_if_small(
+        labels.withColumnRenamed("node", id_col), measured_df_bytes(labels)
     )
     rep = df.join(cc, id_col, "left").withColumn(
         "rep", F.coalesce("cluster_rep", F.col(id_col))

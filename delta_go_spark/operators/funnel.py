@@ -95,15 +95,26 @@ def funnel(
             F.sum(F.col(c) - F.col("_s1")).alias(f"_d{i}")
         )
     row = per_user.agg(*aggs)
-    stack_parts = ", ".join(
-        "{}, '{}', _n{}, _d{}".format(i, step.replace("'", "''"), i, i)
-        for i, step in enumerate(steps, start=1)
+    # Unpivot via explode over an array of literal-tagged structs — pure
+    # column expressions, no SQL interpolation (the stack()/selectExpr
+    # form escaped step names by doubling single quotes, but Spark SQL
+    # concatenates adjacent string literals, so a quote-bearing step name
+    # silently lost its quote and a trailing backslash misparsed — the
+    # r13 ADVICE finding).  Identical Generate-node plan shape.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.col(f"_d{i}").alias("total_delta_us"),
+            )
+            for i, step in enumerate(steps, start=1)
+        ]
     )
     return (
-        row.selectExpr(
-            f"stack({len(steps)}, {stack_parts}) AS "
-            "(step, event_type, n_users, total_delta_us)"
-        )
+        row.select(F.explode(entries).alias("_e"))
+        .select("_e.step", "_e.event_type", "_e.n_users", "_e.total_delta_us")
         .filter(F.col("n_users") > 0)
         .orderBy("step")
     )
