@@ -15,7 +15,13 @@ SF_DIR = "/root/testdata/sf0.001"
 def docs(spark):
     from delta_go_spark.session import load_table
 
-    return load_table(spark, SF_DIR, "documents").cache()
+    df = load_table(spark, SF_DIR, "documents").cache()
+    yield df
+    # unpersist at module teardown: the cached plan otherwise shadows
+    # every later spark.read.parquet(documents) in the session through
+    # the CacheManager, turning file scans into InMemoryTableScans (an
+    # order-dependent trap for the plan-shape tests)
+    df.unpersist()
 
 
 def test_threshold_mapping():
