@@ -1347,9 +1347,14 @@ def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs, deleted_docs = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1)
     )
-    # checkpoint the netted sides (O(change) rows): the band join and the
-    # two anti-joins would replay the CDF read + netting windows otherwise
-    new_docs = new_docs.select("doc_id", "text").localCheckpoint()
+    # checkpoint the DELETE side (O(change) ids): three anti-joins and a
+    # zero-job size measurement consume it.  The INSERT side has exactly
+    # one consumer — the signature build, which is itself checkpointed
+    # and materialized once — so an eager checkpoint here only added a
+    # job that replayed the CDF netting a second time (r14: jobs per
+    # refresh shaved; the netting still runs once, inside the signature
+    # materialization).
+    new_docs = new_docs.select("doc_id", "text")
     del_ids = deleted_docs.select("doc_id").localCheckpoint()
     return minhash_incremental_update(
         spark.read.parquet(sig_path),
@@ -1510,9 +1515,11 @@ def softdedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs, deleted_docs = cdf_net_changes(
         cdf.table_changes(spark, tbl, start_version=1)
     )
-    # checkpoint both netted sides (O(change) rows): the signature build
-    # and the band join replay the CDF read + netting windows otherwise
-    new_docs = new_docs.localCheckpoint()
+    # checkpoint the delete side (O(change) ids — consumed by the guard
+    # measurement and several anti-joins); the insert side's only
+    # consumer is the checkpointed signature build, so it needs no
+    # checkpoint of its own (r14 — the eager one re-ran the CDF netting
+    # for a job that bought nothing)
     deleted_ids = deleted_docs.select("doc_id").localCheckpoint()
     # drop deleted docs from the stored signatures BEFORE the band join:
     # a phantom pair (new doc x deleted stored doc) must never form.
