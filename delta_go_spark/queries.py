@@ -38,7 +38,7 @@ from delta_go_spark.operators import (
 )
 
 # ---------------------------------------------------------------------------
-# Driver correctness window (round 13)
+# Driver correctness window (round 14)
 #
 # The driver hash-checks only the FIRST 50 registry entries at sf0.01, so
 # ordering is the evidence-rotation mechanism.  `_WINDOW` lists exactly the
@@ -47,35 +47,24 @@ from delta_go_spark.operators import (
 # is irrelevant — those rows are pinned locally by the pytest oracle SAMPLE
 # and scripts/check_parity.py).
 #
-# Round-13 rotation (the r12 window went 50/50; the whole r8-stale evidence
-# block was judge-parity-verified 20/20 at r12 review, so this rotation
-# retires the r8 driver-evidence horizon rather than chasing suspected
-# regressions):
-#   (a) every row whose code changed this round —
-#       ndv_incremental + equidepth_incremental + profile_incremental
-#       (the unified _inc_stats_fixture: state now lives in the
-#       FrequencyStateMaintainer's Delta tables, MERGEd per batch, and
-#       profile gained the exact maintained n_distinct),
-#       range_split_points (NEW: write-path boundaries derived FROM the
-#       maintained histogram — the CBO-stats consumer),
-#       streaming_index_maintenance (size-guarded affected-token
-#       broadcast + every-N-batches state compaction), and
-#       minhash_incremental (its module's broadcast-threshold guard moved
-#       to the shared hints.py — same logic, changed import path);
-#   (b) the 20 rows deferred by the r12 rotation (last driver hash r8) —
-#       after this window lands, every row's driver evidence is r9+;
-#   (c) 22 of the 47 r9 rows (the oldest remaining evidence).  Deferred
-#       to the r14 queue: vocab_by_source and word_entropy_docs (their
-#       family siblings lang_source_matrix + source_rank_by_lang +
-#       doc_length_buckets sit in-window), span_corrupt_docs (displaced
-#       mid-round by the NEW hotkey_salted_join_events; its sibling
-#       span_scrub_docs sits in-window) and the 22 TPC-H rows q1-q22
-#       (one shared plan family, pinned locally by the pytest SAMPLE +
-#       check_parity; they rotate as a block next round).  The extra
-#       head slot went to the round's second NEW row,
-#       streaming_stats_maintenance_docs.
-# Rotated OUT r12-green: the entire r12 window except its r13-rechanged
-# rows — all unchanged this round and below-window gated.
+# Round-14 rotation (optimization round 2/2; the r13 window went 50/50):
+#   (a) every row whose code changed this round — the optimization targets
+#       (funnel's struct-explode unpivot, the fused Lloyd update shared by
+#       kmeans + pq_codebook, cosine's single-computed block table,
+#       exactsubstr's shared gram frame, softdedup's broadcast sub-CC
+#       sizes + checkpoint shave, minhash_incremental's checkpoint shave,
+#       split_cluster_safe's eagerly-measured CC labels, the
+#       key-cardinality-sized enrich state store) and every MERGE consumer
+#       riding the dml.py probe gating (the streaming committers, SCD2/DML,
+#       and the five stats/index maintainer rows, which also cover the
+#       change through their per-batch merges);
+#   (b) the 25-row r13-deferred queue — the TPC-H block q1-q22 (one shared
+#       plan family, rotating as a block as planned) plus vocab_by_source,
+#       word_entropy_docs and span_corrupt_docs (pre-verified 25/25 at
+#       sf0.01 during r13).
+# Rotated OUT r13-green: everything else from the r13 window — all
+# unchanged this round and below-window gated (full-registry parity was
+# re-swept green at r14 start with the optimization diff in place).
 # The 3 rows-only queries (ann_lsh/ann_ivf/approx_distinct) stay OUT by
 # policy: no rows-only filler inside the hard-evidence window — their gate
 # is the recall/approx pytest suite.
@@ -85,13 +74,32 @@ from delta_go_spark.operators import (
 # ---------------------------------------------------------------------------
 
 _WINDOW: list = [
-    # --- r13 head (queue item a): every row whose code changed this round ---
-    (scalejoins, [
-        # NEW in round 13: partial salting driven by the (val, cnt)
-        # frequency-table shape the FrequencyStateMaintainer serves —
-        # the second stats->plan consumer after range_split_points.
-        # Displaces span_corrupt_docs (r9, unchanged) to the r14 queue.
-        "hotkey_salted_join_events",
+    # --- r14 head (queue item a): every row whose code changed this round ---
+    (funnel, ["funnel_conversion_events"]),
+    (similarity, [
+        "kmeans_embeddings",
+        "pq_codebook_embeddings",
+        "cosine_near_dup_docs",
+    ]),
+    (dedup, [
+        "exactsubstr_dedup_docs",
+        "softdedup_incremental_docs",
+        "minhash_incremental_docs",
+        # the r13 optimization round changed these plans (shared shingle
+        # checkpoint, pagerank degree fold) AFTER the r13 window was
+        # composed, so the new plans never received driver evidence —
+        # the three spare slots close that gap
+        "ngram_jaccard_pairs_docs",
+        "containment_near_dup_docs",
+        "pagerank_docs",
+    ]),
+    (sampling, ["split_cluster_safe_docs"]),
+    (streaming_windows, [
+        "streaming_static_enrich_events",
+        "streaming_delta_aggsink_events",
+        "streaming_upsert_events",
+        "streaming_stats_maintenance_docs",
+        "streaming_index_maintenance_docs",
     ]),
     (coverage, [
         "ndv_incremental_docs",
@@ -99,78 +107,47 @@ _WINDOW: list = [
         "profile_incremental_docs",
         "range_split_points_docs",
     ]),
-    (streaming_windows, [
-        # NEW in round 13: the FrequencyStateMaintainer driven by a
-        # Structured Streaming job over the table's own change feed — the
-        # CBO-stats twin of the index-maintenance row.  Displaces
-        # word_entropy_docs to the r14 queue (curation keeps 4 r9 rows
-        # plus 6 r8 rows in-window).
-        "streaming_stats_maintenance_docs",
-        "streaming_index_maintenance_docs",
-    ]),
-    (dedup, ["minhash_incremental_docs"]),
-    # --- the 20 rows deferred from r12 (queue item b, last green r8) ---
-    (coverage, ["agg_percentiles_lineitem", "join_full_outer_nation"]),
+    (delta_queries, ["delta_scd2_agg", "delta_dml_agg"]),
     (textops, [
-        "bigram_coverage_docs",
-        "hash_features_docs",
-        "like_regexp_docs",
+        "bm25_incremental_docs",
+        "inverted_index_incremental_docs",
     ]),
-    (curation, [
-        "char_trigram_profile",
-        "length_outlier_docs",
-        "quality_classifier_docs",
-        "repetition_topword_docs",
-        "source_similarity_docs",
-        "word_rarity_docs",
+    (curation, ["doremi_incremental_docs"]),
+    # --- the 25-row queue deferred by the r13 rotation (queue item b) ---
+    (relational, [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
     ]),
-    (similarity, ["cosine_near_dup_docs"]),
-    (delta_queries, ["delta_vacuum_agg"]),
-    (safety, ["gram_novelty_docs"]),
-    (sampling, [
-        "mixture_sample_docs",
-        "sample_k_per_source_docs",
-        "shuffle_shard_docs",
-    ]),
-    (dedup, ["simhash_docs"]),
-    (streaming_windows, ["sliding_avg_events"]),
-    (streaming_stateful, ["streaming_quota_gate_events"]),
-    # --- 23 of the 47 r9 rows (queue item c; deferrals in the header) ---
     (coverage, [
-        "argmax_orders_per_status",
-        "join_cross_regions",
-        "join_right_outer_parts",
-        "multiformat_ingest_docs",
-        "pivot_lineitem_status",
-        "stats_agg_lineitem",
-        "window_lag_lead_orders",
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_order_distribution",
+        "q20_excess_quantity",
+        "q21_waiting_suppliers",
     ]),
-    (dedup, ["dedup_clusters_docs", "softdedup_weights_docs"]),
-    (delta_queries, ["delta_convert_agg", "delta_replace_agg"]),
-    (curation, [
-        "doc_length_buckets",
-        "lang_source_matrix",
-        "source_rank_by_lang",
-        "span_scrub_docs",
+    (subqueries, [
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q19_discounted_revenue",
+        "q22_global_sales",
     ]),
-    (similarity, [
-        "label_centroid_drift_embeddings",
-        "semantic_decontaminate_embeddings",
-    ]),
-    (sessions, ["sessionize_events"]),
-    (streaming_stateful, [
-        "streaming_late_data_events",
-        "streaming_sessionize_events",
-    ]),
-    (streaming_windows, [
-        "streaming_leftouter_join_events",
-        "streaming_static_enrich_events",
-    ]),
+    (curation, ["vocab_by_source", "word_entropy_docs"]),
+    (textops, ["span_corrupt_docs"]),
 ]
 # Everything displaced moved below the boundary where the pytest SAMPLE
-# and scripts/check_parity.py remain its gate; the 20 deferred r8 rows
-# (listed in the header comment) head the round-13 rotation, after which
-# every row's driver evidence is r9 or fresher.
+# and scripts/check_parity.py remain its gate; after this window lands,
+# every row's driver evidence is r10 or fresher.
 
 # Every module with a QUERIES dict; the post-window sweep adds anything not
 # already placed by _WINDOW, so nothing can silently fall out of the

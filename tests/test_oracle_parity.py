@@ -219,7 +219,7 @@ def test_cached_delta_builders_recover_from_partial_build(spark, duck):
     assert DeltaLog.for_table(path).update().version == 2
 
 
-def test_round13_queries_in_window():
+def test_round14_queries_in_window():
     """The driver hash-checks only the FIRST 50 registry entries; every
     query that is new, changed this round, or carries the stalest driver
     evidence must sit inside that window (the registry's ordering
@@ -228,64 +228,67 @@ def test_round13_queries_in_window():
 
     order = list(queries())
     R_MUST = [
-        # every row whose code changed in r13 — window head
-        "hotkey_salted_join_events",  # NEW mid-round: stats-driven salting
-        "ndv_incremental_docs",  # maintained-Delta-state served
-        "equidepth_incremental_docs",  # maintained-Delta-state served
-        "profile_incremental_docs",  # unified fixture + exact n_distinct
-        "range_split_points_docs",  # NEW in round 13
-        "streaming_stats_maintenance_docs",  # NEW in round 13
-        "streaming_index_maintenance_docs",  # guard + compaction
-        "minhash_incremental_docs",  # shared hints.py guard import
-        # the 20 rows deferred from r12 (last driver hash r8)
-        "agg_percentiles_lineitem",
-        "join_full_outer_nation",
-        "bigram_coverage_docs",
-        "hash_features_docs",
-        "like_regexp_docs",
-        "char_trigram_profile",
-        "length_outlier_docs",
-        "quality_classifier_docs",
-        "repetition_topword_docs",
-        "source_similarity_docs",
-        "word_rarity_docs",
-        "cosine_near_dup_docs",
-        "delta_vacuum_agg",
-        "gram_novelty_docs",
-        "mixture_sample_docs",
-        "sample_k_per_source_docs",
-        "shuffle_shard_docs",
-        "simhash_docs",
-        "sliding_avg_events",
-        "streaming_quota_gate_events",
-        # 22 of the 47 r9 rows (deferrals in queries.py's rotation comment;
-        # span_corrupt_docs displaced mid-round by hotkey_salted_join_events)
-        "argmax_orders_per_status",
-        "join_cross_regions",
-        "join_right_outer_parts",
-        "multiformat_ingest_docs",
-        "pivot_lineitem_status",
-        "stats_agg_lineitem",
-        "window_lag_lead_orders",
-        "dedup_clusters_docs",
-        "softdedup_weights_docs",
-        "delta_convert_agg",
-        "delta_replace_agg",
-        "doc_length_buckets",
-        "lang_source_matrix",
-        "source_rank_by_lang",
-        "span_scrub_docs",
-        "label_centroid_drift_embeddings",
-        "semantic_decontaminate_embeddings",
-        "sessionize_events",
-        "streaming_late_data_events",
-        "streaming_sessionize_events",
-        "streaming_leftouter_join_events",
-        "streaming_static_enrich_events",
+        # every row whose code changed in the r14 optimization round —
+        # window head (operator rewrites + every MERGE consumer riding the
+        # dml.py probe gating)
+        "funnel_conversion_events",  # struct-explode unpivot
+        "kmeans_embeddings",  # fused Lloyd update pass
+        "pq_codebook_embeddings",  # fused Lloyd update pass
+        "cosine_near_dup_docs",  # single-computed block table
+        "exactsubstr_dedup_docs",  # shared gram frame
+        "softdedup_incremental_docs",  # broadcast sub-CC sizes
+        "minhash_incremental_docs",  # checkpoint shave
+        "ngram_jaccard_pairs_docs",  # r13 shingle checkpoint, no evidence yet
+        "containment_near_dup_docs",  # r13 shingle checkpoint, ditto
+        "pagerank_docs",  # r13 degree fold, ditto
+        "split_cluster_safe_docs",  # eagerly-measured CC labels
+        "streaming_static_enrich_events",  # key-sized state store
+        "streaming_delta_aggsink_events",  # MERGE probe gating
+        "streaming_upsert_events",  # MERGE probe gating
+        "streaming_stats_maintenance_docs",  # MERGE probe gating
+        "streaming_index_maintenance_docs",  # MERGE probe gating
+        "ndv_incremental_docs",  # MERGE probe gating (fixture merges)
+        "equidepth_incremental_docs",  # MERGE probe gating
+        "profile_incremental_docs",  # MERGE probe gating
+        "range_split_points_docs",  # MERGE probe gating
+        "delta_scd2_agg",  # MERGE probe gating
+        "delta_dml_agg",  # MERGE probe gating
+        "bm25_incremental_docs",  # MERGE probe gating
+        "inverted_index_incremental_docs",  # MERGE probe gating
+        "doremi_incremental_docs",  # MERGE probe gating
+        # the 25-row queue deferred by the r13 rotation: the TPC-H block
+        # (one shared plan family, rotating as a block as planned) + the
+        # three curation/textops deferrals, all pre-verified 25/25 at
+        # sf0.01 during r13
+        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q12_priority_shipping",
+        "q13_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q19_discounted_revenue",
+        "q20_excess_quantity",
+        "q21_waiting_suppliers",
+        "q22_global_sales",
+        "vocab_by_source",
+        "word_entropy_docs",
+        "span_corrupt_docs",
     ]
     assert len(R_MUST) == 50  # this round the window IS the must-list
-    # r13-changed rows head the window
-    assert order[0] == "hotkey_salted_join_events"
+    # r14-changed rows head the window
+    assert order[0] == "funnel_conversion_events"
     positions = {n: order.index(n) + 1 for n in R_MUST}
     out_of_window = {n: p for n, p in positions.items() if p > 50}
     assert not out_of_window, out_of_window
