@@ -770,14 +770,30 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
     src = _ev4_split(spark, sf_dir)
     run_dir = _run_scratch(os.path.dirname(src), "aggsink_runs")
     target = os.path.join(run_dir, "agg")
-    seed = spark.createDataFrame(
+    # Per-batch work here is a groupBy whose output is O(event types) and
+    # a MERGE into an O(event types) aggregate table, yet every batch ran
+    # its aggregate + merge joins at the parent session's one-partition-
+    # per-core shuffle width (32 tasks per tiny exchange x ~8 exchanges x
+    # 4 batches at sf0.1/local[32]).  Same remedy as the static-enrich
+    # row (r13 verdict item 3): an ISOLATED session (shared context, own
+    # SQL conf) with shuffle width sized to the KEY CARDINALITY — a
+    # property of the query, not the data volume — leaving the parent
+    # session's batch parallelism untouched.  Real deployments with wide
+    # key spaces size it via SPARK_GRAFT_STREAM_STATE_PARTITIONS.  The
+    # result is partitioning-independent (additive integer merge).
+    ns = spark.newSession()
+    ns.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"),
+    )
+    seed = ns.createDataFrame(
         [], "event_type string, n_events long, value_cents long"
     )
     write_dataframe(seed, target)
 
-    schema = spark.read.parquet(src).schema
+    schema = ns.read.parquet(src).schema
     stream = (
-        spark.readStream.schema(schema)
+        ns.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -792,7 +808,7 @@ def streaming_delta_aggsink_events(spark, sf_dir: str) -> DataFrame:
                 ).alias("value_cents"),
             )
         )
-        DeltaDml(spark, target).merge(
+        DeltaDml(ns, target).merge(
             deltas,
             on="event_type",
             update_set={

@@ -100,6 +100,23 @@ def test_softdedup_sub_cc_sizes_broadcast(spark):
     assert plan.count("SortMergeJoin") <= 1, plan
 
 
+def test_streaming_aggsink_shuffle_width_bounded(spark):
+    """r14: the aggsink's per-batch aggregate + MERGE run in an isolated
+    session whose shuffle width is sized to the key cardinality (default
+    4, env-overridable), not one partition per core — each of the 4
+    micro-batches folds O(event types) rows, so the parent's 32-way
+    width only bought empty tasks.  The parent session must be
+    untouched, and the additive fold must still match the oracle (the
+    result is partitioning-independent)."""
+    from delta_go_spark.queries import queries
+
+    parent_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    df = queries()["streaming_delta_aggsink_events"](spark, SF_DIR)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parent_parts
+    rows = {r["event_type"]: r["n_events"] for r in df.collect()}
+    assert rows and all(n > 0 for n in rows.values())
+
+
 def test_streaming_static_enrich_state_partitions_bounded(spark):
     """r14: the stream-static enrich aggregate runs its state store at
     the key-cardinality-sized partition count (default 4, env-overridable
