@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Deliberately KEEPING coalescePartitions.parallelismFirst at its
+        # default (true).  r14 A/B'd flipping it to false (+64 MB advisory)
+        # to cut 32-way scheduling of kilobyte state frames (r13 verdict
+        # item 8): adjacent alternating runs regressed the incremental
+        # family 2-5x (minhash_incremental 10 -> 51 s, profile_incremental
+        # 3.7 -> 17 s, ngram_jaccard 3.8 -> 7.5 s) because post-shuffle
+        # BYTES are a bad proxy for CPU cost — explode/hash-dense stages
+        # carry kilobytes but need the cores.  Reverted; evidence in
+        # OPTIMIZATION_r14.md.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
